@@ -1,0 +1,81 @@
+"""Primary-key dedupe and duplicate accounting.
+
+Reference behavior (datapump.py:446-456): per input file,
+``df.drop_duplicates(subset=pk_list, keep='first'|'last')`` where first/last
+means *file row order*, plus a ``DUPES: n/m`` diagnostic
+(datapump.py:449-450) computed as duplicated-row count.
+
+Spark design: "file row order" does not exist on a distributed scan, so the
+caller must provide (or we synthesize) an explicit ordering column. For batch
+CSV ingestion we synthesize one from ``monotonically_increasing_id()`` — it is
+monotone within each file-split and files are single-split at reference-scale
+inputs; for the oracle-checked variants we order by an existing unique key.
+Keep-first = ``row_number() OVER (PARTITION BY pk ORDER BY ord ASC) = 1``;
+keep-last flips to DESC. A plain ``dropDuplicates`` is NOT faithful for
+``last`` (SURVEY §2.3 F4).
+
+Scale: the window shuffles once on the PK — the same shuffle an aggregation
+would need, no extra pass. At 100 TB the PK partitioning is the natural
+clustering for the downstream MERGE sink, so this shuffle is reused, and AQE
+splits skewed PK partitions. No collect, no Python rows.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dupe_count(df: DataFrame, keys: Sequence[str]) -> DataFrame:
+    """Count of rows that share a PK with an earlier row (reference
+    ``df.duplicated(subset=pk).sum()``, datapump.py:449).
+
+    Equals total rows minus distinct key groups; computed as two
+    aggregates in one job (partial aggregation map-side, single shuffle).
+    Returns a 1-row DataFrame ``(dupe_count bigint)``.
+    """
+    per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+    return per_key.agg(
+        (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("dupe_count")
+    )
+
+
+def dedupe_by_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_col: str | Column,
+    keep: str = "first",
+) -> DataFrame:
+    """Keep exactly one row per key group: the one with min (keep='first')
+    or max (keep='last') ``order_col``. Faithful port of datapump.py:446-456
+    with explicit, deterministic ordering.
+
+    ``keep=''`` (reference's falsy no-op, datapump.py:446) returns df as-is.
+    """
+    if not keep:
+        return df
+    if keep not in ("first", "last"):
+        raise ValueError(f"keep must be 'first', 'last' or '' — got {keep!r}")
+    ord_c = F.col(order_col) if isinstance(order_col, str) else order_col
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        ord_c.asc() if keep == "first" else ord_c.desc()
+    )
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def with_file_order(df: DataFrame, col_name: str = "__file_order") -> DataFrame:
+    """Attach a within-file ordering surrogate for CSV ingestion dedupe.
+
+    ``monotonically_increasing_id`` is monotone within a partition; with the
+    streaming file source each micro-batch file lands in its own partition(s)
+    at reference-like file sizes, which reproduces pandas row order. For
+    multi-split giant files the order is per-split — documented divergence
+    (SURVEY §7 "What's hard #1").
+    """
+    return df.withColumn(col_name, F.monotonically_increasing_id())

@@ -1,0 +1,235 @@
+"""Query registry: every operator as (spark, sf_dir) -> DataFrame, with a
+DuckDB oracle twin in :mod:`datapump_spark.oracles`.
+
+Float-determinism policy (the driver hash-compares values):
+- Money-style SUM/AVG over many rows: per-row double expression (IEEE-
+  deterministic) → CAST to DECIMAL(18,6) (exact; scale-6 ties are impossible
+  for dyadic doubles, so HALF_UP vs HALF_EVEN can't disagree) → exact decimal
+  SUM → CAST back to DOUBLE. Engine-independent regardless of partial-agg
+  summation order.
+- Small-magnitude statistics (avg/stddev/percentile): plain double math
+  rounded to 6 decimals — summation-order error is ~1e-12 relative, far
+  below the rounding quantum.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.dedupe import dedupe_by_key, dupe_count
+from datapump_spark.operators.describe import describe_numeric, describe_string
+from datapump_spark.operators.mode import column_modes
+from datapump_spark.operators.resample import freq_resample
+from datapump_spark.session import ensure_utc
+from datapump_spark.sources.csv_ingest import infer_ckan_fields, ingest_csv, multi_format_ts, read_csv_raw
+
+REPO_ROOT = Path(__file__).resolve().parents[1]
+IOT_GLOB = str(REPO_ROOT / "tests" / "data" / "iot" / "zone1_airquality_*.csv")
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_utc(spark)
+    # The testdata writes events.ts as parquet TIMESTAMP(NANOS), which Spark
+    # only reads via the nanosAsLong legacy conf; convert to microseconds
+    # with integer division (double division would lose precision on int64
+    # epoch-nanos) — truncation matches DuckDB's ns→µs behavior.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def _dec_sum(col_expr, alias: str):
+    """Exact, order-independent double aggregation (see module docstring)."""
+    return F.sum(col_expr.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+# ---------------------------------------------------------------- reference parity
+
+def q_csv_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S5+P5: typed ingestion of the IoT CSV fixture (datapump.py:442-473)."""
+    ensure_utc(spark)
+    return ingest_csv(spark, IOT_GLOB)
+
+
+def q_multiformat_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 standalone: raw string + parsed timestamp (datapump.py:439-443)."""
+    ensure_utc(spark)
+    raw = read_csv_raw(spark, IOT_GLOB)
+    return raw.select(
+        F.col("DateTime").alias("raw_ts"),
+        multi_format_ts("DateTime").alias("parsed_ts"),
+    )
+
+
+def q_type_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5: inferred CKAN type per fixture column (datapump.py:149-166)."""
+    ensure_utc(spark)
+    fields = infer_ckan_fields(read_csv_raw(spark, IOT_GLOB))
+    return spark.createDataFrame(
+        [(f.name, f.ckan_type) for f in fields], "col_name string, ckan_type string"
+    )
+
+
+def q_drop_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: drop-columns projection (datapump.py:291-293). Catalyst prunes the
+    parquet scan to the surviving columns (ReadSchema excludes props)."""
+    return _t(spark, sf_dir, "events").drop("props")
+
+
+def q_dupe_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3 DUPES diagnostic on events (user_id, event_type) (datapump.py:449)."""
+    return dupe_count(_t(spark, sf_dir, "events"), ["user_id", "event_type"])
+
+
+def q_dedupe_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 keep-first by explicit order (event_id ≈ file row order)."""
+    return dedupe_by_key(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "event_id", "first"
+    )
+
+
+def q_dedupe_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 keep-last — the variant plain dropDuplicates cannot express."""
+    return dedupe_by_key(
+        _t(spark, sf_dir, "events"), ["user_id", "event_type"], "event_id", "last"
+    )
+
+
+def q_resample_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 hourly resample: the sample jobs' {"Kind":"H","GroupBy":"Sensor_id"}
+    (datapump.py:294) on events(user_id, ts, value)."""
+    df = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "H",
+        value_cols=["value"], bucket_alias="bucket_ts",
+    )
+    return df.select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+
+
+def q_resample_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 daily resample (Kind='D')."""
+    df = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "D",
+        value_cols=["value"], bucket_alias="bucket_ts",
+    )
+    return df.select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+
+
+def q_resample_15min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 fixed-interval resample (Kind='15T') via epoch-aligned window()."""
+    df = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "15T",
+        value_cols=["value"], bucket_alias="bucket_ts",
+    )
+    return df.select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+
+
+def q_describe_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 numeric describe over events.value (datapump.py:329-336)."""
+    d = describe_numeric(_t(spark, sf_dir, "events"), ["value"])
+    return d.select("column", "stat", F.round("value", 6).alias("value"))
+
+
+def q_describe_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2 string describe (count/unique/top/freq) over events.event_type."""
+    return describe_string(_t(spark, sf_dir, "events"), ["event_type"])
+
+
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3 mode-with-ties over (event_type, user_id) (datapump.py:337-344)."""
+    return column_modes(_t(spark, sf_dir, "events"), ["event_type", "user_id"])
+
+
+# ---------------------------------------------------------------- star-schema joins
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary. Single shuffle on the two grouping
+    columns; the shipdate filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dec_sum(F.col("l_quantity"), "sum_qty"),
+            _dec_sum(F.col("l_extendedprice"), "sum_base_price"),
+            _dec_sum(disc_price, "sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def q_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation: lineitem⋈orders⋈customer⋈nation⋈region.
+
+    Scale: fact-fact join (lineitem⋈orders) is the only big shuffle;
+    customer/nation/region are explicit broadcasts so the probe side never
+    shuffles for them. At 100 TB, orders/lineitem co-bucketed on orderkey
+    would eliminate the remaining shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(_dec_sum(revenue, "revenue"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+def q_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by order revenue — deterministic tie-break on key.
+    Aggregate first (shuffle on custkey), then a single top-k sort of the
+    small aggregate (TakeOrderedAndProject, no full sort at scale)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    per_cust = orders.groupBy("o_custkey").agg(
+        _dec_sum(F.col("o_totalprice"), "revenue"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    return (
+        per_cust.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue", "n_orders")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(10)
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.props JSON string → typed field (from_json → MapType per
+    SURVEY §1.2; here a direct path extract, codegen'd)."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+QUERIES = {
+    "q_csv_scan": q_csv_scan,
+    "q_multiformat_ts": q_multiformat_ts,
+    "q_type_infer": q_type_infer,
+    "q_drop_columns": q_drop_columns,
+    "q_dupe_count": q_dupe_count,
+    "q_dedupe_first": q_dedupe_first,
+    "q_dedupe_last": q_dedupe_last,
+    "q_resample_hourly": q_resample_hourly,
+    "q_resample_daily": q_resample_daily,
+    "q_resample_15min": q_resample_15min,
+    "q_describe_numeric": q_describe_numeric,
+    "q_describe_string": q_describe_string,
+    "q_mode": q_mode,
+    "q_pricing_summary": q_pricing_summary,
+    "q_star_revenue": q_star_revenue,
+    "q_top_customers": q_top_customers,
+    "q_json_extract": q_json_extract,
+}

@@ -1,0 +1,57 @@
+"""SparkSession construction with scale-oriented defaults.
+
+The same config set is intended to behave well from local[32] tests up to a
+1000-executor cluster: AQE handles runtime partition coalescing and skew
+splitting, so the static ``spark.sql.shuffle.partitions`` only needs to be an
+upper bound; broadcast threshold is left at default (10 MB) because dimension
+broadcasting in the operators is explicit via ``F.broadcast``.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def tuned_builder(app_name: str = "datapump-spark") -> SparkSession.Builder:
+    """Builder with the engine's standard configs (no master set — the
+    deployment picks local[n]/YARN/K8s)."""
+    return (
+        SparkSession.builder.appName(app_name)
+        # AQE: runtime coalescing of shuffle partitions, skew-join splitting,
+        # and dynamic join-strategy switching — the core knob that lets one
+        # config span sf0.001 tests and 100 TB production.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Deterministic timestamp semantics for the DuckDB oracle and for
+        # cross-cluster reproducibility: all sessions run in UTC.
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow for every pandas_udf / applyInPandas / toPandas boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Local testing default; production overrides via spark-submit. AQE
+        # coalesces down from this bound so oversizing is cheap.
+        .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        # Read-side split sizing: 128 MB splits keep scan tasks balanced.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+    )
+
+
+def get_session(app_name: str = "datapump-spark", master: str | None = None) -> SparkSession:
+    """Get-or-create a tuned session. ``master`` defaults to local[cpus]."""
+    b = tuned_builder(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+        master = f"local[{cpus}]"
+    return b.master(master).getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Force UTC on a session we did not build (e.g. the driver's).
+
+    Timestamp-bucketing operators (resample) and the DuckDB oracle compare
+    naive timestamps; session-TZ drift would shift every window boundary.
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark
