@@ -1,0 +1,68 @@
+"""A2 describe + A3 mode vs pandas models (datapump.py:329-344)."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+
+from datapump_spark.operators.describe import describe_numeric, describe_string, describe_table
+from datapump_spark.operators.mode import column_modes
+
+ROWS = [
+    (1.0, "x"), (2.0, "y"), (2.0, "x"), (3.0, "z"),
+    (4.0, "x"), (None, "y"), (10.0, None),
+]
+COLS = ["v", "s"]
+
+
+@pytest.fixture(scope="module")
+def df(spark):
+    return spark.createDataFrame(ROWS, "v double, s string")
+
+
+def test_describe_numeric_matches_pandas(df):
+    pdf = pd.DataFrame(ROWS, columns=COLS)
+    desc = pdf["v"].describe()  # count mean std min 25% 50% 75% max
+    got = {r["stat"]: r["value"] for r in describe_numeric(df, ["v"]).collect()}
+    for stat, key in [("count", "count"), ("mean", "mean"), ("std", "std"),
+                      ("min", "min"), ("25%", "25%"), ("50%", "50%"),
+                      ("75%", "75%"), ("max", "max")]:
+        assert math.isclose(got[stat], desc[key], rel_tol=1e-9), stat
+
+
+def test_describe_string_matches_pandas(df):
+    pdf = pd.DataFrame(ROWS, columns=COLS)
+    desc = pdf["s"].describe()  # count unique top freq
+    got = {r["stat"]: r["value"] for r in describe_string(df, ["s"]).collect()}
+    assert got["count"] == str(desc["count"])
+    assert got["unique"] == str(desc["unique"])
+    assert got["top"] == desc["top"]
+    assert got["freq"] == str(desc["freq"])
+
+
+def test_describe_table_shape(df):
+    wide = describe_table(df).toPandas()
+    assert list(wide.columns) == ["stat", "v", "s"]
+    # numeric col has no unique/top/freq; string col has no mean
+    by_stat = wide.set_index("stat")
+    assert by_stat.loc["unique", "v"] is None
+    assert by_stat.loc["mean", "s"] is None
+    assert by_stat.loc["count", "v"] == "6.0"  # non-null count, float-formatted
+
+
+def test_mode_matches_pandas_with_ties(df):
+    pdf = pd.DataFrame(ROWS, columns=COLS)
+    expected = pdf.mode()  # v -> [2.0]; s -> [x]
+    got = column_modes(df, ["v", "s"]).toPandas().sort_values("stat")
+    assert list(got["v"].dropna()) == list(expected["v"].dropna())
+    assert list(got["s"].dropna()) == list(expected["s"].dropna())
+
+
+def test_mode_tie_ordering(spark):
+    df = spark.createDataFrame([(3,), (3,), (1,), (1,), (2,)], "x int")
+    got = column_modes(df, ["x"]).toPandas()
+    # ties ranked ascending by value, stat = 0-based rank (pandas parity)
+    assert list(got["stat"]) == [0, 1]
+    assert list(got["x"]) == [1, 3]
