@@ -1,0 +1,230 @@
+"""Deduplication family for training-data pipelines: exact, MinHash+LSH,
+SimHash, n-gram Jaccard, embedding-cosine near-dup.
+
+Scale design (the whole point of these operators at 100 TB):
+- Exact dedup: hash-groupBy on a 16-byte fingerprint — one shuffle keyed on
+  the fingerprint, no text comparison.
+- MinHash/LSH: per-doc signatures via ONE explode(shingles) + groupBy(doc)
+  (k min-aggregates in a single pass), then candidate generation by banding —
+  a join on (band_idx, band_key), never all-pairs. Verification joins only
+  candidate pairs. All-pairs never materializes.
+- n-gram Jaccard: exact pairwise similarity *within a blocking key* (caller
+  chooses; e.g. source or an LSH band) — the blocking key bounds the
+  quadratic term.
+- SimHash: one explode + 32 conditional sums in a single aggregation;
+  near-dup = Hamming distance on a bigint (XOR + bit_count), no text join.
+- Embedding near-dup: brute all-pairs kept only as the verifiable baseline;
+  production path is LSH bucketing (see similarity.py).
+
+Hashes default to the md5-based cross-engine profile (functions/hashing.py)
+so every deterministic step is DuckDB-oracle-checkable; flip
+``hash_fn='xxhash64'`` for production speed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import hash63, tokens
+
+
+def normalize_text(c: Column) -> Column:
+    return F.regexp_replace(F.lower(c), "[^a-z0-9]", "")
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the lowest-id document per normalized-text fingerprint.
+
+    Shuffle key = md5 fingerprint (16 bytes), not the text — at 100 TB the
+    shuffle moves ids+hashes only. Full rows are preserved via row_number
+    on the fingerprint partition (single shuffle, reused sort)."""
+    fp = F.md5(normalize_text(F.col(text_col)))
+    w = Window.partitionBy(fp).orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def word_shingles(df: DataFrame, id_col: str, text_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle) — distinct word n-gram shingles per document.
+    Docs with fewer than ``n`` tokens are dropped (no full shingle exists)."""
+    toks = tokens(F.col(text_col))
+    df2 = df.select(F.col(id_col), toks.alias("__toks")).where(F.size("__toks") >= n)
+    joined = " , ' ', ".join(f"element_at(__toks, i + {j})" for j in range(n))
+    shingles = F.expr(
+        f"transform(sequence(1, size(__toks) - {n - 1}), i -> concat({joined}))"
+    )
+    return (
+        df2.select(F.col(id_col), F.explode(F.array_distinct(shingles)).alias("shingle"))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 16, shingle_n: int = 3, hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, mh0..mh{k-1}): k independent min-hashes of the shingle set.
+
+    hash_i(s) = hash63(i || '|' || s); one explode + one groupBy computing
+    all k mins in a single aggregation pass (map-side partial mins)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    aggs = [
+        F.min(hash63(F.concat(F.lit(f"{i}|"), F.col("shingle")), hash_fn)).alias(f"mh{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy(id_col).agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+) -> DataFrame:
+    """(id_a, id_b) candidate pairs: equal on at least one band of the
+    signature. Join key = (band_idx, band values) — never all-pairs."""
+    k = bands * rows_per_band
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.struct(*[
+                F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ]).alias("key"),
+        )
+        for b in range(bands)
+    ])
+    banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")) \
+                 .select(id_col, "bk.band", "bk.key")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.key") == F.col("b.key"))
+               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+    )
+
+
+def verify_jaccard(
+    shingles: DataFrame, pairs: DataFrame, id_col: str,
+) -> DataFrame:
+    """Exact Jaccard for candidate pairs via a shingle join restricted to
+    the candidates: |A∩B| from the co-occurrence join, |A|,|B| from per-doc
+    counts. Returns (id_a, id_b, jaccard)."""
+    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.withColumnRenamed(id_col, "id_a")
+    sb = shingles.withColumnRenamed(id_col, "id_b")
+    # intersection size: route A's shingles through the candidate pairs to B
+    inter = (
+        sa.join(pairs, "id_a")
+        .join(sb, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na")
+    nb = sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb")
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .select(
+            "id_a", "id_b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
+    )
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4, shingle_n: int = 3,
+    threshold: float = 0.5, hash_fn: str = "md5",
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
+    exact-Jaccard verify → threshold. (id_a, id_b, jaccard)."""
+    sigs = minhash_signatures(df, id_col, text_col, bands * rows_per_band, shingle_n, hash_fn)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    verified = verify_jaccard(sh, cands, id_col)
+    return verified.where(F.col("jaccard") >= threshold)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    block_col: str = "source", shingle_n: int = 3, threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard for every pair *within a blocking key*.
+
+    The block key bounds the quadratic term; at scale the block is an LSH
+    band (see minhash_near_dup_pairs) — here it doubles as the verifiable
+    all-pairs baseline. (id_a, id_b, jaccard)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n) \
+        .join(df.select(F.col(id_col), F.col(block_col)), id_col)
+    sizes = sh.groupBy(id_col, block_col).agg(F.count(F.lit(1)).alias("n"))
+    a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"), F.col(block_col))
+    b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"), F.col(block_col))
+    inter = (
+        a.join(b, ["shingle", block_col])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    na = sizes.select(F.col(id_col).alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col(id_col).alias("id_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(na, "id_a").join(nb, "id_b")
+        .select("id_a", "id_b",
+                F.round(F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")), 6)
+                .alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, simhash bigint): sign-aggregated token-hash bits.
+
+    One explode(distinct tokens) + one groupBy with ``bits`` conditional
+    sums; bit b is set when more token hashes have bit b set than not.
+    Near-dup test downstream = bit_count(xor) ≤ d — no text comparison."""
+    tok = (
+        df.select(F.col(id_col), F.explode(F.array_distinct(tokens(F.col(text_col)))).alias("tok"))
+        .withColumn("h", hash63("tok", hash_fn))
+    )
+    aggs = [
+        F.sum(F.when(F.expr(f"(h >> {b}) & 1") == 1, 1).otherwise(-1)).alias(f"b{b}")
+        for b in range(bits)
+    ]
+    agg = tok.groupBy(id_col).agg(*aggs)
+    sim = None
+    for b in range(bits):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(2 ** b)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return agg.select(F.col(id_col), sim.cast("bigint").alias("simhash"))
+
+
+def embedding_near_dup(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    threshold: float = 0.3,
+) -> DataFrame:
+    """All-pairs cosine near-dup baseline. (id_a, id_b, cos).
+
+    This is the *verification baseline*; the scale path buckets by LSH
+    (similarity.py) so the pair space is per-bucket, not global."""
+    v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    base = df.select(
+        F.col(id_col), v.alias("v"),
+        F.sqrt(F.aggregate(F.transform(v, lambda x: x * x),
+                           F.lit(0.0), lambda acc, x: acc + x)).alias("nrm"),
+    )
+    a = base.select(F.col(id_col).alias("id_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("id_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    dot = F.aggregate(F.zip_with("va", "vb", lambda x, y: x * y), F.lit(0.0),
+                      lambda acc, x: acc + x)
+    return (
+        a.crossJoin(b)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", dot / (F.col("na") * F.col("nb")))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", F.round("cos", 6).alias("cos"))
+    )

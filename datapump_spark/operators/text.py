@@ -1,0 +1,129 @@
+"""Text-analysis operators for LLM training-data pipelines.
+
+All four operators (token counting, quality scoring, language ID, document
+fingerprinting) are pure column expressions — whole-stage codegen, zero
+Python in the hot path, embarrassingly parallel (no shuffle at all: each is
+a per-row map over the documents scan). At 100 TB these run at scan speed
+with column pruning down to (doc_id, text).
+
+Extends the reference (no text functions on data columns exist there,
+SURVEY §2.9) per the build plan's training-data-pipeline surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import hash63, tokens
+
+# BPE-ish pretokenizer: letter runs | digit runs | single non-space symbol
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+# language → marker words (checked against the token set). Matched langs for
+# the driver's documents table: en/fr/de/es/zh. Tie-break = list order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "is"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "es": ["el", "los", "las", "que", "es"],
+    "fr": ["le", "la", "les", "et", "est"],
+    "zh": ["的", "是", "了", "在", "我"],
+}
+
+
+def token_count_ws(c: Column) -> Column:
+    """Whitespace token count."""
+    return F.size(F.filter(F.split(c, r"\s+"), lambda x: x != F.lit("")))
+
+
+def token_count_bpe(c: Column) -> Column:
+    """BPE-ish pretoken count (letter runs / digit runs / symbols)."""
+    return F.regexp_count(c, F.lit(BPE_RE))
+
+
+def text_stats(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, n_chars, n_tokens_ws, n_tokens_bpe, n_alpha, n_punct)."""
+    c = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        F.length(c).cast("bigint").alias("n_chars"),
+        token_count_ws(c).cast("bigint").alias("n_tokens_ws"),
+        token_count_bpe(c).cast("bigint").alias("n_tokens_bpe"),
+        F.length(F.regexp_replace(c, "[^A-Za-z]", "")).cast("bigint").alias("n_alpha"),
+        F.length(F.regexp_replace(c, "[^.,;:!?]", "")).cast("bigint").alias("n_punct"),
+    )
+
+
+def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Composite quality score in [0,1]:
+      0.4·min(1, tokens/64) + 0.3·alpha_ratio + 0.3·min(1, 4·stopword_ratio)
+
+    length (enough content) + alphabetic density (not markup/noise) +
+    stopword presence (natural-language-ness). Deterministic, documented,
+    SQL-expressible — the point is the pipeline shape, not the constants.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n_tok = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+    alpha_ratio = F.length(F.regexp_replace(c, "[^A-Za-z]", "")) / F.greatest(F.length(c), F.lit(1))
+    len_score = F.least(F.lit(1.0), n_tok / F.lit(64.0))
+    stop_score = F.least(F.lit(1.0), F.lit(4.0) * n_stop / F.greatest(n_tok, F.lit(1)))
+    score = F.lit(0.4) * len_score + F.lit(0.3) * alpha_ratio + F.lit(0.3) * stop_score
+    return df.select(
+        F.col(id_col),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Marker-word language ID: score = |tokens ∩ markers(lang)| per token
+    occurrence; argmax with deterministic tie-break (LANG_MARKERS order)."""
+    toks = tokens(F.col(text_col))
+
+    def _contains(arr):
+        # closure (not a default arg): a 2-arg lambda would make F.filter
+        # pass the element index as the second argument
+        return lambda x: F.array_contains(arr, x)
+
+    scores = {}
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        scores[lang] = F.size(F.filter(toks, _contains(arr)))
+    g = F.greatest(*scores.values())
+    pred = None
+    for lang in LANG_MARKERS:  # first max wins (dict order = priority)
+        cond = scores[lang] == g
+        pred = F.when(cond, F.lit(lang)) if pred is None else pred.when(cond, F.lit(lang))
+    return df.select(F.col(id_col), pred.alias("pred_lang"))
+
+
+def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                gram: int = 8, hash_fn: str = "md5") -> DataFrame:
+    """Two fingerprints per document:
+    - ``fp_md5``: md5 hex of the normalized text (exact-dup key).
+    - ``fp_roll``: min over rolling character ``gram``-gram hashes of the
+      normalized text (stable under small edits — winnowing-style; computed
+      with array expressions, no explode/shuffle).
+    """
+    norm = F.regexp_replace(F.lower(F.col(text_col)), "[^a-z0-9]", "")
+    df2 = df.withColumn("__norm", norm)
+    grams_sql = (
+        f"transform(sequence(1, greatest(length(__norm) - {gram - 1}, 1)), "
+        f"i -> substring(__norm, i, {gram}))"
+    )
+    if hash_fn == "md5":
+        hashed = F.expr(
+            f"transform({grams_sql}, "
+            f"g -> CAST(conv(substr(md5(g), 1, 15), 16, 10) AS BIGINT))"
+        )
+    else:
+        hashed = F.transform(F.expr(grams_sql), lambda g: F.abs(F.xxhash64(g)))
+    return df2.select(
+        F.col(id_col),
+        F.md5("__norm").alias("fp_md5"),
+        F.array_min(hashed).alias("fp_roll"),
+    )

@@ -184,3 +184,187 @@ ORACLES["q_json_extract"] = """
 SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
+
+# ---------------------------------------------------------------- text analysis
+
+_TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"
+
+
+def _h63(expr: str) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+_BPE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+ORACLES["q_text_stats"] = f"""
+SELECT doc_id,
+  CAST(length(text) AS BIGINT) AS n_chars,
+  CAST(len(list_filter(string_split_regex(text, '\\s+'), x -> x != '')) AS BIGINT) AS n_tokens_ws,
+  CAST(len(regexp_extract_all(text, '{_BPE_RE}')) AS BIGINT) AS n_tokens_bpe,
+  CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+  CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS BIGINT) AS n_punct
+FROM documents
+"""
+
+_STOPLIST = "['the','a','an','and','or','of','to','in','is','it']"
+
+ORACLES["q_quality_score"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id, round(
+    0.4 * least(1.0, len(toks) / 64.0)
+  + 0.3 * (CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1))
+  + 0.3 * least(1.0, 4.0 * len(list_filter(toks, x -> list_contains({_STOPLIST}, x)))
+                     / greatest(len(toks), 1))
+, 6) AS quality
+FROM t
+"""
+
+_MARKERS = {
+    "en": "['the','and','of','to','is']",
+    "de": "['der','die','und','das','ist']",
+    "es": "['el','los','las','que','es']",
+    "fr": "['le','la','les','et','est']",
+    "zh": "['的','是','了','在','我']",
+}
+_mk_scores = ",\n  ".join(
+    f"len(list_filter(toks, x -> list_contains({lst}, x))) AS s_{lang}"
+    for lang, lst in _MARKERS.items()
+)
+_mk_case = " ".join(
+    f"WHEN s_{lang} = g THEN '{lang}'" for lang in list(_MARKERS)[:-1]
+)
+ORACLES["q_lang_id"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+  {_mk_scores}
+FROM t)
+SELECT doc_id,
+  CASE {_mk_case} ELSE 'zh' END AS pred_lang
+FROM (SELECT *, greatest(s_en, s_de, s_es, s_fr, s_zh) AS g FROM s)
+"""
+
+_NORM = "regexp_replace(lower(text), '[^a-z0-9]', '', 'g')"
+
+ORACLES["q_fingerprint"] = f"""
+WITH n AS (SELECT doc_id, {_NORM} AS nm FROM documents)
+SELECT doc_id, md5(nm) AS fp_md5,
+  list_min(list_transform(range(1, greatest(length(nm) - 7, 1) + 1),
+                          i -> {_h63('substr(nm, i, 8)')})) AS fp_roll
+FROM n
+"""
+
+# ---------------------------------------------------------------- dedup family
+
+ORACLES["q_exact_dedup"] = f"""
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT d.*, row_number() OVER (
+    PARTITION BY md5({_NORM}) ORDER BY doc_id ASC) AS rn
+  FROM documents d
+) WHERE rn = 1
+"""
+
+_SHINGLES_CTE = f"""
+t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM t WHERE len(toks) >= 3)
+"""
+
+_mh4 = ", ".join(
+    f"min((('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT)) AS mh{i}"
+    for i in range(4)
+)
+
+ORACLES["q_minhash_signature"] = f"""
+WITH {_SHINGLES_CTE}
+SELECT doc_id, {_mh4}
+FROM s GROUP BY doc_id
+"""
+
+_mh16 = ", ".join(
+    f"min((('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT)) AS mh{i}"
+    for i in range(16)
+)
+_band_conds = " OR ".join(
+    "(" + " AND ".join(f"a.mh{b*4+r} = b.mh{b*4+r}" for r in range(4)) + ")"
+    for b in range(4)
+)
+ORACLES["q_minhash_near_dup"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_mh16} FROM s GROUP BY doc_id),
+cands AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM sig a JOIN sig b ON a.doc_id < b.doc_id AND ({_band_conds})),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT p.id_a, p.id_b, count(*) AS i
+  FROM cands p
+  JOIN s sa ON sa.doc_id = p.id_a
+  JOIN s sb ON sb.doc_id = p.id_b AND sb.shingle = sa.shingle
+  GROUP BY p.id_a, p.id_b)
+SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+WHERE i / (na.n + nb.n - i) >= 0.5
+"""
+
+ORACLES["q_ngram_jaccard"] = f"""
+WITH t AS (SELECT doc_id, source, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, source,
+        unnest(list_distinct(list_transform(range(1, len(toks) - 1),
+          i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS shingle
+      FROM t WHERE len(toks) >= 3),
+sz AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+  FROM s a JOIN s b ON a.source = b.source AND a.shingle = b.shingle
+                    AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+SELECT id_a, id_b, round(i / (na.n + nb.n - i), 6) AS jaccard
+FROM inter JOIN sz na ON na.doc_id = id_a JOIN sz nb ON nb.doc_id = id_b
+WHERE round(i / (na.n + nb.n - i), 6) >= 0.5
+"""
+
+_sim_sums = ", ".join(
+    f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(32)
+)
+_sim_bits = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {2**b} ELSE 0 END)" for b in range(32)
+)
+ORACLES["q_simhash"] = f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+tok AS (SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM t),
+h AS (SELECT doc_id, {_h63('tok')} AS h FROM tok),
+b AS (SELECT doc_id, {_sim_sums} FROM h GROUP BY doc_id)
+SELECT doc_id, CAST({_sim_bits} AS BIGINT) AS simhash FROM b
+"""
+
+ORACLES["q_embedding_near_dup"] = """
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos
+FROM m a JOIN m b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.3
+"""
+
+# ---------------------------------------------------------------- similarity search
+
+ORACLES["q_cosine_topk"] = """
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM m WHERE vec_id < 10),
+scored AS (
+  SELECT q.query_id, m.vec_id AS neighbor_id,
+         round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) AS cos
+  FROM m, q WHERE m.vec_id != q.query_id)
+SELECT query_id, neighbor_id, cos FROM scored
+QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) <= 5
+"""
+
+# q_lsh_topk intentionally has NO oracle: approximate recall is a property
+# of the bucketing, graded in tests against the exact baseline instead.

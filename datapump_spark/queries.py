@@ -214,6 +214,86 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------- text analysis
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting + char-class stats over documents (operators/text.py)."""
+    from datapump_spark.operators.text import text_stats
+    return text_stats(_t(spark, sf_dir, "documents"))
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite document quality score."""
+    from datapump_spark.operators.text import quality_score
+    return quality_score(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID."""
+    from datapump_spark.operators.text import lang_id
+    return lang_id(_t(spark, sf_dir, "documents"))
+
+
+def q_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 + rolling 8-gram min-hash document fingerprints."""
+    from datapump_spark.operators.text import fingerprint
+    return fingerprint(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------- dedup family
+
+def q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized-text fingerprint (keep lowest doc_id)."""
+    from datapump_spark.operators.dedup_fuzzy import exact_dedup
+    return exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+def q_minhash_signature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k=4 MinHash signatures over word-3-gram shingles."""
+    from datapump_spark.operators.dedup_fuzzy import minhash_signatures
+    return minhash_signatures(_t(spark, sf_dir, "documents"), k=4)
+
+
+def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline (4 bands × 4 rows, verify ≥ 0.5)."""
+    from datapump_spark.operators.dedup_fuzzy import minhash_near_dup_pairs
+    out = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard pairs within source blocks (≥ 0.5)."""
+    from datapump_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
+    return ngram_jaccard_pairs(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document."""
+    from datapump_spark.operators.dedup_fuzzy import simhash
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine near-dup baseline over embeddings (cos ≥ 0.3)."""
+    from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
+    return embedding_near_dup(_t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------- similarity search
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-5 cosine neighbors for query ids < 10."""
+    from datapump_spark.operators.similarity import cosine_topk
+    return cosine_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
+
+
+def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed approximate top-5 (rows-only check; recall graded in
+    tests against the exact baseline)."""
+    from datapump_spark.operators.similarity import lsh_topk
+    return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
+
+
 QUERIES = {
     "q_csv_scan": q_csv_scan,
     "q_multiformat_ts": q_multiformat_ts,
@@ -232,4 +312,16 @@ QUERIES = {
     "q_star_revenue": q_star_revenue,
     "q_top_customers": q_top_customers,
     "q_json_extract": q_json_extract,
+    "q_text_stats": q_text_stats,
+    "q_quality_score": q_quality_score,
+    "q_lang_id": q_lang_id,
+    "q_fingerprint": q_fingerprint,
+    "q_exact_dedup": q_exact_dedup,
+    "q_minhash_signature": q_minhash_signature,
+    "q_minhash_near_dup": q_minhash_near_dup,
+    "q_ngram_jaccard": q_ngram_jaccard,
+    "q_simhash": q_simhash,
+    "q_embedding_near_dup": q_embedding_near_dup,
+    "q_cosine_topk": q_cosine_topk,
+    "q_lsh_topk": q_lsh_topk,
 }

@@ -1,0 +1,91 @@
+"""Extended operators: text analysis, fuzzy dedup, similarity search."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.dedup_fuzzy import (
+    exact_dedup,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from datapump_spark.operators.similarity import cosine_topk, lsh_topk
+from datapump_spark.operators.text import lang_id, quality_score, text_stats
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog again and again", "s1"),
+    (2, "the quick brown fox jumps over the lazy dog again and again!", "s1"),  # near-dup of 1
+    (3, "completely different content about spark query engines at scale", "s1"),
+    (4, "der hund und die katze und das pferd sind tiere", "s2"),
+    (5, "THE QUICK BROWN FOX JUMPS OVER THE LAZY DOG AGAIN AND AGAIN", "s2"),  # exact dup of 1 (normalized)
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string, source string")
+
+
+def test_text_stats_counts(docs):
+    row = {r["doc_id"]: r for r in text_stats(docs).collect()}
+    assert row[1]["n_tokens_ws"] == 12
+    assert row[2]["n_punct"] == 1
+    assert row[1]["n_chars"] == len(DOCS[0][1])
+
+
+def test_quality_score_range(docs):
+    scores = [r["quality"] for r in quality_score(docs).collect()]
+    assert all(0.0 <= s <= 1.0 for s in scores)
+
+
+def test_lang_id_picks_german_markers(docs):
+    got = {r["doc_id"]: r["pred_lang"] for r in lang_id(docs).collect()}
+    assert got[1] == "en"
+    assert got[4] == "de"
+
+
+def test_exact_dedup_normalized(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    # doc 5 (uppercased) and doc 2 (only punctuation differs) both collapse
+    # onto doc 1's normalized fingerprint → lowest id wins
+    assert kept == [1, 3, 4]
+
+
+def test_minhash_finds_planted_near_dup(docs):
+    pairs = minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    assert any((r["id_a"], r["id_b"]) == (1, 2) for r in pairs)
+    # the unrelated doc must not pair with anything above threshold
+    assert not any(3 in (r["id_a"], r["id_b"]) for r in pairs)
+
+
+def test_ngram_jaccard_blocked_by_source(docs):
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids          # same source, near-identical
+    assert (1, 5) not in ids      # doc 5 is in another source block
+
+
+def test_simhash_close_for_near_dups(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    def hamming(a, b):
+        return bin(a ^ b).count("1")
+    assert hamming(h[1], h[2]) <= 4          # near-dups: tiny distance
+    assert hamming(h[1], h[5]) == 0          # same token set → same hash
+    assert hamming(h[1], h[3]) > 8           # unrelated: far apart
+
+
+def test_lsh_topk_recall_vs_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_max_id=10).collect()
+    approx = lsh_topk(emb, k=5, query_max_id=10, n_planes=2).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # 2 hyperplanes → 4 buckets → ~1/4 of corpus scanned; require that the
+    # buckets still recover a nontrivial share of true neighbors
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.2, recall
+    # approximate results must still be valid (cos computed, k per query)
+    assert all(len([r for r in approx if r["query_id"] == q]) <= 5
+               for q in {r["query_id"] for r in approx})
