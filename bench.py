@@ -33,6 +33,17 @@ BENCH_QUERIES = [
     "q_star_revenue",
     "q_top_customers",
     "q_json_extract",
+    "q_text_stats",
+    "q_quality_score",
+    "q_lang_id",
+    "q_fingerprint",
+    "q_exact_dedup",
+    "q_minhash_near_dup",
+    "q_ngram_jaccard",
+    "q_simhash",
+    "q_embedding_near_dup",
+    "q_cosine_topk",
+    "q_lsh_topk",
 ]
 
 

@@ -39,6 +39,34 @@ def hash63_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
 
 
+# Universal-hash mixer: derive k independent hashes from ONE base hash via
+# h_i = (A_i·(h mod P) + B_i) mod P with P = 2^31−1. Products stay < 2^62 so
+# int64 arithmetic never overflows, in either engine — one md5 per input
+# instead of k. Constants are fixed (seeded) so results are reproducible.
+MIX_P = 2_147_483_647
+
+def _gen_mix_constants(k: int, seed: int = 7) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, MIX_P), rng.randrange(0, MIX_P)) for _ in range(k)]
+
+
+MIX_CONSTANTS = _gen_mix_constants(64)
+
+
+def mixed_hash(base: Column, i: int) -> Column:
+    """i-th derived hash of a base hash63 column (Spark side)."""
+    a, b = MIX_CONSTANTS[i]
+    return (F.lit(a) * (base % F.lit(MIX_P)) + F.lit(b)) % F.lit(MIX_P)
+
+
+def mixed_hash_sql(base_expr: str, i: int) -> str:
+    """DuckDB twin of :func:`mixed_hash`."""
+    a, b = MIX_CONSTANTS[i]
+    return f"(({a} * (({base_expr}) % {MIX_P}) + {b}) % {MIX_P})"
+
+
 def tokens(col: Column | str) -> Column:
     """Lowercased alphanumeric tokens, empties dropped."""
     c = F.col(col) if isinstance(col, str) else col

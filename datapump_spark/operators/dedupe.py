@@ -47,18 +47,36 @@ def dedupe_by_key(
     keys: Sequence[str],
     order_col: str | Column,
     keep: str = "first",
+    strategy: str = "agg",
 ) -> DataFrame:
     """Keep exactly one row per key group: the one with min (keep='first')
     or max (keep='last') ``order_col``. Faithful port of datapump.py:446-456
     with explicit, deterministic ordering.
 
     ``keep=''`` (reference's falsy no-op, datapump.py:446) returns df as-is.
+
+    Strategies (identical results, different physical plans):
+    - ``agg`` (default): ``min_by/max_by(struct(*cols), ord)`` — a hash
+      aggregation with map-side partial combine and NO sort; each partial
+      state is one row per key. The scale winner: survives skewed keys
+      (partial combine collapses hot keys map-side) and never sorts 100 TB.
+    - ``window``: ``row_number() OVER (PARTITION BY keys ORDER BY ord)`` —
+      sort-based; kept for plan comparison and as the shape SQL users expect.
     """
     if not keep:
         return df
     if keep not in ("first", "last"):
         raise ValueError(f"keep must be 'first', 'last' or '' — got {keep!r}")
     ord_c = F.col(order_col) if isinstance(order_col, str) else order_col
+
+    if strategy == "agg":
+        pick = F.min_by if keep == "first" else F.max_by
+        row = F.struct(*[F.col(c) for c in df.columns])
+        out = df.groupBy(*[F.col(k) for k in keys]).agg(
+            pick(row, ord_c).alias("__row")
+        )
+        return out.select("__row.*")
+
     w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
         ord_c.asc() if keep == "first" else ord_c.desc()
     )

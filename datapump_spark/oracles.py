@@ -272,9 +272,11 @@ s AS (SELECT doc_id,
       FROM t WHERE len(toks) >= 3)
 """
 
+from datapump_spark.functions.hashing import mixed_hash_sql  # noqa: E402
+
+_BASE_H = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
 _mh4 = ", ".join(
-    f"min((('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT)) AS mh{i}"
-    for i in range(4)
+    f"min({mixed_hash_sql(_BASE_H, i)}) AS mh{i}" for i in range(4)
 )
 
 ORACLES["q_minhash_signature"] = f"""
@@ -284,8 +286,7 @@ FROM s GROUP BY doc_id
 """
 
 _mh16 = ", ".join(
-    f"min((('0x' || substr(md5('{i}|' || shingle), 1, 15))::BIGINT)) AS mh{i}"
-    for i in range(16)
+    f"min({mixed_hash_sql(_BASE_H, i)}) AS mh{i}" for i in range(16)
 )
 _band_conds = " OR ".join(
     "(" + " AND ".join(f"a.mh{b*4+r} = b.mh{b*4+r}" for r in range(4)) + ")"
