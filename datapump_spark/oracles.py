@@ -185,6 +185,86 @@ SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
 FROM events
 """
 
+ORACLES["q_resample_dense"] = """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+lim AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM agg GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+          FROM lim)
+SELECT s.user_id, s.bucket_ts, a.avg_value
+FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)
+"""
+
+ORACLES["q_resample_weekly"] = """
+SELECT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS bucket_ts,
+       round(avg(value), 6) AS avg_value
+FROM events GROUP BY 1, 2
+"""
+
+ORACLES["q_ts_format"] = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS ts_str
+FROM orders
+"""
+
+ORACLES["q_sessionize"] = """
+WITH g AS (
+  SELECT user_id, ts,
+         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+         event_id
+  FROM events),
+s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN prev IS NULL
+                    OR epoch_us(ts) - epoch_us(prev) > 1800000000
+                  THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM g),
+ps AS (
+  SELECT user_id, session_id, count(*) AS n,
+         epoch_us(max(ts)) - epoch_us(min(ts)) AS dur_us
+  FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       CAST(sum(dur_us) AS BIGINT) AS total_session_us
+FROM ps GROUP BY user_id
+"""
+
+ORACLES["q_rollup"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dec_sum('l_quantity', 'sum_qty')},
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+ORACLES["q_anti_join"] = """
+SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+"""
+
+ORACLES["q_semi_join"] = """
+SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+FROM part p
+WHERE p_size > 40
+  AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_partkey = p.p_partkey)
+"""
+
+ORACLES["q_window_topn"] = """
+SELECT o_custkey, o_orderkey, o_totalprice, "rank" FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         CAST(row_number() OVER (
+           PARTITION BY o_custkey
+           ORDER BY o_totalprice DESC, o_orderkey ASC) AS INTEGER) AS "rank"
+  FROM orders) t
+WHERE "rank" <= 3
+"""
+
 # ---------------------------------------------------------------- text analysis
 
 _TOKS = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), x -> x != '')"

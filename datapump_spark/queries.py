@@ -214,6 +214,109 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_resample_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 dense variant: gap buckets emitted as null rows (pandas resample
+    gap-fill parity, SURVEY §2.13.3) via sequence+explode spine."""
+    df = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "H",
+        value_cols=["value"], dense=True, bucket_alias="bucket_ts",
+    )
+    return df.select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+
+
+def q_resample_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 calendar-unit resample (Kind='W', Monday-start weeks)."""
+    df = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "W",
+        value_cols=["value"], bucket_alias="bucket_ts",
+    )
+    return df.select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+
+
+def q_ts_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4: timestamp→string cast at the sink boundary (datapump.py:470-471)."""
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization: a >30-min gap starts a new session (lag + running
+    sum — the batch formulation of a session window; the streaming twin is
+    ``F.session_window`` in streaming/). Output per user: session count,
+    event count, total in-session duration (µs, exact ints — no float).
+
+    Scale: both windows partition by user_id — one shuffle, one sort reused
+    by lag and the running sum; the aggregation rides the same partitioning."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)  # exact µs int
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(prev.isNull(), 1)
+         .when(gap_us > 30 * 60 * 1_000_000, 1)
+         .otherwise(0),
+    )
+    with_sid = with_gap.withColumn(
+        "session_id",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_session = with_sid.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias("dur_us"),
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").alias("n_events"),
+        F.sum("dur_us").alias("total_session_us"),
+    )
+
+
+def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping-sets surface (absent in the reference, SURVEY §2.4):
+    ROLLUP(returnflag, linestatus) with exact decimal sums."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
+def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no URGENT order (left anti ≡ NOT EXISTS).
+
+    The filter on the right side is pushed below the join, so the anti
+    join's build side is the small filtered set (broadcastable)."""
+    cust = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderpriority") == "1-URGENT")
+    return cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"],
+                     "left_anti")
+
+
+def q_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large parts that ship at least once (left semi ≡ EXISTS)."""
+    part = _t(spark, sf_dir, "part").where(F.col("p_size") > 40)
+    li = _t(spark, sf_dir, "lineitem")
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_semi")
+
+
+def q_window_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by value per customer (ranking window, deterministic
+    tie-break on orderkey)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        orders.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank")
+    )
+
+
 # ---------------------------------------------------------------- text analysis
 
 def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -312,6 +415,14 @@ QUERIES = {
     "q_star_revenue": q_star_revenue,
     "q_top_customers": q_top_customers,
     "q_json_extract": q_json_extract,
+    "q_resample_dense": q_resample_dense,
+    "q_resample_weekly": q_resample_weekly,
+    "q_ts_format": q_ts_format,
+    "q_sessionize": q_sessionize,
+    "q_rollup": q_rollup,
+    "q_anti_join": q_anti_join,
+    "q_semi_join": q_semi_join,
+    "q_window_topn": q_window_topn,
     "q_text_stats": q_text_stats,
     "q_quality_score": q_quality_score,
     "q_lang_id": q_lang_id,
