@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "q_embedding_near_dup",
     "q_cosine_topk",
     "q_lsh_topk",
+    "q_ivf_topk",
+    "q_sessionize",
+    "q_window_topn",
+    "q_asof_join",
+    "q_hash_sample",
+    "q_set_ops",
 ]
 
 

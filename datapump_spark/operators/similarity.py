@@ -93,6 +93,113 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     return bucket.cast("bigint")
 
 
+def _kmeans_centroids(
+    base: DataFrame, n_cells: int, lloyd_iters: int,
+):
+    """Deterministic mini k-means over (id, v): seed cells as ``id %
+    n_cells``, then ``lloyd_iters`` rounds of assign/average. The average
+    is a distributed posexplode+groupBy aggregation (only n_cells×dim
+    partial states cross the wire); only the tiny centroid matrix is ever
+    collected to the driver. Returns a row-normalized numpy (n_cells, dim)
+    matrix."""
+    import numpy as np
+
+    assigned = base.withColumn("cell", (F.col("id") % n_cells).cast("int"))
+    C = None
+    for _ in range(max(1, lloyd_iters)):
+        rows = (
+            assigned.select("cell", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
+            .collect()
+        )
+        dim = max(r["pos"] for r in rows) + 1
+        C = np.zeros((n_cells, dim))
+        for r in rows:
+            C[r["cell"], r["pos"]] = r["m"]
+        nrm = np.linalg.norm(C, axis=1, keepdims=True)
+        nrm[nrm == 0] = 1.0
+        C = C / nrm
+        assigned = _assign_cells(base, C, n_probe=1).select(
+            "id", F.col("cells")[0].alias("cell")
+        ).join(base, "id")
+    return C
+
+
+def _assign_cells(base: DataFrame, centroids, n_probe: int) -> DataFrame:
+    """(id, cells[n_probe]): nearest cells by cosine, best first. One
+    numpy GEMM per Arrow batch against the broadcast centroid matrix."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("id", T.LongType()),
+        T.StructField("cells", T.ArrayType(T.IntegerType())),
+    ])
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["v"].map(np.asarray).to_numpy())
+            nrm = np.linalg.norm(M, axis=1, keepdims=True)
+            nrm[nrm == 0] = 1.0
+            S = (M / nrm) @ centroids.T
+            order = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "cells": [row.astype("int32").tolist() for row in order],
+            })
+
+    return base.select("id", "v").mapInPandas(kernel, schema)
+
+
+def ivf_topk(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    k: int = 5, query_max_id: int = 10, n_cells: int = 16, n_probe: int = 4,
+    lloyd_iters: int = 2,
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) index: k-means cells,
+    corpus vectors live in their nearest cell, queries probe their
+    ``n_probe`` nearest cells, exact re-rank inside the probed cells.
+
+    Same output shape as :func:`cosine_topk`; recall graded in tests
+    against the exact baseline. At scale: the cell id is the partition /
+    bucket key — candidate generation is a key-equi join (no corpus-wide
+    cross product), and a corpus table pre-bucketed by cell makes repeated
+    query batches shuffle-free. Centroid training touches only
+    n_cells×dim aggregate state; assignment is one GEMM pass."""
+    base = df.select(
+        F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+    )
+    C = _kmeans_centroids(base, n_cells, lloyd_iters)
+    base = base.withColumn("nrm", _norm(F.col("v")))
+    corpus_cells = _assign_cells(base, C, n_probe=1).select(
+        "id", F.col("cells")[0].alias("cb"))
+    c = base.join(corpus_cells, "id").select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"), "cb")
+    qbase = base.where(F.col("id") < query_max_id)
+    q = (
+        _assign_cells(qbase, C, n_probe=n_probe)
+        .select("id", F.explode("cells").alias("qb"))
+        .join(qbase, "id")
+        .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                F.col("nrm").alias("qn"), "qb")
+    )
+    scored = (
+        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )
+
+
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, query_max_id: int = 10, n_planes: int = 4, seed: int = 42,

@@ -352,7 +352,7 @@ s AS (SELECT doc_id,
       FROM t WHERE len(toks) >= 3)
 """
 
-from datapump_spark.functions.hashing import mixed_hash_sql  # noqa: E402
+from datapump_spark.functions.hashing import hash63_sql, mixed_hash_sql  # noqa: E402
 
 _BASE_H = "(('0x' || substr(md5(shingle), 1, 15))::BIGINT)"
 _mh4 = ", ".join(
@@ -449,3 +449,72 @@ QUALIFY row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id 
 
 # q_lsh_topk intentionally has NO oracle: approximate recall is a property
 # of the bucketing, graded in tests against the exact baseline instead.
+# q_ivf_topk likewise has NO oracle (approximate; recall graded in tests).
+
+# ---------------------------------------------------------------- relational extensions
+
+ORACLES["q_set_ops"] = """
+(SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+ UNION
+ SELECT c_custkey FROM customer WHERE c_mktsegment = 'AUTOMOBILE')
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+ORACLES["q_hash_sample"] = f"""
+SELECT event_id, user_id, event_type, value
+FROM events
+WHERE {hash63_sql("'smp:' || CAST(event_id AS VARCHAR)")} % 20 = 0
+"""
+
+ORACLES["q_asof_join"] = """
+WITH u AS (
+  SELECT user_id, ts, event_id,
+         CAST(NULL AS BIGINT) AS o_orderkey, 1 AS is_event
+  FROM events
+  UNION ALL BY NAME
+  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS ts,
+         CAST(NULL AS BIGINT) AS event_id, o_orderkey, 0 AS is_event
+  FROM orders)
+SELECT event_id, user_id, ts, asof_orderkey FROM (
+  SELECT *, last_value(o_orderkey IGNORE NULLS) OVER (
+      PARTITION BY user_id
+      ORDER BY ts, is_event, coalesce(o_orderkey, -1)
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey
+  FROM u)
+WHERE is_event = 1
+"""
+
+# ---------------------------------------------------------------- multimodal
+
+_MEDIA_CTE = """
+m AS (
+  SELECT doc_id AS media_id, encode(text) AS payload,
+         ['image','audio','video'][CAST(doc_id % 3 AS INT) + 1] AS kind,
+         ['png','wav','mp4'][CAST(doc_id % 3 AS INT) + 1] AS format,
+         CASE WHEN doc_id % 3 = 0 THEN 640 END AS width,
+         CASE WHEN doc_id % 3 = 0 THEN 480 END AS height,
+         CASE WHEN doc_id % 3 != 0 THEN n_chars * 10 END AS duration_ms
+  FROM documents)
+"""
+
+ORACLES["q_media_stats"] = f"""
+WITH {_MEDIA_CTE}
+SELECT kind, format, count(*) AS n,
+       CAST(sum(octet_length(payload)) AS BIGINT) AS total_bytes,
+       round(avg(octet_length(payload)), 6) AS avg_bytes,
+       round(avg(duration_ms), 6) AS avg_duration_ms
+FROM m GROUP BY kind, format
+"""
+
+ORACLES["q_frame_sample"] = f"""
+WITH {_MEDIA_CTE}
+SELECT media_id,
+       CAST(unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0)))
+            AS BIGINT) AS frame_idx,
+       CAST(unnest(generate_series(0, greatest(duration_ms // 1000 - 1, 0)))
+            * 1000 AS BIGINT) AS frame_ts_ms
+FROM m WHERE kind = 'video'
+"""

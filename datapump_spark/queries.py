@@ -397,6 +397,125 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10)
 
 
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (k-means cells + n_probe) approximate top-5 (rows-only check;
+    recall graded in tests against the exact baseline)."""
+    from datapump_spark.operators.similarity import ivf_topk
+    return ivf_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+                    n_cells=16, n_probe=4)
+
+
+# ---------------------------------------------------------------- relational extensions
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation surface (absent in the reference, SURVEY §2.8):
+    (BUILDING ∪ AUTOMOBILE segments) ∩ customers-with-orders ∖
+    customers-with-urgent-orders — UNION / INTERSECT / EXCEPT, all with
+    DISTINCT semantics.
+
+    Scale: each leg prunes to the single key column before the set op, so
+    only custkeys shuffle; Catalyst plans these as aggregates/joins on the
+    key."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    a = cust.where(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey"))
+    b = cust.where(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("custkey"))
+    with_order = orders.select(F.col("o_custkey").alias("custkey"))
+    urgent = orders.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey"))
+    return a.union(b).intersect(with_order).subtract(urgent)
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 5% Bernoulli sample: hash(event_id) % 20 == 0.
+
+    ``df.sample``/``sampleBy`` are partition-seeded and not reproducible
+    across engines or partition layouts; a key-hash predicate is — the
+    standard trick for a resumable, cluster-size-independent sample of a
+    100 TB table. Pure scan + filter, no shuffle."""
+    from datapump_spark.functions.hashing import hash63
+    ev = _t(spark, sf_dir, "events")
+    h = hash63(F.concat(F.lit("smp:"), F.col("event_id").cast("string")))
+    return ev.where(h % 20 == 0).select("event_id", "user_id", "event_type", "value")
+
+
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each event picks the customer's latest order at-or-before
+    the event time (Spark has no ASOF JOIN; DuckDB does — oracle uses the
+    same union+window formulation for deterministic ties).
+
+    Implemented as the scalable merge formulation: union both tables on
+    (key, ts), one window sorted by (ts, side, orderkey) carrying the last
+    non-null orderkey forward. ONE shuffle on user_id, no per-row range
+    probe, no join explosion — at 100 TB this beats a range join by orders
+    of magnitude because each row is touched once. Ties: orders at the
+    same ts sort before events (inclusive as-of) and among themselves by
+    orderkey, so the max orderkey wins — deterministic."""
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"),
+        "event_id", F.lit(None).cast("bigint").alias("o_orderkey"),
+        F.lit(1).alias("is_event"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.col("o_orderdate").cast("timestamp").alias("ts"),
+        F.lit(None).cast("bigint").alias("event_id"),
+        "o_orderkey", F.lit(0).alias("is_event"))
+    u = ev.unionByName(orders)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_event", F.coalesce("o_orderkey", F.lit(-1)))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        u.withColumn("asof_orderkey", F.last("o_orderkey", ignorenulls=True).over(w))
+        .where(F.col("is_event") == 1)
+        .select("event_id", "user_id", "ts", "asof_orderkey")
+    )
+
+
+# ---------------------------------------------------------------- multimodal
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic media table synthesized from documents (no media libs
+    in this container): payload = utf-8 text bytes, kind/format/dimensions
+    derived from doc_id, duration only for audio/video. Schema =
+    operators.multimodal.MEDIA_SCHEMA."""
+    d = _t(spark, sf_dir, "documents")
+    kind_idx = (F.col("doc_id") % 3).cast("int")
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.element_at(F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+                         kind_idx + 1).alias("kind"),
+            F.element_at(F.array(F.lit("png"), F.lit("wav"), F.lit("mp4")),
+                         kind_idx + 1).alias("format"),
+            F.when(kind_idx == 0, F.lit(640)).cast("int").alias("width"),
+            F.when(kind_idx == 0, F.lit(480)).cast("int").alias("height"),
+            F.when(kind_idx != 0, F.col("n_chars") * 10).cast("bigint")
+             .alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational metadata stats over the media table (no decode): per
+    (kind, format) count, payload bytes, avg duration."""
+    from datapump_spark.operators.multimodal import media_stats
+    return media_stats(_media(spark, sf_dir))
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling plan (one row per second of duration) — the
+    explode/sequence side of the multimodal decode pipeline; the codec
+    kernel itself is stubbed (not in this container)."""
+    from datapump_spark.operators.multimodal import sample_frames
+    media = _media(spark, sf_dir).where(F.col("meta.kind") == "video")
+    return sample_frames(media, every_ms=1000)
+
+
 QUERIES = {
     "q_csv_scan": q_csv_scan,
     "q_multiformat_ts": q_multiformat_ts,
@@ -435,4 +554,10 @@ QUERIES = {
     "q_embedding_near_dup": q_embedding_near_dup,
     "q_cosine_topk": q_cosine_topk,
     "q_lsh_topk": q_lsh_topk,
+    "q_ivf_topk": q_ivf_topk,
+    "q_set_ops": q_set_ops,
+    "q_hash_sample": q_hash_sample,
+    "q_asof_join": q_asof_join,
+    "q_media_stats": q_media_stats,
+    "q_frame_sample": q_frame_sample,
 }

@@ -89,3 +89,21 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     # approximate results must still be valid (cos computed, k per query)
     assert all(len([r for r in approx if r["query_id"] == q]) <= 5
                for q in {r["query_id"] for r in approx})
+
+def test_ivf_topk_recall_vs_exact(spark, sf_dir):
+    from datapump_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_max_id=10).collect()
+    approx = ivf_topk(emb, k=5, query_max_id=10, n_cells=16, n_probe=4).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+    approx_set = {(r["query_id"], r["neighbor_id"]) for r in approx}
+    # 16 cells, 4 probed → ~1/4 of corpus scanned
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.25, recall
+    assert all(len([r for r in approx if r["query_id"] == q]) <= 5
+               for q in {r["query_id"] for r in approx})
+    # probing every cell degenerates to brute force → must equal the exact
+    # baseline bit-for-bit (same re-rank code path, same tie-breaks)
+    full = ivf_topk(emb, k=5, query_max_id=10, n_cells=16, n_probe=16).collect()
+    full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
+    assert full_set == exact_set
