@@ -50,6 +50,9 @@ BENCH_QUERIES = [
     "q_asof_join",
     "q_hash_sample",
     "q_set_ops",
+    "q_dup_clusters",
+    "q_group_cap",
+    "q_weighted_mix",
 ]
 
 

@@ -290,3 +290,65 @@ def _embedding_near_dup_gemm(
 
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return rows.mapInPandas(kernel, schema)
+
+
+def connected_components(
+    pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """(id, cluster_id): connected components over an undirected pair graph
+    — turns near-dup *pairs* into dedup *groups* (cluster_id = min member
+    id; nodes without edges are their own singleton cluster).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels, until a fixed point. The
+    loop is driver-controlled but touches only counts — labels live in a
+    DataFrame keyed by node, each round is one join + one groupBy on the
+    node id. Rounds needed = graph diameter; near-dup graphs are dense
+    little cliques, so this converges in 2-3 rounds in practice (bounded
+    by ``max_iters``). At scale, persist the label frame per round and
+    use the same hash partitioning on the node id for the join and the
+    aggregation so labels never re-shuffle.
+    """
+    # Persist the edge list: its lineage (a full MinHash-LSH pipeline when
+    # called from near_dup_clusters) must not re-execute every round.
+    sym = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+    ).unionByName(pairs.select(
+        F.col("id_b").alias("src"), F.col("id_a").alias("dst"))).persist()
+    labels = nodes.select(F.col(id_col).alias("node"),
+                          F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        neigh = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src").agg(F.min("label").alias("nlabel"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["node"] == neigh["src"], "left")
+            .select("node",
+                    F.least("label", F.coalesce("nlabel", "label")).alias("label"))
+        )
+        new_labels = new_labels.persist()
+        changed = (
+            new_labels.join(labels.withColumnRenamed("label", "old"), "node")
+            .where(F.col("label") != F.col("old")).count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.select(F.col("node").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
+def near_dup_clusters(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    threshold: float = 0.5, **minhash_kwargs,
+) -> DataFrame:
+    """End-to-end fuzzy-dedup grouping: MinHash-LSH pairs → connected
+    components. (id, cluster_id) for EVERY document; keep
+    ``min(id) per cluster`` to materialize the deduped corpus."""
+    pairs = minhash_near_dup_pairs(
+        df, id_col, text_col, threshold=threshold, **minhash_kwargs)
+    return connected_components(pairs, df, id_col)

@@ -1,0 +1,90 @@
+"""Deterministic sampling / sharding / mixing operators for training-data
+pipelines.
+
+Every operator here is *reproducible by construction* — decisions are pure
+functions of row keys (hash predicates, rank-within-group), never of
+partition layout or RNG state. That's the property a 100 TB pipeline needs:
+re-running a failed stage, changing cluster size, or recomputing a shard
+must yield byte-identical output. Spark's own ``sample``/``sampleBy`` are
+partition-seeded and give none of that.
+
+All decisions are single-pass column expressions or one windowed rank —
+no collect, no driver-side data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from datapump_spark.functions.hashing import hash63
+
+# Hash-fraction denominator: fractions are expressed in basis points of
+# 10_000 so weight tables stay integral and cross-engine exact.
+FRACTION_DENOM = 10_000
+
+
+def _key_hash(key: Column, salt: str, hash_fn: str = "md5") -> Column:
+    return hash63(F.concat(F.lit(salt + ":"), key.cast("string")), hash_fn)
+
+
+def hash_fraction_filter(
+    df: DataFrame, key_col: str, fraction: float, salt: str = "sample",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by key-hash threshold.
+
+    Nested property: the rows kept at 1% are a subset of the rows kept at
+    10% (same salt) — lets a pipeline carve consistent dev/holdout subsets
+    at several scales from one pass."""
+    thresh = int(round(fraction * FRACTION_DENOM))
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    return df.where(h % FRACTION_DENOM < thresh)
+
+
+def group_cap(
+    df: DataFrame, group_col: str, order_col: str, n: int,
+) -> DataFrame:
+    """At most ``n`` rows per group, lowest ``order_col`` first (the
+    "cap documents per domain" op). One shuffle on the group key; the
+    rank prunes inside each partition. For heavily skewed groups at scale,
+    pre-filter with an approximate per-group count + hash_fraction_filter
+    so no single group's partition explodes before ranking."""
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col).asc())
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
+def shard_assign(
+    df: DataFrame, key_col: str, n_shards: int, salt: str = "shard",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Add a deterministic ``shard`` column in [0, n_shards): the write-
+    side sharding op (``df.repartition(n, 'shard').write.partitionBy``).
+    Key-hash, not round-robin, so a row lands in the same shard no matter
+    when or where it is processed."""
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    return df.withColumn("shard", (h % n_shards).cast("int"))
+
+
+def weighted_mix(
+    df: DataFrame, source_col: str, weights: dict[str, float],
+    key_col: str, salt: str = "mix", hash_fn: str = "md5",
+) -> DataFrame:
+    """Down-sample each source to its weight (fraction in [0,1]); sources
+    absent from ``weights`` are dropped. The dataset-mixing op: one scan,
+    one hash per row, no shuffle — the 100 TB way to hit a target corpus
+    recipe ("keep 100% of wiki, 10% of web")."""
+    thresh = F.lit(None).cast("long")
+    expr = None
+    for src, wgt in sorted(weights.items()):
+        t = int(round(wgt * FRACTION_DENOM))
+        cond = F.col(source_col) == src
+        expr = F.when(cond, t) if expr is None else expr.when(cond, t)
+    thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    return df.where(h % FRACTION_DENOM < thresh)

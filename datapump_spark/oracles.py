@@ -518,3 +518,38 @@ SELECT media_id,
             * 1000 AS BIGINT) AS frame_ts_ms
 FROM m WHERE kind = 'video'
 """
+
+# ------------------------------------------------------- dedup clustering / sampling
+
+ORACLES["q_dup_clusters"] = f"""
+WITH RECURSIVE pairs AS ({ORACLES["q_minhash_near_dup"]}),
+edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL
+          SELECT id_b, id_a FROM pairs),
+reach(node, r) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.r FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS cluster_id
+FROM reach GROUP BY node
+"""
+
+ORACLES["q_group_cap"] = """
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id ASC) AS rn
+  FROM documents) WHERE rn <= 10
+"""
+
+ORACLES["q_shard_assign"] = f"""
+SELECT doc_id,
+       CAST({hash63_sql("'shard:' || CAST(doc_id AS VARCHAR)")} % 8 AS INT) AS shard
+FROM documents
+"""
+
+ORACLES["q_weighted_mix"] = f"""
+SELECT doc_id, source FROM documents
+WHERE {hash63_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+      CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                  WHEN 'src2' THEN 2500 ELSE 0 END
+"""

@@ -405,6 +405,42 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     n_cells=16, n_probe=4)
 
 
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clustering: MinHash pairs → connected components (min-label
+    propagation). Every doc gets a cluster_id = min id of its component;
+    the DuckDB twin is a recursive CTE over the same pair graph."""
+    from datapump_spark.operators.dedup_fuzzy import near_dup_clusters
+    return near_dup_clusters(_t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+def q_group_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap-per-group sampling: at most 10 docs per source, lowest doc_id
+    first (the "cap documents per domain" training-data op)."""
+    from datapump_spark.operators.sampling import group_cap
+    return group_cap(
+        _t(spark, sf_dir, "documents"), "source", "doc_id", 10
+    ).select("doc_id", "source")
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 8-way shard assignment by doc_id hash (write-side
+    sharding for training-data output)."""
+    from datapump_spark.operators.sampling import shard_assign
+    return shard_assign(
+        _t(spark, sf_dir, "documents"), "doc_id", 8
+    ).select("doc_id", "shard")
+
+
+def q_weighted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: keep 100% of src0, 50% of src1, 25% of
+    src2, drop everything else — one hash predicate, no shuffle."""
+    from datapump_spark.operators.sampling import weighted_mix
+    return weighted_mix(
+        _t(spark, sf_dir, "documents"), "source",
+        {"src0": 1.0, "src1": 0.5, "src2": 0.25}, key_col="doc_id",
+    ).select("doc_id", "source")
+
+
 # ---------------------------------------------------------------- relational extensions
 
 def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -555,6 +591,10 @@ QUERIES = {
     "q_cosine_topk": q_cosine_topk,
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
+    "q_dup_clusters": q_dup_clusters,
+    "q_group_cap": q_group_cap,
+    "q_shard_assign": q_shard_assign,
+    "q_weighted_mix": q_weighted_mix,
     "q_set_ops": q_set_ops,
     "q_hash_sample": q_hash_sample,
     "q_asof_join": q_asof_join,

@@ -1,0 +1,58 @@
+"""Tests for deterministic sampling ops and connected-components clustering."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.sampling import (
+    group_cap, hash_fraction_filter, shard_assign, weighted_mix,
+)
+from datapump_spark.operators.dedup_fuzzy import connected_components
+
+
+def test_hash_fraction_nested(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    small = {r["doc_id"] for r in hash_fraction_filter(docs, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in hash_fraction_filter(docs, "doc_id", 0.5).collect()}
+    assert small <= big           # nested: 10% sample ⊂ 50% sample
+    n = docs.count()
+    assert 0 < len(small) < len(big) < n
+
+
+def test_group_cap(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    capped = group_cap(docs, "source", "doc_id", 3)
+    per = capped.groupBy("source").count().collect()
+    assert all(r["count"] <= 3 for r in per)
+    # lowest doc_ids kept within each group
+    first = capped.where(F.col("source") == "src0").select("doc_id").collect()
+    want = (docs.where(F.col("source") == "src0")
+            .orderBy("doc_id").limit(3).select("doc_id").collect())
+    assert {r["doc_id"] for r in first} == {r["doc_id"] for r in want}
+
+
+def test_shard_assign_stable_and_complete(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = {(r["doc_id"], r["shard"]) for r in shard_assign(docs, "doc_id", 4).collect()}
+    b = {(r["doc_id"], r["shard"]) for r in
+         shard_assign(docs.repartition(7), "doc_id", 4).collect()}
+    assert a == b                 # invariant to partition layout
+    assert {s for _, s in a} <= set(range(4))
+
+
+def test_weighted_mix_rates(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = weighted_mix(docs, "source", {"src0": 1.0, "src1": 0.0}, "doc_id")
+    srcs = {r["source"] for r in out.select("source").distinct().collect()}
+    assert srcs == {"src0"}       # weight 1.0 keeps all, 0.0 and absent drop all
+    n_src0 = docs.where(F.col("source") == "src0").count()
+    assert out.count() == n_src0
+
+
+def test_connected_components_hand_graph(spark):
+    # components: {1,2,3} (chain), {4,5}, singleton {6}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
+    got = {r["doc_id"]: r["cluster_id"]
+           for r in connected_components(pairs, nodes).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
