@@ -38,7 +38,8 @@ def dupe_count(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     """
     per_key = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
     return per_key.agg(
-        (F.sum("cnt") - F.count(F.lit(1))).cast("bigint").alias("dupe_count")
+        F.coalesce(F.sum("cnt") - F.count(F.lit(1)), F.lit(0))
+        .cast("bigint").alias("dupe_count")
     )
 
 
