@@ -53,6 +53,9 @@ BENCH_QUERIES = [
     "q_dup_clusters",
     "q_group_cap",
     "q_weighted_mix",
+    "q_pivot",
+    "q_histogram",
+    "q_explode_tokens",
 ]
 
 

@@ -553,3 +553,40 @@ WHERE {hash63_sql("'mix:' || CAST(doc_id AS VARCHAR)")} % 10000 <
       CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
                   WHEN 'src2' THEN 2500 ELSE 0 END
 """
+
+# ------------------------------------------------------- profiling / pivot / generators
+
+ORACLES["q_pivot"] = """
+SELECT user_id,
+       CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+       CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+       CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+       CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+       CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+ORACLES["q_histogram"] = """
+SELECT CAST(floor(value / 10) AS BIGINT) AS bucket,
+       CAST(floor(value / 10) * 10 AS DOUBLE) AS lo,
+       CAST((floor(value / 10) + 1) * 10 AS DOUBLE) AS hi,
+       count(*) AS n
+FROM events WHERE value IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+ORACLES["q_corr"] = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price,
+       count(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ORACLES["q_explode_tokens"] = f"""
+SELECT token, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest({_TOKS}) AS token FROM documents) t
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""

@@ -511,6 +511,64 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: events per (user, event_type) as columns. Explicit
+    pivot values = one pass (no extra distinct scan) and a fixed schema."""
+    types = ["click", "error", "purchase", "signup", "view"]
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, types)
+    )
+
+
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value (50 buckets of 10 over
+    [0, 500)): one groupBy on the computed bucket — the profiling op for
+    numeric columns; scan + single shuffle of bucket partials."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 10).cast("bigint")
+    return (
+        ev.where(F.col("value").isNotNull())
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo", (F.col("bucket") * 10).cast("double"))
+        .withColumn("hi", ((F.col("bucket") + 1) * 10).cast("double"))
+        .select("bucket", "lo", "hi", "n")
+    )
+
+
+def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance surface: per returnflag Pearson corr and
+    sample covariance of quantity vs extendedprice."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator (explode/UNNEST) surface: top-20 corpus tokens by
+    frequency, deterministic tie-break. Shuffles only (token, count)
+    partials — the wordcount shape with map-side combine."""
+    from datapump_spark.functions.hashing import tokens
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("token").asc())
+        .limit(20)
+    )
+
+
 # ---------------------------------------------------------------- multimodal
 
 def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -600,4 +658,8 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_media_stats": q_media_stats,
     "q_frame_sample": q_frame_sample,
+    "q_pivot": q_pivot,
+    "q_histogram": q_histogram,
+    "q_corr": q_corr,
+    "q_explode_tokens": q_explode_tokens,
 }
