@@ -300,15 +300,15 @@ def connected_components(
     — turns near-dup *pairs* into dedup *groups* (cluster_id = min member
     id; nodes without edges are their own singleton cluster).
 
-    Iterative min-label propagation: each round every node takes the min
-    of its own label and its neighbors' labels, until a fixed point. The
-    loop is driver-controlled but touches only counts — labels live in a
-    DataFrame keyed by node, each round is one join + one groupBy on the
-    node id. Rounds needed = graph diameter; near-dup graphs are dense
-    little cliques, so this converges in 2-3 rounds in practice (bounded
-    by ``max_iters``). At scale, persist the label frame per round and
-    use the same hash partitioning on the node id for the join and the
-    aggregation so labels never re-shuffle.
+    Iterative min-label propagation **restricted to edge-connected nodes**:
+    the corpus never enters the loop — only nodes that appear in a pair
+    (at near-dup thresholds, a tiny fraction of a 100 TB corpus) carry
+    labels through the join/groupBy rounds; every other document becomes a
+    singleton via one final left join. Each round is one join + one
+    groupBy keyed on the node id (co-partitionable, no re-shuffle of the
+    corpus). Rounds needed = graph diameter; near-dup graphs are dense
+    little cliques, so this converges in 2-3 rounds (bounded by
+    ``max_iters``).
     """
     # Persist the edge list: its lineage (a full MinHash-LSH pipeline when
     # called from near_dup_clusters) must not re-execute every round.
@@ -316,8 +316,8 @@ def connected_components(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
     ).unionByName(pairs.select(
         F.col("id_b").alias("src"), F.col("id_a").alias("dst"))).persist()
-    labels = nodes.select(F.col(id_col).alias("node"),
-                          F.col(id_col).alias("label"))
+    labels = sym.select(F.col("src").alias("node")).distinct() \
+                .withColumn("label", F.col("node"))
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -338,8 +338,13 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
-    return labels.select(F.col("node").alias(id_col),
-                         F.col("label").alias("cluster_id"))
+    # singletons: every node not in the pair graph labels itself
+    return (
+        nodes.select(F.col(id_col))
+        .join(labels, nodes[id_col] == labels["node"], "left")
+        .select(F.col(id_col),
+                F.coalesce("label", F.col(id_col)).alias("cluster_id"))
+    )
 
 
 def near_dup_clusters(
