@@ -1,0 +1,69 @@
+"""Scaling-curve evidence: run core operators at 1× / 10× / 50× the sf0.1
+events table (in-memory replication with shifted keys, so group cardinality
+scales too) and print sec per run. Near-linear growth = no cliff; the
+point of the exercise is that the same plans that pass the sf0.01
+correctness gate keep their shape as data grows.
+
+Usage: python scripts/scale_curve.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.dedupe import dedupe_by_key
+    from datapump_spark.operators.resample import freq_resample
+    from datapump_spark.operators.sampling import shard_assign
+    from datapump_spark.queries import _t
+    from datapump_spark.session import get_session
+
+    spark = get_session("scale-curve")
+    spark.sparkContext.setLogLevel("ERROR")
+    spark.range(1_000_000).selectExpr("sum(id)").collect()
+
+    base = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value")
+
+    out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big = (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("user_id", F.col("user_id") + F.col("__rep") * 1000)
+            .withColumn("event_id", F.col("event_id") + F.col("__rep") * 10_000_000)
+            .drop("__rep")
+        )
+        runs = {}
+
+        t0 = time.perf_counter()
+        freq_resample(big, ["user_id"], "ts", "H", value_cols=["value"]) \
+            .write.format("noop").mode("overwrite").save()
+        runs["resample_hourly"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        dedupe_by_key(big, ["user_id", "event_type"], "event_id", "last") \
+            .write.format("noop").mode("overwrite").save()
+        runs["dedupe_last"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        shard_assign(big, "event_id", 64, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["shard_assign"] = round(time.perf_counter() - t0, 2)
+
+        out[f"x{mult}"] = runs
+
+    print(json.dumps({"rows_base": base.count(), "curve": out}))
+
+
+if __name__ == "__main__":
+    main()
