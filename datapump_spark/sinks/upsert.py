@@ -27,14 +27,21 @@ batches default to 1000 rows/execute to bound round-trips.
 
 from __future__ import annotations
 
+import json
+import re
 import shutil
 import tempfile
 import time
 from collections.abc import Callable, Sequence
+from datetime import datetime, timezone
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+# Reference description stamp: '… (UPDATED: 2021-01-01 00:00:00)' appended /
+# rewritten in place (datapump.py:616-630, regex datapump.py:618).
+_UPDATED_RE = re.compile(r" \(UPDATED: (.*?)\)$")
 
 
 class ParquetMergeSink:
@@ -75,6 +82,40 @@ class ParquetMergeSink:
     def truncate(self, table: str) -> None:
         """K3 (datastore_delete-on-Truncate, datapump.py:545-555)."""
         shutil.rmtree(self.path(table), ignore_errors=True)
+
+    # ---------------------------------------------------------- metadata (K1/K4)
+
+    def _meta_path(self, table: str) -> Path:
+        return self.root / f".{table}.meta.json"
+
+    def get_properties(self, table: str) -> dict:
+        """Table properties sidecar — the stand-in for `ALTER TABLE … SET
+        TBLPROPERTIES` / CKAN resource metadata (SURVEY §1.1)."""
+        p = self._meta_path(table)
+        return json.loads(p.read_text()) if p.exists() else {}
+
+    def set_properties(self, table: str, **props) -> None:
+        merged = {**self.get_properties(table), **props}
+        self._meta_path(table).write_text(json.dumps(merged, sort_keys=True))
+
+    def stamp_updated(self, table: str, when: datetime | None = None) -> None:
+        """K4: rewrite the description's ``(UPDATED: ts)`` suffix in place
+        (append on first stamp) — the reference's regex-split/rejoin
+        behavior (datapump.py:616-630) — and set an ``updated_at``
+        property for programmatic readers."""
+        when = when or datetime.now(timezone.utc)
+        ts = when.strftime("%Y-%m-%d %H:%M:%S")
+        props = self.get_properties(table)
+        desc = _UPDATED_RE.sub("", props.get("description", ""))
+        props["description"] = f"{desc} (UPDATED: {ts})"
+        props["updated_at"] = ts
+        self.set_properties(table, **props)
+
+    def set_alias(self, table: str, alias: str) -> None:
+        """K1's resource alias ('org-package-resource',
+        datapump.py:224-225): recorded as a property; a SQL catalog
+        profile maps this to CREATE VIEW."""
+        self.set_properties(table, alias=alias)
 
     def overwrite(self, df: DataFrame, table: str) -> None:
         """Full-refresh write (stats tables are replaced per run, K6)."""

@@ -179,6 +179,10 @@ class Pipeline:
                     truncated = True
                 self.sink.upsert(self.spark, df, self.job.target_resource,
                                  self.job.primary_key)
+                # K4 metadata stamp + K1 alias (datapump.py:616-630,224-225)
+                self.sink.stamp_updated(self.job.target_resource)
+                self.sink.set_alias(self.job.target_resource,
+                                    self.job.qualified_name)
                 result.rows_upserted += n_rows
                 self._audit(str(path), started, n_rows, n_dupes, ok=True)
                 # stats failures are NON-fatal and the file still archives

@@ -109,3 +109,22 @@ def test_quirk9_stats_failure_still_archives(spark, tmp_path, monkeypatch):
     res = pipe.run_available()
     assert res.processed and not res.quarantined      # file archived anyway
     assert sink.read(spark, "r3").count() > 0         # data landed
+
+
+def test_k4_updated_stamp_rewrites_in_place(spark, tmp_path):
+    """K4: the description's '(UPDATED: ts)' suffix is REWRITTEN, not
+    appended twice (reference regex-split behavior, datapump.py:616-630)."""
+    from datetime import datetime, timezone
+
+    from datapump_spark.sinks.upsert import ParquetMergeSink
+
+    sink = ParquetMergeSink(tmp_path / "lake")
+    sink.set_properties("t", description="Air quality feed")
+    sink.stamp_updated("t", datetime(2021, 1, 1, tzinfo=timezone.utc))
+    p1 = sink.get_properties("t")
+    assert p1["description"] == "Air quality feed (UPDATED: 2021-01-01 00:00:00)"
+    sink.stamp_updated("t", datetime(2022, 2, 2, tzinfo=timezone.utc))
+    p2 = sink.get_properties("t")
+    assert p2["description"] == "Air quality feed (UPDATED: 2022-02-02 00:00:00)"
+    assert p2["description"].count("UPDATED") == 1       # rewritten, not stacked
+    assert p2["updated_at"] == "2022-02-02 00:00:00"
