@@ -127,3 +127,22 @@ def running_user_stats(df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def dedupe_within_watermark(
+    df: DataFrame, keys: list[str], ts_col: str,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch PK dedupe (operators.dedupe): drops
+    duplicate keys ACROSS micro-batches, with state bounded by the
+    watermark (a key's dedup state is evicted once the watermark passes
+    its event time — the only way cross-batch dedup state stays finite on
+    an unbounded stream). First arrival wins, matching keep='first'.
+
+    On a batch DataFrame this degrades to plain dropDuplicates (exact,
+    unbounded), so one call site serves both the backfill and the live
+    stream."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, watermark) \
+                 .dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)

@@ -126,3 +126,33 @@ def test_running_user_stats_stateful(spark, hour_dir, tmp_path):
         final[r["user_id"]] = (r["n_events"], r["sum_value"], r["max_value"])
     assert final[1] == (4, 100.0, 40.0)
     assert final[2] == (2, 12.0, 7.0)
+
+
+def test_dedupe_within_watermark(spark, tmp_path):
+    from datapump_spark.streaming.windows import dedupe_within_watermark
+
+    d = tmp_path / "dup_events"
+    d.mkdir()
+    # same event_key appears in batch 0 and batch 1 (within watermark):
+    # only the first arrival survives; a fresh key in batch 1 passes
+    rows = {
+        0: [(1, "2024-01-01 00:05:00", 10.0), (2, "2024-01-01 00:06:00", 5.0)],
+        1: [(1, "2024-01-01 00:05:00", 99.0), (3, "2024-01-01 00:07:00", 7.0)],
+    }
+    for h, rr in rows.items():
+        p = d / f"part-{h}.json"
+        with open(p, "w") as f:
+            for u, ts, v in rr:
+                f.write(json.dumps({"user_id": u, "ts": ts, "value": v}) + "\n")
+        os.utime(p, (1_000_000_000 + h * 1000, 1_000_000_000 + h * 1000))
+
+    out = dedupe_within_watermark(
+        _stream(spark, d), ["user_id"], "ts", watermark="1 hour")
+    _run_to_memory(out, "ddw_t", "append", tmp_path / "cp4")
+    got = {r["user_id"]: r["value"] for r in spark.table("ddw_t").collect()}
+    assert got == {1: 10.0, 2: 5.0, 3: 7.0}   # first arrival of key 1 won
+
+    # batch path: plain dropDuplicates
+    batch = spark.read.schema(EVENT_SCHEMA).json(str(d))
+    bout = dedupe_within_watermark(batch, ["user_id"], "ts")
+    assert bout.count() == 3
