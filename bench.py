@@ -56,6 +56,8 @@ BENCH_QUERIES = [
     "q_pivot",
     "q_histogram",
     "q_explode_tokens",
+    "q_moving_avg",
+    "q_latest_event",
 ]
 
 

@@ -590,3 +590,20 @@ GROUP BY token
 ORDER BY n DESC, token ASC
 LIMIT 20
 """
+
+ORACLES["q_moving_avg"] = """
+SELECT event_id, user_id,
+       round(avg(value) OVER (
+         PARTITION BY user_id ORDER BY ts, event_id
+         ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS mavg4
+FROM events
+"""
+
+ORACLES["q_latest_event"] = """
+SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+       ts AS last_ts
+FROM (SELECT *, row_number() OVER (
+        PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""

@@ -511,6 +511,32 @@ def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-frame surface: 4-row trailing moving average of value per
+    user (ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), deterministic order.
+    One shuffle + one sort on user_id, frame evaluated in a single pass."""
+    ev = _t(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, Window.currentRow))
+    return ev.select(
+        "event_id", "user_id",
+        F.round(F.avg("value").over(w), 6).alias("mavg4"),
+    )
+
+
+def q_latest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Argmax surface: each user's latest event via max_by on the ordering
+    struct — a hash aggregation (map-side partials, no sort), the same
+    sortless pattern as dedupe keep-last."""
+    ev = _t(spark, sf_dir, "events")
+    ord_ = F.struct(F.col("ts"), F.col("event_id"))
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_id", ord_).alias("last_event_id"),
+        F.max_by("event_type", ord_).alias("last_event_type"),
+        F.max("ts").alias("last_ts"),
+    )
+
+
 def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PIVOT surface: events per (user, event_type) as columns. Explicit
     pivot values = one pass (no extra distinct scan) and a fixed schema."""
@@ -658,6 +684,8 @@ QUERIES = {
     "q_asof_join": q_asof_join,
     "q_media_stats": q_media_stats,
     "q_frame_sample": q_frame_sample,
+    "q_moving_avg": q_moving_avg,
+    "q_latest_event": q_latest_event,
     "q_pivot": q_pivot,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
