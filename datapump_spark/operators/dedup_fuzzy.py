@@ -318,6 +318,7 @@ def connected_components(
         F.col("id_b").alias("src"), F.col("id_a").alias("dst"))).persist()
     labels = sym.select(F.col("src").alias("node")).distinct() \
                 .withColumn("label", F.col("node"))
+    converged = False
     for _ in range(max_iters):
         neigh = (
             sym.join(labels, sym["dst"] == labels["node"])
@@ -336,12 +337,26 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        # silently returning split components would under-dedupe and
+        # diverge from the transitive-closure oracle — fail loudly
+        labels.unpersist()
+        sym.unpersist()
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds "
+            "(component diameter exceeds max_iters); raise max_iters"
+        )
+    # cut lineage so BOTH caches can be released without the returned
+    # frame re-running the (expensive) pair-generation lineage on recompute
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
     sym.unpersist()
     # singletons: every node not in the pair graph labels itself
     return (
         nodes.select(F.col(id_col))
-        .join(labels, nodes[id_col] == labels["node"], "left")
+        .join(final, nodes[id_col] == final["node"], "left")
         .select(F.col(id_col),
                 F.coalesce("label", F.col(id_col)).alias("cluster_id"))
     )

@@ -79,7 +79,6 @@ def weighted_mix(
     absent from ``weights`` are dropped. The dataset-mixing op: one scan,
     one hash per row, no shuffle — the 100 TB way to hit a target corpus
     recipe ("keep 100% of wiki, 10% of web")."""
-    thresh = F.lit(None).cast("long")
     expr = None
     for src, wgt in sorted(weights.items()):
         t = int(round(wgt * FRACTION_DENOM))

@@ -57,9 +57,15 @@ def cosine_topk(
         F.col("id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn"))
     c = base.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    return _score_and_rank(c, q, k)
+
+
+def _score_and_rank(c: DataFrame, q: DataFrame, k: int, on=None) -> DataFrame:
+    """Shared candidate-scoring + per-query top-k: ONE rounding / tie-break
+    policy (cos desc, neighbor_id asc) for the exact, LSH, and IVF paths."""
+    joined = c.crossJoin(F.broadcast(q)) if on is None else c.join(F.broadcast(q), on)
     scored = (
-        c.crossJoin(F.broadcast(q))
-        .where(F.col("neighbor_id") != F.col("query_id"))
+        joined.where(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
@@ -112,6 +118,8 @@ def _kmeans_centroids(
             .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
             .collect()
         )
+        if not rows:
+            return None     # empty corpus — caller returns an empty result
         dim = max(r["pos"] for r in rows) + 1
         C = np.zeros((n_cells, dim))
         for r in rows:
@@ -173,6 +181,9 @@ def ivf_topk(
         F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
     )
     C = _kmeans_centroids(base, n_cells, lloyd_iters)
+    if C is None:   # empty corpus: same contract as the exact path
+        return df.sparkSession.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, cos double")
     base = base.withColumn("nrm", _norm(F.col("v")))
     corpus_cells = _assign_cells(base, C, n_probe=1).select(
         "id", F.col("cells")[0].alias("cb"))
@@ -187,17 +198,7 @@ def ivf_topk(
         .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                 F.col("nrm").alias("qn"), "qb")
     )
-    scored = (
-        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _score_and_rank(c, q, k, on=F.col("cb") == F.col("qb"))
 
 
 def lsh_topk(
@@ -219,14 +220,4 @@ def lsh_topk(
     c = base.select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
         F.col("nrm").alias("cn"), F.col("bucket").alias("cb"))
-    scored = (
-        c.join(F.broadcast(q), F.col("cb") == F.col("qb"))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", F.round(_dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
-    return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "cos")
-    )
+    return _score_and_rank(c, q, k, on=F.col("cb") == F.col("qb"))

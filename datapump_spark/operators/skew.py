@@ -44,18 +44,28 @@ def salted_agg(
 
     Stage 1 groups by (keys, salt) — the hot key's rows spread over
     ``n_salts`` reducers; stage 2 combines the ≤ n_salts partial rows per
-    key. Output equals a plain groupBy exactly (sum/count are algebraic;
-    avg is derived sum/count, so no precision drift vs avg-of-avgs)."""
-    salt_src = list(salt_source) if salt_source else [value_col]
+    key. Output equals a plain groupBy exactly: ``n`` counts rows,
+    ``avg_value`` divides by the NON-NULL value count (like ``F.avg``),
+    and sum/count are algebraic so no precision drift vs avg-of-avgs.
+
+    Default salt source = all columns: salting by the value alone gives
+    zero spreading when the hot key's values are constant (the canonical
+    skew case)."""
+    salt_src = list(salt_source) if salt_source else list(df.columns)
     stage1 = (
         df.withColumn("__salt", _salt(salt_src, n_salts))
         .groupBy(*keys, "__salt")
-        .agg(F.count(F.lit(1)).alias("__n"), F.sum(value_col).alias("__s"))
+        .agg(F.count(F.lit(1)).alias("__n"),
+             F.count(value_col).alias("__nv"),
+             F.sum(value_col).alias("__s"))
     )
     return (
         stage1.groupBy(*keys)
-        .agg(F.sum("__n").alias("n"), F.sum("__s").alias("sum_value"))
-        .withColumn("avg_value", F.col("sum_value") / F.col("n"))
+        .agg(F.sum("__n").alias("n"), F.sum("__nv").alias("__nv"),
+             F.sum("__s").alias("sum_value"))
+        .withColumn("avg_value",
+                    F.when(F.col("__nv") > 0, F.col("sum_value") / F.col("__nv")))
+        .drop("__nv")
     )
 
 

@@ -179,10 +179,17 @@ class Pipeline:
                     truncated = True
                 self.sink.upsert(self.spark, df, self.job.target_resource,
                                  self.job.primary_key)
-                # K4 metadata stamp + K1 alias (datapump.py:616-630,224-225)
-                self.sink.stamp_updated(self.job.target_resource)
-                self.sink.set_alias(self.job.target_resource,
-                                    self.job.qualified_name)
+                # K4 metadata stamp + K1 alias (datapump.py:616-630,224-225).
+                # Non-fatal like stats: the data already committed, so a
+                # metadata failure must not quarantine the file or
+                # contradict the audit.
+                try:
+                    self.sink.stamp_updated(self.job.target_resource)
+                    self.sink.set_alias(self.job.target_resource,
+                                        self.job.qualified_name)
+                except Exception as meta_err:   # noqa: BLE001
+                    self._audit(str(path), started, n_rows, n_dupes,
+                                ok=True, error=f"metadata: {meta_err}")
                 result.rows_upserted += n_rows
                 self._audit(str(path), started, n_rows, n_dupes, ok=True)
                 # stats failures are NON-fatal and the file still archives

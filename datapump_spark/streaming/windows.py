@@ -100,11 +100,15 @@ def _running_update(
     else:
         n, s, m = 0, 0.0, None
     for pdf in pdfs:
-        v = pdf["value"].astype(float)
+        # nulls carry no information: drop them so an all-null batch can't
+        # poison max with NaN (max(NaN, x) stays NaN forever) and so
+        # n_events counts exactly the values sum_value summed
+        v = pdf["value"].dropna().astype(float)
         n += len(v)
         s += float(v.sum())
-        mx = float(v.max()) if len(v) else None
-        m = mx if m is None else (m if mx is None else max(m, mx))
+        if len(v):
+            mx = float(v.max())
+            m = mx if m is None else max(m, mx)
     state.update((n, s, m))
     yield pd.DataFrame({
         "user_id": [key[0]], "n_events": [n], "sum_value": [s], "max_value": [m],
@@ -137,12 +141,13 @@ def dedupe_within_watermark(
     duplicate keys ACROSS micro-batches, with state bounded by the
     watermark (a key's dedup state is evicted once the watermark passes
     its event time — the only way cross-batch dedup state stays finite on
-    an unbounded stream). First arrival wins, matching keep='first'.
-
-    On a batch DataFrame this degrades to plain dropDuplicates (exact,
-    unbounded), so one call site serves both the backfill and the live
-    stream."""
+    an unbounded stream). On the stream the FIRST ARRIVAL wins; the batch
+    fallback has no arrival order, so it keeps the EARLIEST EVENT TIME per
+    key (deterministic — plain dropDuplicates would keep a partition-
+    layout-dependent row), which matches the stream whenever arrival
+    follows event time."""
     if df.isStreaming:
         return df.withWatermark(ts_col, watermark) \
                  .dropDuplicatesWithinWatermark(keys)
-    return df.dropDuplicates(keys)
+    from datapump_spark.operators.dedupe import dedupe_by_key
+    return dedupe_by_key(df, keys, ts_col, "first")

@@ -56,3 +56,13 @@ def test_connected_components_hand_graph(spark):
     got = {r["doc_id"]: r["cluster_id"]
            for r in connected_components(pairs, nodes).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
+
+
+def test_connected_components_raises_on_nonconvergence(spark):
+    # a 5-node chain has diameter 4; max_iters=1 cannot converge
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 5)], "id_a bigint, id_b bigint")
+    nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
+    import pytest as _pytest
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, nodes, max_iters=1)

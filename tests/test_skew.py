@@ -50,3 +50,13 @@ def test_salted_join_matches_plain(spark, skewed):
     )
     assert {(r["k"], r["n"]) for r in plain.collect()} == \
            {(r["k"], r["n"]) for r in salted.collect()}
+
+
+def test_salted_agg_null_values_match_plain_avg(spark):
+    df = spark.createDataFrame(
+        [(0, 10.0), (0, None), (1, None), (1, None)], "k bigint, v double")
+    got = {r["k"]: (r["n"], r["sum_value"], r["avg_value"])
+           for r in salted_agg(df, ["k"], "v", n_salts=4).collect()}
+    # avg ignores nulls like F.avg; all-null key has NULL avg, not 0/2
+    assert got[0] == (2, 10.0, 10.0)
+    assert got[1] == (2, None, None)

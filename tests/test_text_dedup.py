@@ -107,3 +107,9 @@ def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     full = ivf_topk(emb, k=5, query_max_id=10, n_cells=16, n_probe=16).collect()
     full_set = {(r["query_id"], r["neighbor_id"]) for r in full}
     assert full_set == exact_set
+
+
+def test_ivf_topk_empty_corpus(spark, sf_dir):
+    from datapump_spark.operators.similarity import ivf_topk
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 0")
+    assert ivf_topk(emb, k=5, query_max_id=10).count() == 0
