@@ -66,3 +66,23 @@ def test_mode_tie_ordering(spark):
     # ties ranked ascending by value, stat = 0-based rank (pandas parity)
     assert list(got["stat"]) == [0, 1]
     assert list(got["x"]) == [1, 3]
+
+
+def test_edge_empty_and_all_null_inputs(spark):
+    """Operators degrade gracefully on empty / all-null input (the driver
+    may call any query on any SF; no operator may throw on degenerate
+    data)."""
+    from datapump_spark.operators.describe import describe_numeric, describe_string
+    from datapump_spark.operators.mode import column_modes
+    from datapump_spark.operators.resample import freq_resample
+
+    empty = spark.createDataFrame([], "k bigint, ts timestamp, v double, s string")
+    nulls = spark.createDataFrame(
+        [(1, None, None, None), (2, None, None, None)],
+        "k bigint, ts timestamp, v double, s string")
+
+    assert len(describe_numeric(empty, ["v"]).collect()) == 8   # stats rows, null values
+    assert len(describe_numeric(nulls, ["v"]).collect()) == 8
+    assert len(describe_string(nulls, ["s"]).collect()) == 4
+    assert column_modes(nulls, ["s", "v"]).count() == 0         # no non-null modes
+    assert freq_resample(empty, ["k"], "ts", "H").count() == 0
