@@ -68,8 +68,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from datapump_spark.queries import QUERIES
+    from datapump_spark.queries import EXTRA_QUERIES, QUERIES
     from datapump_spark.session import get_session
+
+    all_queries = {**QUERIES, **EXTRA_QUERIES}
 
     spark = get_session("datapump-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -77,7 +79,7 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
-        fn = QUERIES.get(name)
+        fn = all_queries.get(name)
         if fn is None:
             continue
         t0 = time.perf_counter()

@@ -607,3 +607,10 @@ FROM (SELECT *, row_number() OVER (
       FROM events)
 WHERE rn = 1
 """
+
+# Oracles for EXTRA_QUERIES (see queries.py): same DuckDB gate, exercised
+# by tests/test_extra_oracles.py instead of the 50-row driver record.
+EXTRA_ORACLES = {
+    k: ORACLES.pop(k)
+    for k in ("q_resample_daily", "q_resample_15min", "q_minhash_signature")
+}

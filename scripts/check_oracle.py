@@ -65,6 +65,11 @@ def main():
 
     only = set(sys.argv[1:])
     qs, os_ = e.queries(), e.oracle_sql()
+    # Locally also gate the pytest-verified extras (driver caps at 50 rows).
+    from datapump_spark.oracles import EXTRA_ORACLES
+    from datapump_spark.queries import EXTRA_QUERIES
+    qs = {**qs, **EXTRA_QUERIES}
+    os_ = {**os_, **EXTRA_ORACLES}
 
     spark = get_session("oracle-check")
     con = duckdb.connect()

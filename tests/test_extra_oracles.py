@@ -1,0 +1,63 @@
+"""DuckDB oracle gate for EXTRA_QUERIES.
+
+The driver's correctness record caps at 50 queries per round, so redundant
+variants (q_resample_daily, q_resample_15min, q_minhash_signature) live in
+``EXTRA_QUERIES`` / ``EXTRA_ORACLES`` and are gated HERE with the exact same
+comparison the driver uses: row count + column names + order-insensitive
+value hash (see scripts/check_oracle.py).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "scripts"))
+
+from check_oracle import TABLES, table_hash  # noqa: E402
+
+from datapump_spark.oracles import EXTRA_ORACLES
+from datapump_spark.queries import EXTRA_QUERIES
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+    yield con
+    con.close()
+
+
+def test_registries_align():
+    assert set(EXTRA_QUERIES) == set(EXTRA_ORACLES)
+
+
+def test_driver_registry_capped_at_50():
+    from datapump_spark.oracles import ORACLES
+    from datapump_spark.queries import QUERIES
+
+    assert len(QUERIES) <= 50, "driver records at most 50 correctness rows"
+    assert not set(QUERIES) & set(EXTRA_QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = EXTRA_QUERIES[name](spark, sf_dir)
+    s_cols = sdf.columns
+    s_rows = [tuple(r) for r in sdf.collect()]
+
+    res = duck.execute(EXTRA_ORACLES[name])
+    d_cols = [d[0] for d in res.description]
+    d_rows = res.fetchall()
+
+    assert len(s_rows) == len(d_rows)
+    assert sorted(s_cols) == sorted(d_cols)
+    assert table_hash(s_cols, s_rows) == table_hash(d_cols, d_rows)
