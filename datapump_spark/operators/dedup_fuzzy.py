@@ -13,8 +13,10 @@ Scale design (the whole point of these operators at 100 TB):
   quadratic term.
 - SimHash: one explode + 32 conditional sums in a single aggregation;
   near-dup = Hamming distance on a bigint (XOR + bit_count), no text join.
-- Embedding near-dup: brute all-pairs kept only as the verifiable baseline;
-  production path is LSH bucketing (see similarity.py).
+- Embedding near-dup: exact path is a blocked distributed GEMM (block-pair
+  groups, per-task BLAS, nothing collected to the driver); production path
+  at extreme scale is LSH bucketing + per-bucket GEMM (linear shuffle,
+  pruned pair space).
 
 Hashes default to the md5-based cross-engine profile (functions/hashing.py)
 so every deterministic step is DuckDB-oracle-checkable; flip
@@ -208,22 +210,37 @@ def simhash(
 def embedding_near_dup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3, strategy: str = "gemm",
-    broadcast_limit: int = 2_000_000,
+    broadcast_limit: int = 2_000_000, n_blocks: int = 8,
+    n_planes: int = 4, seed: int = 42,
 ) -> DataFrame:
     """All-pairs cosine near-dup. (id_a, id_b, cos).
 
-    - ``gemm`` (default): broadcast the normalized corpus matrix and run a
-      blocked numpy matmul per partition via mapInPandas — Arrow batches in,
-      one BLAS GEMM per block. ~15× faster than element-wise expressions;
-      this is the idiomatic Spark shape for dense linear algebra (tiny
-      Python overhead, all FLOPs in BLAS). The broadcast side is guarded by
-      ``broadcast_limit`` (rows×dims); beyond it, bucket with LSH first
-      (similarity.py) and GEMM per bucket — the pair space must not be
-      global at 100 TB anyway.
+    - ``gemm`` (default): EXACT blocked distributed GEMM. Rows are hashed
+      into ``n_blocks`` blocks; every unordered block pair (i ≤ j) becomes
+      one ``applyInPandas`` group holding the two blocks' rows, and each
+      group runs one float64 BLAS matmul. Nothing is collected to the
+      driver and no broadcast exists: shuffle volume is N×n_blocks rows,
+      per-task memory is 2N/n_blocks vectors — size ``n_blocks`` so that
+      fits the executor (compute stays inherently O(N²), which is the
+      price of exactness; see ``gemm_lsh`` for the pruned pair space).
+    - ``gemm_lsh``: production path at 100 TB — random-hyperplane LSH
+      buckets (similarity.lsh_bucket) then one GEMM per bucket, so the
+      pair space is pruned to same-bucket pairs. Approximate (cross-bucket
+      pairs are missed; recall graded in tests), linear shuffle, and the
+      bucket id doubles as the natural partition/bucketBy key.
+    - ``gemm_global``: the round-1 baseline — collect + broadcast the
+      normalized corpus matrix, one GEMM per Arrow batch. Guarded by
+      ``broadcast_limit`` (rows×dims); kept as an opt-in yardstick only.
     - ``fold``: pure column expressions (zip_with+aggregate) — slower, but
       zero Python and byte-stable vs the sequential-fold oracle."""
     if strategy == "gemm":
+        return _embedding_near_dup_blocked(df, id_col, vec_col, threshold, n_blocks)
+    if strategy == "gemm_lsh":
+        return _embedding_near_dup_lsh(df, id_col, vec_col, threshold, n_planes, seed)
+    if strategy == "gemm_global":
         return _embedding_near_dup_gemm(df, id_col, vec_col, threshold, broadcast_limit)
+    if strategy != "fold":
+        raise ValueError(f"unknown strategy {strategy!r}")
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     base = df.select(
         F.col(id_col), v.alias("v"),
@@ -290,6 +307,121 @@ def _embedding_near_dup_gemm(
 
     rows = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     return rows.mapInPandas(kernel, schema)
+
+
+def _pair_schema():
+    from pyspark.sql import types as T
+
+    return T.StructType([
+        T.StructField("id_a", T.LongType()),
+        T.StructField("id_b", T.LongType()),
+        T.StructField("cos", T.DoubleType()),
+    ])
+
+
+def _gemm_pairs(ids_a, A, ids_b, B, threshold):
+    """Threshold-filtered cosine pairs between two row-normalized float64
+    matrices; emits id_a < id_b only (dedupes the diagonal group)."""
+    import numpy as np
+    import pandas as pd
+
+    S = A @ B.T
+    ii, jj = np.nonzero(S >= threshold)
+    ia, ib, cs = ids_a[ii], ids_b[jj], S[ii, jj]
+    keep = ia < ib
+    return pd.DataFrame({
+        "id_a": ia[keep], "id_b": ib[keep], "cos": np.round(cs[keep], 6),
+    })
+
+
+def _rows_to_mat(pdf):
+    import numpy as np
+
+    ids = pdf["id"].to_numpy(dtype=np.int64)
+    M = np.stack([np.asarray(v, dtype=np.float64) for v in pdf["v"]])
+    nrm = np.linalg.norm(M, axis=1, keepdims=True)
+    nrm[nrm == 0] = 1.0
+    return ids, M / nrm
+
+
+def _embedding_near_dup_blocked(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float, n_blocks: int,
+) -> DataFrame:
+    """Exact distributed all-pairs: block-pair replication + per-group GEMM.
+
+    Each row lands in block ``pmod(xxhash64(id), P)`` and is replicated to
+    the P unordered block pairs it participates in, so group (i, j) holds
+    blocks i and j exactly once each. The diagonal group computes its own
+    upper triangle; off-diagonal groups compute the cross product between
+    the two block sides (within-block pairs belong to the diagonal, so no
+    pair is scored twice). Driver sees nothing; per-task memory is two
+    blocks."""
+    P = max(1, n_blocks)
+    rows = (
+        df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(P)).cast("int"))
+    )
+    rep = rows.select(
+        "id", "v", "blk",
+        F.explode(F.sequence(F.lit(0), F.lit(P - 1))).alias("other"),
+    ).select(
+        "id", "v", "blk",
+        F.least("blk", "other").alias("bi"),
+        F.greatest("blk", "other").alias("bj"),
+    )
+
+    def kernel(key, pdf):
+        import pandas as pd
+
+        bi, bj = int(key[0]), int(key[1])
+        if bi == bj:
+            ids, M = _rows_to_mat(pdf)
+            return _gemm_pairs(ids, M, ids, M, threshold)
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj]
+        if left.empty or right.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []})
+        ia, A = _rows_to_mat(left)
+        ib, B = _rows_to_mat(right)
+        S = A @ B.T
+        import numpy as np
+
+        ii, jj = np.nonzero(S >= threshold)
+        xa, xb, cs = ia[ii], ib[jj], S[ii, jj]
+        lo = np.minimum(xa, xb)
+        hi = np.maximum(xa, xb)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cos": np.round(cs, 6)})
+
+    return rep.groupBy("bi", "bj").applyInPandas(kernel, _pair_schema())
+
+
+def _embedding_near_dup_lsh(
+    df: DataFrame, id_col: str, vec_col: str, threshold: float,
+    n_planes: int, seed: int,
+) -> DataFrame:
+    """Approximate all-pairs: sign-bit LSH bucket → one GEMM per bucket.
+
+    Linear shuffle (each row moves once, keyed on its bucket), pair space
+    pruned to same-bucket pairs; recall vs the exact path is graded in
+    tests (cosine-close vectors agree on most hyperplane signs). At 100 TB
+    the bucket id is the bucketBy/partition key for the corpus table."""
+    from datapump_spark.operators.similarity import hyperplanes, lsh_bucket
+
+    first = df.select(vec_col).first()
+    if first is None:
+        return df.sparkSession.createDataFrame([], _pair_schema())
+    planes = hyperplanes(len(first[0]), n_planes, seed)
+    rows = (
+        df.select(F.col(id_col).alias("id"),
+                  F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))
+        .withColumn("bucket", lsh_bucket(F.col("v"), planes))
+    )
+
+    def kernel(key, pdf):
+        ids, M = _rows_to_mat(pdf)
+        return _gemm_pairs(ids, M, ids, M, threshold)
+
+    return rows.groupBy("bucket").applyInPandas(kernel, _pair_schema())
 
 
 def connected_components(

@@ -113,3 +113,45 @@ def test_ivf_topk_empty_corpus(spark, sf_dir):
     from datapump_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id < 0")
     assert ivf_topk(emb, k=5, query_max_id=10).count() == 0
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def test_embedding_blocked_equals_global(spark, sf_dir):
+    """Default (blocked distributed GEMM, no driver collect) must be
+    EXACTLY the round-1 broadcast-GEMM baseline — same pairs, same cos."""
+    from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
+
+    emb = _emb(spark, sf_dir)
+    blocked = embedding_near_dup(emb, threshold=0.3, n_blocks=4)
+    global_ = embedding_near_dup(emb, threshold=0.3, strategy="gemm_global")
+    b = {(r.id_a, r.id_b): r.cos for r in blocked.collect()}
+    g = {(r.id_a, r.id_b): r.cos for r in global_.collect()}
+    assert b == g and len(b) > 0
+
+
+def test_embedding_blocked_no_pair_duplicates(spark, sf_dir):
+    from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
+
+    out = embedding_near_dup(_emb(spark, sf_dir), threshold=0.3, n_blocks=3)
+    assert out.count() == out.select("id_a", "id_b").distinct().count()
+
+
+def test_embedding_lsh_gemm_recall(spark, sf_dir):
+    """gemm_lsh (per-bucket GEMM, the 100 TB path) is a strict subset of
+    the exact pairs with identical cos values, at usable recall."""
+    from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
+
+    emb = _emb(spark, sf_dir)
+    exact = {(r.id_a, r.id_b): r.cos for r in
+             embedding_near_dup(emb, threshold=0.3).collect()}
+    approx = {(r.id_a, r.id_b): r.cos for r in
+              embedding_near_dup(emb, threshold=0.3, strategy="gemm_lsh",
+                                 n_planes=2).collect()}
+    assert set(approx) <= set(exact)
+    for k, v in approx.items():
+        assert v == exact[k]
+    recall = len(approx) / len(exact)
+    assert recall >= 0.3, f"recall {recall:.2f} too low for 2 planes"
