@@ -7,11 +7,17 @@ datapump.py:545-555) and metadata stamping (datapump.py:616-630). Spark has
 no native upsert, so two profiles:
 
 - ``ParquetMergeSink`` — lake profile for local/testing: MERGE emulated as
-  anti-join(current, batch-keys) ∪ batch, written via a temp-dir swap (the
-  poor man's ACID commit). At production scale the same call shape maps to
-  Delta ``MERGE INTO`` (log-backed ACID, partition-pruned merge-on-read);
-  this class documents the seam and keeps semantics testable with zero
-  extra dependencies.
+  anti-join(current-in-affected-buckets, batch-keys) ∪ batch. Tables live
+  in versioned directories behind an atomic pointer file (os.replace), so
+  a crash never leaves a missing/torn table, and upserted tables are
+  partitioned by a PK hash bucket (``pk_bucket``) so a batch rewrites ONLY
+  the buckets containing its keys — unaffected buckets are hardlinked into
+  the new version, byte-identical, O(1) data movement. At production scale
+  the same call shape maps to Delta ``MERGE INTO`` (log-backed ACID,
+  partition-pruned merge-on-read); this class documents the seam and keeps
+  semantics testable with zero extra dependencies. Single-writer: version
+  GC assumes no concurrent reader holds a superseded version (Delta's log
+  is the multi-writer answer).
 - ``JdbcUpsertSink`` — CKAN-datastore-parity profile: per-partition batched
   ``INSERT … ON CONFLICT (pk) DO UPDATE`` through a user-supplied DB-API
   connection factory (no driver baked into the engine). Writes happen on
@@ -30,7 +36,6 @@ from __future__ import annotations
 import json
 import re
 import shutil
-import tempfile
 import time
 from collections.abc import Callable, Sequence
 from datetime import datetime, timezone
@@ -44,40 +49,69 @@ from pyspark.sql import functions as F
 _UPDATED_RE = re.compile(r" \(UPDATED: (.*?)\)$")
 
 
-class ParquetMergeSink:
-    """Directory-per-table parquet sink with PK-upsert semantics."""
+BUCKET_COL = "pk_bucket"
 
-    def __init__(self, root: str | Path):
+
+class ParquetMergeSink:
+    """Directory-per-table parquet sink with PK-upsert semantics.
+
+    On-disk layout (crash-atomic via the pointer file)::
+
+        root/<table>/_current            # text: name of the live version
+        root/<table>/v-<ns>/             # overwrite(): plain parquet
+        root/<table>/v-<ns>/pk_bucket=N/ # upsert(): hash-bucketed parquet
+
+    ``_current`` is flipped with ``os.replace`` (atomic on POSIX), so a
+    reader always resolves a complete version; a crash mid-write leaves
+    only an orphan ``v-*`` dir that the next successful publish removes.
+    """
+
+    def __init__(self, root: str | Path, n_buckets: int = 16):
         self.root = Path(root)
+        self.n_buckets = n_buckets
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
         return self.root / table
 
+    def _pointer(self, table: str) -> Path:
+        return self.path(table) / "_current"
+
+    def current_version(self, table: str) -> Path | None:
+        p = self._pointer(table)
+        if not p.exists():
+            return None
+        return self.path(table) / p.read_text().strip()
+
     def exists(self, table: str) -> bool:
-        return self.path(table).exists()
+        return self.current_version(table) is not None
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        return spark.read.parquet(str(self.path(table)))
+        df = spark.read.parquet(str(self.current_version(table)))
+        return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
+
+    def _publish(self, table: str, version: str) -> None:
+        """Atomically flip the pointer to ``version``, then GC superseded
+        version dirs (single-writer assumption, see module docstring)."""
+        tdir = self.path(table)
+        tmp = tdir / f"._current-{time.time_ns()}"
+        tmp.write_text(version)
+        tmp.replace(self._pointer(table))
+        for d in tdir.glob("v-*"):
+            if d.name != version and d.is_dir():
+                shutil.rmtree(d, ignore_errors=True)
+
+    def _new_version(self, table: str) -> tuple[str, Path]:
+        tdir = self.path(table)
+        tdir.mkdir(parents=True, exist_ok=True)
+        name = f"v-{time.time_ns()}"
+        return name, tdir / name
 
     def _swap_write(self, df: DataFrame, table: str) -> None:
-        """Write to a temp dir, then atomically swap into place — a reread
-        during write sees the old version, never a torn one."""
-        target = self.path(table)
-        tmp = Path(tempfile.mkdtemp(dir=self.root, prefix=f".{table}-tmp-"))
-        try:
-            df.write.mode("overwrite").parquet(str(tmp / "data"))
-            stage = self.root / f".{table}-new-{time.time_ns()}"
-            (tmp / "data").rename(stage)
-            if target.exists():
-                old = self.root / f".{table}-old-{time.time_ns()}"
-                target.rename(old)
-                stage.rename(target)
-                shutil.rmtree(old, ignore_errors=True)
-            else:
-                stage.rename(target)
-        finally:
-            shutil.rmtree(tmp, ignore_errors=True)
+        """Write a fresh full version and flip the pointer to it."""
+        name, vdir = self._new_version(table)
+        df.write.mode("overwrite").parquet(str(vdir))
+        self._publish(table, name)
 
     def truncate(self, table: str) -> None:
         """K3 (datastore_delete-on-Truncate, datapump.py:545-555)."""
@@ -121,19 +155,74 @@ class ParquetMergeSink:
         """Full-refresh write (stats tables are replaced per run, K6)."""
         self._swap_write(df, table)
 
+    def _bucket_expr(self, keys: Sequence[str], n: int):
+        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(n)).cast("int")
+
     def upsert(self, spark: SparkSession, df: DataFrame, table: str,
                keys: Sequence[str]) -> None:
         """K2 MERGE: batch rows win on PK collision (reference upsert
         semantics; Delta equivalent: WHEN MATCHED UPDATE ALL / WHEN NOT
-        MATCHED INSERT ALL)."""
-        if not self.exists(table):
-            self._swap_write(df, table)
+        MATCHED INSERT ALL).
+
+        Bounded cost: the table is partitioned by ``pk_bucket =
+        pmod(xxhash64(pk), n_buckets)``; only buckets containing batch keys
+        are scanned (partition-pruned), anti-joined, and rewritten.
+        Unaffected buckets are hardlinked into the new version —
+        byte-identical files, no data copied — matching the reference's
+        incremental upsert cost model (datapump.py:560-566) instead of a
+        full-table rewrite per batch."""
+        props = self.get_properties(table)
+        n = int(props.get("bucket_count", self.n_buckets))
+        stored_keys = props.get("bucket_keys")
+        if stored_keys is not None and list(stored_keys) != list(keys):
+            raise ValueError(
+                f"table {table!r} bucketed by {stored_keys}, upsert keyed by {list(keys)}")
+        bdf = df.withColumn(BUCKET_COL, self._bucket_expr(keys, n))
+
+        cur_dir = self.current_version(table)
+        bucketed = cur_dir is not None and any(cur_dir.glob(f"{BUCKET_COL}=*"))
+        if cur_dir is None or not bucketed:
+            # first write (or one-time migration of a non-bucketed table)
+            if cur_dir is not None:
+                current = self.read(spark, table)
+                batch_keys = df.select(*keys).distinct()
+                kept = current.join(batch_keys, on=list(keys), how="left_anti")
+                bdf = kept.withColumn(BUCKET_COL, self._bucket_expr(keys, n)) \
+                          .unionByName(bdf, allowMissingColumns=True)
+            name, vdir = self._new_version(table)
+            bdf.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(vdir))
+            self._publish(table, name)
+            self.set_properties(table, bucket_count=n, bucket_keys=list(keys))
             return
-        current = self.read(spark, table)
+
+        affected = sorted(
+            r[BUCKET_COL] for r in bdf.select(BUCKET_COL).distinct().collect())
+        current = spark.read.parquet(str(cur_dir))  # includes pk_bucket
+        cur_aff = current.where(F.col(BUCKET_COL).isin(affected))
         batch_keys = df.select(*keys).distinct()
-        kept = current.join(batch_keys, on=list(keys), how="left_anti")
-        merged = kept.unionByName(df, allowMissingColumns=True)
-        self._swap_write(merged, table)
+        kept = cur_aff.join(batch_keys, on=list(keys), how="left_anti")
+        merged = kept.unionByName(bdf, allowMissingColumns=True)
+
+        name, vdir = self._new_version(table)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(vdir))
+        # carry unaffected buckets over via hardlinks (same inode, zero copy)
+        affected_dirs = {f"{BUCKET_COL}={b}" for b in affected}
+        for bucket_dir in cur_dir.glob(f"{BUCKET_COL}=*"):
+            if bucket_dir.name in affected_dirs:
+                continue
+            dst = vdir / bucket_dir.name
+            dst.mkdir()
+            for fpath in bucket_dir.iterdir():
+                if fpath.is_file():
+                    (dst / fpath.name).hardlink_to(fpath)
+        self._publish(table, name)
+
+
+def dedupe_batch_by_pk(batch: list[tuple], key_idx: Sequence[int]) -> list[tuple]:
+    """Last row per PK wins (upsert order) — one ON CONFLICT statement may
+    not touch the same row twice in PostgreSQL."""
+    uniq = {tuple(row[i] for i in key_idx): row for row in batch}
+    return list(uniq.values())
 
 
 class JdbcUpsertSink:
@@ -163,10 +252,19 @@ class JdbcUpsertSink:
         )
 
     def upsert(self, df: DataFrame, table: str, keys: Sequence[str]) -> None:
+        """Rows with the same PK inside one executemany batch are deduped
+        (last occurrence wins, matching upsert order) — PostgreSQL raises
+        'cannot affect row a second time' when a single INSERT … ON
+        CONFLICT statement touches the same row twice."""
         columns = df.columns
         sql = self.upsert_sql(table, columns, keys)
         factory = self.connection_factory
         batch_size = self.batch_size
+        key_idx = [columns.index(k) for k in keys]
+
+        def flush(cur, batch):
+            cur.executemany(sql, dedupe_batch_by_pk(batch, key_idx))
+            batch.clear()
 
         def write_partition(rows):
             conn = factory()
@@ -176,10 +274,9 @@ class JdbcUpsertSink:
                 for row in rows:
                     batch.append(tuple(row))
                     if len(batch) >= batch_size:
-                        cur.executemany(sql, batch)
-                        batch.clear()
+                        flush(cur, batch)
                 if batch:
-                    cur.executemany(sql, batch)
+                    flush(cur, batch)
                 conn.commit()
             finally:
                 conn.close()

@@ -36,3 +36,27 @@ def test_sqlite_roundtrip_upsert(spark, tmp_path):
         rows = sorted(conn.execute('SELECT "k", "v" FROM "m"').fetchall())
     # idempotent by PK: row 2 updated in place, not duplicated
     assert rows == [(1, "a"), (2, "B"), (3, "c")]
+
+
+def test_dedupe_batch_by_pk_last_wins():
+    from datapump_spark.sinks.upsert import dedupe_batch_by_pk
+
+    batch = [(1, "a"), (2, "b"), (1, "A"), (3, "c"), (1, "A2")]
+    out = dedupe_batch_by_pk(batch, [0])
+    assert sorted(out) == [(1, "A2"), (2, "b"), (3, "c")]
+
+
+def test_sqlite_duplicate_pk_in_one_batch(spark, tmp_path):
+    """A batch containing the same PK twice must not error and must land
+    one row (postgres would raise 'cannot affect row a second time'
+    without the in-batch dedupe)."""
+    db = tmp_path / "dupe.db"
+    with sqlite3.connect(db) as conn:
+        conn.execute('CREATE TABLE "m" ("k" INTEGER PRIMARY KEY, "v" TEXT)')
+    sink = JdbcUpsertSink(partial(sqlite3.connect, str(db)), dialect="sqlite")
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (2, "b")], "k long, v string").coalesce(1)
+    sink.upsert(df, "m", ["k"])
+    with sqlite3.connect(db) as conn:
+        rows = sorted(conn.execute('SELECT "k", "v" FROM "m"').fetchall())
+    assert rows == [(1, "y"), (2, "b")]
