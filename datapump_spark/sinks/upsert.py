@@ -113,6 +113,18 @@ class ParquetMergeSink:
         df.write.mode("overwrite").parquet(str(vdir))
         self._publish(table, name)
 
+    def append(self, df: DataFrame, table: str) -> None:
+        """Append-only tables (e.g. the audit log): add part files to the
+        live version in place — O(batch) I/O per event, never a
+        read-union-rewrite. Appended files become visible as they land;
+        fine for logs, use upsert/overwrite for tables needing snapshot
+        isolation."""
+        cur = self.current_version(table)
+        if cur is None:
+            self._swap_write(df, table)
+            return
+        df.write.mode("append").parquet(str(cur))
+
     def truncate(self, table: str) -> None:
         """K3 (datastore_delete-on-Truncate, datapump.py:545-555)."""
         shutil.rmtree(self.path(table), ignore_errors=True)

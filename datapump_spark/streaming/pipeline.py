@@ -149,11 +149,9 @@ class Pipeline:
             "job string, file string, processed bigint, dupes bigint, "
             "elapsed_sec double, ok boolean, error string",
         ).withColumn("at", F.current_timestamp())
-        if self.sink.exists(AUDIT_TABLE):
-            merged = self.sink.read(self.spark, AUDIT_TABLE).unionByName(row)
-        else:
-            merged = row
-        self.sink.overwrite(merged, AUDIT_TABLE)
+        # append-only: O(1) parquet files added per event, O(N) total for N
+        # files processed (the audit table is never read-union-rewritten)
+        self.sink.append(row, AUDIT_TABLE)
 
     # ------------------------------------------------------------ queue drain
 
@@ -229,14 +227,29 @@ class Pipeline:
         if max_files_per_trigger:
             reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
         glob_dir = str(Path(self.job.input_file).parent / Path(self.job.input_file).name)
-        stream_df = reader.csv(glob_dir)
+        # carry source-file identity so a multi-file trigger reproduces the
+        # batch path's per-file-dedupe + oldest-first-upsert semantics
+        stream_df = (
+            reader.csv(glob_dir)
+            .withColumn("__src_mtime", F.col("_metadata.file_modification_time"))
+            .withColumn("__src_path", F.col("_metadata.file_path"))
+        )
 
         def handle_batch(batch_df: DataFrame, batch_id: int) -> None:
-            typed = project(batch_df.withColumn("__file_order", F.monotonically_increasing_id()))
-            pk = self.job.primary_key
+            typed = project(batch_df.withColumn("__row", F.monotonically_increasing_id()))
+            pk = list(self.job.primary_key)
             if self.job.dedupe:
-                typed = dedupe_by_key(typed, pk, "__file_order", self.job.dedupe)
-            typed = typed.drop("__file_order")
+                # 1) reference per-FILE dedupe (keep first/last in file row
+                #    order), 2) the newest file wins the cross-file PK
+                #    collision — exactly run_available's sorted per-file
+                #    dedupe + sequential-upsert outcome, deterministic no
+                #    matter how many files share one trigger
+                typed = dedupe_by_key(typed, pk + ["__src_path"], "__row",
+                                      self.job.dedupe)
+                typed = dedupe_by_key(typed, pk,
+                                      F.struct("__src_mtime", "__src_path"),
+                                      "last")
+            typed = typed.drop("__row", "__src_mtime", "__src_path")
             self.sink.upsert(self.spark, typed, self.job.target_resource, pk)
             self._recompute_stats()
 

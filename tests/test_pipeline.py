@@ -140,3 +140,57 @@ def test_streaming_variant(spark, env, tmp_path):
     data = env["sink"].read(spark, "air-quality")
     assert data.count() > 0
     assert data.count() == data.select("DateTime", "Sensor_id").distinct().count()
+
+
+def test_audit_append_only(spark, env):
+    """N audit events land as appended part files in ONE table version —
+    O(N) total audit I/O, not the O(N^2) read-union-rewrite (VERDICT r1)."""
+    pipe, _ = make_pipeline(spark, env, Stats=[])
+    pipe.run_available()
+    audit_dir = env["sink"].path(AUDIT_TABLE)
+    versions = [d for d in audit_dir.glob("v-*") if d.is_dir()]
+    assert len(versions) == 1
+    assert len(list(versions[0].glob("*.parquet"))) >= 2
+    assert env["sink"].read(spark, AUDIT_TABLE).where("ok").count() >= 2
+
+
+def _write_overlap_files(inbox):
+    import os
+    import time as _time
+
+    f1 = inbox / "a_old.csv"
+    f1.write_text("Id,Val\n1,a\n1,b\n2,x\n")
+    f2 = inbox / "b_new.csv"
+    f2.write_text("Id,Val\n1,c\n")
+    now = _time.time()
+    os.utime(f1, (now - 100, now - 100))
+    os.utime(f2, (now, now))
+
+
+def test_streaming_multi_file_trigger_matches_batch(spark, tmp_path):
+    """Two files sharing a PK inside ONE trigger: per-file dedupe + the
+    newest file winning — identical to run_available's sequential result
+    (ADVICE r1: previously depended on partition ordering)."""
+    results = {}
+    for mode in ("batch", "stream"):
+        inbox = tmp_path / mode / "input"
+        inbox.mkdir(parents=True)
+        _write_overlap_files(inbox)
+        sink = ParquetMergeSink(tmp_path / mode / "lake")
+        job = JobSpec.from_dict({
+            "InputFile": str(inbox / "*.csv"),
+            "TargetOrg": "o", "TargetPackage": "p", "TargetResource": "r",
+            "PrimaryKey": "Id", "Dedupe": "last", "Truncate": False,
+            "Stats": [],
+        })
+        pipe = Pipeline(spark, job, sink, tmp_path / mode / "done",
+                        tmp_path / mode / "bad")
+        if mode == "batch":
+            pipe.run_available()
+        else:
+            q = pipe.stream(tmp_path / mode / "ckpt").start()
+            q.awaitTermination(120)
+        results[mode] = {r.Id: r.Val for r in sink.read(spark, "r").collect()}
+
+    assert results["batch"] == {1: "c", 2: "x"}
+    assert results["stream"] == results["batch"]
