@@ -55,25 +55,66 @@ _ALIAS = {
 }
 
 
-def _parse_kind(kind: str) -> tuple[str | None, str | None]:
-    """Translate a pandas-style offset alias ('H', 'D', '15T', '30min'...)
-    to (date_trunc unit, window interval). Raises on unknown aliases, like
-    the reference's to_offset gate (datapump.py:386-392)."""
+# months per calendar alias (for 2M / 3Q / 2Y multiples)
+_CAL_MONTHS = {"M": 1, "MS": 1, "Q": 3, "QS": 3, "A": 12, "Y": 12, "YS": 12}
+
+# pandas weekday abbreviations, Monday=0 … Sunday=6
+_DOW = {"MON": 0, "TUE": 1, "WED": 2, "THU": 3, "FRI": 4, "SAT": 5, "SUN": 6}
+
+_BASE_SECONDS = {"hour": 3600, "minute": 60, "second": 1, "day": 86400,
+                 "days": 86400}
+
+
+def _parse_kind(kind: str) -> tuple[str, object]:
+    """Translate a pandas-style offset alias to a bucket spec:
+
+    - ``('trunc', unit)``       calendar unit via date_trunc
+    - ``('window', interval)``  epoch-aligned fixed window
+    - ``('months', k)``         k-month periods anchored at 1970-01
+    - ``('week_anchor', d)``    weeks shifted so they END on weekday d-1
+                                (pandas 'W-SUN' = weeks ending Sunday)
+
+    Raises on unknown aliases like the reference's to_offset gate
+    (datapump.py:386-392). Fractional multiples of fixed units are
+    converted to whole seconds ('1.5H' → 5400 s); fractions that do not
+    land on a whole second, and fractional/zero calendar multiples, are
+    rejected instead of silently truncated (ADVICE r1)."""
     if kind in _ALIAS:
-        return _ALIAS[kind]
-    # numeric-prefixed aliases: 15T, 30min, 12H, 7D ...
+        unit, interval = _ALIAS[kind]
+        return ("trunc", unit) if unit is not None else ("window", interval)
+    # anchored weeks: W-SUN … (weeks ENDING on the named day, pandas-style;
+    # the bucket label is the week START, see quirk 10)
+    if kind.startswith("W-"):
+        day = kind[2:].upper()
+        if day not in _DOW:
+            raise ValueError(f"unsupported resample kind: {kind!r}")
+        start_dow = (_DOW[day] + 1) % 7          # week starts the day after
+        return ("week_anchor", (7 - start_dow) % 7)
+    # numeric-prefixed aliases: 15T, 30min, 12H, 7D, 2M, 3Q, 1.5H ...
     i = 0
     while i < len(kind) and (kind[i].isdigit() or kind[i] == "."):
         i += 1
-    if i == 0 or kind[i:] not in _ALIAS:
+    if i == 0:
         raise ValueError(f"unsupported resample kind: {kind!r}")
-    n = kind[:i]
-    unit, interval = _ALIAS[kind[i:]]
-    if interval is None:
-        raise ValueError(f"unsupported multiple of calendar unit: {kind!r}")
-    base_n, base_unit = interval.split(" ", 1)
-    total = int(float(n) * int(base_n))
-    return (None, f"{total} {base_unit}")
+    suffix, n_str = kind[i:], kind[:i]
+    mult = float(n_str)
+    if mult <= 0:
+        raise ValueError(f"resample multiple must be positive: {kind!r}")
+    if suffix in _CAL_MONTHS:
+        if mult <= 0 or mult != int(mult):
+            raise ValueError(
+                f"calendar multiple must be a positive integer: {kind!r}")
+        return ("months", int(mult) * _CAL_MONTHS[suffix])
+    if suffix not in _ALIAS or _ALIAS[suffix][1] is None:
+        raise ValueError(f"unsupported resample kind: {kind!r}")
+    base_n, base_unit = _ALIAS[suffix][1].split(" ", 1)
+    if mult == int(mult):
+        return ("window", f"{int(mult) * int(base_n)} {base_unit}")
+    total_sec = mult * int(base_n) * _BASE_SECONDS[base_unit]
+    if total_sec <= 0 or total_sec != int(total_sec):
+        raise ValueError(
+            f"fractional multiple {kind!r} is not a whole number of seconds")
+    return ("window", f"{int(total_sec)} second")
 
 
 _NUMERIC = (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
@@ -102,15 +143,24 @@ def freq_resample(
     reference keeps the date column name), mean of each value column under
     its original name (pandas .mean() keeps names).
     """
-    unit, interval = _parse_kind(kind)
+    spec_kind, spec = _parse_kind(kind)
     if value_cols is None:
         value_cols = numeric_columns(df, exclude=[*group_by, ts_col])
     out_ts = bucket_alias or ts_col
 
-    if unit is not None:
-        bucket = F.date_trunc(unit, F.col(ts_col))
-    else:
-        bucket = F.window(F.col(ts_col), interval)["start"]
+    if spec_kind == "trunc":
+        bucket = F.date_trunc(spec, F.col(ts_col))
+    elif spec_kind == "window":
+        bucket = F.window(F.col(ts_col), spec)["start"]
+    elif spec_kind == "months":
+        # k-month periods anchored at 1970-01: floor months-since-epoch
+        m = (F.year(ts_col) - F.lit(1970)) * 12 + F.month(ts_col) - 1
+        p = F.floor(m / spec) * spec
+        bucket = F.to_timestamp(
+            F.add_months(F.lit("1970-01-01").cast("date"), p))
+    else:  # week_anchor: shift so date_trunc('week') lands on the anchor
+        delta = F.expr(f"interval {spec} days")
+        bucket = F.date_trunc("week", F.col(ts_col) + delta) - delta
 
     aggs = [F.avg(c).alias(c) for c in value_cols]
     agg = (
@@ -121,11 +171,15 @@ def freq_resample(
         return agg
 
     # Dense spine: per-group min/max bucket → sequence → explode → left join.
-    if unit is not None:
+    if spec_kind == "trunc":
         step = {"hour": "1 hour", "day": "1 day", "week": "7 days",
-                "month": "1 month", "quarter": "3 months", "year": "1 year"}[unit]
+                "month": "1 month", "quarter": "3 months", "year": "1 year"}[spec]
+    elif spec_kind == "window":
+        step = spec
+    elif spec_kind == "months":
+        step = f"{spec} months"
     else:
-        step = interval
+        step = "7 days"
     n, u = step.split(" ", 1)
     ival = F.expr(f"interval {n} {u}")
     spine = (

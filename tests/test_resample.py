@@ -56,10 +56,84 @@ def test_sparse_drops_gap_buckets(df):
 
 
 def test_parse_kind_variants():
-    assert _parse_kind("H") == ("hour", "1 hour")
-    assert _parse_kind("15T") == (None, "15 minute")  # Spark accepts singular units
-    assert _parse_kind("12H") == (None, "12 hour")
+    assert _parse_kind("H") == ("trunc", "hour")
+    assert _parse_kind("15T") == ("window", "15 minute")  # Spark accepts singular units
+    assert _parse_kind("12H") == ("window", "12 hour")
     with pytest.raises(ValueError):
         _parse_kind("nope")
+
+
+def test_parse_kind_calendar_multiples():
+    assert _parse_kind("2M") == ("months", 2)
+    assert _parse_kind("3Q") == ("months", 9)
+    assert _parse_kind("2Y") == ("months", 24)
+    with pytest.raises(ValueError, match="positive integer"):
+        _parse_kind("1.5M")
+
+
+def test_parse_kind_fractional_converts_to_seconds():
+    # ADVICE r1: '1.5H' used to silently truncate to 1-hour buckets
+    assert _parse_kind("1.5H") == ("window", "5400 second")
+    assert _parse_kind("0.5T") == ("window", "30 second")
+    assert _parse_kind("2.5min") == ("window", "150 second")
+    with pytest.raises(ValueError, match="whole number of seconds"):
+        _parse_kind("0.1S")
+    with pytest.raises(ValueError, match="positive"):
+        _parse_kind("0H")
+
+
+def test_parse_kind_anchored_weeks():
+    # pandas 'W-SUN' = weeks ending Sunday = starting Monday = plain trunc
+    assert _parse_kind("W-SUN") == ("week_anchor", 0)
+    assert _parse_kind("W-SAT") == ("week_anchor", 1)   # starts Sunday
+    assert _parse_kind("W-WED") == ("week_anchor", 4)   # starts Thursday
     with pytest.raises(ValueError):
-        _parse_kind("2M")  # multiples of calendar units unsupported
+        _parse_kind("W-XYZ")
+
+
+def test_fractional_equals_integer_spelling(spark, df):
+    a = freq_resample(df, ["sensor"], "ts", "1.5H").toPandas()
+    b = freq_resample(df, ["sensor"], "ts", "90T").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["sensor", "ts"]).reset_index(drop=True),
+        b.sort_values(["sensor", "ts"]).reset_index(drop=True),
+    )
+
+
+def test_two_month_buckets_epoch_anchored(spark):
+    rows = [
+        ("s1", datetime(2021, 1, 15), 1.0),   # Jan 2021 → period 2021-01
+        ("s1", datetime(2021, 2, 20), 3.0),   # Feb 2021 → same 2-month period
+        ("s1", datetime(2021, 3, 1), 5.0),    # Mar 2021 → period 2021-03
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        (r.sensor, r.ts.strftime("%Y-%m-%d")): r.v
+        for r in freq_resample(df, ["sensor"], "ts", "2M").collect()
+    }
+    # months-since-epoch of Jan 2021 = 612 (even) → periods start on odd
+    # calendar months Jan/Mar/May…
+    assert got == {("s1", "2021-01-01"): 2.0, ("s1", "2021-03-01"): 5.0}
+
+
+def test_anchored_week_starts_sunday(spark):
+    rows = [
+        ("s1", datetime(2021, 10, 3, 12), 1.0),   # Sunday
+        ("s1", datetime(2021, 10, 9, 12), 3.0),   # Saturday, same W-SAT week
+        ("s1", datetime(2021, 10, 10, 0), 9.0),   # next Sunday
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    got = {
+        r.ts.strftime("%Y-%m-%d"): r.v
+        for r in freq_resample(df, ["sensor"], "ts", "W-SAT").collect()
+    }
+    assert got == {"2021-10-03": 2.0, "2021-10-10": 9.0}
+
+
+def test_plain_week_equals_w_sun(spark, df):
+    a = freq_resample(df, ["sensor"], "ts", "W").toPandas()
+    b = freq_resample(df, ["sensor"], "ts", "W-SUN").toPandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values(["sensor", "ts"]).reset_index(drop=True),
+        b.sort_values(["sensor", "ts"]).reset_index(drop=True),
+    )
