@@ -1,0 +1,155 @@
+"""The ``datapump`` CLI — the reference's ``datapump()`` main re-expressed
+for the Spark engine (datapump.py:69-126,682-713).
+
+``python -m datapump_spark [options]`` scans ``--inputdir`` for
+``*-job.json`` files (S1), validates each (S2), and drains every job's file
+queue through :class:`~datapump_spark.streaming.pipeline.Pipeline` against a
+:class:`~datapump_spark.sinks.upsert.ParquetMergeSink` at ``--lakedir`` (the
+CKAN host/apikey pair of the reference maps to the lake location — there is
+no remote portal in the Spark profile).
+
+Option precedence mirrors click's ``auto_envvar_prefix='DATAPUMP'`` +
+``click_config_file`` behavior (datapump.py:110,713): command line >
+``DATAPUMP_<OPTION>`` environment variables > ``datapump.ini`` ``[datapump]``
+section > defaults.
+
+Log streams mirror the reference's four loggers (datapump.py:115-126): the
+main ``--logfile``, ``processed.log`` in ``--processeddir``,
+``problems.log`` in ``--problemsdir``, and ``job.log`` in ``--inputdir``.
+
+Invalid job JSON is logged and skipped — the drain continues with the next
+job (datapump.py:703-707).
+"""
+
+from __future__ import annotations
+
+import argparse
+import configparser
+import json
+import logging
+import os
+import sys
+from pathlib import Path
+
+from datapump_spark.jobspec import JobSpec, JobValidationError, scan_job_dir
+from datapump_spark.sinks.upsert import ParquetMergeSink
+from datapump_spark.sources.csv_ingest import DEFAULT_DATE_FORMATS
+from datapump_spark.streaming.pipeline import Pipeline
+
+# (option, default, help) — the reference's surface minus CKAN host/apikey,
+# plus the lake dir and Spark master (datapump.py:70-110)
+OPTIONS = [
+    ("inputdir", "./input", "directory holding *-job.json files and queue files"),
+    ("processeddir", "./processed", "where successfully processed input files move"),
+    ("problemsdir", "./problems", "where unsuccessful input files move"),
+    ("datecolumn", "DateTime", "name of the datetime column"),
+    ("dateformats", ", ".join(DEFAULT_DATE_FORMATS),
+     "comma-separated Spark datetime patterns tried in order"),
+    ("lakedir", "./lake", "ParquetMergeSink root (the CKAN-host equivalent)"),
+    ("logfile", "./datapump.log", "main log file path"),
+    ("master", None, "Spark master override (default local[$SPARK_GRAFT_CPUS])"),
+]
+
+
+def _config_defaults(config_path: str | None) -> dict:
+    """Read the ``[datapump]`` section of ``datapump.ini`` if present."""
+    path = Path(config_path or "datapump.ini")
+    if not path.exists():
+        return {}
+    cp = configparser.ConfigParser()
+    cp.read(path)
+    return dict(cp["datapump"]) if cp.has_section("datapump") else {}
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    pre = argparse.ArgumentParser(add_help=False)
+    pre.add_argument("--config", default=None)
+    known, _ = pre.parse_known_args(argv)
+    ini = _config_defaults(known.config)
+
+    ap = argparse.ArgumentParser(
+        prog="datapump",
+        description="Pumps time-series data into a Spark lake using a "
+                    "simple filesystem-based queueing system.",
+    )
+    ap.add_argument("--config", default=None, help="ini file (default ./datapump.ini)")
+    for name, default, help_ in OPTIONS:
+        # precedence: CLI > DATAPUMP_<NAME> env > ini section > default
+        fallback = os.environ.get(f"DATAPUMP_{name.upper()}", ini.get(name, default))
+        ap.add_argument(f"--{name}", default=fallback, help=help_)
+    for flag in ("verbose", "debug"):
+        env = os.environ.get(f"DATAPUMP_{flag.upper()}", ini.get(flag, ""))
+        ap.add_argument(f"--{flag}", action="store_true",
+                        default=str(env).lower() in ("1", "true", "yes"))
+    return ap.parse_args(argv)
+
+
+def _setup_logger(name: str, path: str | Path, level: int = logging.INFO) -> logging.Logger:
+    """One file logger per stream (reference setup_logger, datapump.py:50-67)."""
+    logger = logging.getLogger(name)
+    logger.setLevel(level)
+    logger.handlers.clear()
+    Path(path).parent.mkdir(parents=True, exist_ok=True)
+    h = logging.FileHandler(path)
+    h.setFormatter(logging.Formatter("%(asctime)s %(levelname)s %(message)s"))
+    logger.addHandler(h)
+    return logger
+
+
+def drain(args: argparse.Namespace, spark=None) -> dict:
+    """Run every valid job in ``inputdir`` once (the reference's per-cron
+    invocation loop, datapump.py:694-707). Returns a summary dict."""
+    for d in (args.inputdir, args.processeddir, args.problemsdir):
+        Path(d).mkdir(parents=True, exist_ok=True)
+    log = _setup_logger("datapump.main", args.logfile,
+                        logging.DEBUG if args.debug else logging.INFO)
+    job_log = _setup_logger("datapump.job", Path(args.inputdir) / "job.log")
+    processed_log = _setup_logger(
+        "datapump.processed", Path(args.processeddir) / "processed.log")
+    problems_log = _setup_logger(
+        "datapump.problems", Path(args.problemsdir) / "problems.log")
+
+    if spark is None:
+        from datapump_spark.session import get_session
+        spark = get_session("datapump-cli", master=args.master)
+
+    sink = ParquetMergeSink(args.lakedir)
+    formats = [f.strip() for f in args.dateformats.split(",") if f.strip()]
+    summary = {"jobs_run": 0, "jobs_invalid": 0, "processed": [], "quarantined": []}
+
+    log.info("Starting datapump drain of %s", args.inputdir)
+    for job_path in scan_job_dir(args.inputdir):
+        log.info("Reading job - %s", job_path)
+        job_log.info("Reading job - %s", job_path)
+        try:
+            job = JobSpec.from_file(job_path)
+        except (JobValidationError, json.JSONDecodeError, OSError) as err:
+            log.error("Invalid job json %s: %s", job_path, err)
+            job_log.error("%s invalid: %s", job_path, err)
+            summary["jobs_invalid"] += 1
+            continue
+        pipe = Pipeline(
+            spark, job, sink, args.processeddir, args.problemsdir,
+            date_column=args.datecolumn, date_formats=formats,
+        )
+        result = pipe.run_available()
+        for p in result.processed:
+            processed_log.info("%s", p)
+        for p in result.quarantined:
+            problems_log.error("%s", p)
+        job_log.info("%s executed", job_path)
+        summary["jobs_run"] += 1
+        summary["processed"] += result.processed
+        summary["quarantined"] += result.quarantined
+    log.info("Ending datapump: %s", summary)
+    return summary
+
+
+def main(argv: list[str] | None = None) -> int:
+    summary = drain(parse_args(argv))
+    print(json.dumps(summary))
+    return 0 if not summary["jobs_invalid"] else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
