@@ -14,10 +14,12 @@ Reference behaviors ported:
   values that fail each candidate parse). Nullable int stays int (documented
   improvement over pandas' int→float null promotion, SURVEY §1.2).
 
-Scale: inference is a single global aggregate with partial (map-side) states
-— cost ≈ one scan. At 100 TB you'd run it on a LIMIT sample (``sample_rows``)
-and declare the schema for the full scan; both paths are supported. The
-parse itself never leaves the JVM.
+Scale: inference is a single global aggregate with partial (map-side) states.
+``ingest_csv`` infers on a LIMIT sample by default
+(``DEFAULT_INFER_SAMPLE_ROWS``) and declares the schema for the full scan, so
+ingestion costs one bounded scan + one full scan at any input size; pass
+``sample_rows=None`` to force exhaustive inference (the oracle-checked
+``q_type_infer`` does). The parse itself never leaves the JVM.
 """
 
 from __future__ import annotations
@@ -44,6 +46,11 @@ DUCKDB_DATE_FORMATS = [
     "%Y-%m-%d %H:%M:%S",
     "%Y/%m/%d %H:%M:%S",
 ]
+
+# Inference sample bound: big enough that type flips past it are freak rows
+# (which try_cast degrades to NULL, not an error), small enough that the
+# inference scan stays O(1) as the input grows.
+DEFAULT_INFER_SAMPLE_ROWS = 100_000
 
 
 def multi_format_ts(col: str | Column, formats: Sequence[str] = DEFAULT_DATE_FORMATS) -> Column:
@@ -131,7 +138,7 @@ def ingest_csv(
     spark: SparkSession,
     path: str,
     ts_formats: Sequence[str] = DEFAULT_DATE_FORMATS,
-    sample_rows: int | None = None,
+    sample_rows: int | None = DEFAULT_INFER_SAMPLE_ROWS,
 ) -> DataFrame:
     """S4+S5+P5 composed: raw scan → infer → typed projection.
 

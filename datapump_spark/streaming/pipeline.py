@@ -88,7 +88,9 @@ class Pipeline:
         """Infer the CKAN-style schema once from the present files, return
         (raw streaming-compatible schema, typed projection fn)."""
         raw = read_csv_raw(self.spark, sample_path)
-        fields = infer_ckan_fields(raw, self.date_formats)
+        from datapump_spark.sources.csv_ingest import DEFAULT_INFER_SAMPLE_ROWS
+        fields = infer_ckan_fields(raw, self.date_formats,
+                                   sample_rows=DEFAULT_INFER_SAMPLE_ROWS)
 
         def project(df: DataFrame) -> DataFrame:
             cols = []

@@ -53,3 +53,24 @@ def test_whitespace_and_nulls(typed):
 def test_free_text_not_sniffed_as_timestamp(spark):
     fields = {f.name: f.ckan_type for f in infer_ckan_fields(read_csv_raw(spark, IOT_GLOB))}
     assert fields["Remarks"] == "text"
+
+
+def test_sampled_inference_bounds_the_scan(spark, tmp_path):
+    """sample_rows actually limits what inference sees: a type flip AFTER
+    the sample bound doesn't change the verdict (the stray value degrades
+    to NULL via try_cast), while full inference catches it."""
+    from datapump_spark.sources.csv_ingest import infer_ckan_fields, read_csv_raw
+
+    p = tmp_path / "flip.csv"
+    p.write_text("a\n" + "\n".join(["1"] * 10) + "\nnot-a-number\n")
+    raw = read_csv_raw(spark, str(p))
+    assert infer_ckan_fields(raw, sample_rows=5)[0].ckan_type == "int"
+    assert infer_ckan_fields(raw, sample_rows=None)[0].ckan_type == "text"
+
+
+def test_sampled_inference_matches_full_on_fixture(spark):
+    from datapump_spark.queries import IOT_GLOB
+    from datapump_spark.sources.csv_ingest import infer_ckan_fields, read_csv_raw
+
+    raw = read_csv_raw(spark, IOT_GLOB)
+    assert infer_ckan_fields(raw, sample_rows=200) == infer_ckan_fields(raw)
