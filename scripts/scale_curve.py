@@ -26,9 +26,16 @@ def main() -> None:
     from datapump_spark.operators.resample import freq_resample
     from datapump_spark.operators.sampling import shard_assign
     from datapump_spark.queries import _t
-    from datapump_spark.session import get_session
+    from datapump_spark.session import tuned_builder
 
-    spark = get_session("scale-curve")
+    import os as _os
+    cpus = _os.environ.get("SPARK_GRAFT_CPUS", "*")
+    # the 50x replication tiers need more than the 1g local-mode default
+    spark = (
+        tuned_builder("scale-curve").master(f"local[{cpus}]")
+        .config("spark.driver.memory", "24g")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
@@ -62,7 +69,51 @@ def main() -> None:
 
         out[f"x{mult}"] = runs
 
-    print(json.dumps({"rows_base": base.count(), "curve": out}))
+    # --- fuzzy-dedup tier (VERDICT r1 item 10): minhash_near_dup and
+    # dup_clusters on replicated documents. Replica words get a per-replica
+    # suffix so shingle sets are disjoint across replicas — the near-dup
+    # graph grows linearly (same structure per replica), never
+    # quadratically, exactly how a larger real corpus behaves.
+    from datapump_spark.operators.dedup_fuzzy import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    dedup_out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big_docs = (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000)
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("_"),
+                                           F.col("__rep").cast("string")),
+                    ), " "),
+            )
+            .drop("__rep")
+        )
+        runs = {}
+        t0 = time.perf_counter()
+        minhash_near_dup_pairs(big_docs, threshold=0.5, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["minhash_near_dup"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        near_dup_clusters(big_docs, threshold=0.5, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["dup_clusters"] = round(time.perf_counter() - t0, 2)
+        dedup_out[f"x{mult}"] = runs
+
+    print(json.dumps({
+        "rows_base": base.count(),
+        "curve": out,
+        "docs_base": docs.count(),
+        "dedup_curve": dedup_out,
+    }))
 
 
 if __name__ == "__main__":
