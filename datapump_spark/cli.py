@@ -48,6 +48,8 @@ OPTIONS = [
     ("lakedir", "./lake", "ParquetMergeSink root (the CKAN-host equivalent)"),
     ("logfile", "./datapump.log", "main log file path"),
     ("master", None, "Spark master override (default local[$SPARK_GRAFT_CPUS])"),
+    ("orgs", "", "comma-separated org allowlist; non-empty enables the K5 "
+     "Spark-catalog namespace (databases + resource/alias views)"),
 ]
 
 
@@ -115,6 +117,11 @@ def drain(args: argparse.Namespace, spark=None) -> dict:
 
     sink = ParquetMergeSink(args.lakedir)
     formats = [f.strip() for f in args.dateformats.split(",") if f.strip()]
+    catalog = None
+    org_seed = [o.strip() for o in (args.orgs or "").split(",") if o.strip()]
+    if org_seed:
+        from datapump_spark.sinks.catalog import SparkCatalogNamespace
+        catalog = SparkCatalogNamespace(spark, orgs=org_seed)
     summary = {"jobs_run": 0, "jobs_invalid": 0, "processed": [], "quarantined": []}
 
     log.info("Starting datapump drain of %s", args.inputdir)
@@ -131,8 +138,15 @@ def drain(args: argparse.Namespace, spark=None) -> dict:
         pipe = Pipeline(
             spark, job, sink, args.processeddir, args.problemsdir,
             date_column=args.datecolumn, date_formats=formats,
+            catalog=catalog,
         )
-        result = pipe.run_available()
+        try:
+            result = pipe.run_available()
+        except Exception as err:            # noqa: BLE001 — e.g. K5 org gate
+            log.error("Job %s failed: %s", job_path, err)
+            job_log.error("%s failed: %s", job_path, err)
+            summary["jobs_invalid"] += 1
+            continue
         for p in result.processed:
             processed_log.info("%s", p)
         for p in result.quarantined:

@@ -71,6 +71,7 @@ class Pipeline:
         problems_dir: str | Path,
         date_column: str = "DateTime",
         date_formats: list[str] = DEFAULT_DATE_FORMATS,
+        catalog=None,
     ):
         self.spark = spark
         self.job = job
@@ -79,6 +80,8 @@ class Pipeline:
         self.problems_dir = Path(problems_dir)
         self.date_column = date_column
         self.date_formats = date_formats
+        # K5: optional SparkCatalogNamespace — org gate + view registration
+        self.catalog = catalog
         self.processed_dir.mkdir(parents=True, exist_ok=True)
         self.problems_dir.mkdir(parents=True, exist_ok=True)
 
@@ -169,6 +172,12 @@ class Pipeline:
         """Drain the queue once (Trigger.AvailableNow semantics = the
         reference's per-cron invocation, datapump.py:694-707)."""
         result = PipelineResult()
+        if self.catalog is not None:
+            # K5 namespace gate: unknown TargetOrg fails the job before any
+            # file is touched (reference exit, datapump.py:504-507);
+            # package is created on demand (datapump.py:509-523)
+            self.catalog.ensure_package(self.job.target_org,
+                                        self.job.target_package)
         truncated = False
         for path in self.queue_files():
             started = time.perf_counter()
@@ -199,6 +208,15 @@ class Pipeline:
                 except Exception as stat_err:   # noqa: BLE001
                     self._audit(str(path), started, n_rows, n_dupes,
                                 ok=True, error=f"stats: {stat_err}")
+                # K5 view refresh AFTER stats so derived tables exist; its
+                # own non-fatal block so a catalog failure neither blocks
+                # archiving nor masks a stats failure
+                try:
+                    if self.catalog is not None:
+                        self.catalog.sync_job(self.job, self.sink)
+                except Exception as cat_err:    # noqa: BLE001
+                    self._audit(str(path), started, n_rows, n_dupes,
+                                ok=True, error=f"catalog: {cat_err}")
                 dest = self.processed_dir / path.name
                 shutil.move(str(path), dest)
                 result.processed.append(str(dest))

@@ -89,3 +89,32 @@ def test_module_entry_subprocess(tmp_path):
     assert out.returncode == 0, out.stderr[-2000:]
     summary = json.loads(out.stdout.strip().splitlines()[-1])
     assert summary["jobs_run"] == 1 and len(summary["processed"]) == 1
+
+
+def test_drain_with_orgs_gate(spark, tmp_path):
+    """--orgs enables the K5 catalog: allowed org's views registered,
+    unknown org's job fails without consuming its queue files."""
+    inbox = _setup(tmp_path, n_files=1)
+    bad = {**JOB, "InputFile": str(inbox / "*.csv"), "TargetOrg": "ghost",
+           "TargetResource": "air2"}
+    (inbox / "zz-ghost-job.json").write_text(json.dumps(bad))
+    args = parse_args([
+        "--inputdir", str(inbox),
+        "--processeddir", str(tmp_path / "done"),
+        "--problemsdir", str(tmp_path / "bad"),
+        "--lakedir", str(tmp_path / "lake"),
+        "--logfile", str(tmp_path / "datapump.log"),
+        "--orgs", "o",
+    ])
+    try:
+        summary = drain(args, spark=spark)
+        # first job (org "o") consumed the queue; ghost job found it empty
+        # but its org gate fired first and counted the job as failed
+        assert summary["jobs_run"] == 1 and summary["jobs_invalid"] == 1
+        assert spark.sql("SELECT * FROM `o__p`.`air`").count() > 0
+        assert spark.sql("SELECT * FROM `default`.`o_p_air`").count() > 0
+        assert not spark.catalog.databaseExists("ghost__p")
+    finally:
+        for db in ("_dp_org__o", "o__p"):
+            spark.sql(f"DROP DATABASE IF EXISTS `{db}` CASCADE")
+        spark.sql("DROP VIEW IF EXISTS `default`.`o_p_air`")
