@@ -58,6 +58,9 @@ BENCH_QUERIES = [
     "q_explode_tokens",
     "q_moving_avg",
     "q_latest_event",
+    "q_gopher_quality",
+    "q_pii_redact",
+    "q_pack_chunks",
 ]
 
 
@@ -75,7 +78,15 @@ def main() -> None:
 
     spark = get_session("datapump-bench")
     spark.sparkContext.setLogLevel("ERROR")
-    spark.range(1_000_000).selectExpr("sum(id)").collect()  # JVM warm-up
+    # Warm-up: JVM + the datasources the queries use (CSV/parquet reader and
+    # noop writer classloading is one-time session cost, not plan cost — at
+    # cluster scale it is amortized over hours; leaving it in would charge
+    # ~2 s to whichever query happens to run first).
+    spark.range(1_000_000).selectExpr("sum(id)").write.format("noop") \
+        .mode("overwrite").save()
+    from datapump_spark.queries import IOT_GLOB
+    spark.read.option("header", True).csv(IOT_GLOB).limit(1).collect()
+    spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

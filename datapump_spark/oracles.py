@@ -614,3 +614,79 @@ EXTRA_ORACLES = {
     k: ORACLES.pop(k)
     for k in ("q_resample_daily", "q_resample_15min", "q_minhash_signature")
 }
+
+from datapump_spark.operators.pii import pii_redact_sql, pii_stats_sql  # noqa: E402
+
+# DuckDB twin of queries._pii_input's derived corpus
+_PII_TEXT = """concat_ws(' ', c_name, 'call',
+  concat(CAST(c_custkey % 90 + 10 AS VARCHAR), '-',
+         CAST(c_custkey % 900 + 100 AS VARCHAR), '-',
+         CAST((c_custkey * 7) % 900 + 100 AS VARCHAR), '-',
+         CAST((c_custkey * 13) % 9000 + 1000 AS VARCHAR)),
+  'mail', concat('user', CAST(c_custkey AS VARCHAR), '@example.com'),
+  'ip', concat('10.0.', CAST(c_custkey % 256 AS VARCHAR), '.',
+               CAST(c_custkey % 100 AS VARCHAR)),
+  CASE WHEN c_custkey % 3 = 0 THEN
+    concat(CAST(c_custkey % 900 + 100 AS VARCHAR), '-',
+           CAST(c_custkey % 90 + 10 AS VARCHAR), '-',
+           CAST((c_custkey * 3) % 9000 + 1000 AS VARCHAR))
+  ELSE NULL END)"""
+EXTRA_ORACLES["q_pii_stats"] = pii_stats_sql("c_custkey", _PII_TEXT, "customer")
+EXTRA_ORACLES["q_pii_redact"] = pii_redact_sql("c_custkey", _PII_TEXT, "customer")
+
+EXTRA_ORACLES["q_gopher_quality"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+sig AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_words,
+         round(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)
+               / greatest(len(t), 1), 6) AS mean_word_len,
+         round(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+               / greatest(len(t), 1), 6) AS frac_alpha_words,
+         CAST(len(list_filter(t, x -> list_contains(
+              ['the','a','an','and','or','of','to','in','is','it'], x)))
+              AS BIGINT) AS stop_hits,
+         round(1.0 - len(list_distinct(t)) / greatest(len(t), 1), 6)
+              AS dup_word_frac,
+         CASE WHEN len(t) >= 2 THEN
+           round(1.0 - len(list_distinct(list_transform(
+                 generate_series(1, len(t) - 1),
+                 i -> t[i] || ' ' || t[i + 1]))) / (len(t) - 1), 6)
+         ELSE 0.0 END AS dup_2gram_frac
+  FROM tk)
+SELECT *,
+       (n_words BETWEEN 50 AND 100000
+        AND mean_word_len BETWEEN 3.0 AND 10.0
+        AND frac_alpha_words >= 0.8
+        AND stop_hits >= 2
+        AND dup_word_frac <= 0.95
+        AND dup_2gram_frac <= 0.75) AS keep
+FROM sig
+"""
+
+EXTRA_ORACLES["q_pack_chunks"] = """
+WITH toks AS (
+  SELECT doc_id,
+         CAST(len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                              x -> x != '')) AS BIGINT) AS n_tok
+  FROM documents),
+pos AS (
+  SELECT doc_id, n_tok,
+         CAST(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start
+  FROM toks WHERE n_tok > 0),
+x AS (
+  SELECT doc_id, n_tok, start,
+         UNNEST(generate_series(start // 1024,
+                                (start + n_tok - 1) // 1024)) AS seq_id
+  FROM pos)
+SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
+       CAST(least(start + n_tok, (seq_id + 1) * 1024)
+            - greatest(start, seq_id * 1024) AS BIGINT) AS n_tok_in_seq
+FROM x
+"""

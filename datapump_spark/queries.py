@@ -689,6 +689,60 @@ QUERIES = {
     "q_explode_tokens": q_explode_tokens,
 }
 
+def q_gopher_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/C4-style rule filter: repetition + naturalness signals and a
+    keep verdict per document."""
+    from datapump_spark.operators.quality import gopher_filter
+
+    return gopher_filter(_t(spark, sf_dir, "documents"))
+
+
+def _pii_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII demo corpus: phone/email/ip/ssn strings derived deterministically
+    from c_custkey (the synthetic customer table carries no contact columns;
+    the oracle builds the identical corpus — see oracles._PII_TEXT)."""
+    k = F.col("c_custkey")
+
+    def s(e):
+        return e.cast("string")
+
+    phone = F.concat_ws("-", s(k % 90 + 10), s(k % 900 + 100),
+                        s((k * 7) % 900 + 100), s((k * 13) % 9000 + 1000))
+    email = F.concat(F.lit("user"), s(k), F.lit("@example.com"))
+    ip = F.concat(F.lit("10.0."), s(k % 256), F.lit("."), s(k % 100))
+    ssn = F.when(
+        k % 3 == 0,
+        F.concat(s(k % 900 + 100), F.lit("-"), s(k % 90 + 10),
+                 F.lit("-"), s((k * 3) % 9000 + 1000)),
+    )  # otherwise NULL — concat_ws skips it in both engines
+    text = F.concat_ws(" ", F.col("c_name"), F.lit("call"), phone,
+                       F.lit("mail"), email, F.lit("ip"), ip, ssn)
+    return _t(spark, sf_dir, "customer").select("c_custkey",
+                                                text.alias("text"))
+
+
+def q_pii_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row PII match counts (email/ssn/phone/ipv4)."""
+    from datapump_spark.operators.pii import pii_stats
+
+    return pii_stats(_pii_input(spark, sf_dir), id_col="c_custkey")
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Category-token redaction of the same corpus."""
+    from datapump_spark.operators.pii import pii_redact
+
+    return pii_redact(_pii_input(spark, sf_dir), id_col="c_custkey")
+
+
+def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
+    one row per (sequence, document) overlap."""
+    from datapump_spark.operators.packing import pack_concat_chunks
+
+    return pack_concat_chunks(_t(spark, sf_dir, "documents"), budget=1024)
+
+
 # The driver's correctness gate records at most 50 entries per round
 # (round 1 checked exactly the first 50 of 53 keys), so QUERIES above is
 # capped at 50. Redundant variants live here and go through the SAME
@@ -698,4 +752,8 @@ EXTRA_QUERIES = {
     "q_resample_daily": q_resample_daily,
     "q_resample_15min": q_resample_15min,
     "q_minhash_signature": q_minhash_signature,
+    "q_gopher_quality": q_gopher_quality,
+    "q_pii_stats": q_pii_stats,
+    "q_pii_redact": q_pii_redact,
+    "q_pack_chunks": q_pack_chunks,
 }
