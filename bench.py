@@ -61,6 +61,7 @@ BENCH_QUERIES = [
     "q_gopher_quality",
     "q_pii_redact",
     "q_pack_chunks",
+    "q_decontam",
 ]
 
 

@@ -690,3 +690,30 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
             - greatest(start, seq_id * 1024) AS BIGINT) AS n_tok_in_seq
 FROM x
 """
+
+_DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
+EXTRA_ORACLES["q_decontam"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(CASE WHEN len(t) >= 13 THEN
+             list_transform(generate_series(1, len(t) - 12),
+                            i -> {_DECONTAM_GRAM})
+           ELSE CAST([] AS BIGINT[]) END)) AS g
+  FROM tk),
+bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+hits AS (
+  SELECT c.doc_id, CAST(count(*) AS BIGINT) AS n_hit_grams
+  FROM grams c JOIN bench USING (g)
+  WHERE c.doc_id % 20 != 0
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       COALESCE(h.n_hit_grams, 0) AS n_hit_grams,
+       COALESCE(h.n_hit_grams, 0) >= 1 AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
+LEFT JOIN hits h USING (doc_id)
+"""

@@ -735,6 +735,17 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pii_redact(_pii_input(spark, sf_dir), id_col="c_custkey")
 
 
+def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing a distinct
+    13-gram with the held-out benchmark slice (doc_id % 20 == 0)."""
+    from datapump_spark.operators.decontam import decontaminate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return decontaminate(corpus, bench)
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -756,4 +767,5 @@ EXTRA_QUERIES = {
     "q_pii_stats": q_pii_stats,
     "q_pii_redact": q_pii_redact,
     "q_pack_chunks": q_pack_chunks,
+    "q_decontam": q_decontam,
 }
