@@ -8,7 +8,7 @@ mirrors queries.py: decimal-exact sums, round(…,6) statistics.
 
 from __future__ import annotations
 
-from datapump_spark.queries import IOT_GLOB
+from datapump_spark.queries import IOT_GLOB, JSONL_GLOB
 from datapump_spark.sources.csv_ingest import DUCKDB_DATE_FORMATS
 
 
@@ -716,4 +716,10 @@ SELECT d.doc_id,
        COALESCE(h.n_hit_grams, 0) >= 1 AS contaminated
 FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
 LEFT JOIN hits h USING (doc_id)
+"""
+
+EXTRA_ORACLES["q_jsonl_scan"] = f"""
+SELECT doc_id, lang, source, n_chars, text,
+       meta.quality AS quality, meta.crawl AS crawl, tags
+FROM read_json('{JSONL_GLOB}', format='newline_delimited')
 """

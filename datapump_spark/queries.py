@@ -28,6 +28,7 @@ from datapump_spark.sources.csv_ingest import infer_ckan_fields, ingest_csv, mul
 
 REPO_ROOT = Path(__file__).resolve().parents[1]
 IOT_GLOB = str(REPO_ROOT / "tests" / "data" / "iot" / "zone1_airquality_*.csv")
+JSONL_GLOB = str(REPO_ROOT / "tests" / "data" / "jsonl" / "docs_part_*.jsonl")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -746,6 +747,24 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench)
 
 
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL ingestion: schema-inferred scan of the docs fixture, nested
+    meta struct flattened to typed columns (sources/jsonl.py)."""
+    from datapump_spark.sources.jsonl import read_jsonl
+
+    d = read_jsonl(spark, JSONL_GLOB)
+    return d.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        "source",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        "text",
+        F.col("meta.quality").cast("double").alias("quality"),
+        F.col("meta.crawl").alias("crawl"),
+        "tags",
+    )
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -768,4 +787,5 @@ EXTRA_QUERIES = {
     "q_pii_redact": q_pii_redact,
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
+    "q_jsonl_scan": q_jsonl_scan,
 }
