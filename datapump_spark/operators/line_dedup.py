@@ -1,0 +1,100 @@
+"""Corpus-level duplicate-line removal (C4 / RefinedWeb style).
+
+C4's cleaning pass drops every occurrence-but-one of any line repeated
+across the whole corpus (boilerplate: nav bars, cookie banners, license
+headers). The winner is the occurrence at the smallest ``(doc order,
+line position)``; all other occurrences are removed and documents are
+reassembled from their surviving lines.
+
+Plan shape, chosen for 100 TB:
+
+1. ``posexplode(split(text, sep))`` → one row per (doc, line_no, line) —
+   narrow, no shuffle.
+2. Winner per line via ``groupBy(line_hash, line).agg(min(struct(ord,
+   line_no)))`` — an **aggregation**, not a global window: partial
+   (map-side) min states collapse the billions of occurrences of a hot
+   boilerplate line to one row per task *before* the exchange, so line
+   skew never concentrates in a single reducer the way a
+   ``Window.partitionBy(line)`` sort would.
+3. Occurrences join winners on ``(line_hash, line)`` — hash narrows the
+   shuffle key, the raw line in the key makes 63-bit collisions harmless;
+   AQE's skew-join split handles residual hot keys.
+4. Reassemble per doc: ``sort_array(collect_list(struct(line_no, line)))``
+   + ``array_join`` — one shuffle back on the doc id.
+
+Total: two shuffles + the final doc-id shuffle, all on bounded keys.
+Extends the reference (no text surface there, SURVEY §2.9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import hash63
+
+
+def explode_lines(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", sep: str = "\n") -> DataFrame:
+    """One row per line: ``(id, line_no, line)``, 0-based positions.
+    Empty lines are kept — they are positions, not content."""
+    return df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    )
+
+
+def dedup_lines(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    scope: str = "corpus",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Remove all-but-the-first occurrence of every duplicated line.
+
+    ``scope='corpus'``: first occurrence across the whole corpus wins
+    (ordered by ``(id, line_no)``) — the C4 semantics. ``scope='doc'``:
+    dedupe only within each document (no corpus-wide exchange; winner
+    search and reassembly co-partition on the doc id).
+
+    Returns one row per input document: ``(id, text, n_lines_kept,
+    n_lines_removed)`` with ``text`` rebuilt from surviving lines in
+    original order ('' when every line lost).
+    """
+    if scope not in ("corpus", "doc"):
+        raise ValueError(f"scope must be 'corpus' or 'doc': {scope!r}")
+    lines = explode_lines(df, id_col, text_col, sep)
+    lines = lines.withColumn("__h", hash63(F.col("line"), hash_fn))
+    pos = F.struct(F.col(id_col), F.col("line_no"))
+    win_keys = ["__h", "line"] if scope == "corpus" else [id_col, "__h", "line"]
+    winners = (lines.groupBy(*win_keys)
+               .agg(F.min(pos).alias("__w")))
+    kept = (lines.join(winners, win_keys)
+            .where(pos == F.col("__w"))
+            .select(id_col, "line_no", "line"))
+    rebuilt = (kept.groupBy(id_col)
+               .agg(
+                   F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                           lambda s: s["line"],
+                       ),
+                       sep,
+                   ).alias(text_col),
+                   F.count("*").alias("n_lines_kept"),
+               ))
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.col(text_col), sep)).alias("__n"),
+    )
+    return (totals.join(rebuilt, id_col, "left")
+            .select(
+                F.col(id_col),
+                F.coalesce(text_col, F.lit("")).alias(text_col),
+                F.coalesce("n_lines_kept", F.lit(0)).cast("bigint")
+                .alias("n_lines_kept"),
+                (F.col("__n") - F.coalesce("n_lines_kept", F.lit(0)))
+                .cast("bigint").alias("n_lines_removed"),
+            ))

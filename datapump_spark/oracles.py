@@ -723,3 +723,35 @@ SELECT doc_id, lang, source, n_chars, text,
        meta.quality AS quality, meta.crawl AS crawl, tags
 FROM read_json('{JSONL_GLOB}', format='newline_delimited')
 """
+
+EXTRA_ORACLES["q_line_dedup"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+idx AS (
+  SELECT doc_id, t,
+         unnest(generate_series(1,
+           greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1))) AS i
+  FROM tk),
+ln AS (
+  SELECT doc_id, i - 1 AS line_no,
+         array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ') AS line
+  FROM idx),
+kept AS (
+  SELECT * FROM (
+    SELECT doc_id, line_no, line,
+           row_number() OVER (PARTITION BY line
+                              ORDER BY doc_id, line_no) AS rn
+    FROM ln) WHERE rn = 1),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id),
+tot AS (SELECT doc_id, count(*) AS n FROM ln GROUP BY doc_id)
+SELECT t.doc_id, COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       CAST(t.n - COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+FROM tot t LEFT JOIN reb r USING (doc_id)
+"""

@@ -765,6 +765,32 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-wide duplicate-line removal. The synthetic docs are
+    single-line, so the query first rechunks each document into pseudo-lines
+    of 10 tokens, then drops every occurrence-but-the-first of each line
+    across the corpus and reassembles the survivors."""
+    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.operators.line_dedup import dedup_lines
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    d = (docs.withColumn("__t", tokens(F.col("text")))
+         .withColumn("__n", F.greatest(
+             F.ceil(F.size("__t") / F.lit(10)), F.lit(1)).cast("int")))
+    lined = d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.array_join(
+                    F.slice("__t", (i - 1) * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return dedup_lines(lined)
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -788,4 +814,5 @@ EXTRA_QUERIES = {
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
     "q_jsonl_scan": q_jsonl_scan,
+    "q_line_dedup": q_line_dedup,
 }

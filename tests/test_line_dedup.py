@@ -1,0 +1,57 @@
+"""dedup_lines: hand-checkable corpus, doc scope, edge cases."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapump_spark.operators.line_dedup import dedup_lines
+
+DOCS = [
+    (1, "alpha\nboiler\nbeta"),
+    (2, "boiler\ngamma\nboiler"),
+    (3, "boiler"),
+    (4, "delta\ndelta"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id bigint, text string")
+
+
+def _rows(df):
+    return {r.doc_id: (r.text, r.n_lines_kept, r.n_lines_removed)
+            for r in df.collect()}
+
+
+def test_corpus_scope(docs):
+    out = _rows(dedup_lines(docs))
+    # doc 1 holds the first 'boiler'; all later occurrences drop
+    assert out[1] == ("alpha\nboiler\nbeta", 3, 0)
+    assert out[2] == ("gamma", 1, 2)
+    assert out[3] == ("", 0, 1)  # whole doc was boilerplate
+    assert out[4] == ("delta", 1, 1)
+
+
+def test_doc_scope(docs):
+    out = _rows(dedup_lines(docs, scope="doc"))
+    # cross-doc repeats survive; only within-doc repeats drop
+    assert out[1] == ("alpha\nboiler\nbeta", 3, 0)
+    assert out[2] == ("boiler\ngamma", 2, 1)
+    assert out[3] == ("boiler", 1, 0)
+    assert out[4] == ("delta", 1, 1)
+
+
+def test_bad_scope(docs):
+    with pytest.raises(ValueError):
+        dedup_lines(docs, scope="paragraph")
+
+
+def test_every_doc_returned_once(docs):
+    assert sorted(r.doc_id for r in dedup_lines(docs).collect()) == [1, 2, 3, 4]
+
+
+def test_xxhash_profile_same_result(docs):
+    a = _rows(dedup_lines(docs))
+    b = _rows(dedup_lines(docs, hash_fn="xxhash64"))
+    assert a == b
