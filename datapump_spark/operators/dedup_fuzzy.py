@@ -504,3 +504,33 @@ def near_dup_clusters(
     pairs = minhash_near_dup_pairs(
         df, id_col, text_col, threshold=threshold, **minhash_kwargs)
     return connected_components(pairs, df, id_col)
+
+
+def canonical_docs(
+    clusters: DataFrame, scores: DataFrame, id_col: str = "doc_id",
+    score_col: str = "quality",
+) -> DataFrame:
+    """Representative selection: per duplicate cluster keep the best-scored
+    document (ties → lowest id) — the step that turns a clustering into a
+    deduplicated corpus when "first doc wins" is too crude.
+
+    ``clusters`` is (id, cluster_id) (from :func:`near_dup_clusters`),
+    ``scores`` is (id, score_col). One co-partitioned join on the id plus
+    one aggregation on cluster_id; the argmax is a sortless ``max`` of a
+    ``(score, -id)`` struct, so partial aggregation absorbs giant clusters
+    the way the line-dedup winner search does (line_dedup.py).
+    """
+    j = clusters.join(scores.select(id_col, score_col), id_col)
+    agg = j.groupBy("cluster_id").agg(
+        F.max(
+            F.struct(F.col(score_col).alias("s"),
+                     (-F.col(id_col)).alias("negid"))
+        ).alias("__w"),
+        F.count("*").alias("cluster_size"),
+    )
+    return agg.select(
+        "cluster_id",
+        (-F.col("__w.negid")).cast("bigint").alias(id_col),
+        F.col("__w.s").alias(score_col),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+    )

@@ -755,3 +755,17 @@ SELECT t.doc_id, COALESCE(r.text, '') AS text,
        CAST(t.n - COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
 FROM tot t LEFT JOIN reb r USING (doc_id)
 """
+
+EXTRA_ORACLES["q_canonical_docs"] = f"""
+WITH cl AS ({ORACLES["q_dup_clusters"]}),
+q AS ({ORACLES["q_quality_score"]}),
+j AS (SELECT cl.doc_id, cl.cluster_id, q.quality
+      FROM cl JOIN q USING (doc_id)),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY cluster_id
+                           ORDER BY quality DESC, doc_id ASC) AS rn,
+        count(*) OVER (PARTITION BY cluster_id) AS n
+      FROM j)
+SELECT cluster_id, doc_id, quality, CAST(n AS BIGINT) AS cluster_size
+FROM r WHERE rn = 1
+"""

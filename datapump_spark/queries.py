@@ -791,6 +791,17 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined)
 
 
+def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup pipeline composition: near-dup clusters → per-cluster
+    representative by quality score (ties → lowest doc_id)."""
+    from datapump_spark.operators.dedup_fuzzy import canonical_docs, near_dup_clusters
+    from datapump_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    clusters = near_dup_clusters(docs, threshold=0.5)
+    return canonical_docs(clusters, quality_score(docs))
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -815,4 +826,5 @@ EXTRA_QUERIES = {
     "q_decontam": q_decontam,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
+    "q_canonical_docs": q_canonical_docs,
 }

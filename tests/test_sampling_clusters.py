@@ -66,3 +66,19 @@ def test_connected_components_raises_on_nonconvergence(spark):
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, nodes, max_iters=1)
+
+
+def test_canonical_docs_hand_graph(spark):
+    from datapump_spark.operators.dedup_fuzzy import canonical_docs
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5), (6, 5)],
+        "doc_id bigint, cluster_id bigint")
+    scores = spark.createDataFrame(
+        [(1, 0.2), (2, 0.9), (3, 0.9), (4, 0.1), (5, 0.5), (6, 0.5)],
+        "doc_id bigint, quality double")
+    out = {r.cluster_id: (r.doc_id, r.quality, r.cluster_size)
+           for r in canonical_docs(clusters, scores).collect()}
+    assert out[1] == (2, 0.9, 3)   # best quality wins; tie -> lowest id
+    assert out[4] == (4, 0.1, 1)   # singleton keeps itself
+    assert out[5] == (5, 0.5, 2)   # pure tie -> lowest id
