@@ -769,3 +769,14 @@ r AS (SELECT *,
 SELECT cluster_id, doc_id, quality, CAST(n AS BIGINT) AS cluster_size
 FROM r WHERE rn = 1
 """
+
+EXTRA_ORACLES["q_corpus_stats"] = f"""
+WITH t AS (SELECT lang, source, n_chars, len({_TOKS}) AS tok FROM documents)
+SELECT lang, source,
+       count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(tok) AS BIGINT) AS total_tokens,
+       round(avg(tok), 6) AS avg_tokens,
+       quantile_cont(n_chars, 0.5) AS median_chars
+FROM t GROUP BY lang, source
+"""

@@ -802,6 +802,23 @@ def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return canonical_docs(clusters, quality_score(docs))
 
 
+def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card: per (lang, source) doc counts, token/char
+    volume, and exact median length — the profiling pass that sizes a
+    training mix before sampling weights are chosen."""
+    from datapump_spark.functions.hashing import tokens
+
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("__tok", F.size(tokens(F.col("text")))))
+    return (d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("__tok").cast("bigint").alias("total_tokens"),
+        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
+        F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
+    ))
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -827,4 +844,5 @@ EXTRA_QUERIES = {
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
+    "q_corpus_stats": q_corpus_stats,
 }
