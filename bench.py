@@ -62,6 +62,9 @@ BENCH_QUERIES = [
     "q_pii_redact",
     "q_pack_chunks",
     "q_decontam",
+    "q_line_dedup",
+    "q_canonical_docs",
+    "q_corpus_stats",
 ]
 
 

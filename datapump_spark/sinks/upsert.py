@@ -125,6 +125,41 @@ class ParquetMergeSink:
             return
         df.write.mode("append").parquet(str(cur))
 
+    def compact(self, spark: SparkSession, table: str,
+                target_file_mb: int = 128) -> dict:
+        """Bin-pack small part files into ~``target_file_mb`` outputs (the
+        Delta ``OPTIMIZE`` seam). The append path (audit logs) and
+        per-batch upserts accumulate files whose open/footer overhead
+        eventually dominates scans; compaction rewrites the live version
+        coalesced and flips the pointer atomically — readers see either
+        the old layout or the new one, never a partial rewrite.
+
+        Bucket-partitioned tables keep their ``pk_bucket=…`` layout (the
+        rewrite hash-partitions on the bucket column, so each bucket dir
+        lands exactly one file and upsert pruning is preserved). Returns
+        ``{files_before, files_after, total_mb}``.
+        """
+        cur = self.current_version(table)
+        if cur is None:
+            raise ValueError(f"no such table: {table!r}")
+        files = list(cur.rglob("*.parquet"))
+        total_mb = sum(f.stat().st_size for f in files) / 2**20
+        n_out = max(1, -(-int(total_mb) // target_file_mb))
+        df = spark.read.parquet(str(cur))
+        name, vdir = self._new_version(table)
+        if any(cur.glob(f"{BUCKET_COL}=*")):
+            (df.repartition(n_out, F.col(BUCKET_COL))
+             .write.mode("overwrite").partitionBy(BUCKET_COL)
+             .parquet(str(vdir)))
+        else:
+            df.repartition(n_out).write.mode("overwrite").parquet(str(vdir))
+        self._publish(table, name)
+        return {
+            "files_before": len(files),
+            "files_after": len(list(vdir.rglob("*.parquet"))),
+            "total_mb": round(total_mb, 3),
+        }
+
     def truncate(self, table: str) -> None:
         """K3 (datastore_delete-on-Truncate, datapump.py:545-555)."""
         shutil.rmtree(self.path(table), ignore_errors=True)

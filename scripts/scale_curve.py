@@ -106,6 +106,40 @@ def main() -> None:
         near_dup_clusters(big_docs, threshold=0.5, hash_fn="xxhash64") \
             .write.format("noop").mode("overwrite").save()
         runs["dup_clusters"] = round(time.perf_counter() - t0, 2)
+
+        # line dedup on 10-token pseudo-lines (q_line_dedup's rechunking);
+        # suffixed replicas keep the duplicate-line graph linear in mult
+        from datapump_spark.operators.line_dedup import dedup_lines
+
+        lined = (
+            big_docs.withColumn("__t", F.split("text", " "))
+            .withColumn("__n", F.greatest(
+                F.ceil(F.size("__t") / F.lit(10)), F.lit(1)).cast("int"))
+            .select(
+                "doc_id",
+                F.array_join(
+                    F.transform(
+                        F.sequence(F.lit(1), F.col("__n")),
+                        lambda i: F.array_join(
+                            F.slice("__t", (i - 1) * 10 + 1, 10), " "),
+                    ), "\n").alias("text"),
+            )
+        )
+        t0 = time.perf_counter()
+        dedup_lines(lined, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["line_dedup"] = round(time.perf_counter() - t0, 2)
+
+        # decontamination: replicated corpus vs the (fixed-size) benchmark
+        # slice — cost is the corpus-side gram scan + broadcast join
+        from datapump_spark.operators.decontam import decontaminate
+
+        t0 = time.perf_counter()
+        decontaminate(
+            big_docs, docs.where(F.col("doc_id") % 20 == 0),
+            hash_fn="xxhash64",
+        ).write.format("noop").mode("overwrite").save()
+        runs["decontam"] = round(time.perf_counter() - t0, 2)
         dedup_out[f"x{mult}"] = runs
 
     print(json.dumps({

@@ -117,3 +117,44 @@ def test_key_mismatch_raises(spark, sink):
     sink.upsert(spark, df, "t", ["k"])
     with pytest.raises(ValueError, match="bucketed by"):
         sink.upsert(spark, df, "t", ["v"])
+
+
+def test_compact_append_table(spark, sink):
+    # 6 appends × 4 partitions = many small files
+    for i in range(6):
+        df = spark.range(i * 10, i * 10 + 10).selectExpr(
+            "id", "id * 2 AS v").repartition(4)
+        sink.append(df, "audit")
+    before = sink.read(spark, "audit").collect()
+    stats = sink.compact(spark, "audit", target_file_mb=128)
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] == 1
+    after = sink.read(spark, "audit").collect()
+    assert sorted(map(tuple, after)) == sorted(map(tuple, before))
+    # old version GC'd, pointer flipped
+    vdirs = [d for d in sink.path("audit").glob("v-*") if d.is_dir()]
+    assert len(vdirs) == 1
+
+
+def test_compact_preserves_bucket_layout(spark, sink):
+    df = spark.range(100).selectExpr("id AS pk", "id * 3 AS v")
+    sink.upsert(spark, df.repartition(8), "t", ["pk"])
+    sink.upsert(spark, df.limit(5).repartition(8), "t", ["pk"])
+    stats = sink.compact(spark, "t")
+    cur = sink.current_version("t")
+    buckets = list(cur.glob(f"{BUCKET_COL}=*"))
+    assert buckets, "bucket layout lost by compaction"
+    for b in buckets:
+        assert len(list(b.glob("*.parquet"))) == 1
+    assert stats["files_after"] == len(buckets)
+    got = {r.pk: r.v for r in sink.read(spark, "t").collect()}
+    assert got == {i: i * 3 for i in range(100)}
+    # a further upsert still prunes (properties survived compaction)
+    sink.upsert(spark, spark.range(3).selectExpr("id AS pk", "id AS v"), "t", ["pk"])
+    got = {r.pk: r.v for r in sink.read(spark, "t").collect()}
+    assert got[0] == 0 and got[99] == 297
+
+
+def test_compact_missing_table_raises(spark, sink):
+    with pytest.raises(ValueError):
+        sink.compact(spark, "nope")
