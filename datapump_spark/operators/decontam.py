@@ -53,6 +53,7 @@ def decontaminate(
     n: int = 13,
     min_overlap: int = 1,
     hash_fn: str = "md5",
+    strategy: str = "expr",
 ) -> DataFrame:
     """Flag corpus documents sharing ≥ ``min_overlap`` distinct
     ``n``-grams with the benchmark.
@@ -61,7 +62,22 @@ def decontaminate(
     contaminated)`` — rejects are flagged, not dropped, so downstream
     routes them (same keep-column contract as
     :func:`~datapump_spark.operators.quality.gopher_filter`).
-    """
+
+    ``strategy='expr'`` is the oracle-verifiable column-expression plan
+    (gram explode → broadcast join → agg). ``strategy='pandas'`` is the
+    production path: the benchmark's distinct grams (the small side by
+    construction) become a broadcast Python set and the corpus is scanned
+    ONCE with an Arrow-batched set-membership pass — no explode, no
+    shuffle, no join. It exists because Spark evaluates higher-order
+    lambda expressions interpreted (outside whole-stage codegen), so the
+    expr plan pays ~µs per gram where a hash-set probe costs ~ns;
+    measured ~8× faster at 250 k docs (PERF.md). Same results
+    (equivalence tested)."""
+    if strategy == "pandas":
+        return _decontaminate_pandas(
+            corpus, benchmark, id_col, text_col, n, min_overlap)
+    if strategy != "expr":
+        raise ValueError(f"strategy must be 'expr' or 'pandas': {strategy!r}")
     cg = doc_ngram_hashes(corpus, id_col, text_col, n, hash_fn)
     bg = (doc_ngram_hashes(benchmark, id_col, text_col, n, hash_fn)
           .select("gram").distinct())
@@ -79,3 +95,55 @@ def decontaminate(
             .alias("contaminated"),
         )
     )
+
+
+# tokenizer twin of functions.hashing.tokens, for the Python-side gram set
+_TOK_RE = __import__("re").compile(r"[^a-z0-9]+")
+
+
+def _py_tokens(s: str) -> list[str]:
+    return [t for t in _TOK_RE.split(s.lower()) if t]
+
+
+def _py_grams(text: str, n: int) -> set[str]:
+    t = _py_tokens(text)
+    return {" ".join(t[i:i + n]) for i in range(len(t) - n + 1)}
+
+
+def _decontaminate_pandas(
+    corpus: DataFrame, benchmark: DataFrame, id_col: str, text_col: str,
+    n: int, min_overlap: int,
+) -> DataFrame:
+    """Broadcast-set membership scan (see ``strategy='pandas'`` above).
+
+    The benchmark side is collected to the driver — it is the broadcast
+    side of the expr plan already, and eval sets are thousands of rows
+    where the corpus is billions; a guard trips if someone swaps the
+    arguments."""
+    import pandas as pd
+
+    rows = benchmark.select(text_col).collect()
+    if len(rows) > 1_000_000:
+        raise ValueError(
+            f"benchmark side has {len(rows)} rows — did you swap corpus "
+            "and benchmark? (the benchmark must be the small side)")
+    grams: set[str] = set()
+    for r in rows:
+        if r[0] is not None:
+            grams.update(_py_grams(r[0], n))
+    spark = corpus.sparkSession
+    b = spark.sparkContext.broadcast(grams)
+
+    def scan(batches):
+        g = b.value
+        for pdf in batches:
+            hits = pdf[text_col].map(
+                lambda t: len(_py_grams(t, n) & g) if t is not None else 0)
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_hit_grams": hits.astype("int64"),
+                "contaminated": hits >= min_overlap,
+            })
+
+    return corpus.select(id_col, text_col).mapInPandas(
+        scan, f"{id_col} bigint, n_hit_grams bigint, contaminated boolean")

@@ -118,6 +118,10 @@ def main() -> None:
             )
             .drop("__rep")
         )
+    # many-partition layout + persist: a real corpus of this size arrives
+    # as many files; time the operators, not the in-memory replication
+    docs = docs.repartition(64).persist()
+    docs.count()
 
     t0 = time.perf_counter()
     exact_dedup(docs).write.format("noop").mode("overwrite").save()
@@ -144,7 +148,7 @@ def main() -> None:
 
     t0 = time.perf_counter()
     decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0),
-                  hash_fn="xxhash64") \
+                  strategy="pandas") \
         .write.format("noop").mode("overwrite").save()
     out["spark"]["decontam"] = round(time.perf_counter() - t0, 3)
 

@@ -55,3 +55,34 @@ def test_xxhash_profile_same_result(docs):
     a = _rows(dedup_lines(docs))
     b = _rows(dedup_lines(docs, hash_fn="xxhash64"))
     assert a == b
+
+
+def test_decontam_pandas_strategy_equivalent(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.decontam import decontaminate
+    from datapump_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    a = {tuple(r) for r in decontaminate(corpus, bench).collect()}
+    b = {tuple(r)
+         for r in decontaminate(corpus, bench, strategy="pandas").collect()}
+    assert a == b
+    assert any(r[2] for r in a)  # the fixture does contain contamination
+
+
+def test_decontam_swapped_args_guard(spark, sf_dir):
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.decontam import _decontaminate_pandas
+    from datapump_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    big = docs.crossJoin(
+        docs.sparkSession.range(3000).select(F.col("id").alias("__r"))
+    ).select("doc_id", "text")
+    with _pytest.raises(ValueError):
+        _decontaminate_pandas(docs, big, "doc_id", "text", 13, 1)
