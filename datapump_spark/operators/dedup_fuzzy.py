@@ -424,29 +424,83 @@ def _embedding_near_dup_lsh(
     return rows.groupBy("bucket").applyInPandas(kernel, _pair_schema())
 
 
+def _driver_union_find(edges, spark, id_col: str):
+    """Solve CC for a small, already-pruned edge list with path-compressed
+    union-find on the driver; returns a (node, label) DataFrame.
+
+    This is NOT a corpus collect: the input is the candidate-pair list
+    (LSH survivors), typically orders of magnitude smaller than the
+    corpus, and callers gate on a measured edge count before choosing
+    this path."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            # union by min so the final relabel pass is a pure find()
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra
+    rows = [(n, find(n)) for n in parent]
+    return spark.createDataFrame(rows, f"node long, label long")
+
+
 def connected_components(
     pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
-    max_iters: int = 20,
+    max_iters: int = 20, driver_edge_cap: int = 2_000_000,
 ) -> DataFrame:
     """(id, cluster_id): connected components over an undirected pair graph
     — turns near-dup *pairs* into dedup *groups* (cluster_id = min member
     id; nodes without edges are their own singleton cluster).
 
-    Iterative min-label propagation **restricted to edge-connected nodes**:
-    the corpus never enters the loop — only nodes that appear in a pair
-    (at near-dup thresholds, a tiny fraction of a 100 TB corpus) carry
-    labels through the join/groupBy rounds; every other document becomes a
-    singleton via one final left join. Each round is one join + one
-    groupBy keyed on the node id (co-partitionable, no re-shuffle of the
-    corpus). Rounds needed = graph diameter; near-dup graphs are dense
-    little cliques, so this converges in 2-3 rounds (bounded by
-    ``max_iters``).
+    Adaptive strategy, chosen by a *measured* edge count (never an
+    assumption about the corpus):
+
+    - **small graph** (≤ ``driver_edge_cap`` edges, default 2M ≈ 32 MB):
+      collect the already-pruned candidate-pair list and solve with
+      path-compressed union-find on the driver in O(E α(E)). The pair
+      list is the output of LSH + verification — a tiny fraction of the
+      corpus at near-dup thresholds — so this is bounded, unlike a corpus
+      collect. One pass, zero iterative Spark jobs.
+    - **large graph** (> cap, or ``driver_edge_cap=0``): iterative
+      min-label propagation **restricted to edge-connected nodes** — the
+      corpus never enters the loop; each round is one join + one groupBy
+      keyed on the node id. Rounds needed = graph diameter; near-dup
+      graphs are dense little cliques, so this converges in 2-3 rounds
+      (bounded by ``max_iters``).
+
+    Either way every corpus document gets a label via one final left
+    join (singletons label themselves).
     """
-    # Persist the edge list: its lineage (a full MinHash-LSH pipeline when
-    # called from near_dup_clusters) must not re-execute every round.
-    sym = pairs.select(
+    # Persist the edge list once: its lineage (a full MinHash-LSH pipeline
+    # when called from near_dup_clusters) must not re-execute per round —
+    # nor once per union branch when symmetrizing below.
+    pairs_c = pairs.select("id_a", "id_b").persist()
+    n_edges = pairs_c.count()
+    if n_edges <= driver_edge_cap and driver_edge_cap > 0:
+        final = _driver_union_find(
+            ((r["id_a"], r["id_b"]) for r in pairs_c.toLocalIterator()),
+            pairs.sparkSession, id_col)
+        pairs_c.unpersist()
+        return (
+            nodes.select(F.col(id_col))
+            .join(F.broadcast(final), nodes[id_col] == final["node"], "left")
+            .select(F.col(id_col),
+                    F.coalesce("label", F.col(id_col)).alias("cluster_id"))
+        )
+    sym = pairs_c.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
-    ).unionByName(pairs.select(
+    ).unionByName(pairs_c.select(
         F.col("id_b").alias("src"), F.col("id_a").alias("dst"))).persist()
     labels = sym.select(F.col("src").alias("node")).distinct() \
                 .withColumn("label", F.col("node"))

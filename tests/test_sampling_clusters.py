@@ -1,6 +1,7 @@
 """Tests for deterministic sampling ops and connected-components clustering."""
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from datapump_spark.operators.sampling import (
@@ -48,13 +49,15 @@ def test_weighted_mix_rates(spark, sf_dir):
     assert out.count() == n_src0
 
 
-def test_connected_components_hand_graph(spark):
+@pytest.mark.parametrize("cap", [2_000_000, 0])  # driver union-find / iterative
+def test_connected_components_hand_graph(spark, cap):
     # components: {1,2,3} (chain), {4,5}, singleton {6}
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (4, 5)], "id_a bigint, id_b bigint")
     nodes = spark.createDataFrame([(i,) for i in range(1, 7)], "doc_id bigint")
     got = {r["doc_id"]: r["cluster_id"]
-           for r in connected_components(pairs, nodes).collect()}
+           for r in connected_components(pairs, nodes,
+                                         driver_edge_cap=cap).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6}
 
 
@@ -65,7 +68,8 @@ def test_connected_components_raises_on_nonconvergence(spark):
     nodes = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id bigint")
     import pytest as _pytest
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, nodes, max_iters=1)
+        # driver_edge_cap=0 forces the iterative distributed path
+        connected_components(pairs, nodes, max_iters=1, driver_edge_cap=0)
 
 
 def test_canonical_docs_hand_graph(spark):
