@@ -71,6 +71,43 @@ def shard_assign(
     return df.withColumn("shard", (h % n_shards).cast("int"))
 
 
+def temperature_mix(
+    df: DataFrame, group_col: str, key_col: str, alpha: float = 0.5,
+    salt: str = "temp", hash_fn: str = "md5",
+) -> DataFrame:
+    """Temperature-scaled rebalancing: keep a per-group fraction so the
+    output distribution follows ``p_i^alpha`` (the multilingual-training
+    sampling rule — alpha<1 up-weights small groups / rare languages).
+
+    The largest surviving group is kept whole, so fractions are
+    ``(n_min / n_i)^(1-alpha)``. With the default ``alpha=0.5`` that is
+    ``sqrt(n_min / n_i)`` — IEEE-correctly-rounded in every engine, which
+    keeps the hash-threshold decision bit-identical cross-engine (the
+    DuckDB oracle replays it exactly). Other alphas go through ``pow``;
+    fine for production, not oracle-pinned.
+
+    Plan: one count aggregation (tiny result: one row per group), the
+    per-group threshold broadcast-joined back, then the same zero-shuffle
+    hash predicate as :func:`weighted_mix` — the corpus itself is scanned
+    once and never shuffled."""
+    counts = df.groupBy(group_col).agg(F.count("*").alias("__n"))
+    n_min = counts.agg(F.min("__n").alias("__n_min"))
+    if alpha == 0.5:
+        frac = F.sqrt(F.col("__n_min") / F.col("__n"))
+    else:
+        frac = F.pow(F.col("__n_min") / F.col("__n"), 1.0 - alpha)
+    thresh = counts.crossJoin(F.broadcast(n_min)).select(
+        group_col,
+        F.round(frac * FRACTION_DENOM).cast("bigint").alias("__thresh"),
+    )
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    return (
+        df.join(F.broadcast(thresh), group_col)
+        .where(h % FRACTION_DENOM < F.col("__thresh"))
+        .drop("__thresh")
+    )
+
+
 def weighted_mix(
     df: DataFrame, source_col: str, weights: dict[str, float],
     key_col: str, salt: str = "mix", hash_fn: str = "md5",

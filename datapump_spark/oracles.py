@@ -770,6 +770,38 @@ SELECT cluster_id, doc_id, quality, CAST(n AS BIGINT) AS cluster_size
 FROM r WHERE rn = 1
 """
 
+EXTRA_ORACLES["q_temperature_mix"] = f"""
+WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+m AS (SELECT min(n) AS n_min FROM c),
+t AS (SELECT lang, CAST(round(sqrt(n_min / n) * 10000) AS BIGINT) AS th
+      FROM c, m)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d JOIN t USING (lang)
+WHERE {hash63_sql("'temp:' || CAST(d.doc_id AS VARCHAR)")} % 10000 < t.th
+"""
+
+_FP = "md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))"
+EXTRA_ORACLES["q_incremental_dedup"] = f"""
+WITH corpus AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 10 != 0),
+fresh AS (
+  SELECT doc_id, text, lang, source FROM documents WHERE doc_id % 10 = 0),
+batch AS (
+  SELECT * FROM fresh
+  UNION ALL
+  SELECT doc_id + 1000000, text, lang, source FROM corpus WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 2000000, text, lang, source FROM fresh WHERE doc_id % 20 = 0),
+fp AS (SELECT {_FP} AS fp, doc_id, text, lang, source FROM batch),
+firsts AS (
+  SELECT fp, doc_id, text, lang, source FROM (
+    SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+    FROM fp) WHERE rn = 1),
+cfp AS (SELECT DISTINCT {_FP} AS fp FROM corpus)
+SELECT f.fp, f.doc_id, f.text, f.lang, f.source
+FROM firsts f ANTI JOIN cfp c ON f.fp = c.fp
+"""
+
 EXTRA_ORACLES["q_corpus_stats"] = f"""
 WITH t AS (SELECT lang, source, n_chars, len({_TOKS}) AS tok FROM documents)
 SELECT lang, source,

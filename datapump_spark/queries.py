@@ -819,6 +819,35 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language rebalancing (alpha=0.5): rare langs
+    kept whole, dominant langs down-sampled to sqrt-proportional share."""
+    from datapump_spark.operators.sampling import temperature_mix
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return temperature_mix(docs, group_col="lang", key_col="doc_id")
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup: an incoming batch (fresh docs + re-crawls
+    of corpus content + an in-batch duplicate slice) is admitted against
+    the existing corpus's fingerprint index; only novel content survives."""
+    from datapump_spark.operators.incremental import fingerprints, incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source")
+    corpus = docs.where(F.col("doc_id") % 10 != 0)
+    fresh = docs.where(F.col("doc_id") % 10 == 0)
+    batch = (
+        fresh
+        .unionByName(corpus.where(F.col("doc_id") % 7 == 0)
+                     .withColumn("doc_id", F.col("doc_id") + 1000000))
+        .unionByName(fresh.where(F.col("doc_id") % 20 == 0)
+                     .withColumn("doc_id", F.col("doc_id") + 2000000))
+    )
+    return incremental_dedup(batch, fingerprints(corpus))
+
+
 def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GPT-style concat-and-chunk sequence packing at a 1024-token budget:
     one row per (sequence, document) overlap."""
@@ -845,4 +874,6 @@ EXTRA_QUERIES = {
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
     "q_corpus_stats": q_corpus_stats,
+    "q_incremental_dedup": q_incremental_dedup,
+    "q_temperature_mix": q_temperature_mix,
 }

@@ -5,7 +5,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from datapump_spark.operators.sampling import (
-    group_cap, hash_fraction_filter, shard_assign, weighted_mix,
+    group_cap, hash_fraction_filter, shard_assign, temperature_mix,
+    weighted_mix,
 )
 from datapump_spark.operators.dedup_fuzzy import connected_components
 
@@ -47,6 +48,25 @@ def test_weighted_mix_rates(spark, sf_dir):
     assert srcs == {"src0"}       # weight 1.0 keeps all, 0.0 and absent drop all
     n_src0 = docs.where(F.col("source") == "src0").count()
     assert out.count() == n_src0
+
+
+def test_temperature_mix_rebalances(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    before = {r["lang"]: r["count"] for r in
+              docs.groupBy("lang").count().collect()}
+    out = temperature_mix(docs, "lang", "doc_id", alpha=0.5)
+    after = {r["lang"]: r["count"] for r in
+             out.groupBy("lang").count().collect()}
+    n_min = min(before.values())
+    smallest = min(before, key=before.get)
+    # the smallest group is kept whole; larger groups hit ~sqrt share
+    assert after[smallest] == before[smallest]
+    for lang, n in before.items():
+        expect = (n_min / n) ** 0.5 * n
+        assert abs(after[lang] - expect) <= max(10, 0.35 * expect)
+    # alpha=1 is identity (every threshold = 10000)
+    assert temperature_mix(docs, "lang", "doc_id", alpha=1.0).count() \
+        == docs.count()
 
 
 @pytest.mark.parametrize("cap", [2_000_000, 0])  # driver union-find / iterative
