@@ -34,6 +34,58 @@ from pyspark.sql import functions as F
 from datapump_spark.functions.hashing import hash63
 
 
+def dup_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    threshold: float = 0.2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Duplicated-passage detection (exact-substring dedup signal, Lee et
+    al. 2022 "Deduplicating Training Data Makes Language Models Better"):
+    a passage is a rolling ``n``-token window; a document's *shared
+    fraction* is the share of its distinct windows that also occur in at
+    least one other document. Returns per document ``(id, n_grams,
+    n_shared_grams, shared_frac, near_dup)`` — a flag column, so callers
+    route rather than drop (suffix-array substring *removal* is the
+    offline sibling; this is the scalable Spark-side detector).
+
+    Plan: one gram explode (distinct per doc, no shuffle), ONE aggregation
+    on the 63-bit gram hash whose partial (map-side) states collapse hot
+    boilerplate grams before the exchange, a self-join of grams against
+    multi-doc grams (broadcast-able survivors at high thresholds), and a
+    per-doc count. Never all-pairs; the gram hash bounds every shuffle key
+    at 8 bytes."""
+    from datapump_spark.operators.decontam import doc_ngram_hashes
+
+    grams = doc_ngram_hashes(df, id_col, text_col, n, hash_fn)
+    shared = (grams.groupBy("gram").agg(F.count("*").alias("__docs"))
+              .where(F.col("__docs") >= 2)
+              .select("gram"))
+    hits = (grams.join(shared, "gram")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_shared_grams")))
+    totals = grams.groupBy(id_col).agg(F.count("*").alias("n_grams"))
+    return (
+        df.select(id_col)
+        .join(totals, id_col, "left")
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_grams", F.lit(0)).cast("bigint").alias("n_grams"),
+            F.coalesce("n_shared_grams", F.lit(0)).cast("bigint")
+            .alias("n_shared_grams"),
+            F.round(
+                F.coalesce("n_shared_grams", F.lit(0))
+                / F.greatest(F.coalesce("n_grams", F.lit(0)), F.lit(1)),
+                6,
+            ).alias("shared_frac"),
+        )
+        .withColumn("near_dup", F.col("shared_frac") >= threshold)
+    )
+
+
 def explode_lines(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", sep: str = "\n") -> DataFrame:
     """One row per line: ``(id, line_no, line)``, 0-based positions.

@@ -770,6 +770,37 @@ SELECT cluster_id, doc_id, quality, CAST(n AS BIGINT) AS cluster_size
 FROM r WHERE rn = 1
 """
 
+_PASSAGE_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 9), ' ')")
+EXTRA_ORACLES["q_dup_passages"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+grams AS (
+  SELECT doc_id,
+         UNNEST(list_distinct(CASE WHEN len(t) >= 10 THEN
+             list_transform(generate_series(1, len(t) - 9),
+                            i -> {_PASSAGE_GRAM})
+           ELSE CAST([] AS BIGINT[]) END)) AS g
+  FROM tk),
+shared AS (SELECT g FROM grams GROUP BY g HAVING count(*) >= 2),
+hits AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         FROM grams JOIN shared USING (g) GROUP BY doc_id),
+tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams
+        GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(t.n, 0) AS n_grams,
+       COALESCE(h.n_shared, 0) AS n_shared_grams,
+       round(COALESCE(h.n_shared, 0) / greatest(COALESCE(t.n, 0), 1), 6)
+           AS shared_frac,
+       round(COALESCE(h.n_shared, 0) / greatest(COALESCE(t.n, 0), 1), 6)
+           >= 0.2 AS near_dup
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN tot t USING (doc_id)
+LEFT JOIN hits h USING (doc_id)
+"""
+
 EXTRA_ORACLES["q_temperature_mix"] = f"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 m AS (SELECT min(n) AS n_min FROM c),

@@ -819,6 +819,15 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ))
 
 
+def q_dup_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-passage detection: share of each doc's rolling 10-token
+    windows that also occur in another document."""
+    from datapump_spark.operators.line_dedup import dup_passages
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return dup_passages(docs, n=10, threshold=0.2)
+
+
 def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-scaled language rebalancing (alpha=0.5): rare langs
     kept whole, dominant langs down-sampled to sqrt-proportional share."""
@@ -876,4 +885,5 @@ EXTRA_QUERIES = {
     "q_corpus_stats": q_corpus_stats,
     "q_incremental_dedup": q_incremental_dedup,
     "q_temperature_mix": q_temperature_mix,
+    "q_dup_passages": q_dup_passages,
 }

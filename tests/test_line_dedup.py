@@ -86,3 +86,30 @@ def test_decontam_swapped_args_guard(spark, sf_dir):
     ).select("doc_id", "text")
     with _pytest.raises(ValueError):
         _decontaminate_pandas(docs, big, "doc_id", "text", 13, 1)
+
+
+def test_dup_passages_hand_docs(spark):
+    from datapump_spark.operators.line_dedup import dup_passages
+
+    shared = "one two three four five"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " alpha beta gamma"),
+            (2, shared + " delta epsilon zeta"),
+            (3, "entirely different words with no overlap at all here"),
+            (4, "short"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r.doc_id: r for r in dup_passages(df, n=5, threshold=0.2).collect()}
+    # docs 1 and 2 share exactly the window "one two three four five"
+    assert out[1].n_shared_grams == 1 and out[2].n_shared_grams == 1
+    assert out[1].n_grams == 4  # 8 tokens -> 4 distinct 5-gram windows
+    assert out[1].shared_frac == 0.25 and out[1].near_dup
+    assert out[2].near_dup
+    assert out[3].n_shared_grams == 0 and not out[3].near_dup
+    assert out[4].n_grams == 0 and out[4].shared_frac == 0.0
+    # detection only flags; at threshold above the shared share it passes
+    strict = {r.doc_id: r for r in
+              dup_passages(df, n=5, threshold=0.3).collect()}
+    assert not strict[1].near_dup and not strict[2].near_dup
