@@ -43,6 +43,27 @@ def hash_fraction_filter(
     return df.where(h % FRACTION_DENOM < thresh)
 
 
+def stratified_sample(
+    df: DataFrame, strata_col: str, fractions: dict[str, float],
+    key_col: str, salt: str = "strat", hash_fn: str = "md5",
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-stratum sampling: keep ``fractions[stratum]`` of
+    each stratum by key-hash threshold (strata absent from the map get
+    ``default_fraction``).
+
+    Spark's ``sampleBy`` is partition-seeded (non-reproducible across
+    re-runs/cluster sizes); this is a pure predicate — zero shuffle, one
+    scan, and the nested-subset property of hash_fraction_filter holds
+    per stratum (a 1% stratum sample ⊂ the 10% sample, same salt)."""
+    thresh: Column = F.lit(int(round(default_fraction * FRACTION_DENOM)))
+    for stratum, frac in sorted(fractions.items()):
+        thresh = F.when(F.col(strata_col) == F.lit(stratum),
+                        F.lit(int(round(frac * FRACTION_DENOM)))).otherwise(thresh)
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    return df.where(h % FRACTION_DENOM < thresh)
+
+
 def group_cap(
     df: DataFrame, group_col: str, order_col: str, n: int,
 ) -> DataFrame:

@@ -843,3 +843,34 @@ SELECT lang, source,
        quantile_cont(n_chars, 0.5) AS median_chars
 FROM t GROUP BY lang, source
 """
+
+
+EXTRA_ORACLES["q_stratified_sample"] = f"""
+SELECT doc_id, lang, source FROM documents
+WHERE {hash63_sql("'strat:' || CAST(doc_id AS VARCHAR)")} % 10000 <
+  CASE lang WHEN 'en' THEN 5000 WHEN 'fr' THEN 2500 WHEN 'de' THEN 2500
+            WHEN 'es' THEN 1250 ELSE 625 END
+"""
+
+# Mirrors classifier.DEFAULT_WEIGHTS/DEFAULT_BIAS and the featurize()
+# expression order (margin is a left fold: b + w0·f0 + … + w4·f4).
+EXTRA_ORACLES["q_quality_logreg"] = f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+f AS (SELECT doc_id,
+        ln(1 + len(toks)) AS log1p_tokens,
+        CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS alpha_ratio,
+        CAST(len(list_filter(toks, x -> list_contains({_STOPLIST}, x))) AS DOUBLE)
+          / greatest(len(toks), 1) AS stop_ratio,
+        CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+          / greatest(length(text), 1) AS digit_ratio,
+        CAST(coalesce(list_sum(list_transform(toks, x -> length(x))), 0) AS DOUBLE)
+          / greatest(len(toks), 1) AS mean_word_len
+      FROM t),
+p AS (SELECT doc_id,
+        round(1.0 / (1.0 + exp(-(-3.5 + 0.55 * log1p_tokens + 2.0 * alpha_ratio
+                                 + 3.0 * stop_ratio + (-4.0) * digit_ratio
+                                 + (-0.12) * mean_word_len))), 6) AS prob
+      FROM f)
+SELECT doc_id, prob, prob >= 0.5 AS keep FROM p
+"""

@@ -865,6 +865,28 @@ def q_pack_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_concat_chunks(_t(spark, sf_dir, "documents"), budget=1024)
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic sampling: 50% en, 25% fr/de, 12.5% es,
+    6.25% default — pure hash predicate, zero shuffle, reproducible
+    across cluster sizes (unlike partition-seeded sampleBy)."""
+    from datapump_spark.operators.sampling import stratified_sample
+
+    d = _t(spark, sf_dir, "documents")
+    return stratified_sample(
+        d, "lang",
+        {"en": 0.5, "fr": 0.25, "de": 0.25, "es": 0.125},
+        key_col="doc_id", default_fraction=0.0625,
+    ).select("doc_id", "lang", "source")
+
+
+def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learned quality filter: σ(w·x+b) over 5 native text features with
+    pinned weights (train_logreg learns them; pytest-verified)."""
+    from datapump_spark.operators.classifier import score_logreg
+
+    return score_logreg(_t(spark, sf_dir, "documents"))
+
+
 # The driver's correctness gate records at most 50 entries per round
 # (round 1 checked exactly the first 50 of 53 keys), so QUERIES above is
 # capped at 50. Redundant variants live here and go through the SAME
@@ -886,4 +908,6 @@ EXTRA_QUERIES = {
     "q_incremental_dedup": q_incremental_dedup,
     "q_temperature_mix": q_temperature_mix,
     "q_dup_passages": q_dup_passages,
+    "q_stratified_sample": q_stratified_sample,
+    "q_quality_logreg": q_quality_logreg,
 }
