@@ -874,3 +874,43 @@ p AS (SELECT doc_id,
       FROM f)
 SELECT doc_id, prob, prob >= 0.5 AS keep FROM p
 """
+
+
+_VOCAB_CTE = f"""
+tk AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+cnt AS (
+  SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences
+  FROM (SELECT UNNEST(t) AS token FROM tk)
+  GROUP BY token HAVING count(*) >= 2),
+vocab AS (
+  SELECT token,
+         CAST(row_number() OVER (ORDER BY n_occurrences DESC, token ASC) AS INT)
+           AS token_id,
+         n_occurrences
+  FROM (SELECT * FROM cnt
+        ORDER BY n_occurrences DESC, token ASC LIMIT {{top_k}}))
+"""
+
+EXTRA_ORACLES["q_vocab"] = f"""
+WITH {_VOCAB_CTE.format(top_k=200)}
+SELECT token, token_id, n_occurrences FROM vocab
+"""
+
+EXTRA_ORACLES["q_token_ids"] = f"""
+WITH {_VOCAB_CTE.format(top_k=100)},
+pos AS (SELECT doc_id, UNNEST(generate_series(1, len(t))) AS i, t FROM tk),
+tok AS (SELECT doc_id, i, t[i] AS token FROM pos),
+enc AS (SELECT e.doc_id, e.i,
+               CAST(COALESCE(v.token_id, 0) AS INT) AS tid
+        FROM tok e LEFT JOIN vocab v USING (token)),
+agg AS (SELECT doc_id,
+               list(tid ORDER BY i) AS token_ids,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        FROM enc GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(a.token_ids, CAST([] AS INT[])) AS token_ids,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""

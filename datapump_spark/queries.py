@@ -887,6 +887,25 @@ def q_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return score_logreg(_t(spark, sf_dir, "documents"))
 
 
+def q_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-200 tokens by frequency (min_count 2), ids
+    dense in (count DESC, token ASC) order — TakeOrderedAndProject cut,
+    token-keyed shuffle bounded by distinct-token count."""
+    from datapump_spark.operators.vocab import build_vocab
+
+    return build_vocab(_t(spark, sf_dir, "documents"), top_k=200, min_count=2)
+
+
+def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encode every document as token ids against the top-100 vocab
+    (OOV → 0): posexplode → broadcast vocab join → ordered reassembly."""
+    from datapump_spark.operators.vocab import build_vocab, encode_tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, top_k=100, min_count=2)
+    return encode_tokens(docs, vocab)
+
+
 # The driver's correctness gate records at most 50 entries per round
 # (round 1 checked exactly the first 50 of 53 keys), so QUERIES above is
 # capped at 50. Redundant variants live here and go through the SAME
@@ -910,4 +929,6 @@ EXTRA_QUERIES = {
     "q_dup_passages": q_dup_passages,
     "q_stratified_sample": q_stratified_sample,
     "q_quality_logreg": q_quality_logreg,
+    "q_vocab": q_vocab,
+    "q_token_ids": q_token_ids,
 }
