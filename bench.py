@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "q_line_dedup",
     "q_canonical_docs",
     "q_corpus_stats",
+    "q_quality_logreg",
+    "q_stratified_sample",
+    "q_vocab",
+    "q_token_ids",
 ]
 
 

@@ -914,3 +914,46 @@ SELECT d.doc_id,
        COALESCE(a.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN agg a USING (doc_id)
 """
+
+
+EXTRA_ORACLES["q_ship_priority"] = f"""
+SELECT l_orderkey,
+       {_dec_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')},
+       o_orderdate, o_orderpriority
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, o_orderdate ASC, l_orderkey ASC
+LIMIT 10
+"""
+
+EXTRA_ORACLES["q_region_volume"] = f"""
+SELECT n_name,
+       {_dec_sum('l_extendedprice * (1.0 - l_discount)', 'revenue')}
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+"""
+
+EXTRA_ORACLES["q_promo_revenue"] = """
+SELECT round(
+  100.0 * CAST(SUM(CAST(CASE WHEN p_type = 'PROMO'
+                  THEN l_extendedprice * (1.0 - l_discount)
+                  ELSE 0.0 END AS DECIMAL(18,6))) AS DOUBLE)
+        / CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                  AS DECIMAL(18,6))) AS DOUBLE), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+"""

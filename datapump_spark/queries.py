@@ -906,6 +906,74 @@ def q_token_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return encode_tokens(docs, vocab)
 
 
+def q_ship_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: segment-filtered customer ⋈ orders ⋈ lineitem,
+    revenue per order, top-10. Filters reach the scans (predicate
+    pushdown on c_mktsegment / o_orderdate / l_shipdate); the top-10 is
+    TakeOrderedAndProject — only 10 rows leave the executors."""
+    cut = "1998-06-01"
+    c = _t(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderdate") < cut)
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_shipdate") > cut)
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_orderdate"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: local-supplier volume per nation in ASIA, 1996.
+    nation/region are explicitly broadcast (25/5 rows at any SF);
+    customer–supplier co-nationality is an extra equi-key on the join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01"))
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, (li.l_suppkey == s.s_suppkey)
+              & (c.c_nationkey == s.s_nationkey))
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"))
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: PROMO share of revenue for one ship month —
+    lineitem ⋈ part with a conditional aggregate; month filter pushed to
+    the lineitem scan."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= "1997-09-01")
+        & (F.col("l_shipdate") < "1997-10-01"))
+    p = _t(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = li.join(p, li.l_partkey == p.p_partkey)
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0)
+                    .cast("decimal(18,6)"))
+            .cast("double")
+            / F.sum(rev.cast("decimal(18,6)")).cast("double"),
+            6,
+        ).alias("promo_pct"),
+    )
+
+
 # The driver's correctness gate records at most 50 entries per round
 # (round 1 checked exactly the first 50 of 53 keys), so QUERIES above is
 # capped at 50. Redundant variants live here and go through the SAME
@@ -931,4 +999,7 @@ EXTRA_QUERIES = {
     "q_quality_logreg": q_quality_logreg,
     "q_vocab": q_vocab,
     "q_token_ids": q_token_ids,
+    "q_ship_priority": q_ship_priority,
+    "q_region_volume": q_region_volume,
+    "q_promo_revenue": q_promo_revenue,
 }
