@@ -19,13 +19,10 @@ def test_quirk2_group_key_survives_freq_output(spark, sf_dir):
     """§2.13.2: the reference's post-agg group-key drop always fails and is
     swallowed — the group key stays in the output. We replicate the
     OUTCOME (key present), not the buggy drop."""
-    from pyspark.sql import functions as F
-
     from datapump_spark.operators.resample import freq_resample
+    from datapump_spark.queries import _t
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
-        "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    ev = _t(spark, sf_dir, "events")
     out = freq_resample(ev, ["user_id"], "ts", "H")
     assert "user_id" in out.columns
 
