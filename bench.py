@@ -96,23 +96,35 @@ def main() -> None:
     spark.read.option("header", True).csv(IOT_GLOB).limit(1).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
-    timings: dict[str, float] = {}
+    # Per-query fault isolation: one broken query must not erase the round's
+    # bench evidence — failures are recorded as {"err": ...} and the JSON
+    # line is always printed.
+    timings: dict[str, object] = {}
+    errors: dict[str, str] = {}
     for name in BENCH_QUERIES:
         fn = all_queries.get(name)
         if fn is None:
+            errors[name] = "unknown query"
             continue
         t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        try:
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 — harness boundary
+            errors[name] = f"{type(exc).__name__}: {exc}"[:500]
+            continue
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
         "sf": sf,
-    }))
+    }
+    if errors:
+        out["n_errors"] = len(errors)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -33,14 +33,21 @@ JSONL_GLOB = str(REPO_ROOT / "tests" / "data" / "jsonl" / "docs_part_*.jsonl")
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_utc(spark)
-    # The testdata writes events.ts as parquet TIMESTAMP(NANOS), which Spark
-    # only reads via the nanosAsLong legacy conf; convert to microseconds
-    # with integer division (double division would lose precision on int64
-    # epoch-nanos) — truncation matches DuckDB's ns→µs behavior.
+    # The testdata's physical timestamp encoding has drifted across driver
+    # regenerations (TIMESTAMP(NANOS) → int64 nanos → TIMESTAMP(MICROS)/NTZ),
+    # so normalize every temporal column to session-TZ TIMESTAMP here — one
+    # choke point instead of per-query shims. Session TZ is pinned UTC by
+    # ensure_utc, so NTZ wall-clock values map to identical epoch instants
+    # (what DuckDB does when it reads the same file as TIMESTAMP).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    for col, dtype in df.dtypes:
+        if dtype == "timestamp_ntz":
+            df = df.withColumn(col, F.col(col).cast("timestamp"))
+        elif name == "events" and col == "ts" and dtype == "bigint":
+            # int64 epoch-nanos: integer division (not double) keeps exact µs;
+            # truncation matches DuckDB's ns→µs behavior.
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"{col} div 1000")))
     return df
 
 
