@@ -69,6 +69,8 @@ BENCH_QUERIES = [
     "q_stratified_sample",
     "q_vocab",
     "q_token_ids",
+    "q_embedding_near_dup_gemm_lsh",
+    "q_pack_greedy_bins",
 ]
 
 
@@ -79,10 +81,10 @@ def main() -> None:
     except ValueError:
         sf = -1.0
 
-    from datapump_spark.queries import EXTRA_QUERIES, QUERIES
+    from datapump_spark.queries import BENCH_VARIANTS, EXTRA_QUERIES, QUERIES
     from datapump_spark.session import get_session
 
-    all_queries = {**QUERIES, **EXTRA_QUERIES}
+    all_queries = {**QUERIES, **EXTRA_QUERIES, **BENCH_VARIANTS}
 
     spark = get_session("datapump-bench")
     spark.sparkContext.setLogLevel("ERROR")
@@ -92,8 +94,11 @@ def main() -> None:
     # ~2 s to whichever query happens to run first).
     spark.range(1_000_000).selectExpr("sum(id)").write.format("noop") \
         .mode("overwrite").save()
-    from datapump_spark.queries import IOT_GLOB
-    spark.read.option("header", True).csv(IOT_GLOB).limit(1).collect()
+    from datapump_spark.queries import scaled_events_csv
+    # Materialize the sf-scaled ingestion CSV (one-time fixture build) and
+    # touch the CSV reader so classloading isn't charged to q_csv_scan.
+    spark.read.option("header", True).csv(scaled_events_csv(sf_dir)) \
+        .limit(1).collect()
     spark.read.parquet(f"{sf_dir}/region.parquet").limit(1).collect()
 
     # Per-query fault isolation: one broken query must not erase the round's

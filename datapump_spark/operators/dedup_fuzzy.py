@@ -211,7 +211,7 @@ def embedding_near_dup(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     threshold: float = 0.3, strategy: str = "gemm",
     broadcast_limit: int = 2_000_000, n_blocks: int = 8,
-    n_planes: int = 4, seed: int = 42,
+    n_planes: int = 4, seed: int = 42, dim: int | None = None,
 ) -> DataFrame:
     """All-pairs cosine near-dup. (id_a, id_b, cos).
 
@@ -236,7 +236,8 @@ def embedding_near_dup(
     if strategy == "gemm":
         return _embedding_near_dup_blocked(df, id_col, vec_col, threshold, n_blocks)
     if strategy == "gemm_lsh":
-        return _embedding_near_dup_lsh(df, id_col, vec_col, threshold, n_planes, seed)
+        return _embedding_near_dup_lsh(df, id_col, vec_col, threshold,
+                                       n_planes, seed, dim)
     if strategy == "gemm_global":
         return _embedding_near_dup_gemm(df, id_col, vec_col, threshold, broadcast_limit)
     if strategy != "fold":
@@ -397,7 +398,7 @@ def _embedding_near_dup_blocked(
 
 def _embedding_near_dup_lsh(
     df: DataFrame, id_col: str, vec_col: str, threshold: float,
-    n_planes: int, seed: int,
+    n_planes: int, seed: int, dim: int | None = None,
 ) -> DataFrame:
     """Approximate all-pairs: sign-bit LSH bucket → one GEMM per bucket.
 
@@ -405,12 +406,12 @@ def _embedding_near_dup_lsh(
     pruned to same-bucket pairs; recall vs the exact path is graded in
     tests (cosine-close vectors agree on most hyperplane signs). At 100 TB
     the bucket id is the bucketBy/partition key for the corpus table."""
-    from datapump_spark.operators.similarity import hyperplanes, lsh_bucket
+    from datapump_spark.operators.similarity import hyperplanes, lsh_bucket, vec_dim
 
-    first = df.select(vec_col).first()
-    if first is None:
+    try:
+        planes = hyperplanes(vec_dim(df, vec_col, dim), n_planes, seed)
+    except ValueError:  # empty corpus → empty pair set
         return df.sparkSession.createDataFrame([], _pair_schema())
-    planes = hyperplanes(len(first[0]), n_planes, seed)
     rows = (
         df.select(F.col(id_col).alias("id"),
                   F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("v"))

@@ -42,13 +42,17 @@ def projection_matrix(in_dim: int, out_dim: int, seed: int = 42):
 
 
 def reduce_dims(df: DataFrame, vec_col: str = "embedding",
-                out_dim: int = 16, seed: int = 42) -> DataFrame:
+                out_dim: int = 16, seed: int = 42,
+                in_dim: int | None = None) -> DataFrame:
     """All input columns preserved; ``vec_col`` replaced by its ``out_dim``-
-    dimensional projection (array<float>)."""
+    dimensional projection (array<float>). Pass ``in_dim`` when known to
+    skip the one-row dimension-discovery job."""
     import numpy as np
     import pandas as pd
 
-    in_dim = len(df.select(vec_col).first()[0])
+    from datapump_spark.operators.similarity import vec_dim
+
+    in_dim = vec_dim(df, vec_col, in_dim)
     mat = projection_matrix(in_dim, out_dim, seed)
     bc = df.sparkSession.sparkContext.broadcast(mat)
 

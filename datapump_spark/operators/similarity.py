@@ -201,15 +201,28 @@ def ivf_topk(
     return _score_and_rank(c, q, k, on=F.col("cb") == F.col("qb"))
 
 
+def vec_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Vector dimensionality: the caller-supplied value when known (free),
+    else one single-row job. Spark's ArrayType carries no length, so a
+    schema-only answer is impossible — pass ``dim`` in hot paths."""
+    if dim is not None:
+        return dim
+    first = df.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(f"cannot infer dim of empty column {vec_col!r}")
+    return len(first[0])
+
+
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, query_max_id: int = 10, n_planes: int = 4, seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: exact re-rank restricted to the query's LSH bucket.
 
     Same output shape as cosine_topk; recall < 1 by design (graded in tests
     against the exact baseline, not the oracle)."""
-    dim = len(df.select(vec_col).first()[0])
+    dim = vec_dim(df, vec_col, dim)
     planes = hyperplanes(dim, n_planes, seed)
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v"))) \

@@ -38,7 +38,39 @@ def _dec_sum(expr: str, alias: str) -> str:
 
 ORACLES: dict[str, str] = {}
 
-ORACLES["q_csv_scan"] = f"""
+# Scaled ingestion oracles: the CSV the Spark side reads is a deterministic
+# DuckDB serialization of the events view (queries.scaled_events_csv), so
+# the oracle recomputes the expected typed result straight from events —
+# seconds truncation mirrors the strftime second-precision round trip,
+# round(value, 6) mirrors the generation-time rounding (shortest-roundtrip
+# CSV floats parse back to the identical double on both engines).
+from datapump_spark.queries import SCALED_TS_SQL  # noqa: E402
+
+ORACLES["q_csv_scan"] = """
+SELECT event_id, date_trunc('second', ts) AS "DateTime",
+       user_id, event_type, round(value, 6) AS value
+FROM events
+"""
+
+ORACLES["q_multiformat_ts"] = f"""
+SELECT {SCALED_TS_SQL} AS raw_ts,
+       date_trunc('second', ts) AS parsed_ts
+FROM events
+"""
+
+ORACLES["q_type_infer"] = """
+SELECT * FROM (VALUES
+  ('event_id', 'int'),
+  ('DateTime', 'timestamp'),
+  ('user_id', 'int'),
+  ('event_type', 'text'),
+  ('value', 'float')
+) AS t(col_name, ckan_type)
+"""
+
+EXTRA_IOT_ORACLES: dict[str, str] = {}
+
+EXTRA_IOT_ORACLES["q_iot_ingest"] = f"""
 WITH clean AS ({_IOT_CLEAN})
 SELECT {_dd_ts('dt')} AS "DateTime",
        "Sensor_id",
@@ -51,12 +83,12 @@ SELECT {_dd_ts('dt')} AS "DateTime",
 FROM clean
 """
 
-ORACLES["q_multiformat_ts"] = f"""
+EXTRA_IOT_ORACLES["q_iot_multiformat_ts"] = f"""
 WITH clean AS ({_IOT_CLEAN})
 SELECT dt AS raw_ts, {_dd_ts('dt')} AS parsed_ts FROM clean
 """
 
-ORACLES["q_type_infer"] = """
+EXTRA_IOT_ORACLES["q_iot_type_infer"] = """
 SELECT * FROM (VALUES
   ('DateTime', 'timestamp'),
   ('Sensor_id', 'text'),
@@ -957,3 +989,5 @@ FROM lineitem JOIN part ON l_partkey = p_partkey
 WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
   AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
 """
+
+EXTRA_ORACLES.update(EXTRA_IOT_ORACLES)
