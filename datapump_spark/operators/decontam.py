@@ -24,6 +24,12 @@ from pyspark.sql import functions as F
 
 from datapump_spark.functions.hashing import hash63, tokens
 
+# 'auto' strategy: benchmark row count at or under this → broadcast-set
+# mapInPandas scan; above → expr gram-join. Eval sets are thousands of
+# rows; 200k rows × ~1k grams/doc of 13-word strings is the practical
+# ceiling for a driver-built Python set broadcast.
+AUTO_PANDAS_MAX_BENCH_ROWS = 200_000
+
 
 def doc_ngram_hashes(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", n: int = 13,
@@ -72,12 +78,24 @@ def decontaminate(
     lambda expressions interpreted (outside whole-stage codegen), so the
     expr plan pays ~µs per gram where a hash-set probe costs ~ns;
     measured ~8× faster at 250 k docs (PERF.md). Same results
-    (equivalence tested)."""
+    (equivalence tested).
+
+    ``strategy='auto'`` (the recipe default) picks by MEASURED benchmark
+    size — the same gate pattern as
+    :func:`~datapump_spark.operators.dedup_fuzzy.connected_components`:
+    one cheap count on the tiny side, then the broadcast-set scan when it
+    fits comfortably on the driver, else the expr join (which only ever
+    broadcasts hashed grams, never Python sets)."""
+    if strategy == "auto":
+        strategy = ("pandas"
+                    if benchmark.count() <= AUTO_PANDAS_MAX_BENCH_ROWS
+                    else "expr")
     if strategy == "pandas":
         return _decontaminate_pandas(
             corpus, benchmark, id_col, text_col, n, min_overlap)
     if strategy != "expr":
-        raise ValueError(f"strategy must be 'expr' or 'pandas': {strategy!r}")
+        raise ValueError(
+            f"strategy must be 'expr', 'pandas', or 'auto': {strategy!r}")
     cg = doc_ngram_hashes(corpus, id_col, text_col, n, hash_fn)
     bg = (doc_ngram_hashes(benchmark, id_col, text_col, n, hash_fn)
           .select("gram").distinct())

@@ -1,0 +1,165 @@
+"""Repetition signals for pre-training quality filtering (Gopher-style).
+
+Rae et al. 2021 ("Scaling Language Models: ... Gopher", table A1) filter
+documents by how internally repetitive they are: the fraction of
+duplicate lines, the fraction of characters inside duplicate lines, the
+fraction of characters covered by the single most frequent word n-gram,
+and the fraction of characters inside any duplicated word n-gram. These
+four signals catch boilerplate, scraped navigation, and degenerate
+generation that plain length/stopword heuristics
+(:mod:`datapump_spark.operators.text`) miss.
+
+Plan shape: every signal reduces to counting repeated items *within* a
+document, so all three item kinds (lines, top-grams, dup-grams) ride ONE
+tagged explode → one partial-aggregated ``groupBy(doc_id, kind, item)``
+→ one ``groupBy(doc_id)`` rollup. Both shuffles key on high-cardinality
+composites (doc_id × item), so hot documents spread across reducers and
+map-side combine collapses repeated items before the exchange — at
+100 TB this runs as two well-distributed aggregations over the exploded
+stream, never materializing per-doc state anywhere.
+
+Determinism notes (mirrored exactly by the DuckDB oracle):
+- counts-of-characters multiply overlapping grams; the dup-gram char
+  fraction is therefore capped at 1.0 (the published filters threshold
+  far below that).
+- "most frequent n-gram" ties are broken toward the LONGEST gram string;
+  the (count, char-length) pair is packed into one BIGINT
+  (``count * 10^9 + len``) so a plain ``max`` resolves the tie
+  identically in any engine.
+
+Extends the reference (no text analysis there, SURVEY §2.9) per the
+build plan's training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import tokens
+
+# (count, gram-char-length) → one orderable BIGINT; gram strings are
+# < 10^9 chars by construction (a doc would not fit an executor otherwise)
+PACK = 1_000_000_000
+
+
+def _lines(c: Column) -> Column:
+    """Non-empty trimmed lines."""
+    return F.filter(F.transform(F.split(c, "\n"), F.trim),
+                    lambda x: x != F.lit(""))
+
+
+def _word_grams(toks: Column, n: int) -> Column:
+    """Space-joined word n-grams (empty array when the doc is shorter)."""
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(F.sequence(F.lit(1), F.size(toks) - n + 1),
+                    lambda i: F.array_join(F.slice(toks, i, n), " ")),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n_top: int = 2,
+    n_dup: int = 5,
+) -> DataFrame:
+    """Per-document repetition profile.
+
+    Returns ``(id, dup_line_frac, dup_line_char_frac,
+    top_ngram_char_frac, dup_ngram_char_frac)`` — one row per input
+    document (docs with no lines / too few tokens report 0.0).
+
+    - ``dup_line_frac``: 1 − distinct lines / lines.
+    - ``dup_line_char_frac``: chars inside lines occurring ≥ 2× ÷ doc
+      chars.
+    - ``top_ngram_char_frac``: occurrences × chars of the most frequent
+      word ``n_top``-gram ÷ doc chars.
+    - ``dup_ngram_char_frac``: chars inside word ``n_dup``-grams
+      occurring ≥ 2× ÷ doc chars, capped at 1.0 (overlaps multiply).
+    """
+    c = F.col(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.greatest(F.length(c), F.lit(1)).cast("double").alias("__chars"),
+        _lines(c).alias("__lines"),
+        tokens(c).alias("__toks"),
+    )
+    tagged = base.select(
+        id_col, "__chars",
+        F.explode(
+            F.concat(
+                F.transform(
+                    "__lines",
+                    lambda x: F.struct(F.lit("line").alias("kind"),
+                                       x.alias("item"))),
+                F.transform(
+                    _word_grams(F.col("__toks"), n_top),
+                    lambda x: F.struct(F.lit("top").alias("kind"),
+                                       x.alias("item"))),
+                F.transform(
+                    _word_grams(F.col("__toks"), n_dup),
+                    lambda x: F.struct(F.lit("dup").alias("kind"),
+                                       x.alias("item"))),
+            )
+        ).alias("t"),
+    ).select(id_col, "__chars", F.col("t.kind").alias("kind"),
+             F.col("t.item").alias("item"))
+
+    counted = (
+        tagged.groupBy(id_col, "kind", "item")
+        .agg(F.first("__chars").alias("__chars"),
+             F.count("*").alias("cnt"))
+        .withColumn("ilen", F.length("item").cast("bigint"))
+    )
+
+    per_doc = counted.groupBy(id_col).agg(
+        F.first("__chars").alias("__chars"),
+        # lines: total occurrences vs distinct values
+        F.sum(F.when(F.col("kind") == "line", F.col("cnt"))
+              .otherwise(F.lit(0))).alias("n_lines"),
+        F.sum(F.when(F.col("kind") == "line", F.lit(1))
+              .otherwise(F.lit(0))).alias("n_distinct_lines"),
+        F.sum(F.when((F.col("kind") == "line") & (F.col("cnt") >= 2),
+                     F.col("cnt") * F.col("ilen"))
+              .otherwise(F.lit(0))).alias("dup_line_chars"),
+        # most frequent top-gram: (cnt, len) packed so max() breaks ties
+        F.max(F.when(F.col("kind") == "top",
+                     F.col("cnt") * PACK + F.col("ilen"))).alias("top_pack"),
+        F.sum(F.when((F.col("kind") == "dup") & (F.col("cnt") >= 2),
+                     F.col("cnt") * F.col("ilen"))
+              .otherwise(F.lit(0))).alias("dup_gram_chars"),
+    )
+
+    out = per_doc.select(
+        F.col(id_col),
+        F.round(
+            F.when(F.col("n_lines") > 0,
+                   (F.col("n_lines") - F.col("n_distinct_lines"))
+                   / F.col("n_lines").cast("double"))
+            .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
+        F.round(F.col("dup_line_chars") / F.col("__chars"), 6)
+        .alias("dup_line_char_frac"),
+        F.round(
+            F.coalesce(
+                (F.floor(F.col("top_pack") / PACK)
+                 * (F.col("top_pack") % PACK)) / F.col("__chars"),
+                F.lit(0.0)), 6).alias("top_ngram_char_frac"),
+        F.round(F.least(F.lit(1.0),
+                        F.col("dup_gram_chars") / F.col("__chars")), 6)
+        .alias("dup_ngram_char_frac"),
+    )
+
+    # docs whose text yields no lines AND no grams vanish in the explode;
+    # restore them with all-zero signals so output is one row per input
+    return (
+        df.select(id_col)
+        .join(out, id_col, "left")
+        .select(
+            F.col(id_col),
+            *[F.coalesce(F.col(n), F.lit(0.0)).alias(n)
+              for n in ("dup_line_frac", "dup_line_char_frac",
+                        "top_ngram_char_frac", "dup_ngram_char_frac")],
+        )
+    )

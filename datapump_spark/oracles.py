@@ -723,6 +723,62 @@ SELECT CAST(seq_id AS BIGINT) AS seq_id, doc_id,
 FROM x
 """
 
+# q_repetition twin — mirrors operators/repetition.py formula-for-formula
+# (same tagged union, same (cnt,len) BIGINT packing for tie-breaks, same
+# rounding order) so the value hash matches bit-for-bit.
+EXTRA_ORACLES["q_repetition"] = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(greatest(length(text), 1) AS DOUBLE) AS chars,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x != '') AS lines,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+tagged AS (
+  SELECT doc_id, chars, 'line' AS kind, UNNEST(lines) AS item FROM base
+  UNION ALL
+  SELECT doc_id, chars, 'top',
+         UNNEST(CASE WHEN len(t) >= 2 THEN
+             list_transform(generate_series(1, len(t) - 1),
+                            i -> array_to_string(list_slice(t, i, i + 1), ' '))
+           ELSE CAST([] AS VARCHAR[]) END)
+  FROM base
+  UNION ALL
+  SELECT doc_id, chars, 'dup',
+         UNNEST(CASE WHEN len(t) >= 5 THEN
+             list_transform(generate_series(1, len(t) - 4),
+                            i -> array_to_string(list_slice(t, i, i + 4), ' '))
+           ELSE CAST([] AS VARCHAR[]) END)
+  FROM base),
+counted AS (
+  SELECT doc_id, kind, item, any_value(chars) AS chars,
+         count(*) AS cnt, CAST(length(item) AS BIGINT) AS ilen
+  FROM tagged GROUP BY doc_id, kind, item),
+per_doc AS (
+  SELECT doc_id, any_value(chars) AS chars,
+    SUM(CASE WHEN kind = 'line' THEN cnt ELSE 0 END) AS n_lines,
+    SUM(CASE WHEN kind = 'line' THEN 1 ELSE 0 END) AS n_distinct_lines,
+    SUM(CASE WHEN kind = 'line' AND cnt >= 2 THEN cnt * ilen ELSE 0 END)
+        AS dup_line_chars,
+    MAX(CASE WHEN kind = 'top' THEN cnt * 1000000000 + ilen END) AS top_pack,
+    SUM(CASE WHEN kind = 'dup' AND cnt >= 2 THEN cnt * ilen ELSE 0 END)
+        AS dup_gram_chars
+  FROM counted GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(round(CASE WHEN n_lines > 0 THEN
+        (n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE)
+      ELSE 0.0 END, 6), 0.0) AS dup_line_frac,
+  COALESCE(round(dup_line_chars / chars, 6), 0.0) AS dup_line_char_frac,
+  COALESCE(round(COALESCE(
+        floor(top_pack / 1000000000) * (top_pack % 1000000000) / chars,
+        0.0), 6), 0.0) AS top_ngram_char_frac,
+  COALESCE(round(least(1.0, dup_gram_chars / chars), 6), 0.0)
+      AS dup_ngram_char_frac
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN per_doc p USING (doc_id)
+"""
+
 _DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
 EXTRA_ORACLES["q_decontam"] = f"""
 WITH tk AS (

@@ -867,6 +867,15 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench)
 
 
+def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals: duplicate-line fraction/chars,
+    most-frequent-2-gram char coverage, duplicated-5-gram char coverage
+    (operators/repetition.py)."""
+    from datapump_spark.operators.repetition import repetition_signals
+
+    return repetition_signals(_t(spark, sf_dir, "documents"))
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1108,6 +1117,7 @@ EXTRA_QUERIES = {
     "q_pii_redact": q_pii_redact,
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
+    "q_repetition": q_repetition,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,

@@ -45,7 +45,7 @@ class CorpusRecipe:
 
     min_words: int = 50
     decontam_n: int = 13
-    decontam_strategy: str = "pandas"
+    decontam_strategy: str = "auto"  # measured-size gate, decontam.py
     dedup_threshold: float = 0.5
     seq_budget: int = 1024
     weights: dict[str, float] | None = None

@@ -73,6 +73,44 @@ def test_decontam_pandas_strategy_equivalent(spark, sf_dir):
     assert any(r[2] for r in a)  # the fixture does contain contamination
 
 
+def test_decontam_auto_picks_by_measured_size(spark, sf_dir, monkeypatch):
+    """'auto' routes a small benchmark to the broadcast-set scan and a
+    benchmark over the gate to the expr join; both agree with 'expr'."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators import decontam as mod
+    from datapump_spark.queries import _t
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0).limit(50)
+
+    expr = {tuple(r)
+            for r in mod.decontaminate(corpus, bench, strategy="expr")
+            .collect()}
+    # small benchmark → pandas path (would raise inside expr-only changes)
+    auto_small = {tuple(r)
+                  for r in mod.decontaminate(corpus, bench, strategy="auto")
+                  .collect()}
+    assert auto_small == expr
+
+    # force the gate down so the same benchmark counts as "large" → expr
+    monkeypatch.setattr(mod, "AUTO_PANDAS_MAX_BENCH_ROWS", 0)
+    called = {"pandas": False}
+    orig = mod._decontaminate_pandas
+
+    def spy(*a, **k):
+        called["pandas"] = True
+        return orig(*a, **k)
+
+    monkeypatch.setattr(mod, "_decontaminate_pandas", spy)
+    auto_large = {tuple(r)
+                  for r in mod.decontaminate(corpus, bench, strategy="auto")
+                  .collect()}
+    assert auto_large == expr
+    assert not called["pandas"]  # over the gate → expr join, no collect
+
+
 def test_decontam_swapped_args_guard(spark, sf_dir):
     import pytest as _pytest
     from pyspark.sql import functions as F
