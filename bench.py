@@ -71,6 +71,10 @@ BENCH_QUERIES = [
     "q_token_ids",
     "q_embedding_near_dup_gemm_lsh",
     "q_pack_greedy_bins",
+    "q_repetition",
+    "q_lm_score",
+    "q_chunk_docs",
+    "q_semantic_dedup",
 ]
 
 

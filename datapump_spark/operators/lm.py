@@ -1,0 +1,137 @@
+"""Distributed n-gram language-model scoring for corpus filtering.
+
+CCNet (Wenzek et al. 2020) ranks crawl documents by language-model
+perplexity and keeps the low-perplexity tail; production uses a KenLM
+model, but the pipeline shape — train counts on a reference corpus, score
+every candidate document, filter on the score — is what matters here.
+This module implements that shape natively: an add-k-smoothed bigram LM
+whose "training" is two distributed count aggregations and whose scoring
+is two joins plus an average. No model file, no Python in the hot path.
+
+Plan shape / 100 TB notes:
+- training = ``groupBy(token)`` and ``groupBy(bigram)`` counts with
+  map-side partial aggregation — the classic word-count shuffle, keyed on
+  high-cardinality grams (skew-free by construction: Zipf's head is
+  collapsed map-side before the exchange).
+- scoring joins the exploded candidate bigrams against the two count
+  tables. Both sides shuffle on the gram key. When the model is
+  vocab-capped (any real deployment: top-V unigrams + OOV floor), pass
+  ``broadcast_model=True`` and both joins become broadcast hash joins —
+  the candidate corpus never shuffles at all.
+- the vocabulary size V (smoothing denominator) is a one-row aggregate
+  crossed in via broadcast, not a driver collect.
+
+Smoothing: P(w2|w1) = (c(w1,w2) + k) / (c(w1) + k·V); unseen contexts
+degrade to the uniform 1/V floor. Scores are natural-log; ``ppl`` is
+derived from the ROUNDED avg_logprob so the cross-engine oracle hash
+is stable through the exp().
+
+Extends the reference (no text analysis there, SURVEY §2.9) per the
+build plan's training-data surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import tokens
+
+
+def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, w1, w2) — one row per bigram occurrence (not distinct)."""
+    toks = tokens(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("__t"))
+    pairs = F.when(
+        F.size("__t") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__t") - 1),
+            lambda i: F.struct(
+                F.element_at("__t", i).alias("w1"),
+                F.element_at("__t", i + 1).alias("w2"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    return (d.select(id_col, F.explode(pairs).alias("p"))
+            .select(id_col, F.col("p.w1").alias("w1"),
+                    F.col("p.w2").alias("w2")))
+
+
+def train_bigram_lm(
+    corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> tuple[DataFrame, DataFrame]:
+    """Count tables of an add-k bigram LM: (unigrams, bigrams).
+
+    ``unigrams`` = (w1, c1) — context counts, i.e. occurrences as the
+    LEFT member of a bigram, so the conditional distributions normalize;
+    ``bigrams`` = (w1, w2, c2). Both are plain count aggregations the
+    caller may persist / write out as the model."""
+    bg = _doc_bigrams(corpus, id_col, text_col)
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    unigrams = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    return unigrams, bigrams
+
+
+def lm_score(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: float = 1.0,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Average bigram log-probability (and perplexity) per document.
+
+    Returns ``(id, n_bigrams, avg_logprob, ppl)`` — one row per input
+    document; docs with < 2 tokens report ``n_bigrams = 0`` and NULL
+    scores. ``broadcast_model=True`` hints both count tables broadcast
+    (correct once the model is vocab-capped; see module docstring)."""
+    if broadcast_model:
+        unigrams, bigrams = F.broadcast(unigrams), F.broadcast(bigrams)
+    # V = full vocabulary (distinct words on EITHER side of a bigram) so
+    # each smoothed conditional sums to exactly 1 over the vocab —
+    # contexts alone would leak mass to words only ever seen
+    # sentence-final (normalization pinned in tests). One row, broadcast.
+    vocab = (
+        bigrams.select(F.col("w1").alias("w"))
+        .union(bigrams.select(F.col("w2").alias("w")))
+        .distinct()
+        .agg(F.count("*").cast("double").alias("__v"))
+    )
+    scored = (
+        _doc_bigrams(docs, id_col, text_col)
+        .join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            id_col,
+            F.log(
+                (F.coalesce("c2", F.lit(0)) + F.lit(k))
+                / (F.coalesce("c1", F.lit(0)) + F.lit(k) * F.col("__v"))
+            ).alias("__lp"),
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("__lp"), 6).alias("avg_logprob"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
+        )
+    )
+
+
+def train_and_score(
+    corpus: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text", k: float = 1.0,
+) -> DataFrame:
+    """Convenience: fit counts on ``corpus``, score ``docs``."""
+    uni, bi = train_bigram_lm(corpus, id_col, text_col)
+    return lm_score(docs, uni, bi, id_col, text_col, k)

@@ -779,6 +779,74 @@ FROM (SELECT doc_id FROM documents) d
 LEFT JOIN per_doc p USING (doc_id)
 """
 
+# q_lm_score twin — same add-1 bigram model, same slice split, same
+# round-then-exp order as operators/lm.py
+EXTRA_ORACLES["q_lm_score"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, t,
+         UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM tk),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bg),
+train AS (SELECT w1, w2 FROM pairs WHERE doc_id % 5 != 0),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY w1, w2),
+unigrams AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+v AS (SELECT CAST(count(*) AS DOUBLE) AS v FROM
+        (SELECT w1 FROM bigrams UNION SELECT w2 FROM bigrams)),
+scored AS (
+  SELECT c.doc_id, count(*) AS n_bigrams,
+         round(avg(ln((COALESCE(b.c2, 0) + 1.0)
+                      / (COALESCE(u.c1, 0) + 1.0 * v.v))), 6) AS avg_logprob
+  FROM pairs c
+  LEFT JOIN bigrams b ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN unigrams u ON c.w1 = u.w1
+  CROSS JOIN v
+  WHERE c.doc_id % 5 = 0
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_logprob,
+       round(exp(-s.avg_logprob), 3) AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
+# q_chunk_docs twin — same start grid (stride 48 = 64 − 16), same
+# 1-based slice semantics as operators/chunking.py
+EXTRA_ORACLES["q_chunk_docs"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+g AS (
+  SELECT doc_id, t, len(t) AS n,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE 1 + greatest(0,
+                   CAST(floor((len(t) - 64 + 47) / 48.0) AS INT))
+         END AS n_chunks
+  FROM tk),
+e AS (
+  SELECT doc_id, t,
+         UNNEST(CASE WHEN n_chunks > 0
+                THEN generate_series(0, n_chunks - 1)
+                ELSE CAST([] AS BIGINT[]) END) AS chunk_id
+  FROM g)
+SELECT doc_id,
+       CAST(chunk_id AS BIGINT) AS chunk_id,
+       CAST(chunk_id * 48 + 1 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64))
+            AS BIGINT) AS n_tokens,
+       array_to_string(list_slice(t, chunk_id * 48 + 1, chunk_id * 48 + 64),
+                       ' ') AS chunk_text
+FROM e
+"""
+
 _DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
 EXTRA_ORACLES["q_decontam"] = f"""
 WITH tk AS (

@@ -876,6 +876,24 @@ def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_signals(_t(spark, sf_dir, "documents"))
 
 
+def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM filtering: add-1 bigram model trained on the
+    doc_id % 5 != 0 slice scores the held-out slice (operators/lm.py)."""
+    from datapump_spark.operators.lm import train_and_score
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    return train_and_score(corpus, docs.where(F.col("doc_id") % 5 == 0))
+
+
+def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: 64-token windows, 16-token overlap
+    (operators/chunking.py)."""
+    from datapump_spark.operators.chunking import chunk_documents
+
+    return chunk_documents(_t(spark, sf_dir, "documents"))
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1118,6 +1136,8 @@ EXTRA_QUERIES = {
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
     "q_repetition": q_repetition,
+    "q_lm_score": q_lm_score,
+    "q_chunk_docs": q_chunk_docs,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
@@ -1150,6 +1170,18 @@ def q_embedding_near_dup_gemm_lsh(spark: SparkSession, sf_dir: str) -> DataFrame
         strategy="gemm_lsh", dim=_emb_dim(sf_dir))
 
 
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style pruning: k-means clusters + within-cluster
+    union-find over cos ≥ t (operators/semantic_dedup.py). k-means +
+    per-cluster kernels have no SQL twin; correctness is pinned in
+    tests/test_semantic_dedup.py (n_clusters=1 ≡ exact global grouping,
+    keep-policy invariants) — benched so the scale path carries timings."""
+    from datapump_spark.operators.semantic_dedup import semantic_dedup
+
+    return semantic_dedup(
+        _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.5)
+
+
 def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path variant of q_pack_chunks: boundary-respecting FFD
     bin packing (no document split across sequences). The greedy loop is
@@ -1167,4 +1199,5 @@ def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCH_VARIANTS = {
     "q_embedding_near_dup_gemm_lsh": q_embedding_near_dup_gemm_lsh,
     "q_pack_greedy_bins": q_pack_greedy_bins,
+    "q_semantic_dedup": q_semantic_dedup,
 }

@@ -1,0 +1,57 @@
+"""Semantics of operators/lm.py (bigram LM scoring). The sf-scaled
+oracle equivalence runs in test_extra_oracles.py::q_lm_score."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapump_spark.operators.lm import lm_score, train_and_score, train_bigram_lm
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(i, "the cat sat on the mat and the cat slept") for i in range(10)],
+        "doc_id long, text string",
+    )
+
+
+def test_in_domain_beats_gibberish(spark, corpus):
+    cand = spark.createDataFrame(
+        [(100, "the cat sat on the mat"),
+         (101, "zyx qwv plk mnb vcx zas"),
+         (102, "hi")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in train_and_score(corpus, cand).collect()}
+    assert rows[100]["avg_logprob"] > rows[101]["avg_logprob"]
+    assert rows[100]["ppl"] < rows[101]["ppl"]
+    # < 2 tokens: present, unscored
+    assert rows[102]["n_bigrams"] == 0
+    assert rows[102]["avg_logprob"] is None and rows[102]["ppl"] is None
+
+
+def test_probabilities_normalize(spark, corpus):
+    """Sum over the model's P(w2 | w1) for every seen context == 1: the
+    smoothed conditionals must be proper distributions over the FULL
+    vocab (w1 ∪ w2), not just the context words."""
+    uni, bi = train_bigram_lm(corpus)
+    c1 = {r["w1"]: r["c1"] for r in uni.collect()}
+    seen = {(r["w1"], r["w2"]): r["c2"] for r in bi.collect()}
+    vocab = {w for pair in seen for w in pair}
+    V = len(vocab)
+    for ctx in c1:
+        total = sum((seen.get((ctx, w), 0) + 1.0) / (c1[ctx] + V)
+                    for w in vocab)
+        assert total == pytest.approx(1.0, rel=1e-12)
+
+
+def test_broadcast_model_same_result_and_plan(spark, corpus):
+    cand = spark.createDataFrame(
+        [(7, "the cat sat"), (8, "mat and the")], "doc_id long, text string")
+    uni, bi = train_bigram_lm(corpus)
+    a = sorted(map(tuple, lm_score(cand, uni, bi).collect()))
+    scored_b = lm_score(cand, uni, bi, broadcast_model=True)
+    b = sorted(map(tuple, scored_b.collect()))
+    assert a == b
+    assert "BroadcastHashJoin" in scored_b._jdf.queryExecution().executedPlan().toString()
