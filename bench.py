@@ -75,6 +75,8 @@ BENCH_QUERIES = [
     "q_lm_score",
     "q_chunk_docs",
     "q_semantic_dedup",
+    "q_bpe_encode",
+    "q_approx_profile",
 ]
 
 

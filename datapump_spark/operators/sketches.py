@@ -1,0 +1,78 @@
+"""Sketch-based approximate profiling — the 100 TB answer to "describe".
+
+The exact profiling operators (:mod:`.describe`, :mod:`.mode`) are the
+reference-parity surface; at 100 TB an exact ``count_distinct`` or exact
+``percentile`` over every column is a full shuffle of every distinct
+value per column. The sketch versions are one-pass, partially
+aggregable, fixed-memory alternatives Spark ships natively:
+
+- ``approx_count_distinct`` — HyperLogLog++ (Heule et al. 2013): each
+  executor keeps a 2^p-register sketch, partial states merge
+  associatively, error ≈ 1.04/√2^p, independent of cardinality.
+- ``approx_percentile`` — a positional quantile sketch (GK-style) with a
+  caller-set ``accuracy``: rank error ≤ 1/accuracy, merged map-side like
+  any aggregate.
+
+Both run in the SAME single aggregation pass as plain count/avg/min/max,
+so a full-table profile costs one scan + one tiny exchange of sketch
+state (kilobytes per group), never a per-column distinct shuffle.
+
+Approximate answers cannot hash-match a DuckDB oracle (different sketch
+implementations); the error BOUNDS are graded in tests against the
+exact operators at test scale instead — the same rows-only contract as
+the ANN paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def approx_profile(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    rsd: float = 0.05,
+    accuracy: int = 10_000,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """One row per group: row count, HLL distinct + sketch percentiles
+    per numeric column. ``rsd`` = target relative std-dev of the HLL
+    estimate; ``accuracy`` = 1/max-rank-error of the percentile sketch."""
+    if num_cols is None:
+        num_cols = [f.name for f in df.schema.fields
+                    if f.dataType.typeName() in
+                    ("long", "integer", "double", "float", "short")]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in num_cols:
+        aggs.append(F.approx_count_distinct(c, rsd).alias(f"ndv_{c}"))
+        for p in percentiles:
+            aggs.append(
+                F.percentile_approx(c, F.lit(p), F.lit(accuracy))
+                .cast("double").alias(f"p{int(p * 100)}_{c}"))
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(*aggs)
+
+
+def exact_profile(
+    df: DataFrame,
+    group_cols: list[str] | None = None,
+    num_cols: list[str] | None = None,
+    percentiles: tuple[float, ...] = (0.5, 0.95),
+) -> DataFrame:
+    """Exact twin of :func:`approx_profile` (same shape, exact
+    aggregates) — the test baseline, and the small-data path."""
+    if num_cols is None:
+        num_cols = [f.name for f in df.schema.fields
+                    if f.dataType.typeName() in
+                    ("long", "integer", "double", "float", "short")]
+    aggs = [F.count("*").cast("bigint").alias("n_rows")]
+    for c in num_cols:
+        aggs.append(F.count_distinct(c).alias(f"ndv_{c}"))
+        for p in percentiles:
+            aggs.append(
+                F.expr(f"percentile({c}, {p})")
+                .cast("double").alias(f"p{int(p * 100)}_{c}"))
+    g = df.groupBy(*group_cols) if group_cols else df.groupBy()
+    return g.agg(*aggs)

@@ -1182,6 +1182,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "embeddings"), n_clusters=16, threshold=0.5)
 
 
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer: distributed word count → driver merge loop on
+    counts → broadcast-dict encode scan (operators/bpe.py). Iterative
+    merges have no SQL twin; pinned in tests/test_bpe.py against an
+    independent reference trainer — benched so train+encode carry
+    timings."""
+    from datapump_spark.operators.bpe import bpe_encode, train_bpe
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_encode(docs, train_bpe(docs, n_merges=200))
+
+
+def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch profiling: HLL++ distinct + quantile-sketch percentiles per
+    return flag in ONE aggregation pass (operators/sketches.py). Sketch
+    estimates can't hash-match DuckDB; error bounds vs the exact twin are
+    graded in tests/test_sketches.py — benched as the 100 TB profiling
+    path."""
+    from datapump_spark.operators.sketches import approx_profile
+
+    return approx_profile(
+        _t(spark, sf_dir, "lineitem"), ["l_returnflag"],
+        ["l_orderkey", "l_extendedprice", "l_quantity"])
+
+
 def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path variant of q_pack_chunks: boundary-respecting FFD
     bin packing (no document split across sequences). The greedy loop is
@@ -1200,4 +1225,6 @@ BENCH_VARIANTS = {
     "q_embedding_near_dup_gemm_lsh": q_embedding_near_dup_gemm_lsh,
     "q_pack_greedy_bins": q_pack_greedy_bins,
     "q_semantic_dedup": q_semantic_dedup,
+    "q_bpe_encode": q_bpe_encode,
+    "q_approx_profile": q_approx_profile,
 }

@@ -133,6 +133,45 @@ def running_user_stats(df: DataFrame) -> DataFrame:
     )
 
 
+def interval_join(
+    left: DataFrame, right: DataFrame, key: str,
+    left_ts: str = "l_ts", right_ts: str = "r_ts",
+    lower: str = "0 seconds", upper: str = "15 minutes",
+    watermark: str = "30 minutes", how: str = "inner",
+) -> DataFrame:
+    """Stream–stream interval join: pair left rows with right rows of the
+    same ``key`` whose timestamp lands in ``[left_ts − lower,
+    left_ts + upper]`` (the click-joins-impression shape; absent from the
+    reference — SURVEY §2.10 lists stream-stream joins as a gap).
+
+    Both sides MUST carry a watermark on a stream — that plus the time
+    bound is what lets Spark evict join state: a buffered row can be
+    dropped once the other side's watermark passes its interval, so state
+    is O(rows in flight within the interval), not O(stream history). The
+    join itself shuffles both sides on ``key`` — at 100 TB the key is the
+    partition key end-to-end and the interval is the state/latency knob.
+    Outer variants emit the unmatched row when the watermark closes its
+    interval (never speculatively).
+
+    On batch inputs the same plan degrades to an ordinary range-predicate
+    join — the stream/batch twin contract of this module (equivalence on
+    closed intervals pinned in tests). ``left_ts``/``right_ts`` (and the
+    non-key payload columns) must be distinctly named — both survive into
+    the output."""
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    rk = "__rk"
+    right = right.withColumnRenamed(key, rk)
+    cond = (
+        (left[key] == right[rk])
+        & (right[right_ts] >= left[left_ts] - F.expr(f"interval {lower}"))
+        & (right[right_ts] <= left[left_ts] + F.expr(f"interval {upper}"))
+    )
+    return left.join(right, cond, how).drop(rk)
+
+
 def dedupe_within_watermark(
     df: DataFrame, keys: list[str], ts_col: str,
     watermark: str = "30 minutes",

@@ -128,6 +128,89 @@ def test_running_user_stats_stateful(spark, hour_dir, tmp_path):
     assert final[2] == (2, 12.0, 7.0)
 
 
+def _write_join_files(d: Path, name: str, ts_field: str, rows_by_batch):
+    for h, rr in rows_by_batch.items():
+        p = d / f"{name}-{h}.json"
+        with open(p, "w") as f:
+            for u, ts, v in rr:
+                f.write(json.dumps(
+                    {"user_id": u, ts_field: ts, "value": v}) + "\n")
+        os.utime(p, (1_000_000_000 + h * 1000, 1_000_000_000 + h * 1000))
+
+
+def test_interval_join_stream_stream(spark, tmp_path):
+    """Impressions ⋈ clicks within [imp_ts, imp_ts + 10 min], same user:
+    stream-stream result == batch range join on the same files."""
+    from datapump_spark.streaming.windows import interval_join
+
+    imp_d, clk_d = tmp_path / "imp", tmp_path / "clk"
+    imp_d.mkdir(), clk_d.mkdir()
+    _write_join_files(imp_d, "imp", "imp_ts", {
+        0: [(1, "2024-01-01 00:00:00", 1.0), (2, "2024-01-01 00:01:00", 2.0)],
+        1: [(1, "2024-01-01 01:00:00", 3.0)],
+        2: [(9, "2024-01-01 03:00:00", 0.0)],   # watermark pusher
+    })
+    _write_join_files(clk_d, "clk", "clk_ts", {
+        0: [(1, "2024-01-01 00:05:00", 10.0)],   # joins imp@00:00
+        1: [(1, "2024-01-01 00:20:00", 20.0),    # outside 10 min — no join
+            (2, "2024-01-01 00:02:00", 30.0)],   # joins imp@00:01
+        2: [(9, "2024-01-01 03:00:00", 0.0)],
+    })
+
+    def schema(ts_field):
+        return T.StructType([
+            T.StructField("user_id", T.LongType()),
+            T.StructField(ts_field, T.TimestampType()),
+            T.StructField("value", T.DoubleType()),
+        ])
+
+    def src(d, ts_field):
+        return (spark.readStream.schema(schema(ts_field))
+                .option("maxFilesPerTrigger", 1).json(str(d)))
+
+    imp = src(imp_d, "imp_ts").withColumnRenamed("value", "imp_v")
+    clk = src(clk_d, "clk_ts").withColumnRenamed("value", "clk_v")
+    out = interval_join(imp, clk, "user_id", "imp_ts", "clk_ts",
+                        lower="0 seconds", upper="10 minutes",
+                        watermark="30 minutes")
+    _run_to_memory(out, "ij_t", "append", tmp_path / "cp5")
+    got = {(r["user_id"], r["imp_ts"].strftime("%H:%M"),
+            r["clk_ts"].strftime("%H:%M")) for r in spark.table("ij_t").collect()}
+    want = {(1, "00:00", "00:05"), (2, "00:01", "00:02"),
+            (9, "03:00", "03:00")}
+    assert got == want
+
+    # batch twin on the same files: identical pairs
+    bi = (spark.read.schema(schema("imp_ts")).json(str(imp_d))
+          .withColumnRenamed("value", "imp_v"))
+    bc = (spark.read.schema(schema("clk_ts")).json(str(clk_d))
+          .withColumnRenamed("value", "clk_v"))
+    b = interval_join(bi, bc, "user_id", "imp_ts", "clk_ts",
+                      lower="0 seconds", upper="10 minutes")
+    bgot = {(r["user_id"], r["imp_ts"].strftime("%H:%M"),
+             r["clk_ts"].strftime("%H:%M")) for r in b.collect()}
+    assert bgot == want
+
+
+def test_interval_join_left_outer_batch(spark):
+    """Outer variant: unmatched left rows survive with null right side."""
+    from datapump_spark.streaming.windows import interval_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", 1.0), (5, "2024-01-01 00:00:00", 5.0)],
+        "user_id long, l_ts string, lv double",
+    ).withColumn("l_ts", F.to_timestamp("l_ts"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 00:03:00", 7.0)],
+        "user_id long, r_ts string, rv double",
+    ).withColumn("r_ts", F.to_timestamp("r_ts"))
+    rows = {r["user_id"]: r for r in interval_join(
+        left, right, "user_id", "l_ts", "r_ts",
+        upper="5 minutes", how="left_outer").collect()}
+    assert rows[1]["rv"] == 7.0
+    assert rows[5]["rv"] is None and rows[5]["r_ts"] is None
+
+
 def test_dedupe_within_watermark(spark, tmp_path):
     from datapump_spark.streaming.windows import dedupe_within_watermark
 
