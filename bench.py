@@ -77,6 +77,7 @@ BENCH_QUERIES = [
     "q_semantic_dedup",
     "q_bpe_encode",
     "q_approx_profile",
+    "q_tfidf",
 ]
 
 

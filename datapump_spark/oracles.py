@@ -847,6 +847,33 @@ SELECT doc_id,
 FROM e
 """
 
+# q_tfidf twin — sklearn-style smoothed idf, rank on the ROUNDED score
+# with term ASC tie-break, exactly as operators/tfidf.py
+EXTRA_ORACLES["q_tfidf"] = """
+WITH terms AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS term
+  FROM documents),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms GROUP BY doc_id, term),
+docfreq AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM terms GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf, d.df,
+         round(tf.tf * (ln((1.0 + n.n) / (1.0 + d.df)) + 1.0), 6) AS tfidf
+  FROM tf JOIN docfreq d USING (term) CROSS JOIN n),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS INT) AS rank
+  FROM scored)
+SELECT doc_id, term, tf, df, tfidf, rank
+FROM ranked WHERE rank <= 5
+"""
+
 _DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
 EXTRA_ORACLES["q_decontam"] = f"""
 WITH tk AS (

@@ -894,6 +894,13 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_t(spark, sf_dir, "documents"))
 
 
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 TF-IDF keywords per document (operators/tfidf.py)."""
+    from datapump_spark.operators.tfidf import tfidf_topk
+
+    return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1138,6 +1145,7 @@ EXTRA_QUERIES = {
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,
     "q_chunk_docs": q_chunk_docs,
+    "q_tfidf": q_tfidf,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,

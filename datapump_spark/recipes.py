@@ -1,7 +1,8 @@
 """End-to-end pre-training corpus recipe: the operators composed the way
 a production pipeline chains them.
 
-    raw docs ─ quality filter ─ decontam ─ PII redact ─ exact dedup
+    raw docs ─ quality filter ─ (repetition gate) ─ (LM-perplexity gate)
+             ─ decontam ─ PII redact ─ exact dedup
              ─ near-dup clusters → canonical docs ─ (weighted mix)
              ─ sequence packing ─ (training shards)
 
@@ -52,6 +53,13 @@ class CorpusRecipe:
     source_col: str = "source"
     hash_fn: str = "md5"
     gopher_kwargs: dict = field(default_factory=dict)
+    # optional repetition gate (operators/repetition.py); None = off
+    max_dup_line_frac: float | None = None
+    max_top_ngram_char_frac: float | None = None
+    # optional LM-perplexity gate (operators/lm.py, CCNet shape): keep
+    # docs with ppl ≤ ppl_max under a bigram LM fitted on lm_reference
+    # (or, when None, on the quality-surviving corpus itself); None = off
+    ppl_max: float | None = None
 
 
 def pretrain_corpus(
@@ -60,13 +68,14 @@ def pretrain_corpus(
     recipe: CorpusRecipe | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    lm_reference: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Run the full cleaning chain. Returns named streams:
 
     - ``clean``     — surviving docs (redacted text), one row per doc
     - ``rejected``  — every dropped doc with ``reject_reason``
-                      (``quality`` | ``contaminated`` | ``exact_dup`` |
-                      ``near_dup``)
+                      (``quality`` | ``repetitive`` | ``perplexity`` |
+                      ``contaminated`` | ``exact_dup`` | ``near_dup``)
     - ``sequences`` — packed (seq_id, doc_id, n_tok_in_seq) rows over
                       the clean stream
 
@@ -81,6 +90,35 @@ def pretrain_corpus(
     rej_quality = (q.where(~F.col("keep")).select(id_col)
                    .withColumn("reject_reason", F.lit("quality")))
     cur = docs.join(keep_ids, id_col, "semi")  # AQE sizes the join at runtime
+
+    # 1b. repetition gate (optional, Gopher-style)
+    rej_rep = None
+    if (r.max_dup_line_frac is not None
+            or r.max_top_ngram_char_frac is not None):
+        from datapump_spark.operators.repetition import repetition_signals
+
+        sig = repetition_signals(cur, id_col, text_col)
+        bad_rep = F.lit(False)
+        if r.max_dup_line_frac is not None:
+            bad_rep = bad_rep | (
+                F.col("dup_line_frac") > r.max_dup_line_frac)
+        if r.max_top_ngram_char_frac is not None:
+            bad_rep = bad_rep | (
+                F.col("top_ngram_char_frac") > r.max_top_ngram_char_frac)
+        bad = sig.where(bad_rep).select(id_col)
+        rej_rep = bad.withColumn("reject_reason", F.lit("repetitive"))
+        cur = cur.join(bad, id_col, "anti")
+
+    # 1c. LM-perplexity gate (optional, CCNet-style)
+    rej_ppl = None
+    if r.ppl_max is not None:
+        from datapump_spark.operators.lm import train_and_score
+
+        ref = lm_reference if lm_reference is not None else cur
+        scores = train_and_score(ref, cur, id_col, text_col)
+        bad = scores.where(F.col("ppl") > r.ppl_max).select(id_col)
+        rej_ppl = bad.withColumn("reject_reason", F.lit("perplexity"))
+        cur = cur.join(bad, id_col, "anti")
 
     # 2. benchmark decontamination (optional)
     if benchmark is not None:
@@ -119,8 +157,9 @@ def pretrain_corpus(
         clean = weighted_mix(clean, r.source_col, r.weights, id_col)
 
     rejected = rej_quality.unionByName(rej_exact).unionByName(rej_near)
-    if rej_contam is not None:
-        rejected = rejected.unionByName(rej_contam)
+    for extra in (rej_contam, rej_rep, rej_ppl):
+        if extra is not None:
+            rejected = rejected.unionByName(extra)
 
     sequences = pack_concat_chunks(clean, r.seq_budget, id_col, text_col)
     return {"clean": clean, "rejected": rejected, "sequences": sequences}

@@ -157,14 +157,78 @@ def main() -> None:
         decontaminate(big_docs, bench_slice, strategy="pandas") \
             .write.format("noop").mode("overwrite").save()
         runs["decontam"] = round(time.perf_counter() - t0, 2)
+
+        # round-3 text operators on the same replicated corpus: replica
+        # suffixes keep each op's per-doc structure identical, so the
+        # honest expectation is linear growth
+        from datapump_spark.operators.bpe import bpe_encode, train_bpe
+        from datapump_spark.operators.chunking import chunk_documents
+        from datapump_spark.operators.lm import train_and_score
+        from datapump_spark.operators.repetition import repetition_signals
+
+        t0 = time.perf_counter()
+        repetition_signals(big_docs) \
+            .write.format("noop").mode("overwrite").save()
+        runs["repetition"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        train_and_score(big_docs, big_docs) \
+            .write.format("noop").mode("overwrite").save()
+        runs["lm_train_score"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        chunk_documents(big_docs) \
+            .write.format("noop").mode("overwrite").save()
+        runs["chunking"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        bpe_encode(big_docs, train_bpe(big_docs, n_merges=200)) \
+            .write.format("noop").mode("overwrite").save()
+        runs["bpe_train_encode"] = round(time.perf_counter() - t0, 2)
+
         dedup_out[f"x{mult}"] = runs
         big_docs.unpersist()
+
+    # --- embedding tier: semantic dedup on replicated vectors; replicas
+    # are rotated per-dimension so cross-replica pairs stay far apart —
+    # cluster sizes (and the within-cluster pair work) grow linearly
+    from datapump_spark.operators.semantic_dedup import semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big_emb = (
+            emb.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: (x + F.cos((F.col("__rep") + 1) * (i + 1))
+                                  ).cast("float"),
+                ),
+            )
+            .drop("__rep")
+            .repartition(64)
+            .persist()
+        )
+        big_emb.count()
+        n_cl = max(16, (2000 * mult) // 500)   # keep ~500 vectors/cluster
+        t0 = time.perf_counter()
+        semantic_dedup(big_emb, n_clusters=n_cl, threshold=0.9) \
+            .write.format("noop").mode("overwrite").save()
+        emb_out[f"x{mult}"] = {
+            "semantic_dedup": round(time.perf_counter() - t0, 2),
+            "n_clusters": n_cl,
+        }
+        big_emb.unpersist()
 
     print(json.dumps({
         "rows_base": base.count(),
         "curve": out,
         "docs_base": docs.count(),
         "dedup_curve": dedup_out,
+        "emb_curve": emb_out,
     }))
 
 

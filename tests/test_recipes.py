@@ -53,6 +53,40 @@ def test_sequences_reference_only_clean_docs(streams):
     assert seq_docs <= clean_ids
 
 
+def test_repetition_and_ppl_gates(spark):
+    """Optional gates: a degenerate-repetition doc routes to
+    'repetitive', an out-of-domain doc to 'perplexity', and the
+    partition invariant (clean ⊎ rejected = input) still holds."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps while the fox runs far away happily today")
+    rows = [(i, f"{base} variant w{i}a w{i}b w{i}c", "src0")
+            for i in range(1, 20)]
+    rows.append((50, ("spam ham " * 40).strip(), "src0"))        # repetitive
+    rows.append((51, "zyxwv qwvut plkmn mnbvc vcxza zasdf "
+                 + " ".join(f"gibber{j} wobble{j}" for j in range(8)),
+                 "src0"))                                         # OOD
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    ref = docs.where(F.col("doc_id") < 20)
+    out = pretrain_corpus(
+        docs, None,
+        # neutralize gopher's own repetition/stopword rules so the docs
+        # reach the dedicated gates under test
+        # ppl_max sits between in-domain ppl (~7) and the uniform-floor
+        # ppl of an all-unseen doc (= V = 75 with this tiny reference)
+        CorpusRecipe(min_words=5, max_top_ngram_char_frac=0.5, ppl_max=20.0,
+                     gopher_kwargs=dict(max_dup_word_frac=1.0,
+                                        max_dup_2gram_frac=1.0,
+                                        min_stop_hits=0)),
+        lm_reference=ref)
+    rej = {r.doc_id: r.reject_reason for r in out["rejected"].collect()}
+    assert rej.get(50) == "repetitive"
+    assert rej.get(51) == "perplexity"
+    clean_ids = {r.doc_id for r in out["clean"].select("doc_id").collect()}
+    assert clean_ids.isdisjoint(rej)
+    assert clean_ids | set(rej) == {r[0] for r in rows}
+
+
 def test_pii_redacted_in_clean(spark):
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog contact "
