@@ -78,6 +78,11 @@ BENCH_QUERIES = [
     "q_bpe_encode",
     "q_approx_profile",
     "q_tfidf",
+    "q_ewma",
+    "q_interpolate",
+    "q_trend",
+    "q_inverted_index",
+    "q_bm25_topk",
 ]
 
 

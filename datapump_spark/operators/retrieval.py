@@ -1,0 +1,119 @@
+"""Sparse-retrieval operators: inverted index construction and BM25
+ranking — the lexical complement of the dense-embedding similarity
+operators (:mod:`.similarity`).
+
+A training-data platform needs lexical search for corpus forensics
+("which documents mention X?"), quality auditing, and hybrid retrieval;
+BM25 (Robertson & Spärck Jones probabilistic relevance, the Okapi
+formulation every search engine defaults to) is the standard scorer.
+
+Plan shapes:
+- :func:`inverted_index` — one explode → one ``groupBy(term)`` with
+  map-side combine; posting lists materialize as sorted arrays, the
+  parquet-friendly layout (a term row = one posting block; write it
+  ``bucketBy(term)`` and lookups become partition-pruned scans).
+- :func:`bm25_topk` — query terms are a literal array (tiny), so the
+  candidate fetch is a semi-join-shaped filter on the per-(doc, term)
+  frequency table, the per-doc score one aggregation, top-k a
+  ``TakeOrderedAndProject``. Nothing driver-side, no cross product; at
+  100 TB the (doc, term) table is the same artifact the index writes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import tokens
+
+
+def doc_term_freqs(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text") -> DataFrame:
+    """(id, term, tf, dl) — term frequency + document length (in
+    tokens), the base table both the index and BM25 read."""
+    t = df.select(F.col(id_col),
+                  F.explode(tokens(F.col(text_col))).alias("term"))
+    dl = t.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
+    tf = t.groupBy(id_col, "term").agg(
+        F.count("*").cast("bigint").alias("tf"))
+    return tf.join(dl, id_col)
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text",
+                   min_df: int = 1) -> DataFrame:
+    """(term, df, postings) — sorted doc-id posting list per term,
+    dropping terms in fewer than ``min_df`` documents."""
+    terms = df.select(F.col(id_col),
+                      F.explode(tokens(F.col(text_col))).alias("term"))
+    return (
+        terms.distinct()
+        .groupBy("term")
+        .agg(F.count("*").cast("bigint").alias("df"),
+             F.sort_array(F.collect_list(id_col)).alias("postings"))
+        .where(F.col("df") >= min_df)
+    )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-``k`` documents for ``query`` by Okapi BM25:
+    (id, n_hit_terms, score, rank).
+
+    ``idf = ln(1 + (N − df + 0.5)/(df + 0.5))`` (the non-negative Lucene
+    variant); ties rank by id ASC on the 6-dp-rounded score."""
+    spark = df.sparkSession
+    q_terms = sorted({t for t in
+                      __import__("re").split(r"[^a-z0-9]+", query.lower())
+                      if t})
+    if not q_terms:
+        raise ValueError("query has no tokens")
+    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
+
+    base = doc_term_freqs(df, id_col, text_col)
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    avgdl = base.select(id_col, "dl").distinct().agg(
+        F.avg("dl").alias("__avgdl"))
+    docfreq = (base.where(F.col("tf") > 0).groupBy("term")
+               .agg(F.count("*").cast("bigint").alias("df")))
+
+    hits = (
+        base.join(F.broadcast(qdf), "term")
+        .join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .crossJoin(F.broadcast(avgdl))
+    )
+    idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + F.lit(0.5))
+                / (F.col("df") + F.lit(0.5)))
+    tf_term = (F.col("tf") * (k1 + 1)) / (
+        F.col("tf") + F.lit(k1) * (F.lit(1.0 - b)
+                                   + F.lit(b) * F.col("dl") / F.col("__avgdl")))
+    # fold the per-term scores in TERM-SORTED order: a plain float sum()
+    # is association-order-dependent, which would make the score
+    # nondeterministic across shuffles (and unmatchable by the oracle)
+    scored = (
+        hits.select(id_col, "term", (idf * tf_term).alias("__ts"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("bigint").alias("n_hit_terms"),
+             F.sort_array(F.collect_list(F.struct("term", "__ts")))
+             .alias("__arr"))
+        .select(
+            F.col(id_col), "n_hit_terms",
+            F.round(F.aggregate(
+                F.transform("__arr", lambda s: s["__ts"]),
+                F.lit(0.0), lambda acc, x: acc + x), 6).alias("score"),
+        )
+    )
+    # TakeOrderedAndProject (executor heaps, only k rows move), then the
+    # rank window runs over k rows only
+    from pyspark.sql import Window
+    top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
+    w = Window.orderBy(F.desc("score"), F.asc(id_col))
+    return top.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -874,6 +874,130 @@ SELECT doc_id, term, tf, df, tfidf, rank
 FROM ranked WHERE rank <= 5
 """
 
+# q_ewma twin — α = 0.5 ⇒ weights are exact powers of two; same 1-based
+# index lambda, same sequential list fold as operators/timeseries.ewma
+EXTRA_ORACLES["q_ewma"] = """
+WITH w AS (
+  SELECT event_id, user_id, ts, value,
+         list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS vals
+  FROM events)
+SELECT event_id, user_id, ts, value,
+       round(
+         list_sum(list_transform(vals,
+             (v, i) -> v * pow(0.5, len(vals) - i)))
+         / list_sum(list_transform(vals,
+             (v, i) -> pow(0.5, len(vals) - i))), 6) AS ewma
+FROM w
+"""
+
+# q_interpolate twin — dense spine from the q_resample_dense oracle,
+# then the same prev/next observed-row-index + join-back formulation
+EXTRA_ORACLES["q_interpolate"] = """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+lim AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM agg GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+          FROM lim),
+dense AS (
+  SELECT s.user_id, s.bucket_ts, a.avg_value
+  FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS r
+  FROM dense),
+nbr AS (
+  SELECT *,
+    max(CASE WHEN avg_value IS NOT NULL THEN r END) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+    min(CASE WHEN avg_value IS NOT NULL THEN r END) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_rn,
+    last_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val,
+    first_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_val
+  FROM rn)
+SELECT user_id, bucket_ts, avg_value,
+  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       ELSE prev_val + (next_val - prev_val)
+                  * (CAST(r - prev_rn AS DOUBLE)
+                     / CAST(next_rn - prev_rn AS DOUBLE))
+  END AS interpolated,
+  avg_value IS NULL AS was_gap
+FROM nbr
+"""
+
+# q_trend twin — identical day-scaled x, same aggregate definitions
+EXTRA_ORACLES["q_trend"] = """
+WITH b AS (
+  SELECT event_type, value,
+         (CAST(floor(epoch(ts)) AS DOUBLE) - 1704067200) / 86400.0 AS x
+  FROM events)
+SELECT event_type,
+       CAST(count(CASE WHEN x IS NOT NULL AND value IS NOT NULL
+                       THEN 1 END) AS BIGINT) AS n,
+       round(regr_slope(value, x), 6) AS slope,
+       round(regr_intercept(value, x), 6) AS intercept,
+       round(corr(value, x), 6) AS r
+FROM b GROUP BY event_type
+"""
+
+# q_inverted_index twin — sorted postings, df >= 5
+EXTRA_ORACLES["q_inverted_index"] = """
+WITH terms AS (
+  SELECT DISTINCT doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS term
+  FROM documents)
+SELECT term, CAST(count(*) AS BIGINT) AS df,
+       list(doc_id ORDER BY doc_id) AS postings
+FROM terms GROUP BY term HAVING count(*) >= 5
+"""
+
+# q_bm25_topk twin — same Lucene idf, same term-sorted score fold as
+# operators/retrieval.py (list(.. ORDER BY term) ≡ sort_array fold)
+EXTRA_ORACLES["q_bm25_topk"] = """
+WITH tok AS (
+  SELECT doc_id,
+         UNNEST(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS term
+  FROM documents),
+dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM tok GROUP BY doc_id),
+tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY doc_id, term),
+q AS (SELECT UNNEST(['data', 'model', 'pipeline', 'training']) AS term),
+docfreq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+            FROM tf GROUP BY term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+ad AS (SELECT avg(dl) AS avgdl FROM dl),
+hits AS (
+  SELECT tf.doc_id, tf.term,
+         ln(1.0 + (n.n - d.df + 0.5) / (d.df + 0.5))
+         * ((tf.tf * (1.2 + 1)) / (tf.tf + 1.2 * ((1.0 - 0.75)
+              + 0.75 * l.dl / ad.avgdl))) AS ts
+  FROM tf
+  JOIN q USING (term)
+  JOIN docfreq d USING (term)
+  JOIN dl l USING (doc_id)
+  CROSS JOIN n CROSS JOIN ad),
+scored AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+         round(list_sum(list(ts ORDER BY term)), 6) AS score
+  FROM hits GROUP BY doc_id),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC) AS INT)
+         AS rank
+  FROM scored)
+SELECT doc_id, n_hit_terms, score, rank FROM ranked WHERE rank <= 10
+"""
+
 _DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
 EXTRA_ORACLES["q_decontam"] = f"""
 WITH tk AS (

@@ -901,6 +901,64 @@ def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tfidf_topk(_t(spark, sf_dir, "documents"), k=5)
 
 
+def q_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded-window EWMA smoothing per user series
+    (operators/timeseries.py). α = 0.5 so the weights are exact powers
+    of two in both engines — no cross-engine pow() drift."""
+    from datapump_spark.operators.timeseries import ewma
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "value")
+    return ewma(ev, ["user_id"], "ts", "value", alpha=0.5, window=20,
+                order_cols=["event_id"])
+
+
+def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear gap interpolation over the dense hourly resample (null gap
+    buckets become interpolated values; series edges stay null)."""
+    from datapump_spark.operators.resample import freq_resample
+    from datapump_spark.operators.timeseries import interpolate_linear
+
+    dense = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "H",
+        value_cols=["value"], dense=True, bucket_alias="bucket_ts",
+    ).select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+    return interpolate_linear(dense, ["user_id"], "bucket_ts", "avg_value")
+
+
+def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type least-squares trend of value over time
+    (regr_slope/regr_intercept/corr aggregates, one pass)."""
+    from datapump_spark.operators.timeseries import group_trend
+
+    ev = _t(spark, sf_dir, "events")
+    # days since 2024-01-01: keeps the x magnitude ~30, so the one-pass
+    # variance/covariance math agrees with the oracle to well past 6 dp
+    # (raw epoch seconds ~1.7e9 would put engine-specific accumulation
+    # error inside the rounded digits)
+    x = (F.unix_timestamp("ts") - F.lit(1_704_067_200)) / F.lit(86_400.0)
+    return group_trend(ev, ["event_type"], x, "value")
+
+
+BM25_QUERY = "data model training pipeline"
+
+
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index over documents: sorted posting list per term with
+    df ≥ 5 (operators/retrieval.py)."""
+    from datapump_spark.operators.retrieval import inverted_index
+
+    return inverted_index(_t(spark, sf_dir, "documents"), min_df=5)
+
+
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed query
+    (operators/retrieval.py; term-sorted score fold, Lucene idf)."""
+    from datapump_spark.operators.retrieval import bm25_topk
+
+    return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1146,6 +1204,11 @@ EXTRA_QUERIES = {
     "q_lm_score": q_lm_score,
     "q_chunk_docs": q_chunk_docs,
     "q_tfidf": q_tfidf,
+    "q_ewma": q_ewma,
+    "q_interpolate": q_interpolate,
+    "q_trend": q_trend,
+    "q_inverted_index": q_inverted_index,
+    "q_bm25_topk": q_bm25_topk,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,

@@ -1,0 +1,108 @@
+"""Semantics of operators/timeseries.py and operators/retrieval.py on
+crafted inputs. Oracle equivalence runs in test_extra_oracles.py
+(q_ewma, q_interpolate, q_trend, q_inverted_index, q_bm25_topk)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.retrieval import bm25_topk, inverted_index
+from datapump_spark.operators.timeseries import (
+    ewma,
+    group_trend,
+    interpolate_linear,
+)
+
+
+def _series(spark, vals):
+    return spark.createDataFrame(
+        [(1, i, float(v) if v is not None else None)
+         for i, v in enumerate(vals)],
+        "key long, t long, v double")
+
+
+def test_ewma_matches_pandas_adjust_true(spark):
+    import pandas as pd
+
+    vals = [10.0, 20.0, 15.0, 30.0, 25.0, 18.0]
+    got = [r["ewma"] for r in
+           ewma(_series(spark, vals), ["key"], "t", "v", alpha=0.5,
+                window=20, order_cols=["t"])
+           .orderBy("t").collect()]
+    want = pd.Series(vals).ewm(alpha=0.5, adjust=True).mean()
+    assert got == pytest.approx(list(want), abs=1e-6)
+
+
+def test_ewma_bounded_window_forgets(spark):
+    # after `window` points, an early outlier has exactly zero influence
+    vals = [1000.0] + [10.0] * 5
+    got = ewma(_series(spark, vals), ["key"], "t", "v", alpha=0.5,
+               window=3, order_cols=["t"]).orderBy("t").collect()
+    assert got[-1]["ewma"] == pytest.approx(10.0)
+
+
+def test_interpolate_linear(spark):
+    rows = interpolate_linear(
+        _series(spark, [10.0, None, None, 40.0, None]),
+        ["key"], "t", "v").orderBy("t").collect()
+    assert [r["interpolated"] for r in rows] == [10.0, 20.0, 30.0, 40.0, None]
+    assert [r["was_gap"] for r in rows] == [False, True, True, False, True]
+
+
+def test_interpolate_leading_gap_stays_null(spark):
+    rows = interpolate_linear(
+        _series(spark, [None, 10.0, None, 20.0]),
+        ["key"], "t", "v").orderBy("t").collect()
+    assert rows[0]["interpolated"] is None
+    assert rows[2]["interpolated"] == pytest.approx(15.0)
+
+
+def test_group_trend_exact_line(spark):
+    df = spark.createDataFrame(
+        [("a", float(x), 2.0 * x + 5.0) for x in range(10)]
+        + [("b", float(x), -1.0 * x + 3.0) for x in range(10)],
+        "g string, x double, y double")
+    got = {r["g"]: r for r in group_trend(df, ["g"], "x", "y").collect()}
+    assert got["a"]["slope"] == pytest.approx(2.0)
+    assert got["a"]["intercept"] == pytest.approx(5.0)
+    assert got["a"]["r"] == pytest.approx(1.0)
+    assert got["b"]["slope"] == pytest.approx(-1.0)
+    assert got["b"]["r"] == pytest.approx(-1.0)
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    return spark.createDataFrame(
+        [(1, "apple banana apple cherry"),
+         (2, "banana cherry durian"),
+         (3, "apple apple apple apple"),
+         (4, "elderberry fig")],
+        "doc_id long, text string")
+
+
+def test_inverted_index_postings(corpus):
+    idx = {r["term"]: r for r in inverted_index(corpus).collect()}
+    assert idx["apple"]["postings"] == [1, 3]
+    assert idx["apple"]["df"] == 2
+    assert idx["banana"]["postings"] == [1, 2]
+    assert inverted_index(corpus, min_df=2).count() == 3  # apple/banana/cherry
+
+
+def test_bm25_ranks_relevant_docs_first(corpus):
+    rows = bm25_topk(corpus, "apple cherry", k=4).collect()
+    assert [r["rank"] for r in rows] == [1, 2, 3, 4][:len(rows)]
+    by_id = {r["doc_id"]: r for r in rows}
+    # doc 4 shares no term — absent entirely
+    assert 4 not in by_id
+    # doc 1 hits both query terms, others one
+    assert by_id[1]["n_hit_terms"] == 2
+    assert rows[0]["doc_id"] == 1
+    # monotone: scores non-increasing in rank
+    scores = [r["score"] for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_empty_query_rejected(corpus):
+    with pytest.raises(ValueError):
+        bm25_topk(corpus, "?!")
