@@ -1,0 +1,117 @@
+"""Streaming corpus ingestion: the training-data twin of the job
+pipeline — new documents arrive as files, each micro-batch is quality-
+gated and deduplicated against everything already admitted, survivors
+append to the corpus and their fingerprints to the persisted index.
+
+    doc files ──readStream──▶ gopher quality gate
+        ─▶ incremental_dedup vs fingerprint index (operators/incremental)
+        ─▶ corpus append (partitioned by batch id)
+        ─▶ index append  (same partitioning)
+        ─▶ audit row (n_in / n_low_quality / n_dup / n_admitted)
+
+Exactly-once without MERGE: every sink write is partitioned by
+``__batch_id`` with dynamic partition overwrite, so a replayed batch
+(after a crash between writes) OVERWRITES its own partition instead of
+appending twice — idempotent by layout, the same trick as the shard
+sink. The fingerprint index is additionally rebuildable from the corpus
+itself (it is derived state).
+
+At 100 TB: the index is the only cross-batch state and it shuffles
+nothing on read here (the anti-join ships the daily batch to the index's
+buckets; see operators/incremental docstring); the corpus write is an
+append of already-filtered data. State never lives in the streaming
+state store, so checkpoints stay tiny.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.incremental import incremental_dedup
+from datapump_spark.operators.quality import gopher_filter
+
+DOC_SCHEMA = ("doc_id bigint, text string, lang string, source string")
+
+
+@dataclass
+class StreamingCorpusIngest:
+    """File-stream → quality gate → incremental dedup → corpus/index/audit."""
+
+    spark: SparkSession
+    input_dir: str
+    out_dir: str
+    min_words: int = 10
+    gopher_kwargs: dict = field(default_factory=dict)
+    max_files_per_trigger: int | None = 1
+
+    @property
+    def corpus_dir(self) -> str:
+        return str(Path(self.out_dir) / "corpus")
+
+    @property
+    def index_dir(self) -> str:
+        return str(Path(self.out_dir) / "fp_index")
+
+    @property
+    def audit_dir(self) -> str:
+        return str(Path(self.out_dir) / "audit")
+
+    def _read_index(self) -> DataFrame:
+        if os.path.isdir(self.index_dir) and any(
+                f.endswith(".parquet") for _, _, fs in os.walk(self.index_dir)
+                for f in fs):
+            return self.spark.read.parquet(self.index_dir).select("fp")
+        return self.spark.createDataFrame([], "fp string")
+
+    def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        batch_df = batch_df.persist()
+        try:
+            n_in = batch_df.count()
+            q = gopher_filter(batch_df, "doc_id", "text",
+                              min_words=self.min_words, **self.gopher_kwargs)
+            good = (batch_df.join(
+                q.where(F.col("keep")).select("doc_id"), "doc_id", "semi")
+                .persist())
+            n_good = good.count()
+            admitted = incremental_dedup(good, self._read_index()).persist()
+            n_adm = admitted.count()
+
+            part = {"partitionOverwriteMode": "dynamic"}
+            (admitted.drop("fp").withColumn("__batch_id", F.lit(batch_id))
+             .write.partitionBy("__batch_id").options(**part)
+             .mode("overwrite").parquet(self.corpus_dir))
+            (admitted.select("fp").withColumn("__batch_id", F.lit(batch_id))
+             .write.partitionBy("__batch_id").options(**part)
+             .mode("overwrite").parquet(self.index_dir))
+            audit = self.spark.createDataFrame(
+                [(batch_id, n_in, n_in - n_good, n_good - n_adm, n_adm)],
+                "__batch_id bigint, n_in bigint, n_low_quality bigint, "
+                "n_dup bigint, n_admitted bigint")
+            (audit.write.partitionBy("__batch_id").options(**part)
+             .mode("overwrite").parquet(self.audit_dir))
+            good.unpersist()
+            admitted.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    def stream(self, checkpoint_dir: str | Path):
+        """Build the writer; caller starts it (``.trigger(availableNow=
+        True).start()`` for a drain, no trigger for continuous)."""
+        reader = self.spark.readStream.schema(DOC_SCHEMA)
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger",
+                                   self.max_files_per_trigger)
+        stream_df = reader.json(self.input_dir)
+        return (stream_df.writeStream
+                .foreachBatch(self._handle_batch)
+                .option("checkpointLocation", str(checkpoint_dir)))
+
+    def drain(self, checkpoint_dir: str | Path, timeout: int = 300) -> None:
+        """AvailableNow drain (the cron-equivalent single pass)."""
+        q = self.stream(checkpoint_dir).trigger(availableNow=True).start()
+        q.awaitTermination(timeout)

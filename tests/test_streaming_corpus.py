@@ -1,0 +1,77 @@
+"""Streaming corpus ingestion: cross-batch dedup against the persisted
+index, quality routing, idempotent replay-by-partition."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.streaming.corpus import StreamingCorpusIngest
+
+GOOD = ("the quick brown fox jumps over the lazy dog while the small "
+        "bird watches from a tall tree and sings a long song")
+
+
+def _write(d, name, mtime, rows):
+    p = d / name
+    with open(p, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    os.utime(p, (mtime, mtime))
+
+
+def _doc(i, text=None):
+    return {"doc_id": i, "text": text or f"{GOOD} extra{i}",
+            "lang": "en", "source": "crawl"}
+
+
+@pytest.fixture()
+def ingest(spark, tmp_path):
+    inp = tmp_path / "in"
+    inp.mkdir()
+    # batch 0: two good docs + one too-short doc
+    _write(inp, "b0.json", 1_000_000_000,
+           [_doc(1), _doc(2), _doc(3, "too short")])
+    # batch 1: one new doc, one exact duplicate of doc 1's content
+    # (different id), and doc 2 re-sent verbatim
+    _write(inp, "b1.json", 1_000_001_000,
+           [_doc(10), _doc(11, f"{GOOD} extra1"), _doc(2)])
+    return StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"))
+
+
+def test_cross_batch_dedup_and_audit(spark, ingest, tmp_path):
+    ingest.drain(tmp_path / "cp")
+    corpus = spark.read.parquet(ingest.corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 10]
+    # content is unique corpus-wide
+    assert corpus.select("text").distinct().count() == corpus.count()
+    # index matches corpus content exactly
+    fps = spark.read.parquet(ingest.index_dir)
+    assert fps.select("fp").distinct().count() == 3
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ingest.audit_dir).collect()}
+    assert audit[0]["n_in"] == 3 and audit[0]["n_low_quality"] == 1
+    assert audit[0]["n_admitted"] == 2
+    assert audit[1]["n_dup"] == 2 and audit[1]["n_admitted"] == 1
+
+
+def test_replay_is_idempotent(spark, ingest, tmp_path):
+    ingest.drain(tmp_path / "cp")
+    before = sorted(map(tuple, spark.read.parquet(ingest.corpus_dir)
+                        .select("doc_id", "text").collect()))
+    # same checkpoint: nothing new to process
+    ingest.drain(tmp_path / "cp")
+    after = sorted(map(tuple, spark.read.parquet(ingest.corpus_dir)
+                       .select("doc_id", "text").collect()))
+    assert before == after
+    # FRESH checkpoint (worst-case replay of every batch): the
+    # partition-overwrite layout absorbs the rerun — no duplicates
+    ingest.drain(tmp_path / "cp2")
+    replay = sorted(map(tuple, spark.read.parquet(ingest.corpus_dir)
+                        .select("doc_id", "text").collect()))
+    assert replay == before
+    audit = spark.read.parquet(ingest.audit_dir)
+    assert audit.count() == 2          # one row per batch, not per run

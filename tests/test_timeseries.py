@@ -106,3 +106,51 @@ def test_bm25_ranks_relevant_docs_first(corpus):
 def test_bm25_empty_query_rejected(corpus):
     with pytest.raises(ValueError):
         bm25_topk(corpus, "?!")
+
+
+# --- property tests vs pandas as the independent model ---------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = dict(max_examples=10, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_VALS = st.lists(
+    st.floats(min_value=-1e3, max_value=1e3,
+              allow_nan=False, allow_infinity=False),
+    min_size=1, max_size=30)
+
+
+@given(vals=_VALS, alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]))
+@settings(**_PROP)
+def test_ewma_matches_pandas_property(spark, vals, alpha):
+    import pandas as pd
+
+    got = [r["ewma"] for r in
+           ewma(_series(spark, vals), ["key"], "t", "v", alpha=alpha,
+                window=len(vals), order_cols=["t"])
+           .orderBy("t").collect()]
+    want = pd.Series(vals).ewm(alpha=alpha, adjust=True).mean()
+    assert got == pytest.approx(list(want), rel=1e-5, abs=1e-5)
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e3, max_value=1e3,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30))
+@settings(**_PROP)
+def test_interpolate_matches_pandas_property(spark, vals):
+    import pandas as pd
+
+    rows = interpolate_linear(
+        _series(spark, vals), ["key"], "t", "v").orderBy("t").collect()
+    got = [r["interpolated"] for r in rows]
+    want = (pd.Series(vals, dtype="float64")
+            .interpolate(method="linear", limit_area="inside"))
+    for g, w in zip(got, want):
+        if g is None:
+            assert pd.isna(w)
+        else:
+            assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
