@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "q_trend",
     "q_inverted_index",
     "q_bm25_topk",
+    "q_funnel",
+    "q_retention",
+    "q_outliers",
 ]
 
 

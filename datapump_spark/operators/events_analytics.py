@@ -1,0 +1,126 @@
+"""Event-stream analytics: funnels, cohort retention, outlier flagging.
+
+The product-analytics queries every events table grows (Mixpanel/
+Amplitude's core surface), absent from the reference (its only derived
+tables are resample/describe/mode — SURVEY §2.4). All three are
+join/aggregation plans over the same ``(user, ts)`` shuffle family the
+resample already pays, so a sink bucketed by user serves them
+shuffle-free at 100 TB.
+
+- **Funnel** — ordered-step conversion: step k counts users whose first
+  step-k event happens strictly AFTER their first step-(k−1) event. The
+  sequential dependence is expressed as a chain of per-user min-ts
+  aggregations and semi-shaped joins (one tiny per-user frame per step,
+  each ≤ one row per user), never a row-by-row scan.
+- **Retention** — cohort = the user's first active week; one row per
+  (cohort week, week offset) counting still-active users, with the
+  share of the cohort. Two aggregations and a broadcast-sized join of
+  per-user firsts.
+- **Outliers** — per-group z-score flags (|z| > threshold) against the
+  group's mean/stddev, one aggregation + one broadcast join; the
+  robust-statistics cousin of sketches.approx_profile.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel(
+    df: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """(step_idx, step, n_users, pct_of_first) — users converting
+    through each ordered step (first step-k event strictly after the
+    user's first step-(k−1) event)."""
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    cur = (df.where(F.col(type_col) == steps[0])
+           .groupBy(user_col).agg(F.min(ts_col).alias("__t")))
+    per_user = [cur]
+    for s in steps[1:]:
+        cur = (
+            df.where(F.col(type_col) == s)
+            .join(cur.select(user_col, F.col("__t").alias("__prev")),
+                  user_col)
+            .where(F.col(ts_col) > F.col("__prev"))
+            .groupBy(user_col).agg(F.min(ts_col).alias("__t"))
+        )
+        per_user.append(cur)
+    # fully lazy: per-step scalar counts union into one frame; the
+    # step-0 count broadcasts for the share column. No driver collects.
+    step_counts = None
+    for i, (s, pu) in enumerate(zip(steps, per_user)):
+        c = pu.agg(F.count("*").cast("bigint").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step_idx"),
+            F.lit(s).alias("step"), "n_users")
+        step_counts = c if step_counts is None else step_counts.unionByName(c)
+    first = per_user[0].agg(F.count("*").cast("double").alias("__n1"))
+    return (
+        step_counts.crossJoin(F.broadcast(first))
+        .select(
+            "step_idx", "step", "n_users",
+            F.when(F.col("__n1") > 0,
+                   F.round(F.col("n_users") / F.col("__n1"), 6))
+            .otherwise(F.lit(0.0)).alias("pct_of_first"),
+        )
+    )
+
+
+def retention(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(cohort_week, week_offset, n_users, pct) — weekly cohort
+    retention. Week 0 is each user's first active week; pct is the share
+    of the cohort still active at the offset."""
+    weeks = df.select(
+        F.col(user_col),
+        F.date_trunc("week", F.col(ts_col)).alias("__w")).distinct()
+    cohort = weeks.groupBy(user_col).agg(F.min("__w").alias("cohort_week"))
+    active = (
+        weeks.join(cohort, user_col)
+        .select(
+            user_col, "cohort_week",
+            (F.datediff(F.col("__w"), F.col("cohort_week")) / 7)
+            .cast("int").alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count("*").cast("bigint").alias("n_users"))
+    )
+    sizes = (cohort.groupBy("cohort_week")
+             .agg(F.count("*").cast("bigint").alias("__size")))
+    return (
+        active.join(sizes, "cohort_week")
+        .select(
+            "cohort_week", "week_offset", "n_users",
+            F.round(F.col("n_users") / F.col("__size"), 6).alias("pct"),
+        )
+    )
+
+
+def outliers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 3.0,
+) -> DataFrame:
+    """Rows whose value deviates > ``z_threshold`` group standard
+    deviations from the group mean: (id, groups…, value, z)."""
+    stats = df.groupBy(*group_cols).agg(
+        F.avg(value_col).alias("__mu"),
+        F.stddev_samp(value_col).alias("__sd"))
+    z = (F.col(value_col) - F.col("__mu")) / F.col("__sd")
+    return (
+        df.join(F.broadcast(stats), group_cols)
+        .where(F.col("__sd") > 0)
+        .withColumn("z", F.round(z, 6))
+        .where(F.abs(F.col("z")) > z_threshold)
+        .select(id_col, *group_cols, value_col, "z")
+    )

@@ -998,6 +998,65 @@ ranked AS (
 SELECT doc_id, n_hit_terms, score, rank FROM ranked WHERE rank <= 10
 """
 
+# q_funnel twin — same strictly-after chaining of first-step timestamps
+EXTRA_ORACLES["q_funnel"] = """
+WITH s0 AS (
+  SELECT user_id, min(ts) AS t FROM events
+  WHERE event_type = 'signup' GROUP BY user_id),
+s1 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s0 ON e.user_id = s0.user_id
+  WHERE e.event_type = 'view' AND e.ts > s0.t GROUP BY e.user_id),
+s2 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id),
+c AS (
+  SELECT 0 AS step_idx, 'signup' AS step,
+         CAST(count(*) AS BIGINT) AS n_users FROM s0
+  UNION ALL
+  SELECT 1, 'view', CAST(count(*) AS BIGINT) FROM s1
+  UNION ALL
+  SELECT 2, 'purchase', CAST(count(*) AS BIGINT) FROM s2),
+n1 AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM s0)
+SELECT CAST(step_idx AS INT) AS step_idx, step, n_users,
+       CASE WHEN n1.n > 0 THEN round(n_users / n1.n, 6)
+            ELSE 0.0 END AS pct_of_first
+FROM c CROSS JOIN n1
+"""
+
+# q_retention twin — Monday-start weeks (date_trunc parity with Spark)
+EXTRA_ORACLES["q_retention"] = """
+WITH weeks AS (
+  SELECT DISTINCT user_id,
+         CAST(date_trunc('week', ts) AS TIMESTAMP) AS w
+  FROM events),
+cohort AS (SELECT user_id, min(w) AS cohort_week FROM weeks GROUP BY user_id),
+active AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, w.w) / 7 AS INT)
+             AS week_offset,
+         CAST(count(*) AS BIGINT) AS n_users
+  FROM weeks w JOIN cohort c ON w.user_id = c.user_id
+  GROUP BY 1, 2),
+sizes AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS sz
+          FROM cohort GROUP BY cohort_week)
+SELECT a.cohort_week, a.week_offset, a.n_users,
+       round(a.n_users / CAST(s.sz AS DOUBLE), 6) AS pct
+FROM active a JOIN sizes s USING (cohort_week)
+"""
+
+# q_outliers twin — same z formula, same sample stddev
+EXTRA_ORACLES["q_outliers"] = """
+WITH stats AS (
+  SELECT event_type, avg(value) AS mu, stddev_samp(value) AS sd
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round((e.value - s.mu) / s.sd, 6) AS z
+FROM events e JOIN stats s USING (event_type)
+WHERE s.sd > 0 AND abs(round((e.value - s.mu) / s.sd, 6)) > 2.0
+"""
+
 _DECONTAM_GRAM = hash63_sql("array_to_string(list_slice(t, i, i + 12), ' ')")
 EXTRA_ORACLES["q_decontam"] = f"""
 WITH tk AS (

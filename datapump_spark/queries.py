@@ -959,6 +959,34 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
 
 
+FUNNEL_STEPS = ["signup", "view", "purchase"]
+
+
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-step conversion funnel signup → view → purchase
+    (operators/events_analytics.py)."""
+    from datapump_spark.operators.events_analytics import funnel
+
+    return funnel(_t(spark, sf_dir, "events"), FUNNEL_STEPS)
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention over events
+    (operators/events_analytics.py)."""
+    from datapump_spark.operators.events_analytics import retention
+
+    return retention(_t(spark, sf_dir, "events"))
+
+
+def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type z-score outliers, |z| > 2
+    (operators/events_analytics.py)."""
+    from datapump_spark.operators.events_analytics import outliers
+
+    return outliers(_t(spark, sf_dir, "events"), ["event_type"],
+                    z_threshold=2.0)
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1209,6 +1237,9 @@ EXTRA_QUERIES = {
     "q_trend": q_trend,
     "q_inverted_index": q_inverted_index,
     "q_bm25_topk": q_bm25_topk,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
+    "q_outliers": q_outliers,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
