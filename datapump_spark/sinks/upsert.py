@@ -87,7 +87,14 @@ class ParquetMergeSink:
         return self.current_version(table) is not None
 
     def read(self, spark: SparkSession, table: str) -> DataFrame:
-        df = spark.read.parquet(str(self.current_version(table)))
+        # mergeSchema: after an add-column upsert, unaffected buckets
+        # still hold old-schema files (hardlinked, deliberately not
+        # rewritten) — without footer merging Spark would resolve the
+        # table schema from an arbitrary file and could silently drop
+        # the new column (schema-evolution test pins this). Delta keeps
+        # schema in the log; a parquet sink pays the footer scan instead.
+        df = spark.read.option("mergeSchema", "true").parquet(
+            str(self.current_version(table)))
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
     def _publish(self, table: str, version: str) -> None:
@@ -244,7 +251,10 @@ class ParquetMergeSink:
 
         affected = sorted(
             r[BUCKET_COL] for r in bdf.select(BUCKET_COL).distinct().collect())
-        current = spark.read.parquet(str(cur_dir))  # includes pk_bucket
+        # mergeSchema for the same reason as read(): earlier evolutions
+        # may have left mixed-schema buckets behind
+        current = spark.read.option("mergeSchema", "true").parquet(
+            str(cur_dir))  # includes pk_bucket
         cur_aff = current.where(F.col(BUCKET_COL).isin(affected))
         batch_keys = df.select(*keys).distinct()
         kept = cur_aff.join(batch_keys, on=list(keys), how="left_anti")

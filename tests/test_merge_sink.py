@@ -158,3 +158,31 @@ def test_compact_preserves_bucket_layout(spark, sink):
 def test_compact_missing_table_raises(spark, sink):
     with pytest.raises(ValueError):
         sink.compact(spark, "nope")
+
+
+def test_schema_evolution_add_and_missing_column(spark, sink):
+    """Reference gap closed (SURVEY §1.2 'no schema evolution'): a batch
+    with a NEW column merges (old rows null); a batch MISSING a column
+    merges (nulls); read() must see the union schema even though
+    unaffected buckets still hold old-schema hardlinked files."""
+    base = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(64)], "k long, v string")
+    sink.upsert(spark, base, "t", ["k"])
+
+    # add a column, touching only one key (one bucket rewritten)
+    plus = spark.createDataFrame([(3, "v3b", 9.5)],
+                                 "k long, v string, score double")
+    sink.upsert(spark, plus, "t", ["k"])
+    got = {r["k"]: r for r in sink.read(spark, "t").collect()}
+    assert set(sink.read(spark, "t").columns) == {"k", "v", "score"}
+    assert got[3]["score"] == 9.5 and got[3]["v"] == "v3b"
+    assert got[5]["score"] is None          # old-schema bucket row
+    assert len(got) == 64
+
+    # batch missing 'v': nulls, not failure
+    minus = spark.createDataFrame([(7, 1.5)], "k long, score double")
+    sink.upsert(spark, minus, "t", ["k"])
+    got = {r["k"]: r for r in sink.read(spark, "t").collect()}
+    assert got[7]["v"] is None and got[7]["score"] == 1.5
+    assert got[3]["score"] == 9.5           # earlier evolution survives
+    assert len(got) == 64
