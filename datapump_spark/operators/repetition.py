@@ -9,14 +9,16 @@ four signals catch boilerplate, scraped navigation, and degenerate
 generation that plain length/stopword heuristics
 (:mod:`datapump_spark.operators.text`) miss.
 
-Plan shape: every signal reduces to counting repeated items *within* a
-document, so all three item kinds (lines, top-grams, dup-grams) ride ONE
-tagged explode → one partial-aggregated ``groupBy(doc_id, kind, item)``
-→ one ``groupBy(doc_id)`` rollup. Both shuffles key on high-cardinality
-composites (doc_id × item), so hot documents spread across reducers and
-map-side combine collapses repeated items before the exchange — at
-100 TB this runs as two well-distributed aggregations over the exploded
-stream, never materializing per-doc state anywhere.
+Plan shape: LINE signals are pure per-row array expressions (a document
+has few lines, so the O(distinct × lines) nested counting loop is
+cheap and costs zero shuffle). GRAM signals explode both gram sizes in
+one tagged pass → one partial-aggregated ``groupBy(doc_id, kind, item)``
+→ one ``groupBy(doc_id)`` rollup — grams are ~tokens per doc, so they
+stay on the aggregation path where map-side combine collapses repeats
+before the exchange. Keeping lines out of the explode cuts the shuffled
+stream by ~⅓ versus tagging all three kinds (measured at sf0.1); at
+100 TB this is two well-distributed aggregations over the gram stream
+plus a scan-speed line pass, never per-doc state anywhere.
 
 Determinism notes (mirrored exactly by the DuckDB oracle):
 - counts-of-characters multiply overlapping grams; the dup-gram char
@@ -44,8 +46,14 @@ PACK = 1_000_000_000
 
 
 def _lines(c: Column) -> Column:
-    """Non-empty trimmed lines."""
-    return F.filter(F.transform(F.split(c, "\n"), F.trim),
+    """Non-empty trimmed lines.
+
+    NB ``lambda x: F.trim(x)``, NOT ``F.trim``: transform() inspects the
+    callable's arity and F.trim has an optional second parameter
+    (trim-character set), so passing it bare makes Spark feed the array
+    INDEX in as the characters to strip — line 0 silently loses its
+    '0' characters (regression-tested on a many-line doc)."""
+    return F.filter(F.transform(F.split(c, "\n"), lambda x: F.trim(x)),
                     lambda x: x != F.lit(""))
 
 
@@ -86,14 +94,56 @@ def repetition_signals(
         _lines(c).alias("__lines"),
         tokens(c).alias("__toks"),
     )
-    tagged = base.select(
+
+    # line signals: per-row array math, no shuffle. Duplicate-line chars
+    # come from a SORTED-RUN fold — O(L log L) per document, so a
+    # 10k-line scraped page costs a sort, not the O(L²) nested-filter
+    # count (array_distinct itself is hash-based / linear). Integer
+    # sums ⇒ values identical to any aggregation plan.
+    lines = F.col("__lines")
+    n_lines, n_distinct = F.size(lines), F.size(F.array_distinct(lines))
+    run0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(0).cast("bigint").alias("chars"),
+    )
+
+    def _run_merge(acc, x):
+        same = acc["prev"] == x
+        flushed = F.when(
+            ~same & (acc["cnt"] >= 2),
+            acc["cnt"] * F.length(acc["prev"]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint"))
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["cnt"] + 1).otherwise(F.lit(1).cast("bigint"))
+            .alias("cnt"),
+            (acc["chars"] + flushed).alias("chars"),
+        )
+
+    dup_line_chars = F.aggregate(
+        F.array_sort(lines), run0, _run_merge,
+        lambda acc: acc["chars"] + F.when(
+            acc["cnt"] >= 2,
+            acc["cnt"] * F.length(acc["prev"]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+    line_stats = base.select(
+        id_col, "__chars", "__toks",
+        F.round(
+            F.when(n_lines > 0,
+                   (n_lines - n_distinct) / n_lines.cast("double"))
+            .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
+        F.round(dup_line_chars / F.col("__chars"), 6)
+        .alias("dup_line_char_frac"),
+    )
+
+    # gram signals: one tagged explode (both gram sizes) → two
+    # partial-aggregated groupBys keyed on high-cardinality composites
+    tagged = line_stats.select(
         id_col, "__chars",
         F.explode(
             F.concat(
-                F.transform(
-                    "__lines",
-                    lambda x: F.struct(F.lit("line").alias("kind"),
-                                       x.alias("item"))),
                 F.transform(
                     _word_grams(F.col("__toks"), n_top),
                     lambda x: F.struct(F.lit("top").alias("kind"),
@@ -116,14 +166,6 @@ def repetition_signals(
 
     per_doc = counted.groupBy(id_col).agg(
         F.first("__chars").alias("__chars"),
-        # lines: total occurrences vs distinct values
-        F.sum(F.when(F.col("kind") == "line", F.col("cnt"))
-              .otherwise(F.lit(0))).alias("n_lines"),
-        F.sum(F.when(F.col("kind") == "line", F.lit(1))
-              .otherwise(F.lit(0))).alias("n_distinct_lines"),
-        F.sum(F.when((F.col("kind") == "line") & (F.col("cnt") >= 2),
-                     F.col("cnt") * F.col("ilen"))
-              .otherwise(F.lit(0))).alias("dup_line_chars"),
         # most frequent top-gram: (cnt, len) packed so max() breaks ties
         F.max(F.when(F.col("kind") == "top",
                      F.col("cnt") * PACK + F.col("ilen"))).alias("top_pack"),
@@ -132,15 +174,8 @@ def repetition_signals(
               .otherwise(F.lit(0))).alias("dup_gram_chars"),
     )
 
-    out = per_doc.select(
+    gram_stats = per_doc.select(
         F.col(id_col),
-        F.round(
-            F.when(F.col("n_lines") > 0,
-                   (F.col("n_lines") - F.col("n_distinct_lines"))
-                   / F.col("n_lines").cast("double"))
-            .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
-        F.round(F.col("dup_line_chars") / F.col("__chars"), 6)
-        .alias("dup_line_char_frac"),
         F.round(
             F.coalesce(
                 (F.floor(F.col("top_pack") / PACK)
@@ -151,15 +186,14 @@ def repetition_signals(
         .alias("dup_ngram_char_frac"),
     )
 
-    # docs whose text yields no lines AND no grams vanish in the explode;
-    # restore them with all-zero signals so output is one row per input
+    # docs too short for any gram vanish in the explode; the left join
+    # from the (complete) line-stats frame restores them with zeros
     return (
-        df.select(id_col)
-        .join(out, id_col, "left")
+        line_stats.drop("__chars", "__toks")
+        .join(gram_stats, id_col, "left")
         .select(
-            F.col(id_col),
+            F.col(id_col), "dup_line_frac", "dup_line_char_frac",
             *[F.coalesce(F.col(n), F.lit(0.0)).alias(n)
-              for n in ("dup_line_frac", "dup_line_char_frac",
-                        "top_ngram_char_frac", "dup_ngram_char_frac")],
+              for n in ("top_ngram_char_frac", "dup_ngram_char_frac")],
         )
     )

@@ -735,47 +735,54 @@ WITH base AS (
          list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
                      x -> x != '') AS t
   FROM documents),
+lcnt AS (
+  SELECT doc_id, item, count(*) AS cnt, CAST(length(item) AS BIGINT) AS ilen
+  FROM (SELECT doc_id, UNNEST(lines) AS item FROM base)
+  GROUP BY doc_id, item),
+ldup AS (
+  SELECT doc_id,
+         SUM(CASE WHEN cnt >= 2 THEN cnt * ilen ELSE 0 END) AS dup_line_chars
+  FROM lcnt GROUP BY doc_id),
+line_stats AS (
+  SELECT b.doc_id, b.chars, b.t,
+    round(CASE WHEN len(b.lines) > 0 THEN
+        (len(b.lines) - len(list_distinct(b.lines)))
+        / CAST(len(b.lines) AS DOUBLE) ELSE 0.0 END, 6) AS dup_line_frac,
+    round(COALESCE(d.dup_line_chars, 0) / b.chars, 6) AS dup_line_char_frac
+  FROM base b LEFT JOIN ldup d USING (doc_id)),
 tagged AS (
-  SELECT doc_id, chars, 'line' AS kind, UNNEST(lines) AS item FROM base
-  UNION ALL
-  SELECT doc_id, chars, 'top',
+  SELECT doc_id, chars, 'top' AS kind,
          UNNEST(CASE WHEN len(t) >= 2 THEN
              list_transform(generate_series(1, len(t) - 1),
                             i -> array_to_string(list_slice(t, i, i + 1), ' '))
-           ELSE CAST([] AS VARCHAR[]) END)
-  FROM base
+           ELSE CAST([] AS VARCHAR[]) END) AS item
+  FROM line_stats
   UNION ALL
   SELECT doc_id, chars, 'dup',
          UNNEST(CASE WHEN len(t) >= 5 THEN
              list_transform(generate_series(1, len(t) - 4),
                             i -> array_to_string(list_slice(t, i, i + 4), ' '))
            ELSE CAST([] AS VARCHAR[]) END)
-  FROM base),
+  FROM line_stats),
 counted AS (
   SELECT doc_id, kind, item, any_value(chars) AS chars,
          count(*) AS cnt, CAST(length(item) AS BIGINT) AS ilen
   FROM tagged GROUP BY doc_id, kind, item),
 per_doc AS (
   SELECT doc_id, any_value(chars) AS chars,
-    SUM(CASE WHEN kind = 'line' THEN cnt ELSE 0 END) AS n_lines,
-    SUM(CASE WHEN kind = 'line' THEN 1 ELSE 0 END) AS n_distinct_lines,
-    SUM(CASE WHEN kind = 'line' AND cnt >= 2 THEN cnt * ilen ELSE 0 END)
-        AS dup_line_chars,
     MAX(CASE WHEN kind = 'top' THEN cnt * 1000000000 + ilen END) AS top_pack,
     SUM(CASE WHEN kind = 'dup' AND cnt >= 2 THEN cnt * ilen ELSE 0 END)
         AS dup_gram_chars
   FROM counted GROUP BY doc_id)
-SELECT d.doc_id,
-  COALESCE(round(CASE WHEN n_lines > 0 THEN
-        (n_lines - n_distinct_lines) / CAST(n_lines AS DOUBLE)
-      ELSE 0.0 END, 6), 0.0) AS dup_line_frac,
-  COALESCE(round(dup_line_chars / chars, 6), 0.0) AS dup_line_char_frac,
+SELECT l.doc_id,
+  COALESCE(l.dup_line_frac, 0.0) AS dup_line_frac,
+  COALESCE(l.dup_line_char_frac, 0.0) AS dup_line_char_frac,
   COALESCE(round(COALESCE(
-        floor(top_pack / 1000000000) * (top_pack % 1000000000) / chars,
+        floor(top_pack / 1000000000) * (top_pack % 1000000000) / p.chars,
         0.0), 6), 0.0) AS top_ngram_char_frac,
-  COALESCE(round(least(1.0, dup_gram_chars / chars), 6), 0.0)
+  COALESCE(round(least(1.0, dup_gram_chars / p.chars), 6), 0.0)
       AS dup_ngram_char_frac
-FROM (SELECT doc_id FROM documents) d
+FROM line_stats l
 LEFT JOIN per_doc p USING (doc_id)
 """
 

@@ -50,6 +50,23 @@ def test_top_ngram_dominates_degenerate_doc(sig):
     assert sig[3]["dup_ngram_char_frac"] == 0.0
 
 
+def test_many_line_doc_run_fold(spark):
+    """The sorted-run fold on a liney doc: 1000 lines, 400 of them
+    duplicates across 200 distinct values, interleaved so runs only form
+    after the sort."""
+    uniq = [f"unique line number {i}" for i in range(600)]
+    dups = [f"repeated line {i % 200}" for i in range(400)]
+    text = "\n".join(x for pair in zip(dups + uniq[:200], uniq[:400])
+                     for x in pair) + "\n" + "\n".join(uniq[400:])
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    r = repetition_signals(df).collect()[0]
+    # 1000 lines, 800 distinct (600 unique + 200 repeated values)
+    assert r["dup_line_frac"] == pytest.approx((1000 - 800) / 1000)
+    dup_chars = sum(2 * len(f"repeated line {i}") for i in range(200))
+    assert r["dup_line_char_frac"] == pytest.approx(
+        dup_chars / len(text), abs=1e-6)
+
+
 def test_degenerate_edge_docs_report_zero(sig):
     for d in (4, 5):
         assert sig[d]["dup_line_frac"] == 0.0
