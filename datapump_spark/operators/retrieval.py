@@ -30,12 +30,17 @@ from datapump_spark.functions.hashing import tokens
 def doc_term_freqs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text") -> DataFrame:
     """(id, term, tf, dl) — term frequency + document length (in
-    tokens), the base table both the index and BM25 read."""
+    tokens), the base table both the index and BM25 read.
+
+    ``dl`` derives from the tf aggregate (``Σ tf`` per doc) instead of a
+    second pass over the exploded tokens, so every consumer (tf, dl,
+    df) shares ONE (id, term) aggregation lineage and Catalyst can
+    reuse its exchange rather than re-exploding the corpus."""
     t = df.select(F.col(id_col),
                   F.explode(tokens(F.col(text_col))).alias("term"))
-    dl = t.groupBy(id_col).agg(F.count("*").cast("bigint").alias("dl"))
     tf = t.groupBy(id_col, "term").agg(
         F.count("*").cast("bigint").alias("tf"))
+    dl = tf.groupBy(id_col).agg(F.sum("tf").cast("bigint").alias("dl"))
     return tf.join(dl, id_col)
 
 
