@@ -86,6 +86,7 @@ BENCH_QUERIES = [
     "q_funnel",
     "q_retention",
     "q_outliers",
+    "q_correlated_subquery",
 ]
 
 

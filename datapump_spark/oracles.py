@@ -956,6 +956,15 @@ SELECT event_type,
 FROM b GROUP BY event_type
 """
 
+# q_correlated_subquery twin — the SAME SQL text (ANSI) both engines
+EXTRA_ORACLES["q_correlated_subquery"] = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
 # q_inverted_index twin — sorted postings, df >= 5
 EXTRA_ORACLES["q_inverted_index"] = """
 WITH terms AS (

@@ -987,6 +987,26 @@ def q_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
                     z_threshold=2.0)
 
 
+CORRELATED_SQL = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders o
+WHERE o_totalprice = (SELECT max(o2.o_totalprice)
+                      FROM orders o2
+                      WHERE o2.o_custkey = o.o_custkey)
+"""
+
+
+def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery THROUGH the SQL surface
+    (sql_surface.run_sql): each customer's priciest order(s). Catalyst
+    decorrelates the subquery into an aggregate + join — the rewrite the
+    reference could never do (no SQL surface, SURVEY §2); the oracle
+    runs the same text in DuckDB."""
+    from datapump_spark.sql_surface import run_sql
+
+    return run_sql(spark, sf_dir, CORRELATED_SQL)
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1240,6 +1260,7 @@ EXTRA_QUERIES = {
     "q_funnel": q_funnel,
     "q_retention": q_retention,
     "q_outliers": q_outliers,
+    "q_correlated_subquery": q_correlated_subquery,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
