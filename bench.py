@@ -87,6 +87,8 @@ BENCH_QUERIES = [
     "q_retention",
     "q_outliers",
     "q_correlated_subquery",
+    "q_table_diff",
+    "q_equidepth",
 ]
 
 

@@ -55,6 +55,41 @@ def approx_profile(
     return g.agg(*aggs)
 
 
+def equidepth_histogram(
+    df: DataFrame,
+    value_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram: (bucket, n, lo, hi).
+
+    The scalable formulation: ONE aggregate computes the exact
+    percentile cutpoints (linear interpolation, the same profile the
+    describe operator uses), the cutpoint array broadcasts, and bucket
+    assignment is a scan-speed expression (count of cutpoints strictly
+    below the value — ties land in the lower bucket) feeding one
+    groupBy. The naive ``ntile()`` needs a GLOBAL sort through a single
+    partition; this never sorts at all. Bucket counts are only
+    approximately equal when heavy ties straddle a cutpoint — inherent
+    to equi-depth, not an implementation artifact."""
+    if n_buckets < 2:
+        raise ValueError(f"need >= 2 buckets: {n_buckets}")
+    fracs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts = df.agg(F.expr(
+        f"percentile({value_col}, array({', '.join(map(repr, fracs))}))"
+    ).alias("__cuts"))
+    bucket = F.size(F.filter(
+        F.col("__cuts"), lambda c: F.col(value_col) > c)).cast("int")
+    return (
+        df.where(F.col(value_col).isNotNull())
+        .crossJoin(F.broadcast(cuts))
+        .withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.count("*").cast("bigint").alias("n"),
+             F.min(value_col).alias("lo"),
+             F.max(value_col).alias("hi"))
+    )
+
+
 def exact_profile(
     df: DataFrame,
     group_cols: list[str] | None = None,

@@ -965,6 +965,54 @@ WHERE o_totalprice = (SELECT max(o2.o_totalprice)
                       WHERE o2.o_custkey = o.o_custkey)
 """
 
+# q_table_diff twin — same full-outer join + null-safe comparisons;
+# changed_cols sorted so per-engine evaluation order is irrelevant
+EXTRA_ORACLES["q_table_diff"] = """
+WITH l AS (SELECT * FROM events WHERE event_id % 3 != 0),
+r AS (SELECT event_id, ts, user_id, event_type,
+             CASE WHEN event_id % 7 = 0 THEN value * 2 ELSE value END AS value,
+             props
+      FROM events WHERE event_id % 5 != 0),
+j AS (
+  SELECT COALESCE(l.event_id, r.event_id) AS event_id,
+         l.event_id IS NOT NULL AS in_l, r.event_id IS NOT NULL AS in_r,
+         list_sort(list_filter([
+           CASE WHEN NOT (l.ts IS NOT DISTINCT FROM r.ts)
+                THEN 'ts' END,
+           CASE WHEN NOT (l.user_id IS NOT DISTINCT FROM r.user_id)
+                THEN 'user_id' END,
+           CASE WHEN NOT (l.event_type IS NOT DISTINCT FROM r.event_type)
+                THEN 'event_type' END,
+           CASE WHEN NOT (l.value IS NOT DISTINCT FROM r.value)
+                THEN 'value' END,
+           CASE WHEN NOT (l.props IS NOT DISTINCT FROM r.props)
+                THEN 'props' END
+         ], x -> x IS NOT NULL)) AS diffs
+  FROM l FULL OUTER JOIN r ON l.event_id = r.event_id)
+SELECT event_id,
+  CASE WHEN NOT in_l THEN 'added'
+       WHEN NOT in_r THEN 'removed'
+       WHEN len(diffs) > 0 THEN 'changed' END AS change_type,
+  CASE WHEN in_l AND in_r AND len(diffs) > 0
+       THEN array_to_string(diffs, ',') ELSE '' END AS changed_cols
+FROM j
+WHERE (NOT in_l) OR (NOT in_r) OR len(diffs) > 0
+"""
+
+# q_equidepth twin — quantile_cont ≡ Spark's exact linear-interpolation
+# percentile; bucket = cutpoints strictly below the value
+EXTRA_ORACLES["q_equidepth"] = """
+WITH cuts AS (
+  SELECT quantile_cont(value,
+      [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS c
+  FROM events)
+SELECT CAST(len(list_filter(cuts.c, x -> value > x)) AS INT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n, min(value) AS lo, max(value) AS hi
+FROM events CROSS JOIN cuts
+WHERE value IS NOT NULL
+GROUP BY 1
+"""
+
 # q_inverted_index twin — sorted postings, df >= 5
 EXTRA_ORACLES["q_inverted_index"] = """
 WITH terms AS (

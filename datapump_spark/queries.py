@@ -1007,6 +1007,29 @@ def q_correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, CORRELATED_SQL)
 
 
+def q_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff (operators/diff.py): events slice A vs slice B with
+    value edits — added/removed/changed rows with the changed columns."""
+    from datapump_spark.operators.diff import table_diff
+
+    ev = _t(spark, sf_dir, "events")
+    left = ev.where(F.col("event_id") % 3 != 0)
+    right = ev.where(F.col("event_id") % 5 != 0).withColumn(
+        "value",
+        F.when(F.col("event_id") % 7 == 0, F.col("value") * 2)
+        .otherwise(F.col("value")))
+    return table_diff(left, right, ["event_id"])
+
+
+def q_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of event values: exact percentile cutpoints
+    + scan-speed bucket assignment, no global sort
+    (operators/sketches.py)."""
+    from datapump_spark.operators.sketches import equidepth_histogram
+
+    return equidepth_histogram(_t(spark, sf_dir, "events"), "value")
+
+
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JSONL ingestion: schema-inferred scan of the docs fixture, nested
     meta struct flattened to typed columns (sources/jsonl.py)."""
@@ -1261,6 +1284,8 @@ EXTRA_QUERIES = {
     "q_retention": q_retention,
     "q_outliers": q_outliers,
     "q_correlated_subquery": q_correlated_subquery,
+    "q_table_diff": q_table_diff,
+    "q_equidepth": q_equidepth,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
