@@ -89,6 +89,7 @@ BENCH_QUERIES = [
     "q_correlated_subquery",
     "q_table_diff",
     "q_equidepth",
+    "q_cube",
 ]
 
 

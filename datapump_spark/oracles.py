@@ -965,6 +965,13 @@ WHERE o_totalprice = (SELECT max(o2.o_totalprice)
                       WHERE o2.o_custkey = o.o_custkey)
 """
 
+EXTRA_ORACLES["q_cube"] = f"""
+SELECT l_returnflag, l_linestatus,
+       {_dec_sum('l_quantity', 'sum_qty')},
+       count(*) AS n
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
 # q_table_diff twin — same full-outer join + null-safe comparisons;
 # changed_cols sorted so per-engine evaluation order is irrelevant
 EXTRA_ORACLES["q_table_diff"] = """

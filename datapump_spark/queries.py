@@ -387,6 +387,19 @@ def q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE(returnflag, linestatus): all 4 grouping sets in one pass —
+    completes the grouping-sets surface next to q_rollup (SURVEY §2.4
+    lists both as absent in the reference). Spark expands the sets
+    map-side; still ONE exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(_dec_sum(F.col("l_quantity"), "sum_qty"),
+             F.count(F.lit(1)).alias("n"))
+    )
+
+
 def q_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customers with no URGENT order (left anti ≡ NOT EXISTS).
 
@@ -1286,6 +1299,7 @@ EXTRA_QUERIES = {
     "q_correlated_subquery": q_correlated_subquery,
     "q_table_diff": q_table_diff,
     "q_equidepth": q_equidepth,
+    "q_cube": q_cube,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
     "q_canonical_docs": q_canonical_docs,
