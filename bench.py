@@ -90,6 +90,17 @@ BENCH_QUERIES = [
     "q_table_diff",
     "q_equidepth",
     "q_cube",
+    # TPC-H-shape relational pack (datapump_spark/tpch.py) — the heavy
+    # join/subquery shapes; the rest of the pack shares their plan shapes.
+    "q_forecast_revenue",
+    "q_market_share",
+    "q_customer_distribution",
+    "q_big_orders",
+    "q_waiting_suppliers",
+    # Data-quality + reshaping operators
+    "q_expectations",
+    "q_band_join",
+    "q_unpivot",
 ]
 
 

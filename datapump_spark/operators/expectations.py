@@ -1,0 +1,133 @@
+"""Declarative data-quality expectation suite (Great-Expectations-style,
+Spark-first).
+
+The reference validates inputs procedurally while loading (jobspec field
+checks, CSV header sniffing — ``datapump.py:22-53,168-240``); a 100 TB
+pipeline needs the audit as a *queryable artifact* instead: one tall frame
+of (table, check, violated, total, ok) rows that a gate can join against.
+
+Design for scale:
+- Column-level checks (nulls, ranges, set membership, uniqueness-by-count)
+  compile to ONE aggregate pass per table — a single map-side-partial
+  shuffle regardless of how many checks are registered.
+- Referential-integrity checks are LEFT ANTI joins, counted. The dimension
+  side broadcasts when small; the join stays key-only (two columns cross
+  the shuffle, never payloads).
+- Nothing collects; the suite result is itself a DataFrame that can be
+  written next to the data (audit-table pattern, SURVEY §2.10 A4).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+@dataclass(frozen=True)
+class Check:
+    """One expectation: ``predicate`` is a boolean Column over a single
+    table's rows; a row where the predicate is False (or null) counts as a
+    violation."""
+
+    name: str
+    predicate: Column
+
+    def violation_expr(self) -> Column:
+        ok = F.coalesce(self.predicate.cast("boolean"), F.lit(False))
+        return F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")
+
+
+def not_null(col: str) -> Check:
+    return Check(f"not_null:{col}", F.col(col).isNotNull())
+
+
+def in_range(col: str, lo, hi) -> Check:
+    """Closed-interval range check (null fails via the coalesce above)."""
+    return Check(f"in_range:{col}", (F.col(col) >= lo) & (F.col(col) <= hi))
+
+
+def in_set(col: str, values) -> Check:
+    return Check(f"in_set:{col}", F.col(col).isin(*values))
+
+
+def matches(col: str, regex: str) -> Check:
+    return Check(f"matches:{col}", F.col(col).rlike(regex))
+
+
+@dataclass
+class ExpectationSuite:
+    """Row-level checks plus table-level uniqueness / RI expectations."""
+
+    table: str
+    checks: list[Check] = field(default_factory=list)
+    unique_keys: list[str] = field(default_factory=list)
+
+    def run(self, df: DataFrame) -> DataFrame:
+        """All row-level checks + total count in ONE aggregation job;
+        each uniqueness check is one extra count-distinct aggregate
+        (kept separate so the row-level pass stays a cheap single
+        accumulator row)."""
+        aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")]
+        for c in self.checks:
+            aggs.append(c.violation_expr().alias(c.name))
+        for k in self.unique_keys:
+            # violations = rows beyond one per key = count(k) - distinct(k)
+            aggs.append(
+                (F.count(F.col(k)) - F.countDistinct(F.col(k)))
+                .cast("bigint").alias(f"unique:{k}"))
+        row = df.agg(*aggs)
+        names = [c.name for c in self.checks] + [
+            f"unique:{k}" for k in self.unique_keys]
+        pairs = F.array(*[
+            F.struct(F.lit(n).alias("check"),
+                     F.col(f"`{n}`").alias("violated"))
+            for n in names])
+        return (
+            row.select(F.col("__total"), F.explode(pairs).alias("p"))
+            .select(
+                F.lit(self.table).alias("table_name"),
+                F.col("p.check").alias("check"),
+                F.col("p.violated").alias("violated"),
+                F.col("__total").alias("total"),
+                (F.col("p.violated") == 0).alias("ok"),
+            )
+        )
+
+
+def referential_integrity(
+    fact: DataFrame, fact_key: str, dim: DataFrame, dim_key: str,
+    fact_name: str, dim_name: str, broadcast_dim: bool = True,
+) -> DataFrame:
+    """Orphan check: fact keys with no matching dimension row. Key-only
+    anti join (both sides projected to the key column before the join);
+    the dim side broadcasts by default — at 100 TB the fact side never
+    moves for a dimension lookup."""
+    f = fact.select(F.col(fact_key).alias("__fk"))
+    d = dim.select(F.col(dim_key).alias("__dk")).distinct()
+    if broadcast_dim:
+        d = F.broadcast(d)
+    orphans = f.join(d, F.col("__fk") == F.col("__dk"), "left_anti")
+    orph = orphans.agg(F.count(F.lit(1)).cast("bigint").alias("violated"))
+    tot = fact.agg(F.count(F.lit(1)).cast("bigint").alias("total"))
+    # Single-row × single-row broadcast cross-join keeps the whole check
+    # lazy — no driver-side count() action per RI check.
+    return orph.join(F.broadcast(tot)).select(
+        F.lit(fact_name).alias("table_name"),
+        F.lit(f"ri:{fact_name}.{fact_key}->{dim_name}.{dim_key}").alias("check"),
+        F.col("violated"),
+        F.col("total"),
+        (F.col("violated") == 0).alias("ok"),
+    )
+
+
+def run_suites(suites: list[tuple[ExpectationSuite, DataFrame]],
+               ri_checks: list[DataFrame] = ()) -> DataFrame:
+    """Union every suite + RI result into the single tall audit frame."""
+    out = None
+    for suite, df in suites:
+        part = suite.run(df)
+        out = part if out is None else out.unionByName(part)
+    for ri in ri_checks:
+        out = ri if out is None else out.unionByName(ri)
+    return out

@@ -1396,3 +1396,85 @@ WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
 """
 
 EXTRA_ORACLES.update(EXTRA_IOT_ORACLES)
+
+from datapump_spark.tpch import TPCH_ORACLES  # noqa: E402
+
+EXTRA_ORACLES.update(TPCH_ORACLES)
+
+# One SELECT per expectation check, UNION ALL'd into the tall audit frame
+# (operators/expectations.py); each line restates the check's violation
+# semantics independently of the Spark implementation.
+_EXPECT_CHECK = """
+SELECT '{table}' AS table_name, '{check}' AS check,
+       CAST(({violated}) AS BIGINT) AS violated,
+       CAST((SELECT count(*) FROM {table}) AS BIGINT) AS total,
+       ({violated}) = 0 AS ok
+FROM {table}
+"""
+
+
+def _expect(table: str, check: str, violated: str) -> str:
+    return _EXPECT_CHECK.format(table=table, check=check, violated=violated)
+
+
+EXTRA_ORACLES["q_expectations"] = " UNION ALL ".join([
+    _expect("events", "not_null:event_id",
+            "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END)"),
+    _expect("events", "not_null:ts",
+            "sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END)"),
+    _expect("events", "not_null:user_id",
+            "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)"),
+    _expect("events", "in_set:event_type",
+            "sum(CASE WHEN event_type IN "
+            "('click','error','purchase','signup','view') THEN 0 ELSE 1 END)"),
+    _expect("events", "in_range:value",
+            "sum(CASE WHEN value >= 0.0 AND value <= 500.0 THEN 0 ELSE 1 END)"),
+    _expect("events", "unique:event_id",
+            "count(event_id) - count(DISTINCT event_id)"),
+    _expect("lineitem", "in_range:l_discount",
+            "sum(CASE WHEN l_discount >= 0.0 AND l_discount <= 0.1 "
+            "THEN 0 ELSE 1 END)"),
+    _expect("lineitem", "in_range:l_quantity",
+            "sum(CASE WHEN l_quantity >= 1.0 AND l_quantity <= 50.0 "
+            "THEN 0 ELSE 1 END)"),
+    _expect("lineitem", "not_null:l_orderkey",
+            "sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)"),
+    _expect("orders", "in_set:o_orderstatus",
+            "sum(CASE WHEN o_orderstatus IN ('P','O','F') THEN 0 ELSE 1 END)"),
+    _expect("orders", "not_null:o_orderdate",
+            "sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)"),
+    _expect("orders", "unique:o_orderkey",
+            "count(o_orderkey) - count(DISTINCT o_orderkey)"),
+    _expect("lineitem", "ri:lineitem.l_orderkey->orders.o_orderkey",
+            "sum(CASE WHEN NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_orderkey = l_orderkey) THEN 1 ELSE 0 END)"),
+    _expect("lineitem", "ri:lineitem.l_partkey->part.p_partkey",
+            "sum(CASE WHEN NOT EXISTS (SELECT 1 FROM part "
+            "WHERE p_partkey = l_partkey) THEN 1 ELSE 0 END)"),
+    _expect("orders", "ri:orders.o_custkey->customer.c_custkey",
+            "sum(CASE WHEN NOT EXISTS (SELECT 1 FROM customer "
+            "WHERE c_custkey = o_custkey) THEN 1 ELSE 0 END)"),
+])
+
+EXTRA_ORACLES["q_band_join"] = f"""
+WITH bands(band, lo, hi) AS (VALUES
+  ('nano', 0.0, 1.0), ('micro', 1.0, 10.0), ('small', 10.0, 50.0),
+  ('mid', 50.0, 150.0), ('large', 150.0, 500.0))
+SELECT band, lo, hi, CAST(count(*) AS BIGINT) AS n_events,
+       {_DEC_SUM.format(expr='value')} AS sum_value
+FROM events LEFT JOIN bands ON value >= lo AND value < hi
+GROUP BY band, lo, hi
+ORDER BY lo ASC NULLS LAST
+"""
+
+EXTRA_ORACLES["q_unpivot"] = """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure,
+       l_quantity AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+"""

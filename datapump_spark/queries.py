@@ -1319,6 +1319,93 @@ EXTRA_QUERIES = {
     "q_iot_type_infer": q_iot_type_infer,
 }
 
+# TPC-H-shape relational pack (Q2/Q4/Q6-Q13/Q15-Q19/Q21/Q22 adapted to the
+# driver schema) — see datapump_spark/tpch.py; same DuckDB oracle gate.
+from datapump_spark.tpch import TPCH_QUERIES  # noqa: E402
+
+EXTRA_QUERIES.update(TPCH_QUERIES)
+
+
+def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectation suite over the star schema: row-level
+    checks compile to ONE aggregate pass per table; referential-integrity
+    checks are key-only broadcast anti joins (operators/expectations.py).
+    Output is the tall audit frame a pipeline gate would persist."""
+    from datapump_spark.operators.expectations import (
+        ExpectationSuite, in_range, in_set, not_null,
+        referential_integrity, run_suites)
+
+    ev = _t(spark, sf_dir, "events")
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    p = _t(spark, sf_dir, "part")
+    suites = [
+        (ExpectationSuite("events", [
+            not_null("event_id"), not_null("ts"), not_null("user_id"),
+            in_set("event_type", ["click", "error", "purchase", "signup", "view"]),
+            in_range("value", 0.0, 500.0),
+        ], unique_keys=["event_id"]), ev),
+        (ExpectationSuite("lineitem", [
+            in_range("l_discount", 0.0, 0.1),
+            in_range("l_quantity", 1.0, 50.0),
+            not_null("l_orderkey"),
+        ]), li),
+        (ExpectationSuite("orders", [
+            in_set("o_orderstatus", ["P", "O", "F"]),
+            not_null("o_orderdate"),
+        ], unique_keys=["o_orderkey"]), o),
+    ]
+    ris = [
+        referential_integrity(li, "l_orderkey", o, "o_orderkey",
+                              "lineitem", "orders"),
+        referential_integrity(li, "l_partkey", p, "p_partkey",
+                              "lineitem", "part"),
+        referential_integrity(o, "o_custkey", c, "c_custkey",
+                              "orders", "customer"),
+    ]
+    return run_suites(suites, ris).orderBy("table_name", "check")
+
+
+def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded range join: events.value against an inline tier table of
+    [lo, hi) bands — broadcast nested-loop probe, zero shuffle of the
+    fact side (operators/rangejoin.py) — then revenue-ish rollup per
+    band so the output is a compact audit of the assignment."""
+    from datapump_spark.operators.rangejoin import band_join
+
+    ev = _t(spark, sf_dir, "events")
+    bands = spark.createDataFrame(
+        [("nano", 0.0, 1.0), ("micro", 1.0, 10.0), ("small", 10.0, 50.0),
+         ("mid", 50.0, 150.0), ("large", 150.0, 500.0)],
+        "band string, lo double, hi double")
+    j = band_join(ev, bands, "value", how="left_outer")
+    return (
+        j.groupBy("band", "lo", "hi")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             _dec_sum(F.col("value"), "sum_value"))
+        .orderBy(F.asc_nulls_last("lo"))
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): lineitem's four measure columns to tall
+    (measure, value) rows via the native UNPIVOT — a zero-shuffle
+    narrow transform (each row expands in place; no exchange in the
+    plan), the inverse of q_pivot."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "value")
+
+
+EXTRA_QUERIES.update({
+    "q_expectations": q_expectations,
+    "q_band_join": q_band_join,
+    "q_unpivot": q_unpivot,
+})
+
 
 def q_embedding_near_dup_gemm_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path variant of q_embedding_near_dup: LSH-bucketed GEMM
