@@ -101,6 +101,10 @@ BENCH_QUERIES = [
     "q_expectations",
     "q_band_join",
     "q_unpivot",
+    # Sequence + graph operators
+    "q_state_intervals",
+    "q_event_transitions",
+    "q_pagerank",
 ]
 
 

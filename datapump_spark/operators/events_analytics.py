@@ -23,7 +23,7 @@ shuffle-free at 100 TB.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -124,3 +124,34 @@ def outliers(
         .where(F.abs(F.col("z")) > z_threshold)
         .select(id_col, *group_cols, value_col, "z")
     )
+
+
+def event_transitions(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    state_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """First-order transition counts (Markov matrix in tall form): for
+    each key's event sequence, count (prev_state -> state) pairs, plus
+    the per-source probability. One window shuffle on the key to form
+    lag pairs, one aggregation on the (from, to) pair — the pair space
+    is |states|², so the second aggregate is map-side dominated at any
+    scale."""
+    w = Window.partitionBy(key_col).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pairs = (
+        df.select(key_col, ts_col, state_col, tiebreak_col)
+        .withColumn("__prev", F.lag(state_col).over(w))
+        .where(F.col("__prev").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col("__prev").alias("from_state"),
+        F.col(state_col).alias("to_state"),
+    ).agg(F.count(F.lit(1)).alias("n_transitions"))
+    w_src = Window.partitionBy("from_state")
+    return counts.withColumn(
+        "p",
+        F.round(F.col("n_transitions")
+                / F.sum("n_transitions").over(w_src), 6))

@@ -1478,3 +1478,55 @@ SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
 UNION ALL
 SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
 """
+
+EXTRA_ORACLES["q_state_intervals"] = """
+WITH flagged AS (
+  SELECT user_id, ts, event_type, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)),
+runs AS (
+  SELECT *, SUM(chg) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                           ROWS UNBOUNDED PRECEDING) AS island
+  FROM flagged),
+islands AS (
+  SELECT user_id, island,
+         min(event_type) AS event_type,  -- constant within an island
+         min(ts) AS effective_from, max(ts) AS last_ts,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM runs GROUP BY user_id, island)
+SELECT user_id, event_type, effective_from,
+       lead(effective_from) OVER w2 AS effective_to,
+       last_ts, n_events,
+       lead(effective_from) OVER w2 IS NULL AS is_current
+FROM islands
+WINDOW w2 AS (PARTITION BY user_id ORDER BY island ASC)
+"""
+
+EXTRA_ORACLES["q_event_transitions"] = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY ts ASC, event_id ASC) AS prev
+  FROM events)
+SELECT prev AS from_state, event_type AS to_state,
+       CAST(count(*) AS BIGINT) AS n_transitions,
+       round(count(*) / SUM(count(*)) OVER (PARTITION BY prev), 6) AS p
+FROM seq WHERE prev IS NOT NULL
+GROUP BY from_state, to_state
+"""
+
+from datapump_spark.operators.graph import pagerank_oracle_sql  # noqa: E402
+
+_PAGERANK_EDGES = """
+SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                's:' || CAST(l_suppkey AS VARCHAR) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
+                'c:' || CAST(o_custkey AS VARCHAR) AS dst
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+"""
+
+EXTRA_ORACLES["q_pagerank"] = pagerank_oracle_sql(_PAGERANK_EDGES, n_iter=3)

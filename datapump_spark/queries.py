@@ -1400,10 +1400,58 @@ def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         "measure", "value")
 
 
+def q_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands → SCD2 intervals: collapse each user's contiguous
+    runs of the same event_type into [effective_from, effective_to)
+    validity rows (operators/intervals.py). The lag, running-sum, island
+    aggregation and lead all share the user_id partitioning — one
+    shuffle for the whole operator."""
+    from datapump_spark.operators.intervals import state_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    return state_intervals(ev, "user_id", "ts", "event_type",
+                           tiebreak_col="event_id")
+
+
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of event types per user
+    sequence (operators/events_analytics.py): one window shuffle to form
+    lag pairs, then a |states|²-sized aggregate."""
+    from datapump_spark.operators.events_analytics import event_transitions
+
+    return event_transitions(_t(spark, sf_dir, "events"))
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point integer PageRank (operators/graph.py) over the
+    customer↔supplier co-purchase graph, 3 iterations. Integer
+    arithmetic makes the iterative result bit-exact against the DuckDB
+    unrolled-CTE oracle — a correctness gate iterative float PageRank
+    could never pass."""
+    from datapump_spark.operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    cp = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cnode"),
+            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("snode"),
+        )
+        .distinct()
+    )
+    edges = cp.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")) \
+        .union(cp.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
+    return pagerank(edges, n_iter=3)
+
+
 EXTRA_QUERIES.update({
     "q_expectations": q_expectations,
     "q_band_join": q_band_join,
     "q_unpivot": q_unpivot,
+    "q_state_intervals": q_state_intervals,
+    "q_event_transitions": q_event_transitions,
+    "q_pagerank": q_pagerank,
 })
 
 
