@@ -105,6 +105,9 @@ BENCH_QUERIES = [
     "q_state_intervals",
     "q_event_transitions",
     "q_pagerank",
+    # Incremental rollup maintenance + windowed-growth analytics
+    "q_incremental_agg",
+    "q_yoy_growth",
 ]
 
 

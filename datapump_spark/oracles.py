@@ -1530,3 +1530,30 @@ FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
 EXTRA_ORACLES["q_pagerank"] = pagerank_oracle_sql(_PAGERANK_EDGES, n_iter=3)
+
+# From-scratch twin of the incrementally-merged state (the hash match is
+# the losslessness proof for merge_agg_state).
+EXTRA_ORACLES["q_incremental_agg"] = """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum,
+       round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+             / count(value), 6) AS value_avg,
+       min(value) AS value_min, max(value) AS value_max
+FROM events GROUP BY event_type
+"""
+
+EXTRA_ORACLES["q_yoy_growth"] = """
+WITH yearly AS (
+  SELECT n_name, CAST(year(l_shipdate) AS INT) AS l_year,
+         CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+                       AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY n_name, l_year)
+SELECT n_name, l_year, revenue,
+       round((revenue - lag(revenue) OVER w) / lag(revenue) OVER w, 6)
+         AS yoy_pct
+FROM yearly
+WINDOW w AS (PARTITION BY n_name ORDER BY l_year ASC)
+"""

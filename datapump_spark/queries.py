@@ -1445,6 +1445,43 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(edges, n_iter=3)
 
 
+def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental_agg.py):
+    three disjoint batches of events are partial-aggregated separately,
+    merged (union + re-aggregate of the monoid state), and finalized.
+    The oracle is a FROM-SCRATCH aggregate over the full table — the
+    hash match proves state merging is exactly lossless, the property a
+    materialized-view pipeline depends on."""
+    from datapump_spark.operators.incremental_agg import (
+        agg_state, finalize_agg, merge_agg_state)
+
+    ev = _t(spark, sf_dir, "events")
+    batches = [ev.where(F.col("event_id") % 3 == i) for i in range(3)]
+    states = [agg_state(b, ["event_type"], ["value"]) for b in batches]
+    merged = merge_agg_state(states, ["event_type"], ["value"])
+    return finalize_agg(merged, ["event_type"], ["value"])
+
+
+def q_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year revenue growth per supplier nation: decimal-exact
+    yearly rollup, then a lag window over the (tiny) aggregate — the
+    window runs on |nations|×|years| rows, never on the fact table."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    yearly = (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(_dec_sum(F.col("l_extendedprice") * (1 - F.col("l_discount")),
+                      "revenue"))
+    )
+    w = Window.partitionBy("n_name").orderBy("l_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.withColumn(
+        "yoy_pct", F.round((F.col("revenue") - prev) / prev, 6))
+
+
 EXTRA_QUERIES.update({
     "q_expectations": q_expectations,
     "q_band_join": q_band_join,
@@ -1452,6 +1489,8 @@ EXTRA_QUERIES.update({
     "q_state_intervals": q_state_intervals,
     "q_event_transitions": q_event_transitions,
     "q_pagerank": q_pagerank,
+    "q_incremental_agg": q_incremental_agg,
+    "q_yoy_growth": q_yoy_growth,
 })
 
 
