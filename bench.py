@@ -108,6 +108,8 @@ BENCH_QUERIES = [
     # Incremental rollup maintenance + windowed-growth analytics
     "q_incremental_agg",
     "q_yoy_growth",
+    # merge_asof-parity variant (backward+tolerance; forward shares the plan)
+    "q_asof_tolerance",
 ]
 
 

@@ -1557,3 +1557,30 @@ SELECT n_name, l_year, revenue,
 FROM yearly
 WINDOW w AS (PARTITION BY n_name ORDER BY l_year ASC)
 """
+
+# Independent formulation of the as-of variants: a LATERAL probe per event
+# (nearest order date, max orderkey on ties) — cross-checks the Spark
+# union-merge algorithm with a structurally different one.
+EXTRA_ORACLES["q_asof_tolerance"] = """
+SELECT e.event_id, e.user_id, e.ts, m.matched_ts, m.o_orderkey
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderdate AS matched_ts, max(o_orderkey) AS o_orderkey
+  FROM orders
+  WHERE o_custkey = e.user_id
+    AND o_orderdate <= e.ts
+    AND e.ts - o_orderdate <= INTERVAL 30 DAY
+  GROUP BY o_orderdate
+  ORDER BY o_orderdate DESC LIMIT 1) m ON TRUE
+"""
+
+EXTRA_ORACLES["q_asof_forward"] = """
+SELECT e.event_id, e.user_id, e.ts, m.matched_ts, m.o_orderkey
+FROM events e
+LEFT JOIN LATERAL (
+  SELECT o_orderdate AS matched_ts, max(o_orderkey) AS o_orderkey
+  FROM orders
+  WHERE o_custkey = e.user_id AND o_orderdate >= e.ts
+  GROUP BY o_orderdate
+  ORDER BY o_orderdate ASC LIMIT 1) m ON TRUE
+"""

@@ -1494,6 +1494,49 @@ EXTRA_QUERIES.update({
 })
 
 
+def _asof_inputs(spark: SparkSession, sf_dir: str):
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"))
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey")
+    return ev, orders
+
+
+def q_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof parity, backward + tolerance: each event matches the
+    customer's latest order within the preceding 30 days, else null.
+    Union-merge formulation (operators/asof.py) — one shuffle; the
+    oracle is an INDEPENDENT LATERAL-join formulation, so the hash match
+    cross-checks two different algorithms."""
+    from datapump_spark.operators.asof import asof_join
+
+    ev, orders = _asof_inputs(spark, sf_dir)
+    return asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey"], direction="backward",
+        tolerance="INTERVAL 30 DAY",
+    ).select("event_id", "user_id", "ts", "matched_ts", "o_orderkey")
+
+
+def q_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof parity, forward: each event matches the customer's
+    EARLIEST order at-or-after the event (same union-merge pass run on a
+    descending window)."""
+    from datapump_spark.operators.asof import asof_join
+
+    ev, orders = _asof_inputs(spark, sf_dir)
+    return asof_join(
+        ev, orders, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderkey"], direction="forward",
+    ).select("event_id", "user_id", "ts", "matched_ts", "o_orderkey")
+
+
+EXTRA_QUERIES.update({
+    "q_asof_tolerance": q_asof_tolerance,
+    "q_asof_forward": q_asof_forward,
+})
+
+
 def q_embedding_near_dup_gemm_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-path variant of q_embedding_near_dup: LSH-bucketed GEMM
     (linear shuffle, pruned pair space) — the 100 TB strategy. Approximate
