@@ -110,6 +110,12 @@ BENCH_QUERIES = [
     "q_yoy_growth",
     # merge_asof-parity variant (backward+tolerance; forward shares the plan)
     "q_asof_tolerance",
+    # Cleaning / fuzzy-join / layout operators
+    "q_normalize_text",
+    "q_strip_boilerplate",
+    "q_fuzzy_pairs",
+    "q_zorder",
+    "q_compression_ratio",
 ]
 
 

@@ -1,0 +1,182 @@
+"""Corpus cleaning: boilerplate stripping, text normalization, and a
+compressibility quality signal.
+
+Extends the reference (its surface has no text cleaning — SURVEY §2.9);
+these are the standard web-corpus passes (CCNet, C4, RefinedWeb) a
+pre-training pipeline runs before dedup/mixing.
+
+Scale notes (100 TB):
+
+- ``strip_boilerplate`` finds lines shared by a large fraction of a
+  *source's* documents (nav bars, cookie banners, footers) and removes
+  every occurrence. Frequency counting is an aggregation on
+  ``(source, line_hash)`` with map-side partial combine, so a banner that
+  appears in a billion documents collapses to one partial state per task
+  before the exchange — line skew never lands on one reducer. Removal is
+  a broadcast-able anti join against the (tiny, by construction:
+  ``min_docs_frac`` keeps only lines in ≥ frac of a source) boilerplate
+  set, then per-doc reassembly — the only corpus-sized shuffle is the
+  doc-id regroup that any reassembly needs.
+- ``normalize_text`` is pure ``regexp_replace``/``trim`` column
+  expressions: whole-stage-codegen, zero shuffles, pushdown-transparent.
+- ``compression_ratio`` (RefinedWeb-style "too compressible = spam /
+  boilerplate" signal) needs zlib, which has no JVM-expression twin, so
+  it is the one Python kernel here: an Arrow-batched ``mapInPandas``
+  doing ``len(zlib.compress(t)) / len(t)`` per batch — no per-row Python
+  UDF, no shuffle, streams with the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapump_spark.functions.hashing import hash63
+
+# Control chars (incl. \t \r \n when normalizing to single-line) and
+# whitespace runs. Kept as explicit class strings so the DuckDB oracle
+# can use the identical pattern (oracles.py reuses these constants).
+CONTROL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f\\x7f]"
+WS_RUN_RE = "[ \\t\\r\\n]+"
+
+
+def normalize_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    lowercase: bool = False,
+) -> DataFrame:
+    """Canonicalize text: drop control characters, collapse whitespace
+    runs (incl. newlines) to single spaces, trim, optionally lowercase.
+
+    Pure column expressions — codegen'd, no shuffle; safe to fuse with
+    the ingest scan of a 100 TB corpus."""
+    out = out_col or text_col
+    c = F.regexp_replace(F.col(text_col), CONTROL_RE, "")
+    c = F.regexp_replace(c, WS_RUN_RE, " ")
+    c = F.trim(c)
+    if lowercase:
+        c = F.lower(c)
+    return df.withColumn(out, c)
+
+
+def boilerplate_lines(
+    lines: DataFrame,
+    id_col: str,
+    source_col: str,
+    min_docs_frac: float,
+    min_docs: int,
+) -> DataFrame:
+    """Lines occurring in ≥ ``max(min_docs, frac·source_docs)`` distinct
+    documents of their source: ``(source, __h, line, n_docs, doc_frac)``.
+
+    Two aggregations, both with partial combine; the distinct-docs count
+    dedupes (source, line, doc) *within* each doc first (cheap: per-row
+    ``array_distinct`` never needed — posexplode rows for one doc sit in
+    one scan task) via the two-level groupBy below."""
+    per_doc = lines.select(source_col, id_col, "__h", "line").distinct()
+    counts = (per_doc.groupBy(source_col, "__h", "line")
+              .agg(F.count("*").alias("n_docs")))
+    totals = (per_doc.select(source_col, id_col).distinct()
+              .groupBy(source_col)
+              .agg(F.count("*").alias("__tot")))
+    return (counts.join(F.broadcast(totals), source_col)
+            .withColumn("doc_frac", F.round(F.col("n_docs") / F.col("__tot"), 6))
+            .where((F.col("n_docs") >= F.lit(min_docs))
+                   & (F.col("n_docs") >= F.col("__tot") * F.lit(min_docs_frac)))
+            .drop("__tot"))
+
+
+def strip_boilerplate(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    sep: str = "\n",
+    min_docs_frac: float = 0.05,
+    min_docs: int = 2,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Remove every line that is boilerplate *within its source* (appears
+    in ≥ ``min_docs_frac`` of the source's documents, and in at least
+    ``min_docs`` of them). Returns one row per input document:
+    ``(id, source, text, n_lines_kept, n_lines_removed)`` with ``text``
+    rebuilt from surviving lines in original order ('' if all removed).
+
+    CCNet/RefinedWeb scope the frequency table per *domain*; ``source``
+    plays that role here. See module docstring for the plan shape."""
+    lines = df.select(
+        F.col(id_col), F.col(source_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("line_no", "line"),
+    ).withColumn("__h", hash63(F.col("line"), hash_fn))
+    bp = boilerplate_lines(lines, id_col, source_col, min_docs_frac, min_docs) \
+        .select(source_col, "__h", "line")
+    kept = (lines.join(bp, [source_col, "__h", "line"], "left_anti")
+            .groupBy(id_col)
+            .agg(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                        lambda s: s["line"],
+                    ),
+                    sep,
+                ).alias(text_col),
+                F.count("*").alias("n_lines_kept"),
+            ))
+    totals = df.select(
+        F.col(id_col), F.col(source_col),
+        F.size(F.split(F.col(text_col), sep)).alias("__n"),
+    )
+    return (totals.join(kept, id_col, "left")
+            .select(
+                F.col(id_col), F.col(source_col),
+                F.coalesce(text_col, F.lit("")).alias(text_col),
+                F.coalesce("n_lines_kept", F.lit(0)).cast("bigint")
+                .alias("n_lines_kept"),
+                (F.col("__n") - F.coalesce("n_lines_kept", F.lit(0)))
+                .cast("bigint").alias("n_lines_removed"),
+            ))
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    level: int = 6,
+) -> DataFrame:
+    """Per-document zlib compressibility: ``(id, n_bytes, n_compressed,
+    compression_ratio)`` where ratio = compressed/raw (utf-8 bytes).
+
+    Highly repetitive spam compresses far below normal prose (~0.3–0.5);
+    RefinedWeb-style pipelines cut the low tail. zlib is deterministic for
+    a fixed level, so results are stable across runs/engines — gated in
+    tests against direct ``zlib.compress`` on the driver. Arrow-batched
+    ``mapInPandas``; no shuffle, streams with the scan."""
+    fields = [f for f in df.schema.fields if f.name == id_col]
+    if not fields:
+        raise ValueError(f"no column {id_col!r}")
+    out_schema = T.StructType([
+        fields[0],
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("n_compressed", T.LongType()),
+        T.StructField("compression_ratio", T.DoubleType()),
+    ])
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import zlib
+        for pdf in batches:
+            raw = pdf[text_col].fillna("").str.encode("utf-8")
+            n = raw.str.len().astype("int64")
+            comp = raw.map(lambda b: len(zlib.compress(b, level))).astype("int64")
+            yield pd.DataFrame({
+                id_col: pdf[id_col],
+                "n_bytes": n,
+                "n_compressed": comp,
+                "compression_ratio": (comp / n.clip(lower=1)).round(6),
+            })
+
+    return df.select(id_col, text_col).mapInPandas(kernel, out_schema)

@@ -1584,3 +1584,107 @@ LEFT JOIN LATERAL (
   GROUP BY o_orderdate
   ORDER BY o_orderdate ASC LIMIT 1) m ON TRUE
 """
+
+
+# ---- round-3 cleaning / fuzzy-join / zorder twins --------------------------
+
+from datapump_spark.operators.cleaning import CONTROL_RE, WS_RUN_RE  # noqa: E402
+from datapump_spark.operators.zorder import scale_sql, zvalue_sql  # noqa: E402
+
+EXTRA_ORACLES["q_normalize_text"] = f"""
+WITH m AS (
+  SELECT doc_id, length(text) AS n_chars_raw,
+         ' ' || chr(9) || ' '
+           || regexp_replace(text, ' ', '  ' || chr(9), 'g')
+           || chr(9) || '  ' AS messy
+  FROM documents),
+n AS (
+  SELECT doc_id, n_chars_raw,
+         trim(regexp_replace(
+                regexp_replace(messy, '{CONTROL_RE}', '', 'g'),
+                '{WS_RUN_RE}', ' ', 'g')) AS text_norm
+  FROM m)
+SELECT doc_id, n_chars_raw, length(text_norm) AS n_chars_norm, text_norm
+FROM n
+"""
+
+# Same pseudo-line rechunk as q_line_dedup's oracle; the frequency table is
+# scoped per source and an anti join removes boilerplate everywhere.
+_LINED = """
+tk AS (
+  SELECT d.doc_id, d.source,
+         list_filter(string_split_regex(lower(d.text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents d),
+idx AS (
+  SELECT doc_id, source, t,
+         unnest(generate_series(1,
+           greatest(CAST(ceil(len(t) / 10.0) AS BIGINT), 1))) AS i
+  FROM tk),
+ln AS (
+  SELECT doc_id, source, i - 1 AS line_no,
+         array_to_string(list_slice(t, (i - 1) * 10 + 1, i * 10), ' ') AS line
+  FROM idx)
+"""
+
+EXTRA_ORACLES["q_strip_boilerplate"] = f"""
+WITH {_LINED},
+per_doc AS (SELECT DISTINCT source, doc_id, line FROM ln),
+counts AS (
+  SELECT source, line, count(*) AS n_docs
+  FROM per_doc GROUP BY source, line),
+tot AS (
+  SELECT source, count(DISTINCT doc_id) AS t
+  FROM per_doc GROUP BY source),
+bp AS (
+  SELECT c.source, c.line
+  FROM counts c JOIN tot USING (source)
+  WHERE c.n_docs >= 2 AND c.n_docs >= tot.t * 0.05),
+kept AS (
+  SELECT l.doc_id, l.line_no, l.line
+  FROM ln l ANTI JOIN bp ON l.source = bp.source AND l.line = bp.line),
+reb AS (
+  SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS text,
+         CAST(count(*) AS BIGINT) AS n_lines_kept
+  FROM kept GROUP BY doc_id),
+tot2 AS (SELECT doc_id, source, count(*) AS n FROM ln GROUP BY doc_id, source)
+SELECT t.doc_id, t.source, COALESCE(r.text, '') AS text,
+       COALESCE(r.n_lines_kept, 0) AS n_lines_kept,
+       CAST(t.n - COALESCE(r.n_lines_kept, 0) AS BIGINT) AS n_lines_removed
+FROM tot2 t LEFT JOIN reb r USING (doc_id)
+"""
+
+# Independent all-pairs formulation (length prefilter only): a hash match
+# against the banded Spark plan also proves the blocking lost no pairs.
+EXTRA_ORACLES["q_fuzzy_pairs"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+p AS (
+  SELECT doc_id, array_to_string(list_slice(t, 1, 10), ' ') AS k
+  FROM tk)
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       CAST(levenshtein(a.k, b.k) AS INT) AS dist
+FROM p a JOIN p b
+  ON a.doc_id < b.doc_id
+ AND abs(length(a.k) - length(b.k)) <= 5
+WHERE levenshtein(a.k, b.k) <= 5
+"""
+
+_ZX = scale_sql("l_partkey", "mn1", "mx1", 16)
+_ZY = scale_sql("l_suppkey", "mn2", "mx2", 16)
+EXTRA_ORACLES["q_zorder"] = f"""
+WITH s AS (
+  SELECT min(l_partkey) AS mn1, max(l_partkey) AS mx1,
+         min(l_suppkey) AS mn2, max(l_suppkey) AS mx2
+  FROM lineitem),
+sc AS (
+  SELECT l_orderkey, l_linenumber,
+         {_ZX} AS zx, {_ZY} AS zy
+  FROM lineitem, s)
+SELECT l_orderkey, l_linenumber,
+       CAST({zvalue_sql(["zx", "zy"], 16)} AS BIGINT) AS zval
+FROM sc
+"""

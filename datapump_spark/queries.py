@@ -1596,6 +1596,105 @@ def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy_bins(_t(spark, sf_dir, "documents"), budget=1024)
 
 
+def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text normalization (operators/cleaning.py): control-char strip,
+    whitespace-run collapse, trim. The synthetic docs are already clean,
+    so the query first roughs them up deterministically (doubled spaces,
+    tab runs, padding) and normalization must restore the original —
+    self-checking by construction, and the oracle applies the identical
+    mess + regexes. Pure codegen'd expressions, zero shuffle."""
+    from datapump_spark.operators.cleaning import normalize_text
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    messy = docs.select(
+        "doc_id",
+        F.concat(F.lit(" \t "),
+                 F.regexp_replace("text", " ", "  \t"),
+                 F.lit("\t  ")).alias("text"),
+        F.length("text").alias("n_chars_raw"),
+    )
+    return (normalize_text(messy, "text", out_col="text_norm")
+            .select("doc_id", "n_chars_raw",
+                    F.length("text_norm").alias("n_chars_norm"),
+                    "text_norm"))
+
+
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate-line removal, CCNet/RefinedWeb style
+    (operators/cleaning.py): lines appearing in ≥5% (and ≥2) of a
+    source's documents are dropped everywhere, documents reassembled.
+    Single-line synthetic docs are first rechunked into 10-token
+    pseudo-lines, same as q_line_dedup."""
+    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.operators.cleaning import strip_boilerplate
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    d = (docs.withColumn("__t", tokens(F.col("text")))
+         .withColumn("__n", F.greatest(
+             F.ceil(F.size("__t") / F.lit(10)), F.lit(1)).cast("int")))
+    lined = d.select(
+        "doc_id", "source",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.col("__n")),
+                lambda i: F.array_join(
+                    F.slice("__t", (i - 1) * 10 + 1, 10), " "),
+            ),
+            "\n",
+        ).alias("text"),
+    )
+    return strip_boilerplate(lined, min_docs_frac=0.05, min_docs=2)
+
+
+def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked edit-distance similarity join (operators/fuzzy_join.py):
+    document pairs whose 10-token prefix keys are within levenshtein
+    distance 5, found via lossless length-band blocking + threshold'd
+    levenshtein. The oracle is an INDEPENDENT all-pairs formulation
+    (length prefilter only), so the hash match also proves the blocking
+    loses no pairs."""
+    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.operators.fuzzy_join import edit_distance_pairs
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.array_join(F.slice(tokens(F.col("text")), 1, 10), " ").alias("key"),
+    )
+    return edit_distance_pairs(docs, "doc_id", "key", max_dist=5)
+
+
+def q_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key computation (operators/zorder.py): min/max
+    scale l_partkey and l_suppkey to 16 bits each and interleave — the
+    multi-column data-skipping layout key. One tiny stats broadcast +
+    pure bit arithmetic; scripts/zorder_skipping.py measures the
+    row-group pruning this layout buys."""
+    from datapump_spark.operators.zorder import with_zvalue
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    return with_zvalue(li, ["l_partkey", "l_suppkey"], bits=16) \
+        .select("l_orderkey", "l_linenumber", "zval")
+
+
+def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compressibility quality signal (operators/cleaning.py):
+    Arrow-batched mapInPandas, deterministic for a fixed level. No SQL
+    twin (DuckDB has no zlib expression) — pinned in tests/test_cleaning.py
+    against driver-side zlib; benched as a production scan-side signal."""
+    from datapump_spark.operators.cleaning import compression_ratio
+
+    return compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+EXTRA_QUERIES.update({
+    "q_normalize_text": q_normalize_text,
+    "q_strip_boilerplate": q_strip_boilerplate,
+    "q_fuzzy_pairs": q_fuzzy_pairs,
+    "q_zorder": q_zorder,
+})
+
+
 # Production-path strategy variants of oracle-gated queries: approximate or
 # order-sequential algorithms with no exact SQL twin. They are pytest-graded
 # (recall / packing invariants) and included in bench.py so the strategies a
@@ -1606,4 +1705,5 @@ BENCH_VARIANTS = {
     "q_semantic_dedup": q_semantic_dedup,
     "q_bpe_encode": q_bpe_encode,
     "q_approx_profile": q_approx_profile,
+    "q_compression_ratio": q_compression_ratio,
 }

@@ -1,0 +1,89 @@
+"""Cleaning operators: normalization, boilerplate strip, compressibility."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.cleaning import (
+    compression_ratio,
+    normalize_text,
+    strip_boilerplate,
+)
+
+
+def test_normalize_text_collapses_whitespace_and_control(spark):
+    df = spark.createDataFrame(
+        [(1, "  a\t\tb \n c\x07d  "), (2, "clean text"), (3, ""), (4, None)],
+        "id int, text string")
+    out = {r["id"]: r["text"] for r in normalize_text(df).collect()}
+    assert out[1] == "a b cd"  # \x07 dropped, runs collapsed, trimmed
+    assert out[2] == "clean text"
+    assert out[3] == ""
+    assert out[4] is None
+
+
+def test_normalize_text_lowercase_and_out_col(spark):
+    df = spark.createDataFrame([(1, " A  B ")], "id int, text string")
+    row = normalize_text(df, lowercase=True, out_col="norm").first()
+    assert row["norm"] == "a b" and row["text"] == " A  B "
+
+
+BP = "cookie banner accept all"
+
+
+@pytest.fixture()
+def bp_docs(spark):
+    rows = []
+    # source s0: banner in 3/4 docs -> boilerplate at frac 0.5
+    rows += [(0, "s0", f"{BP}\nreal content zero"),
+             (1, "s0", f"real content one\n{BP}"),
+             (2, "s0", f"{BP}"),
+             (3, "s0", "only real content three")]
+    # source s1: banner in 1/2 docs but min_docs=2 not met
+    rows += [(4, "s1", f"{BP}\nother text"), (5, "s1", "more text")]
+    return spark.createDataFrame(rows, "doc_id int, source string, text string")
+
+
+def test_strip_boilerplate_scoped_per_source(bp_docs):
+    out = {r["doc_id"]: r for r in
+           strip_boilerplate(bp_docs, min_docs_frac=0.5, min_docs=2).collect()}
+    assert out[0]["text"] == "real content zero"
+    assert out[1]["text"] == "real content one"
+    assert out[2]["text"] == "" and out[2]["n_lines_kept"] == 0
+    assert out[3]["text"] == "only real content three"
+    # s1 keeps the banner: only 1 doc has it there
+    assert out[4]["text"] == f"{BP}\nother text"
+    assert out[4]["n_lines_removed"] == 0
+    assert out[1]["n_lines_removed"] == 1
+
+
+def test_strip_boilerplate_frac_threshold(bp_docs):
+    # frac above 3/4 -> nothing is boilerplate in s0 either
+    out = strip_boilerplate(bp_docs, min_docs_frac=0.9, min_docs=2)
+    assert out.agg(F.sum("n_lines_removed")).first()[0] == 0
+
+
+def test_compression_ratio_matches_driver_zlib(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "text").limit(50)
+    got = {r["doc_id"]: r for r in compression_ratio(docs).collect()}
+    for r in docs.collect():
+        raw = r["text"].encode("utf-8")
+        exp = len(zlib.compress(raw, 6))
+        g = got[r["doc_id"]]
+        assert g["n_bytes"] == len(raw)
+        assert g["n_compressed"] == exp
+        assert g["compression_ratio"] == pytest.approx(
+            exp / max(len(raw), 1), abs=1e-6)
+
+
+def test_compression_ratio_flags_repetitive_text(spark):
+    df = spark.createDataFrame(
+        [(1, "spam " * 200), (2, " ".join(f"w{i}" for i in range(200)))],
+        "doc_id int, text string")
+    out = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(df).collect()}
+    assert out[1] < out[2] * 0.5  # repetition compresses far better
