@@ -7,31 +7,59 @@ runs only inside blocks.
 
 Scale notes (100 TB):
 
-- All-pairs levenshtein over N documents is O(N²·L²) — never. Blocking
+- All-pairs levenshtein over N strings is O(N²·L²) — never. Blocking
   turns it into Σ_b |b|² over block sizes; the join is a plain equi-join
   on the block key, so Spark shuffles each side once on that key and AQE
   splits any skewed block.
-- Length blocking here is *complete* for the length dimension: two
-  strings within edit distance k differ by ≤ k in length (each edit
-  changes length by ≤ 1), so with band width k their bands differ by
-  ≤ 1. Only the probe side explodes into ``{band, band+1}`` (2 rows);
-  the build side stays single — since the self-join plays every row in
-  both roles, the ``band+1`` probe covers the band-below case in the
-  swapped orientation. Every qualifying pair is generated 1–2×
-  (canonical ``least/greatest`` order + ``distinct`` dedupes) and the
-  build side is never duplicated. Residual in-block selectivity comes
-  from the threshold'd levenshtein itself: Spark's 3-arg form abandons
-  a cell early once the running distance exceeds k (O(k·L) not O(L²)).
-- For corpora where length alone blocks poorly (everything is ~the same
-  length), compose with a content block first — e.g. a MinHash band key
-  from :mod:`.dedup_fuzzy` — and pass it as ``extra_block_col``; the
-  plan shape is unchanged (one equi-join on a wider key).
+- **Multi-dimensional lossless banding.** Any 1-Lipschitz feature f
+  (|f(a)−f(b)| ≤ dist(a,b): length, vowel count, consonant count — one
+  edit moves each by ≤ 1) gives bands ``floor(f/k)`` that differ by ≤ 1
+  for any pair within distance k. The probe side explodes each band
+  coordinate into {b−1, b, b+1} (3^d emissions of tiny rows); the build
+  side stays single. Every qualifying ORDERED pair then matches exactly
+  once (the emission equal to the build's band vector), so
+  ``id_p < id_b`` keeps each unordered pair exactly once — no
+  ``distinct``, no double levenshtein. Each extra dimension multiplies
+  probe emissions by 3 but divides candidates by that dimension's
+  selectivity; on near-uniform-length corpora (where length-only
+  blocking degenerates) the content dims do the real work.
+- **Count filter before the distance** (lossless): one edit changes
+  per-character-class counts by ≤ 2 units of L1, so dist ≤ k ⇒
+  Σ_cls |c_p − c_b| ≤ 2k. Kept as scalar per-class columns — array +
+  higher-order-function formulations are interpreted per element
+  (measured 3× slower than just running levenshtein); scalar columns
+  stay inside whole-stage codegen.
+- The surviving pairs pay Spark's threshold'd ``levenshtein(l, r, k)``,
+  which abandons a cell early once the running distance exceeds k
+  (O(k·L) per pair, not O(L²)).
+- The probe side is repartitioned before the join: the build side
+  typically broadcasts, so pair-loop parallelism inherits the PROBE
+  partitioning — a single-file input would otherwise run the whole
+  candidate loop on one core.
+- For corpora where these dims still block poorly, compose a content
+  block (e.g. a MinHash band key from :mod:`.dedup_fuzzy`) via
+  ``extra_block_col`` — the plan shape is unchanged (a wider equi-key);
+  that path trades recall for cost and is no longer oracle-exact.
 """
 
 from __future__ import annotations
 
+from itertools import product
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+_VOWELS = "aeiou"
+_CONSONANTS = "bcdfghjklmnpqrstvwxyz"
+
+# count-filter character classes: a PARTITION of (a subset of) the
+# alphabet; any grouping is lossless, finer groupings prune harder
+_CLASSES = ["aeiou", "bcd", "fgh", "jkl", "mnp", "qrs", "tvw", "xyz",
+            "0123", "4567", "89", " "]
+
+
+def _count_of(t: Column, chars: str) -> Column:
+    return (F.length(t) - F.length(F.translate(t, chars, ""))).cast("int")
 
 
 def edit_distance_pairs(
@@ -40,49 +68,73 @@ def edit_distance_pairs(
     text_col: str = "text",
     max_dist: int = 8,
     extra_block_col: str | Column | None = None,
+    char_filter: bool = True,
 ) -> DataFrame:
-    """All pairs within edit distance ``max_dist`` whose lengths fall in
-    the same or adjacent length band (band width = ``max_dist``, which
-    makes length blocking lossless — see module docstring). Returns
-    ``(id_l, id_r, dist)`` with ``id_l < id_r``, one row per pair.
+    """All pairs within edit distance ``max_dist``: lossless 3-D banding
+    (length, vowels, consonants) + lossless class-count filter +
+    threshold'd levenshtein. Returns ``(id_l, id_r, dist)`` with
+    ``id_l < id_r``, one row per pair. See module docstring for why each
+    stage exists and how it scales.
     """
     if max_dist < 1:
         raise ValueError("max_dist must be ≥ 1")
+    t = F.col(text_col)
+    dims = [F.length(t), _count_of(t, _VOWELS), _count_of(t, _CONSONANTS)]
+    nd = len(dims)
     xb = []
     if extra_block_col is not None:
         c = (extra_block_col if isinstance(extra_block_col, Column)
              else F.col(extra_block_col))
         xb = [c.alias("__xb")]
+    k_cls = len(_CLASSES) if char_filter else 0
     base = df.select(
         F.col(id_col).alias("id"),
-        F.col(text_col).alias("t"),
-        F.floor(F.length(text_col) / F.lit(max_dist)).alias("__b"),
+        t.alias("t"),
+        *[F.floor(d / F.lit(max_dist)).alias(f"__b{i}")
+          for i, d in enumerate(dims)],
         *xb,
+        *[_count_of(t, cls).alias(f"__s{i}")
+          for i, cls in enumerate(_CLASSES[:k_cls])],
     )
-    on = ["__band"] + (["__xb"] if xb else [])
+    on = [f"__band{i}" for i in range(nd)] + (["__xb"] if xb else [])
+    # probe emits every band vector within ±1 per dim (3^d tiny rows);
+    # exactly one emission equals any qualifying partner's band vector
+    combos = F.array(*[
+        F.struct(*[(F.col(f"__b{i}") + F.lit(off[i])).alias(f"b{i}")
+                   for i in range(nd)])
+        for off in product((-1, 0, 1), repeat=nd)
+    ])
     probe = base.select(
         F.col("id").alias("id_p"), F.col("t").alias("t_p"),
-        F.explode(F.array(F.col("__b"), F.col("__b") + 1)).alias("__band"),
+        F.explode(combos).alias("__c"),
         *([F.col("__xb")] if xb else []),
+        *[F.col(f"__s{i}").alias(f"__p{i}") for i in range(k_cls)],
+    ).select(
+        "id_p", "t_p",
+        *[F.col(f"__c.b{i}").alias(f"__band{i}") for i in range(nd)],
+        *(["__xb"] if xb else []),
+        *[f"__p{i}" for i in range(k_cls)],
     )
     build = base.select(
         F.col("id").alias("id_b"), F.col("t").alias("t_b"),
-        F.col("__b").alias("__band"), *([F.col("__xb")] if xb else []),
+        *[F.col(f"__b{i}").alias(f"__band{i}") for i in range(nd)],
+        *([F.col("__xb")] if xb else []),
+        *[F.col(f"__s{i}").alias(f"__q{i}") for i in range(k_cls)],
     )
-    swap = F.col("id_p") < F.col("id_b")
+    cond = ((F.col("id_p") < F.col("id_b"))
+            & (F.abs(F.length("t_p") - F.length("t_b")) <= F.lit(max_dist)))
+    if char_filter:
+        l1 = sum((F.abs(F.col(f"__p{i}") - F.col(f"__q{i}"))
+                  for i in range(k_cls)), F.lit(0))
+        cond = cond & (l1 <= F.lit(2 * max_dist))
+    probe = probe.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     pairs = (probe.join(build, on)
-             .where(F.col("id_p") != F.col("id_b"))
-             .select(
-                 F.when(swap, F.col("id_p")).otherwise(F.col("id_b"))
-                 .alias("id_l"),
-                 F.when(swap, F.col("id_b")).otherwise(F.col("id_p"))
-                 .alias("id_r"),
-                 F.when(swap, F.col("t_p")).otherwise(F.col("t_b"))
-                 .alias("t_l"),
-                 F.when(swap, F.col("t_b")).otherwise(F.col("t_p"))
-                 .alias("t_r"),
-             ).distinct())
+             .where(cond)
+             .select(F.col("id_p").alias("id_l"),
+                     F.col("id_b").alias("id_r"),
+                     "t_p", "t_b"))
     return (pairs
-            .withColumn("dist", F.levenshtein("t_l", "t_r", max_dist))
+            .withColumn("dist", F.levenshtein("t_p", "t_b", max_dist))
             .where(F.col("dist") >= 0)
             .select("id_l", "id_r", F.col("dist").cast("int").alias("dist")))

@@ -111,3 +111,37 @@ def exact_profile(
                 .cast("double").alias(f"p{int(p * 100)}_{c}"))
     g = df.groupBy(*group_cols) if group_cols else df.groupBy()
     return g.agg(*aggs)
+
+
+def hll_rollup_sketches(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    lg_k: int = 12,
+) -> DataFrame:
+    """Per-group HLL sketch STATES (Apache DataSketches binary), the
+    mergeable cube cell: ``(group_cols..., n_rows, hll)``.
+
+    Persist this frame once per fine grain (e.g. per day × type); every
+    coarser rollup then comes from :func:`hll_rollup_estimate` WITHOUT
+    rescanning base data — the sketch-cube pattern that makes repeated
+    distinct-count reporting affordable at 100 TB (registers are a few
+    KB per cell vs a distinct shuffle of every value). HLL union takes
+    the register-wise max, so rolled-up estimates are *identical* to
+    sketching the raw union — pinned bit-exact in tests."""
+    return (df.groupBy(*group_cols)
+            .agg(F.count("*").cast("bigint").alias("n_rows"),
+                 F.hll_sketch_agg(col, F.lit(lg_k)).alias("hll")))
+
+
+def hll_rollup_estimate(
+    sketches: DataFrame,
+    keep_cols: list[str] | None = None,
+) -> DataFrame:
+    """Roll persisted sketch states up to ``keep_cols`` (None = grand
+    total): ``(keep_cols..., n_rows, ndv)``. Touches only the sketch
+    frame — kilobytes per cell, never the base table."""
+    g = sketches.groupBy(*keep_cols) if keep_cols else sketches.groupBy()
+    return g.agg(
+        F.sum("n_rows").cast("bigint").alias("n_rows"),
+        F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("ndv"))

@@ -127,3 +127,38 @@ def fingerprint(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
         F.md5("__norm").alias("fp_md5"),
         F.array_min(hashed).alias("fp_roll"),
     )
+
+
+def token_entropy(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Per-document unigram token entropy — the gibberish/spam signal a
+    quality pipeline pairs with :func:`quality_score`: keyboard mash and
+    word-salad have near-maximal entropy, single-phrase spam near zero.
+
+    ``H = ln(n) − (Σ c·ln c)/n`` over token counts c, computed with one
+    explode + two aggregations (token counts per doc, then the per-doc
+    fold) — both hash aggs with map-side partial combine, no windows.
+    ``entropy_ratio`` normalizes by the max possible ``ln(n_distinct)``
+    so thresholds transfer across document lengths. Rounded to 6dp under
+    the repo float policy (oracle-matched)."""
+    toks = df.select(F.col(id_col),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    counts = toks.groupBy(id_col, "tok").agg(F.count("*").alias("c"))
+    ent = (counts.groupBy(id_col)
+           .agg(F.sum("c").alias("n"),
+                F.count("*").alias("n_distinct"),
+                F.sum(F.col("c") * F.log("c")).alias("clc"))
+           .select(
+               F.col(id_col),
+               F.col("n").cast("bigint").alias("n_tokens"),
+               F.col("n_distinct").cast("bigint").alias("n_distinct_tokens"),
+               F.round(F.log("n") - F.col("clc") / F.col("n"), 6)
+               .alias("entropy"),
+               F.round(
+                   (F.log("n") - F.col("clc") / F.col("n"))
+                   / F.log(F.greatest(F.col("n_distinct").cast("double"),
+                                      F.lit(2.0))), 6).alias("entropy_ratio"),
+           ))
+    return (df.select(id_col).join(ent, id_col, "left")
+            .na.fill({"n_tokens": 0, "n_distinct_tokens": 0,
+                      "entropy": 0.0, "entropy_ratio": 0.0}))

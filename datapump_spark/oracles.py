@@ -1688,3 +1688,24 @@ SELECT l_orderkey, l_linenumber,
        CAST({zvalue_sql(["zx", "zy"], 16)} AS BIGINT) AS zval
 FROM sc
 """
+
+EXTRA_ORACLES["q_token_entropy"] = """
+WITH tk AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                            x -> x != '')) AS tok
+  FROM documents),
+c AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY doc_id, tok),
+e AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS nd,
+         sum(c * ln(c)) AS clc
+  FROM c GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(e.n, 0) AS BIGINT) AS n_tokens,
+       CAST(COALESCE(e.nd, 0) AS BIGINT) AS n_distinct_tokens,
+       COALESCE(round(ln(e.n) - e.clc / e.n, 6), 0.0) AS entropy,
+       COALESCE(round((ln(e.n) - e.clc / e.n)
+                      / ln(greatest(CAST(e.nd AS DOUBLE), 2.0)), 6), 0.0)
+         AS entropy_ratio
+FROM documents d LEFT JOIN e USING (doc_id)
+"""

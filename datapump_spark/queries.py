@@ -1649,10 +1649,10 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Blocked edit-distance similarity join (operators/fuzzy_join.py):
     document pairs whose 10-token prefix keys are within levenshtein
-    distance 5, found via lossless length-band blocking + threshold'd
-    levenshtein. The oracle is an INDEPENDENT all-pairs formulation
-    (length prefilter only), so the hash match also proves the blocking
-    loses no pairs."""
+    distance 5, found via lossless 3-D banding (length/vowels/consonants)
+    + lossless class-count filter + threshold'd levenshtein. The oracle
+    is an INDEPENDENT all-pairs formulation (length prefilter only), so
+    the hash match also proves the blocking loses no pairs."""
     from datapump_spark.functions.hashing import tokens
     from datapump_spark.operators.fuzzy_join import edit_distance_pairs
 
@@ -1687,11 +1687,38 @@ def q_compression_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_ratio(_t(spark, sf_dir, "documents"))
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram token entropy per document (operators/text.py) — the
+    gibberish/word-salad quality signal: one explode + two skew-safe
+    hash aggregations, no windows."""
+    from datapump_spark.operators.text import token_entropy
+
+    return token_entropy(_t(spark, sf_dir, "documents"))
+
+
+def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HLL sketch-cube rollup (operators/sketches.py): distinct
+    users sketched once per (event_type, day) cell, then rolled up to
+    per-type NDV from sketch STATES only — the pattern that makes
+    repeated distinct-count reporting affordable at 100 TB. Approximate
+    (DataSketches HLL), so no SQL twin; merge-exactness and error bounds
+    are pinned in tests/test_sketches.py."""
+    from datapump_spark.operators.sketches import (
+        hll_rollup_estimate, hll_rollup_sketches)
+
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "day", F.to_date(F.col("ts").cast("timestamp")))
+    sk = hll_rollup_sketches(ev, ["event_type", "day"], "user_id")
+    return (hll_rollup_estimate(sk, ["event_type"])
+            .orderBy("event_type"))
+
+
 EXTRA_QUERIES.update({
     "q_normalize_text": q_normalize_text,
     "q_strip_boilerplate": q_strip_boilerplate,
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_zorder": q_zorder,
+    "q_token_entropy": q_token_entropy,
 })
 
 
@@ -1706,4 +1733,5 @@ BENCH_VARIANTS = {
     "q_bpe_encode": q_bpe_encode,
     "q_approx_profile": q_approx_profile,
     "q_compression_ratio": q_compression_ratio,
+    "q_hll_rollup": q_hll_rollup,
 }

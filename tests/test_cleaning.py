@@ -87,3 +87,20 @@ def test_compression_ratio_flags_repetitive_text(spark):
     out = {r["doc_id"]: r["compression_ratio"]
            for r in compression_ratio(df).collect()}
     assert out[1] < out[2] * 0.5  # repetition compresses far better
+
+
+def test_token_entropy_signals(spark):
+    from datapump_spark.operators.text import token_entropy
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam"),            # zero entropy
+         (2, "all four tokens differ here"),    # maximal entropy
+         (3, ""),                               # empty -> 0s
+         (4, "a a b b")],                       # H = ln 2
+        "doc_id int, text string")
+    out = {r["doc_id"]: r for r in token_entropy(df).collect()}
+    assert out[1]["entropy"] == 0.0 and out[1]["n_distinct_tokens"] == 1
+    import math
+    assert out[2]["entropy"] == pytest.approx(math.log(5), abs=1e-6)
+    assert out[2]["entropy_ratio"] == pytest.approx(1.0, abs=1e-6)
+    assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
+    assert out[4]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
