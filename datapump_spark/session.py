@@ -35,6 +35,12 @@ def tuned_builder(app_name: str = "datapump-spark") -> SparkSession.Builder:
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
         # Read-side split sizing: 128 MB splits keep scan tasks balanced.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # Default openCostInBytes (4 MB) makes any file under ~4 MB a single
+        # split, so a small-but-expensive-per-row scan (text/levenshtein/
+        # regex kernels over a few-MB parquet) runs on ONE core. 64 KB keeps
+        # sub-4MB inputs splittable by row group; on real >128 MB inputs the
+        # maxPartitionBytes bound dominates and nothing changes.
+        .config("spark.sql.files.openCostInBytes", "65536")
     )
 
 
