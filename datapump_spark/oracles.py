@@ -1520,16 +1520,20 @@ GROUP BY from_state, to_state
 from datapump_spark.operators.graph import pagerank_oracle_sql  # noqa: E402
 
 _PAGERANK_EDGES = """
-SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
-                's:' || CAST(l_suppkey AS VARCHAR) AS dst
+SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 UNION ALL
-SELECT DISTINCT 's:' || CAST(l_suppkey AS VARCHAR) AS src,
-                'c:' || CAST(o_custkey AS VARCHAR) AS dst
+SELECT DISTINCT l_suppkey * 2 + 1 AS src, o_custkey * 2 AS dst
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 """
 
-EXTRA_ORACLES["q_pagerank"] = pagerank_oracle_sql(_PAGERANK_EDGES, n_iter=3)
+# labels applied at the output boundary only, mirroring the Spark query
+EXTRA_ORACLES["q_pagerank"] = f"""
+SELECT CASE WHEN node % 2 = 0 THEN 'c:' || CAST(node // 2 AS VARCHAR)
+            ELSE 's:' || CAST((node - 1) // 2 AS VARCHAR) END AS node,
+       rank
+FROM ({pagerank_oracle_sql(_PAGERANK_EDGES, n_iter=3)})
+"""
 
 # From-scratch twin of the incrementally-merged state (the hash match is
 # the losslessness proof for merge_agg_state).

@@ -1432,17 +1432,26 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
+    # integer node ids (customer = 2k, supplier = 2k+1): the join/distinct
+    # and every per-iteration shuffle key 8 bytes instead of a string —
+    # labels are applied once at the output boundary, never shuffled
     cp = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c:"), F.col("o_custkey").cast("string")).alias("cnode"),
-            F.concat(F.lit("s:"), F.col("l_suppkey").cast("string")).alias("snode"),
+            (F.col("o_custkey") * 2).alias("cnode"),
+            (F.col("l_suppkey") * 2 + 1).alias("snode"),
         )
         .distinct()
     )
     edges = cp.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")) \
         .union(cp.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
-    return pagerank(edges, n_iter=3)
+    pr = pagerank(edges, n_iter=3)
+    label = F.when(
+        F.col("node") % 2 == 0,
+        F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
+    ).otherwise(
+        F.concat(F.lit("s:"), ((F.col("node") - 1) / 2).cast("long").cast("string")))
+    return pr.select(label.alias("node"), "rank")
 
 
 def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
