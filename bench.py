@@ -96,6 +96,7 @@ BENCH_QUERIES = [
     "q_market_share",
     "q_customer_distribution",
     "q_big_orders",
+    "q_dominant_suppliers",
     "q_waiting_suppliers",
     # Data-quality + reshaping operators
     "q_expectations",

@@ -6,7 +6,8 @@ query's *shape* — the join topology, subquery pattern, and aggregate
 structure that exercise the optimizer — re-keyed to the columns that exist.
 Together with q_pricing_summary (Q1), q_ship_priority (Q3), q_region_volume
 (Q5) and q_promo_revenue (Q14) in queries.py, this covers the join/subquery
-surface of 16 of the 22 TPC-H queries.
+surface of ALL 22 TPC-H query shapes (Q20's partsupp correlate is re-keyed
+to shipped quantities — see q_dominant_suppliers).
 
 Scale notes (100 TB): every dim join below broadcasts (region/nation/
 supplier/part are tiny relative to facts at any SF); fact-fact joins
@@ -730,6 +731,63 @@ LIMIT 20
 """
 
 
+# -------------------------------------------------------------- Q20 shape
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion) adapted: suppliers who are
+    the DOMINANT shipper (>30% of total 1998 quantity) of some red part.
+    The original's correlated ``ps_availqty > 0.5 × sum(l_quantity)``
+    subquery (partsupp is absent from the driver schema) becomes the
+    same nested-IN shape over shipped quantities: per-(part, supplier)
+    aggregate, per-part aggregate DERIVED by re-aggregating the first
+    (one scan of lineitem total), threshold join, then a semi join into
+    supplier. Both aggregates shuffle on partkey only; part is a
+    broadcast filter; no per-row correlated probing anywhere."""
+    t = _loader(sf_dir)
+    red = t(spark, "part").where(F.col("p_name").like("%red%")) \
+        .select("p_partkey")
+    li = (t(spark, "lineitem")
+          .where((F.col("l_shipdate") >= "1998-01-01")
+                 & (F.col("l_shipdate") < "1999-01-01"))
+          .join(F.broadcast(red), F.col("l_partkey") == F.col("p_partkey")))
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(F.col("l_quantity").cast("decimal(18,6)")).alias("__sq"))
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("__sq").alias("__pq"))
+    dom = (per_ps.join(per_p, "l_partkey")
+           .where(F.col("__sq").cast("double")
+                  > F.lit(0.3) * F.col("__pq").cast("double"))
+           .select("l_suppkey").distinct())
+    s = t(spark, "supplier")
+    n = t(spark, "nation")
+    return (
+        s.join(dom, s.s_suppkey == dom.l_suppkey, "left_semi")
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+        .orderBy("s_name")
+    )
+
+
+_Q20_SQL = """
+SELECT s_name, n_name
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%red%'
+    AND l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'
+  GROUP BY l_partkey, l_suppkey
+  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) > 0.3 * (
+    SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+    FROM lineitem l2
+    WHERE l2.l_partkey = lineitem.l_partkey
+      AND l2.l_shipdate >= TIMESTAMP '1998-01-01 00:00:00'
+      AND l2.l_shipdate <  TIMESTAMP '1999-01-01 00:00:00'))
+ORDER BY s_name
+"""
+
+
 # -------------------------------------------------------------- Q22 shape
 def q_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 (global sales opportunity): per nation, customers whose
@@ -790,6 +848,7 @@ TPCH_QUERIES = {
     "q_small_qty_revenue": q_small_qty_revenue,
     "q_big_orders": q_big_orders,
     "q_disjunctive_revenue": q_disjunctive_revenue,
+    "q_dominant_suppliers": q_dominant_suppliers,
     "q_waiting_suppliers": q_waiting_suppliers,
     "q_idle_rich_customers": q_idle_rich_customers,
 }
@@ -810,6 +869,7 @@ TPCH_ORACLES = {
     "q_small_qty_revenue": _Q17_SQL,
     "q_big_orders": _Q18_SQL,
     "q_disjunctive_revenue": _Q19_SQL,
+    "q_dominant_suppliers": _Q20_SQL,
     "q_waiting_suppliers": _Q21_SQL,
     "q_idle_rich_customers": _Q22_SQL,
 }
