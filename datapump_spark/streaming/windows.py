@@ -190,3 +190,17 @@ def dedupe_within_watermark(
                  .dropDuplicatesWithinWatermark(keys)
     from datapump_spark.operators.dedupe import dedupe_by_key
     return dedupe_by_key(df, keys, ts_col, "first")
+
+
+def enrich(stream: DataFrame, dim: DataFrame, on: str | list[str],
+           how: str = "left") -> DataFrame:
+    """Stream-static enrichment: join a (possibly streaming) fact frame
+    with a static dimension. The static side is explicitly broadcast —
+    on a stream this is the only join flavor that needs NO state store
+    at all (each micro-batch probes the broadcast map and moves on), so
+    it costs a map-side lookup per row at any scale. The static plan is
+    re-resolved every micro-batch, so a dim refreshed in place (e.g. the
+    parquet MERGE sink's current version) is picked up without restart.
+
+    Works identically on batch frames (same code path, same plan)."""
+    return stream.join(F.broadcast(dim), on, how)

@@ -239,3 +239,32 @@ def test_dedupe_within_watermark(spark, tmp_path):
     batch = spark.read.schema(EVENT_SCHEMA).json(str(d))
     bout = dedupe_within_watermark(batch, ["user_id"], "ts")
     assert bout.count() == 3
+
+
+def test_enrich_stream_static_equals_batch(spark, tmp_path):
+    from datapump_spark.streaming.windows import enrich
+
+    src = tmp_path / "facts"
+    out = tmp_path / "enriched"
+    facts = spark.createDataFrame(
+        [(1, 10, 5.0), (2, 20, 7.5), (3, 30, 1.25), (4, 99, 2.0)],
+        "event_id int, user_id int, value double")
+    facts.write.mode("overwrite").parquet(str(src))
+    dim = spark.createDataFrame(
+        [(10, "gold"), (20, "silver"), (30, "bronze")],
+        "user_id int, tier string")
+
+    stream = spark.readStream.schema(
+        "event_id int, user_id int, value double").parquet(str(src))
+    (enrich(stream, dim, "user_id")
+     .writeStream.format("parquet")
+     .option("path", str(out))
+     .option("checkpointLocation", str(tmp_path / "ckpt"))
+     .trigger(availableNow=True).start().awaitTermination(120))
+
+    got = sorted(tuple(r) for r in spark.read.parquet(str(out))
+                 .select("event_id", "tier").collect())
+    exp = sorted(tuple(r) for r in enrich(facts, dim, "user_id")
+                 .select("event_id", "tier").collect())
+    assert got == exp
+    assert (4, None) in got  # left join keeps unmatched facts
