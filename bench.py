@@ -117,6 +117,12 @@ BENCH_QUERIES = [
     "q_fuzzy_pairs",
     "q_zorder",
     "q_compression_ratio",
+    # Monitoring / conditioning / sketch operators
+    "q_psi_drift",
+    "q_winsorize",
+    "q_reservoir_sample",
+    "q_variant_extract",
+    "q_heavy_hitters",
 ]
 
 

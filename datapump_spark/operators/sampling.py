@@ -145,3 +145,21 @@ def weighted_mix(
     thresh = expr.otherwise(F.lit(0)) if expr is not None else F.lit(0)
     h = _key_hash(F.col(key_col), salt, hash_fn)
     return df.where(h % FRACTION_DENOM < thresh)
+
+
+def uniform_sample_k(
+    df: DataFrame, key_col: str, k: int, salt: str = "topk",
+) -> DataFrame:
+    """Exactly-``k`` deterministic uniform sample: the ``k`` rows with the
+    smallest salted key hash — the distributed replacement for reservoir
+    sampling (same marginal distribution, but reproducible and
+    parallel-mergeable, which a sequential reservoir is not).
+
+    Plan: sort-by-hash + limit compiles to ``TakeOrderedAndProject`` —
+    each task keeps a local k-heap and only k rows per partition reach
+    the driver merge; there is NO global sort/shuffle of the data. The
+    nested property holds: the k=100 sample ⊂ the k=1000 sample (same
+    salt), so consistent eval subsets at several sizes cost one pass.
+    """
+    h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    return df.orderBy(h.asc(), F.col(key_col).asc()).limit(k)

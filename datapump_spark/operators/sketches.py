@@ -145,3 +145,73 @@ def hll_rollup_estimate(
     return g.agg(
         F.sum("n_rows").cast("bigint").alias("n_rows"),
         F.hll_sketch_estimate(F.hll_union_agg("hll")).alias("ndv"))
+
+
+def heavy_hitters(
+    df: DataFrame,
+    col: str,
+    phi: float = 0.001,
+    capacity: int | None = None,
+    exact_counts: bool = True,
+) -> DataFrame:
+    """All items of ``col`` with frequency > ``phi``·N, via a two-pass
+    distributed Misra-Gries — the heavy-hitter pattern that works when
+    the domain (tokens, URLs, user ids) is too large to GROUP BY whole.
+
+    Pass 1 folds each partition into ≤ ``capacity`` (item, weight)
+    counters with the mergeable-summaries MG merge (add a batch's
+    counts, then subtract the (capacity+1)-th largest weight and drop
+    non-positives — Agarwal et al. 2012): total undercount of any item
+    is ≤ n_partition/(capacity+1), so summing over partitions, every
+    item with true count > N/(capacity+1) survives in at least one
+    partition summary. With ``capacity ≥ 1/phi`` (default 2/phi) the
+    candidate set is a SUPERSET of the true phi-heavy hitters, and it
+    is at most capacity × n_partitions rows — kilobytes, broadcastable.
+
+    Pass 2 (``exact_counts=True``) re-scans with a broadcast semi join
+    on the candidates and counts them exactly, so the result EQUALS the
+    exact ``GROUP BY … HAVING count > phi·N`` — but the shuffle carries
+    only candidate rows, never the full domain. At 100 TB that is the
+    difference between shuffling ~10^11 distinct tokens and shuffling a
+    few thousand. ``exact_counts=False`` returns one pass with summed
+    lower-bound weights instead (``w_lower`` ∈ [true − N/(cap+1), true]).
+    """
+    if capacity is None:
+        capacity = max(int(2.0 / phi), 64)
+    cap = capacity
+
+    def mg(batches):
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+
+        counters: Counter = Counter()
+        for pdf in batches:
+            for item, cnt in pdf["item"].value_counts().items():
+                counters[item] += int(cnt)
+            if len(counters) > cap:
+                arr = np.fromiter(counters.values(), dtype=np.int64)
+                d = int(np.partition(arr, -(cap + 1))[-(cap + 1)])
+                counters = Counter(
+                    {k: v - d for k, v in counters.items() if v > d})
+        yield pd.DataFrame(
+            {"item": list(counters.keys()),
+             "w_lower": np.fromiter(counters.values(), dtype=np.int64,
+                                    count=len(counters))})
+
+    items = df.select(F.col(col).cast("string").alias("item")) \
+        .where(F.col(col).isNotNull())
+    summaries = items.mapInPandas(mg, "item string, w_lower long")
+    candidates = summaries.groupBy("item").agg(
+        F.sum("w_lower").cast("bigint").alias("w_lower"))
+    if not exact_counts:
+        return candidates
+    total = items.agg(F.count("*").alias("_n"))
+    return (
+        items.join(F.broadcast(candidates.select("item")), "item")
+        .groupBy("item")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .where(F.col("cnt") > F.lit(phi) * F.col("_n"))
+        .select("item", "cnt")
+    )

@@ -1713,3 +1713,94 @@ SELECT d.doc_id,
          AS entropy_ratio
 FROM documents d LEFT JOIN e USING (doc_id)
 """
+
+# Mirrors operators/drift.py:time_split_drift exactly: same bucket floor
+# arithmetic (IEEE doubles), same integer-µs midpoint, same Laplace
+# smoothing (eps=0.5, 10 buckets → +5.0 totals); the full (group × bucket)
+# grid reproduces the Spark fold's missing-cell terms.
+EXTRA_ORACLES["q_psi_drift"] = """
+WITH span AS (
+  SELECT min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us,
+         CAST(min(value) AS DOUBLE) AS lo, CAST(max(value) AS DOUBLE) AS hi
+  FROM events),
+tagged AS (
+  SELECT event_type,
+         CAST(least(9, greatest(0,
+              CAST(floor((value - s.lo) / ((s.hi - s.lo) / 10)) AS BIGINT)))
+              AS INT) AS bucket,
+         CASE WHEN epoch_us(ts) < s.lo_us + (s.hi_us - s.lo_us) // 2
+              THEN 0 ELSE 1 END AS side
+  FROM events, span s),
+counts AS (
+  SELECT event_type, bucket,
+         count(*) FILTER (side = 0) AS nb,
+         count(*) FILTER (side = 1) AS nc
+  FROM tagged GROUP BY event_type, bucket),
+tots AS (SELECT event_type, sum(nb) AS n_base, sum(nc) AS n_cur
+         FROM counts GROUP BY event_type),
+grid AS (
+  SELECT t.event_type, g.bucket,
+         COALESCE(c.nb, 0) AS nb, COALESCE(c.nc, 0) AS nc,
+         t.n_base, t.n_cur
+  FROM tots t
+  CROSS JOIN (SELECT unnest(range(10)) AS bucket) g
+  LEFT JOIN counts c ON c.event_type = t.event_type AND c.bucket = g.bucket),
+terms AS (
+  SELECT event_type, n_base, n_cur,
+         (nb + 0.5) / (n_base + 5.0) AS p,
+         (nc + 0.5) / (n_cur + 5.0) AS q
+  FROM grid)
+SELECT event_type,
+       CAST(any_value(n_base) AS BIGINT) AS n_base,
+       CAST(any_value(n_cur) AS BIGINT) AS n_cur,
+       round(sum((p - q) * ln(p / q)), 6) AS psi,
+       round(sum(q * ln(q / p)), 6) AS kl,
+       round(sum(abs(p - q) / 2), 6) AS tvd
+FROM terms GROUP BY event_type
+"""
+
+# quantile_cont matches Spark's exact interpolated percentile bit-for-bit
+# (verified: identical doubles on this data); derived columns round at 6.
+EXTRA_ORACLES["q_winsorize"] = """
+WITH b AS (
+  SELECT event_type,
+         quantile_cont(value, 0.01) AS lo,
+         quantile_cont(value, 0.25) AS p25,
+         quantile_cont(value, 0.50) AS med,
+         quantile_cont(value, 0.75) AS p75,
+         quantile_cont(value, 0.99) AS hi
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type, e.value,
+       round(least(greatest(e.value, b.lo), b.hi), 6) AS value_w,
+       round(CASE WHEN b.p75 - b.p25 > 0
+                  THEN (e.value - b.med) / (b.p75 - b.p25)
+                  ELSE 0.0 END, 6) AS value_robust
+FROM events e JOIN b USING (event_type)
+"""
+
+EXTRA_ORACLES["q_reservoir_sample"] = """
+SELECT doc_id, lang, source
+FROM documents
+ORDER BY md5('topk:' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+LIMIT 100
+"""
+
+EXTRA_ORACLES["q_variant_extract"] = """
+SELECT user_id,
+       CAST(sum(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+       CAST(count(props ->> '$.k') AS BIGINT) AS n_props
+FROM events GROUP BY user_id
+"""
+
+# The two-pass Misra-Gries result is EXACT (candidate superset + exact
+# recount), so the oracle is the plain GROUP BY … HAVING it replaces.
+from datapump_spark.functions.hashing import tokens_sql  # noqa: E402
+
+EXTRA_ORACLES["q_heavy_hitters"] = f"""
+WITH tk AS (
+  SELECT unnest({tokens_sql('text')}) AS tok FROM documents),
+c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok),
+n AS (SELECT sum(cnt) AS n FROM c)
+SELECT tok, CAST(cnt AS BIGINT) AS cnt
+FROM c, n WHERE cnt > 0.001 * n
+"""

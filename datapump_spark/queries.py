@@ -1722,12 +1722,81 @@ def q_hll_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("event_type"))
 
 
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution drift (operators/drift.py): PSI / KL / TVD of the
+    `value` distribution per event_type between the first and second
+    half of the events time range. The snapshot-monitoring primitive —
+    one bounded count aggregate regardless of input size."""
+    from datapump_spark.operators.drift import time_split_drift
+
+    return time_split_drift(
+        _t(spark, sf_dir, "events"), "ts", "value", ["event_type"])
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust numeric conditioning (operators/robust.py): per-event_type
+    winsorized + median/IQR-scaled `value`. One exact-percentile pass +
+    broadcast bounds join — the fact table never shuffles."""
+    from datapump_spark.operators.robust import winsorize
+
+    ev = _t(spark, sf_dir, "events")
+    return winsorize(ev, "value", ["event_type"]).select(
+        "event_id", "event_type", "value", "value_w", "value_robust")
+
+
+def q_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k deterministic uniform sample (operators/sampling.py):
+    k smallest salted-md5 keys via TakeOrderedAndProject — reservoir-
+    sampling semantics without sequential state; nested across k."""
+    from datapump_spark.operators.sampling import uniform_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return uniform_sample_k(docs, "doc_id", 100).select(
+        "doc_id", "lang", "source")
+
+
+def q_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through Spark 4's VARIANT type:
+    try_parse_json once into the binary variant encoding, then typed
+    path extraction (`variant_get`) feeding a per-user aggregate. The
+    shredded-at-scan model for ragged JSON at 100 TB — no per-query
+    string re-parsing, no UDFs."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.try_parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        ev.select("user_id", k.alias("_k"))
+        .groupBy("user_id")
+        .agg(F.sum("_k").alias("k_sum"),
+             F.count("_k").cast("bigint").alias("n_props"))
+    )
+
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phi-heavy hitters over the token stream via two-pass
+    distributed Misra-Gries (operators/sketches.py): bounded-memory
+    candidate summaries per partition, then a broadcast-semi-join exact
+    count — equal to GROUP BY…HAVING but without shuffling the full
+    token domain."""
+    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.operators.sketches import heavy_hitters
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    return heavy_hitters(toks, "tok", phi=0.001).withColumnRenamed(
+        "item", "tok")
+
+
 EXTRA_QUERIES.update({
     "q_normalize_text": q_normalize_text,
     "q_strip_boilerplate": q_strip_boilerplate,
     "q_fuzzy_pairs": q_fuzzy_pairs,
     "q_zorder": q_zorder,
     "q_token_entropy": q_token_entropy,
+    "q_psi_drift": q_psi_drift,
+    "q_winsorize": q_winsorize,
+    "q_reservoir_sample": q_reservoir_sample,
+    "q_variant_extract": q_variant_extract,
+    "q_heavy_hitters": q_heavy_hitters,
 })
 
 

@@ -1,0 +1,201 @@
+"""operators/drift.py + operators/robust.py + the new sampling/sketch ops.
+
+The SQL-hash gate for their registry queries lives in
+test_extra_oracles.py; these tests pin the operator-level semantics the
+hash can't see: drift metric behavior under known shifts, winsorize
+invariants, the nested-sample property, and that Misra-Gries actually
+prunes (capacity ≪ vocabulary) while staying exact.
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------------ drift
+
+@pytest.fixture(scope="module")
+def two_snapshots(spark):
+    rng = random.Random(7)
+    base = [(i, "a", rng.gauss(0.0, 1.0)) for i in range(4000)]
+    same = [(i, "a", rng.gauss(0.0, 1.0)) for i in range(4000)]
+    shifted = [(i, "a", rng.gauss(2.0, 1.0)) for i in range(4000)]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id long, grp string, v double")
+    return mk(base), mk(same), mk(shifted)
+
+
+def test_drift_identity_near_zero(two_snapshots):
+    from datapump_spark.operators.drift import distribution_drift
+
+    base, same, _ = two_snapshots
+    row = distribution_drift(base, same, "v", ["grp"]).collect()[0]
+    assert row["n_base"] == row["n_cur"] == 4000
+    assert row["psi"] < 0.02          # same distribution → PSI ≈ 0
+    assert row["tvd"] < 0.05
+
+
+def test_drift_detects_shift(two_snapshots):
+    from datapump_spark.operators.drift import distribution_drift
+
+    base, _, shifted = two_snapshots
+    row = distribution_drift(base, shifted, "v", ["grp"]).collect()[0]
+    assert row["psi"] > 0.5           # 2σ mean shift → PSI ≫ alert (0.25)
+    assert row["kl"] > 0.2
+    assert 0.2 < row["tvd"] <= 1.0
+
+
+def test_drift_pinned_edges_single_pass(two_snapshots):
+    """Pinned lo/hi skips the bounds pass and clamps outliers instead of
+    dropping them: totals must still count every row."""
+    from datapump_spark.operators.drift import distribution_drift
+
+    base, same, _ = two_snapshots
+    row = distribution_drift(base, same, "v", ["grp"], lo=-1.0, hi=1.0) \
+        .collect()[0]
+    assert row["n_base"] == row["n_cur"] == 4000
+
+
+# --------------------------------------------------------------- winsorize
+
+def test_winsorize_bounds_and_robust(spark):
+    from datapump_spark.operators.robust import winsorize
+
+    rows = [(i, "g", float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "id long, grp string, v double")
+    out = winsorize(df, "v", ["grp"], lower=0.10, upper=0.90).collect()
+    # exact interpolated percentiles of 1..100: p10 = 10.9, p90 = 90.1
+    assert min(r["v_w"] for r in out) == pytest.approx(10.9)
+    assert max(r["v_w"] for r in out) == pytest.approx(90.1)
+    # interior values untouched
+    mid = next(r for r in out if r["id"] == 50)
+    assert mid["v_w"] == 50.0
+    # robust scale: median 50.5, IQR = 75.25 − 25.75 = 49.5
+    assert mid["v_robust"] == pytest.approx((50.0 - 50.5) / 49.5, abs=1e-6)
+
+
+def test_winsorize_zero_iqr(spark):
+    from datapump_spark.operators.robust import winsorize
+
+    df = spark.createDataFrame([(i, "g", 5.0) for i in range(10)],
+                               "id long, grp string, v double")
+    out = winsorize(df, "v", ["grp"]).collect()
+    assert all(r["v_robust"] == 0.0 and r["v_w"] == 5.0 for r in out)
+
+
+# ------------------------------------------------------ uniform_sample_k
+
+def test_uniform_sample_k_nested_and_deterministic(spark, sf_dir):
+    from datapump_spark.operators.sampling import uniform_sample_k
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s10 = {r["doc_id"] for r in
+           uniform_sample_k(docs, "doc_id", 10).collect()}
+    s30 = {r["doc_id"] for r in
+           uniform_sample_k(docs, "doc_id", 30).collect()}
+    s10b = {r["doc_id"] for r in
+            uniform_sample_k(docs.repartition(7), "doc_id", 10).collect()}
+    assert len(s10) == 10 and len(s30) == 30
+    assert s10 < s30                      # nested across k
+    assert s10 == s10b                    # layout-independent
+
+
+# --------------------------------------------------------- heavy hitters
+
+def test_heavy_hitters_exact_under_pruning(spark):
+    """Zipf stream with vocabulary ≫ capacity: MG summaries must prune
+    hard, yet the two-pass result equals the exact GROUP BY/HAVING."""
+    from datapump_spark.operators.sketches import heavy_hitters
+
+    rng = random.Random(13)
+    vocab = 5000
+    rows = [(f"w{int(vocab ** rng.random())}",) for _ in range(60_000)]
+    df = spark.createDataFrame(rows, "tok string").repartition(8)
+
+    phi, cap = 0.005, 400                  # capacity ≪ vocab, ≥ 2/phi
+    got = {(r["item"], r["cnt"])
+           for r in heavy_hitters(df, "tok", phi=phi, capacity=cap).collect()}
+    exact = {(r["tok"], r["n"]) for r in
+             df.groupBy("tok").agg(F.count("*").cast("bigint").alias("n"))
+             .where(F.col("n") > phi * len(rows)).collect()}
+    assert got == exact and got            # non-trivial and exact
+
+
+def test_heavy_hitters_lower_bound_mode(spark):
+    from datapump_spark.operators.sketches import heavy_hitters
+
+    n = 10_000
+    rows = [("hot",)] * (n // 2) + [(f"cold{i}",) for i in range(n // 2)]
+    df = spark.createDataFrame(rows, "tok string").repartition(4)
+    cand = {r["item"]: r["w_lower"] for r in
+            heavy_hitters(df, "tok", phi=0.01, capacity=100,
+                          exact_counts=False).collect()}
+    # MG guarantee: w_lower ∈ [true − n/(cap+1), true]
+    assert "hot" in cand
+    assert n // 2 - math.ceil(n / 101) <= cand["hot"] <= n // 2
+
+
+# ------------------------------------------------------------------ UDTF
+
+def test_sentence_split_udtf_equals_native(spark):
+    from datapump_spark.functions.udtfs import (
+        split_sentences_native, split_sentences_udtf)
+
+    rows = [(1, "One two. Three four! Five?  Six."),
+            (2, "No terminator here"),
+            (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    u = {tuple(r) for r in
+         split_sentences_udtf(df, "text", ["doc_id"]).collect()}
+    n = {tuple(r) for r in
+         split_sentences_native(df, "text", ["doc_id"]).collect()}
+    assert u == n
+    assert (1, 1, "Three four!") in u and (2, 0, "No terminator here") in u
+
+
+# ------------------------------------------------------------- media dir
+
+def test_media_dir_source(spark, tmp_path):
+    from datapump_spark.operators.multimodal import extract_features
+    from datapump_spark.sources.mediadir import media_table, read_media_dir
+
+    d = tmp_path / "media" / "sub"
+    d.mkdir(parents=True)
+    (d / "a.png").write_bytes(b"\x89PNG fake" * 10)
+    (d / "b.wav").write_bytes(b"RIFF fake" * 5)
+    (d / "c.mp4").write_bytes(b"\x00\x00ftyp" * 7)
+    (d / "notes.txt").write_bytes(b"not media")
+
+    raw = read_media_dir(spark, str(tmp_path / "media"), glob="*.{png,wav,mp4}")
+    media = media_table(raw)
+    rows = {r["meta"]["format"]: r for r in media.collect()}
+    assert set(rows) == {"png", "wav", "mp4"}
+    assert rows["png"]["meta"]["kind"] == "image"
+    assert rows["wav"]["meta"]["kind"] == "audio"
+    assert rows["mp4"]["meta"]["kind"] == "video"
+    assert rows["png"]["n_bytes"] == 90
+    assert rows["png"]["payload"] == b"\x89PNG fake" * 10
+    # ids stable across re-ingestion/layout
+    again = {r["media_id"] for r in
+             media_table(read_media_dir(
+                 spark, str(tmp_path / "media"),
+                 glob="*.{png,wav,mp4}").repartition(3)).collect()}
+    assert again == {r["media_id"] for r in rows.values()}
+    # composes with the multimodal kernels (deterministic fake features)
+    feats = extract_features(media, fake=True).collect()
+    assert len(feats) == 3 and all(len(r["features"]) == 8 for r in feats)
+
+
+def test_media_dir_mtime_filter(spark, tmp_path):
+    from datapump_spark.sources.mediadir import read_media_dir
+
+    d = tmp_path / "m"
+    d.mkdir()
+    (d / "x.png").write_bytes(b"abc")
+    assert read_media_dir(spark, str(d),
+                          modified_after="2100-01-01 00:00:00").count() == 0
+    assert read_media_dir(spark, str(d)).count() == 1
