@@ -123,6 +123,10 @@ BENCH_QUERIES = [
     "q_reservoir_sample",
     "q_variant_extract",
     "q_heavy_hitters",
+    # Similarity / CDC / activity operators
+    "q_sparse_sim",
+    "q_cdc_apply",
+    "q_rolling_active",
 ]
 
 

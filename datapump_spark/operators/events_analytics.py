@@ -155,3 +155,41 @@ def event_transitions(
         "p",
         F.round(F.col("n_transitions")
                 / F.sum("n_transitions").over(w_src), 6))
+
+
+def rolling_active(
+    df: DataFrame,
+    ts_col: str,
+    id_col: str,
+    window_days: int = 7,
+) -> DataFrame:
+    """Rolling distinct actives: for every observed day, the EXACT count
+    of distinct ids seen in the trailing ``window_days`` window — the
+    WAU/MAU metric, computed without any windowed count-distinct (which
+    Spark can't do exactly) and without a per-day self-join.
+
+    Plan: dedupe to (id, day) — the only pass over the raw events — then
+    each (id, day) is EXPLODED to the ``window_days`` target days it
+    contributes to (codegen ``sequence``, fan-out = window size, not
+    data size) and one count-distinct aggregate per target day finishes
+    it. Days past the observed range are clipped with a semi join on the
+    observed-day set. At 100 TB the raw table is touched once; the
+    exploded frame is |distinct (id, day)| × window — bounded,
+    pre-shrunk, and uniformly distributed over day keys.
+    """
+    day = F.to_date(F.col(ts_col).cast("timestamp"))
+    id_days = df.select(F.col(id_col).alias("__id"),
+                        day.alias("__day")).distinct()
+    observed = id_days.select("__day").distinct()
+    contrib = id_days.select(
+        "__id",
+        F.explode(F.sequence(
+            F.col("__day"), F.date_add(F.col("__day"), window_days - 1)
+        )).alias("day"),
+    )
+    return (
+        contrib.join(observed.withColumnRenamed("__day", "day"), "day",
+                     "left_semi")
+        .groupBy("day")
+        .agg(F.count_distinct("__id").cast("bigint").alias("n_active"))
+    )

@@ -62,12 +62,18 @@ class ExpectationSuite:
     table: str
     checks: list[Check] = field(default_factory=list)
     unique_keys: list[str] = field(default_factory=list)
+    # (fact_key, dim_df, dim_key, dim_name): RI checks fused into the same
+    # single pass — each becomes a key-only broadcast LEFT join (distinct
+    # dim keys, so row counts are preserved) and one more sum in the
+    # aggregate. The fact table is scanned ONCE for the whole suite no
+    # matter how many row checks + RI checks are registered.
+    ri: list[tuple] = field(default_factory=list)
 
     def run(self, df: DataFrame) -> DataFrame:
-        """All row-level checks + total count in ONE aggregation job;
-        each uniqueness check is one extra count-distinct aggregate
-        (kept separate so the row-level pass stays a cheap single
-        accumulator row)."""
+        """All row-level checks + RI orphan counts + total count in ONE
+        aggregation job over ONE scan; each uniqueness check is one extra
+        count-distinct aggregate (kept separate so the row-level pass
+        stays a cheap single accumulator row)."""
         aggs = [F.count(F.lit(1)).cast("bigint").alias("__total")]
         for c in self.checks:
             aggs.append(c.violation_expr().alias(c.name))
@@ -76,9 +82,20 @@ class ExpectationSuite:
             aggs.append(
                 (F.count(F.col(k)) - F.countDistinct(F.col(k)))
                 .cast("bigint").alias(f"unique:{k}"))
+        ri_names = []
+        for i, (fk, dim, dk, dname) in enumerate(self.ri):
+            probe = F.broadcast(
+                dim.select(F.col(dk).alias(f"__dk{i}"),
+                           F.lit(True).alias(f"__hit{i}")).distinct())
+            df = df.join(probe, F.col(fk) == F.col(f"__dk{i}"), "left")
+            name = f"ri:{self.table}.{fk}->{dname}.{dk}"
+            ri_names.append(name)
+            aggs.append(
+                F.sum(F.when(F.col(f"__hit{i}").isNull(), 1).otherwise(0))
+                .cast("bigint").alias(name))
         row = df.agg(*aggs)
         names = [c.name for c in self.checks] + [
-            f"unique:{k}" for k in self.unique_keys]
+            f"unique:{k}" for k in self.unique_keys] + ri_names
         pairs = F.array(*[
             F.struct(F.lit(n).alias("check"),
                      F.col(f"`{n}`").alias("violated"))

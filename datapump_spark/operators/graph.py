@@ -47,21 +47,27 @@ def pagerank(
     damping_pct: int = 85,
     scale: int = SCALE,
     checkpoint_every: int = 5,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank; returns (node, rank) with rank summing to
     ~``scale``. ``damping_pct`` is the damping factor ×100 (85 -> 0.85)
-    so the teleport split stays integer-exact."""
+    so the teleport split stays integer-exact. ``assume_distinct=True``
+    skips the defensive edge dedup — pass it when the caller's edge
+    build already guarantees uniqueness (e.g. distinct pairs unioned in
+    disjoint directions): it removes a full shuffle of the edge list,
+    the largest frame in the whole computation."""
     # The edge list, node set and out-degrees are loop-invariant but may
     # sit on an expensive lineage (joins/distinct over fact tables) —
     # without persisting them every iteration would recompute that
     # upstream plan from the scans. persist() is the per-iteration
     # contract here; at cluster scale this is the "materialize the graph
     # once, pre-partitioned by src" step.
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .distinct()
-        .repartition("src")  # the per-iteration join key: cached blocks
-        .persist()           # already sit on the right partitioning
+        e.repartition("src")  # the per-iteration join key: cached blocks
+        .persist()            # already sit on the right partitioning
     )
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -70,15 +76,21 @@ def pagerank(
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base_nodes = nodes.join(F.broadcast(cnt)).persist()  # 1-row cross join
-    outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_deg")).persist()
+    # Out-degree denormalized ONTO the edge list once (window over the
+    # already-src-partitioned cache, no extra shuffle): each iteration is
+    # then one join + one aggregate instead of two joins.
+    from pyspark.sql.window import Window
+
+    e_deg = e.withColumn(
+        "out_deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
+    ).persist()
 
     teleport = f"(({100 - damping_pct} * ({scale} div __n)) div 100)"
     ranks = base_nodes.select(
         "node", "__n", F.expr(f"{scale} div __n").alias("rank"))
     for i in range(n_iter):
         contrib = (
-            e.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
-            .join(outdeg, "src")
+            e_deg.join(ranks.select(F.col("node").alias("src"), "rank"), "src")
             .select(F.col("dst").alias("node"),
                     F.expr("rank div out_deg").alias("c"))
         )

@@ -1,0 +1,121 @@
+"""Sparse TF-IDF cosine similarity join (all-pairs over an inverted index).
+
+The lexical sibling of the dense-embedding near-dup operator
+(dedup_fuzzy.embedding_near_dup): document similarity as the cosine of
+L2-normalized TF-IDF vectors, computed pair-wise through a term-keyed
+self-join — i.e. through the inverted index, never materializing a
+dense matrix. Complements MinHash (set overlap, no weighting) with
+weighted cosine, the APSS formulation of Bayardo et al. 2007.
+
+Plan shape:
+- bigram terms per doc (codegen ``transform(sequence…)``, no UDF),
+- tf per (doc, term); GLOBAL df per term + doc count → smoothed idf
+  (sklearn-style, shared with operators/tfidf.py),
+- L2 normalize per doc (one agg + key join),
+- candidate pairs from the inverted index: self-join on
+  (term, *block_cols) with ``id_l < id_r``, then one aggregate sums the
+  per-term products into the cosine.
+
+Scale analysis (100 TB): the join emits Σ_term df_block(t)² pair-terms —
+quadratic in the heaviest posting list, which is why two levers are
+first-class: ``block_cols`` restricts pairing to co-blocked docs
+(cluster/partition/domain — the SemDeDup pattern), and ``max_df_frac``
+drops stop-terms whose posting lists are the quadratic killers while
+contributing ~0 to idf-weighted scores. For corpus-scale all-pairs
+without blocks, LSH (dedup_fuzzy) is the candidate generator and this
+operator re-scores its candidates exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from datapump_spark.functions.hashing import tokens
+
+# Bigrams of adjacent tokens as zip_with over two shifted slices — ~6×
+# faster than the transform(sequence…element_at) formulation (element_at
+# pays a bounds check per access; slices stream). Same output as the SQL
+# oracle's 1-based t[i] || '_' || t[i+1].
+_BIGRAMS = (
+    "zip_with(slice(__t, 1, size(__t) - 1), slice(__t, 2, size(__t) - 1), "
+    "(a, b) -> concat(a, '_', b))"
+)
+
+
+def sparse_cosine_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_cols: list[str] | None = None,
+    threshold: float = 0.2,
+    max_df_frac: float | None = None,
+    hint_broadcast: bool = True,
+) -> DataFrame:
+    """(id_l, id_r, cos): co-blocked document pairs with TF-IDF cosine
+    ≥ ``threshold`` (rounded to 6 dp pre-filter, so Spark and the SQL
+    oracle threshold identical values). ``max_df_frac`` drops terms
+    appearing in more than that fraction of documents BEFORE pairing
+    (weights/norms are computed on the retained space).
+
+    ``hint_broadcast`` (default True) broadcast-hints the df and norm
+    lookups: they derive from the cached tf, whose stats AQE can't see,
+    so it would otherwise plan full shuffle joins. They are vocabulary-
+    and corpus-sized respectively — at the scale where either stops
+    fitting in an executor (~10⁸ entries), pass False and let them
+    shuffle; every other part of the plan is unchanged."""
+    block_cols = block_cols or []
+    terms = (
+        df.withColumn("__t", tokens(F.col(text_col)))
+        .select(F.col(id_col).alias("__id"), *block_cols,
+                F.explode(F.expr(_BIGRAMS)).alias("term"))
+    )
+    # tf is the base of a diamond (docfreq, weights, and norms all hang
+    # off it) — without a persist the explode+aggregate would recompute
+    # once per branch. One cached pass over the corpus instead. Block
+    # cols ride in the grouping key (functionally dependent on __id) —
+    # cheaper than first() accumulators.
+    tf = terms.groupBy("__id", *block_cols, "term").agg(
+        F.count("*").cast("double").alias("tf")).persist()
+    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
+    docfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    if max_df_frac is not None:
+        docfreq = docfreq.crossJoin(F.broadcast(n_docs)).where(
+            F.col("df") <= F.lit(max_df_frac) * F.col("__n")).drop("__n")
+    if hint_broadcast:
+        docfreq = F.broadcast(docfreq)
+    w = (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select("__id", "term", *block_cols,
+                (F.col("tf") * (F.log((F.lit(1.0) + F.col("__n"))
+                                      / (F.lit(1.0) + F.col("df")))
+                                + F.lit(1.0))).alias("w"))
+    )
+    norm = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
+                                 .alias("__nrm"))
+    if hint_broadcast:
+        norm = F.broadcast(norm)
+    # Both self-join sides re-derive u from the CACHED tf — df/norm hang
+    # off the cache, so the recompute is two joins with no upstream
+    # re-scan (AQE broadcasts them when small; at huge vocab / corpus
+    # they are legitimately shuffled joins — neither df nor norm is
+    # broadcastable at 100 TB). Persisting u itself measured SLOWER than
+    # recomputing it (an extra materialization barrier on the critical
+    # path for two map-side-cheap branches).
+    u = w.join(norm, "__id").select(
+        "__id", "term", *block_cols,
+        (F.col("w") / F.col("__nrm")).alias("u"))
+    left = u.select(F.col("__id").alias("id_l"), "term", *block_cols,
+                    F.col("u").alias("__ul"))
+    right = u.select(F.col("__id").alias("id_r"), "term",
+                     *[F.col(c).alias(f"__r_{c}") for c in block_cols],
+                     F.col("u").alias("__ur"))
+    cond = [left["term"] == right["term"], F.col("id_l") < F.col("id_r")]
+    cond += [F.col(c) == F.col(f"__r_{c}") for c in block_cols]
+    return (
+        left.join(right, cond)
+        .groupBy("id_l", "id_r")
+        .agg(F.round(F.sum(F.col("__ul") * F.col("__ur")), 6).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

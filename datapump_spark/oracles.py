@@ -1804,3 +1804,60 @@ n AS (SELECT sum(cnt) AS n FROM c)
 SELECT tok, CAST(cnt AS BIGINT) AS cnt
 FROM c, n WHERE cnt > 0.001 * n
 """
+
+# Mirrors operators/sparse_sim.py term-for-term: 1-based adjacent bigrams,
+# sklearn-smoothed global idf, per-doc L2 norm, co-blocked pairs, cosine
+# rounded to 6 dp before thresholding on both engines.
+EXTRA_ORACLES["q_sparse_sim"] = """
+WITH d AS (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, lang, source, t[i] || '_' || t[i+1] AS term
+  FROM d CROSS JOIN unnest(range(1, len(t))) AS s(i)),
+tf AS (
+  SELECT doc_id, any_value(lang) AS lang, any_value(source) AS source,
+         term, CAST(count(*) AS DOUBLE) AS tf
+  FROM bg GROUP BY doc_id, term),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM d),
+dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM tf GROUP BY term),
+w AS (
+  SELECT tf.doc_id, lang, source, tf.term,
+         tf.tf * (ln((1.0 + n.n) / (1.0 + dfq.df)) + 1.0) AS w
+  FROM tf, dfq, n WHERE tf.term = dfq.term),
+nrm AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+u AS (SELECT w.doc_id, lang, source, term, w / nrm AS u
+      FROM w JOIN nrm USING (doc_id))
+SELECT a.doc_id AS id_l, b.doc_id AS id_r,
+       round(sum(a.u * b.u), 6) AS cos
+FROM u a JOIN u b
+  ON a.term = b.term AND a.lang = b.lang AND a.source = b.source
+ AND a.doc_id < b.doc_id
+GROUP BY 1, 2
+HAVING round(sum(a.u * b.u), 6) >= 0.2
+"""
+
+EXTRA_ORACLES["q_cdc_apply"] = """
+WITH c AS (
+  SELECT user_id, ts, event_id, value, event_type,
+         CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op
+  FROM events),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+  FROM c)
+SELECT user_id, ts, event_id, value, event_type
+FROM r WHERE rn = 1 AND op <> 'D'
+"""
+
+EXTRA_ORACLES["q_rolling_active"] = """
+WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+SELECT d.day,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active
+FROM days d
+JOIN events e
+  ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
+GROUP BY d.day
+"""

@@ -1332,14 +1332,15 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks are key-only broadcast anti joins (operators/expectations.py).
     Output is the tall audit frame a pipeline gate would persist."""
     from datapump_spark.operators.expectations import (
-        ExpectationSuite, in_range, in_set, not_null,
-        referential_integrity, run_suites)
+        ExpectationSuite, in_range, in_set, not_null, run_suites)
 
     ev = _t(spark, sf_dir, "events")
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
     c = _t(spark, sf_dir, "customer")
     p = _t(spark, sf_dir, "part")
+    # RI checks ride inside each suite's single aggregate pass (broadcast
+    # key probes), so every fact table is scanned exactly once.
     suites = [
         (ExpectationSuite("events", [
             not_null("event_id"), not_null("ts"), not_null("user_id"),
@@ -1350,21 +1351,15 @@ def q_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
             in_range("l_discount", 0.0, 0.1),
             in_range("l_quantity", 1.0, 50.0),
             not_null("l_orderkey"),
-        ]), li),
+        ], ri=[("l_orderkey", o, "o_orderkey", "orders"),
+               ("l_partkey", p, "p_partkey", "part")]), li),
         (ExpectationSuite("orders", [
             in_set("o_orderstatus", ["P", "O", "F"]),
             not_null("o_orderdate"),
-        ], unique_keys=["o_orderkey"]), o),
+        ], unique_keys=["o_orderkey"],
+            ri=[("o_custkey", c, "c_custkey", "customer")]), o),
     ]
-    ris = [
-        referential_integrity(li, "l_orderkey", o, "o_orderkey",
-                              "lineitem", "orders"),
-        referential_integrity(li, "l_partkey", p, "p_partkey",
-                              "lineitem", "part"),
-        referential_integrity(o, "o_custkey", c, "c_custkey",
-                              "orders", "customer"),
-    ]
-    return run_suites(suites, ris).orderBy("table_name", "check")
+    return run_suites(suites).orderBy("table_name", "check")
 
 
 def q_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1445,7 +1440,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = cp.select(F.col("cnode").alias("src"), F.col("snode").alias("dst")) \
         .union(cp.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
-    pr = pagerank(edges, n_iter=3)
+    # cp is distinct and the two directions are parity-disjoint, so the
+    # union is distinct by construction — skip pagerank's defensive dedup
+    # (saves a full shuffle of the edge list).
+    pr = pagerank(edges, n_iter=3, assume_distinct=True)
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
@@ -1786,6 +1784,44 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "item", "tok")
 
 
+def q_sparse_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF cosine all-pairs similarity join
+    (operators/sparse_sim.py): bigram inverted index, co-blocked by
+    (lang, source), global smoothed idf — the weighted-cosine
+    complement of MinHash set similarity."""
+    from datapump_spark.operators.sparse_sim import sparse_cosine_pairs
+
+    return sparse_cosine_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_cols=["lang", "source"], threshold=0.2)
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog apply (operators/cdc.py): events as an upsert/
+    delete feed keyed by user (error = tombstone), collapsed to current
+    state with one sortless max_by aggregate."""
+    from datapump_spark.operators.cdc import apply_changes
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.select(
+        "user_id", "ts", "event_id", "value", "event_type",
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U")).alias("op"),
+    )
+    return apply_changes(
+        changes, keys=["user_id"], seq_cols=["ts", "event_id"],
+        payload_cols=["value", "event_type"])
+
+
+def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per observed day
+    (operators/events_analytics.py): exact windowed count-distinct via
+    contribution explode — no self-join, raw table scanned once."""
+    from datapump_spark.operators.events_analytics import rolling_active
+
+    return rolling_active(_t(spark, sf_dir, "events"), "ts", "user_id", 7)
+
+
 EXTRA_QUERIES.update({
     "q_normalize_text": q_normalize_text,
     "q_strip_boilerplate": q_strip_boilerplate,
@@ -1797,6 +1833,9 @@ EXTRA_QUERIES.update({
     "q_reservoir_sample": q_reservoir_sample,
     "q_variant_extract": q_variant_extract,
     "q_heavy_hitters": q_heavy_hitters,
+    "q_sparse_sim": q_sparse_sim,
+    "q_cdc_apply": q_cdc_apply,
+    "q_rolling_active": q_rolling_active,
 })
 
 

@@ -50,6 +50,9 @@ _UPDATED_RE = re.compile(r" \(UPDATED: (.*?)\)$")
 
 
 BUCKET_COL = "pk_bucket"
+# CDC delete marker column (apply_cdc): deletes are retained as marker
+# rows so late out-of-order updates older than the delete stay dead.
+TOMBSTONE_COL = "__tombstone"
 
 
 class ParquetMergeSink:
@@ -273,6 +276,97 @@ class ParquetMergeSink:
                 if fpath.is_file():
                     (dst / fpath.name).hardlink_to(fpath)
         self._publish(table, name)
+
+    def apply_cdc(self, spark: SparkSession, changes: DataFrame, table: str,
+                  keys: Sequence[str], seq_cols: Sequence[str],
+                  op_col: str = "op", delete_op: str = "D") -> None:
+        """MERGE a CDC changelog batch: WHEN MATCHED AND op='D' DELETE /
+        WHEN MATCHED UPDATE ALL / WHEN NOT MATCHED INSERT — the Delta
+        ``foreachBatch + MERGE`` CDC recipe on the bucketed sink.
+
+        Sequence-aware and tombstone-retaining, so it is correct under
+        out-of-order delivery ACROSS batches, not just within one:
+        - the batch collapses to one winner per key (sortless max_by on
+          ``seq_cols``, including delete-then-reinsert ordering),
+        - a winner only replaces the stored row when its sequence is ≥
+          the stored one (stale changes are ignored, whole-row-wise),
+        - deletes are stored as ``__tombstone`` marker rows (payload
+          nulls) rather than physical removals, so a late update older
+          than an applied delete is correctly discarded. Read the live
+          state with :meth:`read_state`; compaction may drop tombstones
+          older than the feed's reordering horizon.
+
+        Cost model identical to :meth:`upsert`: only buckets containing
+        batch keys are rewritten, the rest hardlink forward. Replaying
+        the same changelog is a no-op (idempotent), which is what a
+        streaming foreachBatch needs after a retry."""
+        keys, seq_cols = list(keys), list(seq_cols)
+        payload = [c for c in changes.columns
+                   if c not in set(keys) | set(seq_cols) | {op_col}]
+        seq_struct = F.struct(*[F.col(c) for c in seq_cols])
+        winners = (
+            changes.groupBy(*keys)
+            .agg(F.max_by(
+                F.struct(*[F.col(c) for c in seq_cols + payload],
+                         (F.col(op_col) == delete_op).alias(TOMBSTONE_COL)),
+                seq_struct).alias("__w"))
+            .select(*keys,
+                    *[F.col(f"__w.{c}").alias(c) for c in seq_cols + payload],
+                    F.col(f"__w.{TOMBSTONE_COL}").alias(TOMBSTONE_COL))
+        )
+        if not self.exists(table):
+            self.upsert(spark, winners, table, keys)
+            return
+        props = self.get_properties(table)
+        n = int(props.get("bucket_count", self.n_buckets))
+        if props.get("bucket_keys") is not None \
+                and list(props["bucket_keys"]) != keys:
+            raise ValueError(
+                f"table {table!r} bucketed by {props['bucket_keys']}, "
+                f"CDC keyed by {keys}")
+        cur_dir = self.current_version(table)
+        bw = winners.withColumn(BUCKET_COL, self._bucket_expr(keys, n))
+        affected = sorted(
+            r[BUCKET_COL] for r in bw.select(BUCKET_COL).distinct().collect())
+        current = spark.read.option("mergeSchema", "true").parquet(str(cur_dir))
+        cur_aff = current.where(F.col(BUCKET_COL).isin(affected))
+        w_seq = winners.select(
+            *keys, seq_struct.alias("__wseq"))
+        # stored row survives unless a batch winner with seq >= its own
+        # exists for the key
+        kept = (
+            cur_aff.join(F.broadcast(w_seq), on=keys, how="left")
+            .where(F.col("__wseq").isNull() | (F.col("__wseq") < seq_struct))
+            .drop("__wseq")
+        )
+        c_seq = cur_aff.select(*keys, seq_struct.alias("__cseq"))
+        incoming = (
+            bw.join(F.broadcast(c_seq), on=keys, how="left")
+            .where(F.col("__cseq").isNull() | (seq_struct >= F.col("__cseq")))
+            .drop("__cseq")
+        )
+        merged = kept.unionByName(incoming, allowMissingColumns=True)
+        name, vdir = self._new_version(table)
+        merged.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(str(vdir))
+        affected_dirs = {f"{BUCKET_COL}={b}" for b in affected}
+        for bucket_dir in cur_dir.glob(f"{BUCKET_COL}=*"):
+            if bucket_dir.name in affected_dirs:
+                continue
+            dst = vdir / bucket_dir.name
+            dst.mkdir()
+            for fpath in bucket_dir.iterdir():
+                if fpath.is_file():
+                    (dst / fpath.name).hardlink_to(fpath)
+        self._publish(table, name)
+
+    def read_state(self, spark: SparkSession, table: str) -> DataFrame:
+        """Live CDC state: the table minus tombstone marker rows (and
+        minus the physical bucket/marker columns)."""
+        df = self.read(spark, table)
+        if TOMBSTONE_COL in df.columns:
+            df = df.where(~F.coalesce(F.col(TOMBSTONE_COL), F.lit(False))) \
+                .drop(TOMBSTONE_COL)
+        return df
 
 
 def dedupe_batch_by_pk(batch: list[tuple], key_idx: Sequence[int]) -> list[tuple]:
