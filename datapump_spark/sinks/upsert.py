@@ -69,9 +69,18 @@ class ParquetMergeSink:
     only an orphan ``v-*`` dir that the next successful publish removes.
     """
 
-    def __init__(self, root: str | Path, n_buckets: int = 16):
+    def __init__(self, root: str | Path, n_buckets: int = 16,
+                 retain_versions: int = 1):
+        """``retain_versions`` > 1 keeps that many published versions on
+        disk for time travel (:meth:`read` with ``version=``,
+        :meth:`versions`). Retention is CHEAP for upsert tables: a new
+        version hardlinks every unaffected bucket's files, so N retained
+        versions share all unchanged bytes — the storage bill is the
+        per-version deltas plus one inode table, the same economics as a
+        lakehouse transaction log. Default 1 = publish-and-GC."""
         self.root = Path(root)
         self.n_buckets = n_buckets
+        self.retain_versions = max(1, int(retain_versions))
         self.root.mkdir(parents=True, exist_ok=True)
 
     def path(self, table: str) -> Path:
@@ -89,27 +98,74 @@ class ParquetMergeSink:
     def exists(self, table: str) -> bool:
         return self.current_version(table) is not None
 
-    def read(self, spark: SparkSession, table: str) -> DataFrame:
+    def read(self, spark: SparkSession, table: str,
+             version: str | None = None) -> DataFrame:
         # mergeSchema: after an add-column upsert, unaffected buckets
         # still hold old-schema files (hardlinked, deliberately not
         # rewritten) — without footer merging Spark would resolve the
         # table schema from an arbitrary file and could silently drop
         # the new column (schema-evolution test pins this). Delta keeps
         # schema in the log; a parquet sink pays the footer scan instead.
-        df = spark.read.option("mergeSchema", "true").parquet(
-            str(self.current_version(table)))
+        #
+        # ``version`` = time travel: any name from :meth:`versions`
+        # (requires retain_versions > 1 at write time).
+        if version is None:
+            vdir = self.current_version(table)
+        elif version in self.versions(table):
+            vdir = self.path(table) / version
+        else:
+            raise ValueError(
+                f"version {version!r} of table {table!r} is not retained "
+                f"(have: {self.versions(table)})")
+        df = spark.read.option("mergeSchema", "true").parquet(str(vdir))
         return df.drop(BUCKET_COL) if BUCKET_COL in df.columns else df
 
+    def _history_path(self, table: str) -> Path:
+        return self.path(table) / "_history"
+
+    def versions(self, table: str) -> list[str]:
+        """Published, still-retained version names, oldest → newest (the
+        last entry is the live version)."""
+        p = self._history_path(table)
+        if not p.exists():
+            cur = self.current_version(table)
+            return [cur.name] if cur is not None else []
+        return [v for v in p.read_text().split() if v]
+
     def _publish(self, table: str, version: str) -> None:
-        """Atomically flip the pointer to ``version``, then GC superseded
-        version dirs (single-writer assumption, see module docstring)."""
+        """Atomically flip the pointer to ``version``, record it in the
+        publish history, then GC versions beyond the retention window —
+        plus any orphan dir that was never published (crash leftovers).
+        Single-writer assumption, see module docstring."""
         tdir = self.path(table)
+        history = [v for v in self.versions(table) if v != version]
+        history.append(version)
+        kept = history[-self.retain_versions:]
+        tmp = tdir / f"._hist-{time.time_ns()}"
+        tmp.write_text("\n".join(kept) + "\n")
+        tmp.replace(self._history_path(table))
         tmp = tdir / f"._current-{time.time_ns()}"
         tmp.write_text(version)
         tmp.replace(self._pointer(table))
+        keep = set(kept)
         for d in tdir.glob("v-*"):
-            if d.name != version and d.is_dir():
+            if d.name not in keep and d.is_dir():
                 shutil.rmtree(d, ignore_errors=True)
+
+    def vacuum(self, table: str, keep_last: int = 1) -> list[str]:
+        """Shrink the retained-version window to ``keep_last`` (the live
+        version is always kept); returns the names removed. Hardlinked
+        files shared with surviving versions cost nothing to 'delete' —
+        only bytes no retained version references are freed."""
+        versions = self.versions(table)
+        kept, dropped = versions[-max(1, keep_last):], versions[:-max(1, keep_last)]
+        tdir = self.path(table)
+        tmp = tdir / f"._hist-{time.time_ns()}"
+        tmp.write_text("\n".join(kept) + "\n")
+        tmp.replace(self._history_path(table))
+        for name in dropped:
+            shutil.rmtree(tdir / name, ignore_errors=True)
+        return dropped
 
     def _new_version(self, table: str) -> tuple[str, Path]:
         tdir = self.path(table)
