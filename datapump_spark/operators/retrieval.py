@@ -83,17 +83,24 @@ def bm25_topk(
     qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
     base = doc_term_freqs(df, id_col, text_col)
-    n_docs = df.agg(F.count("*").cast("double").alias("__n"))
-    avgdl = base.select(id_col, "dl").distinct().agg(
-        F.avg("dl").alias("__avgdl"))
-    docfreq = (base.where(F.col("tf") > 0).groupBy("term")
-               .agg(F.count("*").cast("bigint").alias("df")))
+    # N and avgdl in ONE raw scan: dl ≡ size(tokens) (what Σtf folds to),
+    # nullif(…, 0) excludes token-less docs from the average exactly as
+    # the dl table does — no pass over the exploded/aggregated lineage.
+    stats = df.agg(
+        F.count("*").cast("double").alias("__n"),
+        F.avg(F.nullif(F.size(tokens(F.col(text_col))), F.lit(0)))
+        .alias("__avgdl"))
+    # Filter to query terms FIRST, then derive df from the (tiny)
+    # candidate frame — df restricted to query terms is the same value,
+    # and the persist means the explode+aggregate lineage of `base` runs
+    # ONCE (candidates feed both docfreq and the scorer).
+    cand = base.join(F.broadcast(qdf), "term").persist()
+    docfreq = cand.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"))
 
     hits = (
-        base.join(F.broadcast(qdf), "term")
-        .join(F.broadcast(docfreq), "term")
-        .crossJoin(F.broadcast(n_docs))
-        .crossJoin(F.broadcast(avgdl))
+        cand.join(F.broadcast(docfreq), "term")
+        .crossJoin(F.broadcast(stats))
     )
     idf = F.log(F.lit(1.0) + (F.col("__n") - F.col("df") + F.lit(0.5))
                 / (F.col("df") + F.lit(0.5)))
