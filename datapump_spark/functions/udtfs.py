@@ -18,6 +18,8 @@ genuinely imperative row logic; use the native twin for corpus-scale.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf resolves string type hints
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import udtf
@@ -71,3 +73,34 @@ def split_sentences_native(df: DataFrame, text_col: str, keys: list[str]) -> Dat
         *keys, F.posexplode(sentences_native(F.col(text_col)))
         .alias("sent_idx", "sentence")
     )
+
+
+# ---------------------------------------------------------------- UDAF seam
+
+def geometric_mean_udaf():
+    """Pandas GROUPED_AGG UDAF (Arrow-batched custom aggregate) — the
+    third leg of the UDF surface next to scalar exprs (everything in
+    operators/) and the UDTF above. Same policy: extensibility seam,
+    not hot path — :func:`geometric_mean_native` is the codegen twin
+    (``exp(avg(ln x))``), pinned equal in tests.
+
+    A GROUPED_AGG UDAF is NOT partially aggregated: every group's full
+    column ships to one Python worker (fine for bounded groups,
+    pathological for skewed ones) — the reason the package's real
+    aggregates are built-ins or two-phase formulations."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        arr = v.dropna().to_numpy(dtype="float64")
+        if arr.size == 0 or (arr <= 0).any():
+            return float("nan")
+        return float(np.exp(np.log(arr).mean()))
+
+    return geo_mean
+
+
+def geometric_mean_native(col: Column) -> Column:
+    """Codegen twin: exp(avg(ln x)) over positive values."""
+    return F.exp(F.avg(F.log(col)))

@@ -223,12 +223,72 @@ def main() -> None:
         }
         big_emb.unpersist()
 
+    # --- round-3 tier: heavy hitters (bounded MG summaries), drift
+    # (bounded bucket agg), and blocked sparse cosine. Sparse-sim
+    # replicas get a DISTINCT block id (source suffix), so block sizes —
+    # and with them the Σ df² pair work — stay constant per replica and
+    # total work grows linearly, the same way a bigger real corpus adds
+    # domains rather than fattening one domain.
+    from datapump_spark.operators.drift import time_split_drift
+    from datapump_spark.operators.sketches import heavy_hitters
+    from datapump_spark.operators.sparse_sim import sparse_cosine_pairs
+
+    docs_ls = _t(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text")
+    r3_out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big_docs = (
+            docs_ls.crossJoin(spark.range(mult)
+                              .select(F.col("id").alias("__rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000)
+            .withColumn("source", F.concat("source", F.lit("_r"),
+                                           F.col("__rep")))
+            .drop("__rep")
+            .repartition(64)
+            .persist()
+        )
+        big_docs.count()
+        big_ev = (
+            base.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("event_id",
+                        F.col("event_id") + F.col("__rep") * 10_000_000)
+            .drop("__rep")
+            .repartition(64)
+            .persist()
+        )
+        big_ev.count()
+        runs = {}
+
+        toks = big_docs.select(
+            F.explode(F.split(F.lower("text"), r"[^a-z0-9]+")).alias("tok")
+        ).where(F.col("tok") != "")
+        t0 = time.perf_counter()
+        heavy_hitters(toks, "tok", phi=0.001) \
+            .write.format("noop").mode("overwrite").save()
+        runs["heavy_hitters"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        time_split_drift(big_ev, "ts", "value", ["event_type"]) \
+            .write.format("noop").mode("overwrite").save()
+        runs["psi_drift"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        sparse_cosine_pairs(big_docs, block_cols=["lang", "source"],
+                            threshold=0.2) \
+            .write.format("noop").mode("overwrite").save()
+        runs["sparse_cosine"] = round(time.perf_counter() - t0, 2)
+
+        r3_out[f"x{mult}"] = runs
+        big_docs.unpersist()
+        big_ev.unpersist()
+
     print(json.dumps({
         "rows_base": base.count(),
         "curve": out,
         "docs_base": docs.count(),
         "dedup_curve": dedup_out,
         "emb_curve": emb_out,
+        "r3_curve": r3_out,
     }))
 
 
