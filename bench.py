@@ -127,6 +127,8 @@ BENCH_QUERIES = [
     "q_sparse_sim",
     "q_cdc_apply",
     "q_rolling_active",
+    "q_weighted_sample",
+    "q_score_pctrank",
 ]
 
 

@@ -163,3 +163,28 @@ def uniform_sample_k(
     """
     h = F.md5(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
     return df.orderBy(h.asc(), F.col(key_col).asc()).limit(k)
+
+
+def weighted_sample_k(
+    df: DataFrame, key_col: str, weight_col: str, k: int,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Exactly-``k`` weighted sample WITHOUT replacement (Efraimidis &
+    Spirakis 2006): each row draws a deterministic uniform u from its
+    salted key hash and is ranked by the exponential key
+    ``−ln(u)/weight``; the ``k`` smallest win. Inclusion probability is
+    proportional to weight at each of the k sequential draws — the
+    one-pass, shuffle-free equivalent of weighted reservoir sampling
+    (quality-weighted corpus subsets, importance sampling).
+
+    Plan: same ``TakeOrderedAndProject`` shape as
+    :func:`uniform_sample_k` — per-partition k-heaps, only k rows reach
+    the driver merge, no global sort. Deterministic and
+    layout-independent (u is a pure function of the key). Rows with
+    weight ≤ 0 or null never win (key = +∞)."""
+    h = hash63(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    # hash63 ∈ [0, 2^60−1] → u ∈ (0, 1]
+    u = (h.cast("double") + F.lit(1.0)) / F.lit(float((1 << 60) + 1))
+    w = F.col(weight_col).cast("double")
+    es_key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
+    return df.orderBy(es_key.asc(), F.col(key_col).asc()).limit(k)

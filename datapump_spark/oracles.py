@@ -1861,3 +1861,26 @@ JOIN events e
   ON CAST(e.ts AS DATE) BETWEEN d.day - INTERVAL 6 DAY AND d.day
 GROUP BY d.day
 """
+
+# Efraimidis–Spirakis twin: identical hash63-derived uniform, identical
+# exponential key −ln(u)/w, same doc_id tie-break. Key floats differ by
+# ≤1 ulp across libm implementations — ordering flips would need two keys
+# within 1 ulp, impossible for distinct md5-derived uniforms in practice.
+EXTRA_ORACLES["q_weighted_sample"] = f"""
+SELECT doc_id, source, n_chars
+FROM documents
+ORDER BY CASE WHEN n_chars > 0 THEN
+         -ln(({hash63_sql("'wsample:' || CAST(doc_id AS VARCHAR)")} + 1.0)
+             / 1152921504606846977.0) / n_chars
+         ELSE 1e308 END ASC, doc_id ASC
+LIMIT 100
+"""
+
+EXTRA_ORACLES["q_score_pctrank"] = f"""
+WITH q AS ({ORACLES["q_quality_score"]})
+SELECT q.doc_id, d.source, q.quality,
+       round(percent_rank() OVER (PARTITION BY d.source
+                                  ORDER BY q.quality ASC, q.doc_id ASC), 6)
+         AS pct_rank
+FROM q JOIN documents d ON q.doc_id = d.doc_id
+"""

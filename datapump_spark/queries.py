@@ -1813,6 +1813,35 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["value", "event_type"])
 
 
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sample without replacement, Efraimidis-Spirakis
+    (operators/sampling.py): 100 docs drawn ∝ n_chars via deterministic
+    exponential keys — TakeOrderedAndProject, no global sort."""
+    from datapump_spark.operators.sampling import weighted_sample_k
+
+    docs = _t(spark, sf_dir, "documents")
+    return weighted_sample_k(docs, "doc_id", "n_chars", 100).select(
+        "doc_id", "source", "n_chars")
+
+
+def q_score_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source percentile rank of the quality score — calibrates
+    scores ACROSS sources so one threshold means the same thing
+    everywhere (cross-source curation). percent_rank is the exact
+    rational (rank−1)/(n−1) with doc_id tie-break: fully deterministic,
+    one window per source partition."""
+    from datapump_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    w = Window.partitionBy("source").orderBy(
+        F.col("quality").asc(), F.col("doc_id").asc())
+    return scored.select(
+        "doc_id", "source", "quality",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"))
+
+
 def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling 7-day distinct active users per observed day
     (operators/events_analytics.py): exact windowed count-distinct via
@@ -1836,6 +1865,8 @@ EXTRA_QUERIES.update({
     "q_sparse_sim": q_sparse_sim,
     "q_cdc_apply": q_cdc_apply,
     "q_rolling_active": q_rolling_active,
+    "q_weighted_sample": q_weighted_sample,
+    "q_score_pctrank": q_score_pctrank,
 })
 
 

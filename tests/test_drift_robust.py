@@ -219,3 +219,27 @@ def test_geometric_mean_udaf_equals_native(spark):
     for g in want:
         assert abs(got[g] - want[g]) < 1e-9
     assert abs(got["a"] - (1 * 2 * 4 * 8) ** 0.25) < 1e-9
+
+
+def test_weighted_sample_k_properties(spark):
+    """Determinism/layout-independence + weight bias: heavy items must
+    be sampled far more often than light ones across salts."""
+    from datapump_spark.operators.sampling import weighted_sample_k
+    from pyspark.sql import functions as F
+
+    rows = [(i, 100.0 if i < 50 else 1.0) for i in range(1000)]
+    df = spark.createDataFrame(rows, "k long, w double").cache()
+    s1 = {r["k"] for r in weighted_sample_k(df, "k", "w", 100).collect()}
+    s2 = {r["k"] for r in
+          weighted_sample_k(df.repartition(7), "k", "w", 100).collect()}
+    assert s1 == s2 and len(s1) == 100           # deterministic, exact k
+    heavy = sum(1 for k in s1 if k < 50)
+    # 50 heavy items at weight 100 vs 950 light at weight 1: heavy mass
+    # ≈ 84% of total → expect nearly all 50 heavy items in a 100-sample
+    assert heavy >= 40
+    # zero/negative weights never win
+    df2 = spark.createDataFrame(
+        [(1, 0.0), (2, -5.0), (3, 1.0), (4, 1.0)], "k long, w double")
+    got = {r["k"] for r in weighted_sample_k(df2, "k", "w", 2).collect()}
+    assert got == {3, 4}
+    df.unpersist()
