@@ -25,10 +25,14 @@ def main() -> None:
 
     from datapump_spark.queries import _t
     from datapump_spark.recipes import CorpusRecipe, pretrain_corpus
-    from datapump_spark.session import get_session
+    from datapump_spark.session import tuned_builder
     from datapump_spark.sources.corpus_gen import register
 
-    spark = get_session("recipe-run")
+    spark = (
+        tuned_builder("recipe-run")
+        .config("spark.driver.memory", "24g")   # local-mode heap for the
+        .getOrCreate()                          # 50k+ doc tiers
+    )
     spark.sparkContext.setLogLevel("ERROR")
     register(spark)
     spark.range(1_000_000).selectExpr("sum(id)").collect()
