@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "q_rolling_active",
     "q_weighted_sample",
     "q_score_pctrank",
+    "q_leakage_split",
 ]
 
 

@@ -1884,3 +1884,16 @@ SELECT q.doc_id, d.source, q.quality,
          AS pct_rank
 FROM q JOIN documents d ON q.doc_id = d.doc_id
 """
+
+# Same recursive-CTE clustering as q_dup_clusters, then the identical
+# hash-threshold CASE on the cluster id (0.9/0.05/0.05 boundaries).
+EXTRA_ORACLES["q_leakage_split"] = f"""
+WITH cl AS ({ORACLES["q_dup_clusters"]})
+SELECT doc_id, cluster_id,
+       CASE WHEN {hash63_sql("'split:' || CAST(cluster_id AS VARCHAR)")}
+                 % 10000 < 9000 THEN 'train'
+            WHEN {hash63_sql("'split:' || CAST(cluster_id AS VARCHAR)")}
+                 % 10000 < 9500 THEN 'val'
+            ELSE 'test' END AS split
+FROM cl
+"""

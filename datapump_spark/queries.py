@@ -1813,6 +1813,17 @@ def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         payload_cols=["value", "event_type"])
 
 
+def q_leakage_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/val/test split (operators/splits.py): split
+    assignment hashed on the near-dup CLUSTER id, so paraphrase pairs
+    can never straddle train/test (Lee et al. 2021). Scan-speed on top
+    of the clustering; shares the cached cluster frame with
+    q_dup_clusters/q_canonical_docs."""
+    from datapump_spark.operators.splits import leakage_safe_split
+
+    return leakage_safe_split(_clusters(spark, sf_dir))
+
+
 def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted sample without replacement, Efraimidis-Spirakis
     (operators/sampling.py): 100 docs drawn ∝ n_chars via deterministic
@@ -1867,6 +1878,7 @@ EXTRA_QUERIES.update({
     "q_rolling_active": q_rolling_active,
     "q_weighted_sample": q_weighted_sample,
     "q_score_pctrank": q_score_pctrank,
+    "q_leakage_split": q_leakage_split,
 })
 
 

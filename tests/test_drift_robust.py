@@ -243,3 +243,35 @@ def test_weighted_sample_k_properties(spark):
     got = {r["k"] for r in weighted_sample_k(df2, "k", "w", 2).collect()}
     assert got == {3, 4}
     df.unpersist()
+
+
+def test_leakage_safe_split_invariants(spark):
+    from datapump_spark.operators.splits import leakage_safe_split
+
+    # 3 clusters, one spanning 3 docs
+    rows = [(1, 1), (2, 1), (3, 1), (4, 4), (5, 5)]
+    cl = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = leakage_safe_split(cl, {"train": 0.5, "val": 0.25,
+                                  "test": 0.25}).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # every member of a cluster shares its split — the leakage guarantee
+    assert all(len(s) == 1 for s in by_cluster.values())
+    assert {r["split"] for r in out} <= {"train", "val", "test"}
+    # deterministic across layouts
+    again = {(r["doc_id"], r["split"]) for r in
+             leakage_safe_split(cl.repartition(3),
+                                {"train": 0.5, "val": 0.25,
+                                 "test": 0.25}).collect()}
+    assert again == {(r["doc_id"], r["split"]) for r in out}
+    # fractions roughly honored over many clusters
+    big = spark.createDataFrame([(i, i) for i in range(4000)],
+                                "doc_id long, cluster_id long")
+    frac = {r["split"]: r["n"] for r in
+            leakage_safe_split(big).groupBy("split")
+            .agg(F.count("*").alias("n")).collect()}
+    assert abs(frac["train"] / 4000 - 0.9) < 0.03
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        leakage_safe_split(cl, {"train": 0.5, "val": 0.2})
