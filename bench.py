@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "q_weighted_sample",
     "q_score_pctrank",
     "q_leakage_split",
+    "q_sniff_media",
 ]
 
 

@@ -1,0 +1,330 @@
+"""Media header sniffing — REAL metadata extraction from binary columns.
+
+Unlike the decode/resize kernels in ``operators.multimodal`` (which need
+codec libs this container lacks and are stubbed), container *headers* are
+plain structured bytes: magic numbers, fixed-offset dimension fields, RIFF
+chunk tables. This module parses them for real, with zero third-party
+dependencies, giving pipelines trustworthy ``format/width/height/
+sample_rate/channels/duration_ms`` metadata without ever invoking a codec —
+the cheap first pass a 100 TB media-ingestion job runs on everything to
+route, validate, and size-estimate before any expensive decode.
+
+Two strategies, pinned equal in tests on their shared domain:
+
+- ``strategy='expr'`` — pure Catalyst column expressions (``substring`` on
+  binary + ``conv(hex(...))`` integer decoding). Whole-stage-codegen'd,
+  zero Python. Covers every fixed-offset format (PNG, GIF, BMP, canonical
+  WAV) and magic-only detection for the rest. This is the default scale
+  path: header sniffing of a petabyte of media never leaves the JVM.
+- ``strategy='pandas'`` — Arrow-batched ``mapInPandas`` running the same
+  parsers in Python, plus the variable-offset formats an expression can't
+  express: JPEG SOF segment scan, non-canonical WAV chunk walk, FLAC
+  STREAMINFO bit fields. Use when JPEG dimensions or odd WAV layouts
+  matter; still vectorized per batch, no per-row pickling.
+
+Reference parity: the reference pipeline (datapump.py) has no media
+handling at all; this implements SURVEY §7's multimodal extension with the
+metadata stage real instead of stubbed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SNIFF_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("format", T.StringType()),
+    T.StructField("kind", T.StringType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("channels", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("n_bytes", T.LongType()),
+])
+
+_KIND = {
+    "png": "image", "jpeg": "image", "gif": "image", "bmp": "image",
+    "webp": "image",
+    "wav": "audio", "flac": "audio", "ogg": "audio", "mp3": "audio",
+    "mp4": "video", "mkv": "video",
+}
+
+# JPEG start-of-frame markers that carry dimensions (C0-CF minus the
+# non-SOF C4=DHT, C8=JPG, CC=DAC).
+_SOF_MARKERS = frozenset(
+    m for m in range(0xC0, 0xD0) if m not in (0xC4, 0xC8, 0xCC))
+
+
+# ---------------------------------------------------------------------------
+# Pure-Python parsers (the pandas kernel; also the test reference)
+# ---------------------------------------------------------------------------
+
+def _le(b: bytes) -> int:
+    return int.from_bytes(b, "little")
+
+
+def _be(b: bytes) -> int:
+    return int.from_bytes(b, "big")
+
+
+def parse_media_header(b: bytes) -> dict:
+    """Parse one payload's container header. Returns dict with keys
+    format/kind/width/height/sample_rate/channels/duration_ms (missing
+    fields None; unrecognized payloads → format None, kind 'blob').
+
+    Tolerant by design: truncated or corrupt headers degrade to Nones,
+    never raise — at corpus scale some fraction of payloads is always
+    damaged and the sniff must classify, not crash.
+    """
+    fmt = w = h = sr = ch = dur = None
+    try:
+        if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
+            # IHDR is mandated first: width/height big-endian at 16/20.
+            fmt, w, h = "png", _be(b[16:20]), _be(b[20:24])
+        elif b[:3] == b"\xff\xd8\xff":
+            fmt = "jpeg"
+            # Segment scan for a SOFn marker: [FF mm] [len_be16] payload.
+            i = 2
+            while i + 9 < len(b) and b[i] == 0xFF:
+                marker, seglen = b[i + 1], _be(b[i + 2:i + 4])
+                if marker in _SOF_MARKERS:
+                    h, w = _be(b[i + 5:i + 7]), _be(b[i + 7:i + 9])
+                    break
+                if seglen < 2:
+                    break
+                i += 2 + seglen
+        elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+            fmt, w, h = "gif", _le(b[6:8]), _le(b[8:10])
+        elif b[:2] == b"BM" and len(b) >= 26:
+            # BITMAPINFOHEADER: signed LE32 at 18/22; negative height
+            # means top-down row order — magnitude is the pixel height.
+            fmt = "bmp"
+            w = abs(int.from_bytes(b[18:22], "little", signed=True))
+            h = abs(int.from_bytes(b[22:26], "little", signed=True))
+        elif b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+            fmt = "wav"
+            # Chunk walk (handles non-canonical layouts: LIST/fact chunks
+            # before fmt/data, odd-length padding).
+            i, byte_rate, data_size = 12, None, None
+            while i + 8 <= len(b):
+                cid, clen = b[i:i + 4], _le(b[i + 4:i + 8])
+                if cid == b"fmt " and i + 16 <= len(b):
+                    ch = _le(b[i + 10:i + 12])
+                    sr = _le(b[i + 12:i + 16])
+                    byte_rate = _le(b[i + 16:i + 20])
+                elif cid == b"data":
+                    data_size = clen
+                i += 8 + clen + (clen & 1)
+            if byte_rate and data_size is not None:
+                dur = data_size * 1000 // byte_rate
+        elif b[:4] == b"fLaC" and len(b) >= 38:
+            # STREAMINFO (first metadata block, offset 8): 20-bit sample
+            # rate, 3-bit channels-1, 36-bit total samples packed at 18.
+            fmt = "flac"
+            sr = (b[18] << 12) | (b[19] << 4) | (b[20] >> 4)
+            ch = ((b[20] >> 1) & 0x7) + 1
+            # total samples: 36 bits = low nibble of b[21] + be32(b[22:26])
+            total = ((b[21] & 0x0F) << 32) | _be(b[22:26])
+            if sr:
+                dur = total * 1000 // sr
+        elif b[:4] == b"OggS":
+            fmt = "ogg"
+        elif b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
+            fmt = "mp3"
+        elif b[4:8] == b"ftyp":
+            fmt = "mp4"
+        elif b[:4] == b"\x1aE\xdf\xa3":
+            fmt = "mkv"
+        elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+            fmt = "webp"
+    except (IndexError, ValueError):
+        pass
+    return {"format": fmt, "kind": _KIND.get(fmt, "blob"), "width": w,
+            "height": h, "sample_rate": sr, "channels": ch,
+            "duration_ms": dur}
+
+
+# ---------------------------------------------------------------------------
+# Catalyst expression path (fixed-offset formats, pure codegen)
+# ---------------------------------------------------------------------------
+
+def _byte(c: str, off: int) -> Column:
+    """Unsigned value of the byte at 0-based ``off`` (codegen int)."""
+    return F.conv(F.hex(F.expr(f"substring({c}, {off + 1}, 1)")), 16, 10).cast("int")
+
+
+def _be_n(c: str, off: int, n: int) -> Column:
+    """Big-endian unsigned int of ``n`` bytes at 0-based ``off``."""
+    return F.conv(F.hex(F.expr(f"substring({c}, {off + 1}, {n})")), 16, 10).cast("long")
+
+
+def _le_n(c: str, off: int, n: int) -> Column:
+    """Little-endian unsigned int of ``n`` bytes at 0-based ``off`` —
+    a sum of shifted single-byte reads (conv/hex are big-endian only)."""
+    out = _byte(c, off).cast("long")
+    for i in range(1, n):
+        out = out + _byte(c, off + i).cast("long") * (1 << (8 * i))
+    return out
+
+
+def _magic(c: str, off: int, lit: bytes) -> Column:
+    return F.expr(f"substring({c}, {off + 1}, {len(lit)})") == F.lit(lit)
+
+
+def _sniff_exprs(c: str) -> dict[str, Column]:
+    """The format/dimension decoding as pure column expressions.
+
+    JPEG dimensions need a segment scan (variable offsets) so the expr
+    path detects JPEG but leaves its width/height null; everything else
+    matches ``parse_media_header`` exactly on canonical files.
+    """
+    is_png = _magic(c, 0, b"\x89PNG\r\n\x1a\n")
+    is_jpeg = _magic(c, 0, b"\xff\xd8\xff")
+    is_gif = _magic(c, 0, b"GIF87a") | _magic(c, 0, b"GIF89a")
+    is_bmp = _magic(c, 0, b"BM") & (F.length(F.col(c)) >= 26)
+    is_riff = _magic(c, 0, b"RIFF")
+    is_wav = is_riff & _magic(c, 8, b"WAVE")
+    is_webp = is_riff & _magic(c, 8, b"WEBP")
+    is_flac = _magic(c, 0, b"fLaC")
+    is_ogg = _magic(c, 0, b"OggS")
+    is_mp3 = _magic(c, 0, b"ID3") | (
+        (_byte(c, 0) == 0xFF) & (_byte(c, 1).bitwiseAND(F.lit(0xE0)) == 0xE0))
+    is_mp4 = _magic(c, 4, b"ftyp")
+    is_mkv = _magic(c, 0, b"\x1aE\xdf\xa3")
+
+    # BMP dims are SIGNED LE32 (top-down bitmaps store negative height):
+    # reinterpret the unsigned read as two's complement, then abs().
+    def _le32_signed(off: int) -> Column:
+        u = _le_n(c, off, 4)
+        return F.abs(F.when(u >= (1 << 31), u - (1 << 32)).otherwise(u))
+
+    # Canonical WAV only (fmt at 12, data at 36) — the chunk walk is the
+    # pandas kernel's job; non-canonical files get nulls here, never
+    # wrong values.
+    wav_canonical = is_wav & _magic(c, 12, b"fmt ") & _magic(c, 36, b"data")
+    wav_byte_rate = _le_n(c, 28, 4)
+
+    fmt = (
+        F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
+        .when(is_bmp, "bmp").when(is_wav, "wav").when(is_flac, "flac")
+        .when(is_ogg, "ogg").when(is_mp3, "mp3").when(is_mp4, "mp4")
+        .when(is_mkv, "mkv").when(is_webp, "webp")
+    )
+    kind_map = F.create_map(
+        *[F.lit(x) for kv in _KIND.items() for x in kv])
+    flac_sr = (
+        _byte(c, 18).cast("long") * (1 << 12)
+        + _byte(c, 19).cast("long") * (1 << 4)
+        + F.shiftright(_byte(c, 20), 4).cast("long"))
+    flac_total = (
+        _byte(c, 21).bitwiseAND(F.lit(0x0F)).cast("long") * (1 << 32)
+        + _be_n(c, 22, 4))
+    return {
+        "format": fmt,
+        "kind": F.coalesce(kind_map[fmt], F.lit("blob")),
+        "width": (
+            F.when(is_png, _be_n(c, 16, 4))
+            .when(is_gif, _le_n(c, 6, 2))
+            .when(is_bmp, _le32_signed(18))
+        ).cast("int"),
+        "height": (
+            F.when(is_png, _be_n(c, 20, 4))
+            .when(is_gif, _le_n(c, 8, 2))
+            .when(is_bmp, _le32_signed(22))
+        ).cast("int"),
+        "sample_rate": (
+            F.when(wav_canonical, _le_n(c, 24, 4))
+            .when(is_flac, flac_sr)
+        ).cast("int"),
+        "channels": (
+            F.when(wav_canonical, _le_n(c, 22, 2))
+            .when(is_flac, F.shiftright(_byte(c, 20), 1)
+                  .bitwiseAND(F.lit(0x7)) + 1)
+        ).cast("int"),
+        "duration_ms": (
+            F.when(wav_canonical & (wav_byte_rate > 0),
+                   F.floor(_le_n(c, 40, 4) * 1000 / wav_byte_rate))
+            .when(is_flac & (flac_sr > 0),
+                  F.floor(flac_total * 1000 / flac_sr))
+        ).cast("long"),
+    }
+
+
+def sniff_media(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    strategy: str = "expr",
+) -> DataFrame:
+    """(media_id, format, kind, width, height, sample_rate, channels,
+    duration_ms, n_bytes) parsed from real container headers.
+
+    ``strategy='expr'`` (default): whole-stage-codegen column expressions —
+    the JVM-side scale path; JPEG width/height come back null (variable
+    segment offsets). ``strategy='pandas'``: Arrow-batched kernel with the
+    full parsers (JPEG SOF scan, WAV chunk walk, FLAC bit fields).
+    Both are deterministic and never raise on corrupt payloads.
+    """
+    if strategy == "expr":
+        e = _sniff_exprs(payload_col)
+        return df.select(
+            F.col(id_col).cast("long").alias("media_id"),
+            e["format"].alias("format"), e["kind"].alias("kind"),
+            e["width"].alias("width"), e["height"].alias("height"),
+            e["sample_rate"].alias("sample_rate"),
+            e["channels"].alias("channels"),
+            e["duration_ms"].alias("duration_ms"),
+            F.length(payload_col).cast("long").alias("n_bytes"),
+        )
+    if strategy != "pandas":
+        raise ValueError(f"strategy must be 'expr' or 'pandas': {strategy!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [parse_media_header(bytes(b)) for b in pdf[payload_col]]
+            out = pd.DataFrame({
+                "media_id": pdf[id_col].astype("int64"),
+                "n_bytes": pdf[payload_col].map(len).astype("int64"),
+            })
+            for f in ("format", "kind", "width", "height", "sample_rate",
+                      "channels", "duration_ms"):
+                out[f] = [p[f] for p in parsed]
+            return_cols = [f.name for f in SNIFF_SCHEMA.fields]
+            yield out[return_cols]
+
+    return df.select(id_col, payload_col).mapInPandas(kernel, SNIFF_SCHEMA)
+
+
+def verify_media_format(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "media_id",
+    claimed_col: str = "meta.format",
+    strategy: str = "expr",
+) -> DataFrame:
+    """Mislabeled-media report: rows whose *claimed* format (extension /
+    upstream metadata) disagrees with what the payload bytes actually are.
+
+    At ingestion scale, extension lies are routine (renamed files, CDN
+    content-type drift); this is the validation gate that catches them
+    before a decoder segfaults on them. Returns (media_id, claimed,
+    sniffed, n_bytes); rows where both sides are null are trusted-blob
+    passthroughs and excluded. 'jpg'/'jpeg' normalize to 'jpeg'.
+    """
+    claimed = F.lower(F.expr(claimed_col))
+    claimed = F.when(claimed == "jpg", "jpeg").otherwise(claimed)
+    sniffed = sniff_media(df, payload_col, id_col, strategy=strategy)
+    base = df.select(F.col(id_col).cast("long").alias("media_id"),
+                     claimed.alias("claimed"))
+    return (
+        base.join(sniffed, "media_id")
+        .where(~F.col("claimed").eqNullSafe(F.col("format")))
+        .select("media_id", "claimed", F.col("format").alias("sniffed"),
+                "n_bytes")
+    )

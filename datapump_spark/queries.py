@@ -754,6 +754,59 @@ def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _media_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media table whose payloads carry REAL container headers (GIF / WAV /
+    MP4-ftyp), built entirely codegen-side: dimension bytes are computed
+    from doc_id with hex/unhex little-endian assembly, then concat'd with
+    the magic and the document text as body bytes. Exercises the header
+    sniffer on payloads whose ground truth is derivable from doc_id."""
+    d = _t(spark, sf_dir, "documents")
+    kind_idx = (F.col("doc_id") % 3).cast("int")
+    w = (F.col("doc_id") % 1024 + 1).cast("int")
+    h = (F.col("doc_id") % 768 + 1).cast("int")
+
+    def le16(col):  # two little-endian bytes as binary
+        return F.unhex(F.concat(
+            F.lpad(F.hex(col % 256), 2, "0"),
+            F.lpad(F.hex((col / 256).cast("int") % 256), 2, "0")))
+
+    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"),
+                   F.encode("text", "utf-8"), F.lit(b"\x3b"))
+    # canonical 16-bit mono 16 kHz WAV: fixed fmt chunk, text as data bytes
+    wav = F.concat(
+        F.lit(b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+              b"\x01\x00\x01\x00\x80\x3e\x00\x00\x00\x7d\x00\x00\x02\x00\x10\x00"
+              b"data"),
+        F.unhex(F.concat(*[F.lpad(F.hex(
+            (F.col("n_chars") / F.lit(256 ** i)).cast("bigint") % 256), 2, "0")
+            for i in range(4)])),
+        F.encode("text", "utf-8"))
+    mp4 = F.concat(F.lit(b"\x00\x00\x00\x18ftypisom"), F.encode("text", "utf-8"))
+    return d.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(kind_idx == 0, gif).when(kind_idx == 1, wav)
+         .otherwise(mp4).alias("payload"),
+    )
+
+
+def q_sniff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Header sniff over real container bytes, pure-codegen strategy —
+    per-format count, avg dimensions, avg sample rate (operators/
+    mediasniff.py). The 100 TB first-pass media validation stage; no SQL
+    oracle (binary header parsing), gated by test_mediasniff's
+    expr≡pandas≡ground-truth pins instead."""
+    from datapump_spark.operators.mediasniff import sniff_media
+    s = sniff_media(_media_real_headers(spark, sf_dir), strategy="expr")
+    return (
+        s.groupBy("format", "kind")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.avg("width").alias("avg_w"), F.avg("height").alias("avg_h"),
+             F.avg("sample_rate").alias("avg_sr"),
+             F.avg("duration_ms").alias("avg_dur_ms"),
+             F.sum("n_bytes").alias("total_bytes"))
+    )
+
+
 def q_media_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Relational metadata stats over the media table (no decode): per
     (kind, format) count, payload bytes, avg duration."""
@@ -1894,4 +1947,5 @@ BENCH_VARIANTS = {
     "q_approx_profile": q_approx_profile,
     "q_compression_ratio": q_compression_ratio,
     "q_hll_rollup": q_hll_rollup,
+    "q_sniff_media": q_sniff_media,
 }

@@ -1,0 +1,232 @@
+"""Media header sniffing: REAL byte-level parsing (no codecs), expr path
+pinned equal to the pandas kernel, hand-built valid files as ground truth."""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.mediasniff import (
+    SNIFF_SCHEMA,
+    parse_media_header,
+    sniff_media,
+    verify_media_format,
+)
+from datapump_spark.operators.multimodal import MEDIA_SCHEMA
+
+
+# ---------------------------------------------------------------------------
+# Minimal *valid* file builders (stdlib only)
+# ---------------------------------------------------------------------------
+
+def make_png(w: int, h: int) -> bytes:
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data)))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0, 0, 0, 0)  # 8-bit grayscale
+    raw = b"".join(b"\x00" + b"\x80" * w for _ in range(h))  # filter 0 rows
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def make_jpeg(w: int, h: int) -> bytes:
+    app0 = b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof0 = struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00"
+    out = b"\xff\xd8"  # SOI
+    out += b"\xff\xe0" + struct.pack(">H", len(app0) + 2) + app0
+    # a DHT segment before SOF exercises the scan loop
+    dht = b"\x00" + b"\x00" * 16
+    out += b"\xff\xc4" + struct.pack(">H", len(dht) + 2) + dht
+    out += b"\xff\xc0" + struct.pack(">H", len(sof0) + 2) + sof0
+    return out + b"\xff\xd9"  # EOI
+
+
+def make_gif(w: int, h: int) -> bytes:
+    return (b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+            + b"\x3b")
+
+
+def make_bmp(w: int, h: int, top_down: bool = False) -> bytes:
+    row = ((w * 3 + 3) // 4) * 4
+    pix = b"\x00" * (row * h)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pix), 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, -h if top_down else h,
+                       1, 24, 0, len(pix), 2835, 2835, 0, 0)
+    return header + info + pix
+
+
+def make_wav(sr: int, ch: int, n_samples: int, canonical: bool = True) -> bytes:
+    data = b"\x00\x00" * ch * n_samples
+    byte_rate = sr * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sr, byte_rate, ch * 2, 16)
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if not canonical:
+        # a LIST chunk between fmt and data breaks the fixed-offset layout
+        chunks += b"LIST" + struct.pack("<I", 4) + b"INFO"
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def make_flac(sr: int, ch: int, total_samples: int) -> bytes:
+    # STREAMINFO: min/max blocksize, min/max framesize, then the packed
+    # 20-bit sr / 3-bit ch-1 / 5-bit bps-1 / 36-bit total field.
+    packed = (sr << 44) | ((ch - 1) << 41) | ((16 - 1) << 36) | total_samples
+    info = (struct.pack(">HH", 4096, 4096) + b"\x00" * 6
+            + packed.to_bytes(8, "big") + b"\x00" * 16)
+    return b"fLaC" + b"\x80" + len(info).to_bytes(3, "big") + info
+
+
+FILES = {
+    1: (make_png(640, 480), "png", 640, 480),
+    2: (make_jpeg(1920, 1080), "jpeg", 1920, 1080),
+    3: (make_gif(320, 200), "gif", 320, 200),
+    4: (make_bmp(800, 600), "bmp", 800, 600),
+    5: (make_bmp(64, 32, top_down=True), "bmp", 64, 32),
+}
+AUDIO = {
+    6: (make_wav(44100, 2, 44100), "wav", 44100, 2, 1000),
+    7: (make_wav(16000, 1, 8000, canonical=False), "wav", 16000, 1, 500),
+    8: (make_flac(48000, 2, 96000), "flac", 48000, 2, 2000),
+}
+OTHER = {
+    9: (b"\x00\x00\x00\x18ftypisom" + b"\x00" * 32, "mp4"),
+    10: (b"OggS" + b"\x00" * 20, "ogg"),
+    11: (b"ID3\x04\x00" + b"\x00" * 20, "mp3"),
+    12: (b"\x1aE\xdf\xa3" + b"\x00" * 8, "mkv"),
+    13: (b"RIFF\x10\x00\x00\x00WEBPVP8 ", "webp"),
+    14: (b"utter garbage, not a media file at all", None),
+    15: (b"\x89PN", None),  # truncated magic
+}
+
+
+def _media_df(spark):
+    rows = []
+    for mid, (payload, *_rest) in {**FILES, **AUDIO, **OTHER}.items():
+        rows.append((mid, bytearray(payload),
+                     ("image", "png", None, None, None)))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3)
+
+
+# ---------------------------------------------------------------------------
+# Pure-parser ground truth
+# ---------------------------------------------------------------------------
+
+def test_parse_images():
+    for mid, (payload, fmt, w, h) in FILES.items():
+        p = parse_media_header(payload)
+        assert (p["format"], p["width"], p["height"]) == (fmt, w, h), mid
+        assert p["kind"] == "image"
+
+
+def test_parse_audio():
+    for mid, (payload, fmt, sr, ch, dur) in AUDIO.items():
+        p = parse_media_header(payload)
+        assert p["format"] == fmt and p["kind"] == "audio", mid
+        assert (p["sample_rate"], p["channels"]) == (sr, ch), mid
+        assert p["duration_ms"] == dur, mid
+
+
+def test_parse_other_formats_and_garbage():
+    for mid, (payload, fmt) in OTHER.items():
+        p = parse_media_header(payload)
+        assert p["format"] == fmt, mid
+        if fmt is None:
+            assert p["kind"] == "blob"
+    # corrupt-but-magic'd payloads degrade to Nones, never raise
+    p = parse_media_header(b"\x89PNG\r\n\x1a\n" + b"\x01")
+    assert p["format"] is None or p["width"] is None
+
+
+# ---------------------------------------------------------------------------
+# Distributed paths
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return _media_df(spark)
+
+
+def test_sniff_expr_matches_ground_truth(media):
+    got = {r["media_id"]: r for r in sniff_media(media).collect()}
+    for mid, (payload, fmt, w, h) in FILES.items():
+        r = got[mid]
+        assert r["format"] == fmt
+        if fmt == "jpeg":
+            assert r["width"] is None  # expr path can't scan segments
+        else:
+            assert (r["width"], r["height"]) == (w, h)
+    # canonical wav: full fields; non-canonical: format only, no lies
+    assert got[6]["sample_rate"] == 44100 and got[6]["duration_ms"] == 1000
+    assert got[7]["format"] == "wav" and got[7]["sample_rate"] is None
+    assert got[8]["sample_rate"] == 48000 and got[8]["channels"] == 2
+    assert got[14]["format"] is None and got[14]["kind"] == "blob"
+    assert all(r["n_bytes"] > 0 for r in got.values())
+
+
+def test_sniff_pandas_full_fidelity(media):
+    got = {r["media_id"]: r for r in
+           sniff_media(media, strategy="pandas").collect()}
+    assert (got[2]["width"], got[2]["height"]) == (1920, 1080)  # JPEG dims
+    assert got[7]["sample_rate"] == 16000  # chunk walk
+    assert got[7]["duration_ms"] == 500
+
+
+def test_expr_equals_pandas_on_shared_domain(media):
+    """The codegen path and the Python kernel agree wherever both parse
+    (everything except JPEG dims and non-canonical WAV fields)."""
+    e = {r["media_id"]: r for r in sniff_media(media).collect()}
+    p = {r["media_id"]: r for r in
+         sniff_media(media, strategy="pandas").collect()}
+    assert set(e) == set(p)
+    for mid in e:
+        for f in [x.name for x in SNIFF_SCHEMA.fields]:
+            if e[mid][f] is None:
+                continue  # expr abstains where it can't parse — never lies
+            assert e[mid][f] == p[mid][f], (mid, f)
+
+
+def test_expr_path_is_codegen_only(media):
+    plan = sniff_media(media)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "mapInPandas" not in plan
+
+
+def test_verify_media_format_flags_mislabeled(media):
+    # fixture claims every row is png; only media_id=1 actually is
+    bad = {r["media_id"]: r for r in verify_media_format(media).collect()}
+    assert 1 not in bad
+    assert bad[2]["sniffed"] == "jpeg" and bad[2]["claimed"] == "png"
+    assert bad[14]["sniffed"] is None  # garbage claimed as png → flagged
+    assert len(bad) == len(FILES) + len(AUDIO) + len(OTHER) - 1
+
+
+def test_q_sniff_media_ground_truth(spark):
+    """The bench query's sniffed stats must equal values derivable from
+    doc_id (the payload builder and the sniffer are independent codepaths:
+    hex/unhex assembly vs substring/conv parsing)."""
+    from datapump_spark.queries import _media_real_headers, q_sniff_media
+
+    sf_dir = "/root/testdata/sf0.001"
+    got = {r["format"]: r for r in q_sniff_media(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars").collect()
+    gif_ids = [r["doc_id"] for r in docs if r["doc_id"] % 3 == 0]
+    wav = [r for r in docs if r["doc_id"] % 3 == 1]
+    assert got["gif"]["n"] == len(gif_ids)
+    assert got["gif"]["kind"] == "image"
+    exp_w = sum(i % 1024 + 1 for i in gif_ids) / len(gif_ids)
+    assert abs(got["gif"]["avg_w"] - exp_w) < 1e-9
+    assert got["wav"]["n"] == len(wav)
+    assert got["wav"]["avg_sr"] == 16000.0
+    exp_dur = sum(r["n_chars"] * 1000 // 32000 for r in wav) / len(wav)
+    assert abs(got["wav"]["avg_dur_ms"] - exp_dur) < 1e-9
+    assert got["mp4"]["kind"] == "video"
+    # pandas strategy agrees on the same synthesized payloads
+    from datapump_spark.operators.mediasniff import sniff_media
+    m = _media_real_headers(spark, sf_dir)
+    e = {r["media_id"]: r for r in sniff_media(m).collect()}
+    p = {r["media_id"]: r for r in sniff_media(m, strategy="pandas").collect()}
+    assert e == p
