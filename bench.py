@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q_score_pctrank",
     "q_leakage_split",
     "q_sniff_media",
+    "q_pq_topk",
 ]
 
 

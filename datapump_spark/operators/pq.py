@@ -1,0 +1,280 @@
+"""Product Quantization (PQ) for embedding columns — compressed-domain ANN.
+
+The missing piece between brute-force cosine (exact, O(N·d) floats touched
+per query) and IVF/LSH candidate pruning (``operators.similarity``): PQ
+compresses each d-dim vector to ``m`` small integer codes (one per
+subspace, codebook of ``k`` centroids each), a 16-64× memory reduction, and
+scores queries against the *codes* via per-query lookup tables (ADC —
+asymmetric distance computation, Jegou et al. 2011, "Product Quantization
+for Nearest Neighbor Search"). At 100 TB this is what makes an embedding
+corpus scannable at all: the compressed corpus fits in a fraction of the
+executors' page cache, the scan is sequential, and nothing shuffles.
+
+Spark-first mapping:
+
+- **Train** (:func:`train_pq`): joint mini-k-means over all ``m`` subspaces
+  at once — assignment is one Arrow-batched numpy argmin pass; the centroid
+  update is ONE distributed aggregation per Lloyd round (posexplode →
+  groupBy (subspace, code, pos) avg), so only ``m·k·sub_dim`` aggregate
+  states cross the wire and only the tiny codebook tensor reaches the
+  driver. Deterministic: codes seeded as ``id % k``, no RNG.
+- **Encode** (:func:`pq_encode`): broadcast codebooks, one numpy
+  distance+argmin GEMM per Arrow batch → ``codes array<int>``; store this,
+  not the floats.
+- **Search** (:func:`pq_topk`): queries stay exact; each query's LUT of
+  ``m·k`` partial inner products is precomputed driver-side (queries are
+  few) and broadcast; corpus scoring is PURE CODEGEN — ``zip_with`` the
+  code array with subspace indexes into ``element_at`` LUT lookups and
+  ``aggregate``-sum them. No Python touches the corpus at query time.
+
+Composes with IVF: assign cells with ``similarity._assign_cells`` and PQ-
+encode the *residuals* per cell for the classic IVF-PQ layout; here the
+plain PQ scan is kept standalone so its accuracy is separately gradable.
+Recall vs the exact baseline is measured in tests and surfaced by
+``scripts/ann_recall.py`` (PERF.md).
+
+Reference parity: the reference (datapump.py) has no vector search at all;
+this extends SURVEY §7's similarity-search requirement along its stated
+scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datapump_spark.operators.similarity import _as_double, _norm, vec_dim
+
+_CODES_SCHEMA = T.StructType([
+    T.StructField("id", T.LongType()),
+    T.StructField("codes", T.ArrayType(T.IntegerType())),
+])
+
+
+def _l2_normalized(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(id, v): L2-normalized double vectors — PQ for cosine similarity
+    quantizes the unit sphere, so normalization happens once, up front."""
+    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
+    nrm = _norm(F.col("v"))
+    return base.withColumn(
+        "v", F.transform("v", lambda x: x / F.nullif(nrm, F.lit(0.0))))
+
+
+def _encode_kernel(codebooks):
+    """mapInPandas kernel: argmin L2 distance per subspace, all subspaces
+    per batch in numpy. ``codebooks`` is an (m, k, sub_d) ndarray captured
+    in the closure (tiny — broadcast with the task)."""
+    import numpy as np
+    import pandas as pd
+
+    m, k, sub_d = codebooks.shape
+
+    def kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            M = np.vstack(pdf["v"].map(np.asarray).to_numpy())
+            n = len(M)
+            codes = np.empty((n, m), dtype="int32")
+            for j in range(m):
+                X = M[:, j * sub_d:(j + 1) * sub_d]          # (n, sub_d)
+                C = codebooks[j]                              # (k, sub_d)
+                # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
+                d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1)
+            yield pd.DataFrame({"id": pdf["id"],
+                                "codes": [r.tolist() for r in codes]})
+
+    return kernel
+
+
+def train_pq(
+    df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+    m: int = 8, k: int = 16, lloyd_iters: int = 3,
+    dim: int | None = None, train_fraction: float = 1.0,
+):
+    """Train PQ codebooks: returns an (m, k, sub_dim) numpy tensor.
+
+    One distributed aggregation per Lloyd round covers ALL subspaces
+    (state: m·k·sub_dim cells). ``train_fraction`` hash-samples the
+    training set — at corpus scale codebooks converge on a few hundred
+    thousand vectors, so training never needs the full data. Deterministic
+    end to end (hash sample, id%k init, stable argmin).
+    """
+    import numpy as np
+
+    dim = vec_dim(df, vec_col, dim)
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub_d = dim // m
+
+    base = _l2_normalized(df, id_col, vec_col)
+    if train_fraction < 1.0:
+        base = base.where(
+            F.pmod(F.xxhash64(F.col("id"), F.lit(42)), 1_000_000)
+            < int(train_fraction * 1_000_000))
+    base = base.persist()
+    try:
+        # round 0 assignment needs no codebook: code = id % k
+        assigned = base.select(
+            "id", "v", F.array_repeat((F.col("id") % k).cast("int"), m)
+            .alias("codes"))
+        C = None
+        for _ in range(max(1, lloyd_iters)):
+            rows = (
+                assigned.select(F.posexplode("v").alias("pos", "val"), "codes")
+                .select(
+                    (F.col("pos") / sub_d).cast("int").alias("j"),
+                    (F.col("pos") % sub_d).alias("p"),
+                    F.element_at("codes", (F.col("pos") / sub_d).cast("int") + 1)
+                    .alias("code"),
+                    "val")
+                .groupBy("j", "code", "p").agg(F.avg("val").alias("c"))
+                .collect()
+            )
+            if not rows:
+                return None
+            C = np.zeros((m, k, sub_d))
+            for r in rows:
+                C[r["j"], r["code"], r["p"]] = r["c"]
+            assigned = base.mapInPandas(_encode_kernel(C), _CODES_SCHEMA) \
+                .join(base, "id")
+        return C
+    finally:
+        base.unpersist()
+
+
+def pq_encode(
+    df: DataFrame, codebooks, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus. ``m`` small ints per
+    vector instead of ``dim`` floats; store/bucket THIS table."""
+    base = _l2_normalized(df, id_col, vec_col)
+    return base.mapInPandas(_encode_kernel(codebooks), _CODES_SCHEMA)
+
+
+def pq_topk(
+    df: DataFrame, codebooks, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5, query_max_id: int = 10,
+    codes: DataFrame | None = None, rerank_factor: int = 0,
+) -> DataFrame:
+    """Approximate top-k by ADC scan of the compressed corpus.
+
+    (query_id, neighbor_id, score): ``score`` = sum of per-subspace inner
+    products between the exact query subvector and the neighbor's assigned
+    centroid ≈ cosine (both sides normalized). Per query only the m·k LUT
+    is materialized (driver-side, queries are few by contract, same as the
+    exact path's broadcast); the corpus-side scan is PURE CODEGEN:
+    LUT lookups via ``element_at`` + ``aggregate`` sum — no Python, no
+    shuffle of the corpus, ranking on the same window policy as the exact/
+    LSH/IVF paths (rounded score desc, neighbor_id asc).
+
+    ``rerank_factor > 0`` enables the production two-stage layout: the ADC
+    scan retrieves a ``k·rerank_factor`` shortlist per query, then ONLY
+    those rows' float vectors are fetched (broadcast semi-join against the
+    corpus — the full-precision table is touched for a few hundred ids,
+    not scanned) and re-scored with exact cosine. Quantization error then
+    only costs recall where a true neighbor fell outside the shortlist —
+    the standard accuracy/memory trade (Jegou et al. §5.2, "IVFADC with
+    re-ranking").
+
+    Pass a precomputed ``codes`` frame (from :func:`pq_encode`, persisted)
+    to skip re-encoding — the production layout, where the float vectors
+    for the corpus are never read during the scan at all.
+    """
+    import numpy as np
+
+    mm, kk, sub_d = codebooks.shape
+    if codes is None:
+        codes = pq_encode(df, codebooks, id_col, vec_col)
+
+    qrows = (
+        _l2_normalized(df.where(F.col(id_col) < query_max_id), id_col, vec_col)
+        .collect()
+    )
+    spark = df.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, score double")
+    luts = []
+    for r in qrows:
+        qv = np.asarray(r["v"], dtype="float64")
+        # LUT[j*k + c] = <q_j, codebook[j][c]> — flat for element_at
+        lut = np.concatenate(
+            [codebooks[j] @ qv[j * sub_d:(j + 1) * sub_d]
+             for j in range(mm)])
+        luts.append((int(r["id"]), [float(x) for x in lut]))
+    q = spark.createDataFrame(luts, "query_id bigint, lut array<double>")
+
+    # codegen ADC: codes[j] indexes the j-th LUT stripe
+    score = F.aggregate(
+        F.zip_with(
+            "codes", F.sequence(F.lit(0), F.lit(mm - 1)),
+            lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (
+        codes.select(F.col("id").alias("neighbor_id"), "codes")
+        .crossJoin(F.broadcast(q))
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("score", F.round(score, 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    shortlist_k = k * rerank_factor if rerank_factor > 0 else k
+    adc = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= shortlist_k)
+        .select("query_id", "neighbor_id", "score")
+    )
+    if rerank_factor <= 0:
+        return adc
+
+    # exact re-rank: fetch ONLY the shortlist rows' float vectors
+    from datapump_spark.operators.similarity import _dot
+
+    qv = spark.createDataFrame(
+        [(int(r["id"]), [float(x) for x in r["v"]]) for r in qrows],
+        "query_id bigint, qv array<double>")
+    corpus = _l2_normalized(df, id_col, vec_col).select(
+        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
+    rescored = (
+        corpus.join(F.broadcast(adc.select("query_id", "neighbor_id")),
+                    "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")), 6))
+    )
+    return (
+        rescored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def pq_reconstruction_mse(df: DataFrame, codebooks, id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> float:
+    """Mean squared reconstruction error of the codebooks over the corpus
+    (distributed; one scalar to the driver) — the trainer's loss, used to
+    verify training actually reduces distortion vs untrained codebooks."""
+    import numpy as np
+
+    mm, kk, sub_d = codebooks.shape
+    base = _l2_normalized(df, id_col, vec_col)
+    enc = base.mapInPandas(_encode_kernel(codebooks), _CODES_SCHEMA) \
+        .join(base, "id")
+    flat = [float(x) for x in codebooks.reshape(-1)]
+    cb = F.array(*[F.lit(x) for x in flat])
+    err = F.aggregate(
+        F.zip_with(
+            "v", F.sequence(F.lit(0), F.lit(mm * sub_d - 1)),
+            lambda x, pos: F.pow(
+                x - F.element_at(
+                    cb,
+                    ((pos / sub_d).cast("int") * kk
+                     + F.element_at("codes", (pos / sub_d).cast("int") + 1))
+                    * sub_d + pos % sub_d + 1),
+                F.lit(2.0))),
+        F.lit(0.0), lambda acc, x: acc + x)
+    row = enc.select(F.avg(err).alias("mse")).first()
+    return float(row["mse"]) if row and row["mse"] is not None else float("nan")

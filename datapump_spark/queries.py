@@ -513,6 +513,17 @@ def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     dim=_emb_dim(sf_dir))
 
 
+def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization compressed-corpus top-5 with ADC shortlist +
+    exact re-rank (operators/pq.py). Bench-only: measures train + encode +
+    two-stage search end-to-end; recall graded in test_pq against the
+    exact baseline; no SQL oracle (k-means state)."""
+    from datapump_spark.operators.pq import pq_topk, train_pq
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = train_pq(emb, m=8, k=64, lloyd_iters=2, dim=_emb_dim(sf_dir))
+    return pq_topk(emb, cb, k=5, query_max_id=10, rerank_factor=8)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + n_probe) approximate top-5 (rows-only check;
     recall graded in tests against the exact baseline)."""
@@ -1948,4 +1959,5 @@ BENCH_VARIANTS = {
     "q_compression_ratio": q_compression_ratio,
     "q_hll_rollup": q_hll_rollup,
     "q_sniff_media": q_sniff_media,
+    "q_pq_topk": q_pq_topk,
 }

@@ -56,6 +56,19 @@ def main() -> None:
             emb, k=k, query_max_id=n_queries, n_cells=16, n_probe=16)),
     ]
 
+    from datapump_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    cb = train_pq(emb, m=8, k=64, lloyd_iters=3, dim=64)
+    codes = pq_encode(emb, cb).persist()
+    codes.count()
+    variants += [
+        ("pq m=8 k=64 ADC-only", lambda: pq_topk(
+            emb, cb, k=k, query_max_id=n_queries, codes=codes)),
+        ("pq m=8 k=64 + rerank 8k", lambda: pq_topk(
+            emb, cb, k=k, query_max_id=n_queries, codes=codes,
+            rerank_factor=8)),
+    ]
+
     print(f"corpus={n_corpus} vectors, {n_queries} queries, k={k}, "
           f"sf_dir={sf_dir}")
     print(f"\n| path | recall@{k} | sec | exact sec |")

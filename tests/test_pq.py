@@ -1,0 +1,98 @@
+"""Product quantization: training reduces distortion, ADC search recalls
+the exact neighbors, codes/search are deterministic, scan is codegen."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.pq import (
+    pq_encode,
+    pq_reconstruction_mse,
+    pq_topk,
+    train_pq,
+)
+from datapump_spark.operators.similarity import cosine_topk
+
+SF_DIR = "/root/testdata/sf0.001"
+M, K = 8, 64
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def codebooks(emb):
+    return train_pq(emb, m=M, k=K, lloyd_iters=3, dim=64)
+
+
+def test_train_shape_and_determinism(emb, codebooks):
+    assert codebooks.shape == (M, K, 64 // M)
+    again = train_pq(emb, m=M, k=K, lloyd_iters=3, dim=64)
+    assert np.array_equal(codebooks, again)
+
+
+def test_training_reduces_mse(emb, codebooks):
+    """More Lloyd rounds → monotone-ish distortion drop; trained codebooks
+    beat the round-0 (id % k seeded) codebooks clearly."""
+    cb0 = train_pq(emb, m=M, k=K, lloyd_iters=1, dim=64)
+    mse0 = pq_reconstruction_mse(emb, cb0)
+    mse3 = pq_reconstruction_mse(emb, codebooks)
+    assert mse3 < mse0 * 0.9
+    # unit vectors: quantizing everything to the origin scores exactly 1.0,
+    # so a trained codebook must land clearly below that
+    assert mse3 < 0.8
+
+
+def test_encode_contract(emb, codebooks):
+    codes = pq_encode(emb, codebooks).collect()
+    assert len(codes) == emb.count()
+    for r in codes:
+        assert len(r["codes"]) == M
+        assert all(0 <= c < K for c in r["codes"])
+    again = {r["id"]: r["codes"] for r in pq_encode(emb, codebooks).collect()}
+    assert all(again[r["id"]] == r["codes"] for r in codes)
+
+
+def test_adc_recall_vs_exact(emb, codebooks):
+    """Pure-ADC scan gives a (coarse) recall floor; the two-stage layout
+    (ADC shortlist → exact re-rank of k·8 rows) recovers most of it.
+    Measured on this corpus: ~0.35 ADC-only, ~0.9 with re-rank."""
+    k = 10
+    exact = cosine_topk(emb, k=k, query_max_id=20)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+
+    adc_only = pq_topk(emb, codebooks, k=k, query_max_id=20)
+    a0 = {(r["query_id"], r["neighbor_id"]) for r in adc_only.collect()}
+    assert len(e & a0) / len(e) >= 0.25
+
+    rer = pq_topk(emb, codebooks, k=k, query_max_id=20, rerank_factor=8)
+    a1 = {(r["query_id"], r["neighbor_id"]) for r in rer.collect()}
+    assert len(e & a1) / len(e) >= 0.80
+    assert len(e & a1) > len(e & a0)
+    # every query answered with exactly k neighbors
+    per_q = rer.groupBy("query_id").count().collect()
+    assert len(per_q) == 20 and all(r["count"] == k for r in per_q)
+
+
+def test_adc_scan_is_codegen(emb, codebooks, tmp_path):
+    """With a precomputed codes table the query-time plan never runs
+    Python over the corpus: no Arrow/Batch eval nodes."""
+    path = str(tmp_path / "codes")
+    pq_encode(emb, codebooks).write.parquet(path)
+    codes = emb.sparkSession.read.parquet(path)
+    out = pq_topk(emb, codebooks, k=5, query_max_id=5, codes=codes)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "MapInPandas" not in plan
+    assert out.count() == 5 * 5
+
+
+def test_train_fraction_sampling(emb):
+    cb = train_pq(emb, m=M, k=K, lloyd_iters=2, dim=64, train_fraction=0.5)
+    assert cb.shape == (M, K, 8)
+    # codebooks trained on half the data still quantize the whole corpus
+    assert pq_reconstruction_mse(emb, cb) < 0.8
