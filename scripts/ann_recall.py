@@ -67,6 +67,9 @@ def main() -> None:
         ("pq m=8 k=64 + rerank 8k", lambda: pq_topk(
             emb, cb, k=k, query_max_id=n_queries, codes=codes,
             rerank_factor=8)),
+        ("pq m=8 k=64 + rerank 16k", lambda: pq_topk(
+            emb, cb, k=k, query_max_id=n_queries, codes=codes,
+            rerank_factor=16)),
     ]
 
     print(f"corpus={n_corpus} vectors, {n_queries} queries, k={k}, "
