@@ -132,6 +132,7 @@ BENCH_QUERIES = [
     "q_leakage_split",
     "q_sniff_media",
     "q_pq_topk",
+    "q_unigram_encode",
 ]
 
 

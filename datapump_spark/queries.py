@@ -1644,6 +1644,20 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, train_bpe(docs, n_merges=200))
 
 
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenizer (SentencePiece-style): distributed word count
+    → driver EM+prune on counts → broadcast Viterbi encode scan
+    (operators/unigram.py). Iterative EM has no SQL twin; gated in
+    tests/test_unigram.py (Viterbi ≡ brute force, EM monotone, round-trip)
+    — benched so train+encode carry timings."""
+    from datapump_spark.operators.unigram import train_unigram, unigram_encode
+
+    docs = _t(spark, sf_dir, "documents")
+    model = train_unigram(docs, vocab_size=400, seed_size=3000,
+                          max_piece_len=5, em_iters=2)
+    return unigram_encode(docs, model)
+
+
 def q_approx_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch profiling: HLL++ distinct + quantile-sketch percentiles per
     return flag in ONE aggregation pass (operators/sketches.py). Sketch
@@ -1960,4 +1974,5 @@ BENCH_VARIANTS = {
     "q_hll_rollup": q_hll_rollup,
     "q_sniff_media": q_sniff_media,
     "q_pq_topk": q_pq_topk,
+    "q_unigram_encode": q_unigram_encode,
 }
