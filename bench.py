@@ -133,6 +133,7 @@ BENCH_QUERIES = [
     "q_sniff_media",
     "q_pq_topk",
     "q_unigram_encode",
+    "q_ivfpq_topk",
 ]
 
 

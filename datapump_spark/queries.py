@@ -1644,6 +1644,17 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode(docs, train_bpe(docs, n_merges=200))
 
 
+def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full IVF-PQ index (operators/pq.py ivfpq_topk): coarse-cell
+    equi-join candidate pruning × residual-PQ compressed scoring × exact
+    shortlist re-rank — trained, encoded, and searched end-to-end.
+    Recall/plan/determinism graded in test_pq; no SQL oracle (k-means)."""
+    from datapump_spark.operators.pq import ivfpq_topk
+    return ivfpq_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
+                      n_cells=16, n_probe=8, rerank_factor=8,
+                      dim=_emb_dim(sf_dir))
+
+
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenizer (SentencePiece-style): distributed word count
     → driver EM+prune on counts → broadcast Viterbi encode scan
@@ -1975,4 +1986,5 @@ BENCH_VARIANTS = {
     "q_sniff_media": q_sniff_media,
     "q_pq_topk": q_pq_topk,
     "q_unigram_encode": q_unigram_encode,
+    "q_ivfpq_topk": q_ivfpq_topk,
 }

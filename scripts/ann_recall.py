@@ -72,6 +72,17 @@ def main() -> None:
             rerank_factor=16)),
     ]
 
+    from datapump_spark.operators.pq import ivfpq_topk
+
+    variants += [
+        ("ivfpq 16 cells / 8 probe + rerank 8k", lambda: ivfpq_topk(
+            emb, k=k, query_max_id=n_queries, n_cells=16, n_probe=8,
+            rerank_factor=8)),
+        ("ivfpq 16 cells / 16 probe + rerank 8k", lambda: ivfpq_topk(
+            emb, k=k, query_max_id=n_queries, n_cells=16, n_probe=16,
+            rerank_factor=8)),
+    ]
+
     print(f"corpus={n_corpus} vectors, {n_queries} queries, k={k}, "
           f"sf_dir={sf_dir}")
     print(f"\n| path | recall@{k} | sec | exact sec |")

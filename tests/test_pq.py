@@ -96,3 +96,48 @@ def test_train_fraction_sampling(emb):
     assert cb.shape == (M, K, 8)
     # codebooks trained on half the data still quantize the whole corpus
     assert pq_reconstruction_mse(emb, cb) < 0.8
+
+
+def test_ivfpq_recall_and_knobs(emb):
+    """IVF-PQ composes cell pruning with code compression: recall tracks
+    n_probe (the IVF knob) and re-rank (the PQ knob); probing all cells
+    with re-rank approaches the exact answer."""
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(emb, k=10, query_max_id=20).collect()}
+    from datapump_spark.operators.pq import ivfpq_topk
+
+    few = ivfpq_topk(emb, k=10, query_max_id=20, n_cells=16, n_probe=4,
+                     rerank_factor=8)
+    a_few = {(r["query_id"], r["neighbor_id"]) for r in few.collect()}
+    all_cells = ivfpq_topk(emb, k=10, query_max_id=20, n_cells=16,
+                           n_probe=16, rerank_factor=8)
+    a_all = {(r["query_id"], r["neighbor_id"]) for r in all_cells.collect()}
+    r_few = len(exact & a_few) / len(exact)
+    r_all = len(exact & a_all) / len(exact)
+    assert r_few >= 0.30, r_few
+    assert r_all >= 0.75, r_all
+    assert r_all > r_few
+    per_q = all_cells.groupBy("query_id").count().collect()
+    assert len(per_q) == 20 and all(r["count"] == 10 for r in per_q)
+
+
+def test_ivfpq_candidate_generation_is_equi_join(emb):
+    """The probe stage must never cross-join the corpus: candidates come
+    from an equi-join on the cell id."""
+    from datapump_spark.operators.pq import ivfpq_topk
+
+    out = ivfpq_topk(emb, k=5, query_max_id=5, n_cells=8, n_probe=2,
+                     rerank_factor=0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ivfpq_deterministic(emb):
+    from datapump_spark.operators.pq import ivfpq_topk
+
+    a = ivfpq_topk(emb, k=5, query_max_id=10, n_cells=8, n_probe=4).collect()
+    b = ivfpq_topk(emb.repartition(5), k=5, query_max_id=10, n_cells=8,
+                   n_probe=4).collect()
+    key = lambda r: (r["query_id"], r["neighbor_id"], r["score"])
+    assert sorted(map(key, a)) == sorted(map(key, b))
