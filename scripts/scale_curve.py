@@ -282,6 +282,63 @@ def main() -> None:
         big_docs.unpersist()
         big_ev.unpersist()
 
+    # --- round-3b tier: broadcast-state encode scans. The production
+    # pattern at 100 TB is train-once (bounded state: codebooks, tokenizer
+    # probs) then scan-everything — so the state here is fit ONCE on the
+    # base tables and only the encode scans ride the replication curve;
+    # honest expectation is linear, since each is a shuffle-free
+    # mapInPandas/codegen pass.
+    from datapump_spark.operators.mediasniff import sniff_media
+    from datapump_spark.operators.pq import pq_encode, train_pq
+    from datapump_spark.operators.unigram import train_unigram, unigram_encode
+    from datapump_spark.queries import _media_real_headers
+
+    cb = train_pq(emb, id_col="vec_id", vec_col="embedding", m=8, k=64,
+                  lloyd_iters=2, dim=64)
+    uni = train_unigram(docs, vocab_size=400, seed_size=3000,
+                        max_piece_len=5, em_iters=2)
+    media = _media_real_headers(spark, sf_dir)
+    r3b_out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big_emb = (
+            emb.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+            .drop("__rep").repartition(64).persist()
+        )
+        big_docs = (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000)
+            .drop("__rep").repartition(64).persist()
+        )
+        big_media = (
+            media.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("media_id",
+                        F.col("media_id") + F.col("__rep") * 10_000_000)
+            .drop("__rep").repartition(64).persist()
+        )
+        for df in (big_emb, big_docs, big_media):
+            df.count()
+        runs = {}
+
+        t0 = time.perf_counter()
+        pq_encode(big_emb, cb, id_col="vec_id", vec_col="embedding") \
+            .write.format("noop").mode("overwrite").save()
+        runs["pq_encode"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        unigram_encode(big_docs, uni) \
+            .write.format("noop").mode("overwrite").save()
+        runs["unigram_encode"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        sniff_media(big_media, strategy="expr") \
+            .write.format("noop").mode("overwrite").save()
+        runs["sniff_media_expr"] = round(time.perf_counter() - t0, 2)
+
+        r3b_out[f"x{mult}"] = runs
+        for df in (big_emb, big_docs, big_media):
+            df.unpersist()
+
     print(json.dumps({
         "rows_base": base.count(),
         "curve": out,
@@ -289,6 +346,7 @@ def main() -> None:
         "dedup_curve": dedup_out,
         "emb_curve": emb_out,
         "r3_curve": r3_out,
+        "r3b_curve": r3b_out,
     }))
 
 
