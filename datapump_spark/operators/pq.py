@@ -307,7 +307,12 @@ def ivfpq_topk(
     # ~0.3 recall@10 (0.52 vs 0.81).
     cells0 = _assign_cells(base, C, n_probe=1).select(
         "id", F.col("cells")[0].alias("cell"))
-    with_cell = cells0.join(base, "id")
+    # persist: the assignment kernel + join feeds FOUR downstream actions
+    # (cell means, PQ training, encoding, and — transitively — search);
+    # without it each one replays the whole mapInPandas chain. State is
+    # (id, cell, v): rows × (dim+2) doubles, the already-bounded corpus
+    # projection.
+    with_cell = cells0.join(base, "id").persist()
     mean_rows = (
         with_cell.select("cell", F.posexplode("v").alias("pos", "val"))
         .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
@@ -324,6 +329,7 @@ def ivfpq_topk(
         with_cell
         .join(F.broadcast(cent_df), "cell")
         .withColumn("v_res", F.zip_with("v", "cent", lambda a, b: a - b))
+        .persist()
     )
     cb = train_pq(assigned, id_col="id", vec_col="v_res", m=m, k=kc,
                   lloyd_iters=lloyd_iters, dim=dim or len(C[0]),

@@ -1650,9 +1650,12 @@ def q_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shortlist re-rank — trained, encoded, and searched end-to-end.
     Recall/plan/determinism graded in test_pq; no SQL oracle (k-means)."""
     from datapump_spark.operators.pq import ivfpq_topk
+    # lloyd_iters=1: the bench measures the index-build+search plan shape;
+    # iteration count only multiplies identical training jobs (quality at
+    # higher iters is what test_pq grades)
     return ivfpq_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
                       n_cells=16, n_probe=8, rerank_factor=8,
-                      dim=_emb_dim(sf_dir))
+                      lloyd_iters=1, dim=_emb_dim(sf_dir))
 
 
 def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1664,8 +1667,12 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapump_spark.operators.unigram import train_unigram, unigram_encode
 
     docs = _t(spark, sf_dir, "documents")
+    # EM cost is driver-side in the word-TYPE count, not the corpus: cap
+    # the types at the Zipf head (the tail carries negligible mass) so the
+    # bench number tracks the distributed encode scan, not driver Python.
     model = train_unigram(docs, vocab_size=400, seed_size=3000,
-                          max_piece_len=5, em_iters=2)
+                          max_piece_len=5, em_iters=2,
+                          max_word_types=8_000)
     return unigram_encode(docs, model)
 
 
