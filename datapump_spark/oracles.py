@@ -1897,3 +1897,82 @@ SELECT doc_id, cluster_id,
             ELSE 'test' END AS split
 FROM cl
 """
+
+
+# --- URL hygiene (operators/urls.py) -----------------------------------
+# The Spark side canonicalizes with parse_url (java.net.URI semantics);
+# these twins re-derive scheme/host/port/path/query with DuckDB regexes —
+# an independent formulation, so agreement is evidence, not tautology.
+
+_URL_SYNTH = """
+  SELECT doc_id,
+    CASE CAST(doc_id % 4 AS INT)
+      WHEN 0 THEN 'https://WWW.' || source || '.example.com:443/' || lang
+                  || '/page/' || CAST(doc_id AS VARCHAR)
+                  || '/?utm_source=feed&ref=' || lang || '#top'
+      WHEN 1 THEN 'http://' || source || '.example.com:80/a/'
+                  || CAST(doc_id AS VARCHAR)
+      WHEN 2 THEN 'https://' || source || '.news.example.co/p'
+                  || CAST(doc_id AS VARCHAR) || '?id='
+                  || CAST(doc_id AS VARCHAR) || '&utm_campaign=x'
+      ELSE 'https://cdn.' || source || '.example.com/'
+    END AS url
+  FROM documents
+"""
+
+_URL_CANON = r"""
+  SELECT doc_id, url,
+    scheme || '://' || host
+      || CASE WHEN port <> '' AND NOT (scheme = 'http' AND port = '80')
+                            AND NOT (scheme = 'https' AND port = '443')
+              THEN ':' || port ELSE '' END
+      || CASE WHEN length(rawpath) > 1 AND rawpath LIKE '%/'
+              THEN substr(rawpath, 1, length(rawpath) - 1) ELSE rawpath END
+      || CASE WHEN cleanq <> '' THEN '?' || cleanq ELSE '' END AS canon_url,
+    host,
+    CASE WHEN length(host) - length(replace(host, '.', '')) <= 1 THEN host
+         ELSE regexp_extract(host, '([^.]+\.[^.]+)$', 1) END AS domain
+  FROM (
+    SELECT doc_id, url,
+      lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*):', 1)) AS scheme,
+      regexp_replace(
+        lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
+        '^www\.', '') AS host,
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1)
+        AS port,
+      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
+        AS rawpath,
+      regexp_replace(
+        regexp_replace(regexp_extract(url, '\?([^#]*)', 1),
+                       '(^|&)utm_[a-z]+=[^&]*', '', 'g'),
+        '^&', '') AS cleanq
+    FROM u)
+"""
+
+EXTRA_ORACLES["q_url_canon"] = f"""
+WITH u AS ({_URL_SYNTH})
+{_URL_CANON}
+"""
+
+EXTRA_ORACLES["q_domain_volume"] = f"""
+WITH u AS ({_URL_SYNTH}),
+c AS ({_URL_CANON})
+SELECT domain, COUNT(*) AS n_urls,
+       COUNT(DISTINCT canon_url) AS n_canon_urls
+FROM c GROUP BY domain
+"""
+
+EXTRA_ORACLES["q_blocklist"] = f"""
+WITH t AS (
+  SELECT doc_id, {tokens_sql('text')} AS toks FROM documents)
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_filter(toks,
+            x -> x IN ('slow', 'dup', 'spam'))) AS BIGINT) AS n_hits,
+       round(CASE WHEN len(toks) > 0
+                  THEN CAST(len(list_filter(toks,
+                       x -> x IN ('slow', 'dup', 'spam'))) AS DOUBLE)
+                       / len(toks)
+                  ELSE 0.0 END, 6) AS hit_frac
+FROM t
+"""

@@ -1958,7 +1958,64 @@ def q_rolling_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rolling_active(_t(spark, sf_dir, "events"), "ts", "user_id", 7)
 
 
+def _doc_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synthetic URLs over documents (the testdata carries no
+    URL column): four variants per doc_id % 4 exercising www/port/tracking-
+    param/fragment/trailing-slash noise. Built with plain concat so the
+    DuckDB oracle synthesizes the identical strings, then canonicalizes
+    them with an INDEPENDENT regex formulation."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    i = F.col("doc_id") % 4
+    sid = F.col("doc_id").cast("string")
+    url = (
+        F.when(i == 0, F.concat(
+            F.lit("https://WWW."), F.col("source"),
+            F.lit(".example.com:443/"), F.col("lang"), F.lit("/page/"), sid,
+            F.lit("/?utm_source=feed&ref="), F.col("lang"), F.lit("#top")))
+        .when(i == 1, F.concat(
+            F.lit("http://"), F.col("source"), F.lit(".example.com:80/a/"),
+            sid))
+        .when(i == 2, F.concat(
+            F.lit("https://"), F.col("source"), F.lit(".news.example.co/p"),
+            sid, F.lit("?id="), sid, F.lit("&utm_campaign=x")))
+        .otherwise(F.concat(
+            F.lit("https://cdn."), F.col("source"), F.lit(".example.com/")))
+    )
+    return d.select("doc_id", url.alias("url"))
+
+
+def q_url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + host/registered-domain extraction
+    (operators/urls.py): tracking params, fragments, default ports, www
+    prefixes, and trailing slashes all normalize away. The Spark side uses
+    parse_url (JVM java.net.URI semantics); the oracle re-derives every
+    column with DuckDB regexes — an independent formulation, so agreement
+    is evidence, not tautology."""
+    from datapump_spark.operators.urls import with_url_parts
+    return with_url_parts(_doc_urls(spark, sf_dir))
+
+
+def q_domain_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain raw vs canonical-distinct URL volume (operators/urls.py
+    domain_volume) — the table per-domain caps and crawl budgets read;
+    the n_urls/n_canon_urls gap measures tracking-parameter noise."""
+    from datapump_spark.operators.urls import domain_volume
+    return domain_volume(_doc_urls(spark, sf_dir))
+
+
+def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wordlist-gate stats (operators/urls.py blocklist_hit_stats): per-doc
+    blocklisted-token count and fraction — the C4-style adult/spam filter
+    shape, with the threshold left to the caller's WHERE."""
+    from datapump_spark.operators.urls import blocklist_hit_stats
+    return blocklist_hit_stats(
+        _t(spark, sf_dir, "documents"), words=["slow", "dup", "spam"])
+
+
 EXTRA_QUERIES.update({
+    "q_url_canon": q_url_canon,
+    "q_domain_volume": q_domain_volume,
+    "q_blocklist": q_blocklist,
     "q_normalize_text": q_normalize_text,
     "q_strip_boilerplate": q_strip_boilerplate,
     "q_fuzzy_pairs": q_fuzzy_pairs,

@@ -1,0 +1,105 @@
+"""URL hygiene: canonicalization edge cases, domain extraction, blocklist
+stats. The sf0.01 oracle-hash gate runs in test_extra_oracles; these are
+the hand-built cases the synthetic URL shapes don't cover."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapump_spark.operators.urls import (
+    blocklist_hit_stats,
+    domain_volume,
+    with_url_parts,
+)
+
+CASES = [
+    # (url, canon, host, domain)
+    ("https://WWW.Example.COM:443/A/B/?utm_source=x&q=1#frag",
+     "https://example.com/A/B?q=1", "example.com", "example.com"),
+    ("http://example.com:80/", "http://example.com/",
+     "example.com", "example.com"),
+    ("http://example.com:8080/x", "http://example.com:8080/x",
+     "example.com", "example.com"),
+    ("https://a.b.news.co.uk/path/", "https://a.b.news.co.uk/path",
+     "a.b.news.co.uk", "news.co.uk"),  # with two_level_tlds
+    ("https://www.site.org/p?utm_a=1&utm_b=2", "https://site.org/p",
+     "site.org", "site.org"),
+    ("https://site.org/p?id=3&utm_c=9&z=4", "https://site.org/p?id=3&z=4",
+     "site.org", "site.org"),
+    ("https://host", "https://host", "host", "host"),
+]
+
+
+@pytest.fixture(scope="module")
+def parsed(spark):
+    from datapump_spark.operators.urls import registered_domain
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_e) in enumerate(CASES)], "id long, url string")
+    out = with_url_parts(df).withColumn(
+        "domain2", registered_domain(
+            F.col("host"), two_level_tlds=frozenset({"co.uk"})))
+    return {r["id"]: r for r in out.collect()}
+
+
+def test_canonicalization(parsed):
+    for i, (url, canon, _h, _d) in enumerate(CASES):
+        assert parsed[i]["canon_url"] == canon, (url, parsed[i]["canon_url"])
+
+
+def test_host_and_domain(parsed):
+    for i, (_u, _c, host, _d) in enumerate(CASES):
+        assert parsed[i]["host"] == host
+    # naive domain on the co.uk case is wrong by design; the PSL seam
+    # fixes it
+    assert parsed[3]["domain"] == "co.uk"
+    assert parsed[3]["domain2"] == "news.co.uk"
+    assert parsed[0]["domain2"] == "example.com"
+
+
+def test_canonical_is_idempotent(spark):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_e) in enumerate(CASES)], "id long, url string")
+    once = df.select("id", canonicalize_url("url").alias("u1"))
+    twice = once.select("id", F.col("u1"),
+                        canonicalize_url("u1").alias("u2"))
+    for r in twice.collect():
+        assert r["u1"] == r["u2"]
+
+
+def test_domain_volume_counts_canonical_dupes(spark):
+    # same page, three tracking variants → 3 raw urls, 1 canonical
+    rows = [(1, "https://www.shop.net/item?utm_a=1"),
+            (2, "https://shop.net/item?utm_b=2"),
+            (3, "https://shop.net:443/item/"),
+            (4, "https://other.org/x")]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    got = {r["domain"]: r for r in domain_volume(df).collect()}
+    assert got["shop.net"]["n_urls"] == 3
+    assert got["shop.net"]["n_canon_urls"] == 1
+    assert got["other.org"]["n_urls"] == 1
+
+
+def test_blocklist_stats(spark):
+    df = spark.createDataFrame(
+        [(1, "clean text only"), (2, "spam spam and more spam"),
+         (3, ""), (4, None)],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           blocklist_hit_stats(df, ["spam", "scam"]).collect()}
+    assert got[1]["n_hits"] == 0 and got[1]["hit_frac"] == 0.0
+    assert got[2]["n_hits"] == 3
+    assert got[2]["hit_frac"] == round(3 / 5, 6)
+    assert got[3]["n_tokens"] == 0 and got[3]["hit_frac"] == 0.0
+
+
+def test_urls_are_pure_codegen(spark):
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, *_e) in enumerate(CASES)], "id long, url string")
+    plan = with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
