@@ -1976,3 +1976,30 @@ SELECT doc_id,
                   ELSE 0.0 END, 6) AS hit_frac
 FROM t
 """
+
+
+# q_sniff_media: the oracle never parses a byte — it derives the expected
+# per-format stats from the SAME doc_id arithmetic the payload builder
+# used, so the entire Spark byte path (hex/unhex little-endian assembly →
+# substring/conv header parsing) must round-trip exactly to hash-match.
+EXTRA_ORACLES["q_sniff_media"] = """
+WITH m AS (
+  SELECT doc_id, strlen(text) AS nb, n_chars,
+         CAST(doc_id % 3 AS INT) AS k
+  FROM documents)
+SELECT CASE k WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
+       CASE k WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       COUNT(*) AS n,
+       round(avg(CASE WHEN k = 0
+                      THEN CAST(doc_id % 1024 + 1 AS DOUBLE) END), 6) AS avg_w,
+       round(avg(CASE WHEN k = 0
+                      THEN CAST(doc_id % 768 + 1 AS DOUBLE) END), 6) AS avg_h,
+       round(avg(CASE WHEN k = 1 THEN 16000.0 END), 6) AS avg_sr,
+       round(avg(CASE WHEN k = 1
+                      THEN floor(n_chars * 1000.0 / 32000) END), 6)
+         AS avg_dur_ms,
+       CAST(SUM(CASE k WHEN 0 THEN 14 + nb
+                       WHEN 1 THEN 44 + nb
+                       ELSE 12 + nb END) AS BIGINT) AS total_bytes
+FROM m GROUP BY k
+"""

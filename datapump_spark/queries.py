@@ -803,17 +803,21 @@ def _media_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sniff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Header sniff over real container bytes, pure-codegen strategy —
     per-format count, avg dimensions, avg sample rate (operators/
-    mediasniff.py). The 100 TB first-pass media validation stage; no SQL
-    oracle (binary header parsing), gated by test_mediasniff's
-    expr≡pandas≡ground-truth pins instead."""
+    mediasniff.py). The 100 TB first-pass media validation stage. The
+    oracle never parses a byte: it derives the expected stats from the
+    doc_id arithmetic the payload builder used — so the whole byte path
+    (hex/unhex assembly → substring/conv parsing) must round-trip exactly
+    for the hash to match. test_mediasniff adds the expr≡pandas≡
+    hand-built-file pins."""
     from datapump_spark.operators.mediasniff import sniff_media
     s = sniff_media(_media_real_headers(spark, sf_dir), strategy="expr")
     return (
         s.groupBy("format", "kind")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.avg("width").alias("avg_w"), F.avg("height").alias("avg_h"),
-             F.avg("sample_rate").alias("avg_sr"),
-             F.avg("duration_ms").alias("avg_dur_ms"),
+             F.round(F.avg("width"), 6).alias("avg_w"),
+             F.round(F.avg("height"), 6).alias("avg_h"),
+             F.round(F.avg("sample_rate"), 6).alias("avg_sr"),
+             F.round(F.avg("duration_ms"), 6).alias("avg_dur_ms"),
              F.sum("n_bytes").alias("total_bytes"))
     )
 
@@ -2013,6 +2017,7 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES.update({
+    "q_sniff_media": q_sniff_media,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,
@@ -2047,7 +2052,6 @@ BENCH_VARIANTS = {
     "q_approx_profile": q_approx_profile,
     "q_compression_ratio": q_compression_ratio,
     "q_hll_rollup": q_hll_rollup,
-    "q_sniff_media": q_sniff_media,
     "q_pq_topk": q_pq_topk,
     "q_unigram_encode": q_unigram_encode,
     "q_ivfpq_topk": q_ivfpq_topk,

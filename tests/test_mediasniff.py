@@ -218,11 +218,11 @@ def test_q_sniff_media_ground_truth(spark):
     assert got["gif"]["n"] == len(gif_ids)
     assert got["gif"]["kind"] == "image"
     exp_w = sum(i % 1024 + 1 for i in gif_ids) / len(gif_ids)
-    assert abs(got["gif"]["avg_w"] - exp_w) < 1e-9
+    assert abs(got["gif"]["avg_w"] - exp_w) < 2e-6  # avg rounded to 6dp
     assert got["wav"]["n"] == len(wav)
     assert got["wav"]["avg_sr"] == 16000.0
     exp_dur = sum(r["n_chars"] * 1000 // 32000 for r in wav) / len(wav)
-    assert abs(got["wav"]["avg_dur_ms"] - exp_dur) < 1e-9
+    assert abs(got["wav"]["avg_dur_ms"] - exp_dur) < 2e-6
     assert got["mp4"]["kind"] == "video"
     # pandas strategy agrees on the same synthesized payloads
     from datapump_spark.operators.mediasniff import sniff_media
