@@ -131,6 +131,7 @@ BENCH_QUERIES = [
     "q_score_pctrank",
     "q_leakage_split",
     "q_sniff_media",
+    "q_locf",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

@@ -107,6 +107,44 @@ def interpolate_linear(
                   "__prev_val", "__next_val"))
 
 
+def fill_forward(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str,
+    value_col: str,
+    limit: int | None = None,
+    backward: bool = False,
+) -> DataFrame:
+    """Last-observation-carried-forward gap fill (pandas ``ffill``), the
+    imputation sensor/finance pipelines default to when interpolation
+    would invent trends. Adds ``filled`` and ``was_gap``.
+
+    ``limit`` bounds how many consecutive rows one observation may fill
+    (pandas ``ffill(limit=)``): beyond it the gap stays null — the
+    staleness guard. ``backward=True`` is ``bfill`` (one DESC ordering of
+    the same single-sort plan; leading gaps fill instead of trailing).
+
+    Plan shape: ONE running window per series (row_number + ignorenulls
+    last + observed-row max), no self-joins, no O(n²) re-evaluated frames
+    — the same single-sort doctrine as :func:`interpolate_linear`.
+    """
+    order = F.desc(ts_col) if backward else F.asc(ts_col)
+    rn_w = Window.partitionBy(*keys).orderBy(order)
+    run_w = rn_w.rowsBetween(Window.unboundedPreceding, -1)
+    d = df.withColumn("__rn", F.row_number().over(rn_w))
+    obs_rn = F.when(F.col(value_col).isNotNull(), F.col("__rn"))
+    d = (d.withColumn("__prev_val",
+                      F.last(value_col, ignorenulls=True).over(run_w))
+          .withColumn("__prev_rn", F.max(obs_rn).over(run_w)))
+    ok = F.lit(True) if limit is None else \
+        (F.col("__rn") - F.col("__prev_rn") <= limit)
+    filled = F.when(F.col(value_col).isNotNull(), F.col(value_col)) \
+        .when(ok, F.col("__prev_val"))
+    return (d.withColumn("filled", filled)
+             .withColumn("was_gap", F.col(value_col).isNull())
+             .drop("__rn", "__prev_val", "__prev_rn"))
+
+
 def group_trend(
     df: DataFrame,
     keys: list[str],

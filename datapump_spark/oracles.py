@@ -2003,3 +2003,39 @@ SELECT CASE k WHEN 0 THEN 'gif' WHEN 1 THEN 'wav' ELSE 'mp4' END AS format,
                        ELSE 12 + nb END) AS BIGINT) AS total_bytes
 FROM m GROUP BY k
 """
+
+
+# q_locf twin — same dense spine as q_interpolate, then IGNORE NULLS
+# last_value + observed-row distance for the limit guard
+EXTRA_ORACLES["q_locf"] = """
+WITH agg AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket_ts,
+         round(avg(value), 6) AS avg_value
+  FROM events GROUP BY 1, 2),
+lim AS (SELECT user_id, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+        FROM agg GROUP BY 1),
+spine AS (SELECT user_id,
+                 unnest(generate_series(lo, hi, INTERVAL '1 hour')) AS bucket_ts
+          FROM lim),
+dense AS (
+  SELECT s.user_id, s.bucket_ts, a.avg_value
+  FROM spine s LEFT JOIN agg a USING (user_id, bucket_ts)),
+rn AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY bucket_ts) AS r
+  FROM dense),
+nbr AS (
+  SELECT *,
+    max(CASE WHEN avg_value IS NOT NULL THEN r END) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_rn,
+    last_value(avg_value IGNORE NULLS) OVER (
+      PARTITION BY user_id ORDER BY r
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_val
+  FROM rn)
+SELECT user_id, bucket_ts, avg_value,
+  CASE WHEN avg_value IS NOT NULL THEN avg_value
+       WHEN r - prev_rn <= 3 THEN prev_val
+  END AS filled,
+  avg_value IS NULL AS was_gap
+FROM nbr
+"""

@@ -1007,6 +1007,22 @@ def q_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return interpolate_linear(dense, ["user_id"], "bucket_ts", "avg_value")
 
 
+def q_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF, limit=3) over the dense hourly resample —
+    the staleness-bounded imputation twin of q_interpolate
+    (operators/timeseries.py fill_forward); gaps older than 3 buckets
+    stay null."""
+    from datapump_spark.operators.resample import freq_resample
+    from datapump_spark.operators.timeseries import fill_forward
+
+    dense = freq_resample(
+        _t(spark, sf_dir, "events"), ["user_id"], "ts", "H",
+        value_cols=["value"], dense=True, bucket_alias="bucket_ts",
+    ).select("user_id", "bucket_ts", F.round("value", 6).alias("avg_value"))
+    return fill_forward(dense, ["user_id"], "bucket_ts", "avg_value",
+                        limit=3)
+
+
 def q_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type least-squares trend of value over time
     (regr_slope/regr_intercept/corr aggregates, one pass)."""
@@ -2018,6 +2034,7 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EXTRA_QUERIES.update({
     "q_sniff_media": q_sniff_media,
+    "q_locf": q_locf,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

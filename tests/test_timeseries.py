@@ -154,3 +154,49 @@ def test_interpolate_matches_pandas_property(spark, vals):
             assert pd.isna(w)
         else:
             assert g == pytest.approx(w, rel=1e-9, abs=1e-9)
+
+
+def test_fill_forward_basic_and_limit(spark):
+    from datapump_spark.operators.timeseries import fill_forward
+
+    vals = [None, 1.0, None, None, None, None, 5.0, None]
+    rows = fill_forward(_series(spark, vals), ["key"], "t", "v",
+                        limit=2).orderBy("t").collect()
+    got = [r["filled"] for r in rows]
+    # leading gap unfillable; 1.0 carries 2 rows then staleness nulls;
+    # trailing gap carried from 5.0
+    assert got == [None, 1.0, 1.0, 1.0, None, None, 5.0, 5.0]
+    assert [r["was_gap"] for r in rows] == [
+        True, False, True, True, True, True, False, True]
+
+
+def test_fill_backward(spark):
+    from datapump_spark.operators.timeseries import fill_forward
+
+    vals = [None, None, 3.0, None, 7.0, None]
+    rows = fill_forward(_series(spark, vals), ["key"], "t", "v",
+                        backward=True).orderBy("t").collect()
+    assert [r["filled"] for r in rows] == [3.0, 3.0, 3.0, 7.0, 7.0, None]
+
+
+@given(vals=st.lists(
+    st.one_of(st.none(),
+              st.floats(min_value=-1e3, max_value=1e3,
+                        allow_nan=False, allow_infinity=False)),
+    min_size=1, max_size=30),
+    limit=st.one_of(st.none(), st.integers(min_value=1, max_value=5)))
+@settings(**_PROP)
+def test_fill_forward_matches_pandas_property(spark, vals, limit):
+    import pandas as pd
+
+    from datapump_spark.operators.timeseries import fill_forward
+
+    rows = fill_forward(_series(spark, vals), ["key"], "t", "v",
+                        limit=limit).orderBy("t").collect()
+    got = [r["filled"] for r in rows]
+    want = pd.Series(vals, dtype="float64").ffill(limit=limit)
+    for g, w in zip(got, want):
+        if g is None:
+            assert pd.isna(w)
+        else:
+            assert g == pytest.approx(w, rel=1e-12)
