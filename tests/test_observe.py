@@ -58,3 +58,37 @@ def test_metrics_audit_roundtrip_and_freshness(spark, tmp_path):
     assert fresh[("j2", "n_rows")] == 7.0
     # long format: two jobs, three metric names, five audit rows total
     assert spark.read.parquet(audit).count() == 5
+
+
+def test_observed_write_per_microbatch(spark, tmp_path):
+    """The docstring claim: under foreachBatch each micro-batch gets its
+    own Observation row (Observation is per-action)."""
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    chk = str(tmp_path / "chk")
+    spark.range(0, 10).withColumn("v", F.col("id") * 1.0) \
+        .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(100, None), (101, 2.0)], "id long, v double") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    seen = []
+
+    def handle(batch_df, batch_id):
+        m = observed_write(
+            batch_df, lambda d: d.write.mode("append").parquet(out),
+            null_cols=["v"])
+        seen.append(m)
+
+    q = (
+        spark.readStream.schema("id long, v double")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", chk)
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert len(seen) == 2
+    assert sorted(m["n_rows"] for m in seen) == [2, 10]
+    assert sum(m["null_v"] for m in seen) == 1
+    assert spark.read.parquet(out).count() == 12

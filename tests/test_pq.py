@@ -141,3 +141,40 @@ def test_ivfpq_deterministic(emb):
                    n_probe=4).collect()
     key = lambda r: (r["query_id"], r["neighbor_id"], r["score"])
     assert sorted(map(key, a)) == sorted(map(key, b))
+
+
+def test_cell_partitioned_codes_prune_probe_reads(emb, tmp_path):
+    """The at-scale IVF-PQ layout claim: codes stored partitionBy(cell)
+    mean a probe touches only n_probe/n_cells of the files. Asserted on
+    the actual scan plan's partition filters and file listing."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.pq import pq_encode, train_pq
+    from datapump_spark.operators.similarity import (
+        _as_double,
+        _assign_cells,
+        _kmeans_centroids,
+    )
+
+    base = emb.select(F.col("vec_id").alias("id"),
+                      _as_double("embedding").alias("v"))
+    C = _kmeans_centroids(base, n_cells=8, lloyd_iters=1)
+    cells = _assign_cells(base, C, n_probe=1).select(
+        "id", F.col("cells")[0].alias("cell"))
+    cb = train_pq(emb, m=4, k=8, lloyd_iters=1, dim=64)
+    path = str(tmp_path / "codes_by_cell")
+    pq_encode(emb, cb).join(cells, "id") \
+        .write.partitionBy("cell").parquet(path)
+
+    probe = emb.sparkSession.read.parquet(path).where(
+        F.col("cell").isin(2, 5))
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1)
+    # the scan's selected partitions really shrink to the probed cells
+    files = probe.select(F.input_file_name().alias("f")).distinct().collect()
+    touched = {re.search(r"cell=(\d+)", r["f"]).group(1) for r in files}
+    assert touched <= {"2", "5"}
+    assert probe.count() > 0
