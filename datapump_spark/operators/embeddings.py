@@ -86,3 +86,56 @@ def normalize_vecs(df: DataFrame, vec_col: str = "embedding",
     safe = F.when(norm > 0, norm).otherwise(F.lit(1.0))
     scaled = F.transform(v, lambda x: (x / safe).cast("float"))
     return df.withColumn(out_col or vec_col, scaled)
+
+
+def hash_embed(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """(id, embedding array<double>): L2-normalized feature-hashing
+    ("hashing trick") text vectors — term frequencies scattered into
+    ``dim`` buckets by token hash (Weinberger et al. 2009; sklearn's
+    HashingVectorizer). No vocabulary, no trained state, no model
+    download: the only text embedder that is a pure function, which makes
+    it the zero-dependency encoder for the RAG recipe and a real (if
+    lexical) retrieval baseline.
+
+    Entirely codegen + one aggregation: explode tokens → (id, hash%dim)
+    counts → map_from_arrays → densify with a ``transform(sequence)``
+    lookup → normalize. No Python, no UDF; the shuffle key is ``id``
+    (the same grouping any per-doc feature pass needs). Documents with
+    zero tokens drop out (no direction exists for an empty text).
+    """
+    from datapump_spark.functions.hashing import tokens
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(tokens(F.col(text_col))).alias("__tok"))
+    counts = (
+        toks.select(
+            id_col,
+            F.pmod(F.xxhash64("__tok", F.lit(seed)), F.lit(dim))
+            .cast("int").alias("__slot"))
+        .groupBy(id_col, "__slot").agg(F.count(F.lit(1)).alias("__c"))
+    )
+    dense = (
+        counts.groupBy(id_col)
+        .agg(F.map_from_arrays(F.collect_list("__slot"),
+                               F.collect_list("__c")).alias("__m"))
+        .select(
+            id_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: F.coalesce(F.element_at("__m", i.cast("int")),
+                                     F.lit(0)).cast("double"),
+            ).alias("__v"))
+    )
+    nrm = F.sqrt(F.aggregate(
+        F.transform("__v", lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x))
+    return dense.select(
+        id_col,
+        F.transform("__v", lambda x: x / nrm).alias("embedding"))

@@ -165,6 +165,7 @@ def pq_topk(
     df: DataFrame, codebooks, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5, query_max_id: int = 10,
     codes: DataFrame | None = None, rerank_factor: int = 0,
+    queries: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate top-k by ADC scan of the compressed corpus.
 
@@ -196,10 +197,13 @@ def pq_topk(
     if codes is None:
         codes = pq_encode(df, codebooks, id_col, vec_col)
 
-    qrows = (
-        _l2_normalized(df.where(F.col(id_col) < query_max_id), id_col, vec_col)
-        .collect()
-    )
+    # queries: an explicit (id_col, vec_col) frame (external query set —
+    # ids must not collide with corpus ids, since query==neighbor rows are
+    # dropped as self-matches), or by default the corpus rows below
+    # query_max_id (the driver-contract convention the other ANN paths use)
+    qsrc = queries if queries is not None \
+        else df.where(F.col(id_col) < query_max_id)
+    qrows = _l2_normalized(qsrc, id_col, vec_col).collect()
     spark = df.sparkSession
     if not qrows:
         return spark.createDataFrame(

@@ -163,3 +163,98 @@ def pretrain_corpus(
 
     sequences = pack_concat_chunks(clean, r.seq_budget, id_col, text_col)
     return {"clean": clean, "rejected": rejected, "sequences": sequences}
+
+
+# --------------------------------------------------------------------------
+# RAG retrieval recipe: chunk → hash-embed → PQ index → compressed search
+# --------------------------------------------------------------------------
+
+def rag_index(
+    docs: DataFrame,
+    workdir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    dim: int = 64,
+    pq_m: int = 8,
+    pq_k: int = 16,
+    lloyd_iters: int = 2,
+) -> dict[str, str]:
+    """Build a persisted retrieval index with zero external dependencies:
+    sliding-window chunking → feature-hashing embeddings → PQ codebooks →
+    compressed codes. Everything a later :func:`rag_search` session needs
+    lands under ``workdir``: chunk metadata (provenance), full-precision
+    vectors (the re-rank store), codes (the scan store), codebooks
+    (model_io JSON).
+
+    The layout IS the scale story: searches scan ``codes`` (m bytes per
+    chunk), touch ``vectors`` only for the shortlist ids, and never read
+    ``chunks`` until the final provenance join. The embedder is lexical
+    (hashing trick) — swap ``hash_embed`` for a model encoder behind the
+    same (id, embedding) contract when one is available.
+    """
+    from datapump_spark.functions.model_io import save_model
+    from datapump_spark.operators.chunking import chunk_documents
+    from datapump_spark.operators.embeddings import hash_embed
+    from datapump_spark.operators.pq import pq_encode, train_pq
+
+    chunks = chunk_documents(docs, id_col, text_col,
+                             chunk_tokens=chunk_tokens, overlap=overlap)
+    # stable 63-bit chunk key: survives re-indexing and layout changes
+    chunks = chunks.withColumn(
+        "chunk_key",
+        F.xxhash64(F.col(id_col), F.col("chunk_id"))
+        .bitwiseAND(F.lit((1 << 63) - 1)))
+    paths = {k: f"{workdir}/{k}" for k in
+             ("chunks", "vectors", "codes", "codebooks.json")}
+    chunks.write.mode("overwrite").parquet(paths["chunks"])
+    chunks = docs.sparkSession.read.parquet(paths["chunks"])
+
+    emb = hash_embed(chunks, id_col="chunk_key", text_col="chunk_text",
+                     dim=dim)
+    emb.write.mode("overwrite").parquet(paths["vectors"])
+    emb = docs.sparkSession.read.parquet(paths["vectors"])
+
+    cb = train_pq(emb, id_col="chunk_key", vec_col="embedding",
+                  m=pq_m, k=pq_k, lloyd_iters=lloyd_iters, dim=dim)
+    pq_encode(emb, cb, id_col="chunk_key", vec_col="embedding") \
+        .write.mode("overwrite").parquet(paths["codes"])
+    save_model(cb, paths["codebooks.json"])
+    return paths
+
+
+def rag_search(
+    spark,
+    workdir: str,
+    queries: list[tuple[int, str]],
+    k: int = 5,
+    rerank_factor: int = 8,
+    dim: int = 64,
+) -> DataFrame:
+    """(query_id, doc_id, chunk_id, chunk_text, score): top-k chunks per
+    query from a :func:`rag_index` directory — ADC scan of the code table,
+    exact re-rank of the shortlist against the vector store, provenance
+    join against chunk metadata last (smallest possible read of each).
+    ``queries`` are (query_id, text); ids must be distinct from chunk
+    keys (negative ids are safe — chunk keys are non-negative)."""
+    from datapump_spark.functions.model_io import load_model
+    from datapump_spark.operators.embeddings import hash_embed
+    from datapump_spark.operators.pq import pq_topk
+
+    cb = load_model(f"{workdir}/codebooks.json")
+    vectors = spark.read.parquet(f"{workdir}/vectors")
+    codes = spark.read.parquet(f"{workdir}/codes")
+    qdf = hash_embed(
+        spark.createDataFrame(queries, "chunk_key long, chunk_text string"),
+        id_col="chunk_key", text_col="chunk_text", dim=dim)
+    hits = pq_topk(
+        vectors, cb, id_col="chunk_key", vec_col="embedding", k=k,
+        codes=codes, rerank_factor=rerank_factor, queries=qdf)
+    chunks = spark.read.parquet(f"{workdir}/chunks")
+    return (
+        hits.join(chunks.withColumnRenamed("chunk_key", "neighbor_id"),
+                  "neighbor_id")
+        .select(F.col("query_id"), "doc_id", "chunk_id", "chunk_text",
+                "score")
+    )

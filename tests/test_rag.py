@@ -1,0 +1,82 @@
+"""Hashing-trick embedder + RAG index/search recipe: determinism, codegen
+purity, self-retrieval, provenance."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from datapump_spark.operators.embeddings import hash_embed
+from datapump_spark.recipes import rag_index, rag_search
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _cos(a, b):
+    return sum(x * y for x, y in zip(a, b))
+
+
+def test_hash_embed_contract(spark):
+    df = spark.createDataFrame(
+        [(1, "spark join shuffle join"), (2, "spark join shuffle join"),
+         (3, "completely different words here"), (4, "")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["embedding"] for r in hash_embed(df).collect()}
+    assert 4 not in got                       # empty text has no direction
+    assert got[1] == got[2]                   # pure function of text
+    for v in got.values():
+        assert math.isclose(sum(x * x for x in v), 1.0, rel_tol=1e-9)
+        assert len(v) == 64
+    # lexical similarity orders: identical > overlapping > disjoint
+    sim_same = _cos(got[1], got[2])
+    sim_diff = _cos(got[1], got[3])
+    assert sim_same == pytest.approx(1.0)
+    assert sim_diff < 0.9
+
+
+def test_hash_embed_is_codegen_only(spark):
+    df = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    plan = hash_embed(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "MapInPandas" not in plan
+
+
+def test_rag_roundtrip_self_retrieval(spark, tmp_path):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
+    work = str(tmp_path / "ragidx")
+    paths = rag_index(docs, work, chunk_tokens=32, overlap=8, pq_k=16)
+    chunks = spark.read.parquet(paths["chunks"])
+    n_chunks = chunks.count()
+    assert n_chunks > 80  # overlapping windows multiply rows
+    # query with three chunks' own text → their chunk must rank first
+    probe = chunks.orderBy("chunk_key").limit(3).collect()
+    queries = [(-(i + 1), r["chunk_text"]) for i, r in enumerate(probe)]
+    hits = rag_search(spark, work, queries, k=5, rerank_factor=8)
+    rows = hits.collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r["query_id"], []).append(r)
+    assert set(by_q) == {-1, -2, -3}
+    for i, src in enumerate(probe):
+        top = max(by_q[-(i + 1)], key=lambda r: (r["score"],
+                                                 -r["chunk_id"]))
+        # the best hit is the chunk itself (score 1.0) or an identical-
+        # text twin (duplicated docs exist in the corpus by design)
+        assert top["score"] == pytest.approx(1.0, abs=1e-6)
+        assert top["chunk_text"] == src["chunk_text"] or \
+            set(top["chunk_text"].split()) == set(src["chunk_text"].split())
+    # provenance columns present and populated
+    assert all(r["doc_id"] is not None and r["chunk_text"] for r in rows)
+
+
+def test_rag_index_artifacts_are_separable(spark, tmp_path):
+    """The scan store (codes) must be readable without the vector store —
+    the layout claim that makes the compressed search cheap."""
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    work = str(tmp_path / "ragidx2")
+    paths = rag_index(docs, work, chunk_tokens=32, overlap=0, pq_k=8)
+    codes = spark.read.parquet(paths["codes"])
+    assert codes.columns == ["id", "codes"]
+    assert codes.count() == spark.read.parquet(paths["vectors"]).count()
