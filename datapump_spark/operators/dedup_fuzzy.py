@@ -589,3 +589,54 @@ def canonical_docs(
         F.col("__w.s").alias(score_col),
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
     )
+
+
+def simhash_near_dup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bits: int = 32, max_hamming: int = 3, hash_fn: str = "md5",
+) -> DataFrame:
+    """(id_a, id_b, hamming): all pairs whose SimHash signatures differ in
+    at most ``max_hamming`` bits — WITHOUT an all-pairs comparison.
+
+    The Manku et al. 2007 (Google web-dedup) pigeonhole index: split the
+    b-bit signature into ``max_hamming + 1`` contiguous blocks; any pair
+    within distance d must agree EXACTLY on ≥ 1 block, so candidates come
+    from an equi-join per block (explode block index → self-join on
+    (block#, block value)) and only candidates pay the bit_count(xor)
+    verify. Lossless by construction — pinned against the O(n²) oracle.
+
+    At 100 TB: candidate volume is governed by block width (bits/(d+1));
+    widen ``bits`` (the signature) rather than shrinking d to keep blocks
+    selective. The (block#, value) key is the shuffle/bucket key; the
+    signature table is ~16 bytes/doc, the only thing that moves.
+    """
+    nb = max_hamming + 1
+    if bits // nb == 0:
+        raise ValueError(f"bits={bits} too small for {nb} blocks")
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+
+    sigs = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    blocks = F.array(*[
+        F.struct(
+            F.lit(i).alias("bno"),
+            F.expr(f"(simhash >> {offs[i]}) & {(1 << widths[i]) - 1}")
+            .alias("bval"))
+        for i in range(nb)])
+    keyed = sigs.select(
+        F.col(id_col).alias("id"), "simhash",
+        F.explode(blocks).alias("b")
+    ).select("id", "simhash", F.col("b.bno").alias("bno"),
+             F.col("b.bval").alias("bval"))
+    a = keyed.select(F.col("id").alias("id_a"),
+                     F.col("simhash").alias("sig_a"), "bno", "bval")
+    b = keyed.select(F.col("id").alias("id_b"),
+                     F.col("simhash").alias("sig_b"), "bno", "bval")
+    hd = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(b, ["bno", "bval"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", hd.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

@@ -2039,3 +2039,15 @@ SELECT user_id, bucket_ts, avg_value,
   avg_value IS NULL AS was_gap
 FROM nbr
 """
+
+
+# q_simhash_pairs: the Spark side prunes with the Manku pigeonhole block
+# index; the oracle is the O(n²) brute force over the same signatures —
+# the blocked index is lossless, so the row sets must match EXACTLY.
+EXTRA_ORACLES["q_simhash_pairs"] = f"""
+WITH s AS ({ORACLES["q_simhash"]})
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM s a JOIN s b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+"""

@@ -491,6 +491,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(_t(spark, sf_dir, "documents"))
 
 
+def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3) via the Manku pigeonhole
+    block index — equi-join candidates, never all-pairs; LOSSLESS, so the
+    oracle is the O(n²) brute force and must agree exactly
+    (operators/dedup_fuzzy.py simhash_near_dup)."""
+    from datapump_spark.operators.dedup_fuzzy import simhash_near_dup
+    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup baseline over embeddings (cos ≥ 0.3)."""
     from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
@@ -2035,6 +2044,7 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES.update({
     "q_sniff_media": q_sniff_media,
     "q_locf": q_locf,
+    "q_simhash_pairs": q_simhash_pairs,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

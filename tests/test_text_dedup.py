@@ -155,3 +155,52 @@ def test_embedding_lsh_gemm_recall(spark, sf_dir):
         assert v == exact[k]
     recall = len(approx) / len(exact)
     assert recall >= 0.3, f"recall {recall:.2f} too low for 2 planes"
+
+
+def test_simhash_pigeonhole_equals_brute_force(spark):
+    """The Manku block index is lossless: pair set ≡ the O(n²) xor scan
+    (also hash-gated vs DuckDB in check_oracle/test_extra_oracles); and
+    the plan must contain no cartesian product."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.dedup_fuzzy import (
+        simhash,
+        simhash_near_dup,
+    )
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(120)
+    got = simhash_near_dup(docs, max_hamming=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    sigs = simhash(docs)
+    a = sigs.select(F.col("doc_id").alias("id_a"),
+                    F.col("simhash").alias("sa"))
+    b = sigs.select(F.col("doc_id").alias("id_b"),
+                    F.col("simhash").alias("sb"))
+    brute = (
+        a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming",
+                    F.bit_count(F.col("sa").bitwiseXOR(F.col("sb"))))
+        .where(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+    key = lambda r: (r["id_a"], r["id_b"], r["hamming"])
+    assert sorted(map(key, got.collect())) == \
+        sorted(map(key, brute.collect()))
+
+
+def test_simhash_block_widths_cover_all_bits(spark):
+    """Edge widths: bits not divisible by (d+1) still cover every bit —
+    identical docs always pair at hamming 0."""
+    from datapump_spark.operators.dedup_fuzzy import simhash_near_dup
+
+    df = spark.createDataFrame(
+        [(1, "same words here exactly"), (2, "same words here exactly"),
+         (3, "entirely other content")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in simhash_near_dup(df, bits=30, max_hamming=3).collect()}
+    assert got[(1, 2)] == 0
