@@ -132,6 +132,8 @@ BENCH_QUERIES = [
     "q_leakage_split",
     "q_sniff_media",
     "q_locf",
+    "q_url_canon",
+    "q_blocklist",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",
