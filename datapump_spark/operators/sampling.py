@@ -188,3 +188,43 @@ def weighted_sample_k(
     w = F.col(weight_col).cast("double")
     es_key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
     return df.orderBy(es_key.asc(), F.col(key_col).asc()).limit(k)
+
+
+def quality_binned_mix(
+    df: DataFrame,
+    score_col: str,
+    rates: list[float],
+    by: str | None = None,
+    id_col: str = "doc_id",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Curriculum-style quality-binned sampling: rank documents by
+    ``score_col`` into ``len(rates)`` equal-population percentile bins and
+    keep each bin at its rate — "keep all of the best quartile, 10% of the
+    worst" as one declarative pass (the quality-pacing mix
+    data-curation recipes use; cf. temperature_mix for the per-language
+    analogue). Adds ``bin`` and keeps only sampled rows.
+
+    ``by`` partitions the ranking (per-source bins — a score threshold
+    then means the same thing in every source, and the window never
+    concentrates a full corpus in one partition; ``by=None`` is a global
+    ranking and carries that scale caveat). Ranking is the exact rational
+    percent_rank with ``id_col`` tie-break; the keep decision is the
+    engine's deterministic hash-Bernoulli — rerun-stable, layout-free.
+    """
+    n = len(rates)
+    if n < 1 or any(not 0.0 <= r <= 1.0 for r in rates):
+        raise ValueError(f"rates must be fractions in [0,1]: {rates}")
+    part = [by] if by else []
+    w = Window.partitionBy(*part).orderBy(
+        F.col(score_col).asc(), F.col(id_col).asc())
+    pct = F.percent_rank().over(w)
+    binned = df.withColumn(
+        "bin", F.least(F.floor(pct * n), F.lit(n - 1)).cast("int"))
+    rate = F.element_at(F.array(*[F.lit(r) for r in rates]),
+                        F.col("bin") + 1)
+    # round, don't truncate: 0.3*1e6 is 299999.99999999994 in ieee754
+    keep = (F.pmod(_key_hash(F.col(id_col).cast("string"), "qbin", hash_fn),
+                   F.lit(1_000_000))
+            < F.round(rate * 1_000_000, 0).cast("long"))
+    return binned.where(keep)

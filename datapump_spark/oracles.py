@@ -2051,3 +2051,22 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
 FROM s a JOIN s b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
+
+
+# q_quality_binned_mix: same per-source percent_rank as q_score_pctrank,
+# floored into quartile bins, kept by the engine-shared hash threshold
+# (list literal is 1-indexed in DuckDB).
+EXTRA_ORACLES["q_quality_binned_mix"] = f"""
+WITH q AS ({ORACLES["q_quality_score"]}),
+j AS (SELECT q.doc_id, d.source, q.quality
+      FROM q JOIN documents d ON q.doc_id = d.doc_id),
+b AS (SELECT *,
+        CAST(least(floor(percent_rank() OVER (
+               PARTITION BY source
+               ORDER BY quality ASC, doc_id ASC) * 4), 3) AS INT) AS bin
+      FROM j)
+SELECT doc_id, source, quality, bin FROM b
+WHERE {hash63_sql("'qbin:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
+      CAST(round(list_extract([0.1, 0.3, 0.6, 1.0], bin + 1) * 1000000, 0)
+           AS BIGINT)
+"""

@@ -1960,6 +1960,22 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "source", "n_chars")
 
 
+def q_quality_binned_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum mix: per-source quality quartiles kept at rates
+    [0.1, 0.3, 0.6, 1.0] — worst decimated, best kept whole
+    (operators/sampling.py quality_binned_mix; deterministic
+    hash-Bernoulli keep, exact percent_rank bins)."""
+    from datapump_spark.operators.sampling import quality_binned_mix
+    from datapump_spark.operators.text import quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    scored = quality_score(docs).join(
+        docs.select("doc_id", "source"), "doc_id")
+    return quality_binned_mix(
+        scored, "quality", rates=[0.1, 0.3, 0.6, 1.0], by="source",
+    ).select("doc_id", "source", "quality", "bin")
+
+
 def q_score_pctrank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source percentile rank of the quality score — calibrates
     scores ACROSS sources so one threshold means the same thing
@@ -2045,6 +2061,7 @@ EXTRA_QUERIES.update({
     "q_sniff_media": q_sniff_media,
     "q_locf": q_locf,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_quality_binned_mix": q_quality_binned_mix,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -106,3 +106,42 @@ def test_canonical_docs_hand_graph(spark):
     assert out[1] == (2, 0.9, 3)   # best quality wins; tie -> lowest id
     assert out[4] == (4, 0.1, 1)   # singleton keeps itself
     assert out[5] == (5, 0.5, 2)   # pure tie -> lowest id
+
+
+def test_quality_binned_mix(spark):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.sampling import quality_binned_mix
+
+    df = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 7).cast("string").alias("source"),
+        (F.col("id") * 37 % 101).cast("double").alias("score"))
+    rates = [0.05, 0.5, 1.0]
+    out = quality_binned_mix(df, "score", rates, by="source").cache()
+    rows = out.collect()
+    assert set(r["bin"] for r in rows) <= {0, 1, 2}
+    # top bin kept whole, bottom decimated: survivor counts must be
+    # strictly increasing across bins (populations are equal by design)
+    per_bin = {r["bin"]: r["cnt"] for r in
+               out.groupBy("bin").agg(F.count("*").alias("cnt")).collect()}
+    assert per_bin[2] > per_bin[1] > per_bin.get(0, 0)
+    # bin 2 ≈ a third of the corpus (rate 1.0, equal-population bins)
+    assert abs(per_bin[2] - 1000 / 3) < 40
+    # deterministic + layout-independent
+    again = quality_binned_mix(df.repartition(13), "score", rates,
+                               by="source").collect()
+    key = lambda r: (r["doc_id"], r["bin"])
+    assert sorted(map(key, rows)) == sorted(map(key, again))
+    out.unpersist()
+
+
+def test_quality_binned_mix_validates_rates(spark):
+    import pytest as _pt
+
+    from datapump_spark.operators.sampling import quality_binned_mix
+
+    df = spark.range(3).select(F.col("id").alias("doc_id"),
+                               F.col("id").cast("double").alias("s"))
+    with _pt.raises(ValueError):
+        quality_binned_mix(df, "s", [1.5])
