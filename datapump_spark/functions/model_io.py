@@ -64,6 +64,7 @@ def save_model(model: Any, path: str | Path) -> None:
     """Write ``model`` as version-tagged JSON (atomic: tmp + rename, so a
     concurrent encode job never sees a torn file)."""
     p = Path(path)
+    p.parent.mkdir(parents=True, exist_ok=True)
     tmp = p.with_name(p.name + ".tmp")
     with open(tmp, "w") as f:
         json.dump({"format_version": _FORMAT_VERSION, **_to_dict(model)}, f)

@@ -80,3 +80,67 @@ def test_rag_index_artifacts_are_separable(spark, tmp_path):
     codes = spark.read.parquet(paths["codes"])
     assert codes.columns == ["id", "codes"]
     assert codes.count() == spark.read.parquet(paths["vectors"]).count()
+
+
+def test_streaming_incremental_index(spark, tmp_path):
+    """Index maintenance under Structured Streaming: codebooks are frozen
+    train-once state; each micro-batch hash-embeds and PQ-encodes its new
+    chunks with them and APPENDS to the codes/vectors stores. A search
+    after the stream drains finds a document that only ever arrived via
+    the stream."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.functions.model_io import load_model, save_model
+    from datapump_spark.operators.embeddings import hash_embed
+    from datapump_spark.operators.pq import pq_encode, pq_topk, train_pq
+
+    work = str(tmp_path / "inc")
+    src = str(tmp_path / "src")
+    # train codebooks on a seed corpus; freeze them to disk
+    seed = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(40)
+    seed_emb = hash_embed(seed, id_col="doc_id", text_col="text")
+    cb = train_pq(seed_emb, id_col="doc_id", vec_col="embedding",
+                  m=8, k=8, lloyd_iters=1, dim=64)
+    save_model(cb, f"{work}/cb.json")
+    pq_encode(seed_emb, cb, id_col="doc_id", vec_col="embedding") \
+        .write.mode("append").parquet(f"{work}/codes")
+    seed_emb.write.mode("append").parquet(f"{work}/vectors")
+
+    # two streamed batches of brand-new docs
+    spark.createDataFrame(
+        [(10_001, "zebra quagga okapi wildebeest gnu antelope")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+    spark.createDataFrame(
+        [(10_002, "completely unrelated streaming payload words")],
+        "doc_id long, text string").coalesce(1) \
+        .write.mode("append").parquet(src)
+
+    frozen = load_model(f"{work}/cb.json")
+
+    def absorb(batch_df, batch_id):
+        emb = hash_embed(batch_df, id_col="doc_id", text_col="text")
+        pq_encode(emb, frozen, id_col="doc_id", vec_col="embedding") \
+            .write.mode("append").parquet(f"{work}/codes")
+        emb.write.mode("append").parquet(f"{work}/vectors")
+
+    q = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1).parquet(src)
+        .writeStream.foreachBatch(absorb)
+        .option("checkpointLocation", str(tmp_path / "chk"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+
+    vectors = spark.read.parquet(f"{work}/vectors")
+    codes = spark.read.parquet(f"{work}/codes")
+    assert codes.count() == 42
+    queries = hash_embed(
+        spark.createDataFrame([(-1, "zebra quagga okapi")],
+                              "doc_id long, text string"),
+        id_col="doc_id", text_col="text")
+    hits = pq_topk(vectors, frozen, id_col="doc_id", vec_col="embedding",
+                   k=1, codes=codes, rerank_factor=8, queries=queries)
+    top = hits.collect()
+    assert len(top) == 1 and top[0]["neighbor_id"] == 10_001
