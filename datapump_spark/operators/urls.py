@@ -32,7 +32,13 @@ _TRACKING_RE = r"(^|&)utm_[a-z]+=[^&]*"
 
 
 def canonicalize_url(col: Column | str) -> Column:
-    """The canonical form of a URL column (see module policy)."""
+    """The canonical form of a URL column (see module policy).
+
+    Returns NULL when the host does not parse (``parse_url`` implements
+    java.net.URI, which rejects RFC-invalid hostnames like labels ending
+    in '-') — at crawl scale those are data-quality rows; a null canon
+    key routes them to quarantine instead of silently keying dedup on
+    garbage."""
     c = F.col(col) if isinstance(col, str) else col
     scheme = F.lower(F.regexp_extract(c, r"^([A-Za-z][A-Za-z0-9+.-]*):", 1))
     hostport = F.lower(F.parse_url(c, F.lit("HOST")))

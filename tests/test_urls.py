@@ -103,3 +103,73 @@ def test_urls_are_pure_codegen(spark):
         [(i, u) for i, (u, *_e) in enumerate(CASES)], "id long, url string")
     plan = with_url_parts(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Property: canonicalization is idempotent and structure-preserving on
+# generated URLs (regex-heavy code; the hand cases above can't cover the
+# grammar)
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_PROP = dict(max_examples=15, deadline=None,
+             suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+_label = st.from_regex(r"[a-z][a-z0-9-]{0,6}", fullmatch=True)
+_urls = st.builds(
+    lambda scheme, www, labels, port, segs, params, frag:
+        scheme + "://" + ("www." if www else "") + ".".join(labels)
+        + (f":{port}" if port else "")
+        + ("/" + "/".join(segs) if segs else "")
+        + ("?" + "&".join(f"{k}={v}" for k, v in params) if params else "")
+        + ("#" + frag if frag else ""),
+    scheme=st.sampled_from(["http", "https"]),
+    www=st.booleans(),
+    labels=st.lists(_label, min_size=1, max_size=4),
+    port=st.sampled_from([None, 80, 443, 8080]),
+    segs=st.lists(st.from_regex(r"[a-zA-Z0-9_.-]{1,8}", fullmatch=True),
+                  max_size=3),
+    params=st.lists(
+        st.tuples(st.from_regex(r"(utm_[a-z]{1,5}|[a-su-z][a-z0-9]{0,5})",
+                                fullmatch=True),
+                  st.from_regex(r"[a-zA-Z0-9]{0,6}", fullmatch=True)),
+        max_size=3),
+    frag=st.sampled_from(["", "x", "frag1"]),
+)
+
+
+@given(urls=st.lists(_urls, min_size=1, max_size=8))
+@settings(**_PROP)
+def test_canonicalize_property(spark, urls):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.urls import canonicalize_url
+
+    df = spark.createDataFrame(list(enumerate(urls)), "id long, url string")
+    out = df.select(
+        "id", "url",
+        canonicalize_url("url").alias("c1")).withColumn(
+        "c2", canonicalize_url(F.col("c1"))).collect()
+    for r in out:
+        if r["c1"] is None:
+            # null ⇔ java.net.URI rejected the host (e.g. label ending
+            # '-'); the null must be stable, never resurrected
+            assert r["c2"] is None
+            continue
+        # idempotent
+        assert r["c1"] == r["c2"], r["url"]
+        # no tracking params, no fragment, no www, no default port survive
+        assert "utm_" not in r["c1"]
+        assert "#" not in r["c1"]
+        assert "://www." not in r["c1"]
+        # scheme-matched default ports drop; non-default ports survive
+        # (https://host:80 is NOT default and must keep its port)
+        if r["c1"].startswith("http://"):
+            assert ":80/" not in r["c1"] and not r["c1"].endswith(":80")
+        if r["c1"].startswith("https://"):
+            assert ":443/" not in r["c1"] and not r["c1"].endswith(":443")
+        # scheme and a host survive
+        assert r["c1"].startswith(("http://", "https://"))
+        assert len(r["c1"].split("://", 1)[1]) > 0
