@@ -134,6 +134,7 @@ BENCH_QUERIES = [
     "q_locf",
     "q_url_canon",
     "q_blocklist",
+    "q_strip_html",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

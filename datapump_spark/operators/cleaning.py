@@ -180,3 +180,44 @@ def compression_ratio(
             })
 
     return df.select(id_col, text_col).mapInPandas(kernel, out_schema)
+
+
+# HTML stripping regexes — shared verbatim with the DuckDB oracle, so
+# they must stay inside the RE2 ∩ Java-regex dialect: no backreferences
+# (RE2 has none — hence one pattern per container tag instead of
+# <(script|style)>…</\1>), no lookaround. Order matters: containers with
+# content first, then comments, then remaining tags, then entities.
+HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
+HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
+HTML_COMMENT_RE = r"(?s)<!--.*?-->"
+HTML_TAG_RE = r"(?s)</?[A-Za-z!][^>]*>"
+_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
+             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+
+
+def strip_html(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Extract visible text from HTML markup — the first cleaning step of
+    every web-crawl pipeline (the regex baseline of what trafilatura /
+    jusText do with DOM models; the DOM-aware version plugs in behind the
+    same column contract when its libs are available).
+
+    Removes <script>/<style> WITH their contents (code is not prose),
+    comments, then all remaining tags; decodes the six ubiquitous
+    entities; collapses whitespace runs. Pure codegen regexp_replace
+    chain — scan-speed, shuffle-free, and oracle-twinnable since the
+    patterns stay inside the RE2 ∩ Java dialect.
+    """
+    out = out_col or text_col
+    c = F.col(text_col)
+    c = F.regexp_replace(c, HTML_SCRIPT_RE, " ")
+    c = F.regexp_replace(c, HTML_STYLE_RE, " ")
+    c = F.regexp_replace(c, HTML_COMMENT_RE, " ")
+    c = F.regexp_replace(c, HTML_TAG_RE, " ")
+    for ent, rep in _ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(rep))
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out, c)

@@ -2070,3 +2070,41 @@ WHERE {hash63_sql("'qbin:' || CAST(doc_id AS VARCHAR)")} % 1000000 <
       CAST(round(list_extract([0.1, 0.3, 0.6, 1.0], bin + 1) * 1000000, 0)
            AS BIGINT)
 """
+
+
+# q_strip_html: the identical regex chain, imported from the operator
+# module so the two engines can never drift (patterns are RE2 ∩ Java).
+from datapump_spark.operators.cleaning import (  # noqa: E402
+    HTML_COMMENT_RE,
+    HTML_SCRIPT_RE,
+    HTML_STYLE_RE,
+    HTML_TAG_RE,
+)
+
+_HTML_WRAP = (
+    "'<html><head><title>T</title><script type=\"text/javascript\">"
+    "var x = 1; if (x < 2) { x++; }</script>"
+    "<style>p { color: red; }</style></head>"
+    "<body><!-- hidden note --><p id=\"a\" class=\"b c\">' || text || "
+    "'</p><br/><div>&amp;&nbsp;&lt;end&gt;&quot;&#39;</div>"
+    "</body></html>'"
+)
+
+EXTRA_ORACLES["q_strip_html"] = f"""
+WITH m AS (SELECT doc_id, {_HTML_WRAP} AS t FROM documents),
+s AS (SELECT doc_id,
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(t, '{HTML_SCRIPT_RE}', ' ', 'g'),
+              '{HTML_STYLE_RE}', ' ', 'g'),
+            '{HTML_COMMENT_RE}', ' ', 'g'),
+          '{HTML_TAG_RE}', ' ', 'g') AS t
+      FROM m),
+e AS (SELECT doc_id,
+        replace(replace(replace(replace(replace(replace(t,
+          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)) AS t
+      FROM s)
+SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM e
+"""

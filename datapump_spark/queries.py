@@ -1728,6 +1728,26 @@ def q_pack_greedy_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_greedy_bins(_t(spark, sf_dir, "documents"), budget=1024)
 
 
+def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HTML → visible text (operators/cleaning.py strip_html): documents
+    wrapped codegen-side in realistic markup (script+style payloads,
+    comments, attributes, entities), then stripped — the oracle applies
+    the IDENTICAL regex chain in DuckDB (patterns kept inside the RE2 ∩
+    Java dialect for exactly this)."""
+    from datapump_spark.operators.cleaning import strip_html
+
+    d = _t(spark, sf_dir, "documents")
+    messy = F.concat(
+        F.lit('<html><head><title>T</title><script type="text/javascript">'
+              'var x = 1; if (x < 2) { x++; }</script>'
+              '<style>p { color: red; }</style></head>'
+              '<body><!-- hidden note --><p id="a" class="b c">'),
+        F.col("text"),
+        F.lit('</p><br/><div>&amp;&nbsp;&lt;end&gt;&quot;&#39;</div>'
+              "</body></html>"))
+    return strip_html(d.select("doc_id", messy.alias("text")))
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (operators/cleaning.py): control-char strip,
     whitespace-run collapse, trim. The synthetic docs are already clean,
@@ -2062,6 +2082,7 @@ EXTRA_QUERIES.update({
     "q_locf": q_locf,
     "q_simhash_pairs": q_simhash_pairs,
     "q_quality_binned_mix": q_quality_binned_mix,
+    "q_strip_html": q_strip_html,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

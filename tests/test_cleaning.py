@@ -104,3 +104,31 @@ def test_token_entropy_signals(spark):
     assert out[2]["entropy_ratio"] == pytest.approx(1.0, abs=1e-6)
     assert out[3]["n_tokens"] == 0 and out[3]["entropy"] == 0.0
     assert out[4]["entropy"] == pytest.approx(math.log(2), abs=1e-6)
+
+
+def test_strip_html_cases(spark):
+    from datapump_spark.operators.cleaning import strip_html
+
+    cases = [
+        (1, "<p>plain <b>bold</b> text</p>", "plain bold text"),
+        (2, '<SCRIPT a="b">alert("</p>")</SCRIPT>after', 'after'),
+        (3, "<style>\n.x { a: 1 }\n</style>kept", "kept"),
+        (4, "a <!-- \n multi\nline --> b", "a b"),
+        (5, "5 &lt; 6 &amp;&nbsp;done&#39;", "5 < 6 & done'"),
+        (6, "no markup at all", "no markup at all"),
+        (7, "<div\nclass='x'>multi\nline tag</div>", "multi line tag"),
+        (8, "", ""),
+    ]
+    df = spark.createDataFrame([(i, t) for i, t, _ in cases],
+                               "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    for i, _, want in cases:
+        assert got[i] == want, (i, got[i])
+
+
+def test_strip_html_is_codegen(spark):
+    from datapump_spark.operators.cleaning import strip_html
+
+    df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
+    plan = strip_html(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
