@@ -135,6 +135,7 @@ BENCH_QUERIES = [
     "q_url_canon",
     "q_blocklist",
     "q_strip_html",
+    "q_hybrid_search",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

@@ -94,6 +94,7 @@ def hash_embed(
     text_col: str = "text",
     dim: int = 64,
     seed: int = 42,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """(id, embedding array<double>): L2-normalized feature-hashing
     ("hashing trick") text vectors — term frequencies scattered into
@@ -108,8 +109,10 @@ def hash_embed(
     lookup → normalize. No Python, no UDF; the shuffle key is ``id``
     (the same grouping any per-doc feature pass needs). Documents with
     zero tokens drop out (no direction exists for an empty text).
+    ``hash_fn``: 'md5' (engine-portable, DuckDB-oracle-comparable — the
+    repo's verifiability default) or 'xxhash64' (production fast path).
     """
-    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.functions.hashing import hash63, tokens
 
     toks = df.select(
         F.col(id_col),
@@ -117,7 +120,10 @@ def hash_embed(
     counts = (
         toks.select(
             id_col,
-            F.pmod(F.xxhash64("__tok", F.lit(seed)), F.lit(dim))
+            F.pmod(
+                hash63(F.concat(F.lit(f"emb{seed}:"), F.col("__tok")),
+                       hash_fn),
+                F.lit(dim))
             .cast("int").alias("__slot"))
         .groupBy(id_col, "__slot").agg(F.count(F.lit(1)).alias("__c"))
     )

@@ -129,3 +129,48 @@ def bm25_topk(
     top = scored.orderBy(F.desc("score"), F.asc(id_col)).limit(k)
     w = Window.orderBy(F.desc("score"), F.asc(id_col))
     return top.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def rrf_fuse(
+    rankings: dict[str, DataFrame],
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    k: int = 10,
+    c: int = 60,
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack et al. 2009) of named rankings —
+    the standard hybrid-search combiner (BM25 ⊕ vector ranks, immune to
+    incomparable score scales because only RANKS enter):
+
+        rrf(d) = Σ_lists∋d  1 / (c + rank_list(d))
+
+    Input: ``{name: df}`` where each df carries (id_col, rank_col) for
+    ONE query's candidates. Output: (id, <name>_rank …, rrf, rank) —
+    per-list ranks kept (null where a list missed the doc) so the fused
+    table explains itself. ``c=60`` is the published default.
+
+    Plan: candidate lists are top-k-sized (not corpora), so the fusion
+    is a full-outer join chain over tiny frames + one codegen sum; ties
+    break on the 6-dp-rounded score then id ASC, the engine-wide rank
+    policy."""
+    if not rankings:
+        raise ValueError("rankings must be a non-empty dict")
+    out = None
+    for name, df in rankings.items():
+        part = df.select(F.col(id_col),
+                         F.col(rank_col).alias(f"{name}_rank"))
+        out = part if out is None else out.join(part, id_col, "full_outer")
+    score = None
+    for name in rankings:
+        term = F.when(F.col(f"{name}_rank").isNotNull(),
+                      1.0 / (F.lit(c) + F.col(f"{name}_rank"))) \
+            .otherwise(F.lit(0.0))
+        score = term if score is None else score + term
+    fused = out.withColumn("rrf", F.round(score, 6))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )

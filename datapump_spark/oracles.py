@@ -2108,3 +2108,45 @@ e AS (SELECT doc_id,
       FROM s)
 SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM e
 """
+
+
+# q_hybrid_search: BM25 list from its existing oracle; vector list as an
+# independent sparse slot-join with INTEGER dot/norms (one final double
+# division, so 6-dp rounding is engine-identical); same 1/(60+rank) RRF.
+EXTRA_ORACLES["q_hybrid_search"] = f"""
+WITH b AS ({EXTRA_ORACLES["q_bm25_topk"]}),
+dt AS (SELECT doc_id, unnest({tokens_sql('text')}) AS tok FROM documents),
+ds AS (SELECT doc_id,
+              CAST(({hash63_sql("'emb42:' || tok")}) % 64 AS INT) AS slot,
+              COUNT(*) AS c
+       FROM dt GROUP BY 1, 2),
+qt AS (SELECT unnest({tokens_sql("'data model training pipeline'")}) AS tok),
+qs AS (SELECT CAST(({hash63_sql("'emb42:' || tok")}) % 64 AS INT) AS slot,
+              COUNT(*) AS qc
+       FROM qt GROUP BY 1),
+pd AS (SELECT ds.doc_id,
+              SUM(ds.c * COALESCE(qs.qc, 0)) AS dot,
+              SUM(ds.c * ds.c) AS nd2
+       FROM ds LEFT JOIN qs USING (slot) GROUP BY 1),
+v AS (SELECT doc_id,
+             round(dot / sqrt(CAST(nd2 * (SELECT SUM(qc * qc) FROM qs)
+                                   AS DOUBLE)), 6) AS cos
+      FROM pd WHERE dot > 0),
+vtop AS (SELECT * FROM v ORDER BY cos DESC, doc_id ASC LIMIT 10),
+vr AS (SELECT doc_id,
+              CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT)
+                AS rank
+       FROM vtop),
+f AS (SELECT COALESCE(bb.doc_id, vr.doc_id) AS doc_id,
+             bb.rank AS bm25_rank, vr.rank AS vec_rank
+      FROM (SELECT doc_id, rank FROM b) bb
+      FULL OUTER JOIN vr ON bb.doc_id = vr.doc_id),
+g AS (SELECT doc_id, bm25_rank, vec_rank,
+             round(COALESCE(1.0 / (60 + bm25_rank), 0)
+                   + COALESCE(1.0 / (60 + vec_rank), 0), 6) AS rrf
+      FROM f)
+SELECT doc_id, bm25_rank, vec_rank, rrf,
+       CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+FROM g
+QUALIFY rank <= 10
+"""

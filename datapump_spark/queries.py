@@ -1065,6 +1065,58 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bm25_topk(_t(spark, sf_dir, "documents"), BM25_QUERY, k=10)
 
 
+def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: BM25 top-10 ⊕ hashing-vectorizer cosine top-10,
+    fused by reciprocal-rank fusion (operators/retrieval.py rrf_fuse;
+    Cormack 2009, c=60) — ranks only, so the incomparable score scales
+    never meet. The vector score is computed INTEGER-EXACTLY (integer
+    dot and squared norms from the hash-slot counts, one final double
+    division) so its 6-dp rounding is engine-identical — summing
+    pre-normalized doubles would be association-order-dependent. Oracle
+    recomputes both lists and the same 1/(c+rank) sum in SQL, the
+    vector side as an independent sparse slot-join."""
+    import hashlib
+    import re
+    from collections import Counter
+
+    from datapump_spark.functions.hashing import hash63, tokens
+    from datapump_spark.operators.retrieval import bm25_topk, rrf_fuse
+
+    docs = _t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, BM25_QUERY, k=10).select("doc_id", "rank")
+
+    dim = 64
+    # query slot counts are plan-time constants (tiny): derive them
+    # driver-side with the same md5 profile as hash63
+    qc = Counter(
+        int(hashlib.md5(f"emb42:{t}".encode()).hexdigest()[:15], 16) % dim
+        for t in re.split(r"[^a-z0-9]+", BM25_QUERY.lower()) if t)
+    nq2 = sum(c * c for c in qc.values())
+    qmap = F.create_map(*[F.lit(x) for kv in qc.items() for x in kv])
+
+    slots = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .select("doc_id",
+                F.pmod(hash63(F.concat(F.lit("emb42:"), F.col("tok"))),
+                       F.lit(dim)).cast("int").alias("slot"))
+        .groupBy("doc_id", "slot").agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = slots.groupBy("doc_id").agg(
+        F.sum(F.col("c") * F.coalesce(qmap[F.col("slot")], F.lit(0)))
+        .alias("dot"),
+        F.sum(F.col("c") * F.col("c")).alias("nd2"))
+    w = Window.orderBy(F.col("cos").desc(), F.col("doc_id").asc())
+    vec = (
+        per_doc.where(F.col("dot") > 0)
+        .withColumn("cos", F.round(
+            F.col("dot") / F.sqrt((F.col("nd2") * nq2).cast("double")), 6))
+        .orderBy(F.col("cos").desc(), F.col("doc_id").asc()).limit(10)
+        .withColumn("rank", F.row_number().over(w))
+        .select("doc_id", "rank")
+    )
+    return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -2083,6 +2135,7 @@ EXTRA_QUERIES.update({
     "q_simhash_pairs": q_simhash_pairs,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
+    "q_hybrid_search": q_hybrid_search,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -136,9 +136,12 @@ def test_streaming_incremental_index(spark, tmp_path):
     vectors = spark.read.parquet(f"{work}/vectors")
     codes = spark.read.parquet(f"{work}/codes")
     assert codes.count() == 42
+    # self-retrieval query: identical text ⇒ cosine 1.0 ⇒ must win
+    # regardless of how hash slots collide with the seed corpus
     queries = hash_embed(
-        spark.createDataFrame([(-1, "zebra quagga okapi")],
-                              "doc_id long, text string"),
+        spark.createDataFrame(
+            [(-1, "zebra quagga okapi wildebeest gnu antelope")],
+            "doc_id long, text string"),
         id_col="doc_id", text_col="text")
     hits = pq_topk(vectors, frozen, id_col="doc_id", vec_col="embedding",
                    k=1, codes=codes, rerank_factor=8, queries=queries)

@@ -200,3 +200,36 @@ def test_fill_forward_matches_pandas_property(spark, vals, limit):
             assert pd.isna(w)
         else:
             assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_rrf_fuse_hand_computed(spark):
+    from datapump_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(10, 1), (20, 2), (30, 3)],
+                              "doc_id long, rank int")
+    b = spark.createDataFrame([(20, 1), (40, 2)], "doc_id long, rank int")
+    got = {r["doc_id"]: r for r in
+           rrf_fuse({"lex": a, "vec": b}, k=10, c=60).collect()}
+    # doc 20 appears in both lists → highest fused score
+    assert got[20]["rank"] == 1
+    assert got[20]["rrf"] == round(1 / 62 + 1 / 61, 6)
+    assert got[10]["rrf"] == round(1 / 61, 6)
+    # single-list docs carry a null rank for the list that missed them
+    assert got[40]["lex_rank"] is None and got[40]["vec_rank"] == 2
+    assert got[30]["vec_rank"] is None
+    # 10 vs 40: same-rank tie in different lists → equal rrf? no:
+    # 1/61 (rank1) > 1/62 (rank2); and ties break by id
+    order = sorted(got.values(), key=lambda r: r["rank"])
+    assert [r["doc_id"] for r in order] == [20, 10, 40, 30]
+
+
+def test_rrf_fuse_k_and_validation(spark):
+    import pytest as _pt
+
+    from datapump_spark.operators.retrieval import rrf_fuse
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 8)],
+                              "doc_id long, rank int")
+    assert rrf_fuse({"only": a}, k=3).count() == 3
+    with _pt.raises(ValueError):
+        rrf_fuse({})
