@@ -2150,3 +2150,61 @@ SELECT doc_id, bm25_rank, vec_rank, rrf,
 FROM g
 QUALIFY rank <= 10
 """
+
+
+# q_retrieval_eval: metrics of the exact-cosine top-10 vs label-match
+# qrels. The log2 discount constants are python-computed floats embedded
+# verbatim in BOTH plans (engine libm differences never enter); DCG folds
+# them in rank order via the list_sum(list(... ORDER BY ...)) precedent.
+from datapump_spark.operators.raneval import dcg_discounts  # noqa: E402
+
+_DISC10, _CUM10 = dcg_discounts(10)
+_DISC10_SQL = "[" + ", ".join(repr(d) for d in _DISC10) + "]"
+_CUM10_SQL = "[" + ", ".join(repr(c) for c in _CUM10) + "]"
+
+EXTRA_ORACLES["q_retrieval_eval"] = f"""
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+       FROM m WHERE vec_id < 10),
+c AS (
+  SELECT qv.query_id, m.vec_id AS neighbor_id,
+         round(list_dot_product(qv.qvec, m.v) / (qv.qn * m.nrm), 6) AS cos
+  FROM m, qv WHERE m.vec_id != qv.query_id
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id
+                             ORDER BY cos DESC, m.vec_id ASC) <= 10),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      FROM c),
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+        FROM lab q JOIN lab d ON q.label = d.label AND q.vec_id != d.vec_id
+        WHERE q.vec_id < 10),
+nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
+       FROM rel GROUP BY query_id),
+j AS (SELECT r.query_id, r.rank,
+             CASE WHEN rel.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
+      FROM r LEFT JOIN rel
+        ON r.query_id = rel.query_id AND r.neighbor_id = rel.neighbor_id
+      WHERE r.rank <= 10),
+pq AS (SELECT query_id,
+              CAST(sum(is_rel) AS BIGINT) AS hits,
+              min(CASE WHEN is_rel = 1 THEN rank END) AS first_hit,
+              list_sum(list(CASE WHEN is_rel = 1
+                                 THEN list_extract({_DISC10_SQL}, rank)
+                                 ELSE 0.0 END ORDER BY rank)) AS dcg
+       FROM j GROUP BY query_id)
+SELECT pq.query_id,
+       COALESCE(nr.n_rel, 0) AS n_rel,
+       pq.hits,
+       round(pq.hits / 10.0, 6) AS precision,
+       round(CASE WHEN COALESCE(nr.n_rel, 0) > 0
+                  THEN CAST(pq.hits AS DOUBLE) / nr.n_rel
+                  ELSE 0.0 END, 6) AS recall,
+       round(COALESCE(1.0 / pq.first_hit, 0.0), 6) AS mrr,
+       round(COALESCE(pq.dcg / list_extract({_CUM10_SQL},
+                CAST(least(nr.n_rel, 10) AS INT)), 0.0), 6) AS ndcg
+FROM pq LEFT JOIN nr ON pq.query_id = nr.query_id
+"""

@@ -1117,6 +1117,34 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality metrics (operators/raneval.py) of the exact cosine
+    top-10 against label-match relevance (same embedding label ⇒
+    relevant): per-query precision/recall/MRR/nDCG@10. The qrels, the
+    ranking, and every float constant are reproduced independently in
+    the SQL oracle."""
+    from datapump_spark.operators.raneval import retrieval_metrics
+    from datapump_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = cosine_topk(emb, k=10, query_max_id=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    res = res.withColumn("rank", F.row_number().over(w))
+    labels = emb.select("vec_id", "label")
+    rel = (
+        labels.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("label").alias("__ql"))
+        .join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("label").alias("__nl")),
+              F.col("__ql") == F.col("__nl"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    return retrieval_metrics(res, rel, k=10)
+
+
 FUNNEL_STEPS = ["signup", "view", "purchase"]
 
 
@@ -2136,6 +2164,7 @@ EXTRA_QUERIES.update({
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,
+    "q_retrieval_eval": q_retrieval_eval,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,
