@@ -150,3 +150,81 @@ def time_split_drift(
     base = events.where(us < F.lit(mid))
     cur = events.where(us >= F.lit(mid))
     return distribution_drift(base, cur, col, group_cols, n_buckets)
+
+
+def cusum_changepoints(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str | list[str],
+    value_col: str,
+    kappa: float = 0.5,
+    h: float = 5.0,
+    baseline: DataFrame | None = None,
+) -> DataFrame:
+    """Per-series CUSUM change-point detection (Page 1954): flag the
+    points where the standardized series has drifted persistently from
+    its mean — the within-series complement of the between-snapshot PSI
+    monitor (:func:`distribution_drift`).
+
+    Statistic via its prefix closed form, so the WHOLE computation is
+    ordered window functions (no per-series iteration, no UDF):
+
+        B_t  = Σ_{i≤t} (r_i ∓ κ)          (running sum)
+        S⁺_t = B_t − min(0, min_{j<t} B_j) (running min)
+        S⁻_t symmetric with (r_i + κ) and a running max
+
+    where r is the series standardized by its 6-dp-rounded mean/stddev
+    (rounded so the constant is engine-identical — the repo-wide float
+    policy). No post-alarm reset: alarms are exceedance points of the
+    unreset statistic, the form the closed form allows; at 100 TB each
+    series sorts once inside its key partition and nothing else moves.
+
+    ``baseline``: optional (keys…, mu, sd) frame giving the REFERENCE
+    period statistics to standardize against (the production form — a
+    shift relative to last month's baseline; rounded to 6 dp
+    internally). Default standardizes against the full series itself, in
+    which case a level shift makes BOTH segments deviations from the
+    pooled mean and the first alarm may legitimately fire in the
+    pre-shift segment.
+
+    Returns one row per (keys): n_points, n_alarms, first_alarm_pos
+    (1-based, null if clean), max_sp, max_sn (rounded 6 dp).
+    """
+    from pyspark.sql import Window
+
+    # ts_col may be a LIST ending in a unique column: with duplicate
+    # timestamps the window order (and with it every running sum) would
+    # otherwise be engine/layout-dependent
+    order_cols = [ts_col] if isinstance(ts_col, str) else list(ts_col)
+
+    if baseline is not None:
+        stats = baseline.select(
+            *keys, F.round(F.col("mu"), 6).alias("__mu"),
+            F.round(F.col("sd"), 6).alias("__sd"))
+    else:
+        stats = df.groupBy(*keys).agg(
+            F.round(F.avg(value_col), 6).alias("__mu"),
+            F.round(F.stddev_pop(value_col), 6).alias("__sd"))
+    d = df.join(F.broadcast(stats), keys) \
+        .where(F.col("__sd") > 0) \
+        .withColumn("__r", (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
+    w_ord = Window.partitionBy(*keys).orderBy(*order_cols)
+    run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
+    prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    bp = F.sum(F.col("__r") - kappa).over(run)
+    bn = F.sum(F.col("__r") + kappa).over(run)
+    sp = bp - F.least(F.lit(0.0), F.min(bp).over(prev))
+    sn = F.greatest(F.lit(0.0), F.max(bn).over(prev)) - bn
+    d = (d.withColumn("__sp", sp).withColumn("__sn", sn)
+          .withColumn("__pos", F.row_number().over(w_ord))
+          .withColumn("__alarm",
+                      (F.col("__sp") > h) | (F.col("__sn") > h)))
+    return (
+        d.groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+             F.sum(F.col("__alarm").cast("long")).alias("n_alarms"),
+             F.min(F.when(F.col("__alarm"), F.col("__pos")))
+             .alias("first_alarm_pos"),
+             F.round(F.max("__sp"), 6).alias("max_sp"),
+             F.round(F.max("__sn"), 6).alias("max_sn"))
+    )

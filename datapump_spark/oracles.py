@@ -2208,3 +2208,43 @@ SELECT pq.query_id,
                 CAST(least(nr.n_rel, 10) AS INT)), 0.0), 6) AS ndcg
 FROM pq LEFT JOIN nr ON pq.query_id = nr.query_id
 """
+
+
+# q_cusum: the same prefix closed form as the operator — running sum +
+# running extremum windows over the identically-ordered series (ts,
+# event_id tie-break), mean/std rounded to 6 dp before standardizing so
+# the constants are engine-identical.
+EXTRA_ORACLES["q_cusum"] = """
+WITH st AS (
+  SELECT event_type, round(avg(value), 6) AS mu,
+         round(stddev_pop(value), 6) AS sd
+  FROM events GROUP BY event_type),
+r AS (
+  SELECT e.event_type, e.ts, e.event_id,
+         (e.value - st.mu) / st.sd AS r
+  FROM events e JOIN st USING (event_type) WHERE st.sd > 0),
+b AS (
+  SELECT event_type, ts, event_id, r,
+         sum(r - 0.5) OVER w AS bp,
+         sum(r + 0.5) OVER w AS bn,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY ts, event_id) AS pos
+  FROM r
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+s AS (
+  SELECT event_type, pos,
+         bp - least(0.0, COALESCE(min(bp) OVER wp, 0.0)) AS sp,
+         greatest(0.0, COALESCE(max(bn) OVER wp, 0.0)) - bn AS sn
+  FROM b
+  WINDOW wp AS (PARTITION BY event_type ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_alarms,
+       min(CASE WHEN sp > 5.0 OR sn > 5.0 THEN pos END) AS first_alarm_pos,
+       round(max(sp), 6) AS max_sp,
+       round(max(sn), 6) AS max_sn
+FROM s GROUP BY event_type
+"""

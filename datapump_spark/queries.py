@@ -1117,6 +1117,17 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type CUSUM change-point report over the events value
+    series (operators/drift.py cusum_changepoints): window-only prefix
+    closed form, (ts, event_id) ordering so duplicate timestamps can't
+    make the running sums layout-dependent."""
+    from datapump_spark.operators.drift import cusum_changepoints
+    return cusum_changepoints(
+        _t(spark, sf_dir, "events"), ["event_type"], ["ts", "event_id"],
+        "value", kappa=0.5, h=5.0)
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality metrics (operators/raneval.py) of the exact cosine
     top-10 against label-match relevance (same embedding label ⇒
@@ -2165,6 +2176,7 @@ EXTRA_QUERIES.update({
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,
     "q_retrieval_eval": q_retrieval_eval,
+    "q_cusum": q_cusum,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -275,3 +275,38 @@ def test_leakage_safe_split_invariants(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         leakage_safe_split(cl, {"train": 0.5, "val": 0.2})
+
+
+def test_cusum_detects_mean_shift(spark):
+    from datapump_spark.operators.drift import cusum_changepoints
+
+    # 100 points around 0, then 60 points around +3σ: alarm must fire
+    # shortly after the shift and not before
+    rows = [("a", i, i, 0.5 * ((i * 7 % 5) - 2)) for i in range(100)]
+    rows += [("a", 100 + i, 100 + i, 3.0 + 0.5 * ((i * 7 % 5) - 2))
+             for i in range(60)]
+    rows += [("clean", i, i, 0.5 * ((i * 11 % 7) - 3)) for i in range(160)]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, event_id long, value double")
+    # production form: standardize against the PRE-SHIFT reference period
+    base = df.where((F.col("ts") < 100) | (F.col("k") == "clean")) \
+        .groupBy("k").agg(F.avg("value").alias("mu"),
+                          F.stddev_pop("value").alias("sd"))
+    got = {r["k"]: r for r in cusum_changepoints(
+        df, ["k"], ["ts", "event_id"], "value", baseline=base).collect()}
+    a = got["a"]
+    assert a["n_alarms"] > 0
+    assert 100 < a["first_alarm_pos"] < 120   # fires soon after the shift
+    assert got["clean"]["n_alarms"] == 0
+    assert got["clean"]["first_alarm_pos"] is None
+    # layout-independent
+    again = {r["k"]: r for r in cusum_changepoints(
+        df.repartition(7), ["k"], ["ts", "event_id"], "value",
+        baseline=base).collect()}
+    assert again == got
+    # self-baseline form: a level shift deviates from the POOLED mean in
+    # both directions, so it still alarms (earlier, by design)
+    self_got = {r["k"]: r for r in cusum_changepoints(
+        df, ["k"], ["ts", "event_id"], "value").collect()}
+    assert self_got["a"]["n_alarms"] > 0
+    assert self_got["clean"]["n_alarms"] == 0
