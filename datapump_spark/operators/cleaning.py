@@ -191,8 +191,11 @@ HTML_SCRIPT_RE = r"(?is)<script\b[^>]*>.*?</script\s*>"
 HTML_STYLE_RE = r"(?is)<style\b[^>]*>.*?</style\s*>"
 HTML_COMMENT_RE = r"(?s)<!--.*?-->"
 HTML_TAG_RE = r"(?s)</?[A-Za-z!][^>]*>"
-_ENTITIES = [("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"),
-             ("&gt;", ">"), ("&quot;", '"'), ("&#39;", "'")]
+# &amp; MUST decode LAST: decoding it first re-exposes entity names that
+# the later passes would decode again (the classic double-unescape bug —
+# '&amp;lt;' means the literal text '&lt;', not '<')
+_ENTITIES = [("&nbsp;", " "), ("&lt;", "<"), ("&gt;", ">"),
+             ("&quot;", '"'), ("&#39;", "'"), ("&amp;", "&")]
 
 
 def strip_html(

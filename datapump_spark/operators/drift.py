@@ -210,11 +210,14 @@ def cusum_changepoints(
         .withColumn("__r", (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
     w_ord = Window.partitionBy(*keys).orderBy(*order_cols)
     run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
-    prev = w_ord.rowsBetween(Window.unboundedPreceding, -1)
     bp = F.sum(F.col("__r") - kappa).over(run)
     bn = F.sum(F.col("__r") + kappa).over(run)
-    sp = bp - F.least(F.lit(0.0), F.min(bp).over(prev))
-    sn = F.greatest(F.lit(0.0), F.max(bn).over(prev)) - bn
+    # the extremum frame INCLUDES the current row: S_t = B_t − min_{j≤t}
+    # B_j (with B_0 = 0 via the least/greatest), which is ≥ 0 — Page's
+    # statistic is floored at zero; an exclusive frame would let S go
+    # negative and understate max_sp/max_sn
+    sp = bp - F.least(F.lit(0.0), F.min(bp).over(run))
+    sn = F.greatest(F.lit(0.0), F.max(bn).over(run)) - bn
     d = (d.withColumn("__sp", sp).withColumn("__sn", sn)
           .withColumn("__pos", F.row_number().over(w_ord))
           .withColumn("__alarm",

@@ -83,6 +83,10 @@ def parse_media_header(b: bytes) -> dict:
     damaged and the sniff must classify, not crash.
     """
     fmt = w = h = sr = ch = dur = None
+    if b is None:
+        return {"format": None, "kind": "blob", "width": None,
+                "height": None, "sample_rate": None, "channels": None,
+                "duration_ms": None}
     try:
         if b[:8] == b"\x89PNG\r\n\x1a\n" and len(b) >= 24:
             # IHDR is mandated first: width/height big-endian at 16/20.
@@ -114,7 +118,10 @@ def parse_media_header(b: bytes) -> dict:
             i, byte_rate, data_size = 12, None, None
             while i + 8 <= len(b):
                 cid, clen = b[i:i + 4], _le(b[i + 4:i + 8])
-                if cid == b"fmt " and i + 16 <= len(b):
+                # the guard must cover the LAST byte read (byte_rate ends
+                # at i+20), else a fmt chunk truncated mid-field yields
+                # zero/partial values instead of None
+                if cid == b"fmt " and i + 20 <= len(b):
                     ch = _le(b[i + 10:i + 12])
                     sr = _le(b[i + 12:i + 16])
                     byte_rate = _le(b[i + 16:i + 20])
@@ -184,14 +191,18 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
     path detects JPEG but leaves its width/height null; everything else
     matches ``parse_media_header`` exactly on canonical files.
     """
-    is_png = _magic(c, 0, b"\x89PNG\r\n\x1a\n")
+    # length guards mirror parse_media_header's: a truncated header must
+    # degrade to format=None, never to a claimed format with partial or
+    # conv-of-partial-bytes dimensions
+    n = F.length(F.col(c))
+    is_png = _magic(c, 0, b"\x89PNG\r\n\x1a\n") & (n >= 24)
     is_jpeg = _magic(c, 0, b"\xff\xd8\xff")
-    is_gif = _magic(c, 0, b"GIF87a") | _magic(c, 0, b"GIF89a")
-    is_bmp = _magic(c, 0, b"BM") & (F.length(F.col(c)) >= 26)
+    is_gif = (_magic(c, 0, b"GIF87a") | _magic(c, 0, b"GIF89a")) & (n >= 10)
+    is_bmp = _magic(c, 0, b"BM") & (n >= 26)
     is_riff = _magic(c, 0, b"RIFF")
     is_wav = is_riff & _magic(c, 8, b"WAVE")
     is_webp = is_riff & _magic(c, 8, b"WEBP")
-    is_flac = _magic(c, 0, b"fLaC")
+    is_flac = _magic(c, 0, b"fLaC") & (n >= 38)
     is_ogg = _magic(c, 0, b"OggS")
     is_mp3 = _magic(c, 0, b"ID3") | (
         (_byte(c, 0) == 0xFF) & (_byte(c, 1).bitwiseAND(F.lit(0xE0)) == 0xE0))
@@ -287,10 +298,14 @@ def sniff_media(
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            parsed = [parse_media_header(bytes(b)) for b in pdf[payload_col]]
+            # NULL payloads parse to blob/None (matching the expr path's
+            # null semantics) — never crash the scan
+            parsed = [parse_media_header(None if b is None else bytes(b))
+                      for b in pdf[payload_col]]
             out = pd.DataFrame({
                 "media_id": pdf[id_col].astype("int64"),
-                "n_bytes": pdf[payload_col].map(len).astype("int64"),
+                "n_bytes": pdf[payload_col].map(
+                    lambda b: None if b is None else len(b)),
             })
             for f in ("format", "kind", "width", "height", "sample_rate",
                       "channels", "duration_ms"):

@@ -161,6 +161,49 @@ def pq_encode(
     return base.mapInPandas(_encode_kernel(codebooks), _CODES_SCHEMA)
 
 
+def _adc_sum(mm: int, kk: int):
+    """Codegen ADC score: ``codes[j]`` indexes the j-th stripe of the
+    broadcast flat ``lut`` column — shared by the flat-PQ and IVF-PQ
+    scans so the indexing arithmetic has exactly one home."""
+    return F.aggregate(
+        F.zip_with(
+            "codes", F.sequence(F.lit(0), F.lit(mm - 1)),
+            lambda c, j: F.element_at(F.col("lut"),
+                                      (j * kk + c + 1).cast("int"))),
+        F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _rank_window():
+    """The engine-wide ANN rank policy: rounded score desc, id asc."""
+    return Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+
+
+def _top(scored: DataFrame, k: int) -> DataFrame:
+    return (
+        scored.withColumn("__rn", F.row_number().over(_rank_window()))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "score")
+    )
+
+
+def _exact_rerank(short: DataFrame, corpus_vecs: DataFrame,
+                  qv_df: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine re-rank of shortlist ids only: the full-precision
+    corpus is probed by a broadcast id join, never scanned. ``corpus_vecs``
+    = (neighbor_id, cv normalized), ``qv_df`` = (query_id, qv)."""
+    from datapump_spark.operators.similarity import _dot
+
+    rescored = (
+        corpus_vecs.join(
+            F.broadcast(short.select("query_id", "neighbor_id")),
+            "neighbor_id")
+        .join(F.broadcast(qv_df), "query_id")
+        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")), 6))
+    )
+    return _top(rescored, k)
+
+
 def pq_topk(
     df: DataFrame, codebooks, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5, query_max_id: int = 10,
@@ -218,48 +261,24 @@ def pq_topk(
         luts.append((int(r["id"]), [float(x) for x in lut]))
     q = spark.createDataFrame(luts, "query_id bigint, lut array<double>")
 
-    # codegen ADC: codes[j] indexes the j-th LUT stripe
-    score = F.aggregate(
-        F.zip_with(
-            "codes", F.sequence(F.lit(0), F.lit(mm - 1)),
-            lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int"))),
-        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         codes.select(F.col("id").alias("neighbor_id"), "codes")
         .crossJoin(F.broadcast(q))
         .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("score", F.round(score, 6))
+        .withColumn("score", F.round(_adc_sum(mm, kk), 6))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
     shortlist_k = k * rerank_factor if rerank_factor > 0 else k
-    adc = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= shortlist_k)
-        .select("query_id", "neighbor_id", "score")
-    )
+    adc = _top(scored, shortlist_k)
     if rerank_factor <= 0:
         return adc
 
     # exact re-rank: fetch ONLY the shortlist rows' float vectors
-    from datapump_spark.operators.similarity import _dot
-
     qv = spark.createDataFrame(
         [(int(r["id"]), [float(x) for x in r["v"]]) for r in qrows],
         "query_id bigint, qv array<double>")
     corpus = _l2_normalized(df, id_col, vec_col).select(
         F.col("id").alias("neighbor_id"), F.col("v").alias("cv"))
-    rescored = (
-        corpus.join(F.broadcast(adc.select("query_id", "neighbor_id")),
-                    "neighbor_id")
-        .join(F.broadcast(qv), "query_id")
-        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")), 6))
-    )
-    return (
-        rescored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "score")
-    )
+    return _exact_rerank(adc, corpus, qv, k)
 
 
 def ivfpq_topk(
@@ -292,7 +311,6 @@ def ivfpq_topk(
 
     from datapump_spark.operators.similarity import (
         _assign_cells,
-        _dot,
         _kmeans_centroids,
     )
 
@@ -340,7 +358,14 @@ def ivfpq_topk(
                   normalize=False)
     codes = pq_encode(assigned, cb, id_col="id", vec_col="v_res",
                       normalize=False) \
-        .join(assigned.select("id", "cell"), "id")
+        .join(assigned.select("id", "cell"), "id") \
+        .persist()
+    # materialize the (small: id, codes, cell) index, then release the
+    # corpus-sized upstream caches — leaving them pinned for the session
+    # would crowd out the very scan caching the layout depends on
+    codes.count()
+    assigned.unpersist()
+    with_cell.unpersist()
 
     # queries: exact vectors, n_probe best cells, one LUT each
     qrows = _l2_normalized(
@@ -368,41 +393,22 @@ def ivfpq_topk(
     lut_df = spark.createDataFrame(
         luts, "query_id bigint, lut array<double>, qv array<double>")
 
-    adc = F.aggregate(
-        F.zip_with(
-            "codes", F.sequence(F.lit(0), F.lit(mm - 1)),
-            lambda c, j: F.element_at(F.col("lut"), (j * kk + c + 1).cast("int"))),
-        F.lit(0.0), lambda acc, x: acc + x)
     scored = (
         codes.join(F.broadcast(probe_df), "cell")            # equi-join prune
         .join(F.broadcast(lut_df.select("query_id", "lut")), "query_id")
         .where(F.col("id") != F.col("query_id"))
         .select(F.col("id").alias("neighbor_id"), "query_id",
-                F.round(F.col("qdot") + adc, 6).alias("score"))
+                F.round(F.col("qdot") + _adc_sum(mm, kk), 6).alias("score"))
     )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("score").desc(), F.col("neighbor_id").asc())
     shortlist_k = k * rerank_factor if rerank_factor > 0 else k
-    short = (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= shortlist_k)
-        .select("query_id", "neighbor_id", "score")
-    )
+    short = _top(scored, shortlist_k)
     if rerank_factor <= 0:
         return short
     corpus = base.select(F.col("id").alias("neighbor_id"),
                          F.col("v").alias("cv"))
-    rescored = (
-        corpus.join(F.broadcast(short.select("query_id", "neighbor_id")),
-                    "neighbor_id")
-        .join(F.broadcast(lut_df.select("query_id", "qv")), "query_id")
-        .withColumn("score", F.round(_dot(F.col("qv"), F.col("cv")), 6))
-    )
-    return (
-        rescored.withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") <= k)
-        .select("query_id", "neighbor_id", "score")
-    )
+    return _exact_rerank(
+        short, corpus,
+        lut_df.select("query_id", "qv"), k)
 
 
 def pq_reconstruction_mse(df: DataFrame, codebooks, id_col: str = "vec_id",

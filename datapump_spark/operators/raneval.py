@@ -49,11 +49,15 @@ def retrieval_metrics(
 ) -> DataFrame:
     """(query_id, n_rel, hits, precision, recall, mrr, ndcg) per query.
 
-    ``results``: one row per (query, doc) with a 1-based ``rank_col``
-    (rows with rank > k are ignored). ``relevance``: the qrels —
-    (query_col, doc_col) pairs that are relevant (binary; duplicates
-    de-duplicated). Queries present in ``results`` but with zero
-    relevant docs score 0 with ``n_rel`` 0 (recall defined as 0).
+    ``results``: one row per (query, doc) with a 1-based ``rank_col``.
+    Rows with rank > k contribute nothing to the metrics but their
+    query still gets an output row — silently dropping it would bias
+    any macro-average toward the queries that retrieved something
+    early, the exact failure mode an eval exists to catch.
+    ``relevance``: the qrels — (query_col, doc_col) pairs that are
+    relevant (binary; duplicates de-duplicated). Queries present in
+    ``results`` but with zero relevant docs score 0 with ``n_rel`` 0
+    (recall defined as 0).
 
     precision = hits/k, recall = hits/n_rel, mrr = 1/first-hit-rank,
     ndcg = DCG@k / IDCG@k with binary gains. All rounded to 6 dp.
@@ -67,17 +71,19 @@ def retrieval_metrics(
     n_rel = rel.groupBy(query_col).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rel"))
 
-    topk = results.where(F.col(rank_col) <= k)
-    j = topk.join(rel, [query_col, doc_col], "left") \
+    j = results.join(rel, [query_col, doc_col], "left") \
         .withColumn("__rel", F.coalesce("__rel", F.lit(0)))
+    in_k = F.col(rank_col) <= k
+    hit_in_k = (F.col("__rel") == 1) & in_k
     gains = F.sort_array(F.collect_list(F.struct(
         F.col(rank_col).alias("r"),
-        F.when(F.col("__rel") == 1,
-               F.element_at(disc_arr, F.col(rank_col).cast("int")))
+        F.when(hit_in_k,
+               F.try_element_at(disc_arr, F.col(rank_col).cast("int")))
         .otherwise(F.lit(0.0)).alias("g"))))
     per_q = j.groupBy(query_col).agg(
-        F.sum("__rel").cast("bigint").alias("hits"),
-        F.min(F.when(F.col("__rel") == 1, F.col(rank_col))).alias("__first"),
+        F.sum(F.when(in_k, F.col("__rel")).otherwise(F.lit(0)))
+        .cast("bigint").alias("hits"),
+        F.min(F.when(hit_in_k, F.col(rank_col))).alias("__first"),
         F.aggregate(F.transform(gains, lambda s: s["g"]),
                     F.lit(0.0), lambda acc, x: acc + x).alias("__dcg"),
     )

@@ -51,7 +51,11 @@ def canonicalize_url(col: Column | str) -> Column:
     query = F.parse_url(c, F.lit("QUERY"))
     query = F.regexp_replace(query, _TRACKING_RE, "")
     query = F.regexp_replace(query, r"^&", "")
-    port = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:(\d+)", 1)
+    # two-step port extraction: isolate the authority first, then anchor
+    # the port at its END — a one-shot '://[^/?#]*:(\d+)' would backtrack
+    # into the userinfo and fabricate a port from 'user:123pass@host'
+    authority = F.regexp_extract(c, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    port = F.regexp_extract(authority, r":(\d+)$", 1)
     keep_port = F.when(
         (port != "") & ~((scheme == "http") & (port == "80"))
         & ~((scheme == "https") & (port == "443")),

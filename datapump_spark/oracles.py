@@ -1938,8 +1938,9 @@ _URL_CANON = r"""
       regexp_replace(
         lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#:]+)', 1)),
         '^www\.', '') AS host,
-      regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*:([0-9]+)', 1)
-        AS port,
+      regexp_extract(
+        regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1),
+        ':([0-9]+)$', 1) AS port,
       regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1)
         AS rawpath,
       regexp_replace(
@@ -2103,8 +2104,8 @@ s AS (SELECT doc_id,
       FROM m),
 e AS (SELECT doc_id,
         replace(replace(replace(replace(replace(replace(t,
-          '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
-          '&quot;', '"'), '&#39;', chr(39)) AS t
+          '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+          '&quot;', '"'), '&#39;', chr(39)), '&amp;', '&') AS t
       FROM s)
 SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM e
 """
@@ -2187,12 +2188,13 @@ nr AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_rel
 j AS (SELECT r.query_id, r.rank,
              CASE WHEN rel.neighbor_id IS NOT NULL THEN 1 ELSE 0 END AS is_rel
       FROM r LEFT JOIN rel
-        ON r.query_id = rel.query_id AND r.neighbor_id = rel.neighbor_id
-      WHERE r.rank <= 10),
+        ON r.query_id = rel.query_id AND r.neighbor_id = rel.neighbor_id),
 pq AS (SELECT query_id,
-              CAST(sum(is_rel) AS BIGINT) AS hits,
-              min(CASE WHEN is_rel = 1 THEN rank END) AS first_hit,
-              list_sum(list(CASE WHEN is_rel = 1
+              CAST(sum(CASE WHEN rank <= 10 THEN is_rel ELSE 0 END)
+                   AS BIGINT) AS hits,
+              min(CASE WHEN is_rel = 1 AND rank <= 10 THEN rank END)
+                AS first_hit,
+              list_sum(list(CASE WHEN is_rel = 1 AND rank <= 10
                                  THEN list_extract({_DISC10_SQL}, rank)
                                  ELSE 0.0 END ORDER BY rank)) AS dcg
        FROM j GROUP BY query_id)
@@ -2234,11 +2236,11 @@ b AS (
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
 s AS (
   SELECT event_type, pos,
-         bp - least(0.0, COALESCE(min(bp) OVER wp, 0.0)) AS sp,
-         greatest(0.0, COALESCE(max(bn) OVER wp, 0.0)) - bn AS sn
+         bp - least(0.0, min(bp) OVER wp) AS sp,
+         greatest(0.0, max(bn) OVER wp) - bn AS sn
   FROM b
   WINDOW wp AS (PARTITION BY event_type ORDER BY pos
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_points,
        CAST(sum(CASE WHEN sp > 5.0 OR sn > 5.0 THEN 1 ELSE 0 END) AS BIGINT)

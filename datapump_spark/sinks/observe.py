@@ -57,14 +57,23 @@ def observed_write(
 def metrics_audit(
     spark, metrics: dict[str, Any], table_path: str, job: str,
 ) -> None:
-    """Append one audit row (job, metric, value, ts) per metric — the
-    long format survives schema growth (new metrics = new rows, never new
-    columns), so the audit table never needs migration. Partition-append
+    """Append one audit row (job, metric, value, value_str, ts) per
+    metric — the long format survives schema growth (new metrics = new
+    rows, never new columns), so the audit table never needs migration.
+    Non-numeric observe metrics (min timestamp, max string) land in
+    ``value_str`` with ``value`` null — they must not crash the audit
+    append AFTER the observed write already succeeded. Partition-append
     only; same idempotence story as the pipeline audit."""
-    rows = [(job, k, float(v) if v is not None else None)
-            for k, v in metrics.items()]
+    rows = []
+    for k, v in metrics.items():
+        try:
+            num = float(v) if v is not None else None
+        except (TypeError, ValueError):
+            num = None
+        rows.append((job, k, num, None if v is None else str(v)))
     (
-        spark.createDataFrame(rows, "job string, metric string, value double")
+        spark.createDataFrame(
+            rows, "job string, metric string, value double, value_str string")
         .withColumn("audit_ts", F.current_timestamp())
         .write.mode("append").parquet(table_path)
     )

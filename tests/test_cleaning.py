@@ -132,3 +132,17 @@ def test_strip_html_is_codegen(spark):
     df = spark.createDataFrame([(1, "<p>x</p>")], "doc_id long, text string")
     plan = strip_html(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_strip_html_no_double_decode(spark):
+    """&amp;lt; is the LITERAL TEXT '&lt;' — decoding &amp; before the
+    other entities would decode it twice into '<'."""
+    from datapump_spark.operators.cleaning import strip_html
+
+    df = spark.createDataFrame(
+        [(1, "use &amp;lt;tag&amp;gt; to escape"),
+         (2, "escaped amp: &amp;amp;")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
+    assert got[1] == "use &lt;tag&gt; to escape"
+    assert got[2] == "escaped amp: &amp;"

@@ -310,3 +310,15 @@ def test_cusum_detects_mean_shift(spark):
         df, ["k"], ["ts", "event_id"], "value").collect()}
     assert self_got["a"]["n_alarms"] > 0
     assert self_got["clean"]["n_alarms"] == 0
+
+
+def test_cusum_statistics_never_negative(spark):
+    """Page's statistic is floored at 0 — a strictly-decreasing series
+    must report max_sp == 0, not a negative value."""
+    from datapump_spark.operators.drift import cusum_changepoints
+
+    rows = [("down", i, i, float(-i)) for i in range(50)]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, event_id long, value double")
+    got = cusum_changepoints(df, ["k"], ["ts", "event_id"], "value").collect()[0]
+    assert got["max_sp"] >= 0.0 and got["max_sn"] >= 0.0

@@ -230,3 +230,37 @@ def test_q_sniff_media_ground_truth(spark):
     e = {r["media_id"]: r for r in sniff_media(m).collect()}
     p = {r["media_id"]: r for r in sniff_media(m, strategy="pandas").collect()}
     assert e == p
+
+
+def test_null_payload_never_crashes_either_path(spark):
+    rows = [(1, None, ("image", "png", None, None, None)),
+            (2, bytearray(make_gif(3, 4)), ("image", "gif", None, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    for strat in ("expr", "pandas"):
+        got = {r["media_id"]: r for r in
+               sniff_media(df, strategy=strat).collect()}
+        assert got[1]["format"] is None and got[1]["kind"] == "blob"
+        assert got[1]["n_bytes"] is None
+        assert got[2]["format"] == "gif"
+
+
+def test_truncated_headers_abstain_in_both_paths(spark):
+    """A valid magic with a truncated header must degrade to format=None
+    (pandas) AND format=None (expr) — never a claimed format with
+    conv-of-partial-bytes dimensions."""
+    rows = [(1, b"\x89PNG\r\n\x1a\n" + b"\x00" * 10),  # png cut before IHDR end
+            (2, b"GIF89a\x10"),                          # gif cut mid-dims
+            (3, b"fLaC" + b"\x00" * 8),                  # flac cut mid-info
+            (4, b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00\x01\x00")]
+    df = spark.createDataFrame(
+        [(i, bytearray(b)) for i, b in rows], "media_id long, payload binary")
+    e = {r["media_id"]: r for r in sniff_media(df).collect()}
+    p = {r["media_id"]: r for r in
+         sniff_media(df, strategy="pandas").collect()}
+    for mid in (1, 2, 3):
+        assert e[mid]["format"] is None, (mid, e[mid])
+        assert p[mid]["format"] is None, (mid, p[mid])
+    # wav with truncated fmt chunk: format detected, fields abstain
+    assert e[4]["format"] == p[4]["format"] == "wav"
+    assert p[4]["sample_rate"] is None and p[4]["channels"] is None
+    assert e[4]["sample_rate"] is None

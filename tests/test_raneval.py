@@ -74,3 +74,17 @@ def test_discount_table_shape():
     # strictly decreasing discounts, increasing cumulative
     assert all(a > b for a, b in zip(disc, disc[1:]))
     assert all(a < b for a, b in zip(cum, cum[1:]))
+
+
+def test_query_with_all_ranks_beyond_k_still_reported(spark):
+    """A query whose every result sits past k must appear with zero
+    metrics, not vanish — dropping it would bias macro-averages."""
+    res = _df(spark, [(1, 10, 1), (2, 20, 99)],
+              "query_id long, neighbor_id long, rank int")
+    rel = _df(spark, [(1, 10), (2, 20)], "query_id long, neighbor_id long")
+    got = {r["query_id"]: r for r in
+           retrieval_metrics(res, rel, k=10).collect()}
+    assert set(got) == {1, 2}
+    assert got[2]["hits"] == 0 and got[2]["ndcg"] == 0.0
+    assert got[2]["n_rel"] == 1
+    assert got[1]["hits"] == 1
