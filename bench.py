@@ -136,6 +136,9 @@ BENCH_QUERIES = [
     "q_blocklist",
     "q_strip_html",
     "q_hybrid_search",
+    "q_retrieval_eval",
+    "q_cusum",
+    "q_quality_binned_mix",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",
