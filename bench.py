@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_retrieval_eval",
     "q_cusum",
     "q_quality_binned_mix",
+    "q_rolling_median",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

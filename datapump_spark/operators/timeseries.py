@@ -163,3 +163,31 @@ def group_trend(
         F.round(F.regr_intercept(y, x), 6).alias("intercept"),
         F.round(F.corr(y, x), 6).alias("r"),
     )
+
+
+def rolling_quantile(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    q: float = 0.5,
+    window: int = 7,
+    out_col: str = "rolling_q",
+) -> DataFrame:
+    """Exact rolling quantile (default: the rolling MEDIAN, the robust
+    smoother a spiky series needs where a moving average chases
+    outliers) over the trailing ``window`` rows per series.
+
+    Spark's exact ``percentile`` evaluated as a window aggregate — no
+    sketch, no UDF; selection + linear interpolation, so the result is
+    engine-identical (no summation-order float drift) and DuckDB's
+    ``quantile_cont`` twins it exactly. ``order_cols`` should end in a
+    unique column (same tie-break doctrine as ``cusum_changepoints``).
+    Frames re-evaluate per row, so cost is O(window) per row — bounded,
+    scan-shaped, one sort per series partition; keep ``window`` modest
+    (tens-hundreds), which is also where a rolling median is
+    statistically meaningful."""
+    w = Window.partitionBy(*keys).orderBy(*order_cols) \
+        .rowsBetween(-(window - 1), 0)
+    return df.withColumn(
+        out_col, F.percentile(value_col, F.lit(float(q))).over(w))

@@ -2250,3 +2250,14 @@ SELECT event_type,
        round(max(sn), 6) AS max_sn
 FROM s GROUP BY event_type
 """
+
+
+# q_rolling_median: DuckDB's quantile_cont over the identical frame —
+# both engines do selection + linear interpolation, no summation floats.
+EXTRA_ORACLES["q_rolling_median"] = """
+SELECT event_type, ts, event_id, value,
+       round(quantile_cont(value, 0.5) OVER (
+         PARTITION BY event_type ORDER BY ts, event_id
+         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS med
+FROM events
+"""

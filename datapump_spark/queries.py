@@ -1117,6 +1117,20 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-24-row exact rolling median of value per event type
+    (operators/timeseries.py rolling_quantile) — the robust smoother; a
+    selection statistic, so no float-summation drift and DuckDB's
+    quantile_cont twins it exactly."""
+    from datapump_spark.operators.timeseries import rolling_quantile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value")
+    out = rolling_quantile(ev, ["event_type"], ["ts", "event_id"],
+                           "value", q=0.5, window=24, out_col="med")
+    return out.withColumn("med", F.round("med", 6))
+
+
 def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type CUSUM change-point report over the events value
     series (operators/drift.py cusum_changepoints): window-only prefix
@@ -2177,6 +2191,7 @@ EXTRA_QUERIES.update({
     "q_hybrid_search": q_hybrid_search,
     "q_retrieval_eval": q_retrieval_eval,
     "q_cusum": q_cusum,
+    "q_rolling_median": q_rolling_median,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

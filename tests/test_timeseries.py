@@ -233,3 +233,25 @@ def test_rrf_fuse_k_and_validation(spark):
     assert rrf_fuse({"only": a}, k=3).count() == 3
     with _pt.raises(ValueError):
         rrf_fuse({})
+
+
+def test_rolling_quantile_matches_pandas(spark):
+    import pandas as pd
+
+    from datapump_spark.operators.timeseries import rolling_quantile
+
+    vals = [5.0, 1.0, 4.0, 2.0, 8.0, 3.0, 9.0, 0.0]
+    got = [r["rolling_q"] for r in rolling_quantile(
+        _series(spark, vals), ["key"], ["t"], "v", q=0.5, window=3)
+        .orderBy("t").collect()]
+    want = pd.Series(vals).rolling(3, min_periods=1).median()
+    for g, w in zip(got, want):
+        assert g == pytest.approx(w, rel=1e-12)
+    # q=0.25 exercises the interpolated branch
+    got25 = [r["rolling_q"] for r in rolling_quantile(
+        _series(spark, vals), ["key"], ["t"], "v", q=0.25, window=4)
+        .orderBy("t").collect()]
+    want25 = pd.Series(vals).rolling(4, min_periods=1).quantile(
+        0.25, interpolation="linear")
+    for g, w in zip(got25, want25):
+        assert g == pytest.approx(w, rel=1e-12)
