@@ -139,3 +139,52 @@ def pagerank_oracle_sql(
             f"FROM nodes x CROSS JOIN n LEFT JOIN inc{k} ON inc{k}.node = x.node)")
     return ("WITH " + ",\n".join(parts)
             + f"\nSELECT node, CAST(rank AS BIGINT) AS rank FROM r{n_iter}")
+
+
+def triangle_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst",
+) -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected graph: (node, degree, n_triangles, clustering_coeff) with
+    coeff = 2·T / (d·(d−1)) (0 where degree < 2).
+
+    Triangle enumeration by the oriented two-join: normalize every edge
+    to (lo < hi), then e₁(a,b) ⋈ e₂(b,c) ⋈ e₃(a,c) with a<b<c — each
+    triangle found exactly once, via two hash equi-joins (no cross
+    product). Cost is Σ_b d(b)² on the middle vertex; for power-law
+    graphs orient by DEGREE (lowest-degree vertex first) instead of id —
+    same plan shape, bounds the quadratic term by the arboricity
+    (Schank-Wagner) — id orientation is kept here because it is
+    deterministic AND oracle-twinnable without a degree tie-break
+    convention. Degrees come from one exploded aggregation; everything
+    shuffles on node ids only.
+    """
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("lo"),
+            F.greatest(F.col(src), F.col(dst)).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    deg = (
+        e.select(F.explode(F.array("lo", "hi")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])          # a < b < c
+    per_node = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("node"))
+        .groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    return (
+        deg.join(per_node, "node", "left")
+        .withColumn("n_triangles", F.coalesce("n_triangles", F.lit(0)))
+        .withColumn(
+            "clustering_coeff",
+            F.round(F.when(F.col("degree") >= 2,
+                           2.0 * F.col("n_triangles")
+                           / (F.col("degree") * (F.col("degree") - 1)))
+                    .otherwise(F.lit(0.0)), 6))
+    )

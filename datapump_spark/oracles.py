@@ -2261,3 +2261,46 @@ SELECT event_type, ts, event_id, value,
          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW), 6) AS med
 FROM events
 """
+
+
+# q_triangles: identical a<b<c two-join enumeration in SQL over the same
+# supplier co-purchase projection.
+EXTRA_ORACLES["q_triangles"] = """
+WITH sup AS (
+  SELECT x.l_suppkey AS lo, y.l_suppkey AS hi, count(*) AS sup
+  FROM lineitem x JOIN lineitem y ON x.l_orderkey = y.l_orderkey
+  WHERE x.l_suppkey < y.l_suppkey GROUP BY 1, 2),
+b2 AS (
+  SELECT lo, hi, sup FROM sup
+  UNION ALL SELECT hi, lo, sup FROM sup),
+knn AS (
+  SELECT lo AS src, hi AS dst FROM (
+    SELECT *, row_number() OVER (PARTITION BY lo
+                                 ORDER BY sup DESC, hi ASC) AS rk
+    FROM b2)
+  WHERE rk <= 10),
+pairs AS (
+  SELECT DISTINCT least(src, dst) AS lo, greatest(src, dst) AS hi
+  FROM knn WHERE src != dst),
+deg AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS degree
+  FROM (SELECT lo AS node FROM pairs UNION ALL SELECT hi FROM pairs)
+  GROUP BY node),
+tri AS (
+  SELECT e1.lo AS a, e1.hi AS b, e2.hi AS c
+  FROM pairs e1
+  JOIN pairs e2 ON e1.hi = e2.lo
+  JOIN pairs e3 ON e3.lo = e1.lo AND e3.hi = e2.hi),
+pn AS (
+  SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+  FROM (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri)
+  GROUP BY node)
+SELECT deg.node, deg.degree,
+       COALESCE(pn.n_triangles, 0) AS n_triangles,
+       round(CASE WHEN deg.degree >= 2
+                  THEN 2.0 * COALESCE(pn.n_triangles, 0)
+                       / (deg.degree * (deg.degree - 1))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN pn ON deg.node = pn.node
+"""

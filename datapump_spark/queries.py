@@ -1117,6 +1117,39 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts + local clustering coefficients (operators/
+    graph.py triangle_stats) over the supplier co-purchase kNN graph:
+    suppliers sharing orders, SPARSIFIED to each node's 10 strongest
+    co-occurrence edges — the raw projection of uniform synthetic data
+    is near-complete (90% density at sf0.1 → ~10⁸ triangles), and top-k
+    sparsification is the standard co-occurrence-graph fix that also
+    keeps the query's cost stable across scale factors. Deterministic
+    ranking (support desc, neighbor asc); oriented two-join enumeration,
+    never an all-pairs product."""
+    from datapump_spark.operators.graph import triangle_stats
+
+    li = _t(spark, sf_dir, "lineitem")
+    support = (
+        li.alias("x").join(li.alias("y"), "l_orderkey")
+        .where(F.col("x.l_suppkey") < F.col("y.l_suppkey"))
+        .groupBy(F.col("x.l_suppkey").alias("lo"),
+                 F.col("y.l_suppkey").alias("hi"))
+        .agg(F.count(F.lit(1)).alias("sup"))
+    )
+    both = support.select("lo", "hi", "sup").union(
+        support.select(F.col("hi").alias("lo"), F.col("lo").alias("hi"),
+                       "sup"))
+    w = Window.partitionBy("lo").orderBy(F.col("sup").desc(),
+                                         F.col("hi").asc())
+    knn = (
+        both.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= 10)
+        .select(F.col("lo").alias("src"), F.col("hi").alias("dst"))
+    )
+    return triangle_stats(knn)
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trailing-24-row exact rolling median of value per event type
     (operators/timeseries.py rolling_quantile) — the robust smoother; a
@@ -2192,6 +2225,7 @@ EXTRA_QUERIES.update({
     "q_retrieval_eval": q_retrieval_eval,
     "q_cusum": q_cusum,
     "q_rolling_median": q_rolling_median,
+    "q_triangles": q_triangles,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -68,3 +68,37 @@ def test_duplicate_edges_ignored(spark):
     df = spark.createDataFrame(EDGES + EDGES[:2], "src string, dst string")
     got = {r["node"]: r["rank"] for r in pagerank(df, n_iter=3).collect()}
     assert got == _python_pagerank(EDGES, 3)
+
+
+def test_triangle_stats_hand_graph(spark):
+    """K4 plus a pendant vertex: every K4 node sits in C(3,2)=3
+    triangles; the pendant sits in none."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.graph import triangle_stats
+
+    k4 = [(a, b) for a in range(4) for b in range(4) if a < b]
+    edges = spark.createDataFrame(
+        k4 + [(3, 9), (9, 3)],  # duplicate reversed edge must not double
+        "src long, dst long")
+    got = {r["node"]: r for r in triangle_stats(edges).collect()}
+    for n in range(3):
+        assert got[n]["n_triangles"] == 3 and got[n]["degree"] == 3
+        assert got[n]["clustering_coeff"] == 1.0
+    assert got[3]["degree"] == 4 and got[3]["n_triangles"] == 3
+    assert got[3]["clustering_coeff"] == round(2 * 3 / (4 * 3), 6)
+    assert got[9]["n_triangles"] == 0 and got[9]["clustering_coeff"] == 0.0
+    # plan: equi-joins only
+    plan = triangle_stats(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+
+
+def test_triangle_stats_triangle_free_graph(spark):
+    from datapump_spark.operators.graph import triangle_stats
+
+    # a path graph has no triangles
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(6)], "src long, dst long")
+    got = triangle_stats(edges).collect()
+    assert all(r["n_triangles"] == 0 for r in got)
+    assert {r["node"] for r in got} == set(range(7))
