@@ -141,6 +141,7 @@ BENCH_QUERIES = [
     "q_quality_binned_mix",
     "q_rolling_median",
     "q_triangles",
+    "q_assoc_rules",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

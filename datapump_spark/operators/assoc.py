@@ -1,0 +1,74 @@
+"""Association-rule mining over basket data — pairwise support /
+confidence / lift (the Agrawal-Srikant market-basket classic, restricted
+to 2-itemsets, which is what production co-occurrence analyses actually
+ship: "users who bought A bought B", related-items panels, co-crawl
+domain affinities).
+
+Spark-first shape: ONE self-join on the basket id generates candidate
+pairs (never an item-domain cross product), guarded by a min-support
+count pushed into the pair aggregation; item supports come from one
+aggregation and meet the pairs through broadcast joins (item stats are
+vocabulary-sized, baskets are the big table). All statistics are ratios
+of exact integer counts — engine-identical to the 6-dp rounding, hence
+fully oracle-twinnable.
+
+At 100 TB: the self-join shuffles on basket id (the natural key the data
+arrives clustered by); skewed mega-baskets are the one hazard — cap
+basket size upstream (a basket with 10⁴ items contributes 10⁸ pairs and
+no analytic value; the cap is the standard fix).
+
+Reference parity: absent in the reference; SURVEY §7 extended analytics.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pair_rules(
+    df: DataFrame,
+    basket_col: str,
+    item_col: str,
+    min_support_count: int = 2,
+) -> DataFrame:
+    """(antecedent, consequent, n_both, support, confidence, lift) for
+    every ordered item pair co-occurring in ≥ ``min_support_count``
+    baskets. Both directions are emitted (confidence is asymmetric);
+    support/confidence/lift are the textbook definitions on distinct
+    baskets (duplicate items within a basket count once)."""
+    b = df.select(F.col(basket_col).alias("b"),
+                  F.col(item_col).alias("item")).distinct()
+    n_baskets = b.select("b").distinct().count()
+    items = b.groupBy("item").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_item"))
+    x, y = b.alias("x"), b.alias("y")
+    pairs = (
+        x.join(y, "b")
+        .where(F.col("x.item") < F.col("y.item"))
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("c"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+        .where(F.col("n_both") >= min_support_count)
+    )
+    directed = pairs.select(
+        F.col("a").alias("antecedent"), F.col("c").alias("consequent"),
+        "n_both",
+    ).union(pairs.select(
+        F.col("c").alias("antecedent"), F.col("a").alias("consequent"),
+        "n_both"))
+    out = (
+        directed
+        .join(F.broadcast(items.withColumnRenamed("item", "antecedent")
+                          .withColumnRenamed("n_item", "n_ante")),
+              "antecedent")
+        .join(F.broadcast(items.withColumnRenamed("item", "consequent")
+                          .withColumnRenamed("n_item", "n_cons")),
+              "consequent")
+    )
+    return out.select(
+        "antecedent", "consequent", "n_both",
+        F.round(F.col("n_both") / n_baskets, 6).alias("support"),
+        F.round(F.col("n_both") / F.col("n_ante"), 6).alias("confidence"),
+        F.round((F.col("n_both") / F.col("n_ante"))
+                / (F.col("n_cons") / n_baskets), 6).alias("lift"),
+    )

@@ -2304,3 +2304,29 @@ SELECT deg.node, deg.degree,
                   ELSE 0.0 END, 6) AS clustering_coeff
 FROM deg LEFT JOIN pn ON deg.node = pn.node
 """
+
+
+# q_assoc_rules: the textbook pair support/confidence/lift in SQL over
+# the same (distinct) order→part baskets; ratios of exact integer counts.
+EXTRA_ORACLES["q_assoc_rules"] = """
+WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
+n AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n_baskets FROM b),
+it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
+p AS (
+  SELECT x.item AS a, y.item AS c, CAST(count(*) AS BIGINT) AS n_both
+  FROM b x JOIN b y ON x.bk = y.bk AND x.item < y.item
+  GROUP BY 1, 2 HAVING count(*) >= 3),
+d AS (
+  SELECT a AS antecedent, c AS consequent, n_both FROM p
+  UNION ALL
+  SELECT c, a, n_both FROM p)
+SELECT d.antecedent, d.consequent, d.n_both,
+       round(d.n_both / n.n_baskets, 6) AS support,
+       round(CAST(d.n_both AS DOUBLE) / ia.n_item, 6) AS confidence,
+       round((CAST(d.n_both AS DOUBLE) / ia.n_item)
+             / (ic.n_item / n.n_baskets), 6) AS lift
+FROM d
+JOIN it ia ON d.antecedent = ia.item
+JOIN it ic ON d.consequent = ic.item
+CROSS JOIN n
+"""

@@ -1117,6 +1117,17 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise association rules over order baskets of parts
+    (operators/assoc.py pair_rules): support/confidence/lift for part
+    pairs co-ordered ≥ 3 times — the market-basket classic; all
+    statistics are ratios of exact integer counts."""
+    from datapump_spark.operators.assoc import pair_rules
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pair_rules(li, "l_orderkey", "l_partkey", min_support_count=3)
+
+
 def q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle counts + local clustering coefficients (operators/
     graph.py triangle_stats) over the supplier co-purchase kNN graph:
@@ -2226,6 +2237,7 @@ EXTRA_QUERIES.update({
     "q_cusum": q_cusum,
     "q_rolling_median": q_rolling_median,
     "q_triangles": q_triangles,
+    "q_assoc_rules": q_assoc_rules,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,
