@@ -37,9 +37,13 @@ def pair_rules(
     baskets. Both directions are emitted (confidence is asymmetric);
     support/confidence/lift are the textbook definitions on distinct
     baskets (duplicate items within a basket count once)."""
+    # single lazy plan: the deduped basket-item table feeds the basket
+    # count, the item supports, and both sides of the self-join — the
+    # subtrees are identical, so Spark's ReusedExchange computes the
+    # distinct's shuffle ONCE (no persist, no driver-side count action)
     b = df.select(F.col(basket_col).alias("b"),
                   F.col(item_col).alias("item")).distinct()
-    n_baskets = b.select("b").distinct().count()
+    nb = b.agg(F.countDistinct("b").cast("double").alias("__nb"))
     items = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item"))
     x, y = b.alias("x"), b.alias("y")
@@ -50,12 +54,14 @@ def pair_rules(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
         .where(F.col("n_both") >= min_support_count)
     )
-    directed = pairs.select(
-        F.col("a").alias("antecedent"), F.col("c").alias("consequent"),
-        "n_both",
-    ).union(pairs.select(
-        F.col("c").alias("antecedent"), F.col("a").alias("consequent"),
-        "n_both"))
+    # both rule directions from ONE pass over the pair aggregate (a
+    # union would re-run the self-join for each branch)
+    directed = pairs.select(F.explode(F.array(
+        F.struct(F.col("a").alias("antecedent"),
+                 F.col("c").alias("consequent"), F.col("n_both")),
+        F.struct(F.col("c").alias("antecedent"),
+                 F.col("a").alias("consequent"), F.col("n_both")),
+    )).alias("r")).select("r.*")
     out = (
         directed
         .join(F.broadcast(items.withColumnRenamed("item", "antecedent")
@@ -64,11 +70,12 @@ def pair_rules(
         .join(F.broadcast(items.withColumnRenamed("item", "consequent")
                           .withColumnRenamed("n_item", "n_cons")),
               "consequent")
+        .crossJoin(F.broadcast(nb))
     )
     return out.select(
         "antecedent", "consequent", "n_both",
-        F.round(F.col("n_both") / n_baskets, 6).alias("support"),
+        F.round(F.col("n_both") / F.col("__nb"), 6).alias("support"),
         F.round(F.col("n_both") / F.col("n_ante"), 6).alias("confidence"),
         F.round((F.col("n_both") / F.col("n_ante"))
-                / (F.col("n_cons") / n_baskets), 6).alias("lift"),
+                / (F.col("n_cons") / F.col("__nb")), 6).alias("lift"),
     )
