@@ -142,6 +142,8 @@ BENCH_QUERIES = [
     "q_rolling_median",
     "q_triangles",
     "q_assoc_rules",
+    "q_acf",
+    "q_gini",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

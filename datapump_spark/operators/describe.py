@@ -139,3 +139,39 @@ def describe_table(
         .drop("__ord")
     )
     return wide
+
+
+def gini_concentration(
+    df,
+    group_col: str,
+    weight_col: str,
+):
+    """Gini coefficient of how unevenly ``weight_col`` mass concentrates
+    across ``group_col`` (one row out: n_groups, total, gini ∈ [0, 1)).
+    THE corpus-curation concentration report: a pre-training mix where
+    three domains carry 90% of tokens has a Gini near 1 and needs
+    per-domain caps (operators/sampling.group_cap) before training.
+
+    Computed on the per-group totals via the sorted-cumulative formula
+    G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n with x ascending (i 1-based) — an
+    ordered running sum over the GROUP table (group-cardinality-sized,
+    not row-sized; the single-partition sort is over n_groups rows,
+    which is the already-aggregated small side). Ties order by group id
+    so the rank assignment — though not the Gini value, which is
+    tie-invariant — is deterministic."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    per = df.groupBy(group_col).agg(
+        F.sum(weight_col).cast("double").alias("__x"))
+    w = Window.orderBy(F.col("__x").asc(), F.col(group_col).asc())
+    ranked = per.withColumn("__i", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.round(F.sum("__x"), 6).alias("total"),
+        F.round(
+            (2.0 * F.sum(F.col("__i") * F.col("__x")))
+            / (F.count(F.lit(1)) * F.sum("__x"))
+            - (F.count(F.lit(1)) + 1) / F.count(F.lit(1)),
+            6).alias("gini"),
+    )

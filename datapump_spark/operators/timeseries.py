@@ -191,3 +191,42 @@ def rolling_quantile(
         .rowsBetween(-(window - 1), 0)
     return df.withColumn(
         out_col, F.percentile(value_col, F.lit(float(q))).over(w))
+
+
+def autocorrelation(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    value_col: str,
+    max_lag: int = 5,
+) -> DataFrame:
+    """Sample autocorrelation per series at lags 1..``max_lag``:
+    (keys…, lag, n, acf) — the standard diagnostic for seasonality /
+    drift-vs-noise (an EWMA/CUSUM parameterization starts here).
+
+    acf(l) = corr(x_t, x_{t−l}) over the lag-aligned pairs (the
+    pairwise-complete convention). One window sort produces every lag
+    column (lag exprs share the (partition, order)), then one unpivoted
+    aggregation; rounded 6 dp under the repo float policy (same corr
+    precedent as ``group_trend``)."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1: {max_lag}")
+    w = Window.partitionBy(*keys).orderBy(*order_cols)
+    d = df
+    for lag in range(1, max_lag + 1):
+        d = d.withColumn(f"__l{lag}", F.lag(value_col, lag).over(w))
+    stacked = d.select(
+        *keys,
+        F.col(value_col).cast("double").alias("__v"),
+        F.explode(F.array(*[
+            F.struct(F.lit(lag).alias("lag"),
+                     F.col(f"__l{lag}").cast("double").alias("prev"))
+            for lag in range(1, max_lag + 1)])).alias("p"),
+    ).select(*keys, "__v", F.col("p.lag").alias("lag"),
+             F.col("p.prev").alias("prev"))
+    return (
+        stacked.where(F.col("prev").isNotNull())
+        .groupBy(*keys, "lag")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
+             F.round(F.corr("__v", "prev"), 6).alias("acf"))
+    )

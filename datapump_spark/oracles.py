@@ -2330,3 +2330,42 @@ JOIN it ia ON d.antecedent = ia.item
 JOIN it ic ON d.consequent = ic.item
 CROSS JOIN n
 """
+
+
+# q_acf: same lag alignment + pairwise-complete corr in SQL (corr is the
+# one aggregate both engines define identically; round-6 per the repo
+# float policy, the group_trend precedent).
+EXTRA_ORACLES["q_acf"] = """
+WITH lag_tbl AS (
+  SELECT event_type, value,
+         lag(value, 1) OVER w AS l1, lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3, lag(value, 4) OVER w AS l4,
+         lag(value, 5) OVER w AS l5
+  FROM events
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)),
+stacked AS (
+  SELECT event_type, value AS v, 1 AS lag, l1 AS prev FROM lag_tbl
+  UNION ALL SELECT event_type, value, 2, l2 FROM lag_tbl
+  UNION ALL SELECT event_type, value, 3, l3 FROM lag_tbl
+  UNION ALL SELECT event_type, value, 4, l4 FROM lag_tbl
+  UNION ALL SELECT event_type, value, 5, l5 FROM lag_tbl)
+SELECT event_type, CAST(lag AS INT) AS lag,
+       CAST(count(*) AS BIGINT) AS n,
+       round(corr(v, prev), 6) AS acf
+FROM stacked WHERE prev IS NOT NULL
+GROUP BY event_type, lag
+"""
+
+# q_gini: identical sorted-cumulative formula over the per-source totals.
+EXTRA_ORACLES["q_gini"] = """
+WITH per AS (
+  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS x
+  FROM documents GROUP BY source),
+ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, source ASC) AS i FROM per)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       round(sum(x), 6) AS total,
+       round((2.0 * sum(i * x)) / (count(*) * sum(x))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked
+"""

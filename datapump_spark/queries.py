@@ -1117,6 +1117,25 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation of event values per event type at lags 1..5
+    (operators/timeseries.py autocorrelation): one window sort serves
+    all lags, one aggregation; (ts, event_id) tie-broken ordering."""
+    from datapump_spark.operators.timeseries import autocorrelation
+    return autocorrelation(
+        _t(spark, sf_dir, "events"), ["event_type"], ["ts", "event_id"],
+        "value", max_lag=5)
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus concentration report: Gini coefficient of character mass
+    across document sources (operators/describe.py gini_concentration)
+    — the one-number input to a per-domain-cap decision."""
+    from datapump_spark.operators.describe import gini_concentration
+    return gini_concentration(
+        _t(spark, sf_dir, "documents"), "source", "n_chars")
+
+
 def q_assoc_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise association rules over order baskets of parts
     (operators/assoc.py pair_rules): support/confidence/lift for part
@@ -2238,6 +2257,8 @@ EXTRA_QUERIES.update({
     "q_rolling_median": q_rolling_median,
     "q_triangles": q_triangles,
     "q_assoc_rules": q_assoc_rules,
+    "q_acf": q_acf,
+    "q_gini": q_gini,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -86,3 +86,24 @@ def test_edge_empty_and_all_null_inputs(spark):
     assert len(describe_string(nulls, ["s"]).collect()) == 4
     assert column_modes(nulls, ["s", "v"]).count() == 0         # no non-null modes
     assert freq_resample(empty, ["k"], "ts", "H").count() == 0
+
+
+def test_gini_concentration(spark):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.describe import gini_concentration
+
+    # perfectly even mass → gini 0
+    even = spark.createDataFrame(
+        [(f"g{i}", 10.0) for i in range(8)], "g string, w double")
+    r = gini_concentration(even, "g", "w").collect()[0]
+    assert r["gini"] == 0.0 and r["n_groups"] == 8 and r["total"] == 80.0
+    # one group holds everything → gini → (n-1)/n
+    skewed = spark.createDataFrame(
+        [("a", 1000.0)] + [(f"g{i}", 0.0) for i in range(9)],
+        "g string, w double")
+    r2 = gini_concentration(skewed, "g", "w").collect()[0]
+    assert r2["gini"] == pytest.approx(9 / 10, abs=1e-6)
+    # invariance to input layout
+    r3 = gini_concentration(skewed.repartition(5), "g", "w").collect()[0]
+    assert r3["gini"] == r2["gini"]

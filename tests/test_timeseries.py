@@ -255,3 +255,21 @@ def test_rolling_quantile_matches_pandas(spark):
         0.25, interpolation="linear")
     for g, w in zip(got25, want25):
         assert g == pytest.approx(w, rel=1e-12)
+
+
+def test_autocorrelation_vs_numpy(spark):
+    import numpy as np
+
+    from datapump_spark.operators.timeseries import autocorrelation
+
+    vals = [float(((i * 13) % 17) - 8 + (3 if i % 2 == 0 else -3))
+            for i in range(60)]  # strong lag-2 structure
+    got = {r["lag"]: r for r in autocorrelation(
+        _series(spark, vals), ["key"], ["t"], "v", max_lag=3).collect()}
+    for lag in (1, 2, 3):
+        a = np.array(vals[lag:]); b = np.array(vals[:-lag])
+        want = float(np.corrcoef(a, b)[0, 1])
+        assert got[lag]["acf"] == pytest.approx(want, abs=1e-6), lag
+        assert got[lag]["n"] == 60 - lag
+    # the alternating ±3 component surfaces as positive lag-2 acf above lag-1
+    assert got[2]["acf"] > got[1]["acf"]
