@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_assoc_rules",
     "q_acf",
     "q_gini",
+    "q_user_profile",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

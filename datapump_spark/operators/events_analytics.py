@@ -193,3 +193,71 @@ def rolling_active(
         .groupBy("day")
         .agg(F.count_distinct("__id").cast("bigint").alias("n_active"))
     )
+
+
+def user_activity_profile(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user behavioral profile — the bot/spam-screening shape for
+    event streams: (user, n_events, n_types, mean_gap_s, cv_gap,
+    burstiness, type_entropy).
+
+    - ``mean_gap_s`` / ``cv_gap``: inter-arrival seconds (lag over the
+      (ts, id)-ordered series; id breaks timestamp ties) — machines emit
+      metronome gaps (cv → 0), humans are bursty (cv > 1).
+    - ``burstiness``: Goh-Barabási B = (σ−μ)/(σ+μ) ∈ (−1, 1); −1 ≡
+      periodic, 0 ≡ Poisson, → 1 ≡ extreme bursts.
+    - ``type_entropy``: Shannon entropy (nats) of the user's event-type
+      mix — single-action accounts score 0. The Σ p·ln p fold runs in
+      TYPE-SORTED order (sorted-array fold, the bm25 precedent) so the
+      float sum is engine- and layout-deterministic.
+
+    One window sort + two aggregations, all shuffles on the user id.
+    Users with < 2 events carry null gap stats (no interval exists).
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    gap = (F.unix_micros(F.col(ts_col))
+           - F.unix_micros(F.lag(ts_col).over(w))) / 1_000_000.0
+    gaps = (
+        df.withColumn("__gap", gap)
+        .groupBy(user_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_events"),
+             F.avg("__gap").alias("__mu"),
+             F.stddev_samp("__gap").alias("__sd"))
+    )
+    tc = df.groupBy(user_col, type_col).agg(
+        F.count(F.lit(1)).cast("double").alias("__c"))
+    ent = (
+        tc.withColumn("__tot", F.sum("__c").over(
+            Window.partitionBy(user_col)))
+        .groupBy(user_col)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"),
+             F.sort_array(F.collect_list(F.struct(
+                 F.col(type_col).alias("t"),
+                 (-(F.col("__c") / F.col("__tot"))
+                  * F.log(F.col("__c") / F.col("__tot"))).alias("e"))))
+             .alias("__arr"))
+        .select(user_col, "n_types",
+                F.round(F.aggregate(
+                    F.transform("__arr", lambda s: s["e"]),
+                    F.lit(0.0), lambda acc, x: acc + x), 6)
+                .alias("type_entropy"))
+    )
+    return (
+        gaps.join(ent, user_col)
+        .select(
+            user_col, "n_events", "n_types",
+            F.round("__mu", 6).alias("mean_gap_s"),
+            F.round(F.when(F.col("__mu") > 0, F.col("__sd") / F.col("__mu")),
+                    6).alias("cv_gap"),
+            F.round(F.when((F.col("__sd") + F.col("__mu")) > 0,
+                           (F.col("__sd") - F.col("__mu"))
+                           / (F.col("__sd") + F.col("__mu"))), 6)
+            .alias("burstiness"),
+            "type_entropy",
+        )
+    )

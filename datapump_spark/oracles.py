@@ -2369,3 +2369,36 @@ SELECT CAST(count(*) AS BIGINT) AS n_groups,
              - (count(*) + 1.0) / count(*), 6) AS gini
 FROM ranked
 """
+
+
+# q_user_profile: same (ts, event_id)-ordered gaps and type-sorted
+# entropy fold (list_sum ORDER BY precedent) in SQL.
+EXTRA_ORACLES["q_user_profile"] = """
+WITH g AS (
+  SELECT user_id,
+         (epoch_us(ts) - epoch_us(lag(ts) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id))) / 1000000.0 AS gap
+  FROM events),
+gs AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         avg(gap) AS mu, stddev_samp(gap) AS sd
+  FROM g GROUP BY user_id),
+tc AS (
+  SELECT user_id, event_type, CAST(count(*) AS DOUBLE) AS c
+  FROM events GROUP BY user_id, event_type),
+tt AS (SELECT user_id, sum(c) AS tot FROM tc GROUP BY user_id),
+ent AS (
+  SELECT tc.user_id, CAST(count(*) AS BIGINT) AS n_types,
+         round(list_sum(list(-(c / tot) * ln(c / tot)
+                             ORDER BY event_type)), 6) AS type_entropy
+  FROM tc JOIN tt ON tc.user_id = tt.user_id
+  GROUP BY tc.user_id)
+SELECT gs.user_id, gs.n_events, ent.n_types,
+       round(gs.mu, 6) AS mean_gap_s,
+       round(CASE WHEN gs.mu > 0 THEN gs.sd / gs.mu END, 6) AS cv_gap,
+       round(CASE WHEN (gs.sd + gs.mu) > 0
+                  THEN (gs.sd - gs.mu) / (gs.sd + gs.mu) END, 6)
+         AS burstiness,
+       ent.type_entropy
+FROM gs JOIN ent ON gs.user_id = ent.user_id
+"""

@@ -1117,6 +1117,17 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user behavioral profile (operators/events_analytics.py
+    user_activity_profile): inter-arrival mean/CV, Goh-Barabási
+    burstiness, and type-mix Shannon entropy — the bot-screening pass
+    over the events stream."""
+    from datapump_spark.operators.events_analytics import (
+        user_activity_profile,
+    )
+    return user_activity_profile(_t(spark, sf_dir, "events"))
+
+
 def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Autocorrelation of event values per event type at lags 1..5
     (operators/timeseries.py autocorrelation): one window sort serves
@@ -2259,6 +2270,7 @@ EXTRA_QUERIES.update({
     "q_assoc_rules": q_assoc_rules,
     "q_acf": q_acf,
     "q_gini": q_gini,
+    "q_user_profile": q_user_profile,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -85,3 +85,38 @@ def test_funnel_rejects_single_step(spark):
     ev = _events(spark, [(1, "2024-01-01 00:00:00", "A", 0)])
     with pytest.raises(ValueError):
         funnel(ev, ["A"])
+
+
+def test_user_activity_profile(spark):
+    import math
+
+    from datapump_spark.operators.events_analytics import (
+        user_activity_profile,
+    )
+
+    base = 1_700_000_000
+    rows = []
+    # metronome user: 4 events, exactly 10s apart, one type
+    for i in range(4):
+        rows.append((1, i, "a", base + 10 * i))
+    # bursty user: gaps 1,1,100; two types evenly
+    for i, off in enumerate([0, 1, 2, 102]):
+        rows.append((2, 10 + i, "a" if i % 2 == 0 else "b", base + off))
+    # single-event user: no intervals
+    rows.append((3, 99, "a", base))
+    df = spark.createDataFrame(rows, "user_id long, event_id long, "
+                                     "event_type string, epoch long") \
+        .selectExpr("user_id", "event_id", "event_type",
+                    "timestamp_seconds(epoch) AS ts")
+    got = {r["user_id"]: r for r in user_activity_profile(df).collect()}
+    m = got[1]
+    assert m["mean_gap_s"] == 10.0 and m["cv_gap"] == 0.0
+    assert m["burstiness"] == -1.0          # perfectly periodic
+    assert m["type_entropy"] == 0.0 and m["n_types"] == 1
+    b = got[2]
+    assert b["mean_gap_s"] == 34.0
+    assert b["cv_gap"] > 1.0 and b["burstiness"] > 0
+    assert b["type_entropy"] == round(math.log(2), 6)  # 2 types, even mix
+    s = got[3]
+    assert s["n_events"] == 1 and s["mean_gap_s"] is None
+    assert s["cv_gap"] is None and s["burstiness"] is None
