@@ -145,6 +145,7 @@ BENCH_QUERIES = [
     "q_acf",
     "q_gini",
     "q_user_profile",
+    "q_benford",
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",

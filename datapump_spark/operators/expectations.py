@@ -148,3 +148,52 @@ def run_suites(suites: list[tuple[ExpectationSuite, DataFrame]],
     for ri in ri_checks:
         out = ri if out is None else out.unionByName(ri)
     return out
+
+
+def benford_deviation(
+    df,
+    value_col: str,
+    group_col: str | None = None,
+):
+    """First-digit distribution vs Benford's law — the numeric-forensics
+    screen (fabricated or unit-mangled numeric columns diverge hard from
+    log10(1+1/d)): per digit 1-9, observed count/frequency, expected
+    frequency, and the chi-square contribution; one row per digit (per
+    group). Total χ² = sum of the contributions; compare against the
+    χ²(8) critical value of the caller's chosen α.
+
+    Digit extraction is string-side: the FIRST NONZERO digit of the
+    absolute value's decimal rendering (so 0.05 → 5, and no log10 float
+    edge at powers of ten); expected frequencies are python-computed
+    literals (engine libm never enters); zero/null values are excluded
+    (they carry no leading digit). One aggregation, fully codegen.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    exp = {d: math.log10(1 + 1 / d) for d in range(1, 10)}
+    keys = [group_col] if group_col else []
+    digit = F.regexp_extract(
+        F.abs(F.col(value_col)).cast("decimal(38,6)").cast("string"),
+        r"[1-9]", 0)
+    base = (
+        df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
+        .withColumn("__d", digit.cast("int"))
+        .where(F.col("__d").between(1, 9))
+    )
+    counts = base.groupBy(*keys, "__d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"))
+    totals = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__tot"))
+    exp_arr = F.array(*[F.lit(exp[d]) for d in range(1, 10)])
+    j = counts.join(F.broadcast(totals), keys) if keys else \
+        counts.crossJoin(F.broadcast(totals))
+    e_freq = F.element_at(exp_arr, F.col("__d"))
+    return j.select(
+        *keys, F.col("__d").alias("digit"), "n",
+        F.round(F.col("n") / F.col("__tot"), 6).alias("obs_freq"),
+        F.round(e_freq, 6).alias("exp_freq"),
+        F.round(F.pow(F.col("n") - e_freq * F.col("__tot"), 2)
+                / (e_freq * F.col("__tot")), 6).alias("chi2_part"),
+    )

@@ -2402,3 +2402,24 @@ SELECT gs.user_id, gs.n_events, ent.n_types,
        ent.type_entropy
 FROM gs JOIN ent ON gs.user_id = ent.user_id
 """
+
+
+# q_benford: identical first-nonzero-digit extraction and python-literal
+# expected frequencies in SQL.
+EXTRA_ORACLES["q_benford"] = """
+WITH base AS (
+  SELECT CAST(regexp_extract(CAST(CAST(abs(l_extendedprice)
+                AS DECIMAL(38,6)) AS VARCHAR), '[1-9]', 0) AS INT) AS d
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_extendedprice != 0),
+c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM base
+      WHERE d BETWEEN 1 AND 9 GROUP BY d),
+t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+e AS (SELECT unnest(generate_series(1, 9)) AS d,
+             unnest([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514]) AS ef)
+SELECT c.d AS digit, c.n,
+       round(c.n / t.tot, 6) AS obs_freq,
+       round(e.ef, 6) AS exp_freq,
+       round(pow(c.n - e.ef * t.tot, 2) / (e.ef * t.tot), 6) AS chi2_part
+FROM c JOIN e ON c.d = e.d CROSS JOIN t
+"""

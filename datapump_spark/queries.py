@@ -1117,6 +1117,16 @@ def q_hybrid_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rrf_fuse({"bm25": bm, "vec": vec}, k=10)
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford first-digit screen over lineitem extended prices
+    (operators/expectations.py benford_deviation): per-digit observed vs
+    expected frequency + χ² contribution — the numeric-forensics
+    data-quality check."""
+    from datapump_spark.operators.expectations import benford_deviation
+    return benford_deviation(
+        _t(spark, sf_dir, "lineitem"), "l_extendedprice")
+
+
 def q_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user behavioral profile (operators/events_analytics.py
     user_activity_profile): inter-arrival mean/CV, Goh-Barabási
@@ -2271,6 +2281,7 @@ EXTRA_QUERIES.update({
     "q_acf": q_acf,
     "q_gini": q_gini,
     "q_user_profile": q_user_profile,
+    "q_benford": q_benford,
     "q_url_canon": q_url_canon,
     "q_domain_volume": q_domain_volume,
     "q_blocklist": q_blocklist,

@@ -76,3 +76,25 @@ def test_custom_check_predicate(spark):
     suite = ExpectationSuite("t", [Check("even:x", F.col("x") % 2 == 0)])
     [r] = suite.run(df).collect()
     assert r["violated"] == 1 and r["total"] == 3
+
+
+def test_benford_deviation(spark):
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.expectations import benford_deviation
+
+    # geometric data follows Benford closely; shifted-uniform does not
+    geo = spark.range(400).select(
+        (F.pow(F.lit(1.3), F.col("id") % 60) * 1.7).alias("v"))
+    uni = spark.range(400).select((F.col("id") % 50 + 50.0).alias("v"))
+    chi_geo = sum(r["chi2_part"] for r in
+                  benford_deviation(geo, "v").collect())
+    chi_uni = sum(r["chi2_part"] for r in
+                  benford_deviation(uni, "v").collect())
+    assert chi_uni > 10 * chi_geo          # 50-99 has no leading 1s
+    # sub-1 magnitudes keep their leading significant digit; zeros drop
+    small = spark.createDataFrame(
+        [(0.05,), (0.5,), (0.0,), (None,), (-0.07,)], "v double")
+    rows = {r["digit"]: r["n"] for r in
+            benford_deviation(small, "v").collect()}
+    assert rows == {5: 2, 7: 1}
