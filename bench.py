@@ -1,8 +1,11 @@
 """Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
 
-Prints ONE JSON line:
+Prints ONE compact JSON line (total, counts, slowest 10 — sized to the
+driver's stdout capture window):
   {"metric": "...", "value": total_sec, "unit": "sec",
-   "queries": {name: sec, ...}, "sf": 0.1}
+   "queries": {slowest10: sec, ...}, "n_queries": N, "n_errors": 0,
+   "sf": 0.1, "full": ".../BENCH_FULL.json"}
+The complete per-query map is written to BENCH_FULL.json next to this file.
 
 Each query is forced end-to-end with the noop datasource writer (full
 materialization of every output column — a bare count() would let Catalyst
@@ -198,15 +201,30 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    out = {
+    # Full per-query map → file (the driver's stdout capture window is
+    # finite; ~85 timings overflow it and leave "parsed": null). The one
+    # stdout JSON line stays compact: total + counts + the slowest 10.
+    full = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
         "sf": sf,
     }
-    if errors:
-        out["n_errors"] = len(errors)
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full, indent=1) + "\n")
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "sf": sf,
+        "full": str(full_path),
+    }
     print(json.dumps(out))
 
 

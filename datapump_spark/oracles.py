@@ -644,7 +644,7 @@ WHERE rn = 1
 # by tests/test_extra_oracles.py instead of the 50-row driver record.
 EXTRA_ORACLES = {
     k: ORACLES.pop(k)
-    for k in ("q_resample_daily", "q_resample_15min", "q_minhash_signature")
+    for k in ("q_resample_15min", "q_minhash_signature")
 }
 
 from datapump_spark.operators.pii import pii_redact_sql, pii_stats_sql  # noqa: E402
@@ -2308,7 +2308,8 @@ FROM deg LEFT JOIN pn ON deg.node = pn.node
 
 # q_assoc_rules: the textbook pair support/confidence/lift in SQL over
 # the same (distinct) order→part baskets; ratios of exact integer counts.
-EXTRA_ORACLES["q_assoc_rules"] = """
+# Driver-gated (promoted to the 50 alongside q_resample_daily).
+ORACLES["q_assoc_rules"] = """
 WITH b AS (SELECT DISTINCT l_orderkey AS bk, l_partkey AS item FROM lineitem),
 n AS (SELECT CAST(count(DISTINCT bk) AS DOUBLE) AS n_baskets FROM b),
 it AS (SELECT item, CAST(count(*) AS BIGINT) AS n_item FROM b GROUP BY item),
