@@ -188,7 +188,16 @@ def cusum_changepoints(
     pre-shift segment.
 
     Returns one row per (keys): n_points, n_alarms, first_alarm_pos
-    (1-based, null if clean), max_sp, max_sn (rounded 6 dp).
+    (1-based, null if clean), max_sp, max_sn (rounded 6 dp), status.
+
+    ``status`` is ``'ok'`` for normally-standardized series. A series the
+    CUSUM statistic CANNOT be computed for is still reported (never
+    silently dropped — the degenerate cases are exactly the alert-worthy
+    ones): ``'no_baseline'`` (series absent from ``baseline``; every
+    point alarms, first_alarm_pos=1) and ``'zero_sd'`` (flat reference,
+    sd=0 or null; any departure from mu is an infinite standardized
+    shift, so points with value != mu alarm). Both report null
+    max_sp/max_sn.
     """
     from pyspark.sql import Window
 
@@ -205,10 +214,29 @@ def cusum_changepoints(
         stats = df.groupBy(*keys).agg(
             F.round(F.avg(value_col), 6).alias("__mu"),
             F.round(F.stddev_pop(value_col), 6).alias("__sd"))
-    d = df.join(F.broadcast(stats), keys) \
-        .where(F.col("__sd") > 0) \
-        .withColumn("__r", (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
+    # LEFT join: a series missing from the baseline, or flat in it, must
+    # surface as a flagged row, not vanish (they are the alert cases)
+    j = df.join(F.broadcast(stats), keys, "left")
     w_ord = Window.partitionBy(*keys).orderBy(*order_cols)
+
+    degenerate = F.col("__mu").isNull() | ~(F.col("__sd") > 0)
+    bad = j.where(degenerate).withColumn(
+        "__alarm",
+        F.col("__mu").isNull() | (F.col(value_col) != F.col("__mu")))
+    bad_agg = (
+        bad.withColumn("__pos", F.row_number().over(w_ord))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
+             F.sum(F.col("__alarm").cast("long")).alias("n_alarms"),
+             F.min(F.when(F.col("__alarm"), F.col("__pos")))
+             .alias("first_alarm_pos"),
+             F.lit(None).cast("double").alias("max_sp"),
+             F.lit(None).cast("double").alias("max_sn"),
+             F.when(F.first(F.col("__mu").isNull()), F.lit("no_baseline"))
+             .otherwise(F.lit("zero_sd")).alias("status")))
+
+    d = j.where(~degenerate) \
+        .withColumn("__r", (F.col(value_col) - F.col("__mu")) / F.col("__sd"))
     run = w_ord.rowsBetween(Window.unboundedPreceding, 0)
     bp = F.sum(F.col("__r") - kappa).over(run)
     bn = F.sum(F.col("__r") + kappa).over(run)
@@ -222,12 +250,14 @@ def cusum_changepoints(
           .withColumn("__pos", F.row_number().over(w_ord))
           .withColumn("__alarm",
                       (F.col("__sp") > h) | (F.col("__sn") > h)))
-    return (
+    ok_agg = (
         d.groupBy(*keys)
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_points"),
              F.sum(F.col("__alarm").cast("long")).alias("n_alarms"),
              F.min(F.when(F.col("__alarm"), F.col("__pos")))
              .alias("first_alarm_pos"),
              F.round(F.max("__sp"), 6).alias("max_sp"),
-             F.round(F.max("__sn"), 6).alias("max_sn"))
+             F.round(F.max("__sn"), 6).alias("max_sn"),
+             F.lit("ok").alias("status"))
     )
+    return ok_agg.unionByName(bad_agg)

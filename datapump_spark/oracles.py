@@ -2247,8 +2247,27 @@ SELECT event_type,
          AS n_alarms,
        min(CASE WHEN sp > 5.0 OR sn > 5.0 THEN pos END) AS first_alarm_pos,
        round(max(sp), 6) AS max_sp,
-       round(max(sn), 6) AS max_sn
+       round(max(sn), 6) AS max_sn,
+       'ok' AS status
 FROM s GROUP BY event_type
+UNION ALL
+-- degenerate (flat-reference) series: reported flagged, never dropped —
+-- mirrors cusum_changepoints' zero_sd path (self-baseline ⇒ mu never null)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_points,
+       CAST(sum(alarm) AS BIGINT) AS n_alarms,
+       min(CASE WHEN alarm = 1 THEN pos END) AS first_alarm_pos,
+       CAST(NULL AS DOUBLE) AS max_sp,
+       CAST(NULL AS DOUBLE) AS max_sn,
+       'zero_sd' AS status
+FROM (
+  SELECT e.event_type,
+         row_number() OVER (PARTITION BY e.event_type
+                            ORDER BY e.ts, e.event_id) AS pos,
+         CASE WHEN e.value <> st.mu THEN 1 ELSE 0 END AS alarm
+  FROM events e JOIN st USING (event_type)
+  WHERE st.sd IS NULL OR st.sd <= 0) flat
+GROUP BY event_type
 """
 
 

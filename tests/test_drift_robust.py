@@ -312,6 +312,47 @@ def test_cusum_detects_mean_shift(spark):
     assert self_got["clean"]["n_alarms"] == 0
 
 
+def test_cusum_degenerate_series_flagged_not_dropped(spark):
+    """A series flat in the reference period (sd=0) that then drifts, or
+    absent from the baseline entirely, must emit a FLAGGED row — the old
+    inner-join + sd>0 filter silently dropped exactly these alert cases."""
+    from datapump_spark.operators.drift import cusum_changepoints
+
+    rows = [("flat", i, i, 1.0) for i in range(50)]          # flat reference
+    rows += [("flat", 50 + i, 50 + i, 9.0) for i in range(10)]  # then drifts
+    rows += [("new", i, i, float(i)) for i in range(20)]     # not in baseline
+    rows += [("norm", i, i, float(i % 5)) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "k string, ts long, event_id long, value double")
+    base = spark.createDataFrame(
+        [("flat", 1.0, 0.0), ("norm", 2.0, 1.414214)],
+        "k string, mu double, sd double")
+    got = {r["k"]: r for r in cusum_changepoints(
+        df, ["k"], ["ts", "event_id"], "value", baseline=base).collect()}
+
+    assert set(got) == {"flat", "new", "norm"}
+    flat = got["flat"]
+    assert flat["status"] == "zero_sd"
+    assert flat["n_points"] == 60
+    assert flat["n_alarms"] == 10            # the 10 post-drift points
+    assert flat["first_alarm_pos"] == 51     # first departure from mu
+    assert flat["max_sp"] is None and flat["max_sn"] is None
+    new = got["new"]
+    assert new["status"] == "no_baseline"
+    assert new["n_alarms"] == new["n_points"] == 20
+    assert new["first_alarm_pos"] == 1
+    assert got["norm"]["status"] == "ok"
+    # a flat series that NEVER drifts reports zero alarms (flagged status,
+    # clean statistics)
+    clean = spark.createDataFrame(
+        [("flat", i, i, 1.0) for i in range(30)],
+        "k string, ts long, event_id long, value double")
+    c = cusum_changepoints(clean, ["k"], ["ts", "event_id"],
+                           "value").collect()[0]
+    assert c["status"] == "zero_sd" and c["n_alarms"] == 0
+    assert c["first_alarm_pos"] is None
+
+
 def test_cusum_statistics_never_negative(spark):
     """Page's statistic is floored at 0 — a strictly-decreasing series
     must report max_sp == 0, not a negative value."""
