@@ -61,9 +61,14 @@ def _l2_normalized(df: DataFrame, id_col: str, vec_col: str,
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if not normalize:
         return base
+    # Null or zero-norm vectors have no direction — cosine against them is
+    # undefined. Drop them here (documented contract) instead of letting
+    # nullif() turn them into all-null arrays that crash the numpy encode
+    # kernel and fail the whole job on one degenerate row.
     nrm = _norm(F.col("v"))
-    return base.withColumn(
-        "v", F.transform("v", lambda x: x / F.nullif(nrm, F.lit(0.0))))
+    return (base
+            .where(F.col("v").isNotNull() & (nrm > 0.0))
+            .withColumn("v", F.transform("v", lambda x: x / nrm)))
 
 
 def _encode_kernel(codebooks):

@@ -225,7 +225,9 @@ def autocorrelation(
     ).select(*keys, "__v", F.col("p.lag").alias("lag"),
              F.col("p.prev").alias("prev"))
     return (
-        stacked.where(F.col("prev").isNotNull())
+        # pairwise-complete: BOTH ends of the pair must be non-null — n is
+        # the sample size corr() actually uses, not just the lag side
+        stacked.where(F.col("prev").isNotNull() & F.col("__v").isNotNull())
         .groupBy(*keys, "lag")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
              F.round(F.corr("__v", "prev"), 6).alias("acf"))

@@ -169,6 +169,12 @@ def train_unigram(
 ) -> UnigramModel:
     """Fit a unigram tokenizer: one distributed word count, then EM+prune
     rounds on the (word type, freq) table driver-side."""
+    if not 0.0 < shrink < 1.0:
+        # shrink >= 1 would keep the full multi-piece set every round and
+        # loop forever; <= 0 is meaningless
+        raise ValueError(f"shrink must be in (0, 1), got {shrink}")
+    if vocab_size < 1:
+        raise ValueError(f"vocab_size must be >= 1, got {vocab_size}")
     wc = [(r["word"], r["cnt"]) for r in
           word_counts(df, text_col, max_word_types).collect()]
 

@@ -2372,7 +2372,7 @@ stacked AS (
 SELECT event_type, CAST(lag AS INT) AS lag,
        CAST(count(*) AS BIGINT) AS n,
        round(corr(v, prev), 6) AS acf
-FROM stacked WHERE prev IS NOT NULL
+FROM stacked WHERE prev IS NOT NULL AND v IS NOT NULL
 GROUP BY event_type, lag
 """
 

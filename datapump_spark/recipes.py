@@ -211,6 +211,18 @@ def rag_index(
     chunks.write.mode("overwrite").parquet(paths["chunks"])
     chunks = docs.sparkSession.read.parquet(paths["chunks"])
 
+    # The 63-bit key is the join identity of all three stores — a silent
+    # collision would cross-wire provenance and vectors. Assert uniqueness
+    # at build time (one aggregation over the just-written table; birthday
+    # bound makes a hit astronomically unlikely below ~2^31 chunks, but a
+    # wrong index must be impossible, not just improbable).
+    collided = (chunks.groupBy("chunk_key").count()
+                .where(F.col("count") > 1).limit(1).collect())
+    if collided:
+        raise ValueError(
+            f"chunk_key collision detected (key {collided[0]['chunk_key']}):"
+            " re-chunk with different parameters or widen the key")
+
     emb = hash_embed(chunks, id_col="chunk_key", text_col="chunk_text",
                      dim=dim)
     emb.write.mode("overwrite").parquet(paths["vectors"])

@@ -57,6 +57,27 @@ def test_encode_contract(emb, codebooks):
     assert all(again[r["id"]] == r["codes"] for r in codes)
 
 
+def test_degenerate_vectors_dropped_not_crashing(spark, emb, codebooks):
+    """Zero-norm and null vectors have no cosine direction: they must be
+    dropped at normalization, not turned into all-null arrays that crash
+    the numpy encode kernel and fail the whole job (old behavior)."""
+    dim = len(emb.first()["embedding"])
+    bad = spark.createDataFrame(
+        [(900001, [0.0] * dim), (900002, None)],
+        "vec_id long, embedding array<double>")
+    poisoned = emb.select("vec_id", "embedding").unionByName(bad)
+    codes = pq_encode(poisoned, codebooks).collect()
+    assert len(codes) == emb.count()          # both degenerate rows dropped
+    ids = {r["id"] for r in codes}
+    assert 900001 not in ids and 900002 not in ids
+    # end-to-end search over the poisoned corpus still completes
+    out = pq_topk(poisoned, codebooks, k=5,
+                  queries=poisoned.where(
+                      (F.col("vec_id") < 3) | (F.col("vec_id") > 900000)))
+    assert out.where(F.col("query_id").isin(900001, 900002)).count() == 0
+    assert out.count() > 0
+
+
 def test_adc_recall_vs_exact(emb, codebooks):
     """Pure-ADC scan gives a (coarse) recall floor; the two-stage layout
     (ADC shortlist → exact re-rank of k·8 rows) recovers most of it.

@@ -43,6 +43,17 @@ def test_hash_embed_is_codegen_only(spark):
     assert "MapInPandas" not in plan
 
 
+def test_rag_index_rejects_chunk_key_collision(spark, tmp_path):
+    """chunk_key = xxhash64(doc_id, chunk_id): duplicate doc ids produce
+    identical keys, which would silently cross-wire all three stores —
+    the build must fail loudly instead."""
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (1, "alpha beta gamma delta")],
+        "doc_id long, text string")
+    with pytest.raises(ValueError, match="chunk_key collision"):
+        rag_index(docs, str(tmp_path / "collidx"), chunk_tokens=4, overlap=0)
+
+
 def test_rag_roundtrip_self_retrieval(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(80)
     work = str(tmp_path / "ragidx")

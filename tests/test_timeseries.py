@@ -273,3 +273,21 @@ def test_autocorrelation_vs_numpy(spark):
         assert got[lag]["n"] == 60 - lag
     # the alternating ±3 component surfaces as positive lag-2 acf above lag-1
     assert got[2]["acf"] > got[1]["acf"]
+
+
+def test_autocorrelation_pairwise_complete_n(spark):
+    """With nulls in the series, ``n`` must be the pairwise-complete count
+    corr() actually uses — both ends non-null — not just the lag side
+    (the old count overstated the sample)."""
+    from datapump_spark.operators.timeseries import autocorrelation
+
+    vals = [float(i % 7) for i in range(20)]
+    rows = [("k", i, None if i in (4, 9) else v)
+            for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "key string, t long, v double")
+    got = {r["lag"]: r for r in autocorrelation(
+        df, ["key"], ["t"], "v", max_lag=2).collect()}
+    for lag in (1, 2):
+        pairs = [(vals[i], vals[i - lag]) for i in range(lag, 20)
+                 if i not in (4, 9) and (i - lag) not in (4, 9)]
+        assert got[lag]["n"] == len(pairs), lag

@@ -82,6 +82,17 @@ def test_vocab_contract(model):
     assert any(len(s) >= 3 for s in multis)
 
 
+def test_invalid_hyperparameters_rejected(docs):
+    """shrink >= 1 would keep the full multi-piece set every prune round
+    and loop forever — validated up front, as is a nonsensical vocab."""
+    import pytest as _pytest
+    for bad in (1.0, 1.5, 0.0, -0.5):
+        with _pytest.raises(ValueError, match="shrink"):
+            train_unigram(docs, vocab_size=300, shrink=bad)
+    with _pytest.raises(ValueError, match="vocab_size"):
+        train_unigram(docs, vocab_size=0)
+
+
 def test_em_improves_loglik(docs):
     m1 = train_unigram(docs, vocab_size=300, seed_size=2000,
                        max_piece_len=5, em_iters=1)
