@@ -213,24 +213,116 @@ def vec_dim(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
     return len(first[0])
 
 
+def _probe_masks(n_flip: int, n_probe: int) -> list[tuple[int, ...]]:
+    """Perturbation sets over margin-RANKS (0 = plane the query is closest
+    to), ordered by the rank-sum proxy for the margin-sum score — the
+    plan-time approximation of Lv et al. 2007's query-directed probe
+    sequence. First entry is the empty set (the home bucket)."""
+    from itertools import combinations
+
+    subsets = [c for r in range(n_flip + 1)
+               for c in combinations(range(n_flip), r)]
+    subsets.sort(key=lambda s: (sum(i + 1 for i in s), len(s), s))
+    return subsets[:n_probe]
+
+
+def _probed_buckets(vec: Column, planes: list[list[float]],
+                    n_probe: int) -> list[Column]:
+    """Home bucket + the n_probe−1 multi-probe buckets for ``vec`` (flip
+    the lowest-|margin| sign bits first — Lv et al. 2007). Buckets are
+    distinct by construction (distinct XOR masks on distinct planes)."""
+    n_planes = len(planes)
+    home = lsh_bucket(vec, planes)
+    if n_probe <= 1:
+        return [home]
+    # rank planes by |signed distance| ascending — flip cheapest first
+    margins = F.array_sort(F.array(*[
+        F.struct(
+            F.abs(_dot(vec, F.array(*[F.lit(float(x)) for x in p]))).alias("m"),
+            F.lit(i).alias("i"))
+        for i, p in enumerate(planes)]))
+    n_flip = 1
+    while 2 ** n_flip < n_probe and n_flip < n_planes:
+        n_flip += 1
+    pow2 = F.array(*[F.lit(2 ** i) for i in range(n_planes)])
+    out = []
+    for mask in _probe_masks(n_flip, n_probe):
+        b = home
+        for rank in mask:
+            plane_idx = F.element_at(margins, rank + 1)["i"]
+            b = b.bitwiseXOR(F.element_at(pow2, plane_idx + 1))
+        out.append(b.cast("bigint"))
+    return out
+
+
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, query_max_id: int = 10, n_planes: int = 4, seed: int = 42,
-    dim: int | None = None,
+    dim: int | None = None, n_probe: int = 1, n_tables: int = 1,
 ) -> DataFrame:
-    """Approximate top-k: exact re-rank restricted to the query's LSH bucket.
+    """Approximate top-k: exact re-rank restricted to the query's LSH
+    bucket(s).
 
-    Same output shape as cosine_topk; recall < 1 by design (graded in tests
-    against the exact baseline, not the oracle)."""
+    Two orthogonal recall knobs on one corpus pass:
+
+    - ``n_probe > 1`` — multi-probe (Lv et al., VLDB 2007): each query also
+      probes the buckets reached by flipping its lowest-|margin| sign bits
+      (the planes it sits closest to, where its true neighbors most likely
+      landed on the other side). Probe buckets are generated query-side
+      (tiny) by XOR-ing rank-ordered perturbation masks onto the home
+      bucket.
+    - ``n_tables > 1`` — OR-ed independent hash tables (classic LSH
+      amplification): a candidate matches if it shares a bucket in ANY
+      table. The corpus is scanned ONCE, emitting (table, bucket) via a
+      single explode; the match stays one equi-join on (table, bucket)
+      against the broadcast query probe set, and cross-table duplicate
+      candidates are deduped BEFORE ranking.
+
+    Expected scanned fraction ≈ 1 − (1 − n_probe/2^n_planes)^n_tables;
+    at 100 TB the corpus-side cost is one scan + n_tables hash
+    evaluations + the candidate stream — never tables × corpus-rescans.
+
+    Same output shape as cosine_topk; recall < 1 by design (graded in
+    tests/scripts/ann_recall.py against the exact baseline, not the
+    oracle)."""
     dim = vec_dim(df, vec_col, dim)
-    planes = hyperplanes(dim, n_planes, seed)
+    tables = [hyperplanes(dim, n_planes, seed + 7919 * t)
+              for t in range(n_tables)]
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
-    base = base.withColumn("nrm", _norm(F.col("v"))) \
-               .withColumn("bucket", lsh_bucket(F.col("v"), planes))
-    q = base.where(F.col("id") < query_max_id).select(
-        F.col("id").alias("query_id"), F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"), F.col("bucket").alias("qb"))
-    c = base.select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), F.col("bucket").alias("cb"))
-    return _score_and_rank(c, q, k, on=F.col("cb") == F.col("qb"))
+    base = base.withColumn("nrm", _norm(F.col("v")))
+    # corpus: one (table, bucket) pair per table, single pass
+    c = base.withColumn(
+        "tb", F.explode(F.array(*[
+            F.struct(F.lit(t).alias("t"),
+                     lsh_bucket(F.col("v"), planes).alias("b"))
+            for t, planes in enumerate(tables)])))
+    c = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
+                 F.col("nrm").alias("cn"), F.col("tb.t").alias("ct"),
+                 F.col("tb.b").alias("cb"))
+    # queries: n_tables × n_probe probe targets each (still tiny)
+    q = base.where(F.col("id") < query_max_id)
+    probe_structs = [
+        F.struct(F.lit(t).alias("t"), b.alias("b"))
+        for t, planes in enumerate(tables)
+        for b in _probed_buckets(F.col("v"), planes, n_probe)]
+    q = (q.withColumn("tb", F.explode(F.array(*probe_structs)))
+          .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
+                  F.col("nrm").alias("qn"), F.col("tb.t").alias("qt"),
+                  F.col("tb.b").alias("qb")))
+    joined = c.join(F.broadcast(q), on=[F.col("ct") == F.col("qt"),
+                                        F.col("cb") == F.col("qb")])
+    if n_tables > 1:
+        # the same (query, neighbor) pair can match in several tables
+        joined = joined.dropDuplicates(["query_id", "neighbor_id"])
+    scored = (
+        joined.where(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", F.round(
+            _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), 6))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(),
+                                               F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .select("query_id", "neighbor_id", "cos")
+    )

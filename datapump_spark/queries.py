@@ -515,11 +515,13 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed approximate top-5 (rows-only check; recall graded in
-    tests against the exact baseline)."""
+    """Multi-probe OR-ed-table LSH approximate top-5 (rows-only check;
+    recall graded in tests/scripts/ann_recall.py against the exact
+    baseline). Operating point: 6 planes × 4 tables, 8 probes/table ⇒
+    recall@10 ≈ 0.72 at ~0.41 expected corpus fraction (sf0.01)."""
     from datapump_spark.operators.similarity import lsh_topk
     return lsh_topk(_t(spark, sf_dir, "embeddings"), k=5, query_max_id=10,
-                    dim=_emb_dim(sf_dir))
+                    dim=_emb_dim(sf_dir), n_planes=6, n_probe=8, n_tables=4)
 
 
 def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -48,6 +48,14 @@ def main() -> None:
             emb, k=k, query_max_id=n_queries, n_planes=2)),
         ("lsh_topk n_planes=4", lambda: lsh_topk(
             emb, k=k, query_max_id=n_queries, n_planes=4)),
+        ("lsh_topk 4 planes / 4 probe (multi-probe)", lambda: lsh_topk(
+            emb, k=k, query_max_id=n_queries, n_planes=4, n_probe=4)),
+        ("lsh_topk 6 planes / 8 probe / 4 tables (default)", lambda: lsh_topk(
+            emb, k=k, query_max_id=n_queries, n_planes=6, n_probe=8,
+            n_tables=4)),
+        ("lsh_topk 6 planes / 16 probe / 4 tables", lambda: lsh_topk(
+            emb, k=k, query_max_id=n_queries, n_planes=6, n_probe=16,
+            n_tables=4)),
         ("ivf_topk 16 cells / 4 probe", lambda: ivf_topk(
             emb, k=k, query_max_id=n_queries, n_cells=16, n_probe=4)),
         ("ivf_topk 16 cells / 8 probe", lambda: ivf_topk(

@@ -90,6 +90,31 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
     assert all(len([r for r in approx if r["query_id"] == q]) <= 5
                for q in {r["query_id"] for r in approx})
 
+
+def test_lsh_multiprobe_tables_lift_recall(spark, sf_dir):
+    """Multi-probe + OR-ed tables must lift recall well past the plain
+    single-bucket probe at the same plane count, stay deterministic, and
+    never emit duplicate (query, neighbor) pairs across tables."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = cosine_topk(emb, k=5, query_max_id=10).collect()
+    exact_set = {(r["query_id"], r["neighbor_id"]) for r in exact}
+
+    plain = lsh_topk(emb, k=5, query_max_id=10, n_planes=6).collect()
+    boosted = lsh_topk(emb, k=5, query_max_id=10, n_planes=6,
+                       n_probe=8, n_tables=4).collect()
+
+    def recall(rows):
+        s = {(r["query_id"], r["neighbor_id"]) for r in rows}
+        return len(exact_set & s) / len(exact_set)
+
+    assert recall(boosted) >= 0.6
+    assert recall(boosted) > recall(plain)
+    pairs = [(r["query_id"], r["neighbor_id"]) for r in boosted]
+    assert len(pairs) == len(set(pairs))      # cross-table dedupe holds
+    again = lsh_topk(emb, k=5, query_max_id=10, n_planes=6,
+                     n_probe=8, n_tables=4).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, boosted))
+
 def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     from datapump_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
