@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "q_pq_topk",
     "q_unigram_encode",
     "q_ivfpq_topk",
+    # degree-capped SimHash pair index — the production profile whose
+    # worst case is bounded, unlike the lossless oracle-gated variant
+    "q_simhash_pairs_capped",
 ]
 
 

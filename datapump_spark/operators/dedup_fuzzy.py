@@ -594,6 +594,7 @@ def canonical_docs(
 def simhash_near_dup(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bits: int = 32, max_hamming: int = 3, hash_fn: str = "md5",
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """(id_a, id_b, hamming): all pairs whose SimHash signatures differ in
     at most ``max_hamming`` bits — WITHOUT an all-pairs comparison.
@@ -609,6 +610,18 @@ def simhash_near_dup(
     widen ``bits`` (the signature) rather than shrinking d to keep blocks
     selective. The (block#, value) key is the shuffle/bucket key; the
     signature table is ~16 bytes/doc, the only thing that moves.
+
+    ``max_block_size`` caps the dense-graph worst case (the mega-basket
+    hazard ``assoc.pair_rules`` documents): a corpus slice of B
+    near-identical docs collapses into one block and would emit ~B²/2
+    pairs — quadratic OUTPUT no downstream consumer wants. With the cap
+    set, each (block#, value) group keeps only its ``max_block_size``
+    lowest ids (deterministic), bounding per-block candidates at cap²
+    while every retained member still pairs against the block's minimum
+    id — so connected-components clustering downstream still groups the
+    clique. Capped runs are APPROXIMATE on over-cap blocks (completeness
+    is the price); leave as None (default) for the lossless index the
+    brute-force oracle pins.
     """
     nb = max_hamming + 1
     if bits // nb == 0:
@@ -628,6 +641,13 @@ def simhash_near_dup(
         F.explode(blocks).alias("b")
     ).select("id", "simhash", F.col("b.bno").alias("bno"),
              F.col("b.bval").alias("bval"))
+    if max_block_size is not None:
+        if max_block_size < 2:
+            raise ValueError(f"max_block_size must be >= 2: {max_block_size}")
+        from pyspark.sql import Window
+        wb = Window.partitionBy("bno", "bval").orderBy("id")
+        keyed = (keyed.withColumn("__r", F.row_number().over(wb))
+                 .where(F.col("__r") <= max_block_size).drop("__r"))
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("simhash").alias("sig_a"), "bno", "bval")
     b = keyed.select(F.col("id").alias("id_b"),

@@ -500,6 +500,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Production-profile SimHash pair index: per-block degree cap bounds
+    the dense-graph worst case (~B² pairs from B near-identical docs) so
+    the query is benchable at any corpus shape; approximate on over-cap
+    blocks by design (operators/dedup_fuzzy.py simhash_near_dup)."""
+    from datapump_spark.operators.dedup_fuzzy import simhash_near_dup
+    return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3,
+                            max_block_size=256)
+
+
 def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All-pairs cosine near-dup baseline over embeddings (cos ≥ 0.3)."""
     from datapump_spark.operators.dedup_fuzzy import embedding_near_dup
@@ -2322,6 +2332,7 @@ BENCH_VARIANTS = {
     # and scripts/ann_recall.py, timed in bench.py.
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
+    "q_simhash_pairs_capped": q_simhash_pairs_capped,
     "q_embedding_near_dup_gemm_lsh": q_embedding_near_dup_gemm_lsh,
     "q_pack_greedy_bins": q_pack_greedy_bins,
     "q_semantic_dedup": q_semantic_dedup,

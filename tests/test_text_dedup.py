@@ -217,6 +217,32 @@ def test_simhash_pigeonhole_equals_brute_force(spark):
         sorted(map(key, brute.collect()))
 
 
+def test_simhash_degree_cap_bounds_dense_blocks(spark):
+    """A clique of B identical docs emits ~B²/2 pairs uncapped; with
+    max_block_size the output is bounded at ~cap²/2 while every retained
+    member still pairs with the clique's minimum id (so downstream
+    connected components keep grouping it)."""
+    from datapump_spark.operators.dedup_fuzzy import simhash_near_dup
+
+    clique = [(i, "the exact same document text repeated verbatim")
+              for i in range(200)]
+    other = [(1000 + i, f"unrelated text number {i} with words {i * 7}")
+             for i in range(20)]
+    df = spark.createDataFrame(clique + other, "doc_id long, text string")
+
+    uncapped = simhash_near_dup(df, max_hamming=2).count()
+    assert uncapped >= 200 * 199 / 2          # the quadratic blow-up
+
+    capped = simhash_near_dup(df, max_hamming=2, max_block_size=16)
+    rows = capped.collect()
+    assert len(rows) < 16 * 16 * 3            # bounded per block
+    # the retained sub-clique still stars around the minimum id
+    assert {r["id_b"] for r in rows if r["id_a"] == 0}
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_block_size"):
+        simhash_near_dup(df, max_block_size=1)
+
+
 def test_simhash_block_widths_cover_all_bits(spark):
     """Edge widths: bits not divisible by (d+1) still cover every bit —
     identical docs always pair at hamming 0."""
