@@ -117,8 +117,16 @@ def verify_jaccard(
     the candidates: |A∩B| from the co-occurrence join, |A|,|B| from per-doc
     counts. Returns (id_a, id_b, jaccard)."""
     sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sa = shingles.withColumnRenamed(id_col, "id_a")
-    sb = shingles.withColumnRenamed(id_col, "id_b")
+    # Prune BOTH shingle streams to candidate docs before any wide join:
+    # near-dup candidates are a small fraction of the corpus, so without
+    # the semi-joins the (id_b, shingle) join below would shuffle the FULL
+    # corpus-sized shingle table — the measured superlinear cliff at the
+    # 250 k local tier, and a non-starter at 100 TB. AQE turns each semi
+    # join into a broadcast when the candidate id set is small.
+    sa = shingles.withColumnRenamed(id_col, "id_a") \
+        .join(pairs.select("id_a"), "id_a", "leftsemi")
+    sb = shingles.withColumnRenamed(id_col, "id_b") \
+        .join(pairs.select("id_b"), "id_b", "leftsemi")
     # intersection size: route A's shingles through the candidate pairs to B
     inter = (
         sa.join(pairs, "id_a")

@@ -91,10 +91,23 @@ def dedupe_by_key(
 def with_file_order(df: DataFrame, col_name: str = "__file_order") -> DataFrame:
     """Attach a within-file ordering surrogate for CSV ingestion dedupe.
 
-    ``monotonically_increasing_id`` is monotone within a partition; with the
-    streaming file source each micro-batch file lands in its own partition(s)
-    at reference-like file sizes, which reproduces pandas row order. For
-    multi-split giant files the order is per-split — documented divergence
-    (SURVEY §7 "What's hard #1").
+    For file-source frames the surrogate is EXACT across multi-split giant
+    files: ``struct(file_path, _metadata.file_block_start, within-partition
+    row index)``. A >128 MB CSV is read as several byte-range splits whose
+    partition order Spark does not guarantee (splits are packed by size);
+    the split's byte offset restores file order regardless of which
+    executor read which split, and the monotonic id orders rows inside a
+    split. Struct comparison is lexicographic, so the column drops straight
+    into ``min_by``/``max_by``/window ``ORDER BY``.
+
+    Non-file frames (no ``_metadata``) fall back to the plain monotonic id,
+    which is exact whenever the frame is a single in-order partition.
     """
-    return df.withColumn(col_name, F.monotonically_increasing_id())
+    mid = F.monotonically_increasing_id()
+    try:
+        return df.withColumn(col_name, F.struct(
+            F.col("_metadata.file_path").alias("path"),
+            F.col("_metadata.file_block_start").alias("block"),
+            mid.alias("row")))
+    except Exception:  # noqa: BLE001 — _metadata unresolvable: not a file source
+        return df.withColumn(col_name, mid)

@@ -113,7 +113,8 @@ class Pipeline:
         loop, datapump.py:427-456). Returns (df, n_rows, n_dupes)."""
         raw = read_csv_raw(self.spark, str(path))
         _, project = self._typed_reader(str(path))
-        typed = project(raw.withColumn("__file_order", F.monotonically_increasing_id()))
+        from datapump_spark.operators.dedupe import with_file_order
+        typed = project(with_file_order(raw))
         n_rows = typed.count()
         pk = self.job.primary_key
         n_dupes = n_rows - typed.select(*pk).distinct().count()

@@ -50,3 +50,37 @@ def test_dedupe_empty_keep_is_noop(df):
 def test_dedupe_bad_keep_raises(df):
     with pytest.raises(ValueError):
         dedupe_by_key(df, ["sensor", "ts"], "ord", "both")
+
+
+@pytest.mark.parametrize("keep", ["first", "last"])
+def test_file_order_exact_on_multi_split_file(spark, tmp_path, keep):
+    """A CSV big enough to be read as MULTIPLE byte-range splits must
+    still dedupe to pandas' first/last-occurrence-in-file row — the
+    (file_path, file_block_start, row-in-split) surrogate restores file
+    order regardless of split packing (old per-split ids did not)."""
+    import csv as _csv
+
+    from datapump_spark.operators.dedupe import with_file_order
+
+    path = tmp_path / "big.csv"
+    n, n_keys = 40_000, 37
+    with open(path, "w", newline="") as fh:
+        w = _csv.writer(fh)
+        w.writerow(["k", "v", "pad"])
+        for i in range(n):
+            w.writerow([i % n_keys, i, "x" * 64])   # ~70 B/row ⇒ ~2.8 MB
+
+    old = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(64 * 1024))
+    try:
+        df = spark.read.option("header", True).csv(str(path))
+        assert df.rdd.getNumPartitions() > 4      # genuinely multi-split
+        ordered = with_file_order(df)
+        got = dedupe_by_key(ordered, ["k"], "__file_order", keep) \
+            .select("k", "v").collect()
+        pdf = pd.read_csv(path, dtype=str)
+        want = pdf.drop_duplicates(subset=["k"], keep=keep)
+        assert {(r["k"], r["v"]) for r in got} == \
+            set(zip(want["k"], want["v"]))
+    finally:
+        spark.conf.set("spark.sql.files.maxPartitionBytes", old)
