@@ -48,6 +48,12 @@ class StreamingCorpusIngest:
     min_words: int = 10
     gopher_kwargs: dict = field(default_factory=dict)
     max_files_per_trigger: int | None = 1
+    # Optional full-recipe mode: run recipes.pretrain_corpus (quality +
+    # repetition/ppl gates + PII redaction + exact/near in-batch dedup)
+    # on EACH micro-batch before the cross-batch incremental dedup. The
+    # recipe's ``sequences`` packing is intentionally not streamed — pack
+    # over the final corpus, where sequence boundaries are stable.
+    recipe: object | None = None
 
     @property
     def corpus_dir(self) -> str:
@@ -72,11 +78,18 @@ class StreamingCorpusIngest:
         batch_df = batch_df.persist()
         try:
             n_in = batch_df.count()
-            q = gopher_filter(batch_df, "doc_id", "text",
-                              min_words=self.min_words, **self.gopher_kwargs)
-            good = (batch_df.join(
-                q.where(F.col("keep")).select("doc_id"), "doc_id", "semi")
-                .persist())
+            if self.recipe is not None:
+                from datapump_spark.recipes import pretrain_corpus
+
+                streams = pretrain_corpus(batch_df, recipe=self.recipe)
+                good = streams["clean"].persist()
+            else:
+                q = gopher_filter(batch_df, "doc_id", "text",
+                                  min_words=self.min_words,
+                                  **self.gopher_kwargs)
+                good = (batch_df.join(
+                    q.where(F.col("keep")).select("doc_id"), "doc_id", "semi")
+                    .persist())
             n_good = good.count()
             admitted = incremental_dedup(good, self._read_index()).persist()
             n_adm = admitted.count()

@@ -75,3 +75,49 @@ def test_replay_is_idempotent(spark, ingest, tmp_path):
     assert replay == before
     audit = spark.read.parquet(ingest.audit_dir)
     assert audit.count() == 2          # one row per batch, not per run
+
+
+def test_full_recipe_composition_per_batch(spark, tmp_path):
+    """VERDICT r3 #10: the pretrain_corpus recipe composed through the
+    streaming ingest — each micro-batch runs the full cleaning chain
+    (quality gate, PII redaction, exact/near in-batch dedup), then the
+    cross-batch incremental index; the accounting invariant
+    ``n_in == n_admitted + n_rejected_by_recipe + n_cross_batch_dup``
+    must hold for EVERY micro-batch."""
+    from datapump_spark.recipes import CorpusRecipe
+
+    inp = tmp_path / "in"
+    inp.mkdir()
+    uniq = ("entirely different content about rivers mountains valleys "
+            "and the weather patterns that shape them across seasons")
+    _write(inp, "b0.json", 1_000_000_000, [
+        _doc(1), _doc(2, f"{uniq} two"), _doc(3, "too short"),
+        _doc(4, f"{GOOD} extra1"),            # exact dup of doc 1, in-batch
+    ])
+    fresh = ("completely new material describing harbors lighthouses "
+             "and the slow tides that carry ships home at night safely")
+    _write(inp, "b1.json", 1_000_001_000, [
+        _doc(10, fresh),                      # new, unrelated to batch peers
+        _doc(11, f"{GOOD} extra1"),           # cross-batch dup of doc 1
+        _doc(2, f"{uniq} two"),               # doc 2 re-sent verbatim
+    ])
+    ing = StreamingCorpusIngest(
+        spark, str(inp), str(tmp_path / "out"),
+        recipe=CorpusRecipe(min_words=10))
+    ing.drain(tmp_path / "cp")
+
+    corpus = spark.read.parquet(ing.corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 10]
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ing.audit_dir).collect()}
+    assert len(audit) == 2
+    for b, row in audit.items():
+        assert row["n_in"] == (row["n_admitted"] + row["n_low_quality"]
+                               + row["n_dup"]), b
+    assert audit[0]["n_in"] == 4
+    assert audit[0]["n_low_quality"] == 2     # quality + in-batch exact dup
+    assert audit[0]["n_dup"] == 0 and audit[0]["n_admitted"] == 2
+    assert audit[1]["n_dup"] == 2 and audit[1]["n_admitted"] == 1
+    # the cross-batch index keeps exactly one fingerprint per admitted doc
+    fps = spark.read.parquet(ing.index_dir)
+    assert fps.select("fp").distinct().count() == 3
