@@ -63,3 +63,110 @@ def incremental_dedup(
         .drop("__rn")
     )
     return firsts.join(corpus_fps.select("fp"), "fp", "left_anti")
+
+
+# ---------------------------------------------------------------------------
+# Incremental NEAR-dup: MinHash-signature index persisted across batches
+# ---------------------------------------------------------------------------
+
+def signature_index(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bands: int = 4, rows_per_band: int = 4, shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """(id, mh0..mh{k-1}) MinHash signatures of a corpus — the near-dup
+    index an incremental pipeline persists between batches (k = bands ×
+    rows_per_band). At 100 TB this is k×8 bytes per admitted doc,
+    bucketed by any band key for shuffle-free probing; the corpus text
+    never re-enters the loop."""
+    from datapump_spark.operators.dedup_fuzzy import minhash_signatures
+
+    return minhash_signatures(df, id_col, text_col,
+                              k=bands * rows_per_band,
+                              shingle_n=shingle_n, hash_fn=hash_fn)
+
+
+def _banded(sigs: DataFrame, id_col: str, bands: int,
+            rows_per_band: int) -> DataFrame:
+    from datapump_spark.operators.dedup_fuzzy import lsh_candidate_pairs  # noqa: F401  (shared banding doctrine)
+    band_structs = F.array(*[
+        F.struct(
+            F.lit(b).alias("band"),
+            F.struct(*[
+                F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
+                for r in range(rows_per_band)
+            ]).alias("key"))
+        for b in range(bands)])
+    return (sigs.select(F.col(id_col), F.explode(band_structs).alias("bk"))
+            .select(id_col, "bk.band", "bk.key"))
+
+
+def incremental_near_dup(
+    batch: DataFrame,
+    index_sigs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    bands: int = 4,
+    rows_per_band: int = 4,
+    shingle_n: int = 3,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Rows of ``batch`` that are near-novel: not a MinHash near-duplicate
+    (estimated Jaccard ≥ ``threshold``) of any already-admitted doc in
+    ``index_sigs``, nor of a lower-id batch doc. The incremental twin of
+    :func:`~datapump_spark.operators.dedup_fuzzy.minhash_near_dup_pairs`,
+    for the streaming-corpus case where admitted TEXT is gone and only
+    the signature index survives.
+
+    Jaccard is estimated as the fraction of agreeing minhashes — the
+    unbiased MinHash estimator; with k = bands×rows_per_band components
+    its resolution is 1/k, so pick k to match the threshold granularity
+    (k=16 ⇒ ±0.0625 steps). Candidates come from band equi-joins against
+    the index (the batch, GBs, shuffles to meet the bucketed index, TBs,
+    which never moves); only band-colliding pairs pay the k-way
+    agreement check. Returns surviving batch rows with their signature
+    columns appended, ready to union onto the persisted index.
+    """
+    k = bands * rows_per_band
+    sigs_b = signature_index(batch, id_col, text_col, bands, rows_per_band,
+                             shingle_n, hash_fn)
+
+    def est(a_pref: str, b_pref: str):
+        agree = sum(
+            (F.col(f"{a_pref}.mh{i}") == F.col(f"{b_pref}.mh{i}")).cast("int")
+            for i in range(k))
+        return agree / F.lit(float(k))
+
+    # cross-index near-dups: band collision → signature agreement
+    bb = _banded(sigs_b, id_col, bands, rows_per_band)
+    bi = _banded(index_sigs, id_col, bands, rows_per_band) \
+        .withColumnRenamed(id_col, "__idx_id")
+    hit_ids = (
+        bb.join(bi, ["band", "key"])
+        .select(id_col, "__idx_id").distinct()
+        .join(sigs_b.alias("a"), id_col)
+        .join(index_sigs.withColumnRenamed(id_col, "__idx_id").alias("x"),
+              "__idx_id")
+        .where(est("a", "x") >= threshold)
+        .select(id_col).distinct()
+    )
+    survivors = batch.join(hit_ids, id_col, "left_anti")
+
+    # within-batch near-dups: lowest id wins (same banding + estimator)
+    surv_sigs = sigs_b.join(survivors.select(id_col), id_col, "semi")
+    sb = _banded(surv_sigs, id_col, bands, rows_per_band)
+    pair_hits = (
+        sb.alias("p").join(
+            sb.withColumnRenamed(id_col, "__peer").alias("q"),
+            ["band", "key"])
+        .where(F.col(id_col) > F.col("__peer"))
+        .select(id_col, "__peer").distinct()
+        .join(surv_sigs.alias("a"), id_col)
+        .join(surv_sigs.withColumnRenamed(id_col, "__peer").alias("x"),
+              "__peer")
+        .where(est("a", "x") >= threshold)
+        .select(id_col).distinct()
+    )
+    return (survivors.join(pair_hits, id_col, "left_anti")
+            .join(sigs_b, id_col))

@@ -2054,6 +2054,34 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 
 
+# q_incremental_near_dup: same md5+universal-mix MinHash signatures,
+# band-collision candidates, and agreeing-minhash Jaccard estimator as
+# the operator — index = even doc_ids, batch = odd; survivors drop
+# cross-index hits first, then higher-id within-batch hits.
+_agree16 = "(" + " + ".join(
+    f"CASE WHEN a.mh{i} = b.mh{i} THEN 1 ELSE 0 END" for i in range(16)
+) + ") / 16.0"
+EXTRA_ORACLES["q_incremental_near_dup"] = f"""
+WITH {_SHINGLES_CTE},
+sig AS (SELECT doc_id, {_mh16} FROM s GROUP BY doc_id),
+bsig AS (SELECT * FROM sig WHERE doc_id % 2 = 1),
+isig AS (SELECT * FROM sig WHERE doc_id % 2 = 0),
+cross_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM bsig a JOIN isig b ON ({_band_conds})
+  WHERE {_agree16} >= 0.5),
+surv AS (
+  SELECT * FROM bsig
+  WHERE doc_id NOT IN (SELECT doc_id FROM cross_hit)),
+batch_hit AS (
+  SELECT DISTINCT a.doc_id
+  FROM surv a JOIN surv b ON a.doc_id > b.doc_id AND ({_band_conds})
+  WHERE {_agree16} >= 0.5)
+SELECT * FROM surv
+WHERE doc_id NOT IN (SELECT doc_id FROM batch_hit)
+"""
+
+
 # q_quality_binned_mix: same per-source percent_rank as q_score_pctrank,
 # floored into quartile bins, kept by the engine-shared hash threshold
 # (list literal is 1-indexed in DuckDB).

@@ -500,6 +500,25 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup admission against a persisted MinHash
+    signature index (operators/incremental.py incremental_near_dup):
+    even-id documents are the already-admitted corpus (only their
+    signatures survive), odd-id documents are the incoming batch; the
+    survivors are batch docs that are near-novel vs index AND lower-id
+    batch peers. Output carries the signatures (mh0..mh15) the caller
+    would append to the index — both deterministic under the md5 hash
+    profile, so DuckDB twins the whole computation."""
+    from datapump_spark.operators.incremental import (
+        incremental_near_dup,
+        signature_index,
+    )
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    idx = signature_index(docs.where(F.col("doc_id") % 2 == 0))
+    out = incremental_near_dup(docs.where(F.col("doc_id") % 2 == 1), idx)
+    return out.select("doc_id", *[f"mh{i}" for i in range(16)])
+
+
 def q_simhash_pairs_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Production-profile SimHash pair index: per-block degree cap bounds
     the dense-graph worst case (~B² pairs from B near-identical docs) so
@@ -2290,6 +2309,7 @@ EXTRA_QUERIES.update({
     "q_sniff_media": q_sniff_media,
     "q_locf": q_locf,
     "q_simhash_pairs": q_simhash_pairs,
+    "q_incremental_near_dup": q_incremental_near_dup,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,

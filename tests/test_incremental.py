@@ -33,3 +33,58 @@ def test_incremental_dedup_in_batch_keeps_lowest_id(spark):
 def test_fingerprints_distinct(spark):
     df = _docs(spark, [(1, "a b"), (2, "A, b"), (3, "c")])
     assert fingerprints(df).count() == 2
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE = ("the quick brown fox jumps over the lazy dog while the small bird "
+        "watches from a tall tree and sings a very long morning song")
+OTHER = ("completely unrelated material about harbors lighthouses and the "
+         "slow tides that carry the evening ships home to port at night")
+
+
+def test_incremental_near_dup_vs_persisted_index(spark):
+    """Batch docs near-identical to already-admitted content are dropped
+    using ONLY the persisted signature index (no corpus text); unrelated
+    docs survive with their signatures appended."""
+    from datapump_spark.operators.incremental import (
+        incremental_near_dup,
+        signature_index,
+    )
+
+    corpus = _docs(spark, [(1, BASE), (2, OTHER)])
+    idx = signature_index(corpus)
+
+    batch = _docs(spark, [
+        (10, BASE + " tweak"),               # near-dup of admitted doc 1
+        (11, OTHER),                         # exact re-send of doc 2
+        (12, "fresh words about deserts canyons and the dry wind that "
+             "carves stone arches over ten thousand patient years"),
+    ])
+    got = incremental_near_dup(batch, idx, threshold=0.5)
+    rows = got.collect()
+    assert sorted(r["doc_id"] for r in rows) == [12]
+    # survivors carry mh0..mh15 ready to union onto the index
+    assert {f"mh{i}" for i in range(16)} <= set(got.columns)
+
+    # appending the survivors' signatures makes a re-sent batch all-dup
+    idx2 = idx.unionByName(got.select(idx.columns))
+    again = incremental_near_dup(batch, idx2, threshold=0.5)
+    assert again.count() == 0
+
+
+def test_incremental_near_dup_within_batch_lowest_id_wins(spark):
+    from datapump_spark.operators.incremental import (
+        incremental_near_dup,
+        signature_index,
+    )
+
+    empty_idx = signature_index(_docs(spark, []))
+    batch = _docs(spark, [
+        (21, BASE), (20, BASE + " extra"), (30, OTHER),
+    ])
+    got = sorted(r["doc_id"] for r in
+                 incremental_near_dup(batch, empty_idx).collect())
+    assert got == [20, 30]                    # 21 loses to lower-id 20
