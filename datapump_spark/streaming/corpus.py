@@ -54,6 +54,11 @@ class StreamingCorpusIngest:
     # recipe's ``sequences`` packing is intentionally not streamed — pack
     # over the final corpus, where sequence boundaries are stable.
     recipe: object | None = None
+    # Optional cross-batch NEAR-dup gate: maintain a persisted MinHash
+    # signature index (operators/incremental.incremental_near_dup) so a
+    # batch doc near-identical to PAST admitted content is rejected even
+    # though that content's text is gone. None = exact-only (fp index).
+    near_dup_threshold: float | None = None
 
     @property
     def corpus_dir(self) -> str:
@@ -67,12 +72,26 @@ class StreamingCorpusIngest:
     def audit_dir(self) -> str:
         return str(Path(self.out_dir) / "audit")
 
+    @property
+    def sig_index_dir(self) -> str:
+        return str(Path(self.out_dir) / "sig_index")
+
     def _read_index(self) -> DataFrame:
         if os.path.isdir(self.index_dir) and any(
                 f.endswith(".parquet") for _, _, fs in os.walk(self.index_dir)
                 for f in fs):
             return self.spark.read.parquet(self.index_dir).select("fp")
         return self.spark.createDataFrame([], "fp string")
+
+    def _read_sig_index(self) -> DataFrame:
+        if os.path.isdir(self.sig_index_dir) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.sig_index_dir) for f in fs):
+            return self.spark.read.parquet(self.sig_index_dir) \
+                .select("doc_id", *[f"mh{i}" for i in range(16)])
+        schema = "doc_id bigint, " + ", ".join(
+            f"mh{i} bigint" for i in range(16))
+        return self.spark.createDataFrame([], schema)
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         batch_df = batch_df.persist()
@@ -92,6 +111,26 @@ class StreamingCorpusIngest:
                     .persist())
             n_good = good.count()
             admitted = incremental_dedup(good, self._read_index()).persist()
+            sigs = None
+            if self.near_dup_threshold is not None:
+                from datapump_spark.operators.incremental import (
+                    incremental_near_dup,
+                )
+
+                # localCheckpoint (NOT persist): the fp-index write below
+                # refreshes that path and would invalidate a cache whose
+                # lineage read it — the recompute would then see the
+                # batch's own fingerprints already in the index and emit
+                # ZERO rows for the signature write. Cutting lineage
+                # freezes the pre-write state.
+                admitted2 = incremental_near_dup(
+                    admitted, self._read_sig_index(),
+                    threshold=self.near_dup_threshold) \
+                    .localCheckpoint(eager=True)
+                sigs = admitted2.select(
+                    "doc_id", *[f"mh{i}" for i in range(16)])
+                admitted.unpersist()
+                admitted = admitted2.drop(*[f"mh{i}" for i in range(16)])
             n_adm = admitted.count()
 
             part = {"partitionOverwriteMode": "dynamic"}
@@ -101,6 +140,10 @@ class StreamingCorpusIngest:
             (admitted.select("fp").withColumn("__batch_id", F.lit(batch_id))
              .write.partitionBy("__batch_id").options(**part)
              .mode("overwrite").parquet(self.index_dir))
+            if sigs is not None:
+                (sigs.withColumn("__batch_id", F.lit(batch_id))
+                 .write.partitionBy("__batch_id").options(**part)
+                 .mode("overwrite").parquet(self.sig_index_dir))
             audit = self.spark.createDataFrame(
                 [(batch_id, n_in, n_in - n_good, n_good - n_adm, n_adm)],
                 "__batch_id bigint, n_in bigint, n_low_quality bigint, "

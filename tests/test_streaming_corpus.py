@@ -121,3 +121,29 @@ def test_full_recipe_composition_per_batch(spark, tmp_path):
     # the cross-batch index keeps exactly one fingerprint per admitted doc
     fps = spark.read.parquet(ing.index_dir)
     assert fps.select("fp").distinct().count() == 3
+
+
+def test_cross_batch_near_dup_index(spark, tmp_path):
+    """With near_dup_threshold set, a batch doc near-identical (but NOT
+    byte-identical) to content admitted in an EARLIER batch is rejected
+    using only the persisted signature index."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write(inp, "b0.json", 1_000_000_000, [_doc(1)])
+    _write(inp, "b1.json", 1_000_001_000, [
+        _doc(20, f"{GOOD} extra1 tweaked"),    # near-dup of doc 1's text
+        _doc(21, "entirely different content about rivers mountains "
+                 "valleys and the weather patterns that shape them"),
+    ])
+    ing = StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"),
+                                near_dup_threshold=0.5)
+    ing.drain(tmp_path / "cp")
+
+    corpus = spark.read.parquet(ing.corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 21]
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ing.audit_dir).collect()}
+    assert audit[1]["n_dup"] == 1 and audit[1]["n_admitted"] == 1
+    # signature index holds one row per admitted doc
+    sig = spark.read.parquet(ing.sig_index_dir)
+    assert sorted(r["doc_id"] for r in sig.collect()) == [1, 21]
