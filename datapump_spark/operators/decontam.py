@@ -140,11 +140,15 @@ def _decontaminate_pandas(
     arguments."""
     import pandas as pd
 
-    rows = benchmark.select(text_col).collect()
-    if len(rows) > 1_000_000:
+    # Guard BEFORE collecting: a swapped-argument call would otherwise
+    # pull the (billion-row) corpus text onto the driver just to raise.
+    # count() is a codegen aggregate — no rows move.
+    n_bench = benchmark.count()
+    if n_bench > 1_000_000:
         raise ValueError(
-            f"benchmark side has {len(rows)} rows — did you swap corpus "
+            f"benchmark side has {n_bench} rows — did you swap corpus "
             "and benchmark? (the benchmark must be the small side)")
+    rows = benchmark.select(text_col).collect()
     grams: set[str] = set()
     for r in rows:
         if r[0] is not None:

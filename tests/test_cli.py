@@ -3,6 +3,8 @@ datapump() main-loop parity (datapump.py:682-713)."""
 
 from __future__ import annotations
 
+import pytest
+
 import json
 import shutil
 import subprocess
@@ -72,6 +74,7 @@ def test_drain_runs_all_jobs(spark, tmp_path):
     assert (tmp_path / "done" / "processed.log").exists()
 
 
+@pytest.mark.slow
 def test_module_entry_subprocess(tmp_path):
     """`python -m datapump_spark` end-to-end in a fresh interpreter."""
     inbox = _setup(tmp_path, n_files=1)

@@ -48,7 +48,18 @@ def test_driver_registry_capped_at_50():
     assert set(ORACLES) <= set(QUERIES)
 
 
-@pytest.mark.parametrize("name", sorted(EXTRA_QUERIES))
+# The heaviest parametrizations (multi-second DAGs) are `slow`: the same
+# queries pass the IDENTICAL DuckDB comparison in scripts/check_oracle.py,
+# which runs both registries per round — nothing loses its gate.
+_SLOW_EXTRA = {
+    "q_canonical_docs", "q_sparse_sim", "q_fuzzy_pairs", "q_pagerank",
+    "q_incremental_near_dup",
+}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_EXTRA else n
+    for n in sorted(EXTRA_QUERIES)])
 def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = EXTRA_QUERIES[name](spark, sf_dir)
     s_cols = sdf.columns

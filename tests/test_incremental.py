@@ -54,8 +54,10 @@ def test_incremental_near_dup_vs_persisted_index(spark):
         signature_index,
     )
 
+    # bands=2 (k=8): half the hash/codegen cost of the default profile;
+    # estimator resolution 0.125 is ample for the ~0.9-vs-0.0 contrasts here
     corpus = _docs(spark, [(1, BASE), (2, OTHER)])
-    idx = signature_index(corpus)
+    idx = signature_index(corpus, bands=2)
 
     batch = _docs(spark, [
         (10, BASE + " tweak"),               # near-dup of admitted doc 1
@@ -63,15 +65,15 @@ def test_incremental_near_dup_vs_persisted_index(spark):
         (12, "fresh words about deserts canyons and the dry wind that "
              "carves stone arches over ten thousand patient years"),
     ])
-    got = incremental_near_dup(batch, idx, threshold=0.5)
+    got = incremental_near_dup(batch, idx, threshold=0.5, bands=2)
     rows = got.collect()
     assert sorted(r["doc_id"] for r in rows) == [12]
     # survivors carry mh0..mh15 ready to union onto the index
-    assert {f"mh{i}" for i in range(16)} <= set(got.columns)
+    assert {f"mh{i}" for i in range(8)} <= set(got.columns)
 
     # appending the survivors' signatures makes a re-sent batch all-dup
     idx2 = idx.unionByName(got.select(idx.columns))
-    again = incremental_near_dup(batch, idx2, threshold=0.5)
+    again = incremental_near_dup(batch, idx2, threshold=0.5, bands=2)
     assert again.count() == 0
 
 
@@ -81,10 +83,10 @@ def test_incremental_near_dup_within_batch_lowest_id_wins(spark):
         signature_index,
     )
 
-    empty_idx = signature_index(_docs(spark, []))
+    empty_idx = signature_index(_docs(spark, []), bands=2)
     batch = _docs(spark, [
         (21, BASE), (20, BASE + " extra"), (30, OTHER),
     ])
     got = sorted(r["doc_id"] for r in
-                 incremental_near_dup(batch, empty_idx).collect())
+                 incremental_near_dup(batch, empty_idx, bands=2).collect())
     assert got == [20, 30]                    # 21 loses to lower-id 20

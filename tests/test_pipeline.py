@@ -74,6 +74,7 @@ def test_end_to_end(spark, env):
     assert audit.where("ok").count() >= 2
 
 
+@pytest.mark.slow
 def test_idempotent_rerun(spark, env):
     pipe, job = make_pipeline(spark, env)
     pipe.run_available()

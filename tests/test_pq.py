@@ -154,6 +154,7 @@ def test_ivfpq_candidate_generation_is_equi_join(emb):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+@pytest.mark.slow
 def test_ivfpq_deterministic(emb):
     from datapump_spark.operators.pq import ivfpq_topk
 

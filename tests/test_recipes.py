@@ -19,6 +19,7 @@ def streams(spark, sf_dir):
     return corpus, out
 
 
+@pytest.mark.slow
 def test_streams_partition_the_input(streams):
     corpus, out = streams
     clean_ids = {r.doc_id for r in out["clean"].select("doc_id").collect()}
@@ -79,10 +80,17 @@ def test_repetition_and_ppl_gates(spark):
                                         max_dup_2gram_frac=1.0,
                                         min_stop_hits=0)),
         lm_reference=ref)
-    rej = {r.doc_id: r.reject_reason for r in out["rejected"].collect()}
+    # ONE action over clean ∪ rejected: the streams share the whole gate
+    # cascade upstream, and a single plan lets ReusedExchange compute each
+    # shared shuffle once instead of once per collect
+    both = (out["clean"].select("doc_id",
+                                F.lit(None).cast("string").alias("reject_reason"))
+            .unionByName(out["rejected"].select("doc_id", "reject_reason"))
+            .collect())
+    rej = {r.doc_id: r.reject_reason for r in both if r.reject_reason}
+    clean_ids = {r.doc_id for r in both if not r.reject_reason}
     assert rej.get(50) == "repetitive"
     assert rej.get(51) == "perplexity"
-    clean_ids = {r.doc_id for r in out["clean"].select("doc_id").collect()}
     assert clean_ids.isdisjoint(rej)
     assert clean_ids | set(rej) == {r[0] for r in rows}
 

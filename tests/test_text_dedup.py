@@ -111,9 +111,13 @@ def test_lsh_multiprobe_tables_lift_recall(spark, sf_dir):
     assert recall(boosted) > recall(plain)
     pairs = [(r["query_id"], r["neighbor_id"]) for r in boosted]
     assert len(pairs) == len(set(pairs))      # cross-table dedupe holds
-    again = lsh_topk(emb, k=5, query_max_id=10, n_planes=6,
-                     n_probe=8, n_tables=4).collect()
-    assert sorted(map(tuple, again)) == sorted(map(tuple, boosted))
+    # run-to-run determinism: re-execute the same frame (codegen cache
+    # makes this cheap) — catches layout/scheduling-dependent ranking,
+    # the realistic hazard; plane identity is pinned by the seed
+    boosted_df = lsh_topk(emb.repartition(7), k=5, query_max_id=10,
+                          n_planes=6, n_probe=8, n_tables=4)
+    assert sorted(map(tuple, boosted_df.collect())) == \
+        sorted(map(tuple, boosted))
 
 def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     from datapump_spark.operators.similarity import ivf_topk
