@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     # degree-capped SimHash pair index — the production profile whose
     # worst case is bounded, unlike the lossless oracle-gated variant
     "q_simhash_pairs_capped",
+    # DSIR hashed-ngram importance resampling (fit + score + Gumbel top-k)
+    "q_dsir_sample",
 ]
 
 

@@ -2082,6 +2082,62 @@ WHERE doc_id NOT IN (SELECT doc_id FROM batch_hit)
 """
 
 
+# q_importance_weights / q_dsir_sample: the DSIR estimator mirrored —
+# hashed unigram+bigram bag features (md5 profile), Laplace-smoothed
+# bucket multinomials, per-doc mean log-ratio, Gumbel top-k from the
+# seeded doc-id hash. Shared feature CTE (bag semantics: duplicates kept).
+_DSIR_FEATS = f"""
+tk AS (SELECT doc_id, {tokens_sql('text')} AS t FROM documents),
+gr AS (
+  SELECT doc_id, g FROM tk, UNNEST(
+    list_concat(t, list_transform(range(1, greatest(len(t), 1)),
+                                  i -> t[i] || ' ' || t[i+1]))) AS u(g)
+  WHERE len(t) > 0),
+fb AS (SELECT doc_id, {hash63_sql('g')} % 1024 AS bucket FROM gr)
+"""
+
+_DSIR_W = """
+tc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n_t
+       FROM fb WHERE doc_id % 10 = 0 GROUP BY bucket),
+rc AS (SELECT bucket, CAST(count(*) AS DOUBLE) AS n_r FROM fb GROUP BY bucket),
+spine AS (SELECT CAST(range AS BIGINT) AS bucket FROM range(1024)),
+w AS (
+  SELECT spine.bucket,
+         round(ln((coalesce(n_t, 0) + 1)
+                  / ((SELECT sum(n_t) FROM tc) + 1024))
+               - ln((coalesce(n_r, 0) + 1)
+                    / ((SELECT sum(n_r) FROM rc) + 1024)), 6) AS logw
+  FROM spine LEFT JOIN tc ON spine.bucket = tc.bucket
+             LEFT JOIN rc ON spine.bucket = rc.bucket)
+"""
+
+EXTRA_ORACLES["q_importance_weights"] = f"""
+WITH {_DSIR_FEATS}, {_DSIR_W}
+SELECT bucket, logw FROM w
+"""
+
+EXTRA_ORACLES["q_dsir_sample"] = f"""
+WITH {_DSIR_FEATS}, {_DSIR_W},
+sc AS (
+  SELECT fb.doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+         round(avg(w.logw), 6) AS score
+  FROM fb JOIN w ON fb.bucket = w.bucket
+  GROUP BY fb.doc_id),
+keyed AS (
+  SELECT doc_id, n_feats, score,
+         round(score + (-ln(-ln(
+           (({hash63_sql("doc_id::VARCHAR || ':42'")} % 4294967296) + 1.0)
+           / 4294967298.0))), 6) AS gkey
+  FROM sc)
+SELECT doc_id, n_feats, score,
+       CAST(row_number() OVER (ORDER BY gkey DESC, doc_id) AS BIGINT)
+         AS rank
+FROM keyed
+ORDER BY gkey DESC, doc_id
+LIMIT 100
+"""
+
+
 # q_quality_binned_mix: same per-source percent_rank as q_score_pctrank,
 # floored into quartile bins, kept by the engine-shared hash threshold
 # (list literal is 1-indexed in DuckDB).

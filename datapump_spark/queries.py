@@ -500,6 +500,28 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR model state: per-bucket log(p_target/p_raw) under hashed
+    unigram+bigram multinomials (operators/importance.py
+    hashed_ngram_logratio). Target = every 10th document (a stand-in
+    domain slice); raw = the full corpus."""
+    from datapump_spark.operators.importance import hashed_ngram_logratio
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return hashed_ngram_logratio(
+        docs.where(F.col("doc_id") % 10 == 0), docs, n_buckets=1024)
+
+
+def q_dsir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance resampling (operators/importance.py dsir_sample):
+    Gumbel top-100 of the corpus toward the target slice's n-gram
+    distribution, fully deterministic under the md5 hash profile."""
+    from datapump_spark.operators.importance import dsir_sample
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = dsir_sample(docs, docs.where(F.col("doc_id") % 10 == 0),
+                      k=100, n_buckets=1024)
+    return out.select("doc_id", "n_feats", "score", "rank")
+
+
 def q_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup admission against a persisted MinHash
     signature index (operators/incremental.py incremental_near_dup):
@@ -2310,6 +2332,8 @@ EXTRA_QUERIES.update({
     "q_locf": q_locf,
     "q_simhash_pairs": q_simhash_pairs,
     "q_incremental_near_dup": q_incremental_near_dup,
+    "q_importance_weights": q_importance_weights,
+    "q_dsir_sample": q_dsir_sample,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,
