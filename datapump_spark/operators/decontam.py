@@ -169,3 +169,59 @@ def _decontaminate_pandas(
 
     return corpus.select(id_col, text_col).mapInPandas(
         scan, f"{id_col} bigint, n_hit_grams bigint, contaminated boolean")
+
+
+def semantic_decontaminate(
+    corpus: DataFrame, benchmark: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", threshold: float = 0.85,
+    n_planes: int = 0, seed: int = 42,
+) -> DataFrame:
+    """Embedding-space decontamination: flag corpus docs whose cosine
+    similarity to ANY benchmark item reaches ``threshold`` — catches the
+    paraphrased/reformatted leakage n-gram overlap misses (the two
+    checks are complements; run both).
+
+    (id, max_cos, contaminated) for every corpus row with a usable
+    vector. ``n_planes=0`` (default) is the EXACT path: the benchmark
+    side is broadcast (eval sets are thousands of rows by contract —
+    same shape as the n-gram check's broadcast gram set) and each corpus
+    partition scans it with codegen dot products; one pass, no shuffle
+    of the corpus. ``n_planes>0`` prunes with random-hyperplane LSH
+    buckets first (both sides bucketed, candidates from the bucket
+    equi-join) — approximate: a pair whose signs differ in every plane
+    is missed; use for mega-benchmarks only.
+    """
+    from datapump_spark.operators.similarity import (
+        _as_double,
+        _dot,
+        _norm,
+        hyperplanes,
+        lsh_bucket,
+        vec_dim,
+    )
+
+    def prep(df: DataFrame, out_id: str) -> DataFrame:
+        base = df.select(F.col(id_col).alias(out_id),
+                         _as_double(vec_col).alias(f"__v_{out_id}"))
+        nrm = _norm(F.col(f"__v_{out_id}"))
+        return (base.where(F.col(f"__v_{out_id}").isNotNull() & (nrm > 0))
+                .withColumn(f"__n_{out_id}", nrm))
+
+    c = prep(corpus, "id")
+    b = prep(benchmark, "__bid")
+    if n_planes > 0:
+        dim = vec_dim(corpus, vec_col)
+        planes = hyperplanes(dim, n_planes, seed)
+        c = c.withColumn("__bk", lsh_bucket(F.col("__v_id"), planes))
+        b = b.withColumn("__bk", lsh_bucket(F.col("__v___bid"), planes))
+        joined = c.join(F.broadcast(b), "__bk")
+    else:
+        joined = c.crossJoin(F.broadcast(b))
+    cos = F.round(_dot(F.col("__v_id"), F.col("__v___bid"))
+                  / (F.col("__n_id") * F.col("__n___bid")), 6)
+    return (
+        joined.groupBy("id")
+        .agg(F.max(cos).alias("max_cos"))
+        .select(F.col("id").alias(id_col), "max_cos",
+                (F.col("max_cos") >= threshold).alias("contaminated"))
+    )

@@ -2111,6 +2111,21 @@ w AS (
              LEFT JOIN rc ON spine.bucket = rc.bucket)
 """
 
+# q_semantic_decontam: exact max-cosine of each corpus vector vs the
+# benchmark slice — the same split as q_decontam, in embedding space.
+EXTRA_ORACLES["q_semantic_decontam"] = """
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+b AS (SELECT * FROM m WHERE vec_id % 20 = 0),
+c AS (SELECT * FROM m WHERE vec_id % 20 != 0)
+SELECT c.vec_id,
+       max(round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6)) AS max_cos,
+       max(round(list_dot_product(c.v, b.v) / (c.nrm * b.nrm), 6)) >= 0.3
+         AS contaminated
+FROM c, b GROUP BY c.vec_id
+"""
+
 EXTRA_ORACLES["q_importance_weights"] = f"""
 WITH {_DSIR_FEATS}, {_DSIR_W}
 SELECT bucket, logw FROM w

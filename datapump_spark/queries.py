@@ -500,6 +500,19 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space benchmark decontamination (operators/decontam.py
+    semantic_decontaminate): flag corpus vectors whose max cosine vs the
+    benchmark slice (vec_id % 20 == 0, same split as q_decontam's n-gram
+    check) reaches 0.3 — the paraphrase-leakage complement of the
+    13-gram overlap gate."""
+    from datapump_spark.operators.decontam import semantic_decontaminate
+    emb = _t(spark, sf_dir, "embeddings")
+    return semantic_decontaminate(
+        emb.where(F.col("vec_id") % 20 != 0),
+        emb.where(F.col("vec_id") % 20 == 0), threshold=0.3)
+
+
 def q_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR model state: per-bucket log(p_target/p_raw) under hashed
     unigram+bigram multinomials (operators/importance.py
@@ -2334,6 +2347,7 @@ EXTRA_QUERIES.update({
     "q_incremental_near_dup": q_incremental_near_dup,
     "q_importance_weights": q_importance_weights,
     "q_dsir_sample": q_dsir_sample,
+    "q_semantic_decontam": q_semantic_decontam,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,

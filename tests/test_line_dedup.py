@@ -151,3 +151,35 @@ def test_dup_passages_hand_docs(spark):
     strict = {r.doc_id: r for r in
               dup_passages(df, n=5, threshold=0.3).collect()}
     assert not strict[1].near_dup and not strict[2].near_dup
+
+
+def test_semantic_decontam_flags_similar_vectors(spark):
+    """Embedding-space decontamination: an exact copy and a slightly
+    perturbed copy of a benchmark vector flag; an orthogonal vector does
+    not; degenerate (zero/null) vectors are skipped, not crashed on."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.decontam import semantic_decontaminate
+
+    bench = spark.createDataFrame(
+        [(1000, [1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    corpus = spark.createDataFrame(
+        [(1, [2.0, 0.0, 0.0, 0.0]),          # same direction → cos 1.0
+         (2, [0.9, 0.1, 0.0, 0.0]),          # near copy
+         (3, [0.0, 1.0, 0.0, 0.0]),          # orthogonal
+         (4, [0.0, 0.0, 0.0, 0.0]),          # zero norm → skipped
+         (5, None)],                          # null → skipped
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.85).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["contaminated"] and got[1]["max_cos"] == 1.0
+    assert got[2]["contaminated"]                 # cos ≈ 0.994
+    assert not got[3]["contaminated"] and got[3]["max_cos"] == 0.0
+
+    # LSH-pruned variant: same-direction pair always shares every sign
+    # bucket, so the exact copy still flags
+    lsh = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.85,
+                                  n_planes=4).collect()}
+    assert 1 in lsh and lsh[1]["contaminated"]
