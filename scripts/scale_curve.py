@@ -339,6 +339,80 @@ def main() -> None:
         for df in (big_emb, big_docs, big_media):
             df.unpersist()
 
+    # --- round-5 tier: incremental near-dup admission (fixed persisted
+    # index, batch rides the replication — the daily-crawl shape), DSIR
+    # selection (fixed target, raw corpus scales), multi-probe OR-table
+    # LSH top-k and semantic decontam (fixed query/bench side, corpus
+    # scales). Honest expectation: all linear — every op is
+    # fixed-state-vs-scaling-scan by construction.
+    from datapump_spark.operators.decontam import semantic_decontaminate
+    from datapump_spark.operators.importance import dsir_sample
+    from datapump_spark.operators.incremental import (
+        incremental_near_dup,
+        signature_index,
+    )
+    from datapump_spark.operators.similarity import lsh_topk
+
+    idx_sigs = signature_index(docs, hash_fn="xxhash64") \
+        .localCheckpoint(eager=True)
+    target = docs.where(F.col("doc_id") % 10 == 0)
+    bench_emb = emb.where(F.col("vec_id") % 20 == 0)
+    r5_out: dict[str, dict[str, float]] = {}
+    for mult in (1, 10, 50):
+        big_docs = (
+            docs.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000)
+            .withColumn(
+                "text",
+                F.array_join(
+                    F.transform(
+                        F.split("text", " "),
+                        lambda w: F.concat(w, F.lit("_"),
+                                           F.col("__rep").cast("string")),
+                    ), " "),
+            )
+            .drop("__rep").repartition(64).persist()
+        )
+        big_emb = (
+            emb.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
+            .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
+            .withColumn(
+                "embedding",
+                F.transform(
+                    "embedding",
+                    lambda x, i: (x + F.cos((F.col("__rep") + 1) * (i + 1))
+                                  ).cast("float"),
+                ),
+            )
+            .drop("__rep").repartition(64).persist()
+        )
+        big_docs.count(); big_emb.count()
+        runs = {}
+
+        t0 = time.perf_counter()
+        incremental_near_dup(big_docs, idx_sigs, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["incremental_near_dup"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        dsir_sample(big_docs, target, k=1000, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["dsir_sample"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        lsh_topk(big_emb, k=10, query_max_id=10, n_planes=6, n_probe=8,
+                 n_tables=4) \
+            .write.format("noop").mode("overwrite").save()
+        runs["lsh_topk_multiprobe"] = round(time.perf_counter() - t0, 2)
+
+        t0 = time.perf_counter()
+        semantic_decontaminate(big_emb, bench_emb, threshold=0.3) \
+            .write.format("noop").mode("overwrite").save()
+        runs["semantic_decontam"] = round(time.perf_counter() - t0, 2)
+
+        r5_out[f"x{mult}"] = runs
+        big_docs.unpersist(); big_emb.unpersist()
+
     print(json.dumps({
         "rows_base": base.count(),
         "curve": out,
@@ -347,6 +421,7 @@ def main() -> None:
         "emb_curve": emb_out,
         "r3_curve": r3_out,
         "r3b_curve": r3b_out,
+        "r5_curve": r5_out,
     }))
 
 
