@@ -59,14 +59,29 @@ def _bucket_features(df: DataFrame, id_col: str, text_col: str,
 def hashed_ngram_logratio(
     target: DataFrame, raw: DataFrame, text_col: str = "text",
     n_buckets: int = 1024, hash_fn: str = "md5",
+    raw_fit_fraction: float = 1.0, id_col: str | None = None,
 ) -> DataFrame:
     """(bucket, logw): per-bucket ``log p_target − log p_raw`` under
     Laplace-smoothed bag-of-hashed-ngrams multinomials — the entire DSIR
     model state (≤ ``n_buckets`` rows; broadcastable anywhere).
 
+    ``raw_fit_fraction < 1`` fits the RAW multinomial on a deterministic
+    hash-sample of ``id_col`` (requires ``id_col``): at 100 TB the raw
+    distribution converges on a tiny fraction of the corpus, so the fit
+    pass shrinks while scoring still scans everything. The target side is
+    small by contract and never sampled.
+
     ``logw`` is rounded to 6 dp (repo float policy) so downstream scores
     are engine-identical.
     """
+    if raw_fit_fraction < 1.0:
+        if id_col is None:
+            raise ValueError("raw_fit_fraction < 1 requires id_col")
+        m = 1_000_000
+        raw = raw.where(
+            F.pmod(hash63(F.col(id_col).cast("string"), hash_fn),
+                   F.lit(m)) < int(raw_fit_fraction * m))
+
     def counts(df: DataFrame, name: str) -> DataFrame:
         f = _bucket_features(df.select(F.lit(0).alias("__id"), text_col),
                              "__id", text_col, n_buckets, hash_fn)

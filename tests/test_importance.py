@@ -85,3 +85,24 @@ def test_single_token_docs_contribute_no_bigrams(spark):
          importance_score(docs, w, n_buckets=64).collect()}
     assert s[1]["n_feats"] == 1                # unigram only
     assert s[2]["n_feats"] == 3                # 2 unigrams + 1 bigram
+
+
+def test_raw_fit_fraction_approximates_full_fit(spark):
+    """Sample-fit raw multinomial: scores from a 50% hash-sample fit must
+    preserve the domain ordering the full fit produces (the at-scale
+    contract), and the knob validates its id requirement."""
+    docs = _corpus(spark)
+    target = docs.where(F.col("doc_id") < 10)
+    full = hashed_ngram_logratio(target, docs, n_buckets=512)
+    half = hashed_ngram_logratio(target, docs, n_buckets=512,
+                                 raw_fit_fraction=0.5, id_col="doc_id")
+    sf = {r["doc_id"]: r["score"] for r in
+          importance_score(docs, full, n_buckets=512).collect()}
+    sh = {r["doc_id"]: r["score"] for r in
+          importance_score(docs, half, n_buckets=512).collect()}
+    assert min(sh[i] for i in range(10)) > max(sh[100 + i] for i in range(10))
+    # orderings agree on the domain split even if absolute values drift
+    assert all((sf[a] > sf[b]) == (sh[a] > sh[b])
+               for a in range(10) for b in range(100, 110))
+    with pytest.raises(ValueError, match="id_col"):
+        hashed_ngram_logratio(target, docs, raw_fit_fraction=0.5)
