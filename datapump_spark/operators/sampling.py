@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from datapump_spark.functions.hashing import hash63
+from datapump_spark.functions.hashing import hash63, tokens
 
 # Hash-fraction denominator: fractions are expressed in basis points of
 # 10_000 so weight tables stay integral and cross-engine exact.
@@ -228,3 +228,49 @@ def quality_binned_mix(
                    F.lit(1_000_000))
             < F.round(rate * 1_000_000, 0).cast("long"))
     return binned.where(keep)
+
+
+def token_budget_mix(
+    df: DataFrame, source_col: str, weights: dict[str, float],
+    budget_tokens: int, key_col: str, token_col: str | None = None,
+    text_col: str = "text", salt: str = "tokmix", hash_fn: str = "md5",
+) -> DataFrame:
+    """Mixture by TOKEN budget, not document count: keep, per source, the
+    hash-ordered prefix of documents whose cumulative token count fits
+    within ``weights[source] × budget_tokens``. The recipe languages-
+    models actually train on is stated in tokens ("300B tokens: 30% web,
+    3% code…") — document-count mixing (:func:`weighted_mix`) hits the
+    wrong target whenever sources differ in document length.
+
+    Deterministic and layout-independent: the per-source order is the
+    salted key hash (ties broken by key), so the selected set is a pure
+    function of (data, weights, budget, salt) and the nested property
+    holds — a smaller budget's selection is a prefix of a larger one's.
+    A document is kept iff its cumulative sum INCLUDING itself is ≤ the
+    source budget (strict: the budget is never exceeded; a single doc
+    larger than its source budget is dropped). Sources absent from
+    ``weights`` are dropped.
+
+    Plan: one token-count column (or ``token_col`` if precomputed), one
+    window cum-sum per source partition — a single shuffle keyed on the
+    source. Output adds (n_tok, cum_tok) for auditability.
+    """
+    if budget_tokens <= 0:
+        raise ValueError(f"budget_tokens must be > 0: {budget_tokens}")
+    bad = [s for s, w in weights.items() if w < 0]
+    if bad:
+        raise ValueError(f"negative weights for {bad}")
+    n_tok = (F.col(token_col).cast("bigint") if token_col is not None
+             else F.size(tokens(F.col(text_col))).cast("bigint"))
+    expr = None
+    for src, wgt in sorted(weights.items()):
+        b = int(wgt * budget_tokens)
+        cond = F.col(source_col) == src
+        expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    src_budget = expr.otherwise(F.lit(-1)) if expr is not None else F.lit(-1)
+    h = _key_hash(F.col(key_col), salt, hash_fn)
+    w = Window.partitionBy(source_col).orderBy(h.asc(), F.col(key_col).asc()) \
+        .rowsBetween(Window.unboundedPreceding, 0)
+    return (df.withColumn("n_tok", n_tok)
+            .withColumn("cum_tok", F.sum("n_tok").over(w))
+            .where((src_budget >= 0) & (F.col("cum_tok") <= src_budget)))

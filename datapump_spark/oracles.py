@@ -2111,6 +2111,35 @@ w AS (
              LEFT JOIN rc ON spine.bucket = rc.bucket)
 """
 
+# q_token_budget_mix: same salted-hash order, per-source token cum-sum,
+# strict prefix-within-budget rule (60/30/10 over 50k tokens on the
+# first three sources alphabetically).
+EXTRA_ORACLES["q_token_budget_mix"] = f"""
+WITH s3 AS (
+  SELECT source, row_number() OVER (ORDER BY source) AS rn
+  FROM (SELECT DISTINCT source FROM documents)
+  QUALIFY rn <= 3),
+bud AS (
+  SELECT source, CASE rn WHEN 1 THEN 30000 WHEN 2 THEN 15000
+                 ELSE 5000 END AS b
+  FROM s3),
+d AS (
+  SELECT doc_id, source,
+         CAST(len({tokens_sql('text')}) AS BIGINT) AS n_tok,
+         {hash63_sql("'tokmix:' || doc_id::VARCHAR")} AS h
+  FROM documents),
+c AS (
+  SELECT doc_id, source, n_tok,
+         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM d)
+SELECT c.doc_id, c.source, c.n_tok, c.cum_tok
+FROM c JOIN bud ON c.source = bud.source
+WHERE c.cum_tok <= bud.b
+"""
+
+
 # q_semantic_decontam: exact max-cosine of each corpus vector vs the
 # benchmark slice — the same split as q_decontam, in embedding space.
 EXTRA_ORACLES["q_semantic_decontam"] = """

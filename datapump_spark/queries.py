@@ -500,6 +500,21 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget corpus mixing (operators/sampling.py
+    token_budget_mix): per-source hash-ordered prefixes whose cumulative
+    token counts fit a 60/30/10 recipe over a 50k-token budget —
+    document-count mixing's token-accurate replacement."""
+    from datapump_spark.operators.sampling import token_budget_mix
+    docs = _t(spark, sf_dir, "documents")
+    srcs = [r["source"] for r in
+            docs.select("source").distinct().orderBy("source").limit(3)
+            .collect()]
+    weights = dict(zip(srcs, [0.6, 0.3, 0.1]))
+    out = token_budget_mix(docs, "source", weights, 50_000, "doc_id")
+    return out.select("doc_id", "source", "n_tok", "cum_tok")
+
+
 def q_semantic_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-space benchmark decontamination (operators/decontam.py
     semantic_decontaminate): flag corpus vectors whose max cosine vs the
@@ -2348,6 +2363,7 @@ EXTRA_QUERIES.update({
     "q_importance_weights": q_importance_weights,
     "q_dsir_sample": q_dsir_sample,
     "q_semantic_decontam": q_semantic_decontam,
+    "q_token_budget_mix": q_token_budget_mix,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,

@@ -145,3 +145,42 @@ def test_quality_binned_mix_validates_rates(spark):
                                F.col("id").cast("double").alias("s"))
     with _pt.raises(ValueError):
         quality_binned_mix(df, "s", [1.5])
+
+
+def test_token_budget_mix_contract(spark):
+    """Per-source token budgets: strict (never exceeded), hash-prefix
+    nested across budgets, oversize docs dropped, unknown sources
+    dropped, layout-independent."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.sampling import token_budget_mix
+
+    rows = [(i, "a", "word " * (10 if i % 2 else 20)) for i in range(40)]
+    rows += [(100 + i, "b", "tok " * 5) for i in range(40)]
+    rows += [(200, "c", "never picked")]          # source without a weight
+    rows += [(300, "a", "x " * 10_000)]           # bigger than a's budget
+    df = spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+    weights = {"a": 0.5, "b": 0.5}
+    out = token_budget_mix(df, "source", weights, 400, "doc_id").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    assert set(by_src) <= {"a", "b"}
+    for src, budget in (("a", 200), ("b", 200)):
+        assert sum(r["n_tok"] for r in by_src.get(src, [])) <= budget
+    assert 300 not in {r["doc_id"] for r in out}   # oversize doc dropped
+    assert out                                      # something selected
+
+    # nested property: half the budget selects a subset
+    small = {r["doc_id"] for r in
+             token_budget_mix(df, "source", weights, 200, "doc_id").collect()}
+    assert small <= {r["doc_id"] for r in out}
+
+    again = {r["doc_id"] for r in
+             token_budget_mix(df.repartition(7), "source", weights, 400,
+                              "doc_id").collect()}
+    assert again == {r["doc_id"] for r in out}
+    with _pytest.raises(ValueError, match="budget_tokens"):
+        token_budget_mix(df, "source", weights, 0, "doc_id")
