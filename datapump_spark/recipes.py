@@ -270,3 +270,106 @@ def rag_search(
         .select(F.col("query_id"), "doc_id", "chunk_id", "chunk_text",
                 "score")
     )
+
+
+# --------------------------------------------------------------------------
+# Training-run recipe: clean → token-budget mix → pack → shards + manifest
+# --------------------------------------------------------------------------
+
+def training_run(
+    docs: DataFrame,
+    workdir: str,
+    benchmark: DataFrame | None = None,
+    recipe: CorpusRecipe | None = None,
+    token_weights: dict[str, float] | None = None,
+    token_budget: int | None = None,
+    n_shards: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+) -> dict[str, object]:
+    """Materialize one training run end to end: the full
+    :func:`pretrain_corpus` cleaning chain, an optional TOKEN-budget
+    mixture (:func:`~datapump_spark.operators.sampling.token_budget_mix`
+    — recipes are stated in tokens, not documents), sequence packing to
+    the recipe's ``seq_budget``, and deterministic shard layout
+    (:func:`~datapump_spark.sinks.shards.write_training_shards`), plus a
+    driver-side ``manifest.json`` whose accounting is the run's audit:
+
+        n_in == n_clean + n_rejected            (cleaning partition)
+        n_selected ≤ n_clean                    (token mix is a subset)
+        sum(selected tokens per source) ≤ weight × budget   (strict)
+
+    Returns the manifest dict (also written to ``workdir/manifest.json``).
+    Everything bounded collected to the driver is aggregate counts.
+    """
+    import json as _json
+    from pathlib import Path as _Path
+
+    from datapump_spark.operators.packing import pack_concat_chunks
+    from datapump_spark.operators.sampling import token_budget_mix
+    from datapump_spark.sinks.shards import write_training_shards
+
+    r = recipe or CorpusRecipe()
+    if r.weights is not None:
+        # doc-count mixing drops rows WITHOUT reject rows, which would
+        # break the manifest's partition accounting; this recipe mixes by
+        # tokens instead
+        raise ValueError(
+            "training_run mixes by tokens — pass token_weights/"
+            "token_budget and leave recipe.weights unset")
+    streams = pretrain_corpus(docs, benchmark, r, id_col, text_col)
+    clean, rejected = streams["clean"], streams["rejected"]
+
+    n_in = docs.count()
+    rej_rows = (rejected.groupBy("reject_reason")
+                .agg(F.count(F.lit(1)).alias("n")).collect())
+    n_rejected = sum(r_["n"] for r_ in rej_rows)
+
+    if token_weights is not None:
+        if token_budget is None:
+            raise ValueError("token_weights requires token_budget")
+        selected = token_budget_mix(clean, source_col, token_weights,
+                                    token_budget, id_col,
+                                    text_col=text_col, hash_fn=r.hash_fn)
+    else:
+        from datapump_spark.functions.hashing import tokens as _tokens
+
+        selected = clean.withColumn(
+            "n_tok", F.size(_tokens(F.col(text_col))).cast("bigint"))
+
+    sel_stats = (selected.groupBy(source_col)
+                 .agg(F.count(F.lit(1)).alias("n_docs"),
+                      F.sum("n_tok").alias("n_tokens")).collect())
+    n_selected = sum(r_["n_docs"] for r_ in sel_stats)
+
+    paths = {k: str(_Path(workdir) / k)
+             for k in ("shards", "sequences", "rejected", "manifest.json")}
+    write_training_shards(
+        selected.drop("cum_tok"), paths["shards"], id_col, n_shards,
+        hash_fn=r.hash_fn, mode="overwrite")
+    sequences = pack_concat_chunks(selected, r.seq_budget, id_col,
+                                   token_col="n_tok")
+    sequences.write.mode("overwrite").parquet(paths["sequences"])
+    rejected.write.mode("overwrite").parquet(paths["rejected"])
+
+    n_seqs = sequences.select("seq_id").distinct().count()
+    manifest = {
+        "n_in": n_in,
+        "n_clean": n_in - n_rejected,
+        "n_rejected": n_rejected,
+        "rejected_by_reason": {r_["reject_reason"]: r_["n"]
+                               for r_ in rej_rows},
+        "n_selected": n_selected,
+        "tokens_by_source": {r_[source_col]: r_["n_tokens"]
+                             for r_ in sel_stats},
+        "token_budget": token_budget,
+        "token_weights": token_weights,
+        "seq_budget": r.seq_budget,
+        "n_sequences": n_seqs,
+        "n_shards": n_shards,
+        "paths": paths,
+    }
+    _Path(workdir).mkdir(parents=True, exist_ok=True)
+    _Path(paths["manifest.json"]).write_text(_json.dumps(manifest, indent=1))
+    return manifest

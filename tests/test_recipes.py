@@ -105,3 +105,53 @@ def test_pii_redacted_in_clean(spark):
     texts = [r.text for r in out["clean"].collect()]
     assert texts and all("a@b.com" not in t for t in texts)
     assert any("[EMAIL]" in t for t in texts)
+
+
+@pytest.mark.slow
+def test_training_run_manifest_and_artifacts(spark, tmp_path):
+    """End-to-end training-run materialization: manifest accounting
+    (partition + token-budget invariants), shard/sequences artifacts
+    readable, budgets strict, recipe.weights rejected."""
+    import pytest as _pytest
+
+    from datapump_spark.recipes import training_run
+
+    base = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree and sings a morning song")
+    rows = [(i, f"{base} a{i} b{i} c{i}", "web") for i in range(30)]
+    rows += [(100 + i, f"{base} code{i} parse{i} stack{i}", "code")
+             for i in range(30)]
+    rows.append((500, "too short", "web"))                # quality reject
+    rows.append((501, f"{base} a1 b1 c1", "web"))         # exact dup of 1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+
+    m = training_run(
+        docs, str(tmp_path / "run"),
+        recipe=CorpusRecipe(min_words=10, dedup_threshold=0.9),
+        token_weights={"web": 0.7, "code": 0.3}, token_budget=1000,
+        n_shards=4)
+
+    assert m["n_in"] == 62
+    assert m["n_in"] == m["n_clean"] + m["n_rejected"]
+    assert m["rejected_by_reason"].get("quality") == 1
+    assert m["rejected_by_reason"].get("exact_dup") == 1
+    assert m["n_selected"] <= m["n_clean"]
+    assert m["tokens_by_source"]["web"] <= 700
+    assert m["tokens_by_source"]["code"] <= 300
+
+    shards = spark.read.parquet(m["paths"]["shards"])
+    assert shards.select("doc_id").distinct().count() == m["n_selected"]
+    assert shards.select("shard").distinct().count() <= 4
+    seqs = spark.read.parquet(m["paths"]["sequences"])
+    assert seqs.select("seq_id").distinct().count() == m["n_sequences"]
+    # sequences reference only selected docs
+    sel = {r["doc_id"] for r in shards.select("doc_id").collect()}
+    assert {r["doc_id"] for r in seqs.collect()} <= sel
+    rej = spark.read.parquet(m["paths"]["rejected"])
+    assert rej.count() == m["n_rejected"]
+
+    with _pytest.raises(ValueError, match="token"):
+        training_run(docs, str(tmp_path / "run2"),
+                     recipe=CorpusRecipe(min_words=10,
+                                         weights={"web": 1.0}))
