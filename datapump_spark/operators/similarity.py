@@ -226,35 +226,6 @@ def _probe_masks(n_flip: int, n_probe: int) -> list[tuple[int, ...]]:
     return subsets[:n_probe]
 
 
-def _probed_buckets(vec: Column, planes: list[list[float]],
-                    n_probe: int) -> list[Column]:
-    """Home bucket + the n_probe−1 multi-probe buckets for ``vec`` (flip
-    the lowest-|margin| sign bits first — Lv et al. 2007). Buckets are
-    distinct by construction (distinct XOR masks on distinct planes)."""
-    n_planes = len(planes)
-    home = lsh_bucket(vec, planes)
-    if n_probe <= 1:
-        return [home]
-    # rank planes by |signed distance| ascending — flip cheapest first
-    margins = F.array_sort(F.array(*[
-        F.struct(
-            F.abs(_dot(vec, F.array(*[F.lit(float(x)) for x in p]))).alias("m"),
-            F.lit(i).alias("i"))
-        for i, p in enumerate(planes)]))
-    n_flip = 1
-    while 2 ** n_flip < n_probe and n_flip < n_planes:
-        n_flip += 1
-    pow2 = F.array(*[F.lit(2 ** i) for i in range(n_planes)])
-    out = []
-    for mask in _probe_masks(n_flip, n_probe):
-        b = home
-        for rank in mask:
-            plane_idx = F.element_at(margins, rank + 1)["i"]
-            b = b.bitwiseXOR(F.element_at(pow2, plane_idx + 1))
-        out.append(b.cast("bigint"))
-    return out
-
-
 def lsh_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, query_max_id: int = 10, n_planes: int = 4, seed: int = 42,
@@ -290,21 +261,55 @@ def lsh_topk(
               for t in range(n_tables)]
     base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     base = base.withColumn("nrm", _norm(F.col("v")))
+    # Evaluate every plane dot product ONCE into an array column and
+    # derive buckets/margins from element_at reads: without this each
+    # bucket (and each query-side margin) re-embeds its own copy of the
+    # dot-product subtree, and the n_tables × n_planes expression forest
+    # dominates planning + per-row eval time.
+    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p])
+                    for t in tables for p in t])
+    base = base.withColumn(
+        "__dots", F.transform(mat, lambda p: _dot(F.col("v"), p)))
+
+    def dot_at(t: int, i: int) -> Column:
+        return F.element_at("__dots", t * n_planes + i + 1)
+
+    def bucket_for(t: int) -> Column:
+        b = F.lit(0)
+        for i in range(n_planes):
+            b = b + F.when(dot_at(t, i) >= 0, F.lit(2 ** i)).otherwise(0)
+        return b.cast("bigint")
+
     # corpus: one (table, bucket) pair per table, single pass
     c = base.withColumn(
         "tb", F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"),
-                     lsh_bucket(F.col("v"), planes).alias("b"))
-            for t, planes in enumerate(tables)])))
+            F.struct(F.lit(t).alias("t"), bucket_for(t).alias("b"))
+            for t in range(n_tables)])))
     c = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
                  F.col("nrm").alias("cn"), F.col("tb.t").alias("ct"),
                  F.col("tb.b").alias("cb"))
     # queries: n_tables × n_probe probe targets each (still tiny)
     q = base.where(F.col("id") < query_max_id)
-    probe_structs = [
-        F.struct(F.lit(t).alias("t"), b.alias("b"))
-        for t, planes in enumerate(tables)
-        for b in _probed_buckets(F.col("v"), planes, n_probe)]
+    n_flip = 1
+    while 2 ** n_flip < n_probe and n_flip < n_planes:
+        n_flip += 1
+    pow2 = F.array(*[F.lit(2 ** i) for i in range(n_planes)])
+    probe_structs = []
+    for t in range(n_tables):
+        if n_probe <= 1:
+            probe_structs.append(
+                F.struct(F.lit(t).alias("t"), bucket_for(t).alias("b")))
+            continue
+        margins = F.array_sort(F.array(*[
+            F.struct(F.abs(dot_at(t, i)).alias("m"), F.lit(i).alias("i"))
+            for i in range(n_planes)]))
+        for mask in _probe_masks(n_flip, n_probe):
+            b = bucket_for(t)
+            for rank in mask:
+                plane_idx = F.element_at(margins, rank + 1)["i"]
+                b = b.bitwiseXOR(F.element_at(pow2, plane_idx + 1))
+            probe_structs.append(
+                F.struct(F.lit(t).alias("t"), b.cast("bigint").alias("b")))
     q = (q.withColumn("tb", F.explode(F.array(*probe_structs)))
           .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                   F.col("nrm").alias("qn"), F.col("tb.t").alias("qt"),

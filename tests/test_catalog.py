@@ -55,6 +55,7 @@ def test_org_gate_and_package_create(ns):
     assert ns.ensure_package("cat-org", "cat-pkg") == db   # idempotent
 
 
+@pytest.mark.slow
 def test_pipeline_sync_registers_views(spark, ns, tmp_path):
     inbox = tmp_path / "input"
     inbox.mkdir()

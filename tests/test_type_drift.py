@@ -72,7 +72,13 @@ def test_events_query_list_nonempty():
     assert len(EVENTS_QUERIES) >= 15
 
 
-@pytest.mark.parametrize("encoding", ["ntz_micros", "tz_micros", "nanos_bigint"])
+@pytest.mark.parametrize("encoding", [
+    "ntz_micros",
+    # tz analysis-only pass is `slow`: the exact-value sessionize check
+    # below still runs all three encodings in the default set
+    pytest.param("tz_micros", marks=pytest.mark.slow),
+    "nanos_bigint",
+])
 def test_all_events_queries_analyze(spark, variants, encoding):
     """Schema resolution (Catalyst analysis) must succeed for every
     events-consuming query under every historical ts encoding."""
