@@ -137,3 +137,41 @@ def vocab_coverage(encoded: DataFrame) -> DataFrame:
         F.round(F.sum("n_oov") / F.greatest(F.sum("n_tokens"), F.lit(1)), 6)
         .alias("oov_rate"),
     )
+
+
+def tokenizer_fertility(
+    encoded: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+    text_col: str = "text", group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Tokenizer QA report: fertility (subword tokens per whitespace
+    word) and unknown-token rate, per group (default: corpus-wide).
+
+    ``encoded`` is any (id, n_tokens, n_unk) frame — the output shape of
+    ``bpe_encode`` / ``unigram_encode`` / ``encode_tokens`` — joined back
+    to ``docs`` for word counts and grouping columns. Fertility is THE
+    acceptance metric for a tokenizer on a new language/domain mix: a
+    multilingual corpus whose minority-language fertility is 2-3× the
+    English baseline is under-tokenized and trains badly (published
+    SentencePiece/BPE evaluation practice). One join + one aggregation.
+
+    Returns (groups…, n_docs, n_words, n_tokens, fertility, unk_rate),
+    ratios rounded 6 dp; docs with zero words are excluded (no fertility
+    is defined for them).
+    """
+    from datapump_spark.functions.hashing import tokens
+
+    g = list(group_cols or [])
+    base = (docs.select(F.col(id_col), *g,
+                        F.size(tokens(F.col(text_col)))
+                        .cast("bigint").alias("__w"))
+            .where(F.col("__w") > 0)
+            .join(encoded.select(id_col, "n_tokens", "n_unk"), id_col))
+    agg = (base.groupBy(*g)
+           .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+                F.sum("__w").alias("n_words"),
+                F.sum("n_tokens").alias("n_tokens"),
+                F.sum("n_unk").alias("__unk")))
+    return agg.select(
+        *g, "n_docs", "n_words", "n_tokens",
+        F.round(F.col("n_tokens") / F.col("n_words"), 6).alias("fertility"),
+        F.round(F.col("__unk") / F.col("n_tokens"), 6).alias("unk_rate"))

@@ -500,6 +500,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer fertility / unk-rate report over the BPE
+    encode (operators/vocab.py tokenizer_fertility) — the acceptance
+    metric for a tokenizer on a language mix. Bench variant: depends on
+    trained BPE state, so graded by invariant tests, not a SQL oracle."""
+    from datapump_spark.operators.bpe import bpe_encode, train_bpe
+    from datapump_spark.operators.vocab import tokenizer_fertility
+    docs = _t(spark, sf_dir, "documents")
+    enc = bpe_encode(docs, train_bpe(docs, n_merges=200))
+    return tokenizer_fertility(enc, docs, group_cols=["lang"])
+
+
 def q_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget corpus mixing (operators/sampling.py
     token_budget_mix): per-source hash-ordered prefixes whose cumulative
@@ -2407,6 +2419,7 @@ BENCH_VARIANTS = {
     "q_lsh_topk": q_lsh_topk,
     "q_ivf_topk": q_ivf_topk,
     "q_simhash_pairs_capped": q_simhash_pairs_capped,
+    "q_tokenizer_fertility": q_tokenizer_fertility,
     "q_embedding_near_dup_gemm_lsh": q_embedding_near_dup_gemm_lsh,
     "q_pack_greedy_bins": q_pack_greedy_bins,
     "q_semantic_dedup": q_semantic_dedup,

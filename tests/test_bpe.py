@@ -115,3 +115,32 @@ def test_sf_corpus_smoke(spark, sf_dir):
     # merges must actually compress: fewer BPE tokens than characters
     chars = docs.selectExpr("sum(length(text))").collect()[0][0]
     assert stats["t"] < chars
+
+
+def test_tokenizer_fertility_report(spark):
+    """Fertility = subword tokens per word (≥ ~1 for a trained BPE on its
+    own corpus), unk_rate in [0,1]; zero-word docs excluded; grouping
+    column honored; word totals match a direct count."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.functions.hashing import tokens as _tokens
+    from datapump_spark.operators.bpe import bpe_encode
+    from datapump_spark.operators.vocab import tokenizer_fertility
+
+    docs = spark.createDataFrame(
+        [(i, t, "s0" if i % 2 else "s1") for i, t in enumerate(CORPUS)],
+        "doc_id long, text string, source string")
+    enc = bpe_encode(docs, train_bpe(docs, n_merges=30))
+    rep = tokenizer_fertility(enc, docs).collect()
+    assert len(rep) == 1
+    r = rep[0]
+    want_words = docs.select(
+        F.sum(F.size(_tokens(F.col("text")))).alias("w")).collect()[0]["w"]
+    assert r["n_words"] == want_words
+    assert r["fertility"] >= 1.0          # subwords never merge across words
+    assert 0.0 <= r["unk_rate"] <= 1.0
+
+    by_src = tokenizer_fertility(enc, docs, group_cols=["source"]).collect()
+    assert {row["source"] for row in by_src} == \
+        {row["source"] for row in docs.select("source").distinct().collect()}
+    assert sum(row["n_words"] for row in by_src) == want_words
