@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "q_simhash_pairs_capped",
     # DSIR hashed-ngram importance resampling (fit + score + Gumbel top-k)
     "q_dsir_sample",
+    # tokenizer QA: BPE train + encode + per-language fertility report
+    "q_tokenizer_fertility",
 ]
 
 
