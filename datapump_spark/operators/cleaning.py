@@ -224,3 +224,47 @@ def strip_html(
         c = F.replace(c, F.lit(ent), F.lit(rep))
     c = F.trim(F.regexp_replace(c, r"\s+", " "))
     return df.withColumn(out, c)
+
+
+# ZWSP, ZWNJ, ZWJ, word joiner, BOM/ZWNBSP, soft hyphen
+ZERO_WIDTH_RE = "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
+
+
+def unicode_normalize(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    form: str = "NFC",
+    strip_zero_width: bool = True,
+) -> DataFrame:
+    """Unicode-canonicalize text: normalization form ``NFC``/``NFD``/
+    ``NFKC``/``NFKD`` plus (default) zero-width/invisible character
+    removal (ZWSP/ZWNJ/ZWJ/word-joiner/BOM/soft hyphen).
+
+    Multilingual dedup breaks without this: 'café' composed and
+    decomposed are DIFFERENT strings to every hash-based operator
+    (exact_dedup fingerprints, MinHash shingles, line dedup), and
+    zero-width insertions are the classic dedup-evasion artifact.
+    Normalize at ingest, before any fingerprinting.
+
+    The zero-width strip is a codegen ``regexp_replace``; normalization
+    itself has no Spark built-in, so it runs as an Arrow-vectorized
+    pandas UDF (`Series.str.normalize`) — a projection, not a shuffle,
+    fused into the scan like every other cleaning pass. ``form='NFC'``
+    is DuckDB-twinnable (``nfc_normalize``), the verifiability profile.
+    """
+    import pandas as pd  # noqa: F401 — signature documentation
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    out = out_col or text_col
+
+    @pandas_udf("string")
+    def _norm(s):
+        return s.str.normalize(form)
+
+    c = F.col(text_col)
+    if strip_zero_width:
+        c = F.regexp_replace(c, ZERO_WIDTH_RE, "")
+    return df.withColumn(out, _norm(c))

@@ -2111,6 +2111,18 @@ w AS (
              LEFT JOIN rc ON spine.bucket = rc.bucket)
 """
 
+# q_unicode_normalize: DuckDB's nfc_normalize over the identically
+# zero-width-stripped text (same literal character class).
+from datapump_spark.operators.cleaning import ZERO_WIDTH_RE  # noqa: E402
+
+EXTRA_ORACLES["q_unicode_normalize"] = f"""
+SELECT doc_id, text,
+       nfc_normalize(regexp_replace(text, '{ZERO_WIDTH_RE}', '', 'g'))
+         AS text_nfc
+FROM documents
+"""
+
+
 # q_token_budget_mix: same salted-hash order, per-source token cum-sum,
 # strict prefix-within-budget rule (60/30/10 over 50k tokens on the
 # first three sources alphabetically).

@@ -500,6 +500,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NFC unicode canonicalization + zero-width strip over the corpus
+    (operators/cleaning.py unicode_normalize) — the pass multilingual
+    dedup needs before any fingerprint; DuckDB twins it via
+    nfc_normalize."""
+    from datapump_spark.operators.cleaning import unicode_normalize
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return unicode_normalize(docs, out_col="text_nfc")
+
+
 def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language tokenizer fertility / unk-rate report over the BPE
     encode (operators/vocab.py tokenizer_fertility) — the acceptance
@@ -2376,6 +2386,7 @@ EXTRA_QUERIES.update({
     "q_dsir_sample": q_dsir_sample,
     "q_semantic_decontam": q_semantic_decontam,
     "q_token_budget_mix": q_token_budget_mix,
+    "q_unicode_normalize": q_unicode_normalize,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,

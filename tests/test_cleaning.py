@@ -146,3 +146,38 @@ def test_strip_html_no_double_decode(spark):
     got = {r["doc_id"]: r["text"] for r in strip_html(df).collect()}
     assert got[1] == "use &lt;tag&gt; to escape"
     assert got[2] == "escaped amp: &amp;"
+
+
+def test_unicode_normalize_forms_and_zero_width(spark):
+    """Composed ≡ decomposed after NFC; zero-width insertions stripped
+    (the dedup-evasion artifact); NFKC folds compatibility forms; the
+    fingerprints of normalized variants collide (the point of the op)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.cleaning import unicode_normalize
+    from datapump_spark.operators.dedup_fuzzy import exact_dedup
+
+    composed = "café résumé"
+    decomposed = "café résumé"
+    zero_width = "café résu​mé"
+    df = spark.createDataFrame(
+        [(1, composed), (2, decomposed), (3, zero_width),
+         (4, "ﬁle")],                       # ﬁ ligature (NFKC folds)
+        "doc_id long, text string")
+
+    nfc = {r["doc_id"]: r["text"] for r in
+           unicode_normalize(df).collect()}
+    assert nfc[1] == nfc[2] == nfc[3] == composed
+    assert nfc[4] == "ﬁle"                  # NFC keeps ligatures
+
+    nfkc = {r["doc_id"]: r["text"] for r in
+            unicode_normalize(df, form="NFKC").collect()}
+    assert nfkc[4] == "file"
+
+    # downstream effect: all three spelling variants dedupe to one doc
+    survivors = exact_dedup(unicode_normalize(df).where(F.col("doc_id") <= 3))
+    assert [r["doc_id"] for r in survivors.collect()] == [1]
+
+    with _pytest.raises(ValueError, match="form"):
+        unicode_normalize(df, form="NFX")
