@@ -32,7 +32,7 @@ build plan's training-data surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapump_spark.functions.hashing import tokens
@@ -135,3 +135,43 @@ def train_and_score(
     """Convenience: fit counts on ``corpus``, score ``docs``."""
     uni, bi = train_bigram_lm(corpus, id_col, text_col)
     return lm_score(docs, uni, bi, id_col, text_col, k)
+
+
+def ccnet_buckets(
+    docs: DataFrame,
+    reference: DataFrame | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_cols: list[str] | None = None,
+    cuts: tuple[float, float] = (1 / 3, 2 / 3),
+    k: float = 1.0,
+) -> DataFrame:
+    """CCNet-style perplexity routing: score every doc under a bigram LM
+    fitted on ``reference`` (a trusted target corpus — Wikipedia in the
+    paper; defaults to ``docs`` itself), then split each group into
+    ``head`` / ``middle`` / ``tail`` by per-group perplexity quantile
+    (head = lowest ppl = most reference-like). The published recipe
+    keeps head+middle for pretraining and routes tail to re-cleaning.
+
+    (id, groups…, ppl, ppl_pct, bucket). Quantile rank is
+    ``percent_rank`` within the group (per-language in production — pass
+    ``group_cols=['lang']``), so bucket boundaries adapt per group
+    exactly as CCNet does per language. One window sort per group over
+    (ppl, id) — deterministic ties — on top of the scoring scan.
+    """
+    lo, hi = cuts
+    if not 0 < lo < hi < 1:
+        raise ValueError(f"cuts must satisfy 0 < lo < hi < 1: {cuts}")
+    ref = reference if reference is not None else docs
+    scored = train_and_score(ref, docs, id_col, text_col, k)
+    g = list(group_cols or [])
+    joined = docs.select(F.col(id_col), *g).join(scored, id_col)
+    w = Window.partitionBy(*g).orderBy(F.col("ppl").asc(),
+                                       F.col(id_col).asc())
+    pct = F.percent_rank().over(w)
+    bucket = (F.when(pct < lo, "head")
+              .when(pct < hi, "middle")
+              .otherwise("tail"))
+    return joined.select(
+        id_col, *g, "ppl",
+        F.round(pct, 6).alias("ppl_pct"), bucket.alias("bucket"))

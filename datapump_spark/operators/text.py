@@ -162,3 +162,59 @@ def token_entropy(df: DataFrame, id_col: str = "doc_id",
     return (df.select(id_col).join(ent, id_col, "left")
             .na.fill({"n_tokens": 0, "n_distinct_tokens": 0,
                       "entropy": 0.0, "entropy_ratio": 0.0}))
+
+
+# (operator name, Java/Spark script class, RE2/DuckDB script class) — the
+# Unicode Script property both regex engines implement; oracles.py builds
+# the identical SQL from this table.
+SCRIPT_CLASSES = [
+    ("latin", "IsLatin", "Latin"),
+    ("cyrillic", "IsCyrillic", "Cyrillic"),
+    ("greek", "IsGreek", "Greek"),
+    ("arabic", "IsArabic", "Arabic"),
+    ("hebrew", "IsHebrew", "Hebrew"),
+    ("han", "IsHan", "Han"),
+    ("hiragana", "IsHiragana", "Hiragana"),
+    ("katakana", "IsKatakana", "Katakana"),
+    ("hangul", "IsHangul", "Hangul"),
+    ("devanagari", "IsDevanagari", "Devanagari"),
+]
+
+
+def script_profile(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """Per-document Unicode-script composition: character counts and
+    fractions for the ten major scripts plus digits — the language-ID
+    complement that catches what n-gram heuristics can't (mixed-script
+    spam, mislabeled CJK in a 'latin' source, transliteration noise).
+
+    (id, n_chars, n_<script>…, frac_<script>…, frac_digit, frac_other);
+    fractions are over non-whitespace characters, rounded 6 dp. Pure
+    codegen ``regexp_replace``/``length`` column expressions (counting by
+    deletion — the formulation both Java and RE2 regex implement
+    identically, so DuckDB twins every number); one scan, no shuffle,
+    no UDF."""
+    t = F.col(text_col)
+    nonws = F.regexp_replace(t, r"\s", "")
+    d = df.select(F.col(id_col), nonws.alias("__t"))
+    n = F.length("__t")
+    counts = [
+        F.length(F.regexp_replace("__t", f"[^\\p{{{java}}}]", ""))
+        .alias(f"n_{name}")
+        for name, java, _ in SCRIPT_CLASSES
+    ]
+    n_digit = F.length(F.regexp_replace("__t", r"[^0-9]", "")).alias("n_digit")
+    d = d.select(id_col, n.alias("n_chars"), *counts, n_digit)
+    known = sum(F.col(f"n_{name}") for name, _, _ in SCRIPT_CLASSES) \
+        + F.col("n_digit")
+    denom = F.greatest(F.col("n_chars"), F.lit(1))
+    fracs = [
+        F.round(F.col(f"n_{name}") / denom, 6).alias(f"frac_{name}")
+        for name, _, _ in SCRIPT_CLASSES
+    ]
+    return d.select(
+        id_col, "n_chars", *[f"n_{name}" for name, _, _ in SCRIPT_CLASSES],
+        "n_digit", *fracs,
+        F.round(F.col("n_digit") / denom, 6).alias("frac_digit"),
+        F.round((F.col("n_chars") - known) / denom, 6).alias("frac_other"))

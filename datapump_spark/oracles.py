@@ -2111,6 +2111,38 @@ w AS (
              LEFT JOIN rc ON spine.bucket = rc.bucket)
 """
 
+# q_script_profile: identical counting-by-deletion over RE2's script
+# classes (built from the same SCRIPT_CLASSES table as the operator).
+from datapump_spark.operators.text import SCRIPT_CLASSES  # noqa: E402
+
+_sp_counts = ",\n         ".join(
+    f"length(regexp_replace(__t, '[^\\p{{{re2}}}]', '', 'g')) AS n_{name}"
+    for name, _, re2 in SCRIPT_CLASSES)
+_sp_fracs = ",\n       ".join(
+    f"round(n_{name} / greatest(n_chars, 1), 6) AS frac_{name}"
+    for name, _, _ in SCRIPT_CLASSES)
+_sp_known = " + ".join(f"n_{name}" for name, _, _ in SCRIPT_CLASSES) \
+    + " + n_digit"
+EXTRA_ORACLES["q_script_profile"] = f"""
+WITH s AS (
+  SELECT doc_id, regexp_replace(text, '\\s', '', 'g') AS __t
+  FROM documents),
+c AS (
+  SELECT doc_id, length(__t) AS n_chars,
+         {_sp_counts},
+         length(regexp_replace(__t, '[^0-9]', '', 'g')) AS n_digit
+  FROM s)
+SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+       {", ".join(f"CAST(n_{n} AS INT) AS n_{n}" for n, _, _ in SCRIPT_CLASSES)},
+       CAST(n_digit AS INT) AS n_digit,
+       {_sp_fracs},
+       round(n_digit / greatest(n_chars, 1), 6) AS frac_digit,
+       round((n_chars - ({_sp_known})) / greatest(n_chars, 1), 6)
+         AS frac_other
+FROM c
+"""
+
+
 # q_unicode_normalize: DuckDB's nfc_normalize over the identically
 # zero-width-stripped text (same literal character class).
 from datapump_spark.operators.cleaning import ZERO_WIDTH_RE  # noqa: E402

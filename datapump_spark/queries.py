@@ -500,6 +500,23 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet head/middle/tail perplexity routing per language
+    (operators/lm.py ccnet_buckets). Bench variant: depends on the
+    trained bigram LM, so graded by invariant tests, not a SQL oracle."""
+    from datapump_spark.operators.lm import ccnet_buckets
+    docs = _t(spark, sf_dir, "documents")
+    return ccnet_buckets(docs, group_cols=["lang"])
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Unicode-script composition report (operators/text.py
+    script_profile) — the language-ID complement for mixed-script /
+    mislabeled content."""
+    from datapump_spark.operators.text import script_profile
+    return script_profile(_t(spark, sf_dir, "documents"))
+
+
 def q_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """NFC unicode canonicalization + zero-width strip over the corpus
     (operators/cleaning.py unicode_normalize) — the pass multilingual
@@ -2387,6 +2404,7 @@ EXTRA_QUERIES.update({
     "q_semantic_decontam": q_semantic_decontam,
     "q_token_budget_mix": q_token_budget_mix,
     "q_unicode_normalize": q_unicode_normalize,
+    "q_script_profile": q_script_profile,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,
@@ -2431,6 +2449,7 @@ BENCH_VARIANTS = {
     "q_ivf_topk": q_ivf_topk,
     "q_simhash_pairs_capped": q_simhash_pairs_capped,
     "q_tokenizer_fertility": q_tokenizer_fertility,
+    "q_ccnet_buckets": q_ccnet_buckets,
     "q_embedding_near_dup_gemm_lsh": q_embedding_near_dup_gemm_lsh,
     "q_pack_greedy_bins": q_pack_greedy_bins,
     "q_semantic_dedup": q_semantic_dedup,

@@ -55,3 +55,36 @@ def test_broadcast_model_same_result_and_plan(spark, corpus):
     b = sorted(map(tuple, scored_b.collect()))
     assert a == b
     assert "BroadcastHashJoin" in scored_b._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ccnet_buckets_routing(spark):
+    """Head = most reference-like: in-domain docs must land in head/
+    middle and the out-of-domain doc in tail; buckets partition each
+    group by the cut fractions; cuts validated; layout-independent."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.lm import ccnet_buckets
+
+    base = ("the quick brown fox jumps over the lazy dog and then the "
+            "dog naps while the fox runs far away home again")
+    rows = [(i, f"{base} w{i}", "en") for i in range(12)]
+    rows.append((50, "zzq qqz xxv vvx " + " ".join(
+        f"blorp{j} wug{j}" for j in range(10)), "en"))   # out-of-domain
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    ref = docs.where(F.col("doc_id") < 12)
+
+    got = {r["doc_id"]: r for r in
+           ccnet_buckets(docs, reference=ref, group_cols=["lang"]).collect()}
+    assert got[50]["bucket"] == "tail"
+    assert max(got.values(), key=lambda r: r["ppl"])["doc_id"] == 50
+    n = len(got)
+    heads = sum(1 for r in got.values() if r["bucket"] == "head")
+    assert 0 < heads < n
+    # deterministic across layouts
+    again = {r["doc_id"]: r["bucket"] for r in
+             ccnet_buckets(docs.repartition(5), reference=ref,
+                           group_cols=["lang"]).collect()}
+    assert again == {k: v["bucket"] for k, v in got.items()}
+    with _pytest.raises(ValueError, match="cuts"):
+        ccnet_buckets(docs, cuts=(0.7, 0.3))

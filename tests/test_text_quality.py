@@ -1,0 +1,28 @@
+
+
+def test_script_profile_mixed_scripts(spark):
+    """Counts/fractions per Unicode script: a mixed Latin/Cyrillic/Han
+    doc decomposes exactly; whitespace excluded; digits and unknown
+    scripts routed to their own buckets; fractions sum to ~1."""
+    from datapump_spark.operators.text import script_profile
+
+    df = spark.createDataFrame(
+        [(1, "hello мир 日本語 123"),
+         (2, "   "),                        # whitespace only
+         (3, "παράδειγμα")],                # greek
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in script_profile(df).collect()}
+
+    r1 = got[1]
+    assert r1["n_latin"] == 5 and r1["n_cyrillic"] == 3
+    assert r1["n_han"] == 3            # 日本語 is three Han chars
+    assert r1["n_digit"] == 3
+    assert r1["n_chars"] == 14               # whitespace stripped
+    total_frac = (sum(r1[f"frac_{s}"] for s in (
+        "latin", "cyrillic", "greek", "arabic", "hebrew", "han",
+        "hiragana", "katakana", "hangul", "devanagari"))
+        + r1["frac_digit"] + r1["frac_other"])
+    assert abs(total_frac - 1.0) < 1e-4
+
+    assert got[2]["n_chars"] == 0 and got[2]["frac_other"] == 0.0
+    assert got[3]["frac_greek"] == 1.0
