@@ -159,6 +159,13 @@ BENCH_QUERIES = [
     "q_dsir_sample",
     # tokenizer QA: BPE train + encode + per-language fertility report
     "q_tokenizer_fertility",
+    # round-5 text-hygiene additions
+    "q_unicode_normalize",
+    "q_script_profile",
+    "q_ccnet_buckets",
+    "q_semantic_decontam",
+    "q_token_budget_mix",
+    "q_incremental_near_dup",
 ]
 
 
