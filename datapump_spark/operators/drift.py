@@ -58,6 +58,10 @@ def distribution_drift(
             .agg(F.min("_v").alias("lo"), F.max("_v").alias("hi"))
             .first()
         )
+        if row["lo"] is None and (lo is None or hi is None):
+            raise ValueError(
+                f"distribution_drift: no non-null {col!r} values and no "
+                "pinned [lo, hi] — cannot place buckets")
         lo = float(row["lo"]) if lo is None else lo
         hi = float(row["hi"]) if hi is None else hi
     width = (hi - lo) / n_buckets or 1.0
@@ -146,6 +150,10 @@ def time_split_drift(
     half."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     b = events.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    if b["lo"] is None:
+        raise ValueError(
+            "time_split_drift: no rows with a non-null timestamp — "
+            "nothing to split")
     mid = b["lo"] + (b["hi"] - b["lo"]) // 2
     base = events.where(us < F.lit(mid))
     cur = events.where(us >= F.lit(mid))

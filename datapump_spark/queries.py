@@ -62,7 +62,15 @@ def _emb_dim(sf_dir: str) -> int:
         import pyarrow.parquet as pq
 
         f = pq.ParquetFile(f"{sf_dir}/embeddings.parquet")
-        batch = next(f.iter_batches(batch_size=1, columns=["embedding"]))
+        try:
+            batch = next(f.iter_batches(batch_size=1,
+                                        columns=["embedding"]))
+        except StopIteration:
+            # a bare StopIteration would also poison any enclosing
+            # generator (PEP 479) — refuse with a typed error instead
+            raise ValueError(
+                f"{sf_dir}/embeddings.parquet is empty — "
+                "cannot infer embedding dim") from None
         _EMB_DIM[sf_dir] = len(batch.column(0)[0])
     return _EMB_DIM[sf_dir]
 
