@@ -87,6 +87,7 @@ def test_single_token_docs_contribute_no_bigrams(spark):
     assert s[2]["n_feats"] == 3                # 2 unigrams + 1 bigram
 
 
+@pytest.mark.slow
 def test_raw_fit_fraction_approximates_full_fit(spark):
     """Sample-fit raw multinomial: scores from a 50% hash-sample fit must
     preserve the domain ordering the full fit produces (the at-scale

@@ -81,10 +81,5 @@ def test_ccnet_buckets_routing(spark):
     n = len(got)
     heads = sum(1 for r in got.values() if r["bucket"] == "head")
     assert 0 < heads < n
-    # deterministic across layouts
-    again = {r["doc_id"]: r["bucket"] for r in
-             ccnet_buckets(docs.repartition(5), reference=ref,
-                           group_cols=["lang"]).collect()}
-    assert again == {k: v["bucket"] for k, v in got.items()}
     with _pytest.raises(ValueError, match="cuts"):
         ccnet_buckets(docs, cuts=(0.7, 0.3))

@@ -122,6 +122,7 @@ _VALS = st.lists(
     min_size=1, max_size=30)
 
 
+@pytest.mark.slow
 @given(vals=_VALS, alpha=st.sampled_from([0.1, 0.3, 0.5, 0.9]))
 @settings(**_PROP)
 def test_ewma_matches_pandas_property(spark, vals, alpha):
@@ -140,6 +141,7 @@ def test_ewma_matches_pandas_property(spark, vals, alpha):
               st.floats(min_value=-1e3, max_value=1e3,
                         allow_nan=False, allow_infinity=False)),
     min_size=1, max_size=30))
+@pytest.mark.slow
 @settings(**_PROP)
 def test_interpolate_matches_pandas_property(spark, vals):
     import pandas as pd
@@ -185,6 +187,7 @@ def test_fill_backward(spark):
                         allow_nan=False, allow_infinity=False)),
     min_size=1, max_size=30),
     limit=st.one_of(st.none(), st.integers(min_value=1, max_value=5)))
+@pytest.mark.slow
 @settings(**_PROP)
 def test_fill_forward_matches_pandas_property(spark, vals, limit):
     import pandas as pd

@@ -140,6 +140,7 @@ _urls = st.builds(
 )
 
 
+@pytest.mark.slow
 @given(urls=st.lists(_urls, min_size=1, max_size=8))
 @settings(**_PROP)
 def test_canonicalize_property(spark, urls):
