@@ -21,6 +21,7 @@ def _read(spark, **opts):
     return r.load()
 
 
+@pytest.mark.slow
 def test_row_count_and_schema(gen):
     df = _read(gen, rows=500, partitions=4)
     assert df.count() == 500

@@ -55,6 +55,7 @@ def test_mass_approximately_conserved(spark):
     assert abs(total - SCALE) < 1000
 
 
+@pytest.mark.slow
 def test_checkpoint_path_identical(spark):
     df = spark.createDataFrame(EDGES, "src string, dst string")
     a = {r["node"]: r["rank"]

@@ -26,6 +26,7 @@ ROWS = st.lists(
 )
 
 
+@pytest.mark.slow
 @given(rows=ROWS, keep=st.sampled_from(["first", "last"]))
 @settings(**SETTINGS)
 def test_dedupe_matches_python_model(spark, rows, keep):
@@ -47,6 +48,7 @@ def test_dedupe_matches_python_model(spark, rows, keep):
     assert got == model
 
 
+@pytest.mark.slow
 @given(rows=ROWS)
 @settings(**SETTINGS)
 def test_dupe_count_matches_model(spark, rows):
@@ -66,6 +68,7 @@ def test_dupe_count_matches_model(spark, rows):
 TS = st.datetimes(min_value=datetime(2000, 1, 1), max_value=datetime(2037, 12, 31))
 
 
+@pytest.mark.slow
 @given(ts=TS, fmt_idx=st.integers(0, 3))
 @settings(**SETTINGS)
 def test_multiformat_ts_roundtrip(spark, ts, fmt_idx):
@@ -93,6 +96,7 @@ def test_multiformat_ts_roundtrip(spark, ts, fmt_idx):
     texts=st.lists(st.text(alphabet="abcXYZ _-", min_size=1, max_size=12),
                    min_size=1, max_size=8),
 )
+@pytest.mark.slow
 @settings(**SETTINGS)
 def test_type_inference_classes(spark, ints, floats, texts):
     """All-int columns infer int; ints+floats infer float; anything
