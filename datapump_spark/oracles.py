@@ -2143,6 +2143,30 @@ FROM c
 """
 
 
+# q_corpus_card: the dataset-card rollup composed from the SAME per-doc
+# oracle fragments (quality score, script profile, tokens, fingerprint).
+EXTRA_ORACLES["q_corpus_card"] = f"""
+WITH q AS ({ORACLES["q_quality_score"]}),
+sp AS ({EXTRA_ORACLES["q_script_profile"]}),
+base AS (
+  SELECT d.doc_id, d.lang, d.source,
+         CAST(len({_TOKS}) AS BIGINT) AS n_tok,
+         md5({_NORM}) AS fp
+  FROM documents d)
+SELECT b.lang, b.source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(b.n_tok) AS BIGINT) AS total_tokens,
+       round(avg(b.n_tok), 6) AS avg_tokens,
+       round(avg(q.quality), 6) AS avg_quality,
+       round(avg(sp.frac_latin), 6) AS avg_frac_latin,
+       round(avg(sp.frac_digit), 6) AS avg_frac_digit,
+       round(1.0 - count(DISTINCT b.fp) / CAST(count(*) AS DOUBLE), 6)
+         AS dup_rate
+FROM base b JOIN q USING (doc_id) JOIN sp USING (doc_id)
+GROUP BY b.lang, b.source
+"""
+
+
 # q_unicode_normalize: DuckDB's nfc_normalize over the identically
 # zero-width-stripped text (same literal character class).
 from datapump_spark.operators.cleaning import ZERO_WIDTH_RE  # noqa: E402

@@ -508,6 +508,37 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_near_dup(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
+def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: one row per (lang, source) summarizing volume
+    (docs/tokens), mean quality score, script composition (latin/digit
+    fractions), and the exact-duplicate rate — the report a data owner
+    publishes with a corpus release, composed from the oracled per-doc
+    operators (quality_score, script_profile, exact fingerprints) in ONE
+    aggregation pass."""
+    from datapump_spark.functions.hashing import tokens
+    from datapump_spark.operators.dedup_fuzzy import normalize_text
+    from datapump_spark.operators.text import quality_score, script_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    per_doc = (docs
+               .join(quality_score(docs).select("doc_id", "quality"),
+                     "doc_id")
+               .join(script_profile(docs).select(
+                   "doc_id", "frac_latin", "frac_digit"), "doc_id")
+               .withColumn("__tok", F.size(tokens(F.col("text")))
+                           .cast("bigint"))
+               .withColumn("__fp", F.md5(normalize_text(F.col("text")))))
+    return (per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("__tok").alias("total_tokens"),
+        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+        F.round(F.avg("frac_latin"), 6).alias("avg_frac_latin"),
+        F.round(F.avg("frac_digit"), 6).alias("avg_frac_digit"),
+        F.round(1.0 - F.countDistinct("__fp")
+                / F.count(F.lit(1)), 6).alias("dup_rate")))
+
+
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet head/middle/tail perplexity routing per language
     (operators/lm.py ccnet_buckets). Bench variant: depends on the
@@ -2413,6 +2444,7 @@ EXTRA_QUERIES.update({
     "q_token_budget_mix": q_token_budget_mix,
     "q_unicode_normalize": q_unicode_normalize,
     "q_script_profile": q_script_profile,
+    "q_corpus_card": q_corpus_card,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
     "q_hybrid_search": q_hybrid_search,

