@@ -166,6 +166,7 @@ BENCH_QUERIES = [
     "q_semantic_decontam",
     "q_token_budget_mix",
     "q_incremental_near_dup",
+    "q_corpus_card",
 ]
 
 
