@@ -219,9 +219,15 @@ def semantic_decontaminate(
         joined = c.crossJoin(F.broadcast(b))
     cos = F.round(_dot(F.col("__v_id"), F.col("__v___bid"))
                   / (F.col("__n_id") * F.col("__n___bid")), 6)
+    agg = joined.groupBy("id").agg(F.max(cos).alias("max_cos"))
+    # LEFT join back onto the full corpus id set: on the LSH path a row
+    # with no bucket collision (and on the exact path every row, if the
+    # benchmark is empty) has no candidate pairs — the docstring promises
+    # a row for EVERY usable vector, so those surface as max_cos null /
+    # contaminated false instead of vanishing from the output
     return (
-        joined.groupBy("id")
-        .agg(F.max(cos).alias("max_cos"))
+        c.select("id").join(agg, "id", "left")
         .select(F.col("id").alias(id_col), "max_cos",
-                (F.col("max_cos") >= threshold).alias("contaminated"))
+                F.coalesce(F.col("max_cos") >= threshold,
+                           F.lit(False)).alias("contaminated"))
     )

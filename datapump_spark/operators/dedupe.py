@@ -100,14 +100,27 @@ def with_file_order(df: DataFrame, col_name: str = "__file_order") -> DataFrame:
     split. Struct comparison is lexicographic, so the column drops straight
     into ``min_by``/``max_by``/window ``ORDER BY``.
 
-    Non-file frames (no ``_metadata``) fall back to the plain monotonic id,
-    which is exact whenever the frame is a single in-order partition.
+    Non-file frames (no ``_metadata``) fall back to ``struct('', 0,
+    monotonic id)`` — exact whenever the frame is a single in-order
+    partition. Both paths emit the SAME struct<path,block,row> type, and
+    file-source availability is detected by forcing analysis of a
+    ``_metadata`` probe (``.schema``) rather than relying on
+    ``withColumn`` raising eagerly — under deferred-analysis clients
+    (Spark Connect) the latter never fires and the error would surface
+    only at action time.
     """
     mid = F.monotonically_increasing_id()
     try:
+        df.select("_metadata").schema  # forces analysis on classic AND Connect
+        has_meta = True
+    except Exception:  # noqa: BLE001 — _metadata unresolvable: not a file source
+        has_meta = False
+    if has_meta:
         return df.withColumn(col_name, F.struct(
             F.col("_metadata.file_path").alias("path"),
             F.col("_metadata.file_block_start").alias("block"),
             mid.alias("row")))
-    except Exception:  # noqa: BLE001 — _metadata unresolvable: not a file source
-        return df.withColumn(col_name, mid)
+    return df.withColumn(col_name, F.struct(
+        F.lit("").alias("path"),
+        F.lit(0).cast("long").alias("block"),
+        mid.alias("row")))

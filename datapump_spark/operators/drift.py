@@ -227,7 +227,12 @@ def cusum_changepoints(
     j = df.join(F.broadcast(stats), keys, "left")
     w_ord = Window.partitionBy(*keys).orderBy(*order_cols)
 
-    degenerate = F.col("__mu").isNull() | ~(F.col("__sd") > 0)
+    # null-safe: a user-supplied baseline can carry non-null mu with NULL
+    # sd; ~(__sd > 0) would evaluate to SQL NULL there and the series
+    # would fail BOTH where(degenerate) and where(~degenerate) — silently
+    # dropped, the exact contract violation the docstring forbids
+    degenerate = (F.col("__mu").isNull() | F.col("__sd").isNull()
+                  | (F.col("__sd") <= 0))
     bad = j.where(degenerate).withColumn(
         "__alarm",
         F.col("__mu").isNull() | (F.col(value_col) != F.col("__mu")))

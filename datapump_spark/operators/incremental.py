@@ -168,5 +168,10 @@ def incremental_near_dup(
         .where(est("a", "x") >= threshold)
         .select(id_col).distinct()
     )
+    # LEFT join: a batch doc with fewer than shingle_n tokens has no
+    # shingles → no signature row, but it is trivially novel (it can
+    # collide with nothing) and must be ADMITTED, not silently dropped —
+    # it surfaces with null mh columns; callers persisting the index
+    # should filter those out (nothing to probe against)
     return (survivors.join(pair_hits, id_col, "left_anti")
-            .join(sigs_b, id_col))
+            .join(sigs_b, id_col, "left"))

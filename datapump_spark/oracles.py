@@ -1276,7 +1276,7 @@ SELECT lang, source,
        count(*) AS n_docs,
        CAST(sum(n_chars) AS BIGINT) AS total_chars,
        CAST(sum(tok) AS BIGINT) AS total_tokens,
-       round(avg(tok), 6) AS avg_tokens,
+       CAST(sum(tok) AS DOUBLE) / count(*) AS avg_tokens,
        quantile_cont(n_chars, 0.5) AS median_chars
 FROM t GROUP BY lang, source
 """
@@ -2079,6 +2079,15 @@ batch_hit AS (
   WHERE {_agree16} >= 0.5)
 SELECT * FROM surv
 WHERE doc_id NOT IN (SELECT doc_id FROM batch_hit)
+UNION ALL
+-- sub-shingle batch docs (< shingle_n tokens → no signature) are
+-- trivially novel: admitted with NULL mh columns, mirroring the
+-- operator's left signature join
+SELECT d.doc_id, {", ".join(f"CAST(NULL AS BIGINT) AS mh{i}"
+                            for i in range(16))}
+FROM documents d
+WHERE d.doc_id % 2 = 1
+  AND d.doc_id NOT IN (SELECT doc_id FROM sig)
 """
 
 
@@ -2156,11 +2165,14 @@ base AS (
 SELECT b.lang, b.source,
        CAST(count(*) AS BIGINT) AS n_docs,
        CAST(sum(b.n_tok) AS BIGINT) AS total_tokens,
-       round(avg(b.n_tok), 6) AS avg_tokens,
-       round(avg(q.quality), 6) AS avg_quality,
-       round(avg(sp.frac_latin), 6) AS avg_frac_latin,
-       round(avg(sp.frac_digit), 6) AS avg_frac_digit,
-       round(1.0 - count(DISTINCT b.fp) / CAST(count(*) AS DOUBLE), 6)
+       CAST(sum(b.n_tok) AS DOUBLE) / count(*) AS avg_tokens,
+       CAST(sum(CAST(round(q.quality * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS avg_quality,
+       CAST(sum(CAST(round(sp.frac_latin * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS avg_frac_latin,
+       CAST(sum(CAST(round(sp.frac_digit * 1000000.0) AS BIGINT)) AS DOUBLE)
+         / count(*) / 1000000.0 AS avg_frac_digit,
+       CAST(count(*) - count(DISTINCT b.fp) AS DOUBLE) / count(*)
          AS dup_rate
 FROM base b JOIN q USING (doc_id) JOIN sp USING (doc_id)
 GROUP BY b.lang, b.source

@@ -10,6 +10,13 @@ Float-determinism policy (the driver hash-compares values):
 - Small-magnitude statistics (avg/stddev/percentile): plain double math
   rounded to 6 decimals — summation-order error is ~1e-12 relative, far
   below the rounding quantum.
+- EXCEPTION — means of PRE-ROUNDED 6-dp columns (quality, frac_*): the
+  input quantum equals the output quantum, so real data can sit exactly
+  on a round-to-6 tie (regression case: group ('fr','src11'), mean
+  quality 0.7116225 — Spark's partial-agg order landed below the tie,
+  DuckDB above). Route these through :func:`_exact_mean6`: scale to
+  bigint (exact, input already 6-dp), sum exactly, ONE identical IEEE
+  division on both engines, and NO final engine-specific round.
 """
 
 from __future__ import annotations
@@ -78,6 +85,21 @@ def _emb_dim(sf_dir: str) -> int:
 def _dec_sum(col_expr, alias: str):
     """Exact, order-independent double aggregation (see module docstring)."""
     return F.sum(col_expr.cast("decimal(18,6)")).cast("double").alias(alias)
+
+
+def _exact_mean6(col_expr, alias: str):
+    """Order-independent mean of a PRE-ROUNDED 6-dp double column.
+
+    round(col*1e6) is an exact integer (input has 6-dp quantum), the
+    bigint sum is exact, and sum/count/1e6 is the same IEEE double on
+    every engine and partition layout — no final round() whose HALF_UP
+    tie behavior could diverge (see module docstring EXCEPTION).
+    DuckDB oracle twin: CAST(sum(CAST(round(x*1e6) AS BIGINT)) AS
+    DOUBLE) / count(*) / 1000000.0.
+    """
+    scaled = F.round(col_expr * F.lit(1e6)).cast("bigint")
+    return (F.sum(scaled).cast("double") / F.count(F.lit(1))
+            / F.lit(1e6)).alias(alias)
 
 
 # ---------------------------------------------------------------- reference parity
@@ -531,12 +553,13 @@ def q_corpus_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (per_doc.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs"),
         F.sum("__tok").alias("total_tokens"),
-        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
-        F.round(F.avg("quality"), 6).alias("avg_quality"),
-        F.round(F.avg("frac_latin"), 6).alias("avg_frac_latin"),
-        F.round(F.avg("frac_digit"), 6).alias("avg_frac_digit"),
-        F.round(1.0 - F.countDistinct("__fp")
-                / F.count(F.lit(1)), 6).alias("dup_rate")))
+        (F.sum("__tok").cast("double")
+         / F.count(F.lit(1))).alias("avg_tokens"),
+        _exact_mean6(F.col("quality"), "avg_quality"),
+        _exact_mean6(F.col("frac_latin"), "avg_frac_latin"),
+        _exact_mean6(F.col("frac_digit"), "avg_frac_digit"),
+        ((F.count(F.lit(1)) - F.countDistinct("__fp")).cast("double")
+         / F.count(F.lit(1))).alias("dup_rate")))
 
 
 def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1560,7 +1583,8 @@ def q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_chars").alias("total_chars"),
         F.sum("__tok").cast("bigint").alias("total_tokens"),
-        F.round(F.avg("__tok"), 6).alias("avg_tokens"),
+        (F.sum("__tok").cast("double")
+         / F.count(F.lit(1))).alias("avg_tokens"),
         F.percentile("n_chars", F.lit(0.5)).alias("median_chars"),
     ))
 

@@ -127,8 +127,12 @@ class StreamingCorpusIngest:
                     admitted, self._read_sig_index(),
                     threshold=self.near_dup_threshold) \
                     .localCheckpoint(eager=True)
+                # sub-shingle docs are admitted with null signatures —
+                # they carry nothing to probe against, keep them out of
+                # the persisted index
                 sigs = admitted2.select(
-                    "doc_id", *[f"mh{i}" for i in range(16)])
+                    "doc_id", *[f"mh{i}" for i in range(16)]) \
+                    .where(F.col("mh0").isNotNull())
                 admitted.unpersist()
                 admitted = admitted2.drop(*[f"mh{i}" for i in range(16)])
             n_adm = admitted.count()

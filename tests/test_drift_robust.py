@@ -351,6 +351,21 @@ def test_cusum_degenerate_series_flagged_not_dropped(spark):
                            "value").collect()[0]
     assert c["status"] == "zero_sd" and c["n_alarms"] == 0
     assert c["first_alarm_pos"] is None
+    # non-null mu with NULL sd (user-supplied baseline): the old
+    # ~(__sd > 0) predicate evaluated to SQL NULL there, so the series
+    # failed BOTH branch filters and vanished from the output entirely
+    base_null_sd = spark.createDataFrame(
+        [("flat", 1.0, None)], "k string, mu double, sd double")
+    flatdf = spark.createDataFrame(
+        [("flat", i, i, 1.0) for i in range(20)]
+        + [("flat", 20 + i, 20 + i, 3.0) for i in range(5)],
+        "k string, ts long, event_id long, value double")
+    n = cusum_changepoints(flatdf, ["k"], ["ts", "event_id"], "value",
+                           baseline=base_null_sd).collect()
+    assert len(n) == 1
+    assert n[0]["status"] == "zero_sd"
+    assert n[0]["n_points"] == 25 and n[0]["n_alarms"] == 5
+    assert n[0]["first_alarm_pos"] == 21
 
 
 def test_cusum_statistics_never_negative(spark):

@@ -90,3 +90,22 @@ def test_incremental_near_dup_within_batch_lowest_id_wins(spark):
     got = sorted(r["doc_id"] for r in
                  incremental_near_dup(batch, empty_idx, bands=2).collect())
     assert got == [20, 30]                    # 21 loses to lower-id 20
+
+
+def test_incremental_near_dup_sub_shingle_docs_admitted(spark):
+    """A batch doc with fewer than shingle_n tokens produces no shingles
+    and hence no signature — but it can collide with nothing, so it is
+    trivially novel and must be ADMITTED (null mh columns), not silently
+    dropped by an inner signature join."""
+    from datapump_spark.operators.incremental import (
+        incremental_near_dup,
+        signature_index,
+    )
+
+    idx = signature_index(_docs(spark, [(1, BASE)]), bands=2)
+    batch = _docs(spark, [(40, "hi"), (41, OTHER)])   # "hi" < 3 tokens
+    rows = {r["doc_id"]: r for r in
+            incremental_near_dup(batch, idx, bands=2).collect()}
+    assert sorted(rows) == [40, 41]
+    assert rows[40]["mh0"] is None            # nothing to index
+    assert rows[41]["mh0"] is not None

@@ -183,3 +183,14 @@ def test_semantic_decontam_flags_similar_vectors(spark):
            semantic_decontaminate(corpus, bench, threshold=0.85,
                                   n_planes=4).collect()}
     assert 1 in lsh and lsh[1]["contaminated"]
+    # the LSH path still reports EVERY usable corpus vector: an
+    # antipodal vector differs from the benchmark in every plane sign,
+    # so it has zero bucket collisions — it must surface as
+    # max_cos null / contaminated false, not vanish
+    anti = spark.createDataFrame(
+        [(6, [-1.0, 0.0, 0.0, 0.0])], "vec_id long, embedding array<double>")
+    lsh2 = {r["vec_id"]: r for r in
+            semantic_decontaminate(corpus.unionByName(anti), bench,
+                                   threshold=0.85, n_planes=4).collect()}
+    assert set(lsh2) == {1, 2, 3, 6}
+    assert lsh2[6]["max_cos"] is None and not lsh2[6]["contaminated"]
