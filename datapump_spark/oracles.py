@@ -2651,3 +2651,14 @@ SELECT c.d AS digit, c.n,
        round(pow(c.n - e.ef * t.tot, 2) / (e.ef * t.tot), 6) AS chi2_part
 FROM c JOIN e ON c.d = e.d CROSS JOIN t
 """
+
+
+# Round-6 driver-gate rotation — keep the oracle registries keyed
+# identically to the query registries (see queries.DRIVER_PROMOTED /
+# DRIVER_DEMOTED; the demoted twins keep this exact SQL gate in pytest).
+for _k in ("q_dsir_sample", "q_token_budget_mix",
+           "q_script_profile", "q_corpus_card"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_resample_dense", "q_ngram_jaccard",
+           "q_dedupe_last", "q_semi_join"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

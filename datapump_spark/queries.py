@@ -2525,3 +2525,23 @@ BENCH_VARIANTS = {
     "q_unigram_encode": q_unigram_encode,
     "q_ivfpq_topk": q_ivfpq_topk,
 }
+
+
+# Round-6 driver-gate rotation (VERDICT r5 #3): promote the round-5
+# flagship operators into the 50-row driver-gated set so the driver's own
+# correctness record covers the newest surface; demote twins whose
+# semantics stay gated by the IDENTICAL DuckDB comparison in
+# tests/test_extra_oracles.py + scripts/check_oracle.py:
+#   - q_resample_dense duplicates the gap-fill flag already covered by
+#     q_resample_hourly/q_resample_weekly,
+#   - q_ngram_jaccard's 1-row output is weak evidence,
+#   - q_dedupe_last is the keep-rule mirror of q_dedupe_first,
+#   - q_semi_join is the join-shape mirror of q_anti_join.
+DRIVER_PROMOTED = ("q_dsir_sample", "q_token_budget_mix",
+                   "q_script_profile", "q_corpus_card")
+DRIVER_DEMOTED = ("q_resample_dense", "q_ngram_jaccard",
+                  "q_dedupe_last", "q_semi_join")
+for _k in DRIVER_PROMOTED:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
