@@ -58,17 +58,31 @@ def _l2_normalized(df: DataFrame, id_col: str, vec_col: str,
     quantizes the unit sphere, so normalization happens once, up front.
     ``normalize=False`` skips it (residual quantization in IVF-PQ, where
     the input is already a difference of unit-scale vectors)."""
-    base = df.select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"))
     if not normalize:
-        return base
+        return df.select(F.col(id_col).alias("id"),
+                         _as_double(vec_col).alias("v"))
     # Null or zero-norm vectors have no direction — cosine against them is
     # undefined. Drop them here (documented contract) instead of letting
     # nullif() turn them into all-null arrays that crash the numpy encode
     # kernel and fail the whole job on one degenerate row.
+    # PERF (the round-5 1.5× q_pq_topk regression): the guard must (a)
+    # filter on the RAW column BEFORE the cast projection — a predicate on
+    # the derived `v` gets substituted through and re-runs the cast
+    # transform inside the Filter — using cheap codegen collection
+    # functions (any nonzero element ⇔ array_min≠0 ∨ array_max≠0 ⇔
+    # norm > 0), and (b) keep the division's nullif() even though zero
+    # norms are already filtered: nullif's conditional is what makes
+    # Catalyst hoist the O(dim) norm fold into a once-per-row
+    # _common_expr — a bare `x / nrm` re-evaluates the fold per ELEMENT
+    # (O(dim²) per row; both measured on q_pq_topk, PERF.md round 6).
+    base = (df
+            .where(F.col(vec_col).isNotNull()
+                   & ((F.array_min(vec_col) != 0.0)
+                      | (F.array_max(vec_col) != 0.0)))
+            .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")))
     nrm = _norm(F.col("v"))
-    return (base
-            .where(F.col("v").isNotNull() & (nrm > 0.0))
-            .withColumn("v", F.transform("v", lambda x: x / nrm)))
+    return base.withColumn(
+        "v", F.transform("v", lambda x: x / F.nullif(nrm, F.lit(0.0))))
 
 
 def _encode_kernel(codebooks):
