@@ -167,6 +167,8 @@ BENCH_QUERIES = [
     "q_token_budget_mix",
     "q_incremental_near_dup",
     "q_corpus_card",
+    # round-6: REAL PNG encode→decode→pixel-stats round-trip (stdlib codecs)
+    "q_image_decode",
 ]
 
 

@@ -159,7 +159,96 @@ def drain(args: argparse.Namespace, spark=None) -> dict:
     return summary
 
 
+def demo(argv: list[str] | None = None) -> int:
+    """``python -m datapump_spark demo [workdir]`` — one-command
+    reproducibility: runs (1) the IoT parity pipeline (the reference's
+    actual workload: job-json scan → CSV queue drain → PK upsert →
+    resample stats) on the bundled fixture CSVs, and (2) a mini
+    pretrain_corpus recipe (quality → decontam → PII → exact + near
+    dedup) on a synthetic corpus from the corpus_gen data source, then
+    prints both audit tables. Everything is generated or bundled — no
+    external data, network, or services."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from datapump_spark.session import get_session
+
+    workdir = Path(argv[0]) if argv else Path(tempfile.mkdtemp(prefix="datapump-demo-"))
+    fixture_dir = Path(__file__).resolve().parents[1] / "tests" / "data" / "iot"
+    if not fixture_dir.exists():
+        print(f"bundled fixtures not found at {fixture_dir} — run from a "
+              "repo checkout", file=sys.stderr)
+        return 1
+
+    spark = get_session("datapump-demo")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # ---- 1. IoT parity pipeline -----------------------------------------
+    inbox = workdir / "input"
+    inbox.mkdir(parents=True, exist_ok=True)
+    for f in sorted(fixture_dir.glob("*.csv")):
+        shutil.copy(f, inbox / f.name)
+    job = {
+        "InputFile": str(inbox / "*.csv"),
+        "TargetOrg": "demo", "TargetPackage": "airq", "TargetResource": "air",
+        "PrimaryKey": "DateTime,Sensor_id", "Dedupe": "last",
+        "Truncate": False, "Stats": [{"Kind": "H", "GroupBy": "Sensor_id"}],
+    }
+    (inbox / "air-job.json").write_text(json.dumps(job))
+    args = parse_args([
+        "--inputdir", str(inbox),
+        "--processeddir", str(workdir / "processed"),
+        "--problemsdir", str(workdir / "problems"),
+        "--lakedir", str(workdir / "lake"),
+        "--logfile", str(workdir / "datapump.log"),
+    ])
+    summary = drain(args, spark=spark)
+    sink = ParquetMergeSink(workdir / "lake")
+    print("\n== IoT parity pipeline (bundled fixture CSVs) ==")
+    print(f"jobs_run={summary['jobs_run']} "
+          f"files_processed={len(summary['processed'])} "
+          f"quarantined={len(summary['quarantined'])}")
+    print(f"lake rows after PK upsert: {sink.read(spark, 'air').count()}")
+    print("hourly resample stats (air-H), first sensor-hours:")
+    sink.read(spark, "air-H").orderBy("Sensor_id", "DateTime").show(
+        8, truncate=False)
+
+    # ---- 2. mini pretrain_corpus recipe ----------------------------------
+    from datapump_spark.queries import _t
+    from datapump_spark.recipes import CorpusRecipe, pretrain_corpus
+    from datapump_spark.sources.corpus_gen import register
+
+    register(spark)
+    docs = (spark.read.format("corpus_gen")
+            .option("rows", 2000).option("partitions", 8)
+            .option("dup_frac", 0.15).load().persist())
+    sf001 = "/root/testdata/sf0.001/documents.parquet"
+    bench = (_t(spark, "/root/testdata/sf0.001", "documents")
+             .limit(50).select("doc_id", "text")
+             if Path(sf001).exists()
+             else docs.where(F.col("doc_id") % 40 == 0)
+             .select("doc_id", "text"))
+    out = pretrain_corpus(docs, benchmark=bench,
+                          recipe=CorpusRecipe(min_words=10))
+    audit = (out["rejected"].groupBy("reject_reason")
+             .agg(F.count(F.lit(1)).alias("n"))
+             .unionByName(out["clean"].agg(
+                 F.lit("CLEAN (admitted)").alias("reject_reason"),
+                 F.count(F.lit(1)).alias("n")))
+             .orderBy("reject_reason"))
+    print("== mini pretrain_corpus recipe (synthetic corpus_gen docs) ==")
+    print(f"input docs: {docs.count()}")
+    audit.show(truncate=False)
+    print(f"demo artifacts under: {workdir}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
+    argv = sys.argv[1:] if argv is None else argv
+    if argv and argv[0] == "demo":
+        return demo(argv[1:])
     summary = drain(parse_args(argv))
     print(json.dumps(summary))
     return 0 if not summary["jobs_invalid"] else 1

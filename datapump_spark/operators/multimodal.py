@@ -6,11 +6,14 @@ use. Heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` over the binary column:
 one Python worker per partition, vectorized batches, no per-row pickling.
 
-The actual codecs (PIL/opencv/librosa) are NOT in this container, so the
-decode kernels are stubbed: ``fake=True`` produces deterministic
-md5-derived features (so the distributed plumbing — schema, partitioning,
-batch shapes — is fully testable), ``fake=False`` raises
-NotImplementedError at the point a real codec would be called.
+Codec status: PNG, BMP, and PCM WAV decode FOR REAL via the pure-stdlib
+codecs in ``operators.codecs`` (zlib inflate + scanline unfilter, BI_RGB
+pixel walk, RIFF chunk walk) — ``fake=False`` runs them end-to-end.
+JPEG, GIF, WebP, and video remain honestly stubbed (their entropy coders
+need codec libraries this container lacks): the real path raises
+``UnsupportedMediaError`` on them, or nulls them out under
+``on_error='null'``. ``fake=True`` keeps the deterministic md5-derived
+stand-in features so plumbing tests need no real payloads.
 
 Scale notes: binary payloads dominate partition size — pipelines should
 set spark.sql.files.maxPartitionBytes down (or store media separately,
@@ -57,23 +60,65 @@ def _fake_features(payload: bytes) -> list[float]:
     return [b / 256.0 for b in d[:FEATURE_DIM]]
 
 
-def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+def _real_features(payload: bytes) -> list[float]:
+    """Real FEATURE_DIM-float summary from an actual decode.
+
+    Images (PNG/BMP): [width, height, channels, mean, std, mean_c0,
+    mean_cmid, mean_clast] — pixel stats in 0..255.
+    Audio (PCM WAV): [n_frames, channels, sample_rate, duration_ms, rms,
+    peak, zero_crossing_rate, 0].
+    Raises operators.codecs.UnsupportedMediaError on formats outside the
+    stdlib-decodable set (JPEG/GIF/WebP/video) — the honest codec seam.
+    """
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        s, sr = codecs.decode_wav(payload)
+        mono = s.mean(axis=1)
+        zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
+            if len(mono) > 1 else 0.0
+        return [float(s.shape[0]), float(s.shape[1]), float(sr),
+                float(s.shape[0] * 1000 // sr) if sr else 0.0,
+                float(np.sqrt(np.mean(mono ** 2))) if len(mono) else 0.0,
+                float(np.max(np.abs(s))) if s.size else 0.0, zcr, 0.0]
+    img = codecs.decode_image(payload)
+    h, w, c = img.shape
+    f = img.astype(np.float64)
+    return [float(w), float(h), float(c), float(f.mean()), float(f.std()),
+            float(f[:, :, 0].mean()), float(f[:, :, c // 2].mean()),
+            float(f[:, :, c - 1].mean())]
+
+
+def extract_features(df: DataFrame, fake: bool = True,
+                     on_error: str = "raise") -> DataFrame:
     """(media_id, n_bytes, features[FEATURE_DIM]) via Arrow-batched
-    mapInPandas. ``fake=False`` is the seam where a real decoder
-    (PIL/librosa) plugs in."""
+    mapInPandas. ``fake=False`` runs the REAL stdlib decoders (PNG/BMP/
+    WAV, operators/codecs.py); payloads outside that set raise (the
+    JPEG/video codec seam) or, with ``on_error='null'``, yield
+    features=null so one bad item can't fail a 100 TB job."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null': {on_error!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires codec libs (PIL/opencv/librosa) "
-                    "not present in this environment"
-                )
             payloads = pdf["payload"]
+            if fake:
+                feats = payloads.map(_fake_features)
+            elif on_error == "raise":
+                feats = payloads.map(lambda b: _real_features(bytes(b)))
+            else:
+                def safe(b):
+                    try:
+                        return _real_features(bytes(b))
+                    except (ValueError, TypeError):  # incl. Unsupported
+                        return None
+                feats = payloads.map(safe)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "n_bytes": payloads.map(len).astype("int64"),
-                "features": payloads.map(_fake_features),
+                "features": feats,
             })
 
     return df.select("media_id", "payload").mapInPandas(kernel, _FEATURES_SCHEMA)
@@ -88,16 +133,26 @@ _RESIZE_SCHEMA = T.StructType([
 
 
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
-    """Resize kernel stub: fake mode passes payloads through and stamps the
-    target dimensions (plumbing-real, codec-stubbed)."""
+    """Resize kernel. ``fake=True`` passes payloads through and stamps the
+    target dimensions (plumbing-only). ``fake=False`` REALLY resizes:
+    decode PNG/BMP (operators/codecs.py), nearest-neighbor resample, and
+    re-encode as PNG — the output payload is always PNG, the normalization
+    a training-data pipeline wants anyway. JPEG/GIF/WebP inputs raise
+    UnsupportedMediaError (codec seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if not fake:
+            from datapump_spark.operators import codecs
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError("real resize requires an image codec")
+            if fake:
+                payloads = pdf["payload"]
+            else:
+                payloads = pdf["payload"].map(lambda b: codecs.encode_png(
+                    codecs.resize_nearest(codecs.decode_image(bytes(b)),
+                                          width, height)))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
-                "payload": pdf["payload"],
+                "payload": payloads,
                 "width": width,
                 "height": height,
             })

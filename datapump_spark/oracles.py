@@ -2653,6 +2653,27 @@ FROM c JOIN e ON c.d = e.d CROSS JOIN t
 """
 
 
+# q_image_decode: the oracle recomputes from the doc_id arithmetic the
+# PNG builder used — solid-color channels, so every channel mean equals
+# its fill value and the pixel mean is (r+g+b)/3 (exact-integer sums on
+# both engines; one IEEE division of identical integers → identical
+# doubles). The Spark side must get there through a REAL zlib-inflate +
+# unfilter + numpy decode of bytes it encoded itself.
+EXTRA_ORACLES["q_image_decode"] = """
+SELECT doc_id AS media_id,
+       8 + doc_id % 9 AS width,
+       8 + doc_id % 7 AS height,
+       3 AS channels,
+       round((doc_id % 256 + (doc_id * 7) % 256 + (doc_id * 13) % 256) / 3.0,
+             6) AS mean_px,
+       doc_id % 256 AS mean_r,
+       (doc_id * 7) % 256 AS mean_g,
+       (doc_id * 13) % 256 AS mean_b
+FROM documents
+WHERE doc_id % 5 = 0
+"""
+
+
 # Round-6 driver-gate rotation — keep the oracle registries keyed
 # identically to the query registries (see queries.DRIVER_PROMOTED /
 # DRIVER_DEMOTED; the demoted twins keep this exact SQL gate in pytest).

@@ -1029,6 +1029,57 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sample_frames(media, every_ms=1000)
 
 
+def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel decode gate. One solid-RGB PNG per sampled document is
+    built by the pure-stdlib encoder (operators/codecs.py: zlib deflate,
+    scanline filters), then decoded back through the real (fake=False)
+    feature kernel — inflate, unfilter, numpy pixel stats — entirely
+    inside Arrow-batched mapInPandas. The DuckDB oracle never parses a
+    byte: it recomputes width/height/channel means from the same doc_id
+    arithmetic the builder used, so the whole encode→decode→stats path
+    must round-trip exactly for the value hash to match. This closes the
+    round-5 'width×height from pixels, not just headers' item; JPEG and
+    video stay honestly stubbed."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators import codecs
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def png(doc_id: int) -> bytes:
+                w, h = 8 + doc_id % 9, 8 + doc_id % 7
+                rgb = np.empty((h, w, 3), np.uint8)
+                rgb[:, :, 0] = doc_id % 256
+                rgb[:, :, 1] = (doc_id * 7) % 256
+                rgb[:, :, 2] = (doc_id * 13) % 256
+                return codecs.encode_png(rgb)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(png)})
+
+    media = docs.mapInPandas(
+        build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+        f[5].cast("long").alias("mean_r"),
+        f[6].cast("long").alias("mean_g"),
+        f[7].cast("long").alias("mean_b"),
+    )
+
+
 QUERIES = {
     "q_csv_scan": q_csv_scan,
     "q_multiformat_ts": q_multiformat_ts,
@@ -1788,6 +1839,7 @@ EXTRA_QUERIES = {
     "q_region_volume": q_region_volume,
     "q_promo_revenue": q_promo_revenue,
     "q_iot_ingest": q_iot_ingest,
+    "q_image_decode": q_image_decode,
     "q_iot_multiformat_ts": q_iot_multiformat_ts,
     "q_iot_type_infer": q_iot_type_infer,
 }

@@ -233,7 +233,134 @@ def rag_index(
     pq_encode(emb, cb, id_col="chunk_key", vec_col="embedding") \
         .write.mode("overwrite").parquet(paths["codes"])
     save_model(cb, paths["codebooks.json"])
+    # Build-time manifest: the append path (rag_index_append) needs the
+    # chunking/embedding params to encode new docs identically, and the
+    # training-time reconstruction MSE as the drift baseline.
+    from datapump_spark.operators.pq import pq_reconstruction_mse
+    _write_manifest(workdir, {
+        "chunk_tokens": chunk_tokens, "overlap": overlap, "dim": dim,
+        "pq_m": pq_m, "pq_k": pq_k, "lloyd_iters": lloyd_iters,
+        "baseline_mse": pq_reconstruction_mse(
+            emb, cb, id_col="chunk_key", vec_col="embedding"),
+    })
     return paths
+
+
+def _write_manifest(workdir: str, manifest: dict) -> None:
+    import json
+    from pathlib import Path
+
+    p = Path(workdir) / "manifest.json"
+    tmp = p.with_name(p.name + ".tmp")
+    tmp.write_text(json.dumps(manifest))
+    tmp.replace(p)
+
+
+def _read_manifest(workdir: str) -> dict:
+    import json
+    from pathlib import Path
+
+    return json.loads((Path(workdir) / "manifest.json").read_text())
+
+
+def rag_index_append(
+    new_docs: DataFrame,
+    workdir: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drift_retrain_factor: float = 2.0,
+) -> dict:
+    """Append a new batch of documents to a persisted :func:`rag_index`
+    WITHOUT rebuilding it — the retrieval twin of incremental dedup's
+    admitted-never-re-read contract: already-indexed TEXT is never read
+    again; only the new batch is chunked and embedded, then encoded
+    against the PERSISTED codebooks and appended to the three stores.
+
+    Drift gate: the new batch's PQ reconstruction MSE is compared to the
+    build-time baseline (manifest.json). If it exceeds
+    ``drift_retrain_factor × baseline`` the codebooks no longer fit the
+    distribution the corpus has drifted to, so the index retrains — from
+    the persisted full-precision VECTOR store (old + new), still never
+    touching admitted text — and re-encodes every code row. Searches see
+    either the old complete index or the new complete index (codes are
+    overwritten last, after the new codebooks are saved).
+
+    At 100 TB: the steady-state append is one pass over the new batch
+    (chunk → embed → encode, no shuffle wider than the batch) plus
+    parquet appends; retrain is rare, touches only the vector store (dim
+    floats per chunk, ~25× smaller than text), and is itself
+    hash-sampleable via train_pq's train_fraction.
+
+    Returns {"appended_chunks", "batch_mse", "baseline_mse", "retrained"}.
+    """
+    from datapump_spark.functions.model_io import load_model, save_model
+    from datapump_spark.operators.chunking import chunk_documents
+    from datapump_spark.operators.embeddings import hash_embed
+    from datapump_spark.operators.pq import (
+        pq_encode,
+        pq_reconstruction_mse,
+        train_pq,
+    )
+
+    spark = new_docs.sparkSession
+    man = _read_manifest(workdir)
+    cb = load_model(f"{workdir}/codebooks.json")
+    paths = {k: f"{workdir}/{k}" for k in ("chunks", "vectors", "codes")}
+
+    chunks = chunk_documents(new_docs, id_col, text_col,
+                             chunk_tokens=man["chunk_tokens"],
+                             overlap=man["overlap"])
+    chunks = chunks.withColumn(
+        "chunk_key",
+        F.xxhash64(F.col(id_col), F.col("chunk_id"))
+        .bitwiseAND(F.lit((1 << 63) - 1)))
+    # key-uniqueness gate, same doctrine as the build path but across the
+    # UNION of old and new keys — the old store contributes only its key
+    # column (pruned scan), never its text
+    old_keys = spark.read.parquet(paths["chunks"]).select("chunk_key")
+    dup_new = (chunks.groupBy("chunk_key").count()
+               .where(F.col("count") > 1).limit(1).collect())
+    collided = (chunks.join(old_keys, "chunk_key", "semi")
+                .limit(1).collect()) or dup_new
+    if collided:
+        raise ValueError(
+            f"chunk_key collision on append (key {collided[0]['chunk_key']}):"
+            " a doc_id was re-indexed or keys must be widened")
+    # localCheckpoint before appending to dirs the lineage read from
+    # (old_keys reads chunks/) — a later re-list of the appended dir must
+    # not recompute this plan against changed files
+    chunks = chunks.localCheckpoint()
+
+    emb = hash_embed(chunks, id_col="chunk_key", text_col="chunk_text",
+                     dim=man["dim"]).localCheckpoint()
+    n_new = emb.count()
+    batch_mse = pq_reconstruction_mse(emb, cb, id_col="chunk_key",
+                                      vec_col="embedding")
+    retrain = (batch_mse == batch_mse  # NaN-safe: empty batch never retrains
+               and batch_mse > drift_retrain_factor * man["baseline_mse"])
+
+    chunks.write.mode("append").parquet(paths["chunks"])
+    emb.write.mode("append").parquet(paths["vectors"])
+
+    if not retrain:
+        pq_encode(emb, cb, id_col="chunk_key", vec_col="embedding") \
+            .write.mode("append").parquet(paths["codes"])
+    else:
+        # drift: retrain on the full persisted vector store (old + the
+        # rows just appended), re-encode everything, refresh the baseline
+        all_vecs = spark.read.parquet(paths["vectors"])
+        cb = train_pq(all_vecs, id_col="chunk_key", vec_col="embedding",
+                      m=man["pq_m"], k=man["pq_k"],
+                      lloyd_iters=man["lloyd_iters"], dim=man["dim"])
+        save_model(cb, f"{workdir}/codebooks.json")
+        pq_encode(all_vecs, cb, id_col="chunk_key", vec_col="embedding") \
+            .write.mode("overwrite").parquet(paths["codes"])
+        man["baseline_mse"] = pq_reconstruction_mse(
+            all_vecs, cb, id_col="chunk_key", vec_col="embedding")
+        _write_manifest(workdir, man)
+
+    return {"appended_chunks": n_new, "batch_mse": batch_mse,
+            "baseline_mse": man["baseline_mse"], "retrained": bool(retrain)}
 
 
 def rag_search(

@@ -18,7 +18,15 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
+    # --fuzzy-only 100,200 : run ONLY the minhash_near_dup / dup_clusters
+    # tier at the given multipliers (200 × 5k docs = 1M — the round-6
+    # extension of the 250k sub-linearity claim) and skip everything else
+    fuzzy_only = None
+    if "--fuzzy-only" in sys.argv:
+        fuzzy_only = [int(x) for x in
+                      sys.argv[sys.argv.index("--fuzzy-only") + 1].split(",")]
 
     from pyspark.sql import functions as F
 
@@ -43,7 +51,7 @@ def main() -> None:
         "event_id", "user_id", "ts", "event_type", "value")
 
     out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in () if fuzzy_only else (1, 10, 50):
         big = (
             base.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
             .withColumn("user_id", F.col("user_id") + F.col("__rep") * 1000)
@@ -85,7 +93,7 @@ def main() -> None:
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dedup_out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in fuzzy_only or (1, 10, 50):
         # Persist + repartition the replicated input before timing: a real
         # corpus of this size arrives as many files/partitions, while
         # crossJoin replication inherits the base table's 1-2 — without
@@ -118,6 +126,13 @@ def main() -> None:
         near_dup_clusters(big_docs, threshold=0.5, hash_fn="xxhash64") \
             .write.format("noop").mode("overwrite").save()
         runs["dup_clusters"] = round(time.perf_counter() - t0, 2)
+
+        if fuzzy_only:
+            dedup_out[f"x{mult}"] = runs
+            big_docs.unpersist()
+            print(json.dumps({"tier": "fuzzy_dedup", "sf_dir": sf_dir,
+                              f"x{mult}": runs}))
+            continue
 
         # line dedup on 10-token pseudo-lines (q_line_dedup's rechunking);
         # suffixed replicas keep the duplicate-line graph linear in mult
@@ -196,7 +211,7 @@ def main() -> None:
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     emb_out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in () if fuzzy_only else (1, 10, 50):
         big_emb = (
             emb.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
             .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
@@ -236,7 +251,7 @@ def main() -> None:
     docs_ls = _t(spark, sf_dir, "documents").select(
         "doc_id", "lang", "source", "text")
     r3_out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in () if fuzzy_only else (1, 10, 50):
         big_docs = (
             docs_ls.crossJoin(spark.range(mult)
                               .select(F.col("id").alias("__rep")))
@@ -299,7 +314,7 @@ def main() -> None:
                         max_piece_len=5, em_iters=2)
     media = _media_real_headers(spark, sf_dir)
     r3b_out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in () if fuzzy_only else (1, 10, 50):
         big_emb = (
             emb.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
             .withColumn("vec_id", F.col("vec_id") + F.col("__rep") * 10_000_000)
@@ -358,7 +373,7 @@ def main() -> None:
     target = docs.where(F.col("doc_id") % 10 == 0)
     bench_emb = emb.where(F.col("vec_id") % 20 == 0)
     r5_out: dict[str, dict[str, float]] = {}
-    for mult in (1, 10, 50):
+    for mult in () if fuzzy_only else (1, 10, 50):
         big_docs = (
             docs.crossJoin(spark.range(mult).select(F.col("id").alias("__rep")))
             .withColumn("doc_id", F.col("doc_id") + F.col("__rep") * 10_000_000)

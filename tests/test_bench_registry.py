@@ -29,7 +29,17 @@ def test_bench_list_is_registered():
     assert not missing, f"bench.py names unregistered queries: {missing}"
 
 
-@pytest.mark.parametrize("name", sorted(BENCH_VARIANTS))
+# The two heaviest variants (multi-second ANN index builds) run behind
+# `slow`: the driver executes every BENCH_QUERIES entry per round with
+# errors recorded (bench.py n_errors), and their recall/value semantics
+# are pinned in test_pq / test_text_dedup — this smoke adds only the
+# registry wiring, which the cheap variants already cover in-default.
+_SLOW_VARIANTS = {"q_lsh_topk", "q_ivfpq_topk"}
+
+
+@pytest.mark.parametrize("name", [
+    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_VARIANTS else n
+    for n in sorted(BENCH_VARIANTS)])
 def test_bench_variant_runs(spark, name):
     """BENCH_VARIANTS are outside the driver's 50-query correctness gate
     and outside EXTRA_ORACLES — this smoke is their only registry-wide

@@ -1,0 +1,293 @@
+"""Pure-stdlib codecs (operators/codecs.py): PNG/BMP/WAV real decode.
+
+The PNG filter tests build the compressed stream by FORWARD-filtering a
+known image in test code (an independent implementation of the spec's
+direction), so decode must invert it exactly — not just round-trip the
+encoder's filter-0 output.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators import codecs
+from datapump_spark.operators.codecs import (
+    PNG_SIG,
+    UnsupportedMediaError,
+    decode_bmp,
+    decode_image,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+
+def _img(h, w, c, seed=0):
+    return np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("channels", [1, 2, 3, 4])
+def test_png_roundtrip(channels):
+    img = _img(13, 17, channels, seed=channels)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape
+    assert (out == img).all()
+
+
+def test_png_gray_2d_input():
+    img = _img(5, 6, 1)[:, :, 0]
+    out = decode_png(encode_png(img))
+    assert out.shape == (5, 6, 1)
+    assert (out[:, :, 0] == img).all()
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data)))
+
+
+def _forward_filter(img: np.ndarray, ftype: int) -> bytes:
+    """Spec-direction scanline filtering (independent of the decoder's
+    inverse): returns the raw pre-compression byte stream."""
+    h, w, c = img.shape
+    rows = img.reshape(h, w * c).astype(np.int64)
+    stride = w * c
+    out = bytearray()
+    prev = np.zeros(stride, np.int64)
+    for y in range(h):
+        cur = rows[y]
+        line = bytearray([ftype])
+        for x in range(stride):
+            a = int(cur[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            if ftype == 0:
+                pred = 0
+            elif ftype == 1:
+                pred = a
+            elif ftype == 2:
+                pred = b
+            elif ftype == 3:
+                pred = (a + b) >> 1
+            else:  # Paeth
+                p = a + b - cc
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - cc)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else cc)
+            line.append((int(cur[x]) - pred) & 0xFF)
+        out += line
+        prev = cur
+    return bytes(out)
+
+
+def _assemble_png(img: np.ndarray, raw: bytes, color: int) -> bytes:
+    h, w, c = img.shape
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+@pytest.mark.parametrize("ftype", [0, 1, 2, 3, 4])
+def test_png_all_filter_types_invert(ftype):
+    img = _img(7, 9, 3, seed=ftype + 10)
+    b = _assemble_png(img, _forward_filter(img, ftype), color=2)
+    assert (decode_png(b) == img).all()
+
+
+def test_png_mixed_filters_per_row():
+    img = _img(5, 4, 4, seed=99)
+    h, w, c = img.shape
+    # one row per filter type, then filter 0 for the remainder
+    raw = bytearray()
+    for y in range(h):
+        one = _forward_filter(img[max(0, y - 1):y + 1], min(y, 4))
+        # _forward_filter filters the LAST row of the slice against the
+        # row before it (or zeros for y=0), matching stream semantics
+        raw += one[-(1 + w * c):]
+    b = _assemble_png(img, bytes(raw), color=6)
+    assert (decode_png(b) == img).all()
+
+
+def test_png_palette_resolves_to_rgb():
+    pal = _img(1, 16, 3, seed=3).reshape(16, 3)
+    idx = np.random.default_rng(4).integers(0, 16, (6, 8, 1), np.uint8)
+    raw = _forward_filter(idx, 0)
+    ihdr = struct.pack(">IIBBBBB", 8, 6, 8, 3, 0, 0, 0)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"PLTE", pal.tobytes())
+         + _png_chunk(b"IDAT", zlib.compress(raw))
+         + _png_chunk(b"IEND", b""))
+    out = decode_png(b)
+    assert out.shape == (6, 8, 3)
+    assert (out == pal[idx[:, :, 0]]).all()
+
+
+def test_png_out_of_scope_raises():
+    img = _img(4, 4, 3)
+    # 16-bit depth
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100)))
+    with pytest.raises(UnsupportedMediaError, match="bit depth"):
+        decode_png(b)
+    # Adam7 interlace
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100)))
+    with pytest.raises(UnsupportedMediaError, match="interlaced"):
+        decode_png(b)
+    with pytest.raises(ValueError):
+        decode_png(b"\x89PNG-not-really")
+    # truncated IDAT must raise, not return garbage
+    good = encode_png(img)
+    with pytest.raises(ValueError):
+        decode_png(good[:40] + _png_chunk(b"IDAT", zlib.compress(b"\x00"))
+                   + _png_chunk(b"IEND", b""))
+
+
+# ---------------------------------------------------------------------------
+# BMP
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_with_row_padding():
+    # w=11 → 33-byte rows padded to 36: exercises the stride math
+    img = _img(9, 11, 3, seed=7)
+    out = decode_bmp(encode_bmp(img))
+    assert (out == img).all()
+
+
+def test_bmp_top_down_and_32bit():
+    img = _img(3, 2, 3, seed=8)
+    b = bytearray(encode_bmp(img))
+    # flip height sign → top-down; rows were written bottom-up, so the
+    # decoded image must come back vertically flipped
+    h = struct.unpack("<i", bytes(b[22:26]))[0]
+    b[22:26] = struct.pack("<i", -h)
+    assert (decode_bmp(bytes(b)) == img[::-1]).all()
+    # hand-built 32-bit BGRA, top-down, single pixel (B,G,R,A)=(1,2,3,9)
+    info = struct.pack("<IiiHHIIiiII", 40, 1, -1, 1, 32, 0, 4, 0, 0, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + 4, 0, 0, 54)
+    out = decode_bmp(hdr + info + bytes([1, 2, 3, 9]))
+    assert out.shape == (1, 1, 3) and list(out[0, 0]) == [3, 2, 1]
+
+
+def test_bmp_out_of_scope_raises():
+    img = _img(2, 2, 3)
+    b = bytearray(encode_bmp(img))
+    b[30:34] = struct.pack("<I", 1)  # BI_RLE8
+    with pytest.raises(UnsupportedMediaError, match="compression"):
+        decode_bmp(bytes(b))
+
+
+# ---------------------------------------------------------------------------
+# WAV
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_16bit_stereo():
+    t = np.arange(400) / 100.0
+    s = np.stack([np.sin(t), np.cos(t)], axis=1) * 0.8
+    out, sr = decode_wav(encode_wav(s, 16000))
+    assert sr == 16000 and out.shape == (400, 2)
+    assert np.abs(out - s).max() < 1e-4
+
+
+def test_wav_noncanonical_chunk_order_and_odd_padding():
+    s = np.linspace(-0.5, 0.5, 101)
+    canonical = encode_wav(s, 8000)
+    fmt_chunk = canonical[12:36]          # 'fmt ' + len + 16 bytes
+    data_chunk = canonical[36:]
+    # LIST chunk with ODD length before fmt — walker must pad to even
+    lst = b"LIST" + struct.pack("<I", 5) + b"INFOx" + b"\x00"
+    body = lst + fmt_chunk + data_chunk
+    b = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    out, sr = decode_wav(b)
+    assert sr == 8000 and out.shape == (101, 1)
+    assert np.abs(out[:, 0] - s).max() < 1e-4
+
+
+def test_wav_8bit_and_float32():
+    # 8-bit unsigned PCM: 128 → 0.0, 255 → ~1.0
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    data = bytes([0, 128, 255])
+    b = (b"RIFF" + struct.pack("<I", 36 + 3) + b"WAVE"
+         + b"fmt " + struct.pack("<I", 16) + fmt
+         + b"data" + struct.pack("<I", 3) + data)
+    out, sr = decode_wav(b)
+    assert sr == 4000
+    assert np.allclose(out[:, 0], [-1.0, 0.0, 127 / 128])
+    # IEEE float32
+    f = np.array([0.25, -0.75], "<f4")
+    fmt = struct.pack("<HHIIHH", 3, 1, 4000, 16000, 4, 32)
+    b = (b"RIFF" + struct.pack("<I", 36 + 8) + b"WAVE"
+         + b"fmt " + struct.pack("<I", 16) + fmt
+         + b"data" + struct.pack("<I", 8) + f.tobytes())
+    out, _ = decode_wav(b)
+    assert np.allclose(out[:, 0], [0.25, -0.75])
+
+
+def test_wav_out_of_scope_raises():
+    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    b = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+         + b"fmt " + struct.pack("<I", 16) + fmt
+         + b"data" + struct.pack("<I", 0))
+    with pytest.raises(UnsupportedMediaError):
+        decode_wav(b)
+
+
+# ---------------------------------------------------------------------------
+# Resize + dispatch
+# ---------------------------------------------------------------------------
+
+def test_resize_nearest_pins():
+    img = np.arange(16, dtype=np.uint8).reshape(4, 4, 1)
+    up = resize_nearest(img, 8, 8)
+    assert up.shape == (8, 8, 1)
+    # half-pixel centers: output pixel (0,0) samples input (0,0),
+    # output (7,7) samples input (3,3)
+    assert up[0, 0, 0] == 0 and up[7, 7, 0] == 15
+    down = resize_nearest(img, 2, 2)
+    # centers at input rows/cols 1 and 3
+    assert down[:, :, 0].tolist() == [[5, 7], [13, 15]]
+    # identity resize is exact
+    assert (resize_nearest(img, 4, 4) == img).all()
+
+
+def test_decode_image_dispatch_and_seams():
+    img = _img(3, 5, 3, seed=11)
+    assert (decode_image(encode_png(img)) == img).all()
+    assert (decode_image(encode_bmp(img)) == img).all()
+    with pytest.raises(UnsupportedMediaError, match="JPEG"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
+    with pytest.raises(UnsupportedMediaError, match="GIF"):
+        decode_image(b"GIF89a" + b"\x00" * 32)
+    with pytest.raises(ValueError, match="unrecognized"):
+        decode_image(b"not media at all")
+
+
+def test_codecs_agree_with_header_sniffer():
+    """The real decoders and the header sniffer must report the same
+    dimensions/rates on files they both understand."""
+    from datapump_spark.operators.mediasniff import parse_media_header
+    img = _img(21, 34, 3, seed=12)
+    for payload in (encode_png(img), encode_bmp(img)):
+        meta = parse_media_header(payload)
+        assert (meta["width"], meta["height"]) == (34, 21)
+        dec = decode_image(payload)
+        assert dec.shape == (meta["height"], meta["width"], 3)
+    wav = encode_wav(np.zeros(1600), 16000)
+    meta = parse_media_header(wav)
+    s, sr = decode_wav(wav)
+    assert meta["sample_rate"] == sr == 16000
+    assert meta["channels"] == s.shape[1] == 1
+    assert meta["duration_ms"] == s.shape[0] * 1000 // sr == 100

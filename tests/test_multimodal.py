@@ -39,9 +39,57 @@ def test_extract_features_shape_and_determinism(media):
     assert rows[1]["n_bytes"] == len(b"\x89PNG-fake-bytes-1")
 
 
-def test_extract_features_real_path_raises(media):
-    with pytest.raises(Exception, match="NotImplementedError|codec"):
+def test_extract_features_real_path_raises_on_undecodable(media):
+    # the fixture payloads are fake bytes, not real containers — the real
+    # decode path must surface that, not invent features
+    with pytest.raises(Exception, match="unrecognized|codec"):
         extract_features(media, fake=False).collect()
+
+
+def test_extract_features_real_decode_end_to_end(spark):
+    """Real stdlib decode (operators/codecs.py) through the distributed
+    kernel: PNG + BMP + WAV payloads, real pixel/sample stats out; a JPEG
+    nulls out (not crashes) under on_error='null'."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+
+    img = np.full((4, 6, 3), 100, np.uint8)
+    img[:, :, 1] = 20  # mean = (100+20+100)/3 = 73.333...
+    wav = codecs.encode_wav(np.zeros(800), 8000)
+    rows = [
+        (1, codecs.encode_png(img), ("image", "png", 6, 4, None)),
+        (2, codecs.encode_bmp(img), ("image", "bmp", 6, 4, None)),
+        (3, wav, ("audio", "wav", None, None, 100)),
+        (4, b"\xff\xd8\xff\xe0fake-jpeg", ("image", "jpeg", 1, 1, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2)
+    with pytest.raises(Exception, match="JPEG"):
+        extract_features(media, fake=False).collect()
+    out = {r["media_id"]: r["features"]
+           for r in extract_features(media, fake=False, on_error="null").collect()}
+    for mid in (1, 2):  # [w, h, c, mean, std, mean_r, mean_g, mean_b]
+        assert out[mid][:3] == [6.0, 4.0, 3.0]
+        assert abs(out[mid][3] - 220 / 3) < 1e-9
+        assert out[mid][5:] == [100.0, 20.0, 100.0]
+    assert out[3][:4] == [800.0, 1.0, 8000.0, 100.0]  # frames, ch, sr, ms
+    assert out[4] is None  # JPEG → null, job survives
+
+
+def test_resize_images_real_path(spark):
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+
+    grad = np.arange(16, dtype=np.uint8).reshape(4, 4, 1).repeat(3, axis=2)
+    rows = [(1, codecs.encode_png(grad), ("image", "png", 4, 4, None)),
+            (2, codecs.encode_bmp(grad), ("image", "bmp", 4, 4, None))]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r for r in resize_images(media, 2, 2, fake=False).collect()}
+    for mid in (1, 2):
+        dec = codecs.decode_png(bytes(out[mid]["payload"]))  # always PNG out
+        assert dec.shape == (2, 2, 3)
+        assert dec[:, :, 0].tolist() == [[5, 7], [13, 15]]  # nearest pins
 
 
 def test_resize_passthrough_stamps_dims(media):

@@ -158,3 +158,95 @@ def test_streaming_incremental_index(spark, tmp_path):
                    k=1, codes=codes, rerank_factor=8, queries=queries)
     top = hits.collect()
     assert len(top) == 1 and top[0]["neighbor_id"] == 10_001
+
+
+def test_rag_index_append_matches_full_rebuild(spark, tmp_path):
+    """VERDICT round-6 #7: index built on batch 1, batch 2 appended
+    against the FROZEN codebooks (admitted text never re-read), search
+    results equal to a full rebuild's for the same queries."""
+    from datapump_spark.recipes import rag_index_append
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(60)
+    b1 = docs.where(F.col("doc_id") < 30)
+    b2 = docs.where(F.col("doc_id") >= 30)
+
+    inc = str(tmp_path / "inc")
+    rag_index(b1, inc, chunk_tokens=32, overlap=8, pq_k=16)
+    out = rag_index_append(b2, inc)
+    assert out["appended_chunks"] > 0
+    assert not out["retrained"], "same-distribution batch must not retrain"
+
+    full = str(tmp_path / "full")
+    rag_index(docs, full, chunk_tokens=32, overlap=8, pq_k=16)
+
+    # store invariants: appended index covers exactly the rebuilt corpus
+    for store in ("chunks", "vectors", "codes"):
+        assert (spark.read.parquet(f"{inc}/{store}").count()
+                == spark.read.parquet(f"{full}/{store}").count()), store
+
+    # search parity: probe with chunk texts from BOTH batches; the
+    # exact re-rank stage scores survivors with full-precision cosine,
+    # so recall vs the rebuilt index must not degrade
+    probe = (spark.read.parquet(f"{full}/chunks")
+             .orderBy("chunk_key").limit(6).collect())
+    queries = [(-(i + 1), r["chunk_text"]) for i, r in enumerate(probe)]
+    hits_inc = rag_search(spark, inc, queries, k=3, rerank_factor=16)
+    hits_full = rag_search(spark, full, queries, k=3, rerank_factor=16)
+    got_inc = {(r["query_id"], r["doc_id"], r["chunk_id"])
+               for r in hits_inc.collect()}
+    got_full = {(r["query_id"], r["doc_id"], r["chunk_id"])
+                for r in hits_full.collect()}
+    recall = len(got_inc & got_full) / len(got_full)
+    assert recall >= 0.9, f"append-vs-rebuild recall {recall}"
+    # the self-chunk (cosine 1.0 after exact re-rank) is always found
+    self_hits = {r["query_id"] for r in hits_inc.collect()
+                 if r["score"] == pytest.approx(1.0, abs=1e-6)}
+    assert self_hits == {q for q, _ in queries}
+
+
+def test_rag_index_append_drift_retrains(spark, tmp_path):
+    """A batch from a shifted distribution (disjoint token space) trips
+    the reconstruction-MSE drift gate: codebooks retrain from the
+    persisted VECTOR store (text never re-read), all codes re-encode,
+    and search over the merged index still self-retrieves."""
+    from datapump_spark.functions.model_io import load_model
+    from datapump_spark.recipes import _read_manifest, rag_index_append
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
+    work = str(tmp_path / "drift")
+    rag_index(docs, work, chunk_tokens=32, overlap=0, pq_k=16)
+    cb_before = load_model(f"{work}/codebooks.json")
+    base_before = _read_manifest(work)["baseline_mse"]
+
+    shifted = spark.createDataFrame(
+        [(20_000 + i,
+          " ".join(f"xq{i}w{j} zv{j}k{i} pf{i * 7 + j}" for j in range(40)))
+         for i in range(8)],
+        "doc_id long, text string")
+    out = rag_index_append(shifted, work, drift_retrain_factor=1.05)
+    assert out["retrained"]
+    assert out["batch_mse"] > 1.05 * base_before
+    cb_after = load_model(f"{work}/codebooks.json")
+    assert (cb_after != cb_before).any(), "retrain must move the codebooks"
+    # codes were re-encoded for the WHOLE corpus under the new codebooks
+    assert (spark.read.parquet(f"{work}/codes").count()
+            == spark.read.parquet(f"{work}/vectors").count())
+    # merged index still self-retrieves a shifted doc's chunk
+    probe = (spark.read.parquet(f"{work}/chunks")
+             .where(F.col("doc_id") == 20_003).limit(1).collect())
+    hits = rag_search(spark, work, [(-1, probe[0]["chunk_text"])],
+                      k=1, rerank_factor=16).collect()
+    assert hits and hits[0]["doc_id"] == 20_003
+    assert hits[0]["score"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_rag_index_append_rejects_reindexed_doc(spark, tmp_path):
+    """Appending a doc_id that is already in the index collides on
+    chunk_key and must fail loudly, not silently double-index."""
+    from datapump_spark.recipes import rag_index_append
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(10)
+    work = str(tmp_path / "dup")
+    rag_index(docs, work, chunk_tokens=32, overlap=0)
+    with pytest.raises(ValueError, match="collision"):
+        rag_index_append(docs.limit(1), work)

@@ -74,10 +74,11 @@ def test_events_query_list_nonempty():
 
 @pytest.mark.parametrize("encoding", [
     "ntz_micros",
-    # tz analysis-only pass is `slow`: the exact-value sessionize check
-    # below still runs all three encodings in the default set
+    # tz/nanos analysis-only passes are `slow`: the exact-value sessionize
+    # check below still runs all three encodings in the default set, and
+    # ntz_micros (the current driver encoding) keeps the analyze sweep
     pytest.param("tz_micros", marks=pytest.mark.slow),
-    "nanos_bigint",
+    pytest.param("nanos_bigint", marks=pytest.mark.slow),
 ])
 def test_all_events_queries_analyze(spark, variants, encoding):
     """Schema resolution (Catalyst analysis) must succeed for every
