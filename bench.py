@@ -169,6 +169,8 @@ BENCH_QUERIES = [
     "q_corpus_card",
     # round-6: REAL PNG encode→decode→pixel-stats round-trip (stdlib codecs)
     "q_image_decode",
+    # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
+    "q_bloom_dedup",
 ]
 
 

@@ -2674,6 +2674,13 @@ WHERE doc_id % 5 = 0
 """
 
 
+# q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
+# is a pruning structure with no false negatives, so the engine output
+# must equal the plain anti-join's exactly. A build/probe hash mismatch
+# in bloom.py would drop novel rows and fail this hash gate.
+EXTRA_ORACLES["q_bloom_dedup"] = EXTRA_ORACLES["q_incremental_dedup"]
+
+
 # Round-6 driver-gate rotation — keep the oracle registries keyed
 # identically to the query registries (see queries.DRIVER_PROMOTED /
 # DRIVER_DEMOTED; the demoted twins keep this exact SQL gate in pytest).

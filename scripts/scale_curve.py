@@ -18,15 +18,16 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main() -> None:
-    argv = [a for a in sys.argv[1:] if not a.startswith("--")]
-    sf_dir = argv[0] if argv else "/root/testdata/sf0.1"
     # --fuzzy-only 100,200 : run ONLY the minhash_near_dup / dup_clusters
     # tier at the given multipliers (200 × 5k docs = 1M — the round-6
     # extension of the 250k sub-linearity claim) and skip everything else
     fuzzy_only = None
-    if "--fuzzy-only" in sys.argv:
-        fuzzy_only = [int(x) for x in
-                      sys.argv[sys.argv.index("--fuzzy-only") + 1].split(",")]
+    rest = sys.argv[1:]
+    if "--fuzzy-only" in rest:
+        i = rest.index("--fuzzy-only")
+        fuzzy_only = [int(x) for x in rest[i + 1].split(",")]
+        rest = rest[:i] + rest[i + 2:]
+    sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
 

@@ -131,7 +131,7 @@ def main() -> None:
          .write.format("noop").mode("overwrite").save())
 
     def salted(n_salts):
-        (salted_join(fact, dim, "sensor_id", n_salts=n_salts)
+        (salted_join(fact, dim, "sensor_id", "sensor_id", n_salts=n_salts)
          .groupBy("zone").agg(F.sum("value").alias("v"))
          .write.format("noop").mode("overwrite").save())
 

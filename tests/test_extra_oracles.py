@@ -54,6 +54,9 @@ def test_driver_registry_capped_at_50():
 _SLOW_EXTRA = {
     "q_canonical_docs", "q_sparse_sim", "q_fuzzy_pairs", "q_pagerank",
     "q_incremental_near_dup",
+    # round-6 additions: gated per-round by scripts/check_oracle.py and
+    # (bloom) by test_bloom's equals-exact-path pin
+    "q_bloom_dedup", "q_image_decode",
 }
 
 
