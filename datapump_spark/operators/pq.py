@@ -304,7 +304,7 @@ def ivfpq_topk(
     df: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
     k: int = 5, query_max_id: int = 10, n_cells: int = 16, n_probe: int = 4,
     m: int = 8, kc: int = 64, lloyd_iters: int = 2, rerank_factor: int = 8,
-    dim: int | None = None,
+    dim: int | None = None, queries: DataFrame | None = None,
 ) -> DataFrame:
     """The full FAISS-style IVF-PQ layout: coarse k-means cells prune the
     candidate set (equi-join on cell id, never a corpus-wide cross
@@ -386,9 +386,13 @@ def ivfpq_topk(
     assigned.unpersist()
     with_cell.unpersist()
 
-    # queries: exact vectors, n_probe best cells, one LUT each
-    qrows = _l2_normalized(
-        df.where(F.col(id_col) < query_max_id), id_col, vec_col).collect()
+    # queries: exact vectors, n_probe best cells, one LUT each. External
+    # (id, vec) query frames are first-class (same contract as pq_topk:
+    # ids must not collide with corpus ids); default is the
+    # corpus-rows-below-query_max_id driver convention.
+    qsrc = queries if queries is not None \
+        else df.where(F.col(id_col) < query_max_id)
+    qrows = _l2_normalized(qsrc, id_col, vec_col).collect()
     if not qrows:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, score double")

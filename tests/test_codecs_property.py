@@ -1,0 +1,69 @@
+"""Property-based round-trip tests for the stdlib codecs (hypothesis).
+
+The example-based tests in test_codecs.py pin known shapes; these
+generate arbitrary dimensions/channel counts/sample data and assert the
+encode→decode round trip is the identity — the property the oracle query
+(q_image_decode) relies on transitively.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datapump_spark.operators.codecs import (
+    decode_bmp,
+    decode_png,
+    decode_wav,
+    encode_bmp,
+    encode_png,
+    encode_wav,
+    resize_nearest,
+)
+
+# bounded sizes: the property is structural, not a load test
+_DIMS = st.integers(min_value=1, max_value=40)
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=_DIMS, w=_DIMS, c=st.sampled_from([1, 2, 3, 4]),
+       seed=st.integers(0, 2**31 - 1))
+def test_png_roundtrip_any_shape(h, w, c, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, c), np.uint8)
+    out = decode_png(encode_png(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=_DIMS, w=_DIMS, seed=st.integers(0, 2**31 - 1))
+def test_bmp_roundtrip_any_shape(h, w, seed):
+    # w sweeps every row-padding residue (w*3 mod 4)
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    out = decode_bmp(encode_bmp(img))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(n=st.integers(1, 2000), ch=st.sampled_from([1, 2]),
+       sr=st.sampled_from([4000, 8000, 44100]),
+       seed=st.integers(0, 2**31 - 1))
+def test_wav_roundtrip_within_quantization(n, ch, sr, seed):
+    s = np.random.default_rng(seed).uniform(-1.0, 1.0, (n, ch))
+    out, got_sr = decode_wav(encode_wav(s, sr))
+    assert got_sr == sr and out.shape == (n, ch)
+    # 16-bit PCM error: half an LSB of rounding plus the 32767-encode /
+    # 32768-decode scale asymmetry (|s|/32768), elementwise
+    assert (np.abs(out - s) <= (np.abs(s) + 0.51) / 32768).all()
+
+
+@settings(max_examples=25, deadline=None)
+@given(h=_DIMS, w=_DIMS, nh=_DIMS, nw=_DIMS, seed=st.integers(0, 2**31 - 1))
+def test_resize_samples_only_real_pixels(h, w, nh, nw, seed):
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    out = resize_nearest(img, nw, nh)
+    assert out.shape == (nh, nw, 3)
+    # nearest-neighbor invents nothing: every output value exists in input
+    assert set(np.unique(out)) <= set(np.unique(img))
+    # identity resize is exact
+    assert (resize_nearest(img, w, h) == img).all()

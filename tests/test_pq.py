@@ -200,3 +200,20 @@ def test_cell_partitioned_codes_prune_probe_reads(emb, tmp_path):
     touched = {re.search(r"cell=(\d+)", r["f"]).group(1) for r in files}
     assert touched <= {"2", "5"}
     assert probe.count() > 0
+
+
+def test_ivfpq_external_queries(emb, spark):
+    """External (id, vec) query frames are first-class (the rag_search
+    contract): querying with a corpus row's own vector under a fresh
+    negative id must retrieve that row first."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.operators.pq import ivfpq_topk
+
+    probe = emb.where(F.col("vec_id").isin(3, 17)).select(
+        (-F.col("vec_id")).alias("vec_id"), "embedding")
+    hits = ivfpq_topk(emb, k=1, n_cells=8, n_probe=8, rerank_factor=8,
+                      queries=probe).collect()
+    got = {r["query_id"]: r["neighbor_id"] for r in hits}
+    assert got == {-3: 3, -17: 17}
+    assert all(r["score"] >= 0.999999 for r in hits)
