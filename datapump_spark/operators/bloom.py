@@ -49,7 +49,10 @@ def optimal_params(n_items: int, fpp: float = 0.01) -> tuple[int, int]:
     n_items = max(1, n_items)
     m = max(64, int(-n_items * math.log(fpp) / (math.log(2) ** 2)))
     m = (m + 63) & ~63                      # whole 64-bit words
-    k = max(1, round(m / n_items * math.log(2)))
+    # cap k: when the 64-bit floor makes m/n huge (near-empty index), the
+    # formula asks for dozens of probes that buy nothing — 24 bit tests
+    # already reaches fpp 2^-24 territory
+    k = max(1, min(24, round(m / n_items * math.log(2))))
     return m, k
 
 

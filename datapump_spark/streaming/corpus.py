@@ -59,6 +59,12 @@ class StreamingCorpusIngest:
     # batch doc near-identical to PAST admitted content is rejected even
     # though that content's text is gone. None = exact-only (fp index).
     near_dup_threshold: float | None = None
+    # Bloom fast path for the exact cross-batch gate: build a filter from
+    # the persisted fp index each batch and route definite-novel rows
+    # around the anti-join (operators/bloom; answer-identical by the
+    # no-false-negative guarantee). Worth it when batches are mostly
+    # novel — the common pretraining-ingest shape.
+    use_bloom: bool = False
 
     @property
     def corpus_dir(self) -> str:
@@ -110,7 +116,16 @@ class StreamingCorpusIngest:
                     q.where(F.col("keep")).select("doc_id"), "doc_id", "semi")
                     .persist())
             n_good = good.count()
-            admitted = incremental_dedup(good, self._read_index()).persist()
+            if self.use_bloom:
+                from datapump_spark.operators.bloom import (
+                    bloom_incremental_dedup,
+                )
+
+                admitted = bloom_incremental_dedup(
+                    good, self._read_index()).persist()
+            else:
+                admitted = incremental_dedup(good, self._read_index()) \
+                    .persist()
             sigs = None
             if self.near_dup_threshold is not None:
                 from datapump_spark.operators.incremental import (
