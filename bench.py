@@ -171,6 +171,8 @@ BENCH_QUERIES = [
     "q_image_decode",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",
+    # round-6: SQ8 scalar-quantized ANN (dim-byte codes, near-exact recall)
+    "q_sq8_topk",
 ]
 
 

@@ -720,6 +720,18 @@ def q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_topk(emb, cb, k=5, query_max_id=10, rerank_factor=8)
 
 
+def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQ8 scalar-quantized top-5 (operators/sq.py): per-dim affine 8-bit
+    codes (dim bytes/vector, near-exact recall — the compression point
+    between float scan and PQ) scored by one codegen zip_with/aggregate
+    with a per-query folded weight vector; exact re-rank of the
+    shortlist. Bench-only; recall graded in test_sq."""
+    from datapump_spark.operators.sq import sq8_topk, train_sq8
+    emb = _t(spark, sf_dir, "embeddings")
+    model = train_sq8(emb)
+    return sq8_topk(emb, model, k=5, query_max_id=10, rerank_factor=4)
+
+
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (k-means cells + n_probe) approximate top-5 (rows-only check;
     recall graded in tests against the exact baseline)."""
@@ -2608,6 +2620,7 @@ BENCH_VARIANTS = {
     "q_pq_topk": q_pq_topk,
     "q_unigram_encode": q_unigram_encode,
     "q_ivfpq_topk": q_ivfpq_topk,
+    "q_sq8_topk": q_sq8_topk,
 }
 
 
