@@ -2690,3 +2690,11 @@ for _k in ("q_dsir_sample", "q_token_budget_mix",
 for _k in ("q_resample_dense", "q_ngram_jaccard",
            "q_dedupe_last", "q_semi_join"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Second round-6 rotation (see queries.DRIVER_PROMOTED_R6B): the newest
+# surface enters the driver record; the demoted twins keep the identical
+# SQL gate in pytest.
+for _k in ("q_image_decode", "q_bloom_dedup"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_frame_sample", "q_resample_weekly"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

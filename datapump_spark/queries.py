@@ -2642,3 +2642,23 @@ for _k in DRIVER_PROMOTED:
     QUERIES[_k] = EXTRA_QUERIES.pop(_k)
 for _k in DRIVER_DEMOTED:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
+# Second round-6 rotation: cover the newest surface in the driver's own
+# record.
+#   + q_image_decode — the REAL stdlib decode gate (strictly stronger
+#     multimodal evidence than q_frame_sample's fake-metadata explode
+#     plan, which it replaces),
+#   + q_bloom_dedup — the Bloom-pruned incremental dedup (its oracle is
+#     the plain anti-join SQL, so the driver hash also proves the filter
+#     answer-transparent);
+#   - q_frame_sample stays EXTRA-rows-gated via pytest (no oracle — it
+#     never had one),
+#   - q_resample_weekly's anchored-week semantics remain gated by the
+#     identical DuckDB comparison in test_extra_oracles/check_oracle
+#     (the resample family keeps hourly+daily in the driver set).
+DRIVER_PROMOTED_R6B = ("q_image_decode", "q_bloom_dedup")
+DRIVER_DEMOTED_R6B = ("q_frame_sample", "q_resample_weekly")
+for _k in DRIVER_PROMOTED_R6B:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R6B:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
