@@ -83,16 +83,27 @@ def sq8_topk(
     df: DataFrame, model: dict, id_col: str = "vec_id",
     vec_col: str = "embedding", k: int = 5, query_max_id: int = 10,
     codes: DataFrame | None = None, rerank_factor: int = 0,
-    queries: DataFrame | None = None,
+    queries: DataFrame | None = None, strategy: str = "expr",
 ) -> DataFrame:
     """Approximate top-k over the SQ8-compressed corpus.
 
     (query_id, neighbor_id, score): score = ⟨q, dequant(codes)⟩ ≈ cosine
-    (both sides normalized). The corpus-side scan is one codegen
-    zip_with/aggregate over int codes; per query only a dim-float weight
-    array + one scalar is broadcast. ``rerank_factor > 0`` re-scores the
+    (both sides normalized). ``rerank_factor > 0`` re-scores the
     k·factor shortlist with exact cosine via a broadcast semi-join
-    (pq_topk's two-stage layout)."""
+    (pq_topk's two-stage layout).
+
+    Two scan strategies, identical results (equivalence tested), the
+    same dual-path doctrine as ``operators.decontam``:
+
+    - ``'expr'``: one codegen-side zip_with/aggregate per (row, query)
+      with a per-query weight array broadcast — zero Python, the
+      oracle-friendly plan. Spark evaluates higher-order lambdas
+      interpreted, so cost is ~dim lambda evals per scored pair.
+    - ``'pandas'``: Arrow-batched GEMM — every batch's code matrix
+      multiplies the whole query weight matrix at once (numpy BLAS,
+      ~dim·n·q flops with no interpreter in the loop). The production
+      path when queries are many; still no shuffle, nothing on the
+      driver beyond the 2×dim model and the query set."""
     import numpy as np
 
     if codes is None:
@@ -106,28 +117,55 @@ def sq8_topk(
             [], "query_id bigint, neighbor_id bigint, score double")
     mins = np.asarray(model["mins"])
     steps = np.asarray(model["steps"])
-    qdata = []
-    for r in qrows:
-        qv = np.asarray(r["v"], dtype="float64")
-        qdata.append((int(r["id"]), float(qv @ mins),
-                      [float(x) for x in qv * steps],
-                      [float(x) for x in qv]))
+    qids = [int(r["id"]) for r in qrows]
+    Q = np.asarray([r["v"] for r in qrows], dtype="float64")
+    qmins = Q @ mins                       # per-query scalar term
+    W = Q * steps                          # per-query folded weights
     q = spark.createDataFrame(
-        qdata, "query_id bigint, qmin double, w array<double>, "
-               "qv array<double>")
+        [(qids[i], float(qmins[i]), [float(x) for x in W[i]],
+          [float(x) for x in Q[i]]) for i in range(len(qids))],
+        "query_id bigint, qmin double, w array<double>, qv array<double>")
 
-    scored = (
-        codes.select(F.col("id").alias("neighbor_id"), "codes")
-        .crossJoin(F.broadcast(q.select("query_id", "qmin", "w")))
-        .where(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "score",
-            F.round(
-                F.col("qmin") + F.aggregate(
-                    F.zip_with("codes", "w", lambda c, wi: c * wi),
-                    F.lit(0.0), lambda acc, x: acc + x),
-                6))
-    )
+    if strategy == "expr":
+        scored = (
+            codes.select(F.col("id").alias("neighbor_id"), "codes")
+            .crossJoin(F.broadcast(q.select("query_id", "qmin", "w")))
+            .where(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn(
+                "score",
+                F.round(
+                    F.col("qmin") + F.aggregate(
+                        F.zip_with("codes", "w", lambda c, wi: c * wi),
+                        F.lit(0.0), lambda acc, x: acc + x),
+                    6))
+        )
+    elif strategy == "pandas":
+        import pandas as pd
+
+        qid_arr = np.asarray(qids)
+
+        def kernel(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                C = np.asarray([np.asarray(c, dtype="float64")
+                                for c in pdf["codes"]])
+                S = C @ W.T + qmins        # (batch, n_queries)
+                nid = pdf["id"].to_numpy()
+                n, nq = S.shape
+                yield pd.DataFrame({
+                    "neighbor_id": np.repeat(nid, nq),
+                    "query_id": np.tile(qid_arr, n),
+                    "score": np.round(S.reshape(-1), 6),
+                })
+
+        scored = codes.mapInPandas(
+            kernel,
+            "neighbor_id bigint, query_id bigint, score double",
+        ).where(F.col("neighbor_id") != F.col("query_id"))
+    else:
+        raise ValueError(f"strategy must be 'expr' or 'pandas': {strategy!r}")
+
     shortlist_k = k * rerank_factor if rerank_factor > 0 else k
     approx = _top(scored, shortlist_k)
     if rerank_factor <= 0:

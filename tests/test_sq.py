@@ -87,3 +87,21 @@ def test_external_queries_and_constant_dim(spark):
     assert hits and hits[0]["query_id"] == -9
     # identical-direction twin (9 and its multiples mod pattern) or itself
     assert hits[0]["score"] >= 0.999999
+
+
+def test_pandas_gemm_strategy_equivalent(emb, model):
+    """The Arrow-GEMM scan must agree with the codegen expr scan: same
+    re-ranked top-k sets, and raw approximate scores within float noise
+    (BLAS vs left-to-right summation order)."""
+    e = sq8_topk(emb, model, k=10, query_max_id=20, rerank_factor=4)
+    p = sq8_topk(emb, model, k=10, query_max_id=20, rerank_factor=4,
+                 strategy="pandas")
+    assert ({tuple(r) for r in e.collect()} == {tuple(r) for r in p.collect()})
+    raw_e = sq8_topk(emb, model, k=5, query_max_id=5).withColumnRenamed(
+        "score", "se")
+    raw_p = sq8_topk(emb, model, k=5, query_max_id=5, strategy="pandas") \
+        .withColumnRenamed("score", "sp")
+    joined = raw_e.join(raw_p, ["query_id", "neighbor_id"]).collect()
+    assert joined and all(abs(r["se"] - r["sp"]) <= 2e-6 for r in joined)
+    with pytest.raises(ValueError, match="strategy"):
+        sq8_topk(emb, model, k=1, strategy="nope")
