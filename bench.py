@@ -173,6 +173,9 @@ BENCH_QUERIES = [
     "q_bloom_dedup",
     # round-6: SQ8 scalar-quantized ANN (dim-byte codes, near-exact recall)
     "q_sq8_topk",
+    # round-6: decimal-exact seasonal decomposition + Zipf log-log fit
+    "q_seasonal_decompose",
+    "q_zipf_fit",
 ]
 
 

@@ -241,6 +241,44 @@ def demo(argv: list[str] | None = None) -> int:
     print("== mini pretrain_corpus recipe (synthetic corpus_gen docs) ==")
     print(f"input docs: {docs.count()}")
     audit.show(truncate=False)
+
+    # ---- 3. multimodal: generate media files, stream-ingest, real decode
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+    from datapump_spark.streaming.media import StreamingMediaIngest
+
+    media_in = workdir / "media"
+    media_in.mkdir(parents=True, exist_ok=True)
+    for i in range(4):
+        img = np.full((8 + i, 12 + i, 3), 40 * (i + 1), np.uint8)
+        (media_in / f"img{i}.png").write_bytes(codecs.encode_png(img))
+    (media_in / "tone.wav").write_bytes(
+        codecs.encode_wav(np.sin(np.arange(1600) / 9.0) * 0.5, 16000))
+    (media_in / "renamed.bmp").write_bytes(
+        codecs.encode_png(np.zeros((4, 4, 3), np.uint8)))  # mislabeled
+    ing = StreamingMediaIngest(spark, str(media_in), str(workdir / "media_out"))
+    ing.drain(workdir / "media_cp")
+    print("== streaming media ingest (real stdlib decode per batch) ==")
+    # feature layout (multimodal._real_features): images [w, h, c, ...],
+    # audio [frames, channels, sample_rate, ...]
+    (spark.read.parquet(ing.features_dir)
+     .select("sniffed_format", "n_bytes",
+             F.when(F.col("sniffed_format") == "wav",
+                    F.concat(F.element_at("features", 1).cast("int"),
+                             F.lit(" frames @ "),
+                             F.element_at("features", 3).cast("int"),
+                             F.lit(" Hz")))
+             .otherwise(F.concat(F.element_at("features", 1).cast("int"),
+                                 F.lit("x"),
+                                 F.element_at("features", 2).cast("int"),
+                                 F.lit(" px")))
+             .alias("decoded"))
+     .orderBy("n_bytes").show(truncate=False))
+    print("quarantine (extension/bytes mismatches and undecodables):")
+    (spark.read.parquet(ing.quarantine_dir)
+     .select("claimed_format", "sniffed_format", "reason")
+     .show(truncate=False))
     print(f"demo artifacts under: {workdir}")
     return 0
 

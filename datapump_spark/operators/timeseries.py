@@ -232,3 +232,61 @@ def autocorrelation(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"),
              F.round(F.corr("__v", "prev"), 6).alias("acf"))
     )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    keys: list[str],
+    order_col: str,
+    value_col: str,
+    period: int = 24,
+) -> DataFrame:
+    """Additive seasonal decomposition of a regularly-bucketed series per
+    key group: ``value = trend + seasonal + resid``.
+
+    - ``trend``: centered rows-based moving average over ±period//2
+      neighbors, null where the frame is incomplete (series edges) — the
+      classical moving-average trend, frame-deterministic on any engine.
+    - ``seasonal``: the per-position mean of the detrended series
+      (position = 0-based rank within the group mod ``period``), centered
+      by the grand detrended mean. Both means run on the 6-dp-rounded
+      detrended values scaled to exact bigints — the repo's decimal-exact
+      profile (queries.py float-determinism policy), so partial-sum
+      order can never move the 6th decimal (the q_corpus_card lesson).
+    - ``resid``: what's left, only where trend exists.
+
+    One exchange + one sort on (keys, order): the trend frame, position
+    rank, and both unbounded partition means all share the window
+    partitioning; at 100 TB this co-partitions with the resample that
+    produced the buckets. STL's loess refinements don't fit one-pass SQL
+    semantics — this is the moving-average decomposition both engines
+    can agree on bit-for-bit, which is what an oracle-gated engine wants.
+    """
+    half = period // 2
+    w = Window.partitionBy(*keys).orderBy(order_col)
+    frame = w.rowsBetween(-half, half)
+    grp = Window.partitionBy(*keys)
+    v = F.col(value_col).cast("double")
+    trend = F.when(
+        F.count(value_col).over(frame) == 2 * half + 1,
+        F.avg(value_col).over(frame))
+    d = (df
+         .withColumn("__pos", (F.row_number().over(w) - 1) % period)
+         .withColumn("__trend", trend)
+         .withColumn("__detr6",
+                     F.round((v - F.col("__trend")) * 1e6, 0).cast("bigint")))
+    pos_w = Window.partitionBy(*keys, "__pos")
+    seasonal = (
+        (F.sum("__detr6").over(pos_w) / F.count("__detr6").over(pos_w)
+         - F.sum("__detr6").over(grp) / F.count("__detr6").over(grp))
+        / 1e6)
+    out = (d.withColumn("__seasonal", seasonal)
+           .select(
+               *keys, order_col,
+               F.round(v, 6).alias("value"),
+               F.round("__trend", 6).alias("trend"),
+               F.round("__seasonal", 6).alias("seasonal"),
+               F.round(v - F.col("__trend") - F.col("__seasonal"), 6)
+               .alias("resid"),
+           ))
+    return out

@@ -2681,6 +2681,60 @@ WHERE doc_id % 5 = 0
 EXTRA_ORACLES["q_bloom_dedup"] = EXTRA_ORACLES["q_incremental_dedup"]
 
 
+# q_seasonal_decompose: identical window algebra. The position/grand
+# means run on 6-dp detrended values scaled to exact bigints (both
+# engines sum integers → order-independent); the trend frame is
+# row-deterministic, same as the q_moving_avg precedent.
+EXTRA_ORACLES["q_seasonal_decompose"] = """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket, v,
+         CASE WHEN count(v) OVER fr = 25 THEN avg(v) OVER fr END AS trend,
+         (row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1)
+           % 24 AS pos
+  FROM series
+  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+d AS (
+  SELECT *, CAST(round((v - trend) * 1e6, 0) AS BIGINT) AS detr6 FROM w),
+s AS (
+  SELECT *,
+    (CAST(sum(detr6) OVER (PARTITION BY event_type, pos) AS DOUBLE)
+       / count(detr6) OVER (PARTITION BY event_type, pos)
+     - CAST(sum(detr6) OVER (PARTITION BY event_type) AS DOUBLE)
+       / count(detr6) OVER (PARTITION BY event_type)) / 1e6 AS seasonal
+  FROM d)
+SELECT event_type, bucket, round(v, 6) AS value, round(trend, 6) AS trend,
+       round(seasonal, 6) AS seasonal,
+       round(v - trend - seasonal, 6) AS resid
+FROM s
+"""
+
+
+# q_zipf_fit: same tokenizer fragment as the corpus stats, total rank
+# order (n desc, token asc), regr_* aggregates over O(10)-magnitude logs.
+EXTRA_ORACLES["q_zipf_fit"] = f"""
+WITH toks AS (
+  SELECT lang, UNNEST({_TOKS}) AS tok FROM documents),
+counts AS (
+  SELECT lang, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, tok ASC)
+           AS rank
+  FROM counts
+  QUALIFY rank <= 200 AND n >= 5)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
+       round(regr_slope(ln(n), ln(rank)), 6) AS slope,
+       round(regr_intercept(ln(n), ln(rank)), 6) AS intercept,
+       round(corr(ln(n), ln(rank)), 6) AS r_loglog
+FROM ranked GROUP BY lang
+"""
+
+
 # Round-6 driver-gate rotation — keep the oracle registries keyed
 # identically to the query registries (see queries.DRIVER_PROMOTED /
 # DRIVER_DEMOTED; the demoted twins keep this exact SQL gate in pytest).

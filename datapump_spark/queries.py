@@ -1695,6 +1695,51 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_dedup(batch, fingerprints(corpus))
 
 
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive seasonal decomposition (operators/timeseries.py) of the
+    hourly per-event-type series: centered-MA trend (±12 h), period-24
+    position means on decimal-exact detrended values (the q_corpus_card
+    float-determinism profile — unordered partition means must not be
+    summation-order-dependent), residual. One exchange + one sort; the
+    DuckDB oracle runs the identical window algebra."""
+    from datapump_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.round(F.avg("value"), 6).alias("v")))
+    return seasonal_decompose(series, ["event_type"], "bucket", "v",
+                              period=24)
+
+
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit per language: token frequencies ranked (freq desc,
+    token asc — a total, engine-agnostic order), top 200 ranks with
+    n ≥ 5, then the log-log least-squares slope/intercept/r via the
+    regr_* aggregates (one pass; ln magnitudes are O(10), the same
+    bounded-x precaution as q_trend). A healthy natural-language corpus
+    sits near slope −1; the corpus-card-style diagnostic for synthetic
+    or template-heavy sources."""
+    from datapump_spark.functions.hashing import tokens
+
+    d = _t(spark, sf_dir, "documents").select(
+        "lang", F.explode(tokens(F.col("text"))).alias("tok"))
+    counts = d.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(),
+                                           F.col("tok").asc())
+    ranked = (counts.withColumn("rank", F.row_number().over(w))
+              .where((F.col("rank") <= 200) & (F.col("n") >= 5)))
+    return (
+        ranked.withColumn("ln_n", F.log(F.col("n").cast("double")))
+        .withColumn("ln_rank", F.log(F.col("rank").cast("double")))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+             F.round(F.regr_slope("ln_n", "ln_rank"), 6).alias("slope"),
+             F.round(F.regr_intercept("ln_n", "ln_rank"), 6)
+             .alias("intercept"),
+             F.round(F.corr("ln_n", "ln_rank"), 6).alias("r_loglog")))
+
+
 def q_bloom_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The q_incremental_dedup scenario through the Bloom fast path
     (operators/bloom.py): a filter built from the corpus index routes
@@ -1884,6 +1929,8 @@ EXTRA_QUERIES = {
     "q_iot_ingest": q_iot_ingest,
     "q_image_decode": q_image_decode,
     "q_bloom_dedup": q_bloom_dedup,
+    "q_seasonal_decompose": q_seasonal_decompose,
+    "q_zipf_fit": q_zipf_fit,
     "q_iot_multiformat_ts": q_iot_multiformat_ts,
     "q_iot_type_infer": q_iot_type_infer,
 }

@@ -294,3 +294,45 @@ def test_autocorrelation_pairwise_complete_n(spark):
         pairs = [(vals[i], vals[i - lag]) for i in range(lag, 20)
                  if i not in (4, 9) and (i - lag) not in (4, 9)]
         assert got[lag]["n"] == len(pairs), lag
+
+
+def test_seasonal_decompose_recovers_components(spark):
+    """Synthetic series = linear trend + exact period-4 pattern: the
+    moving-average decomposition must recover the pattern (up to the
+    centering convention), leave ~zero residual, and null the trend at
+    the incomplete-frame edges."""
+    import math
+
+    from datapump_spark.operators.timeseries import seasonal_decompose
+
+    period, n = 4, 40
+    pattern = [2.0, -1.0, -2.0, 1.0]          # sums to zero
+    rows = [("a", i, round(0.5 * i + pattern[i % period], 6))
+            for i in range(n)]
+    df = spark.createDataFrame(rows, "grp string, t int, v double")
+    out = {r["t"]: r for r in
+           seasonal_decompose(df, ["grp"], "t", "v", period=period)
+           .collect()}
+    assert len(out) == n
+    half = period // 2
+    for i in (0, half - 1, n - half, n - 1):  # incomplete frames
+        assert out[i]["trend"] is None and out[i]["resid"] is None
+    for i in range(half, n - half):
+        # centered MA of a linear trend is the trend itself; the period
+        # pattern averages to zero inside any full window of 5 rows ≠
+        # multiple of period — so allow the small MA leakage, but the
+        # decomposition identity must hold exactly
+        r = out[i]
+        assert r["value"] == pytest.approx(0.5 * i + pattern[i % period])
+        assert math.isclose(r["value"],
+                            r["trend"] + r["seasonal"] + r["resid"],
+                            abs_tol=2e-6)
+    # seasonal is a pure function of position
+    seas = {}
+    for i in range(half, n - half):
+        seas.setdefault(i % period, set()).add(out[i]["seasonal"])
+    assert all(len(v) == 1 for v in seas.values())
+    # and tracks the injected pattern's ordering
+    order_true = sorted(range(period), key=lambda j: pattern[j])
+    order_got = sorted(seas, key=lambda j: next(iter(seas[j])))
+    assert order_true == order_got
