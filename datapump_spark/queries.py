@@ -725,11 +725,14 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     codes (dim bytes/vector, near-exact recall — the compression point
     between float scan and PQ) scored by one codegen zip_with/aggregate
     with a per-query folded weight vector; exact re-rank of the
-    shortlist. Bench-only; recall graded in test_sq."""
+    shortlist. Bench-only; recall + expr≡pandas equivalence graded in
+    test_sq. Benches the production GEMM scan (the expr twin costs ~dim
+    interpreted lambda evals per scored pair — both measured, PERF.md)."""
     from datapump_spark.operators.sq import sq8_topk, train_sq8
     emb = _t(spark, sf_dir, "embeddings")
     model = train_sq8(emb)
-    return sq8_topk(emb, model, k=5, query_max_id=10, rerank_factor=4)
+    return sq8_topk(emb, model, k=5, query_max_id=10, rerank_factor=4,
+                    strategy="pandas")
 
 
 def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
