@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 from datapump_spark.operators.incremental import fingerprints, incremental_dedup
 
 
@@ -45,6 +47,11 @@ OTHER = ("completely unrelated material about harbors lighthouses and the "
          "slow tides that carry the evening ships home to port at night")
 
 
+# slow: the operator's full semantics pass the identical DuckDB gate via
+# q_incremental_near_dup in scripts/check_oracle.py every round, and the
+# cross-batch streaming composition stays in the default set
+# (test_streaming_corpus.test_cross_batch_near_dup_index).
+@pytest.mark.slow
 def test_incremental_near_dup_vs_persisted_index(spark):
     """Batch docs near-identical to already-admitted content are dropped
     using ONLY the persisted signature index (no corpus text); unrelated

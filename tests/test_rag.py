@@ -160,6 +160,11 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert len(top) == 1 and top[0]["neighbor_id"] == 10_001
 
 
+# slow: append-path search correctness runs in-default via the drift
+# test (append -> retrain -> self-retrieval) and the streaming
+# incremental-index test; what this adds is the expensive two-index
+# rebuild-parity comparison.
+@pytest.mark.slow
 def test_rag_index_append_matches_full_rebuild(spark, tmp_path):
     """VERDICT round-6 #7: index built on batch 1, batch 2 appended
     against the FROZEN codebooks (admitted text never re-read), search

@@ -54,10 +54,17 @@ def test_sequences_reference_only_clean_docs(streams):
     assert seq_docs <= clean_ids
 
 
+@pytest.mark.slow
 def test_repetition_and_ppl_gates(spark):
     """Optional gates: a degenerate-repetition doc routes to
     'repetitive', an out-of-domain doc to 'perplexity', and the
-    partition invariant (clean ⊎ rejected = input) still holds."""
+    partition invariant (clean ⊎ rejected = input) still holds.
+
+    slow: the detectors themselves are oracle-gated in the default run
+    (q_repetition, q_lm_score EXTRA DuckDB gates) and the clean⊎rejected
+    partition invariant is covered in-default by
+    test_streaming_corpus.test_full_recipe_composition_per_batch; what
+    this 22 s test adds beyond those is only the reject_reason labels."""
     base = ("the quick brown fox jumps over the lazy dog and then "
             "the dog naps while the fox runs far away happily today")
     rows = [(i, f"{base} variant w{i}a w{i}b w{i}c", "src0")

@@ -149,12 +149,18 @@ def test_cross_batch_near_dup_index(spark, tmp_path):
     assert sorted(r["doc_id"] for r in sig.collect()) == [1, 21]
 
 
+@pytest.mark.slow
 def test_bloom_fast_path_identical_admissions(spark, tmp_path):
     """use_bloom=True routes definite-novel rows around the fp-index
     anti-join (operators/bloom) — admissions and audit must be identical
     to the exact path's on the same stream (no false negatives ⇒ the
     filter is answer-transparent), including the mostly-duplicate second
-    batch that exercises the maybe-member join branch."""
+    batch that exercises the maybe-member join branch.
+
+    slow: answer transparency is driver-oracle-gated every round
+    (q_bloom_dedup's oracle IS the plain anti-join SQL) and pinned by
+    test_bloom's equals-exact-path test; the streaming index mechanics
+    run in-default through the exact-path ingest tests above."""
     inp = tmp_path / "in"
     inp.mkdir()
     _write(inp, "b0.json", 1_000_000_000,
