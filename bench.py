@@ -175,6 +175,7 @@ BENCH_QUERIES = [
     "q_sq8_topk",
     # round-6: decimal-exact seasonal decomposition + Zipf log-log fit
     "q_seasonal_decompose",
+    "q_seasonal_anomaly",
     "q_zipf_fit",
 ]
 

@@ -2714,6 +2714,44 @@ FROM s
 """
 
 
+# q_seasonal_anomaly: the decomposition CTEs verbatim, then the
+# q_outliers z-score pattern over the residual.
+EXTRA_ORACLES["q_seasonal_anomaly"] = """
+WITH series AS (
+  SELECT event_type, date_trunc('hour', ts) AS bucket,
+         round(avg(value), 6) AS v
+  FROM events GROUP BY 1, 2),
+w AS (
+  SELECT event_type, bucket, v,
+         CASE WHEN count(v) OVER fr = 25 THEN avg(v) OVER fr END AS trend,
+         (row_number() OVER (PARTITION BY event_type ORDER BY bucket) - 1)
+           % 24 AS pos
+  FROM series
+  WINDOW fr AS (PARTITION BY event_type ORDER BY bucket
+                ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)),
+d AS (
+  SELECT *, CAST(round((v - trend) * 1e6, 0) AS BIGINT) AS detr6 FROM w),
+s AS (
+  SELECT *,
+    (CAST(sum(detr6) OVER (PARTITION BY event_type, pos) AS DOUBLE)
+       / count(detr6) OVER (PARTITION BY event_type, pos)
+     - CAST(sum(detr6) OVER (PARTITION BY event_type) AS DOUBLE)
+       / count(detr6) OVER (PARTITION BY event_type)) / 1e6 AS seasonal
+  FROM d),
+dec AS (
+  SELECT event_type, bucket, round(v, 6) AS value,
+         round(v - trend - seasonal, 6) AS resid
+  FROM s WHERE trend IS NOT NULL),
+st AS (
+  SELECT event_type, avg(resid) AS mu, stddev_samp(resid) AS sd
+  FROM dec GROUP BY event_type)
+SELECT dec.event_type, bucket, value, resid,
+       round((resid - st.mu) / st.sd, 6) AS z
+FROM dec JOIN st USING (event_type)
+WHERE st.sd > 0 AND abs(round((resid - st.mu) / st.sd, 6)) > 2.5
+"""
+
+
 # q_zipf_fit: same tokenizer fragment as the corpus stats, total rank
 # order (n desc, token asc), regr_* aggregates over O(10)-magnitude logs.
 EXTRA_ORACLES["q_zipf_fit"] = f"""

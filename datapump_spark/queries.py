@@ -1715,6 +1715,31 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
                               period=24)
 
 
+def q_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonally-adjusted anomaly flags: the decomposition residual
+    z-scored per event_type (stddev_samp precedent: q_outliers), rows
+    with |z| > 2.5 — the monitoring query that catches a sensor spike
+    WITHOUT false-alarming on the daily cycle a raw z-score would flag.
+    Composes q_seasonal_decompose's plan; one extra broadcast join of a
+    per-type stats row."""
+    from datapump_spark.operators.timeseries import seasonal_decompose
+
+    ev = _t(spark, sf_dir, "events")
+    series = (ev.groupBy("event_type",
+                         F.date_trunc("hour", "ts").alias("bucket"))
+              .agg(F.round(F.avg("value"), 6).alias("v")))
+    dec = seasonal_decompose(series, ["event_type"], "bucket", "v",
+                             period=24).where(F.col("resid").isNotNull())
+    stats = dec.groupBy("event_type").agg(
+        F.avg("resid").alias("__mu"), F.stddev_samp("resid").alias("__sd"))
+    z = F.round((F.col("resid") - F.col("__mu")) / F.col("__sd"), 6)
+    return (dec.join(F.broadcast(stats), "event_type")
+            .where(F.col("__sd") > 0)
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) > 2.5)
+            .select("event_type", "bucket", "value", "resid", "z"))
+
+
 def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf's-law fit per language: token frequencies ranked (freq desc,
     token asc — a total, engine-agnostic order), top 200 ranks with
@@ -1933,6 +1958,7 @@ EXTRA_QUERIES = {
     "q_image_decode": q_image_decode,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
+    "q_seasonal_anomaly": q_seasonal_anomaly,
     "q_zipf_fit": q_zipf_fit,
     "q_iot_multiformat_ts": q_iot_multiformat_ts,
     "q_iot_type_infer": q_iot_type_infer,
