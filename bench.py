@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "q_seasonal_decompose",
     "q_seasonal_anomaly",
     "q_zipf_fit",
+    # round-6: xxhash64 production profiles vs their md5 oracle twins
+    "q_minhash_near_dup_fast",
+    "q_dup_clusters_fast",
 ]
 
 

@@ -514,6 +514,25 @@ def q_minhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def q_minhash_near_dup_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The q_minhash_near_dup pipeline on the xxhash64 production profile
+    — bench variant quantifying the md5-for-oracle-verifiability cost the
+    PERF 'Known costs' section documents (identical pair semantics, the
+    hash family is engine-internal)."""
+    from datapump_spark.operators.dedup_fuzzy import minhash_near_dup_pairs
+    out = minhash_near_dup_pairs(_t(spark, sf_dir, "documents"),
+                                 threshold=0.5, hash_fn="xxhash64")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def q_dup_clusters_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_dup_clusters on the xxhash64 production profile (bench variant;
+    same clustering semantics, fast engine-internal hashes)."""
+    from datapump_spark.operators.dedup_fuzzy import near_dup_clusters
+    return near_dup_clusters(_t(spark, sf_dir, "documents"),
+                             threshold=0.5, hash_fn="xxhash64")
+
+
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact word-3-gram Jaccard pairs within source blocks (≥ 0.5)."""
     from datapump_spark.operators.dedup_fuzzy import ngram_jaccard_pairs
@@ -2697,6 +2716,10 @@ BENCH_VARIANTS = {
     "q_unigram_encode": q_unigram_encode,
     "q_ivfpq_topk": q_ivfpq_topk,
     "q_sq8_topk": q_sq8_topk,
+    # xxhash64 production profiles of the md5-oracle-keyed dedup pair
+    # queries — the verifiability-cost quantifiers (PERF 'Known costs')
+    "q_minhash_near_dup_fast": q_minhash_near_dup_fast,
+    "q_dup_clusters_fast": q_dup_clusters_fast,
 }
 
 
