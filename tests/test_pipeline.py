@@ -92,7 +92,9 @@ def test_idempotent_rerun(spark, env):
 def test_quarantine_bad_file(spark, env):
     bad = env["inbox"] / "zone1_airquality_bad.csv"
     bad.write_text("This is not, a valid\nCSV for the job schema\n")
-    pipe, job = make_pipeline(spark, env)
+    # Stats=[] : the stats tables of the good-file path are already
+    # covered by test_end_to_end; this test is about the routing.
+    pipe, job = make_pipeline(spark, env, Stats=[])
     result = pipe.run_available()
     # bad file lands in problems/, good files still process
     assert any("bad" in p for p in result.quarantined)

@@ -91,6 +91,11 @@ def test_lsh_topk_recall_vs_exact(spark, sf_dir):
                for q in {r["query_id"] for r in approx})
 
 
+@pytest.mark.slow
+# slow: the default-knob recall floor stays in-default
+# (test_lsh_topk_recall_vs_exact); the multi-probe/table operating points
+# this sweeps are re-measured every round by scripts/ann_recall.py and
+# documented in PERF.md.
 def test_lsh_multiprobe_tables_lift_recall(spark, sf_dir):
     """Multi-probe + OR-ed tables must lift recall well past the plain
     single-bucket probe at the same plane count, stay deterministic, and
