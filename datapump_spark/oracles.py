@@ -8,7 +8,7 @@ mirrors queries.py: decimal-exact sums, round(…,6) statistics.
 
 from __future__ import annotations
 
-from datapump_spark.queries import IOT_GLOB, JSONL_GLOB
+from datapump_spark.queries import IOT_GLOB, JSONL_GLOB, WARC_GLOB
 from datapump_spark.sources.csv_ingest import DUCKDB_DATE_FORMATS
 
 
@@ -2770,6 +2770,54 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_ranks,
        round(regr_intercept(ln(n), ln(rank)), 6) AS intercept,
        round(corr(ln(n), ln(rank)), 6) AS r_loglog
 FROM ranked GROUP BY lang
+"""
+
+
+# WARC/WET record parse, written against the raw fixture bytes so the
+# gate is a genuinely independent second parser (read_text + string ops;
+# sources/warc.py is binaryFile + Content-Length framing / lineSep
+# splitting). Payload recovery here is char-sliced after the header with
+# the file-final record separator stripped — byte-exact on these
+# archives because no payload ends in CRLF CRLF (the Spark side is
+# byte-exact always; the digest equality proves it end-to-end).
+_WARC_RECORDS = f"""
+  SELECT regexp_replace(chunk, '^WARC/1\\.0\\r\\n', '') AS rec
+  FROM (SELECT unnest(string_split(content, e'\\r\\n\\r\\nWARC/1.0\\r\\n'))
+               AS chunk
+        FROM read_text('{WARC_GLOB}'))
+"""
+
+_WARC_FIELDS = """
+  SELECT nullif(regexp_extract(rec, 'WARC-Target-URI: ([^\\r\\n]+)', 1),
+                '') AS target_uri,
+         regexp_extract(rec, 'WARC-Type: ([^\\r\\n]+)', 1) AS warc_type,
+         regexp_extract(rec, 'WARC-Record-ID: ([^\\r\\n]+)', 1)
+             AS record_id,
+         strptime(regexp_extract(rec, 'WARC-Date: ([^\\r\\n]+)', 1),
+                  '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+         regexp_extract(rec, 'Content-Type: ([^\\r\\n]+)', 1)
+             AS content_type,
+         CAST(regexp_extract(rec, 'Content-Length: ([0-9]+)', 1)
+              AS BIGINT) AS content_length,
+         regexp_replace(substr(rec, strpos(rec, e'\\r\\n\\r\\n') + 4),
+                        e'\\r\\n\\r\\n$', '') AS payload_text
+"""
+
+EXTRA_ORACLES["q_warc_scan"] = f"""
+WITH n AS ({_WARC_RECORDS}),
+p AS ({_WARC_FIELDS} FROM n)
+SELECT target_uri, warc_type, record_id, warc_date, content_type,
+       content_length, sha256(payload_text) AS payload_sha
+FROM p
+"""
+
+EXTRA_ORACLES["q_wet_text"] = f"""
+WITH n AS ({_WARC_RECORDS}),
+p AS ({_WARC_FIELDS} FROM n)
+SELECT target_uri, warc_date, content_length,
+       CAST(length(payload_text) AS BIGINT) AS n_chars,
+       payload_text AS text
+FROM p WHERE warc_type = 'conversion'
 """
 
 

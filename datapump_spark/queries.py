@@ -36,6 +36,7 @@ from datapump_spark.sources.csv_ingest import infer_ckan_fields, ingest_csv, mul
 REPO_ROOT = Path(__file__).resolve().parents[1]
 IOT_GLOB = str(REPO_ROOT / "tests" / "data" / "iot" / "zone1_airquality_*.csv")
 JSONL_GLOB = str(REPO_ROOT / "tests" / "data" / "jsonl" / "docs_part_*.jsonl")
+WARC_GLOB = str(REPO_ROOT / "tests" / "data" / "warc" / "sample_0*.warc")
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -2648,7 +2649,32 @@ def q_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), words=["slow", "dup", "spam"])
 
 
+def q_warc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC exact scan (sources/warc.py read_warc): Content-Length-framed
+    record inventory with payload digests — the Common Crawl ingest edge.
+    Oracle re-parses the same bytes independently in DuckDB."""
+    from datapump_spark.sources.warc import read_warc
+
+    return read_warc(spark, WARC_GLOB).select(
+        "target_uri", "warc_type", "record_id", "warc_date",
+        "content_type", "content_length",
+        F.sha2(F.col("payload"), 256).alias("payload_sha"))
+
+
+def q_wet_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET text extraction on the splittable zero-Python fast path
+    (sources/warc.py read_wet): record split at scan via lineSep, codegen
+    header extraction, byte-exact Content-Length payload slice."""
+    from datapump_spark.sources.warc import read_wet
+
+    t = read_wet(spark, WARC_GLOB)
+    return t.select("target_uri", "warc_date", "content_length",
+                    F.length("text").alias("n_chars"), "text")
+
+
 EXTRA_QUERIES.update({
+    "q_warc_scan": q_warc_scan,
+    "q_wet_text": q_wet_text,
     "q_sniff_media": q_sniff_media,
     "q_locf": q_locf,
     "q_simhash_pairs": q_simhash_pairs,
