@@ -9,7 +9,7 @@ from pathlib import Path
 
 import pytest
 
-from datapump_spark.sources.warc import read_warc, read_wet
+from datapump_spark.sources.warc import read_warc, read_wet, read_wet_stream
 
 WARC_DIR = str(Path(__file__).resolve().parent / "data" / "warc")
 SHARDS = f"{WARC_DIR}/sample_0*.warc"
@@ -80,3 +80,32 @@ def test_truncated_record_raises_not_drops(spark, tmp_path):
     bad.write_bytes(src[: len(src) - 40])          # cut mid-payload
     with pytest.raises(Exception, match="truncated record"):
         read_warc(spark, str(bad)).count()
+
+
+def test_wet_stream_matches_batch_reader(spark, tmp_path):
+    """read_wet_stream over a drop-box of WET shards (AvailableNow drain)
+    must produce exactly the batch read_wet rows — same transform, same
+    framing, per-file micro-batches."""
+    import shutil
+
+    drop = tmp_path / "drop"
+    drop.mkdir()
+    for shard in sorted(Path(WARC_DIR).glob("sample_0*.warc")):
+        shutil.copy(shard, drop / shard.name)
+
+    stream = read_wet_stream(spark, str(drop))
+    assert stream.isStreaming
+    out = tmp_path / "out"
+    (stream.writeStream
+           .format("parquet")
+           .option("path", str(out))
+           .option("checkpointLocation", str(tmp_path / "cp"))
+           .trigger(availableNow=True)
+           .start()
+           .awaitTermination(120))
+
+    got = {r["target_uri"]: (r["text"], r["content_length"])
+           for r in spark.read.parquet(str(out)).collect()}
+    want = {r["target_uri"]: (r["text"], r["content_length"])
+            for r in read_wet(spark, SHARDS).collect()}
+    assert got == want and len(got) == 29
