@@ -66,6 +66,7 @@ BENCH_QUERIES = [
     "q_pack_chunks",
     "q_decontam",
     "q_line_dedup",
+    "q_span_dedup",
     "q_canonical_docs",
     "q_corpus_stats",
     "q_quality_logreg",

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from datapump_spark.functions.hashing import hash63
+from datapump_spark.functions.hashing import hash63, tokens
 
 
 def dup_passages(
@@ -150,3 +150,99 @@ def dedup_lines(
                 (F.col("__n") - F.coalesce("n_lines_kept", F.lit(0)))
                 .cast("bigint").alias("n_lines_removed"),
             ))
+
+
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Exact repeated-substring REMOVAL (Lee et al. 2022): every token
+    ``n``-gram that occurs ≥ 2 times corpus-wide (within- or cross-doc)
+    keeps only its first occurrence — smallest ``(id, position)`` — and
+    every other occurrence's ``n``-token span is cut out of its document.
+    Overlapping cuts merge, so a repeated 100-token passage (which is 51
+    repeated overlapping ``n``-grams) disappears as one contiguous span.
+    This is the distributed sibling of the paper's suffix-array ExactSubstr
+    pass; :func:`dup_passages` is the flag-only detector.
+
+    Returns one row per input document: ``(id, n_tokens, n_removed,
+    clean_text)`` where ``clean_text`` is the normalized token stream
+    (lowercased alphanumeric tokens, single-space joined — the same
+    normalization every dedup operator here keys on) with deleted spans
+    cut out ('' if everything was removed).
+
+    Plan shape, chosen for 100 TB:
+    1. gram hashes per doc via ``transform(sequence)`` + one
+       ``posexplode`` — narrow, no shuffle;
+    2. duplicated grams + their winning occurrence via ONE aggregation
+       ``groupBy(gram).agg(count, min(struct(id, pos)))`` — partial
+       (map-side) states collapse hot boilerplate grams before the
+       exchange, so gram skew never lands on a single reducer;
+    3. occurrences re-join the duplicated grams (AQE splits residual hot
+       keys) and non-winners become per-doc sorted cut-start lists — one
+       shuffle back on the doc id, list size bounded by doc length;
+    4. reassembly is a single codegen ``aggregate`` over the sorted cut
+       starts: slice-between-cuts with a rolling cursor — linear in doc
+       length, zero Python.
+    """
+    d = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+         .withColumn("__nt", F.size("__t")))
+    grams = (
+        d.where(F.col("__nt") >= n)
+        .select(
+            F.col(id_col),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(1), F.col("__nt") - n + 1),
+                    lambda i: hash63(
+                        F.array_join(F.slice("__t", i, n), " "), hash_fn),
+                )
+            ).alias("__i", "gram"),
+        )
+        .select(F.col(id_col), (F.col("__i") + 1).alias("pos"), "gram")
+    )
+    dup = (grams.groupBy("gram")
+           .agg(F.count("*").alias("__c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+           .where(F.col("__c") >= 2)
+           .select("gram", "__w"))
+    cuts = (
+        grams.join(dup, "gram")
+        .where(~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                 & (F.col("pos") == F.col("__w.pos"))))
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
+    )
+    out = (d.join(cuts, id_col, "left")
+           .withColumn("__starts",
+                       F.coalesce("__starts", F.array().cast("array<int>"))))
+    kept = F.aggregate(
+        "__starts",
+        F.struct(F.lit(1).alias("cur"),
+                 F.array().cast("array<string>").alias("parts")),
+        lambda acc, s: F.struct(
+            F.greatest(acc["cur"], s + n).alias("cur"),
+            F.when(
+                s > acc["cur"],
+                F.concat(acc["parts"],
+                         F.slice("__t", acc["cur"], s - acc["cur"])),
+            ).otherwise(acc["parts"]).alias("parts"),
+        ),
+        lambda acc: F.concat(
+            acc["parts"],
+            F.when(
+                acc["cur"] <= F.col("__nt"),
+                F.slice("__t", acc["cur"],
+                        F.col("__nt") - acc["cur"] + 1),
+            ).otherwise(F.array().cast("array<string>")),
+        ),
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("__nt").cast("bigint").alias("n_tokens"),
+        (F.col("__nt") - F.size(kept)).cast("bigint").alias("n_removed"),
+        F.array_join(kept, " ").alias("clean_text"),
+    )

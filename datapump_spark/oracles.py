@@ -1238,6 +1238,48 @@ LEFT JOIN tot t USING (doc_id)
 LEFT JOIN hits h USING (doc_id)
 """
 
+# q_span_dedup: same tokenization + gram hash as the Spark operator; the
+# winner per duplicated gram is rn=1 over (doc_id, pos) — the exact twin of
+# Spark's min(struct(id, pos)) — and removal is a position anti-join, the
+# set-equivalent of the operator's merged-interval slice-between.
+_SPAN_GRAM = hash63_sql("array_to_string(list_slice(t, pos, pos + 9), ' ')")
+EXTRA_ORACLES["q_span_dedup"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+docs AS (SELECT doc_id, t, len(t) AS nt FROM tk),
+gpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt - 9)) AS pos
+  FROM docs WHERE nt >= 10),
+grams AS (
+  SELECT doc_id, pos, {_SPAN_GRAM} AS gram FROM gpos),
+ranked AS (
+  SELECT doc_id, pos,
+         row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rn,
+         count(*) OVER (PARTITION BY gram) AS c
+  FROM grams),
+del AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT doc_id, unnest(generate_series(pos, pos + 9)) AS i
+    FROM ranked WHERE c >= 2 AND rn > 1)),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt)) AS i
+  FROM docs WHERE nt >= 1),
+tok AS (SELECT doc_id, i, t[i] AS x FROM idx),
+surv AS (SELECT tok.* FROM tok ANTI JOIN del USING (doc_id, i)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(x, ' ' ORDER BY i) AS clean_text
+  FROM surv GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.nt AS BIGINT) AS n_tokens,
+       CAST(d.nt - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM docs d LEFT JOIN reb r USING (doc_id)
+"""
+
 EXTRA_ORACLES["q_temperature_mix"] = f"""
 WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
 m AS (SELECT min(n) AS n_min FROM c),

@@ -1651,6 +1651,19 @@ def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_lines(lined)
 
 
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact repeated-substring REMOVAL (Lee et al. 2022 ExactSubstr,
+    distributed): every 10-token gram occurring ≥2× corpus-wide keeps only
+    its first occurrence; all other occurrences' spans are cut out
+    (overlaps merged) and documents reassembled from surviving tokens
+    (operators/line_dedup.py remove_duplicate_spans). Complements
+    q_dup_passages, which only FLAGS the shared fraction."""
+    from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    return remove_duplicate_spans(docs, n=10)
+
+
 def q_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup pipeline composition: near-dup clusters → per-cluster
     representative by quality score (ties → lowest doc_id). Reuses the
@@ -1962,6 +1975,7 @@ EXTRA_QUERIES = {
     "q_cube": q_cube,
     "q_jsonl_scan": q_jsonl_scan,
     "q_line_dedup": q_line_dedup,
+    "q_span_dedup": q_span_dedup,
     "q_canonical_docs": q_canonical_docs,
     "q_corpus_stats": q_corpus_stats,
     "q_incremental_dedup": q_incremental_dedup,

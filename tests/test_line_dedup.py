@@ -194,3 +194,52 @@ def test_semantic_decontam_flags_similar_vectors(spark):
                                    threshold=0.85, n_planes=4).collect()}
     assert set(lsh2) == {1, 2, 3, 6}
     assert lsh2[6]["max_cos"] is None and not lsh2[6]["contaminated"]
+
+
+SPAN_DOCS = [
+    (1, "a b c d e f"),
+    (2, "X, y! A b C d z"),          # normalization: same grams as doc 1
+    (3, "p q r p q r p q r"),        # within-doc repeats, overlapping cuts
+    (4, "m n"),                      # shorter than n: untouched
+    (5, "a b c"),                    # entirely a duplicated gram
+]
+
+
+@pytest.fixture(scope="module")
+def span_docs(spark):
+    return spark.createDataFrame(SPAN_DOCS, "doc_id bigint, text string")
+
+
+def _span_rows(df):
+    return {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+            for r in df.collect()}
+
+
+def test_remove_duplicate_spans(span_docs):
+    from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+    out = _span_rows(remove_duplicate_spans(span_docs, n=3))
+    assert len(out) == 5
+    # doc 1 is the first occurrence of every shared gram: untouched
+    assert out[1] == (6, 0, "a b c d e f")
+    # doc 2: grams (a b c), (b c d) already won by doc 1 -> cuts [3,5] and
+    # [4,6] merge into one contiguous [3,6] deletion
+    assert out[2] == (7, 4, "x y z")
+    # doc 3: 'p q r' x3 -> all grams past the first window repeat; the
+    # overlapping cuts at starts 4..7 merge into [4,9]
+    assert out[3] == (9, 6, "p q r")
+    # doc 4 has no 3-gram at all
+    assert out[4] == (2, 0, "m n")
+    # doc 5 IS a duplicated gram whose winner is doc 1
+    assert out[5] == (3, 3, "")
+
+
+def test_remove_duplicate_spans_no_dups_is_identity(spark):
+    from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+    docs = spark.createDataFrame(
+        [(1, "one two three four"), (2, "five six seven eight")],
+        "doc_id bigint, text string")
+    out = _span_rows(remove_duplicate_spans(docs, n=3))
+    assert out == {1: (4, 0, "one two three four"),
+                   2: (4, 0, "five six seven eight")}
