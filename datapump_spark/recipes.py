@@ -58,8 +58,14 @@ class CorpusRecipe:
     max_top_ngram_char_frac: float | None = None
     # optional LM-perplexity gate (operators/lm.py, CCNet shape): keep
     # docs with ppl ≤ ppl_max under a bigram LM fitted on lm_reference
-    # (or, when None, on the quality-surviving corpus itself); None = off
+    # (or, when None, on the quality-surviving corpus itself): None = off
     ppl_max: float | None = None
+    # optional exact repeated-span REMOVAL (Lee et al. 2022 ExactSubstr,
+    # operators/line_dedup.py remove_duplicate_spans): token n-grams
+    # repeated corpus-wide keep one occurrence, every other occurrence is
+    # cut out of its doc. NB the stage rewrites text as the NORMALIZED
+    # token stream (lowercased alphanumerics, single spaces); None = off
+    span_dedup_n: int | None = None
 
 
 def pretrain_corpus(
@@ -75,7 +81,8 @@ def pretrain_corpus(
     - ``clean``     — surviving docs (redacted text), one row per doc
     - ``rejected``  — every dropped doc with ``reject_reason``
                       (``quality`` | ``repetitive`` | ``perplexity`` |
-                      ``contaminated`` | ``exact_dup`` | ``near_dup``)
+                      ``contaminated`` | ``exact_dup`` | ``near_dup`` |
+                      ``span_dup``)
     - ``sequences`` — packed (seq_id, doc_id, n_tok_in_seq) rows over
                       the clean stream
 
@@ -152,12 +159,29 @@ def pretrain_corpus(
                 .join(canon.select(id_col), id_col, "anti")
                 .withColumn("reject_reason", F.lit("near_dup")))
 
+    # 5b. exact repeated-span removal (optional, Lee et al. ExactSubstr):
+    # duplicated passages are cut out of the survivors' text (normalized
+    # token stream — see CorpusRecipe.span_dedup_n); docs left empty are
+    # rejected as span_dup rather than packed as zero-token husks.
+    rej_span = None
+    if r.span_dedup_n is not None:
+        from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+        spans = remove_duplicate_spans(clean, id_col, text_col,
+                                       n=r.span_dedup_n, hash_fn=r.hash_fn)
+        clean = (clean.drop(text_col)
+                 .join(spans.where(F.col("clean_text") != "")
+                       .select(id_col, F.col("clean_text").alias(text_col)),
+                       id_col))
+        rej_span = (spans.where(F.col("clean_text") == "").select(id_col)
+                    .withColumn("reject_reason", F.lit("span_dup")))
+
     # 6. optional corpus recipe weights
     if r.weights is not None:
         clean = weighted_mix(clean, r.source_col, r.weights, id_col)
 
     rejected = rej_quality.unionByName(rej_exact).unionByName(rej_near)
-    for extra in (rej_contam, rej_rep, rej_ppl):
+    for extra in (rej_contam, rej_rep, rej_ppl, rej_span):
         if extra is not None:
             rejected = rejected.unionByName(extra)
 

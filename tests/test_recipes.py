@@ -162,3 +162,37 @@ def test_training_run_manifest_and_artifacts(spark, tmp_path):
         training_run(docs, str(tmp_path / "run2"),
                      recipe=CorpusRecipe(min_words=10,
                                          weights={"web": 1.0}))
+
+
+def test_span_dedup_stage(spark):
+    """Optional ExactSubstr stage: a doc sharing a 10-token prefix with an
+    earlier doc keeps only its unique tail; a doc that is ENTIRELY a
+    repeated span empties out and routes to 'span_dup'."""
+    base = [f"alpha{i}" for i in range(30)]
+    uniq = [f"uniq{i}" for i in range(15)]
+    rows = [(1, " ".join(base), "src0"),
+            (60, " ".join(base[:10] + uniq), "src0"),   # shared prefix
+            (61, " ".join(base[:12]), "src0")]          # pure sub-span
+    # unique filler docs so corpus-level stages have context
+    rows += [(100 + i, " ".join(f"w{i}x{j}" for j in range(20)), "src0")
+             for i in range(5)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = pretrain_corpus(
+        docs, None,
+        CorpusRecipe(min_words=5, span_dedup_n=10,
+                     gopher_kwargs=dict(max_dup_word_frac=1.0,
+                                        max_dup_2gram_frac=1.0,
+                                        min_stop_hits=0)))
+    both = (out["clean"].select("doc_id", "text",
+                                F.lit(None).cast("string").alias("reject_reason"))
+            .unionByName(out["rejected"].select(
+                "doc_id", F.lit(None).alias("text"), "reject_reason"))
+            .collect())
+    rej = {r.doc_id: r.reject_reason for r in both if r.reject_reason}
+    clean = {r.doc_id: r.text for r in both if not r.reject_reason}
+    assert rej.get(61) == "span_dup"
+    assert clean[60] == " ".join(uniq)          # shared prefix cut out
+    assert clean[1] == " ".join(base)           # first occurrence untouched
+    assert set(clean) | set(rej) == {r[0] for r in rows}
+    assert set(clean).isdisjoint(rej)
