@@ -65,6 +65,11 @@ class StreamingCorpusIngest:
     # no-false-negative guarantee). Worth it when batches are mostly
     # novel — the common pretraining-ingest shape.
     use_bloom: bool = False
+    # Input format of the drop-box: 'jsonl' (DOC_SCHEMA files) or 'wet'
+    # (Common Crawl WET archives via sources/warc.read_wet_stream — the
+    # codegen record split; doc_id is the 63-bit hash of the target URI,
+    # source its host, so one crawl shard drop feeds the same gates).
+    input_format: str = "jsonl"
 
     @property
     def corpus_dir(self) -> str:
@@ -177,11 +182,28 @@ class StreamingCorpusIngest:
     def stream(self, checkpoint_dir: str | Path):
         """Build the writer; caller starts it (``.trigger(availableNow=
         True).start()`` for a drain, no trigger for continuous)."""
-        reader = self.spark.readStream.schema(DOC_SCHEMA)
-        if self.max_files_per_trigger:
-            reader = reader.option("maxFilesPerTrigger",
-                                   self.max_files_per_trigger)
-        stream_df = reader.json(self.input_dir)
+        if self.input_format == "wet":
+            from datapump_spark.functions.hashing import hash63
+            from datapump_spark.sources.warc import read_wet_stream
+
+            wet = read_wet_stream(self.spark, self.input_dir,
+                                  self.max_files_per_trigger)
+            stream_df = wet.select(
+                hash63(F.col("target_uri")).alias("doc_id"),
+                "text",
+                F.lit(None).cast("string").alias("lang"),
+                F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+                .alias("source"),
+            )
+        elif self.input_format == "jsonl":
+            reader = self.spark.readStream.schema(DOC_SCHEMA)
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger",
+                                       self.max_files_per_trigger)
+            stream_df = reader.json(self.input_dir)
+        else:
+            raise ValueError(
+                f"input_format must be 'jsonl' or 'wet': {self.input_format!r}")
         return (stream_df.writeStream
                 .foreachBatch(self._handle_batch)
                 .option("checkpointLocation", str(checkpoint_dir)))

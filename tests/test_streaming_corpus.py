@@ -181,3 +181,51 @@ def test_bloom_fast_path_identical_admissions(spark, tmp_path):
     ing.drain(tmp_path / "cp")
     assert sorted(r["doc_id"] for r in
                   spark.read.parquet(ing.corpus_dir).collect()) == [1, 2, 10, 20]
+
+
+def _wet_bytes(records):
+    """Minimal WET shard: (uri, text) pairs as conversion records."""
+    out = b""
+    for uri, text in records:
+        payload = text.encode("utf-8")
+        out += (b"WARC/1.0\r\n"
+                b"WARC-Type: conversion\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(payload)}\r\n".encode()
+                + b"\r\n" + payload + b"\r\n\r\n")
+    return out
+
+
+def test_wet_dropbox_feeds_corpus_with_cross_batch_dedup(spark, tmp_path):
+    """Common Crawl shape end-to-end: WET shards land in a drop-box, each
+    becomes a micro-batch, a page re-crawled under a different URI in a
+    later shard is rejected by the persisted fingerprint index."""
+    inp = tmp_path / "crawl"
+    inp.mkdir()
+    p0 = inp / "shard-00000.warc.wet"
+    p0.write_bytes(_wet_bytes([
+        ("https://a.example/page1", f"{GOOD} page1"),
+        ("https://a.example/page2", f"{GOOD} page2"),
+    ]))
+    os.utime(p0, (1_000_000_000, 1_000_000_000))
+    p1 = inp / "shard-00001.warc.wet"
+    p1.write_bytes(_wet_bytes([
+        ("https://b.example/fresh", f"{GOOD} fresh"),
+        ("https://mirror.example/page1", f"{GOOD} page1"),  # re-crawl
+    ]))
+    os.utime(p1, (1_000_001_000, 1_000_001_000))
+
+    ingest = StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"),
+                                   input_format="wet")
+    ingest.drain(tmp_path / "cp")
+
+    corpus = spark.read.parquet(ingest.corpus_dir)
+    srcs = {r["source"] for r in corpus.select("source").collect()}
+    assert srcs == {"a.example", "b.example"}      # the mirror was a dup
+    assert corpus.count() == 3
+    assert corpus.select("text").distinct().count() == 3
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ingest.audit_dir).collect()}
+    assert audit[0]["n_admitted"] == 2
+    assert audit[1]["n_dup"] == 1 and audit[1]["n_admitted"] == 1
