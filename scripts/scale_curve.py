@@ -128,6 +128,16 @@ def main() -> None:
             .write.format("noop").mode("overwrite").save()
         runs["dup_clusters"] = round(time.perf_counter() - t0, 2)
 
+        # exact repeated-span removal on the same replicated corpus: the
+        # suffixed replicas keep cross-replica grams disjoint, so the
+        # duplicated-gram table grows linearly in mult
+        from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+        t0 = time.perf_counter()
+        remove_duplicate_spans(big_docs, n=10, hash_fn="xxhash64") \
+            .write.format("noop").mode("overwrite").save()
+        runs["span_dedup"] = round(time.perf_counter() - t0, 2)
+
         if fuzzy_only:
             dedup_out[f"x{mult}"] = runs
             big_docs.unpersist()
