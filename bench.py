@@ -139,6 +139,7 @@ BENCH_QUERIES = [
     "q_url_canon",
     "q_blocklist",
     "q_strip_html",
+    "q_main_content",
     "q_hybrid_search",
     "q_retrieval_eval",
     "q_cusum",

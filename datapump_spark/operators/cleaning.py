@@ -226,6 +226,79 @@ def strip_html(
     return df.withColumn(out, c)
 
 
+# Block-level elements whose open/close tags delimit candidate text blocks
+# (the jusText/Arc90 segmentation unit). Inline tags (<a>, <b>, <span>\u2026)
+# deliberately stay INSIDE blocks \u2014 link density is measured per block.
+HTML_BLOCK_SPLIT_RE = (
+    r"(?i)</?(?:p|div|h[1-6]|li|ul|ol|table|tr|td|th|section|article|"
+    r"header|footer|nav|aside|blockquote|main|form|br)\b[^>]*>")
+HTML_ANCHOR_TEXT_RE = r"(?is)<a\b[^>]*>(.*?)</a\s*>"
+
+
+def extract_main_content(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str | None = None,
+    min_words: int = 5,
+    max_link_density: float = 0.5,
+) -> DataFrame:
+    """Main-content extraction from full HTML pages \u2014 the jusText/Arc90
+    block-scoring baseline: split the page into block-level segments,
+    drop boilerplate blocks (navigation, footers, link farms) by LINK
+    DENSITY and length, keep prose blocks, and reassemble. This is the
+    step BEFORE :func:`strip_html`-style flattening: flattening a whole
+    page keeps "Home | About | Contact" glued to the article text;
+    block scoring removes it.
+
+    A block survives when it has \u2265 ``min_words`` visible words AND its
+    anchor-text share of visible characters \u2264 ``max_link_density``
+    (boilerplate is short and link-dense; prose is long and link-sparse \u2014
+    Kohlsch\u00fctter et al. 2010's two strongest shallow features).
+
+    Returns the input plus ``out_col`` (kept blocks' visible text joined
+    with newlines, entities decoded), ``n_blocks``, ``n_kept``. Pure
+    codegen: one split + higher-order transform/filter per row \u2014 a
+    projection fused into the scan, shuffle-free, and oracle-twinnable
+    (patterns in the RE2 \u2229 Java dialect; the DuckDB twin runs the same
+    regexes over unnested blocks).
+    """
+    out = out_col or text_col
+    pre = F.col(text_col)
+    for rx in (HTML_SCRIPT_RE, HTML_STYLE_RE, HTML_COMMENT_RE):
+        pre = F.regexp_replace(pre, rx, " ")
+
+    def visible(b):
+        v = F.regexp_replace(b, HTML_TAG_RE, " ")
+        for ent, rep in _ENTITIES:
+            v = F.replace(v, F.lit(ent), F.lit(rep))
+        return F.trim(F.regexp_replace(v, r"\s+", " "))
+
+    def block_struct(b):
+        link_raw = F.array_join(
+            F.regexp_extract_all(b, F.lit(HTML_ANCHOR_TEXT_RE), F.lit(1)), " ")
+        return F.struct(
+            visible(b).alias("v"),
+            visible(link_raw).alias("lv"),
+        )
+
+    scored = F.filter(
+        F.transform(F.split(pre, HTML_BLOCK_SPLIT_RE), block_struct),
+        lambda s: s["v"] != "",          # empty inter-tag segments aren't blocks
+    )
+    kept = F.filter(
+        scored,
+        lambda s: (F.size(F.split(s["v"], r"\s+")) >= min_words)
+        & (F.length(s["lv"])
+           <= max_link_density * F.greatest(F.length(s["v"]), F.lit(1))),
+    )
+    return (
+        df.withColumn("n_blocks", F.size(scored).cast("bigint"))
+        .withColumn("n_kept", F.size(kept).cast("bigint"))
+        .withColumn(out, F.array_join(
+            F.transform(kept, lambda s: s["v"]), "\n"))
+    )
+
+
 # ZWSP, ZWNJ, ZWJ, word joiner, BOM/ZWNBSP, soft hyphen
 ZERO_WIDTH_RE = "[\u200b\u200c\u200d\u2060\ufeff\u00ad]"
 

@@ -2361,6 +2361,71 @@ SELECT doc_id, trim(regexp_replace(t, '\\s+', ' ', 'g')) AS text FROM e
 """
 
 
+# q_main_content: the identical block segmentation + per-block visible/
+# anchor-text regex chain (patterns imported from the operator module),
+# keep rule = min 5 words AND anchor chars ≤ 0.5 × visible chars.
+from datapump_spark.operators.cleaning import (  # noqa: E402
+    HTML_ANCHOR_TEXT_RE,
+    HTML_BLOCK_SPLIT_RE,
+)
+
+_MC_WRAP = (
+    "'<html><head><script>var n=1;</script>"
+    "<style>.m:red;</style></head><body>"
+    '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+    '<a href="/c">Contact</a> <a href="/s">Search</a></div><p>\' || text || '
+    "'</p><p>Share this: <a href=\"/tw\">Tweet</a> "
+    '<a href="/fb">Like</a></p>'
+    '<div class="footer"><a href="/p">Privacy</a> '
+    "<a href=\"/t\">Terms</a> &copy; 2024</div></body></html>'"
+)
+
+
+def _mc_vis(expr: str) -> str:
+    """Visible text of an HTML fragment: tag strip → entity decode (&amp;
+    last) → whitespace collapse — the SQL twin of the operator's
+    ``visible()`` closure."""
+    v = f"regexp_replace({expr}, '{HTML_TAG_RE}', ' ', 'g')"
+    v = (f"replace(replace(replace(replace(replace(replace({v}, "
+         f"'&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+         f"'&#39;', chr(39)), '&amp;', '&')")
+    return f"trim(regexp_replace({v}, '\\s+', ' ', 'g'))"
+
+
+# NB coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+# array_join(empty) is '' — an anchor-free block must score lv = ''
+_MC_LINK = (f"coalesce(array_to_string(regexp_extract_all(t[i], "
+            f"'{HTML_ANCHOR_TEXT_RE}', 1), ' '), '')")
+EXTRA_ORACLES["q_main_content"] = f"""
+WITH m AS (SELECT doc_id, {_MC_WRAP} AS h FROM documents),
+pre AS (SELECT doc_id,
+          regexp_replace(regexp_replace(regexp_replace(h,
+            '{HTML_SCRIPT_RE}', ' ', 'g'),
+            '{HTML_STYLE_RE}', ' ', 'g'),
+            '{HTML_COMMENT_RE}', ' ', 'g') AS h
+        FROM m),
+bl AS (SELECT doc_id, string_split_regex(h, '{HTML_BLOCK_SPLIT_RE}') AS t
+       FROM pre),
+idx AS (SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i FROM bl),
+seg AS (SELECT doc_id, i, {_mc_vis('t[i]')} AS v, {_mc_vis(_MC_LINK)} AS lv
+        FROM idx),
+blocks AS (SELECT * FROM seg WHERE v != ''),
+kept AS (SELECT * FROM blocks
+         WHERE len(string_split_regex(v, '\\s+')) >= 5
+           AND length(lv) <= 0.5 * greatest(length(v), 1)),
+agg AS (SELECT doc_id, count(*) AS n_kept,
+               string_agg(v, chr(10) ORDER BY i) AS main_text
+        FROM kept GROUP BY doc_id),
+nb AS (SELECT doc_id, count(*) AS n_blocks FROM blocks GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(nb.n_blocks, 0) AS BIGINT) AS n_blocks,
+       CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+       COALESCE(a.main_text, '') AS main_text
+FROM (SELECT doc_id FROM documents) d
+LEFT JOIN nb USING (doc_id) LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # q_hybrid_search: BM25 list from its existing oracle; vector list as an
 # independent sparse slot-join with INTEGER dot/norms (one final double
 # division, so 6-dp rounding is engine-identical); same 1/(60+rank) RRF.

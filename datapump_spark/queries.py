@@ -2334,6 +2334,31 @@ def q_strip_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strip_html(d.select("doc_id", messy.alias("text")))
 
 
+def q_main_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """jusText/Arc90-style main-content extraction (operators/cleaning.py
+    extract_main_content): documents wrapped codegen-side in a full page
+    with a link-dense nav bar, a share block and a footer; block scoring
+    (min words + max link density) must drop exactly the boilerplate
+    blocks and keep the prose. Oracle runs the identical regex chain in
+    DuckDB over unnested blocks."""
+    from datapump_spark.operators.cleaning import extract_main_content
+
+    d = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit('<html><head><script>var n=1;</script>'
+              '<style>.m:red;</style></head><body>'
+              '<div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+              '<a href="/c">Contact</a> <a href="/s">Search</a></div><p>'),
+        F.col("text"),
+        F.lit('</p><p>Share this: <a href="/tw">Tweet</a> '
+              '<a href="/fb">Like</a></p>'
+              '<div class="footer"><a href="/p">Privacy</a> '
+              '<a href="/t">Terms</a> &copy; 2024</div></body></html>'))
+    out = extract_main_content(d.select("doc_id", page.alias("text")),
+                               out_col="main_text")
+    return out.select("doc_id", "n_blocks", "n_kept", "main_text")
+
+
 def q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text normalization (operators/cleaning.py): control-char strip,
     whitespace-run collapse, trim. The synthetic docs are already clean,
@@ -2702,6 +2727,7 @@ EXTRA_QUERIES.update({
     "q_corpus_card": q_corpus_card,
     "q_quality_binned_mix": q_quality_binned_mix,
     "q_strip_html": q_strip_html,
+    "q_main_content": q_main_content,
     "q_hybrid_search": q_hybrid_search,
     "q_retrieval_eval": q_retrieval_eval,
     "q_cusum": q_cusum,

@@ -181,3 +181,62 @@ def test_unicode_normalize_forms_and_zero_width(spark):
 
     with _pytest.raises(ValueError, match="form"):
         unicode_normalize(df, form="NFX")
+
+
+PAGE = ('<html><head><script>var x=1;</script><style>.n:red;</style></head>'
+        '<body><div class="nav"><a href="/">Home</a> <a href="/a">About</a> '
+        '<a href="/c">Contact</a></div>'
+        '<p>The quick brown fox jumps over the lazy dog and keeps going.</p>'
+        '<p>See <a href="/r">this reference</a> for details about the '
+        'brown fox story today.</p>'
+        '<div class="footer"><a href="/p">Privacy</a> &amp; '
+        '<a href="/t">Terms</a></div></body></html>')
+
+
+def test_main_content_drops_link_dense_blocks(spark):
+    from datapump_spark.operators.cleaning import extract_main_content
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id bigint, text string")
+    r = extract_main_content(df, out_col="main").collect()[0]
+    assert r["n_blocks"] == 4 and r["n_kept"] == 2
+    assert r["main"] == (
+        "The quick brown fox jumps over the lazy dog and keeps going.\n"
+        "See this reference for details about the brown fox story today.")
+
+
+def test_main_content_knobs(spark):
+    from datapump_spark.operators.cleaning import extract_main_content
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id bigint, text string")
+    # max_link_density=1.0 keeps every block long enough
+    loose = extract_main_content(df, out_col="main",
+                                 max_link_density=1.0).collect()[0]
+    assert loose["n_kept"] == 2   # nav/footer still under min_words
+    # min_words=2 + loose density lets the 3-word nav back in
+    all_in = extract_main_content(df, out_col="main", min_words=2,
+                                  max_link_density=1.0).collect()[0]
+    assert all_in["n_kept"] == 4
+    assert all_in["main"].startswith("Home About Contact")
+
+
+def test_main_content_is_codegen(spark):
+    from datapump_spark.operators.cleaning import extract_main_content
+
+    df = spark.createDataFrame([(1, PAGE)], "doc_id bigint, text string")
+    plan = (extract_main_content(df, out_col="main")
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "mapInPandas" not in plan and "PythonUDF" not in plan
+
+
+def test_main_content_plain_text_and_empty(spark):
+    from datapump_spark.operators.cleaning import extract_main_content
+
+    df = spark.createDataFrame(
+        [(1, "just eleven plain words of prose with no markup at all"),
+         (2, "")],
+        "doc_id bigint, text string")
+    out = {r["doc_id"]: r for r in
+           extract_main_content(df, out_col="main").collect()}
+    assert out[1]["n_blocks"] == 1 and out[1]["n_kept"] == 1
+    assert out[1]["main"].startswith("just eleven")
+    assert out[2]["n_blocks"] == 0 and out[2]["main"] == ""
