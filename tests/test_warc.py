@@ -109,3 +109,38 @@ def test_wet_stream_matches_batch_reader(spark, tmp_path):
     want = {r["target_uri"]: (r["text"], r["content_length"])
             for r in read_wet(spark, SHARDS).collect()}
     assert got == want and len(got) == 29
+
+
+def _response_record(uri, html):
+    body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            + html.encode("utf-8"))
+    return (b"WARC/1.0\r\n"
+            b"WARC-Type: response\r\n"
+            + f"WARC-Target-URI: {uri}\r\n".encode()
+            + b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+            + f"Content-Length: {len(body)}\r\n".encode()
+            + b"\r\n" + body + b"\r\n\r\n")
+
+
+def test_warc_html_crawl_to_corpus(spark, tmp_path):
+    """Raw HTTP captures -> HTTP header strip -> block-scored main
+    content: nav/footer boilerplate dropped, prose kept, header-less or
+    prose-free responses absent from the output."""
+    page = ('<html><body><div><a href="/">Home</a> <a href="/a">About</a>'
+            '</div><p>Ce renard brun rapide saute par-dessus le chien '
+            'paresseux chaque matin, naturellement.</p>'
+            '<div><a href="/p">Privacy</a></div></body></html>')
+    linkfarm = ('<html><body><div><a href="/1">One</a> <a href="/2">Two</a>'
+                ' <a href="/3">Three</a></div></body></html>')
+    p = tmp_path / "crawl.warc"
+    p.write_bytes(_response_record("https://x.example/article", page)
+                  + _response_record("https://x.example/links", linkfarm))
+
+    from datapump_spark.sources.warc import read_warc_html
+
+    rows = read_warc_html(spark, str(p)).collect()
+    assert [r["target_uri"] for r in rows] == ["https://x.example/article"]
+    r = rows[0]
+    assert r["main_text"].startswith("Ce renard brun rapide")  # UTF-8 intact
+    assert "Home" not in r["main_text"] and "Privacy" not in r["main_text"]
+    assert r["n_blocks"] == 3 and r["n_kept"] == 1
