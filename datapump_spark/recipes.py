@@ -424,6 +424,38 @@ def rag_search(
 
 
 # --------------------------------------------------------------------------
+# Web-corpus recipe: raw Common Crawl WARC shards → training streams
+# --------------------------------------------------------------------------
+
+def web_corpus(
+    spark,
+    warc_path: str,
+    benchmark: DataFrame | None = None,
+    recipe: CorpusRecipe | None = None,
+    min_words_per_block: int = 5,
+    max_link_density: float = 0.5,
+) -> dict[str, DataFrame]:
+    """Common Crawl → packed training sequences in ONE call: WARC
+    ``response`` records → HTTP header strip → block-scored main-content
+    extraction (``sources/warc.read_warc_html``) → the full
+    :func:`pretrain_corpus` chain. ``doc_id`` is the 63-bit target-URI
+    hash, ``source`` the page's host — so per-source mixing/weights work
+    on web data out of the box. Returns pretrain_corpus's named streams
+    (clean / rejected / sequences)."""
+    from datapump_spark.functions.hashing import hash63
+    from datapump_spark.sources.warc import read_warc_html
+
+    docs = (read_warc_html(spark, warc_path,
+                           min_words=min_words_per_block,
+                           max_link_density=max_link_density)
+            .select(hash63(F.col("target_uri")).alias("doc_id"),
+                    F.col("main_text").alias("text"),
+                    F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
+                    .alias("source")))
+    return pretrain_corpus(docs, benchmark, recipe)
+
+
+# --------------------------------------------------------------------------
 # Training-run recipe: clean → token-budget mix → pack → shards + manifest
 # --------------------------------------------------------------------------
 

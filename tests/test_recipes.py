@@ -196,3 +196,45 @@ def test_span_dedup_stage(spark):
     assert clean[1] == " ".join(base)           # first occurrence untouched
     assert set(clean) | set(rej) == {r[0] for r in rows}
     assert set(clean).isdisjoint(rej)
+
+
+def test_web_corpus_one_call(spark, tmp_path):
+    """Raw WARC shards in, training streams out: prose pages admitted,
+    an exact duplicate page under a mirror URI rejected as exact_dup,
+    link-farm pages never even reach the corpus."""
+    from tests.test_warc import _response_record
+    from datapump_spark.recipes import web_corpus
+
+    def page(i):
+        # mostly-distinct prose per page so the near-dup stage keeps all
+        # five; only the mirror is an exact duplicate
+        prose = ("the quick story " + " ".join(
+            f"site{i}word{j}" for j in range(16)))
+        return ('<html><body><div><a href="/">Home</a> <a href="/a">About'
+                '</a></div><p>' + prose + '</p></body></html>')
+    shard = b"".join(
+        [_response_record(f"https://site{i}.example/art", page(i))
+         for i in range(1, 6)]
+        + [_response_record("https://mirror.example/art", page(1)),  # dup
+           _response_record("https://farm.example/", (
+               '<html><body><div><a href="/1">One</a> '
+               '<a href="/2">Two</a></div></body></html>'))])
+    p = tmp_path / "crawl-00000.warc"
+    p.write_bytes(shard)
+
+    out = web_corpus(spark, str(p),
+                     recipe=CorpusRecipe(min_words=5,
+                                         gopher_kwargs=dict(
+                                             max_dup_word_frac=1.0,
+                                             max_dup_2gram_frac=1.0,
+                                             min_stop_hits=0)))
+    clean = out["clean"].collect()
+    assert len(clean) == 5
+    srcs = {r["source"] for r in clean}
+    # exact-dedup winner between the original and its mirror is the
+    # smaller URI hash — deterministic, but either host may win
+    assert {f"site{i}.example" for i in range(2, 6)} <= srcs
+    assert len(srcs & {"site1.example", "mirror.example"}) == 1
+    rej = {r["doc_id"]: r["reject_reason"] for r in out["rejected"].collect()}
+    assert list(rej.values()) == ["exact_dup"]
+    assert out["sequences"].count() >= 1
