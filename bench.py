@@ -65,6 +65,7 @@ BENCH_QUERIES = [
     "q_pii_redact",
     "q_pack_chunks",
     "q_decontam",
+    "q_decontam_spans",
     "q_line_dedup",
     "q_span_dedup",
     "q_canonical_docs",

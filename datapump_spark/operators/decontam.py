@@ -231,3 +231,46 @@ def semantic_decontaminate(
                 F.coalesce(F.col("max_cos") >= threshold,
                            F.lit(False)).alias("contaminated"))
     )
+
+
+def remove_contaminated_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """SURGICAL span-level decontamination: where :func:`decontaminate`
+    flags (and callers typically drop) any corpus document sharing one
+    ``n``-gram with the benchmark, this cuts ONLY the overlapping token
+    spans out and keeps the rest of the document — the right trade when
+    a long, otherwise-clean document quotes one benchmark item.
+
+    Every corpus occurrence of every benchmark ``n``-gram is removed
+    (there is no winner to keep — benchmark text must not survive
+    anywhere); overlapping cuts merge, so a verbatim benchmark passage
+    disappears as one contiguous span. Returns ``(id, n_tokens,
+    n_removed, clean_text)`` for every corpus document, clean_text being
+    the normalized token stream (same contract as
+    ``line_dedup.remove_duplicate_spans``).
+
+    Plan: corpus gram positions are narrow per-doc expressions; the
+    benchmark's distinct gram set (the SMALL side — benchmarks are
+    thousands of items, the corpus is the 100 TB side) broadcasts into a
+    semi join, so the corpus never shuffles at all; the only exchange is
+    the per-doc cut-list aggregation.
+    """
+    from datapump_spark.operators.line_dedup import (
+        cut_spans,
+        doc_gram_positions,
+        tokenized_docs,
+    )
+
+    d = tokenized_docs(corpus, id_col, text_col)
+    grams = doc_gram_positions(d, id_col, n, hash_fn)
+    bench = (doc_ngram_hashes(benchmark, id_col, text_col, n, hash_fn)
+             .select("gram").distinct())
+    marked = (grams.join(F.broadcast(bench), "gram", "semi")
+              .select(id_col, "pos"))
+    return cut_spans(d, marked, id_col, n)

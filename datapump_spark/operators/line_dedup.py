@@ -188,9 +188,33 @@ def remove_duplicate_spans(
        starts: slice-between-cuts with a rolling cursor — linear in doc
        length, zero Python.
     """
-    d = (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
-         .withColumn("__nt", F.size("__t")))
-    grams = (
+    d = tokenized_docs(df, id_col, text_col)
+    grams = doc_gram_positions(d, id_col, n, hash_fn)
+    dup = (grams.groupBy("gram")
+           .agg(F.count("*").alias("__c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+           .where(F.col("__c") >= 2)
+           .select("gram", "__w"))
+    marked = (
+        grams.join(dup, "gram")
+        .where(~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                 & (F.col("pos") == F.col("__w.pos"))))
+        .select(id_col, "pos")
+    )
+    return cut_spans(d, marked, id_col, n)
+
+
+def tokenized_docs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """``(id, __t tokens array, __nt count)`` — the shared span-op input."""
+    return (df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+            .withColumn("__nt", F.size("__t")))
+
+
+def doc_gram_positions(d: DataFrame, id_col: str, n: int,
+                       hash_fn: str = "md5") -> DataFrame:
+    """All token ``n``-gram hashes with 1-based start positions:
+    ``(id, pos, gram)``. Narrow (transform + one posexplode), no shuffle."""
+    return (
         d.where(F.col("__nt") >= n)
         .select(
             F.col(id_col),
@@ -204,18 +228,20 @@ def remove_duplicate_spans(
         )
         .select(F.col(id_col), (F.col("__i") + 1).alias("pos"), "gram")
     )
-    dup = (grams.groupBy("gram")
-           .agg(F.count("*").alias("__c"),
-                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
-           .where(F.col("__c") >= 2)
-           .select("gram", "__w"))
-    cuts = (
-        grams.join(dup, "gram")
-        .where(~((F.col(id_col) == F.col(f"__w.{id_col}"))
-                 & (F.col("pos") == F.col("__w.pos"))))
-        .groupBy(id_col)
-        .agg(F.sort_array(F.collect_list("pos")).alias("__starts"))
-    )
+
+
+def cut_spans(d: DataFrame, marked: DataFrame, id_col: str,
+              n: int) -> DataFrame:
+    """Cut every ``n``-token span starting at a ``marked`` ``(id, pos)``
+    out of its tokenized document (overlaps merged) and reassemble.
+
+    The reassembly is one codegen ``aggregate`` over the per-doc sorted
+    cut starts — slice-between-cuts with a rolling cursor, linear in doc
+    length, zero Python. Returns ``(id, n_tokens, n_removed,
+    clean_text)`` for EVERY input document ('' when everything was cut).
+    """
+    cuts = (marked.groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("pos")).alias("__starts")))
     out = (d.join(cuts, id_col, "left")
            .withColumn("__starts",
                        F.coalesce("__starts", F.array().cast("array<int>"))))

@@ -1155,6 +1155,46 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 20 != 0) d
 LEFT JOIN hits h USING (doc_id)
 """
 
+# q_decontam_spans: the same 13-gram definition as q_decontam, but the
+# output is the SURGICAL cut — every corpus occurrence of a benchmark
+# gram marks its 13-token span, spans are removed by position anti-join
+# (the set-equivalent of the operator's merged-interval fold).
+_DSPAN_GRAM = hash63_sql("array_to_string(list_slice(t, pos, pos + 12), ' ')")
+EXTRA_ORACLES["q_decontam_spans"] = f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+docs AS (SELECT doc_id, t, len(t) AS nt FROM tk WHERE doc_id % 20 != 0),
+gpos AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt - 12)) AS pos
+  FROM docs WHERE nt >= 13),
+grams AS (SELECT doc_id, pos, {_DSPAN_GRAM} AS gram FROM gpos),
+bpos AS (
+  SELECT t, unnest(generate_series(1, len(t) - 12)) AS pos
+  FROM tk WHERE doc_id % 20 = 0 AND len(t) >= 13),
+bench AS (SELECT DISTINCT {_DSPAN_GRAM} AS gram FROM bpos),
+del AS (
+  SELECT DISTINCT doc_id, i FROM (
+    SELECT g.doc_id, unnest(generate_series(g.pos, g.pos + 12)) AS i
+    FROM grams g SEMI JOIN bench USING (gram))),
+idx AS (
+  SELECT doc_id, t, unnest(generate_series(1, nt)) AS i
+  FROM docs WHERE nt >= 1),
+tok AS (SELECT doc_id, i, t[i] AS x FROM idx),
+surv AS (SELECT tok.* FROM tok ANTI JOIN del USING (doc_id, i)),
+reb AS (
+  SELECT doc_id, count(*) AS n_kept,
+         string_agg(x, ' ' ORDER BY i) AS clean_text
+  FROM surv GROUP BY doc_id)
+SELECT d.doc_id,
+       CAST(d.nt AS BIGINT) AS n_tokens,
+       CAST(d.nt - COALESCE(r.n_kept, 0) AS BIGINT) AS n_removed,
+       COALESCE(r.clean_text, '') AS clean_text
+FROM docs d LEFT JOIN reb r USING (doc_id)
+"""
+
 EXTRA_ORACLES["q_jsonl_scan"] = f"""
 SELECT doc_id, lang, source, n_chars, text,
        meta.quality AS quality, meta.crawl AS crawl, tags

@@ -1233,6 +1233,19 @@ def q_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(corpus, bench)
 
 
+def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURGICAL decontamination (operators/decontam.py
+    remove_contaminated_spans): instead of dropping flagged docs, cut
+    ONLY the 13-gram spans overlapping the held-out benchmark slice
+    (doc_id % 20 == 0) out of each corpus doc and keep the rest."""
+    from datapump_spark.operators.decontam import remove_contaminated_spans
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    bench = docs.where(F.col("doc_id") % 20 == 0)
+    corpus = docs.where(F.col("doc_id") % 20 != 0)
+    return remove_contaminated_spans(corpus, bench)
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-line fraction/chars,
     most-frequent-2-gram char coverage, duplicated-5-gram char coverage
@@ -1957,6 +1970,7 @@ EXTRA_QUERIES = {
     "q_pii_redact": q_pii_redact,
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
+    "q_decontam_spans": q_decontam_spans,
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,
     "q_chunk_docs": q_chunk_docs,

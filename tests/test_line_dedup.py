@@ -243,3 +243,26 @@ def test_remove_duplicate_spans_no_dups_is_identity(spark):
     out = _span_rows(remove_duplicate_spans(docs, n=3))
     assert out == {1: (4, 0, "one two three four"),
                    2: (4, 0, "five six seven eight")}
+
+
+def test_remove_contaminated_spans(spark):
+    """Surgical decontamination: ONLY benchmark-overlapping spans cut —
+    every occurrence (no winner kept), overlaps merged, clean docs
+    untouched, a fully-contaminated doc empties out."""
+    from datapump_spark.operators.decontam import remove_contaminated_spans
+
+    corpus = spark.createDataFrame(
+        [(1, "intro words lead in then alpha beta gamma delta echo "
+             "and the prose resumes cleanly after"),
+         (2, "this document never quotes anything from the benchmark"),
+         (3, "alpha beta gamma delta echo")],          # pure quote
+        "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta echo")], "doc_id bigint, text string")
+    out = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_contaminated_spans(corpus, bench, n=5).collect()}
+    assert out[1] == (16, 5, "intro words lead in then "
+                             "and the prose resumes cleanly after")
+    assert out[2] == (8, 0,
+                      "this document never quotes anything from the benchmark")
+    assert out[3] == (5, 5, "")
