@@ -47,6 +47,12 @@ class CorpusRecipe:
     min_words: int = 50
     decontam_n: int = 13
     decontam_strategy: str = "auto"  # measured-size gate, decontam.py
+    # surgical decontamination: cut ONLY the benchmark-overlapping spans
+    # (operators/decontam.remove_contaminated_spans) instead of dropping
+    # whole flagged docs; docs that were pure benchmark quotes empty out
+    # and still route to 'contaminated'. NB rewrites text as the
+    # NORMALIZED token stream (same contract as span_dedup_n).
+    surgical_decontam: bool = False
     dedup_threshold: float = 0.5
     seq_budget: int = 1024
     weights: dict[str, float] | None = None
@@ -127,8 +133,21 @@ def pretrain_corpus(
         rej_ppl = bad.withColumn("reject_reason", F.lit("perplexity"))
         cur = cur.join(bad, id_col, "anti")
 
-    # 2. benchmark decontamination (optional)
-    if benchmark is not None:
+    # 2. benchmark decontamination (optional; drop-doc or surgical-cut)
+    if benchmark is not None and r.surgical_decontam:
+        from datapump_spark.operators.decontam import (
+            remove_contaminated_spans,
+        )
+
+        spans = remove_contaminated_spans(cur, benchmark, id_col, text_col,
+                                          n=r.decontam_n, hash_fn=r.hash_fn)
+        cur = (cur.drop(text_col)
+               .join(spans.where(F.col("clean_text") != "")
+                     .select(id_col, F.col("clean_text").alias(text_col)),
+                     id_col))
+        rej_contam = (spans.where(F.col("clean_text") == "").select(id_col)
+                      .withColumn("reject_reason", F.lit("contaminated")))
+    elif benchmark is not None:
         flags = decontaminate(cur, benchmark, id_col, text_col,
                               n=r.decontam_n, hash_fn=r.hash_fn,
                               strategy=r.decontam_strategy)

@@ -238,3 +238,32 @@ def test_web_corpus_one_call(spark, tmp_path):
     rej = {r["doc_id"]: r["reject_reason"] for r in out["rejected"].collect()}
     assert list(rej.values()) == ["exact_dup"]
     assert out["sequences"].count() >= 1
+
+
+def test_surgical_decontam_stage(spark):
+    """surgical_decontam=True: a doc partially quoting the benchmark
+    survives with the quote cut out; a pure-quote doc empties and routes
+    to 'contaminated' (the drop-doc mode would reject both)."""
+    quote = " ".join(f"bench{j}" for j in range(13))
+    rows = [(1, "clean prose " + " ".join(f"own{j}" for j in range(14)),
+             "src0"),
+            (2, " ".join(f"pre{j}" for j in range(8)) + " " + quote + " "
+             + " ".join(f"post{j}" for j in range(8)), "src0"),
+            (3, quote, "src0")]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    bench = spark.createDataFrame([(100, quote)], "doc_id bigint, text string")
+    kw = dict(min_words=5,
+              gopher_kwargs=dict(max_dup_word_frac=1.0,
+                                 max_dup_2gram_frac=1.0, min_stop_hits=0))
+    out = pretrain_corpus(docs, bench,
+                          CorpusRecipe(surgical_decontam=True, **kw))
+    clean = {r.doc_id: r.text for r in out["clean"].collect()}
+    rej = {r.doc_id: r.reject_reason for r in out["rejected"].collect()}
+    assert rej == {3: "contaminated"}
+    assert "bench0" not in clean[2] and clean[2].startswith("pre0")
+    assert set(clean) == {1, 2}
+    # the drop-doc mode rejects BOTH quoting docs
+    out2 = pretrain_corpus(docs, bench, CorpusRecipe(**kw))
+    rej2 = {r.doc_id: r.reject_reason for r in out2["rejected"].collect()}
+    assert rej2 == {2: "contaminated", 3: "contaminated"}
