@@ -175,3 +175,68 @@ def incremental_near_dup(
     # should filter those out (nothing to probe against)
     return (survivors.join(pair_hits, id_col, "left_anti")
             .join(sigs_b, id_col, "left"))
+
+
+def gram_index(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", n: int = 15,
+               hash_fn: str = "md5") -> DataFrame:
+    """Distinct token ``n``-gram hashes of a corpus — the index an
+    incremental SPAN dedup persists (bucketed by ``gram``) between
+    batches. Recompute over admitted ``clean_text`` after each
+    :func:`incremental_span_dedup` pass and append."""
+    from datapump_spark.operators.line_dedup import (
+        doc_gram_positions,
+        tokenized_docs,
+    )
+
+    d = tokenized_docs(df, id_col, text_col)
+    return doc_gram_positions(d, id_col, n, hash_fn).select("gram").distinct()
+
+
+def incremental_span_dedup(
+    batch: DataFrame,
+    corpus_grams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 15,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Span-level incremental dedup: cut every ``n``-token span of the
+    incoming batch whose gram already exists in the persisted corpus
+    gram index (EVERY occurrence — the content is already admitted), and
+    every in-batch repeat beyond the first occurrence of a novel gram
+    (the ``remove_duplicate_spans`` rule applied batch-internally).
+
+    Returns ``(id, n_tokens, n_removed, clean_text)`` for every batch
+    doc. Append ``gram_index`` of the non-empty clean texts to the
+    persisted index afterwards — recomputing over the CLEANED text keeps
+    the index exactly equal to admitted content (a gram whose span was
+    partially cut by an overlapping indexed gram is NOT falsely
+    admitted).
+
+    Scale shape: the batch grams shuffle to meet the bucketed index
+    (semi + anti joins on the 8-byte gram key — the index never moves);
+    the in-batch winner search is one batch-sized aggregation.
+    """
+    from datapump_spark.operators.line_dedup import (
+        cut_spans,
+        doc_gram_positions,
+        tokenized_docs,
+    )
+
+    d = tokenized_docs(batch, id_col, text_col)
+    grams = doc_gram_positions(d, id_col, n, hash_fn)
+    indexed = grams.join(corpus_grams, "gram", "semi").select(id_col, "pos")
+    novel = grams.join(corpus_grams, "gram", "anti")
+    dup = (novel.groupBy("gram")
+           .agg(F.count("*").alias("__c"),
+                F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
+           .where(F.col("__c") >= 2)
+           .select("gram", "__w"))
+    batch_dups = (
+        novel.join(dup, "gram")
+        .where(~((F.col(id_col) == F.col(f"__w.{id_col}"))
+                 & (F.col("pos") == F.col("__w.pos"))))
+        .select(id_col, "pos")
+    )
+    return cut_spans(d, indexed.unionByName(batch_dups), id_col, n)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from datapump_spark.operators.incremental import fingerprints, incremental_dedup
 
@@ -116,3 +117,44 @@ def test_incremental_near_dup_sub_shingle_docs_admitted(spark):
     assert sorted(rows) == [40, 41]
     assert rows[40]["mh0"] is None            # nothing to index
     assert rows[41]["mh0"] is not None
+
+
+def test_incremental_span_dedup_two_batches(spark):
+    """Batch 1 against an empty index behaves like in-batch ExactSubstr;
+    batch 2 loses EVERY occurrence of passages already admitted (no
+    winner kept) while novel prose survives; the refreshed index equals
+    admitted content."""
+    from datapump_spark.operators.incremental import (
+        gram_index,
+        incremental_span_dedup,
+    )
+
+    passage = " ".join(f"p{j}" for j in range(6))
+    b1 = spark.createDataFrame(
+        [(1, passage + " tail1a tail1b tail1c"),
+         (2, " ".join(f"own{j}" for j in range(9)))],
+        "doc_id bigint, text string")
+    empty = spark.createDataFrame([], "gram bigint")
+    out1 = incremental_span_dedup(b1, empty, n=6)
+    c1 = {r.doc_id: (r.n_removed, r.clean_text) for r in out1.collect()}
+    assert c1[1][0] == 0 and c1[2][0] == 0          # nothing repeated yet
+
+    idx = gram_index(
+        out1.where("clean_text != ''")
+            .select("doc_id", F.col("clean_text").alias("text")), n=6)
+
+    # batch 2: doc 10 re-sends the admitted passage + fresh tail;
+    # doc 11 contains an in-batch duplicate of doc 10's fresh tail... too
+    # short to gram — instead repeat a novel 6-gram across both docs
+    fresh = " ".join(f"f{j}" for j in range(6))
+    b2 = spark.createDataFrame(
+        [(10, passage + " " + fresh),
+         (11, fresh + " " + " ".join(f"z{j}" for j in range(7)))],
+        "doc_id bigint, text string")
+    out2 = {r.doc_id: (r.n_removed, r.clean_text)
+            for r in incremental_span_dedup(b2, idx, n=6).collect()}
+    # doc 10: the admitted passage is cut (every occurrence), fresh kept
+    assert out2[10] == (6, fresh)
+    # doc 11: 'fresh' was novel and doc 10 holds its first occurrence ->
+    # doc 11's copy is an in-batch dup and is cut; its own tail survives
+    assert out2[11] == (6, " ".join(f"z{j}" for j in range(7)))
