@@ -70,6 +70,13 @@ class StreamingCorpusIngest:
     # codegen record split; doc_id is the 63-bit hash of the target URI,
     # source its host, so one crawl shard drop feeds the same gates).
     input_format: str = "jsonl"
+    # Optional cross-batch SPAN gate (operators/incremental
+    # incremental_span_dedup): passages already admitted in ANY earlier
+    # batch are cut out of this batch's surviving docs (every occurrence;
+    # the content exists in the corpus), in-batch repeats keep their
+    # first occurrence; docs emptied by the cuts count as dups. NB the
+    # stage rewrites text as the normalized token stream. None = off.
+    span_dedup_n: int | None = None
 
     @property
     def corpus_dir(self) -> str:
@@ -86,6 +93,18 @@ class StreamingCorpusIngest:
     @property
     def sig_index_dir(self) -> str:
         return str(Path(self.out_dir) / "sig_index")
+
+    @property
+    def gram_index_dir(self) -> str:
+        return str(Path(self.out_dir) / "gram_index")
+
+    def _read_gram_index(self) -> DataFrame:
+        if os.path.isdir(self.gram_index_dir) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.gram_index_dir) for f in fs):
+            return self.spark.read.parquet(self.gram_index_dir) \
+                .select("gram")
+        return self.spark.createDataFrame([], "gram bigint")
 
     def _read_index(self) -> DataFrame:
         if os.path.isdir(self.index_dir) and any(
@@ -155,6 +174,30 @@ class StreamingCorpusIngest:
                     .where(F.col("mh0").isNotNull())
                 admitted.unpersist()
                 admitted = admitted2.drop(*[f"mh{i}" for i in range(16)])
+            grams_out = None
+            if self.span_dedup_n is not None:
+                from datapump_spark.operators.incremental import (
+                    gram_index,
+                    incremental_span_dedup,
+                )
+
+                # same lineage hazard as the signature index: the
+                # gram-index write below refreshes a path this plan read,
+                # so freeze the pre-write state
+                spans = incremental_span_dedup(
+                    admitted, self._read_gram_index(),
+                    n=self.span_dedup_n).localCheckpoint(eager=True)
+                survivors = spans.where(F.col("clean_text") != "")
+                admitted = (
+                    admitted.drop("text")
+                    .join(survivors.select(
+                        "doc_id", F.col("clean_text").alias("text")),
+                        "doc_id")
+                    .localCheckpoint(eager=True))
+                grams_out = gram_index(
+                    survivors.select(
+                        "doc_id", F.col("clean_text").alias("text")),
+                    n=self.span_dedup_n)
             n_adm = admitted.count()
 
             part = {"partitionOverwriteMode": "dynamic"}
@@ -168,6 +211,10 @@ class StreamingCorpusIngest:
                 (sigs.withColumn("__batch_id", F.lit(batch_id))
                  .write.partitionBy("__batch_id").options(**part)
                  .mode("overwrite").parquet(self.sig_index_dir))
+            if grams_out is not None:
+                (grams_out.withColumn("__batch_id", F.lit(batch_id))
+                 .write.partitionBy("__batch_id").options(**part)
+                 .mode("overwrite").parquet(self.gram_index_dir))
             audit = self.spark.createDataFrame(
                 [(batch_id, n_in, n_in - n_good, n_good - n_adm, n_adm)],
                 "__batch_id bigint, n_in bigint, n_low_quality bigint, "

@@ -164,6 +164,9 @@ def test_training_run_manifest_and_artifacts(spark, tmp_path):
                                          weights={"web": 1.0}))
 
 
+# slow: q_span_dedup's DuckDB oracle gates the cut semantics in the
+# default run; this adds only the recipe's reject routing
+@pytest.mark.slow
 def test_span_dedup_stage(spark):
     """Optional ExactSubstr stage: a doc sharing a 10-token prefix with an
     earlier doc keeps only its unique tail; a doc that is ENTIRELY a
@@ -198,6 +201,10 @@ def test_span_dedup_stage(spark):
     assert set(clean).isdisjoint(rej)
 
 
+# slow: every component is gated in-default (q_warc_scan,
+# q_main_content oracles; crawl-to-corpus in test_warc); this adds
+# only the one-call composition
+@pytest.mark.slow
 def test_web_corpus_one_call(spark, tmp_path):
     """Raw WARC shards in, training streams out: prose pages admitted,
     an exact duplicate page under a mirror URI rejected as exact_dup,
@@ -240,6 +247,9 @@ def test_web_corpus_one_call(spark, tmp_path):
     assert out["sequences"].count() >= 1
 
 
+# slow: q_decontam_spans' DuckDB oracle gates the cut semantics in
+# the default run; this adds only the two recipe modes' routing
+@pytest.mark.slow
 def test_surgical_decontam_stage(spark):
     """surgical_decontam=True: a doc partially quoting the benchmark
     survives with the quote cut out; a pure-quote doc empties and routes

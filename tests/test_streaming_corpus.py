@@ -229,3 +229,37 @@ def test_wet_dropbox_feeds_corpus_with_cross_batch_dedup(spark, tmp_path):
              spark.read.parquet(ingest.audit_dir).collect()}
     assert audit[0]["n_admitted"] == 2
     assert audit[1]["n_dup"] == 1 and audit[1]["n_admitted"] == 1
+
+
+def test_cross_batch_span_gate(spark, tmp_path):
+    """span_dedup_n: a later batch's doc that embeds an already-admitted
+    passage is admitted with ONLY the passage cut out (not dropped);
+    the gram index refreshes from cleaned text per batch."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    passage = " ".join(f"pass{j}" for j in range(8))
+    _write(inp, "b0.json", 1_000_000_000,
+           [{"doc_id": 1, "text": f"{GOOD} {passage}",
+             "lang": "en", "source": "crawl"}])
+    # doc 10 needs stopwords to clear the quality gate — reusing GOOD
+    # also makes it a re-sent passage that must be cut along with
+    # `passage`; only `fresh` is novel content
+    fresh = " ".join(f"new{j}" for j in range(12))
+    _write(inp, "b1.json", 1_000_001_000,
+           [{"doc_id": 10, "text": f"{GOOD} {fresh} {passage}",
+             "lang": "en", "source": "crawl"}])
+    ingest = StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"),
+                                   span_dedup_n=8)
+    ingest.drain(tmp_path / "cp")
+    corpus = {r["doc_id"]: r["text"]
+              for r in spark.read.parquet(ingest.corpus_dir).collect()}
+    assert set(corpus) == {1, 10}
+    assert passage in corpus[1]                   # first occurrence kept
+    # both re-sent passages (the GOOD prefix and `passage`) are cut;
+    # only the novel middle survives
+    assert corpus[10] == fresh
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ingest.audit_dir).collect()}
+    assert audit[1]["n_admitted"] == 1            # doc kept, span cut
+    grams = spark.read.parquet(ingest.gram_index_dir)
+    assert grams.select("gram").distinct().count() > 0
