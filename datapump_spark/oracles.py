@@ -2985,3 +2985,11 @@ for _k in ("q_image_decode", "q_bloom_dedup"):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_frame_sample", "q_resample_weekly"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Third round-6 rotation (see queries.DRIVER_PROMOTED_R6C): the
+# flagship text-surgery operators; the demoted 1-row/20-row twins keep
+# the identical SQL gate in pytest.
+for _k in ("q_span_dedup", "q_main_content"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_dupe_count", "q_explode_tokens"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

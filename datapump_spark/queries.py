@@ -2841,3 +2841,20 @@ for _k in DRIVER_PROMOTED_R6B:
     QUERIES[_k] = EXTRA_QUERIES.pop(_k)
 for _k in DRIVER_DEMOTED_R6B:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
+# Third round-6 rotation: the late-round flagship text operators.
+#   + q_span_dedup — distributed ExactSubstr removal (500-row hash gate
+#     over reassembled text: the strongest text-surgery evidence),
+#   + q_main_content — block-scored HTML main-content extraction;
+#   - q_dupe_count's 1-row output is weak evidence (the q_ngram_jaccard
+#     argument) and its semantics stay inside q_dedupe_first's gate,
+#   - q_explode_tokens' 20-row top-list is a subset of what q_text_stats
+#     and the tokenizer gates already prove.
+# Both demotions keep the IDENTICAL DuckDB comparison in
+# tests/test_extra_oracles.py + scripts/check_oracle.py.
+DRIVER_PROMOTED_R6C = ("q_span_dedup", "q_main_content")
+DRIVER_DEMOTED_R6C = ("q_dupe_count", "q_explode_tokens")
+for _k in DRIVER_PROMOTED_R6C:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R6C:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
