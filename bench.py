@@ -183,6 +183,9 @@ BENCH_QUERIES = [
     # round-6: xxhash64 production profiles vs their md5 oracle twins
     "q_minhash_near_dup_fast",
     "q_dup_clusters_fast",
+    # round-6: perceptual image near-dedup (stdlib decode → dHash →
+    # Manku pigeonhole pairs)
+    "q_image_dedup",
 ]
 
 

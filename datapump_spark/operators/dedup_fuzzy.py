@@ -631,23 +631,39 @@ def simhash_near_dup(
     is the price); leave as None (default) for the lossless index the
     brute-force oracle pins.
     """
+    sigs = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
+    return hamming_pairs(sigs, id_col, "simhash", bits=bits,
+                         max_hamming=max_hamming,
+                         max_block_size=max_block_size)
+
+
+def hamming_pairs(
+    sigs: DataFrame, id_col: str, sig_col: str,
+    bits: int = 64, max_hamming: int = 3,
+    max_block_size: int | None = None,
+) -> DataFrame:
+    """Manku pigeonhole pair index over ANY integer-signature frame —
+    the machinery behind :func:`simhash_near_dup`, exposed so other
+    fixed-width signatures (image perceptual hashes, audio fingerprints)
+    get the same no-all-pairs join. Semantics and the ``max_block_size``
+    cap exactly as documented there. Sign-safe: arithmetic ``>>`` plus
+    the block mask extracts the same bits for negative int64s."""
     nb = max_hamming + 1
     if bits // nb == 0:
         raise ValueError(f"bits={bits} too small for {nb} blocks")
     widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
     offs = [sum(widths[:i]) for i in range(nb)]
 
-    sigs = simhash(df, id_col, text_col, bits=bits, hash_fn=hash_fn)
     blocks = F.array(*[
         F.struct(
             F.lit(i).alias("bno"),
-            F.expr(f"(simhash >> {offs[i]}) & {(1 << widths[i]) - 1}")
+            F.expr(f"(`{sig_col}` >> {offs[i]}) & {(1 << widths[i]) - 1}")
             .alias("bval"))
         for i in range(nb)])
     keyed = sigs.select(
-        F.col(id_col).alias("id"), "simhash",
+        F.col(id_col).alias("id"), F.col(sig_col).alias("__sig"),
         F.explode(blocks).alias("b")
-    ).select("id", "simhash", F.col("b.bno").alias("bno"),
+    ).select("id", "__sig", F.col("b.bno").alias("bno"),
              F.col("b.bval").alias("bval"))
     if max_block_size is not None:
         if max_block_size < 2:
@@ -657,9 +673,9 @@ def simhash_near_dup(
         keyed = (keyed.withColumn("__r", F.row_number().over(wb))
                  .where(F.col("__r") <= max_block_size).drop("__r"))
     a = keyed.select(F.col("id").alias("id_a"),
-                     F.col("simhash").alias("sig_a"), "bno", "bval")
+                     F.col("__sig").alias("sig_a"), "bno", "bval")
     b = keyed.select(F.col("id").alias("id_b"),
-                     F.col("simhash").alias("sig_b"), "bno", "bval")
+                     F.col("__sig").alias("sig_b"), "bno", "bval")
     hd = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
         a.join(b, ["bno", "bval"])

@@ -188,3 +188,69 @@ def media_stats(df: DataFrame) -> DataFrame:
             F.round(F.avg("meta.duration_ms"), 6).alias("avg_duration_ms"),
         )
     )
+
+
+def _dhash64(payload: bytes) -> int:
+    """64-bit difference hash (dHash): real stdlib decode → grayscale →
+    9×8 nearest resize (deterministic half-pixel centers) → sign of each
+    horizontal gradient, packed row-major. Robust to re-encoding, mild
+    noise and rescaling — the standard cheap perceptual signature."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+
+    img = codecs.decode_image(bytes(payload))
+    g = img.astype(np.float64).mean(axis=2)
+    small = codecs.resize_nearest(g, 9, 8)
+    bits = (small[:, 1:] > small[:, :-1]).flatten()
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+_DHASH_SCHEMA = "media_id long, dhash long"
+
+
+def image_dhash(df: DataFrame, on_error: str = "null") -> DataFrame:
+    """``(media_id, dhash)`` perceptual signatures via Arrow-batched
+    mapInPandas over the REAL stdlib decoders (PNG/BMP). Payloads
+    outside that set raise (``on_error='raise'``) or yield a null hash
+    (default — one JPEG can't fail a crawl-scale job; route nulls to the
+    quarantine the streaming media ingest already keeps)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null': {on_error!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if on_error == "raise":
+                hashes = pdf["payload"].map(_dhash64)
+            else:
+                def safe(b):
+                    try:
+                        return _dhash64(b)
+                    except (ValueError, TypeError):  # incl. Unsupported
+                        return None
+                hashes = pdf["payload"].map(safe)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "dhash": hashes})
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, _DHASH_SCHEMA)
+
+
+def image_near_dup(df: DataFrame, max_hamming: int = 6,
+                   max_block_size: int | None = None,
+                   on_error: str = "null") -> DataFrame:
+    """Perceptual image near-dedup: ``(id_a, id_b, hamming)`` for every
+    image pair whose dHashes differ in ≤ ``max_hamming`` bits — re-uses
+    the Manku pigeonhole index (dedup_fuzzy.hamming_pairs), so there is
+    never an all-pairs join: candidates come from exact matches on one
+    of ``max_hamming+1`` signature blocks, 8 bytes per image move
+    through the shuffle, and only candidates pay the bit_count verify.
+    The image-side twin of the text SimHash pair index, sharing its
+    scale envelope and ``max_block_size`` dense-clique cap."""
+    from datapump_spark.operators.dedup_fuzzy import hamming_pairs
+
+    sigs = image_dhash(df, on_error=on_error) \
+        .where(F.col("dhash").isNotNull())
+    return hamming_pairs(sigs, "media_id", "dhash", bits=64,
+                         max_hamming=max_hamming,
+                         max_block_size=max_block_size)

@@ -1120,6 +1120,45 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dedup (operators/multimodal.py
+    image_near_dup): one textured PNG per sampled document, built so
+    consecutive doc_id pairs share content up to seeded noise — the
+    dHash pigeonhole index must pair exactly those. BENCH VARIANT: the
+    decode runs in Python, so there is no SQL twin; pair semantics are
+    pinned in test_multimodal against hand-built images."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import image_near_dup
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators import codecs
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def png(doc_id: int) -> bytes:
+                # content keyed by doc_id//10: the 2 sampled ids per
+                # decade (d, d+5) share a base image; noise keyed by
+                # doc_id keeps them near- but not exact-dups
+                base_rng = np.random.default_rng(doc_id // 10)
+                rgb = base_rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+                noise = np.random.default_rng(doc_id) \
+                    .integers(-2, 3, rgb.shape)
+                rgb = np.clip(rgb.astype(np.int16) + noise, 0, 255) \
+                    .astype(np.uint8)
+                return codecs.encode_png(rgb)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(png)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return image_near_dup(media, max_hamming=6)
+
+
 QUERIES = {
     "q_csv_scan": q_csv_scan,
     "q_multiformat_ts": q_multiformat_ts,
@@ -2800,6 +2839,9 @@ BENCH_VARIANTS = {
     # queries — the verifiability-cost quantifiers (PERF 'Known costs')
     "q_minhash_near_dup_fast": q_minhash_near_dup_fast,
     "q_dup_clusters_fast": q_dup_clusters_fast,
+    # Perceptual image dedup — Python-side decode, no SQL twin; pair
+    # semantics pinned in test_multimodal.
+    "q_image_dedup": q_image_dedup,
 }
 
 

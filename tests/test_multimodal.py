@@ -108,3 +108,41 @@ def test_media_stats(media):
     stats = {(r["kind"], r["format"]): r for r in media_stats(media).collect()}
     assert stats[("image", "png")]["n"] == 2
     assert stats[("video", "mp4")]["avg_duration_ms"] == 4200.0
+
+
+def test_image_near_dup_perceptual(spark):
+    """dHash near-dedup: a re-encoded noisy copy pairs with its original
+    at small hamming; structurally different images don't pair; an
+    undecodable payload yields a null hash (dropped from the index)."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+    from datapump_spark.operators.multimodal import (
+        image_dhash,
+        image_near_dup,
+    )
+
+    rng = np.random.default_rng(7)
+    ramp = np.tile(np.linspace(10, 245, 64).astype(np.uint8), (48, 1))
+    base = np.stack([ramp, ramp, ramp], axis=2)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-3, 4, base.shape), 0, 255) \
+        .astype(np.uint8)
+    other = rng.integers(0, 256, base.shape).astype(np.uint8)  # texture
+    rows = [(1, bytearray(codecs.encode_png(base))),
+            (2, bytearray(codecs.encode_png(noisy))),
+            (3, bytearray(codecs.encode_bmp(other))),
+            (4, bytearray(b"\xff\xd8\xffJPEGJPEG"))]          # undecodable
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = {r.media_id: r.dhash for r in image_dhash(df).collect()}
+    assert hashes[4] is None
+    assert hashes[1] is not None and hashes[1] != hashes[3]
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in image_near_dup(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+    with __import__("pytest").raises(Exception):
+        image_dhash(df, on_error="raise").collect()
