@@ -254,3 +254,66 @@ def image_near_dup(df: DataFrame, max_hamming: int = 6,
     return hamming_pairs(sigs, "media_id", "dhash", bits=64,
                          max_hamming=max_hamming,
                          max_block_size=max_block_size)
+
+
+def _audio_fp64(payload: bytes) -> int:
+    """64-bit audio fingerprint, the dHash idea on the energy envelope:
+    PCM decode → mono → 65 equal windows → RMS per window → sign of each
+    consecutive delta. Robust to volume scaling (signs of deltas), small
+    trims and re-encoding; NOT a spectral fingerprint (no FFT bins to
+    keep it dependency-free and deterministic)."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+
+    samples, _sr = codecs.decode_wav(bytes(payload))
+    mono = samples.astype(np.float64).mean(axis=1)
+    if len(mono) < 65:
+        mono = np.pad(mono, (0, 65 - len(mono)))
+    edges = (np.arange(66) * len(mono)) // 65
+    rms = np.array([
+        np.sqrt(np.mean(mono[edges[i]:edges[i + 1]] ** 2))
+        if edges[i + 1] > edges[i] else 0.0
+        for i in range(65)])
+    bits = rms[1:] > rms[:-1]
+    return int.from_bytes(np.packbits(bits).tobytes(), "big", signed=True)
+
+
+def audio_fingerprint(df: DataFrame, on_error: str = "null") -> DataFrame:
+    """``(media_id, afp)`` audio fingerprints via Arrow-batched
+    mapInPandas over the stdlib WAV decoder; non-PCM payloads raise or
+    yield null (same contract as :func:`image_dhash`)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null': {on_error!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if on_error == "raise":
+                fps = pdf["payload"].map(_audio_fp64)
+            else:
+                def safe(b):
+                    try:
+                        return _audio_fp64(b)
+                    except (ValueError, TypeError):
+                        return None
+                fps = pdf["payload"].map(safe)
+            yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, "media_id long, afp long")
+
+
+def audio_near_dup(df: DataFrame, max_hamming: int = 6,
+                   max_block_size: int | None = None,
+                   on_error: str = "null") -> DataFrame:
+    """``(id_a, id_b, hamming)`` for audio pairs whose envelope
+    fingerprints differ in ≤ ``max_hamming`` bits — the third consumer
+    of the shared Manku pigeonhole core (text SimHash, image dHash,
+    audio envelope), same scale envelope."""
+    from datapump_spark.operators.dedup_fuzzy import hamming_pairs
+
+    sigs = audio_fingerprint(df, on_error=on_error) \
+        .where(F.col("afp").isNotNull())
+    return hamming_pairs(sigs, "media_id", "afp", bits=64,
+                         max_hamming=max_hamming,
+                         max_block_size=max_block_size)

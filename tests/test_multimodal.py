@@ -146,3 +146,36 @@ def test_image_near_dup_perceptual(spark):
 
     with __import__("pytest").raises(Exception):
         image_dhash(df, on_error="raise").collect()
+
+
+def test_audio_near_dup_envelope(spark):
+    """Envelope fingerprints: a volume-scaled, lightly-noised copy pairs
+    with its original; a different envelope doesn't; non-WAV → null."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+    from datapump_spark.operators.multimodal import (
+        audio_fingerprint,
+        audio_near_dup,
+    )
+
+    rng = np.random.default_rng(3)
+    t = np.arange(13_000)
+    env = 0.2 + 0.8 * np.abs(np.sin(t / 900.0))          # slow envelope
+    base = (np.sin(t / 3.0) * env * 0.4)[:, None]        # floats in [-1,1]
+    scaled = base * 0.5 + rng.uniform(-0.002, 0.002, base.shape)
+    other_env = 0.05 + 0.95 * (t / len(t))               # monotone ramp
+    other = (np.sin(t / 3.0) * other_env * 0.4)[:, None]
+    rows = [(1, bytearray(codecs.encode_wav(base, 8000))),
+            (2, bytearray(codecs.encode_wav(scaled, 8000))),
+            (3, bytearray(codecs.encode_wav(other, 8000))),
+            (4, bytearray(b"not audio at all"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    fps = {r.media_id: r.afp for r in audio_fingerprint(df).collect()}
+    assert fps[4] is None and fps[1] is not None
+
+    pairs = {(r.id_a, r.id_b): r.hamming
+             for r in audio_near_dup(df, max_hamming=6).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 6
+    assert (1, 3) not in pairs
