@@ -119,3 +119,46 @@ def test_type_inference_classes(spark, ints, floats, texts):
     if any("." in repr(f) or "e" in repr(f) for f in pad(floats)):
         assert fields["c_float"] == "float"
     assert fields["c_text"] == "text"
+
+
+# documents: tiny vocab + short lengths force heavy n-gram collisions
+_SPAN_DOCS = st.lists(
+    st.lists(st.sampled_from(list("abcdef")), min_size=0, max_size=12),
+    min_size=0, max_size=8,
+)
+
+
+def _span_model(docs: list[list[str]], n: int):
+    """Sequential truth for remove_duplicate_spans: duplicated n-grams
+    keep their first (doc, pos) occurrence; every other occurrence marks
+    [pos, pos+n); marked tokens are removed."""
+    occ: dict[tuple[str, ...], list[tuple[int, int]]] = {}
+    for d, toks in enumerate(docs):
+        for p in range(len(toks) - n + 1):
+            occ.setdefault(tuple(toks[p:p + n]), []).append((d, p))
+    cut = {d: set() for d in range(len(docs))}
+    for places in occ.values():
+        if len(places) >= 2:
+            for d, p in sorted(places)[1:]:
+                cut[d].update(range(p, p + n))
+    out = {}
+    for d, toks in enumerate(docs):
+        kept = [t for i, t in enumerate(toks) if i not in cut[d]]
+        out[d] = (len(toks), len(toks) - len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.slow
+@given(docs=_SPAN_DOCS, n=st.integers(2, 4))
+@settings(**SETTINGS)
+def test_span_dedup_matches_python_model(spark, docs, n):
+    from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+    if not docs:
+        return
+    df = spark.createDataFrame(
+        [(i, " ".join(toks)) for i, toks in enumerate(docs)],
+        "doc_id bigint, text string")
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.clean_text)
+           for r in remove_duplicate_spans(df, n=n).collect()}
+    assert got == _span_model(docs, n)
