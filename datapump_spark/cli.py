@@ -279,6 +279,44 @@ def demo(argv: list[str] | None = None) -> int:
     (spark.read.parquet(ing.quarantine_dir)
      .select("claimed_format", "sniffed_format", "reason")
      .show(truncate=False))
+
+    # ---- 4. web crawl → training streams in one call --------------------
+    from datapump_spark.recipes import web_corpus
+
+    def _rec(uri: str, html: str) -> bytes:
+        body = (b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+                + html.encode())
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + b"WARC-Date: 2024-03-01T00:00:00Z\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body + b"\r\n\r\n")
+
+    crawl = workdir / "crawl"
+    crawl.mkdir(parents=True, exist_ok=True)
+    nav = ('<div><a href="/">Home</a> <a href="/a">About</a> '
+           '<a href="/c">Contact</a></div>')
+    prose = ("the quick brown fox story "
+             "{} over the lazy dog while a small bird watches and sings")
+    shard = b"".join(
+        [_rec(f"https://site{i}.example/article",
+              f"<html><body>{nav}<p>{prose.format(f'part{i} p{i}a p{i}b')}"
+              f"</p></body></html>") for i in range(4)]
+        + [_rec("https://mirror.example/copy",
+                f"<html><body>{nav}<p>{prose.format('part0 p0a p0b')}"
+                f"</p></body></html>"),
+           _rec("https://farm.example/",
+                f"<html><body>{nav}</body></html>")])
+    (crawl / "crawl-00000.warc").write_bytes(shard)
+    web = web_corpus(spark, str(crawl / "*.warc"),
+                     recipe=CorpusRecipe(min_words=10))
+    print("== web_corpus: raw WARC shard → training streams ==")
+    (web["clean"].select("source", "text")
+     .orderBy("source").show(truncate=60))
+    print("rejected (the mirror page dedupes; the link farm never "
+          "reaches the corpus):")
+    web["rejected"].show(truncate=False)
+
     print(f"demo artifacts under: {workdir}")
     return 0
 
