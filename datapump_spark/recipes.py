@@ -474,6 +474,71 @@ def web_corpus(
     return pretrain_corpus(docs, benchmark, recipe)
 
 
+# Media-corpus recipe: directory of media files → curated media streams
+# --------------------------------------------------------------------------
+
+def media_corpus(
+    spark,
+    media_path: str,
+    glob: str | None = None,
+    max_hamming: int = 6,
+) -> dict[str, DataFrame]:
+    """Curate a directory of media files in ONE call — the multimodal
+    twin of :func:`pretrain_corpus`:
+
+    ``binaryFile`` scan → media model → codegen header sniff (mislabel
+    gate) → REAL stdlib decode (PNG/BMP/WAV features; undecodable →
+    quarantine) → perceptual image near-dedup (dHash pigeonhole pairs;
+    within each pair group the LOWEST media_id survives).
+
+    Returns named streams (all lazy):
+    - ``media``      — curated rows: (media_id, path, sniffed_format,
+                       n_bytes, features)
+    - ``dup_pairs``  — (id_a, id_b, hamming) perceptual near-dup pairs
+    - ``quarantine`` — mislabeled / undecodable rows with ``reason``
+    """
+    from datapump_spark.operators.mediasniff import sniff_media
+    from datapump_spark.operators.multimodal import (
+        extract_features,
+        image_near_dup,
+    )
+    from datapump_spark.sources.mediadir import media_table, read_media_dir
+
+    media = media_table(read_media_dir(spark, media_path, glob=glob))
+    sniffed = sniff_media(media, strategy="expr").select(
+        "media_id", F.col("format").alias("sniffed_format"))
+    feats = extract_features(media, fake=False, on_error="null")
+    claimed = F.when(F.col("meta.format") == "jpg", "jpeg") \
+        .otherwise(F.col("meta.format"))
+    joined = (
+        media.select("media_id", "path", claimed.alias("claimed_format"))
+        .join(sniffed, "media_id")
+        .join(feats.select("media_id", "n_bytes", "features"), "media_id")
+        .withColumn(
+            "reason",
+            F.when(F.col("features").isNotNull()
+                   & ~F.col("claimed_format")
+                   .eqNullSafe(F.col("sniffed_format")),
+                   F.lit("mislabeled"))
+            .when(F.col("features").isNull(), F.lit("undecodable")))
+    )
+    ok_ids = joined.where(F.col("reason").isNull()).select("media_id")
+    images = (media.join(ok_ids, "media_id", "semi")
+              .where(F.col("meta.kind") == "image"))
+    pairs = image_near_dup(images, max_hamming=max_hamming)
+    # a media_id that is the RIGHT side of any pair loses to a lower id
+    # in its perceptual group (transitive chains collapse to the lowest)
+    losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    curated = (joined.where(F.col("reason").isNull())
+               .join(losers, "media_id", "anti")
+               .select("media_id", "path", "sniffed_format",
+                       "n_bytes", "features"))
+    quarantine = (joined.where(F.col("reason").isNotNull())
+                  .select("media_id", "path", "claimed_format",
+                          "sniffed_format", "n_bytes", "reason"))
+    return {"media": curated, "dup_pairs": pairs, "quarantine": quarantine}
+
+
 # --------------------------------------------------------------------------
 # Training-run recipe: clean → token-budget mix → pack → shards + manifest
 # --------------------------------------------------------------------------

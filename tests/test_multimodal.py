@@ -179,3 +179,39 @@ def test_audio_near_dup_envelope(spark):
              for r in audio_near_dup(df, max_hamming=6).collect()}
     assert (1, 2) in pairs and pairs[(1, 2)] <= 6
     assert (1, 3) not in pairs
+
+
+def test_media_corpus_one_call(spark, tmp_path):
+    """Directory in, curated streams out: perceptual dup loses to the
+    lower id, mislabeled and undecodable files route to quarantine with
+    reasons, WAV passes through untouched by the image dedup."""
+    import numpy as np
+
+    from datapump_spark.operators import codecs
+    from datapump_spark.recipes import media_corpus
+
+    d = tmp_path / "media"
+    d.mkdir()
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-2, 3, base.shape), 0, 255) \
+        .astype(np.uint8)
+    other = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    (d / "a_base.png").write_bytes(codecs.encode_png(base))
+    (d / "b_copy.png").write_bytes(codecs.encode_png(noisy))
+    (d / "c_other.png").write_bytes(codecs.encode_png(other))
+    (d / "tone.wav").write_bytes(
+        codecs.encode_wav(np.sin(np.arange(800) / 5.0) * 0.4, 8000))
+    (d / "renamed.bmp").write_bytes(codecs.encode_png(base))   # mislabeled
+    (d / "broken.png").write_bytes(b"\x89PNG\r\n\x1a\njunk")   # undecodable
+
+    out = media_corpus(spark, str(d))
+    media = {r.path.rsplit("/", 1)[-1]: r for r in out["media"].collect()}
+    quar = {r.path.rsplit("/", 1)[-1]: r.reason
+            for r in out["quarantine"].collect()}
+    assert quar == {"renamed.bmp": "mislabeled", "broken.png": "undecodable"}
+    # base/copy collapse to one survivor; other + wav always survive
+    assert "c_other.png" in media and "tone.wav" in media
+    assert len({"a_base.png", "b_copy.png"} & set(media)) == 1
+    assert out["dup_pairs"].count() == 1
