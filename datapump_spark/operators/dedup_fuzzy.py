@@ -637,6 +637,46 @@ def simhash_near_dup(
                          max_block_size=max_block_size)
 
 
+def hamming_probe(
+    probe: DataFrame, index: DataFrame, id_col: str, sig_col: str,
+    bits: int = 64, max_hamming: int = 3,
+) -> DataFrame:
+    """Asymmetric pigeonhole probe: ids of ``probe`` rows whose signature
+    is within ``max_hamming`` bits of ANY ``index`` signature — the
+    incremental-dedup shape (daily batch vs persisted index) where
+    :func:`hamming_pairs`' self-join would wastefully pair the index
+    against itself. One block equi-join; the index side never self-pairs,
+    and at scale the bucketed index stays put while the batch shuffles
+    to it. Returns distinct ``(id)`` probe hits."""
+    nb = max_hamming + 1
+    if bits // nb == 0:
+        raise ValueError(f"bits={bits} too small for {nb} blocks")
+    widths = [bits // nb + (1 if i < bits % nb else 0) for i in range(nb)]
+    offs = [sum(widths[:i]) for i in range(nb)]
+
+    def keyed(df: DataFrame, with_id: bool) -> DataFrame:
+        blocks = F.array(*[
+            F.struct(
+                F.lit(i).alias("bno"),
+                F.expr(f"(`{sig_col}` >> {offs[i]}) "
+                       f"& {(1 << widths[i]) - 1}").alias("bval"))
+            for i in range(nb)])
+        cols = ([F.col(id_col).alias("id")] if with_id else []) \
+            + [F.col(sig_col).alias("__sig"), F.explode(blocks).alias("b")]
+        out = df.select(*cols)
+        return out.select(*(["id"] if with_id else []),
+                          "__sig", F.col("b.bno").alias("bno"),
+                          F.col("b.bval").alias("bval"))
+
+    a = keyed(probe, True)
+    b = keyed(index, False).select(
+        F.col("__sig").alias("__isig"), "bno", "bval").distinct()
+    hd = F.bit_count(F.col("__sig").bitwiseXOR(F.col("__isig")))
+    return (a.join(b, ["bno", "bval"])
+            .where(hd <= max_hamming)
+            .select("id").distinct())
+
+
 def hamming_pairs(
     sigs: DataFrame, id_col: str, sig_col: str,
     bits: int = 64, max_hamming: int = 3,

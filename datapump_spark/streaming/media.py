@@ -47,6 +47,11 @@ class StreamingMediaIngest:
     out_dir: str
     glob: str | None = None
     max_files_per_trigger: int | None = 8
+    # Optional cross-batch perceptual image dedup: keep a persisted
+    # dHash index of admitted images; a batch image within this hamming
+    # distance of ANY admitted one (or of a lower-id image in its own
+    # batch) routes to quarantine as 'near_dup'. None = off.
+    image_dedup_hamming: int | None = None
 
     @property
     def features_dir(self) -> str:
@@ -55,6 +60,20 @@ class StreamingMediaIngest:
     @property
     def quarantine_dir(self) -> str:
         return str(Path(self.out_dir) / "quarantine")
+
+    @property
+    def dhash_index_dir(self) -> str:
+        return str(Path(self.out_dir) / "dhash_index")
+
+    def _read_dhash_index(self) -> DataFrame:
+        import os
+
+        if os.path.isdir(self.dhash_index_dir) and any(
+                f.endswith(".parquet")
+                for _, _, fs in os.walk(self.dhash_index_dir) for f in fs):
+            return self.spark.read.parquet(self.dhash_index_dir) \
+                .select("dhash")
+        return self.spark.createDataFrame([], "dhash bigint")
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
         from datapump_spark.operators.mediasniff import sniff_media
@@ -83,6 +102,43 @@ class StreamingMediaIngest:
                     .when(F.col("features").isNull(), F.lit("undecodable")))
                 .localCheckpoint(eager=True)
             )
+            dhashes = None
+            if self.image_dedup_hamming is not None:
+                from datapump_spark.operators.dedup_fuzzy import (
+                    hamming_pairs,
+                    hamming_probe,
+                )
+                from datapump_spark.operators.multimodal import image_dhash
+
+                ok_imgs = (media.join(
+                    joined.where(F.col("reason").isNull())
+                    .select("media_id"), "media_id", "semi")
+                    .where(F.col("meta.kind") == "image"))
+                # freeze: the dhash-index write below refreshes a path
+                # this plan read (the corpus.py lineage lesson)
+                sigs = image_dhash(ok_imgs).where(
+                    F.col("dhash").isNotNull()).localCheckpoint(eager=True)
+                k = self.image_dedup_hamming
+                cross = hamming_probe(sigs, self._read_dhash_index(),
+                                      "media_id", "dhash", max_hamming=k)
+                in_batch = hamming_pairs(sigs, "media_id", "dhash",
+                                         max_hamming=k) \
+                    .select(F.col("id_b").alias("id"))
+                dup_ids = cross.unionByName(in_batch).distinct() \
+                    .withColumnRenamed("id", "media_id") \
+                    .localCheckpoint(eager=True)
+                # set near_dup via join (no driver collect)
+                joined = (joined.join(
+                    dup_ids.withColumn("__dup", F.lit(True)),
+                    "media_id", "left")
+                    .withColumn(
+                        "reason",
+                        F.coalesce("reason",
+                                   F.when(F.col("__dup"),
+                                          F.lit("near_dup"))))
+                    .drop("__dup"))
+                dhashes = sigs.join(dup_ids, "media_id", "anti") \
+                    .select("media_id", "dhash")
             part = {"partitionOverwriteMode": "dynamic"}
             (joined.where(F.col("reason").isNull())
              .select("media_id", "path", "sniffed_format", "n_bytes",
@@ -96,6 +152,10 @@ class StreamingMediaIngest:
              .withColumn("__batch_id", F.lit(batch_id))
              .write.partitionBy("__batch_id").options(**part)
              .mode("overwrite").parquet(self.quarantine_dir))
+            if dhashes is not None:
+                (dhashes.withColumn("__batch_id", F.lit(batch_id))
+                 .write.partitionBy("__batch_id").options(**part)
+                 .mode("overwrite").parquet(self.dhash_index_dir))
         finally:
             media.unpersist()
 

@@ -59,3 +59,39 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
     assert before == after and len(before) == 3
+
+
+def test_cross_batch_perceptual_dedup(spark, tmp_path):
+    """image_dedup_hamming: a later batch's noisy re-encode of an
+    admitted image routes to quarantine as near_dup; distinct images
+    keep flowing; the dHash index holds only admitted images."""
+    import os
+
+    d = tmp_path / "in"
+    d.mkdir()
+    rng = np.random.default_rng(5)
+    base = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    noisy = np.clip(base.astype(np.int16)
+                    + rng.integers(-2, 3, base.shape), 0, 255) \
+        .astype(np.uint8)
+    distinct = rng.integers(0, 256, (24, 32, 3)).astype(np.uint8)
+    for i, (name, img) in enumerate(
+            [("base.png", base), ("copy.png", noisy),
+             ("fresh.png", distinct)]):
+        p = d / name
+        p.write_bytes(codecs.encode_png(img))
+        os.utime(p, (1_000_000_000 + i * 1000,) * 2)
+
+    ing = StreamingMediaIngest(spark, str(d), str(tmp_path / "out"),
+                               max_files_per_trigger=1,
+                               image_dedup_hamming=6)
+    ing.drain(tmp_path / "cp")
+
+    feats = {r["path"].rsplit("/", 1)[-1] for r in
+             spark.read.parquet(ing.features_dir).collect()}
+    quar = {r["path"].rsplit("/", 1)[-1]: r["reason"] for r in
+            spark.read.parquet(ing.quarantine_dir).collect()}
+    assert feats == {"base.png", "fresh.png"}
+    assert quar == {"copy.png": "near_dup"}
+    idx = spark.read.parquet(ing.dhash_index_dir)
+    assert idx.count() == 2          # admitted images only
