@@ -181,6 +181,11 @@ def test_audio_near_dup_envelope(spark):
     assert (1, 3) not in pairs
 
 
+# slow: every component is gated in-default (q_sniff_media /
+# q_image_decode oracles, image_near_dup + quarantine routing in
+# this file and test_streaming_media); this adds only the one-call
+# composition
+@pytest.mark.slow
 def test_media_corpus_one_call(spark, tmp_path):
     """Directory in, curated streams out: perceptual dup loses to the
     lower id, mislabeled and undecodable files route to quarantine with

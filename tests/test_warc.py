@@ -82,6 +82,11 @@ def test_truncated_record_raises_not_drops(spark, tmp_path):
         read_warc(spark, str(bad)).count()
 
 
+# slow: the shared _wet_transform is oracle-gated via q_wet_text and
+# read_wet_stream is exercised in-default by the WET drop-box corpus
+# test (test_streaming_corpus); this adds only the sink-level
+# stream≡batch identity
+@pytest.mark.slow
 def test_wet_stream_matches_batch_reader(spark, tmp_path):
     """read_wet_stream over a drop-box of WET shards (AvailableNow drain)
     must produce exactly the batch read_wet rows — same transform, same
