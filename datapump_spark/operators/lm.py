@@ -137,6 +137,76 @@ def train_and_score(
     return lm_score(docs, uni, bi, id_col, text_col, k)
 
 
+def lm_score_kn(
+    docs: DataFrame,
+    unigrams: DataFrame,
+    bigrams: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    discount: float = 0.75,
+    broadcast_model: bool = False,
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring — the smoothing KenLM (and
+    therefore the real CCNet gate) uses, where add-k is the teaching
+    baseline. Same model frames as :func:`lm_score`; the three extra
+    tables KN needs (follower types per context, predecessor types per
+    word, total distinct bigrams) derive from ``bigrams`` with one
+    aggregation each:
+
+        P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1,·)/c1 · Pcont(w2)
+        Pcont(w2) = N1+(·,w2) / N1+(·,·)
+
+    Unseen context (c1 = 0 or null) backs off fully to the continuation
+    distribution; a word never seen anywhere gets the 1/N1+(·,·) floor —
+    every probability is strictly positive, so log never sees 0. Returns
+    ``(id, n_bigrams, avg_logprob, ppl)`` with the same rounding contract
+    as :func:`lm_score` (oracle-hash stable). Plan shape: identical joins
+    plus one more gram-keyed broadcast-able table — still zero Python.
+    """
+    followers = bigrams.groupBy("w1").agg(
+        F.count("*").cast("double").alias("__nf"))
+    preceders = bigrams.groupBy("w2").agg(
+        F.count("*").cast("double").alias("__np"))
+    total = bigrams.agg(F.count("*").cast("double").alias("__nb"))
+    if broadcast_model:
+        unigrams, bigrams = F.broadcast(unigrams), F.broadcast(bigrams)
+        followers, preceders = F.broadcast(followers), F.broadcast(preceders)
+    d = F.lit(float(discount))
+    c1 = F.coalesce(F.col("c1").cast("double"), F.lit(0.0))
+    c12 = F.coalesce(F.col("c2").cast("double"), F.lit(0.0))
+    nf = F.coalesce("__nf", F.lit(0.0))
+    # continuation probability with a 1-type floor for unseen words
+    pcont = F.greatest(F.coalesce("__np", F.lit(0.0)), F.lit(1.0)) \
+        / F.col("__nb")
+    p = F.when(
+        c1 > 0,
+        F.greatest(c12 - d, F.lit(0.0)) / c1 + d * nf / c1 * pcont,
+    ).otherwise(pcont)
+    scored = (
+        _doc_bigrams(docs, id_col, text_col)
+        .join(bigrams, ["w1", "w2"], "left")
+        .join(unigrams, ["w1"], "left")
+        .join(followers, ["w1"], "left")
+        .join(preceders, ["w2"], "left")
+        .crossJoin(F.broadcast(total))
+        .select(id_col, F.log(p).alias("__lp"))
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_bigrams"),
+             F.round(F.avg("__lp"), 6).alias("avg_logprob"))
+    )
+    return (
+        docs.select(id_col)
+        .join(scored, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_bigrams", F.lit(0)).cast("bigint")
+            .alias("n_bigrams"),
+            F.col("avg_logprob"),
+            F.round(F.exp(-F.col("avg_logprob")), 3).alias("ppl"),
+        )
+    )
+
+
 def ccnet_buckets(
     docs: DataFrame,
     reference: DataFrame | None = None,

@@ -823,6 +823,54 @@ FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
 LEFT JOIN scored s USING (doc_id)
 """
 
+# q_lm_score_kn: identical split/count tables as q_lm_score, KN math —
+#   P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · Pcont(w2),
+#   Pcont floored at 1 type for never-seen words, full backoff on
+#   unseen contexts (lm.py lm_score_kn's exact expression, D = 0.75).
+EXTRA_ORACLES["q_lm_score_kn"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+bg AS (
+  SELECT doc_id, t,
+         UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM tk),
+pairs AS (SELECT doc_id, t[i] AS w1, t[i + 1] AS w2 FROM bg),
+train AS (SELECT w1, w2 FROM pairs WHERE doc_id % 5 != 0),
+bigrams AS (SELECT w1, w2, count(*) AS c2 FROM train GROUP BY w1, w2),
+unigrams AS (SELECT w1, count(*) AS c1 FROM train GROUP BY w1),
+followers AS (SELECT w1, CAST(count(*) AS DOUBLE) AS nf
+              FROM bigrams GROUP BY w1),
+preceders AS (SELECT w2, CAST(count(*) AS DOUBLE) AS np
+              FROM bigrams GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS nb FROM bigrams),
+scored AS (
+  SELECT c.doc_id, count(*) AS n_bigrams,
+         round(avg(ln(CASE WHEN COALESCE(u.c1, 0) > 0 THEN
+             greatest(COALESCE(b.c2, 0) - 0.75, 0) / u.c1
+             + 0.75 * COALESCE(f.nf, 0) / u.c1
+               * (greatest(COALESCE(p.np, 0), 1.0) / tot.nb)
+           ELSE greatest(COALESCE(p.np, 0), 1.0) / tot.nb END)), 6)
+           AS avg_logprob
+  FROM pairs c
+  LEFT JOIN bigrams b ON c.w1 = b.w1 AND c.w2 = b.w2
+  LEFT JOIN unigrams u ON c.w1 = u.w1
+  LEFT JOIN followers f ON c.w1 = f.w1
+  LEFT JOIN preceders p ON c.w2 = p.w2
+  CROSS JOIN tot
+  WHERE c.doc_id % 5 = 0
+  GROUP BY c.doc_id)
+SELECT d.doc_id,
+       CAST(COALESCE(s.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+       s.avg_logprob,
+       round(exp(-s.avg_logprob), 3) AS ppl
+FROM (SELECT doc_id FROM documents WHERE doc_id % 5 = 0) d
+LEFT JOIN scored s USING (doc_id)
+"""
+
 # q_chunk_docs twin — same start grid (stride 48 = 64 − 16), same
 # 1-based slice semantics as operators/chunking.py
 EXTRA_ORACLES["q_chunk_docs"] = """

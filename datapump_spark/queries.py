@@ -1304,6 +1304,17 @@ def q_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_and_score(corpus, docs.where(F.col("doc_id") % 5 == 0))
 
 
+def q_lm_score_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (operators/lm.py
+    lm_score_kn — the KenLM smoothing, vs q_lm_score's add-1 baseline):
+    same train/held-out split, D = 0.75."""
+    from datapump_spark.operators.lm import lm_score_kn, train_bigram_lm
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    uni, bi = train_bigram_lm(docs.where(F.col("doc_id") % 5 != 0))
+    return lm_score_kn(docs.where(F.col("doc_id") % 5 == 0), uni, bi)
+
+
 def q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window chunking: 64-token windows, 16-token overlap
     (operators/chunking.py)."""
@@ -2012,6 +2023,7 @@ EXTRA_QUERIES = {
     "q_decontam_spans": q_decontam_spans,
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,
+    "q_lm_score_kn": q_lm_score_kn,
     "q_chunk_docs": q_chunk_docs,
     "q_tfidf": q_tfidf,
     "q_ewma": q_ewma,

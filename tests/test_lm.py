@@ -83,3 +83,56 @@ def test_ccnet_buckets_routing(spark):
     assert 0 < heads < n
     with _pytest.raises(ValueError, match="cuts"):
         ccnet_buckets(docs, cuts=(0.7, 0.3))
+
+
+def test_kn_hand_computed(spark):
+    """KN bigram on a 2-sentence corpus, every branch hand-checked:
+    seen bigram (discounted), unseen bigram in a seen context (backoff
+    mass × continuation), unseen context (pure continuation), and a
+    never-seen word (1-type floor)."""
+    import math
+
+    from datapump_spark.operators.lm import lm_score_kn, train_bigram_lm
+
+    corpus = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a c")], "doc_id bigint, text string")
+    # train bigrams: (a,b)x2 (b,a)x1 (a,c)x1 -> c1: a=3, b=1
+    # followers: a->{b,c}=2, b->{a}=1 ; preceders: b<-{a}=1, a<-{b}=1,
+    # c<-{a}=1 ; total distinct bigrams nb=3
+    uni, bi = train_bigram_lm(corpus)
+    D = 0.75
+
+    def kn(c12, c1, nf, np_):
+        pc = max(np_, 1.0) / 3.0
+        return (max(c12 - D, 0) / c1 + D * nf / c1 * pc) if c1 else pc
+
+    probe = spark.createDataFrame(
+        [(10, "a b"),      # seen bigram
+         (11, "a a"),      # unseen bigram, seen context (np(a)=1)
+         (12, "z b"),      # unseen context -> pure continuation of b
+         (13, "b z")],     # never-seen word z -> floor
+        "doc_id bigint, text string")
+    got = {r.doc_id: r.avg_logprob
+           for r in lm_score_kn(probe, uni, bi).collect()}
+    want = {10: math.log(kn(2, 3, 2, 1)),
+            11: math.log(kn(0, 3, 2, 1)),
+            12: math.log(kn(0, 0, 0, 1)),
+            13: math.log(kn(0, 1, 1, 0))}
+    for k_, v in want.items():
+        assert abs(got[k_] - round(v, 6)) < 1e-9, (k_, got[k_], v)
+
+
+def test_kn_orders_in_domain_below_ood(spark):
+    from datapump_spark.operators.lm import lm_score_kn, train_bigram_lm
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps while the fox runs far away")
+    ref = spark.createDataFrame(
+        [(i, base) for i in range(5)], "doc_id bigint, text string")
+    uni, bi = train_bigram_lm(ref)
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "zyx wvu tsr qpo nml kji hgf edc ba")],
+        "doc_id bigint, text string")
+    ppl = {r.doc_id: r.ppl for r in lm_score_kn(probe, uni, bi).collect()}
+    assert ppl[1] < ppl[2]
