@@ -215,6 +215,7 @@ def ccnet_buckets(
     group_cols: list[str] | None = None,
     cuts: tuple[float, float] = (1 / 3, 2 / 3),
     k: float = 1.0,
+    smoothing: str = "addk",
 ) -> DataFrame:
     """CCNet-style perplexity routing: score every doc under a bigram LM
     fitted on ``reference`` (a trusted target corpus — Wikipedia in the
@@ -228,12 +229,21 @@ def ccnet_buckets(
     ``group_cols=['lang']``), so bucket boundaries adapt per group
     exactly as CCNet does per language. One window sort per group over
     (ppl, id) — deterministic ties — on top of the scoring scan.
+    ``smoothing='kn'`` routes scoring through :func:`lm_score_kn`
+    (``k`` ignored) — the production profile; 'addk' is the default
+    oracle-keyed baseline.
     """
     lo, hi = cuts
     if not 0 < lo < hi < 1:
         raise ValueError(f"cuts must satisfy 0 < lo < hi < 1: {cuts}")
+    if smoothing not in ("addk", "kn"):
+        raise ValueError(f"smoothing must be 'addk' or 'kn': {smoothing!r}")
     ref = reference if reference is not None else docs
-    scored = train_and_score(ref, docs, id_col, text_col, k)
+    if smoothing == "kn":
+        uni, bi = train_bigram_lm(ref, id_col, text_col)
+        scored = lm_score_kn(docs, uni, bi, id_col, text_col)
+    else:
+        scored = train_and_score(ref, docs, id_col, text_col, k)
     g = list(group_cols or [])
     joined = docs.select(F.col(id_col), *g).join(scored, id_col)
     w = Window.partitionBy(*g).orderBy(F.col("ppl").asc(),

@@ -136,3 +136,23 @@ def test_kn_orders_in_domain_below_ood(spark):
         "doc_id bigint, text string")
     ppl = {r.doc_id: r.ppl for r in lm_score_kn(probe, uni, bi).collect()}
     assert ppl[1] < ppl[2]
+
+
+def test_ccnet_buckets_kn_smoothing(spark):
+    from datapump_spark.operators.lm import ccnet_buckets
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "the dog naps while the fox runs far away")
+    rows = [(i, f"{base} v{i}", "en") for i in range(9)]
+    rows.append((50, "zyx wvu tsr qpo nml kji hgf edc", "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+    out = {r.doc_id: r.bucket
+           for r in ccnet_buckets(docs, group_cols=["lang"],
+                                  smoothing="kn").collect()}
+    assert out[50] == "tail"                   # OOD lands in the tail
+    assert sum(1 for b in out.values() if b == "head") >= 3
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="smoothing"):
+        ccnet_buckets(docs, smoothing="wb").collect()
