@@ -78,6 +78,7 @@ BENCH_QUERIES = [
     "q_pack_greedy_bins",
     "q_repetition",
     "q_lm_score",
+    "q_lm_score_kn",
     "q_chunk_docs",
     "q_semantic_dedup",
     "q_bpe_encode",
