@@ -526,9 +526,16 @@ def media_corpus(
     images = (media.join(ok_ids, "media_id", "semi")
               .where(F.col("meta.kind") == "image"))
     pairs = image_near_dup(images, max_hamming=max_hamming)
-    # a media_id that is the RIGHT side of any pair loses to a lower id
-    # in its perceptual group (transitive chains collapse to the lowest)
-    losers = pairs.select(F.col("id_b").alias("media_id")).distinct()
+    # true connected components (dedup_fuzzy's adaptive CC), NOT a
+    # pairwise loser rule: a component {a,b,c} with edges a–c, b–c must
+    # keep ONE image, and the cluster_id convention (min member id)
+    # makes the survivor deterministic
+    from datapump_spark.operators.dedup_fuzzy import connected_components
+
+    clusters = connected_components(pairs, images.select("media_id"),
+                                    id_col="media_id")
+    losers = (clusters.where(F.col("media_id") != F.col("cluster_id"))
+              .select("media_id"))
     curated = (joined.where(F.col("reason").isNull())
                .join(losers, "media_id", "anti")
                .select("media_id", "path", "sniffed_format",
