@@ -474,6 +474,42 @@ def web_corpus(
     return pretrain_corpus(docs, benchmark, recipe)
 
 
+REJECT_REASONS = ("quality", "repetitive", "perplexity", "contaminated",
+                  "exact_dup", "near_dup", "span_dup")
+
+
+def curation_funnel(
+    docs: DataFrame,
+    streams: dict[str, DataFrame],
+    source_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-source curation funnel over :func:`pretrain_corpus` (or
+    :func:`web_corpus`) streams — the audit table a curation run reports:
+    one row per source with ``n_in``, one column per reject reason,
+    ``n_clean`` and ``survival_rate`` (6-dp). Reasons are pivoted against
+    the CLOSED reason set (`REJECT_REASONS`), so the schema is stable no
+    matter which gates were enabled. Two aggregations + one broadcast-able
+    join on the source key; never touches text."""
+    per_src = docs.groupBy(source_col).agg(F.count("*").alias("n_in"))
+    rej = (streams["rejected"]
+           .join(docs.select(id_col, source_col), id_col)
+           .groupBy(source_col)
+           .pivot("reject_reason", list(REJECT_REASONS))
+           .count())
+    out = per_src.join(rej, source_col, "left")
+    reasons = [F.coalesce(F.col(r), F.lit(0)).cast("bigint").alias(r)
+               for r in REJECT_REASONS]
+    n_rej = sum(F.coalesce(F.col(r), F.lit(0)) for r in REJECT_REASONS)
+    return out.select(
+        source_col, F.col("n_in").cast("bigint").alias("n_in"), *reasons,
+        (F.col("n_in") - n_rej).cast("bigint").alias("n_clean"),
+        F.round((F.col("n_in") - n_rej) / F.col("n_in"), 6)
+        .alias("survival_rate"),
+    )
+
+
+# --------------------------------------------------------------------------
 # Media-corpus recipe: directory of media files → curated media streams
 # --------------------------------------------------------------------------
 

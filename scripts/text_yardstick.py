@@ -12,6 +12,10 @@ linearly like a real corpus, exactly as scripts/scale_curve.py does):
 - line_dedup   : 10-token pseudo-lines, corpus-wide first-wins line
   dedup + doc reassembly. pandas: explode/drop_duplicates/groupby-agg —
   all vectorized.
+- span_dedup   : ExactSubstr 10-gram repeated-span removal (winner
+  keeps, other occurrences cut). pandas: dict-of-positions + python
+  loops — the idiomatic single-process formulation (as with decontam,
+  n-gram work has no vectorized form).
 - decontam     : 13-gram overlap vs the doc_id%20==0 benchmark slice.
   pandas: per-row python gram sets — the idiomatic pandas formulation
   (n-gram extraction has no vectorized form).
@@ -74,6 +78,23 @@ def main() -> None:
     kept = ex.sort_values(["doc_id", "line_no"]).drop_duplicates("line", keep="first")
     kept.sort_values(["doc_id", "line_no"]).groupby("doc_id")["line"].agg("\n".join)
     out["pandas"]["line_dedup"] = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    occ: dict[int, list[tuple[int, int]]] = {}
+    doc_ids = pdf["doc_id"].tolist()
+    for row, t in enumerate(toks):
+        for i in range(len(t) - 9):
+            occ.setdefault(hash(tuple(t[i:i + 10])), []).append((row, i))
+    cut: dict[int, set[int]] = {}
+    for places in occ.values():
+        if len(places) >= 2:
+            places.sort(key=lambda rp: (doc_ids[rp[0]], rp[1]))
+            for row, p_ in places[1:]:
+                cut.setdefault(row, set()).update(range(p_, p_ + 10))
+    for row, t in enumerate(toks):
+        dead = cut.get(row, ())
+        " ".join(tok for i, tok in enumerate(t) if i not in dead)
+    out["pandas"]["span_dedup"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     is_bench = pdf["doc_id"] % 20 == 0
@@ -145,6 +166,13 @@ def main() -> None:
     dedup_lines(lined, hash_fn="xxhash64") \
         .write.format("noop").mode("overwrite").save()
     out["spark"]["line_dedup"] = round(time.perf_counter() - t0, 3)
+
+    from datapump_spark.operators.line_dedup import remove_duplicate_spans
+
+    t0 = time.perf_counter()
+    remove_duplicate_spans(docs, n=10, hash_fn="xxhash64") \
+        .write.format("noop").mode("overwrite").save()
+    out["spark"]["span_dedup"] = round(time.perf_counter() - t0, 3)
 
     t0 = time.perf_counter()
     decontaminate(docs, docs.where(F.col("doc_id") % 20 == 0),

@@ -277,3 +277,32 @@ def test_surgical_decontam_stage(spark):
     out2 = pretrain_corpus(docs, bench, CorpusRecipe(**kw))
     rej2 = {r.doc_id: r.reject_reason for r in out2["rejected"].collect()}
     assert rej2 == {2: "contaminated", 3: "contaminated"}
+
+
+def test_curation_funnel(spark):
+    """Per-source funnel accounting: n_in = rejects + clean per source,
+    stable schema across enabled gates, survival rate exact."""
+    from datapump_spark.recipes import curation_funnel
+
+    base = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree and sings a morning song")
+    rows = [(i, f"{base} w{i}a w{i}b", "web") for i in range(10)]
+    rows += [(100 + i, f"{base} c{i}x c{i}y", "code") for i in range(5)]
+    rows.append((500, "too short", "web"))            # quality reject
+    rows.append((501, f"{base} w1a w1b", "code"))     # exact dup of web #1
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = pretrain_corpus(docs, None, CorpusRecipe(min_words=10,
+                                                   dedup_threshold=0.95))
+    funnel = {r["source"]: r for r in
+              curation_funnel(docs, out).collect()}
+    web, code = funnel["web"], funnel["code"]
+    assert web["n_in"] == 11 and web["quality"] == 1
+    assert code["n_in"] == 6 and code["exact_dup"] == 1
+    for r in funnel.values():
+        total_rej = sum(r[c] for c in
+                        ("quality", "repetitive", "perplexity",
+                         "contaminated", "exact_dup", "near_dup",
+                         "span_dup"))
+        assert r["n_in"] == total_rej + r["n_clean"]
+    assert abs(code["survival_rate"] - round(code["n_clean"] / 6, 6)) < 1e-12
