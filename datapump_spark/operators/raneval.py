@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -103,3 +103,33 @@ def retrieval_metrics(
         F.round(F.coalesce(F.col("__dcg") / idcg, F.lit(0.0)), 6)
         .alias("ndcg"),
     )
+
+
+def hard_negatives(
+    ranking: DataFrame,
+    qrels: DataFrame,
+    m: int = 5,
+    skip_top: int = 0,
+    query_col: str = "query_id",
+    doc_col: str = "neighbor_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """DPR-style hard-negative mining for retriever/embedding training:
+    per query, the ``m`` highest-ranked retrieved docs NOT in ``qrels``
+    (the known positives), optionally skipping the first ``skip_top``
+    non-relevant hits — the standard guard against unlabeled positives
+    masquerading as negatives (Karpukhin et al. 2020 practice).
+
+    ``ranking`` is any (query, doc, rank) frame (BM25, cosine, hybrid);
+    ``qrels`` is (query, doc). Returns (query, doc, rank, neg_rank).
+    The per-query window sorts ≤ k rows — WindowGroupLimit territory,
+    never a global sort; the anti-join keys are the ranking's own ids.
+    """
+    neg = ranking.select(query_col, doc_col, rank_col) \
+        .join(qrels.select(query_col, doc_col), [query_col, doc_col],
+              "anti")
+    w = Window.partitionBy(query_col).orderBy(F.col(rank_col).asc())
+    return (neg.withColumn("neg_rank", F.row_number().over(w))
+            .where((F.col("neg_rank") > skip_top)
+                   & (F.col("neg_rank") <= skip_top + m))
+            .select(query_col, doc_col, rank_col, "neg_rank"))

@@ -2556,6 +2556,38 @@ QUALIFY rank <= 10
 """
 
 
+# q_hard_negatives: same ranking + label-match qrels CTEs as
+# q_retrieval_eval; negatives = ranked hits anti-joined against the
+# qrels, re-ranked per query, window [skip_top+1, skip_top+m] = [2, 4].
+EXTRA_ORACLES["q_hard_negatives"] = """
+WITH m AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                  sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+           FROM embeddings),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn
+       FROM m WHERE vec_id < 10),
+c AS (
+  SELECT qv.query_id, m.vec_id AS neighbor_id,
+         round(list_dot_product(qv.qvec, m.v) / (qv.qn * m.nrm), 6) AS cos
+  FROM m, qv WHERE m.vec_id != qv.query_id
+  QUALIFY row_number() OVER (PARTITION BY qv.query_id
+                             ORDER BY cos DESC, m.vec_id ASC) <= 10),
+r AS (SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id ASC) AS INT) AS rank
+      FROM c),
+lab AS (SELECT vec_id, label FROM embeddings),
+rel AS (SELECT q.vec_id AS query_id, d.vec_id AS neighbor_id
+        FROM lab q JOIN lab d ON q.label = d.label AND q.vec_id != d.vec_id
+        WHERE q.vec_id < 10),
+neg AS (SELECT r.* FROM r ANTI JOIN rel USING (query_id, neighbor_id)),
+nr AS (SELECT query_id, neighbor_id, rank,
+              CAST(row_number() OVER (PARTITION BY query_id
+                     ORDER BY rank ASC) AS INT) AS neg_rank
+       FROM neg)
+SELECT query_id, neighbor_id, rank, neg_rank
+FROM nr WHERE neg_rank > 1 AND neg_rank <= 4
+"""
+
 # q_retrieval_eval: metrics of the exact-cosine top-10 vs label-match
 # qrels. The log2 discount constants are python-computed floats embedded
 # verbatim in BOTH plans (engine libm differences never enter); DCG folds

@@ -1571,6 +1571,32 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value", kappa=0.5, h=5.0)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for retriever training (operators/raneval.py
+    hard_negatives): per query, the 3 top-ranked exact-cosine hits that
+    do NOT share the query's label (the qrels), skipping the single
+    highest non-relevant hit (the unlabeled-positive guard)."""
+    from datapump_spark.operators.raneval import hard_negatives
+    from datapump_spark.operators.similarity import cosine_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    res = cosine_topk(emb, k=10, query_max_id=10)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    res = res.withColumn("rank", F.row_number().over(w))
+    labels = emb.select("vec_id", "label")
+    qrels = (
+        labels.where(F.col("vec_id") < 10)
+        .select(F.col("vec_id").alias("query_id"),
+                F.col("label").alias("__ql"))
+        .join(labels.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("label").alias("__dl")),
+              F.col("__ql") == F.col("__dl"))
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id"))
+    return hard_negatives(res, qrels, m=3, skip_top=1)
+
+
 def q_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking-quality metrics (operators/raneval.py) of the exact cosine
     top-10 against label-match relevance (same embedding label ⇒
@@ -2795,6 +2821,7 @@ EXTRA_QUERIES.update({
     "q_main_content": q_main_content,
     "q_hybrid_search": q_hybrid_search,
     "q_retrieval_eval": q_retrieval_eval,
+    "q_hard_negatives": q_hard_negatives,
     "q_cusum": q_cusum,
     "q_rolling_median": q_rolling_median,
     "q_triangles": q_triangles,

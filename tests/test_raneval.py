@@ -88,3 +88,28 @@ def test_query_with_all_ranks_beyond_k_still_reported(spark):
     assert got[2]["hits"] == 0 and got[2]["ndcg"] == 0.0
     assert got[2]["n_rel"] == 1
     assert got[1]["hits"] == 1
+
+
+def test_hard_negatives_hand_built(spark):
+    """Skip-top guard and the m-window on a hand-built ranking:
+    positives never mined, the single top negative skipped, exactly m
+    negatives per query, ranks preserved."""
+    from datapump_spark.operators.raneval import hard_negatives
+
+    ranking = spark.createDataFrame(
+        [(1, d, r) for r, d in enumerate([101, 102, 103, 104, 105], 1)]
+        + [(2, d, r) for r, d in enumerate([201, 202, 203], 1)],
+        "query_id bigint, neighbor_id bigint, rank int")
+    qrels = spark.createDataFrame(
+        [(1, 102), (2, 201), (2, 203)],
+        "query_id bigint, neighbor_id bigint")
+    out = sorted(
+        (r.query_id, r.neighbor_id, r.rank, r.neg_rank)
+        for r in hard_negatives(ranking, qrels, m=2, skip_top=1).collect())
+    # q1 negatives by rank: 101, 103, 104, 105 -> skip 101, take 103, 104
+    # q2 negatives: only 202 -> skipped entirely (it IS the top negative)
+    assert out == [(1, 103, 3, 2), (1, 104, 4, 3)]
+
+    all_negs = {(r.query_id, r.neighbor_id)
+                for r in hard_negatives(ranking, qrels, m=5).collect()}
+    assert (2, 202) in all_negs and (2, 201) not in all_negs
