@@ -60,6 +60,28 @@ def cosine_topk(
     return _score_and_rank(c, q, k)
 
 
+def cosine_topk_frame(
+    df: DataFrame, queries: DataFrame, id_col: str = "vec_id",
+    vec_col: str = "embedding", k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine for an EXPLICIT query frame (same id/vec
+    columns as ``df``) — :func:`cosine_topk` without the id<max
+    convention. The query side broadcasts (mining/eval query sets are
+    small by contract); candidates never shuffle. Self-matches by id are
+    excluded."""
+    def prep(frame):
+        return frame.select(
+            F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+        ).withColumn("nrm", _norm(F.col("v")))
+
+    q = prep(queries).select(F.col("id").alias("query_id"),
+                             F.col("v").alias("qv"),
+                             F.col("nrm").alias("qn"))
+    c = prep(df).select(F.col("id").alias("neighbor_id"),
+                        F.col("v").alias("cv"), F.col("nrm").alias("cn"))
+    return _score_and_rank(c, q, k)
+
+
 def _score_and_rank(c: DataFrame, q: DataFrame, k: int, on=None) -> DataFrame:
     """Shared candidate-scoring + per-query top-k: ONE rounding / tie-break
     policy (cos desc, neighbor_id asc) for the exact, LSH, and IVF paths."""

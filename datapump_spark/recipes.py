@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapump_spark.operators.decontam import decontaminate
@@ -472,6 +472,64 @@ def web_corpus(
                     F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
                     .alias("source")))
     return pretrain_corpus(docs, benchmark, recipe)
+
+
+def contrastive_triples(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    dim: int = 64,
+    k: int = 10,
+    n_neg: int = 1,
+    skip_top: int = 1,
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Weak-supervision contrastive training data from a RAW corpus —
+    the standard recipe for bootstrapping embedding models without
+    labels: POSITIVES are near-duplicate pairs (paraphrase supervision —
+    the same signal the dedup stack computes anyway), NEGATIVES are
+    hard negatives mined from a hashing-embedding ANN ranking with the
+    positives as qrels (skip-top unlabeled-positive guard).
+
+    Returns ``(anchor_id, positive_id, negative_id, neg_rank)`` — up to
+    ``n_neg`` triples per (anchor, positive) pair. Every stage is an
+    existing gated operator (near_dup_clusters ∘ hash_embed ∘
+    cosine_topk_frame ∘ hard_negatives); only anchors broadcast.
+    """
+    from datapump_spark.operators.dedup_fuzzy import near_dup_clusters
+    from datapump_spark.operators.embeddings import hash_embed
+    from datapump_spark.operators.raneval import hard_negatives
+    from datapump_spark.operators.similarity import cosine_topk_frame
+
+    clusters = near_dup_clusters(docs, id_col, text_col,
+                                 threshold=threshold, hash_fn=hash_fn)
+    a, b = clusters.alias("a"), clusters.alias("b")
+    pos = (a.join(b, "cluster_id")
+           .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+           .select(F.col(f"a.{id_col}").alias("anchor_id"),
+                   F.col(f"b.{id_col}").alias("positive_id")))
+    # qrels: both orientations — a positive must never be mined as a
+    # negative for either member of its pair
+    qrels = (pos.select(F.col("anchor_id").alias("query_id"),
+                        F.col("positive_id").alias("neighbor_id"))
+             .unionByName(pos.select(
+                 F.col("positive_id").alias("query_id"),
+                 F.col("anchor_id").alias("neighbor_id"))))
+    emb = hash_embed(docs, id_col, text_col, dim=dim, hash_fn=hash_fn)
+    anchors = emb.join(
+        pos.select(F.col("anchor_id").alias(id_col)).distinct(), id_col,
+        "semi")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc())
+    ranking = (cosine_topk_frame(emb, anchors, id_col, "embedding", k=k)
+               .withColumn("rank", F.row_number().over(w)))
+    negs = hard_negatives(ranking, qrels, m=n_neg, skip_top=skip_top)
+    return (pos.join(negs.select(F.col("query_id").alias("anchor_id"),
+                                 F.col("neighbor_id").alias("negative_id"),
+                                 "neg_rank"),
+                     "anchor_id")
+            .select("anchor_id", "positive_id", "negative_id", "neg_rank"))
 
 
 REJECT_REASONS = ("quality", "repetitive", "perplexity", "contaminated",

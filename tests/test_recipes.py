@@ -306,3 +306,29 @@ def test_curation_funnel(spark):
                          "span_dup"))
         assert r["n_in"] == total_rej + r["n_clean"]
     assert abs(code["survival_rate"] - round(code["n_clean"] / 6, 6)) < 1e-12
+
+
+def test_contrastive_triples(spark):
+    """Positives are near-dup pairs, negatives come from the ANN ranking
+    minus the positives, and a triple never pairs an anchor with its own
+    paraphrase as the negative."""
+    from datapump_spark.recipes import contrastive_triples
+
+    base_a = "the quick brown fox jumps over the lazy dog near the river"
+    base_b = "stock markets rallied today as investors cheered the report"
+    rows = [(1, base_a + " tail one"), (2, base_a + " tail two"),
+            (10, base_b + " extra x"), (11, base_b + " extra y")]
+    rows += [(100 + i, " ".join(f"w{i}z{j}" for j in range(12)))
+             for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = contrastive_triples(docs, threshold=0.4, n_neg=2, skip_top=0)
+    triples = [(r.anchor_id, r.positive_id, r.negative_id)
+               for r in out.collect()]
+    assert triples, "no triples mined"
+    pos_pairs = {(1, 2), (10, 11)}
+    for anc, pos, neg in triples:
+        assert (anc, pos) in pos_pairs
+        assert neg not in (anc, pos)
+        # the negative is never the anchor's paraphrase partner
+        assert (min(anc, neg), max(anc, neg)) not in pos_pairs
+    assert {(a, p) for a, p, _ in triples} == pos_pairs
