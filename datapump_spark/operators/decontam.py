@@ -240,6 +240,7 @@ def remove_contaminated_spans(
     text_col: str = "text",
     n: int = 13,
     hash_fn: str = "md5",
+    max_passes: int = 1,
 ) -> DataFrame:
     """SURGICAL span-level decontamination: where :func:`decontaminate`
     flags (and callers typically drop) any corpus document sharing one
@@ -260,6 +261,17 @@ def remove_contaminated_spans(
     thousands of items, the corpus is the 100 TB side) broadcasts into a
     semi join, so the corpus never shuffles at all; the only exchange is
     the per-doc cut-list aggregation.
+
+    SEAM CAVEAT / ``max_passes``: cutting a span glues the tokens around
+    it together, and the glued seam can FORM a benchmark ``n``-gram that
+    was not in the original text ("… a b [cut] c …" → "a b c"). One pass
+    therefore guarantees every ORIGINAL occurrence is gone but not a
+    zero residual. ``max_passes > 1`` iterates to the fixed point
+    (recut the cleaned text until a pass removes nothing — one cheap
+    count per intermediate pass; 2 passes suffice in practice), after
+    which the output provably contains no benchmark ``n``-gram.
+    ``n_tokens``/``n_removed`` always account against the ORIGINAL text.
+    The default (1) is the SQL-oracle-keyed profile (q_decontam_spans).
     """
     from datapump_spark.operators.line_dedup import (
         cut_spans,
@@ -267,10 +279,44 @@ def remove_contaminated_spans(
         tokenized_docs,
     )
 
-    d = tokenized_docs(corpus, id_col, text_col)
-    grams = doc_gram_positions(d, id_col, n, hash_fn)
+    if max_passes < 1:
+        raise ValueError(f"max_passes must be >= 1: {max_passes}")
     bench = (doc_ngram_hashes(benchmark, id_col, text_col, n, hash_fn)
              .select("gram").distinct())
-    marked = (grams.join(F.broadcast(bench), "gram", "semi")
-              .select(id_col, "pos"))
-    return cut_spans(d, marked, id_col, n)
+
+    def one_pass(frame: DataFrame, col: str) -> DataFrame:
+        d = tokenized_docs(frame, id_col, col)
+        grams = doc_gram_positions(d, id_col, n, hash_fn)
+        marked = (grams.join(F.broadcast(bench), "gram", "semi")
+                  .select(id_col, "pos"))
+        return cut_spans(d, marked, id_col, n)
+
+    res = one_pass(corpus, text_col)
+    if max_passes == 1:
+        return res
+    bench = bench.persist()
+    for _ in range(max_passes - 1):
+        # materialize the pass once (localCheckpoint): the convergence
+        # count AND the next pass both read it — without this the count
+        # would recompute the whole chain
+        res = res.localCheckpoint(eager=True)
+        if (res.agg(F.sum("n_removed")).first()[0] or 0) == 0:
+            break
+        res = one_pass(res.select(id_col,
+                                  F.col("clean_text").alias("__txt")),
+                       "__txt")
+    # account against the ORIGINAL text, not the last pass's input
+    orig = tokenized_docs(corpus, id_col, text_col) \
+        .select(id_col, F.col("__nt").alias("__orig_nt"))
+    from datapump_spark.functions.hashing import tokens as _toks
+
+    return (orig.join(res.select(id_col, "clean_text"), id_col)
+            .select(
+                F.col(id_col),
+                F.col("__orig_nt").cast("bigint").alias("n_tokens"),
+                (F.col("__orig_nt")
+                 - F.when(F.col("clean_text") == "", F.lit(0))
+                 .otherwise(F.size(_toks(F.col("clean_text")))))
+                .cast("bigint").alias("n_removed"),
+                "clean_text",
+            ))

@@ -266,3 +266,39 @@ def test_remove_contaminated_spans(spark):
     assert out[2] == (8, 0,
                       "this document never quotes anything from the benchmark")
     assert out[3] == (5, 5, "")
+
+
+def test_surgical_decontam_seam_fixed_point(spark):
+    """Cutting a span can GLUE a new benchmark n-gram at the seam
+    ('alpha beta [cut] gamma' -> 'alpha beta gamma'); one pass leaves
+    that residual, max_passes>1 iterates to a provably clean fixed
+    point with accounting against the ORIGINAL text."""
+    from datapump_spark.operators.decontam import (
+        decontaminate,
+        remove_contaminated_spans,
+    )
+
+    bench_gram = "alpha beta gamma"
+    # doc: 'alpha beta' + a span that IS a benchmark gram + 'gamma ...'
+    # cutting the middle glues alpha beta|gamma -> a NEW benchmark gram
+    doc = "intro alpha beta red green blue gamma delta closing words"
+    corpus = spark.createDataFrame([(1, doc)], "doc_id bigint, text string")
+    bench = spark.createDataFrame(
+        [(100, bench_gram), (101, "red green blue")],
+        "doc_id bigint, text string")
+
+    one = remove_contaminated_spans(corpus, bench, n=3).collect()[0]
+    assert "red green blue" not in one.clean_text
+    assert "alpha beta gamma" in one.clean_text     # the seam residual
+
+    fp = remove_contaminated_spans(corpus, bench, n=3,
+                                   max_passes=3).collect()[0]
+    assert "alpha beta gamma" not in fp.clean_text
+    assert fp.n_tokens == 10 and fp.n_removed == 6
+    assert fp.clean_text == "intro delta closing words"
+    # zero residual: re-flagging the cleaned text finds nothing
+    flags = decontaminate(
+        spark.createDataFrame([(1, fp.clean_text)],
+                              "doc_id bigint, text string"),
+        bench, n=3).collect()[0]
+    assert not flags.contaminated
