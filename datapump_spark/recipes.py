@@ -139,8 +139,12 @@ def pretrain_corpus(
             remove_contaminated_spans,
         )
 
+        # max_passes=3: iterate past cut-seam regrams so the clean
+        # stream provably contains no benchmark n-gram (the same
+        # invariant the drop-doc mode gives for free)
         spans = remove_contaminated_spans(cur, benchmark, id_col, text_col,
-                                          n=r.decontam_n, hash_fn=r.hash_fn)
+                                          n=r.decontam_n, hash_fn=r.hash_fn,
+                                          max_passes=3)
         cur = (cur.drop(text_col)
                .join(spans.where(F.col("clean_text") != "")
                      .select(id_col, F.col("clean_text").alias(text_col)),
