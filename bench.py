@@ -144,6 +144,7 @@ BENCH_QUERIES = [
     "q_main_content",
     "q_hybrid_search",
     "q_retrieval_eval",
+    "q_hard_negatives",
     "q_cusum",
     "q_quality_binned_mix",
     "q_rolling_median",
