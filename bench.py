@@ -120,6 +120,7 @@ BENCH_QUERIES = [
     # Cleaning / fuzzy-join / layout operators
     "q_normalize_text",
     "q_strip_boilerplate",
+    "q_readability",
     "q_fuzzy_pairs",
     "q_zorder",
     "q_compression_ratio",

@@ -218,3 +218,41 @@ def script_profile(
         "n_digit", *fracs,
         F.round(F.col("n_digit") / denom, 6).alias("frac_digit"),
         F.round((F.col("n_chars") - known) / denom, 6).alias("frac_other"))
+
+
+def readability(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Flesch reading-ease per document — the classic shallow difficulty
+    signal (Flesch 1948; used alongside Gopher rules to route
+    too-simple/too-garbled text):
+
+        206.835 − 1.015·(words/sentences) − 84.6·(syllables/words)
+
+    Syllables are the standard vowel-group heuristic (runs of
+    ``[aeiouy]`` in the lowercased text), sentences are runs of ``[.!?]``
+    (floored at 1), words are the engine's normalized tokens. Pure
+    codegen (three regexp counts + one expression), shuffle-free; the
+    DuckDB oracle runs the identical regexes. Returns ``(id, n_words,
+    n_sentences, n_syllables, flesch)``; empty docs score NULL.
+    """
+    from datapump_spark.functions.hashing import tokens
+
+    c = F.col(text_col)
+    words = F.size(tokens(c))
+    sents = F.greatest(
+        F.size(F.regexp_extract_all(c, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    sylls = F.size(F.regexp_extract_all(F.lower(c), F.lit("[aeiouy]+"),
+                                        F.lit(0)))
+    flesch = F.when(
+        words > 0,
+        F.round(F.lit(206.835)
+                - F.lit(1.015) * (words / sents)
+                - F.lit(84.6) * (sylls / words), 6))
+    return df.select(
+        F.col(id_col),
+        words.cast("bigint").alias("n_words"),
+        sents.cast("bigint").alias("n_sentences"),
+        sylls.cast("bigint").alias("n_syllables"),
+        flesch.alias("flesch"),
+    )

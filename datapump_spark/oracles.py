@@ -1208,6 +1208,27 @@ LEFT JOIN hits h USING (doc_id)
 # gram marks its 13-token span, spans are removed by position anti-join
 # (the set-equivalent of the operator's merged-interval fold).
 _DSPAN_GRAM = hash63_sql("array_to_string(list_slice(t, pos, pos + 12), ' ')")
+# q_readability: identical regex counts — tokens for words, [.!?]+ runs
+# for sentences (floored at 1), [aeiouy]+ runs for syllables.
+EXTRA_ORACLES["q_readability"] = """
+WITH c AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                         x -> x != '')) AS w,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS y
+  FROM documents)
+SELECT doc_id,
+       CAST(w AS BIGINT) AS n_words,
+       CAST(s AS BIGINT) AS n_sentences,
+       CAST(y AS BIGINT) AS n_syllables,
+       CASE WHEN w > 0 THEN
+         round(206.835 - 1.015 * (w / CAST(s AS DOUBLE))
+               - 84.6 * (y / CAST(w AS DOUBLE)), 6)
+       END AS flesch
+FROM c
+"""
+
 EXTRA_ORACLES["q_decontam_spans"] = f"""
 WITH tk AS (
   SELECT doc_id,

@@ -1285,6 +1285,16 @@ def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_contaminated_spans(corpus, bench)
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch reading-ease per document (operators/text.py readability):
+    vowel-group syllables, [.!?]-run sentences, normalized-token words —
+    three codegen regexp counts, shuffle-free."""
+    from datapump_spark.operators.text import readability
+
+    return readability(_t(spark, sf_dir, "documents").select("doc_id",
+                                                             "text"))
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-line fraction/chars,
     most-frequent-2-gram char coverage, duplicated-5-gram char coverage
@@ -2047,6 +2057,7 @@ EXTRA_QUERIES = {
     "q_pack_chunks": q_pack_chunks,
     "q_decontam": q_decontam,
     "q_decontam_spans": q_decontam_spans,
+    "q_readability": q_readability,
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,
     "q_lm_score_kn": q_lm_score_kn,

@@ -45,3 +45,21 @@ def test_corpus_card_aggregates(spark, sf_dir):
         assert 0.0 <= r["dup_rate"] < 1.0
         assert 0.0 <= r["avg_quality"] <= 1.0
         assert r["total_tokens"] >= r["n_docs"]  # every doc has ≥1 token
+
+
+def test_readability_hand_computed(spark):
+    from datapump_spark.operators.text import readability
+
+    df = spark.createDataFrame(
+        [(1, "The cat sat. The dog ran!"),
+         (2, ""),                          # empty -> NULL score
+         (3, "no sentence punctuation here")],
+        "doc_id bigint, text string")
+    out = {r.doc_id: r for r in readability(df).collect()}
+    r1 = out[1]
+    # words=6, sentences=2, syllables: e-a-a-e-o-a = 6 vowel groups
+    assert (r1.n_words, r1.n_sentences, r1.n_syllables) == (6, 2, 6)
+    expect = round(206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6), 6)
+    assert abs(r1.flesch - expect) < 1e-9
+    assert out[2].flesch is None and out[2].n_words == 0
+    assert out[3].n_sentences == 1          # floored, not zero
