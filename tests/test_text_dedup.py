@@ -264,3 +264,39 @@ def test_simhash_block_widths_cover_all_bits(spark):
     got = {(r["id_a"], r["id_b"]): r["hamming"]
            for r in simhash_near_dup(df, bits=30, max_hamming=3).collect()}
     assert got[(1, 2)] == 0
+
+
+def test_hamming_probe_matches_brute_force(spark):
+    """The asymmetric pigeonhole probe returns exactly the probe ids
+    within max_hamming of ANY index signature (python brute force as
+    truth), including negative int64 signatures (sign-safe blocks)."""
+    import random
+
+    from datapump_spark.operators.dedup_fuzzy import hamming_probe
+
+    rng = random.Random(11)
+    idx_sigs = [rng.getrandbits(64) - (1 << 63) for _ in range(40)]
+    probe_sigs = {}
+    for i in range(60):
+        if i % 3 == 0:  # a corrupted copy of an index signature
+            base = idx_sigs[i % len(idx_sigs)]
+            flip = 0
+            for b in rng.sample(range(64), rng.randint(0, 5)):
+                flip |= 1 << b
+            v = (base ^ flip)
+        else:
+            v = rng.getrandbits(64) - (1 << 63)
+        probe_sigs[i] = v if v < (1 << 63) else v - (1 << 64)
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    k = 3
+    want = {i for i, v in probe_sigs.items()
+            if any(ham(v, s) <= k for s in idx_sigs)}
+    probe = spark.createDataFrame(list(probe_sigs.items()),
+                                  "doc_id bigint, sig bigint")
+    index = spark.createDataFrame([(s,) for s in idx_sigs], "sig bigint")
+    got = {r.id for r in hamming_probe(probe, index, "doc_id", "sig",
+                                       max_hamming=k).collect()}
+    assert got == want and want, "probe disagrees with brute force"
