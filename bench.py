@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "q_normalize_text",
     "q_strip_boilerplate",
     "q_readability",
+    "q_collocations",
     "q_fuzzy_pairs",
     "q_zorder",
     "q_compression_ratio",

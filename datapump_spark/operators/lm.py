@@ -255,3 +255,44 @@ def ccnet_buckets(
     return joined.select(
         id_col, *g, "ppl",
         F.round(pct, 6).alias("ppl_pct"), bucket.alias("bucket"))
+
+
+def collocations(
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_count: int = 5,
+    k: int = 50,
+) -> DataFrame:
+    """Top-``k`` PMI collocations (Church & Hanks 1990) — the corpus
+    phrase-diagnostic that surfaces boilerplate phrases and multiword
+    terms a tokenizer or dedup pass should know about:
+
+        pmi(w1,w2) = ln( c12 · N / (c1 · c2) )
+
+    over bigram occurrence counts, with ``c12 ≥ min_count`` (rare pairs
+    have unstable PMI). Ranking is (pmi desc, w1, w2) — fully
+    deterministic. N and the unigram counts use TOKEN occurrences (both
+    positions), so pmi is the textbook estimator. Plan: the two
+    word-count aggregations + one broadcast-able join + a global top-k
+    via TakeOrderedAndProject — never a one-partition window."""
+    toks = corpus.select(F.explode(tokens(F.col(text_col))).alias("w"))
+    uni = toks.groupBy("w").agg(F.count("*").alias("c"))
+    total = toks.agg(F.count("*").cast("double").alias("__n"))
+    bg = _doc_bigrams(corpus, id_col, text_col)
+    big = (bg.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+           .where(F.col("c12") >= min_count))
+    joined = (
+        big.join(uni.select(F.col("w").alias("w1"),
+                            F.col("c").alias("c1")), "w1")
+        .join(uni.select(F.col("w").alias("w2"),
+                         F.col("c").alias("c2")), "w2")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "w1", "w2",
+            F.col("c12").cast("bigint").alias("n_pair"),
+            F.round(F.log(F.col("c12") * F.col("__n")
+                          / (F.col("c1") * F.col("c2"))), 6).alias("pmi"),
+        )
+    )
+    return (joined.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k))

@@ -1208,6 +1208,35 @@ LEFT JOIN hits h USING (doc_id)
 # gram marks its 13-token span, spans are removed by position anti-join
 # (the set-equivalent of the operator's merged-interval fold).
 _DSPAN_GRAM = hash63_sql("array_to_string(list_slice(t, pos, pos + 12), ' ')")
+# q_collocations: textbook PMI over the same tokenization; ties and the
+# top-k cut are deterministic under (pmi desc, w1, w2).
+EXTRA_ORACLES["q_collocations"] = """
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+                     x -> x != '') AS t
+  FROM documents),
+toks AS (SELECT unnest(t) AS w FROM tk),
+uni AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM toks),
+bg AS (
+  SELECT doc_id, t,
+         UNNEST(CASE WHEN len(t) >= 2 THEN generate_series(1, len(t) - 1)
+                ELSE CAST([] AS BIGINT[]) END) AS i
+  FROM tk),
+pairs AS (SELECT t[i] AS w1, t[i + 1] AS w2 FROM bg),
+big AS (SELECT w1, w2, count(*) AS c12 FROM pairs
+        GROUP BY w1, w2 HAVING count(*) >= 5)
+SELECT b.w1, b.w2, CAST(b.c12 AS BIGINT) AS n_pair,
+       round(ln(b.c12 * tot.n / (u1.c * u2.c)), 6) AS pmi
+FROM big b
+JOIN uni u1 ON b.w1 = u1.w
+JOIN uni u2 ON b.w2 = u2.w
+CROSS JOIN tot
+ORDER BY pmi DESC, b.w1, b.w2
+LIMIT 50
+"""
+
 # q_readability: identical regex counts — tokens for words, [.!?]+ runs
 # for sentences (floored at 1), [aeiouy]+ runs for syllables.
 EXTRA_ORACLES["q_readability"] = """

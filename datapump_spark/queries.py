@@ -1295,6 +1295,16 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                              "text"))
 
 
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-50 PMI collocations over the documents corpus
+    (operators/lm.py collocations): word-count aggs + broadcast join +
+    TakeOrderedAndProject top-k, pairs below count 5 pruned."""
+    from datapump_spark.operators.lm import collocations
+
+    return collocations(_t(spark, sf_dir, "documents")
+                        .select("doc_id", "text"))
+
+
 def q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals: duplicate-line fraction/chars,
     most-frequent-2-gram char coverage, duplicated-5-gram char coverage
@@ -2058,6 +2068,7 @@ EXTRA_QUERIES = {
     "q_decontam": q_decontam,
     "q_decontam_spans": q_decontam_spans,
     "q_readability": q_readability,
+    "q_collocations": q_collocations,
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,
     "q_lm_score_kn": q_lm_score_kn,

@@ -156,3 +156,28 @@ def test_ccnet_buckets_kn_smoothing(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="smoothing"):
         ccnet_buckets(docs, smoothing="wb").collect()
+
+
+def test_collocations_hand_computed(spark):
+    """PMI on a tiny corpus: the glued phrase scores highest, a pair of
+    independent frequent words scores near zero, rare pairs pruned."""
+    import math
+
+    from datapump_spark.operators.lm import collocations
+
+    # 'san francisco' always together (x6); filler words independent
+    rows = [(i, "san francisco " + " ".join(
+        ["the", "cat", "the", "dog"][j % 4] for j in range(i % 3 + 2)))
+            for i in range(6)]
+    docs = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = collocations(docs, min_count=5, k=10).collect()
+    assert out, "no collocations found"
+    top = out[0]
+    assert (top.w1, top.w2) == ("san", "francisco") and top.n_pair == 6
+    # verify the textbook estimator on the top pair
+    toks = [t for _, txt in rows for t in txt.split()]
+    n = len(toks)
+    c_san, c_fr = toks.count("san"), toks.count("francisco")
+    want = round(math.log(6 * n / (c_san * c_fr)), 6)
+    assert abs(top.pmi - want) < 1e-9
+    assert all(r.n_pair >= 5 for r in out)
