@@ -468,11 +468,19 @@ def web_corpus(
     from datapump_spark.functions.hashing import hash63
     from datapump_spark.sources.warc import read_warc_html
 
-    docs = (read_warc_html(spark, warc_path,
+    pages = read_warc_html(spark, warc_path,
                            min_words=min_words_per_block,
                            max_link_density=max_link_density)
+    # one row per URI: a shard can hold several captures of the same
+    # page and every downstream operator assumes unique doc ids —
+    # latest capture wins (deterministic tie-break on the text)
+    docs = (pages
+            .groupBy("target_uri")
+            .agg(F.max_by(
+                F.struct("main_text"),
+                F.struct("warc_date", "main_text")).alias("__w"))
             .select(hash63(F.col("target_uri")).alias("doc_id"),
-                    F.col("main_text").alias("text"),
+                    F.col("__w.main_text").alias("text"),
                     F.regexp_extract("target_uri", r"^[a-z]+://([^/]+)", 1)
                     .alias("source")))
     return pretrain_corpus(docs, benchmark, recipe)

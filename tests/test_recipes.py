@@ -332,3 +332,37 @@ def test_contrastive_triples(spark):
         # the negative is never the anchor's paraphrase partner
         assert (min(anc, neg), max(anc, neg)) not in pos_pairs
     assert {(a, p) for a, p, _ in triples} == pos_pairs
+
+
+def test_web_corpus_recrawl_same_uri_latest_wins(spark, tmp_path):
+    """Two captures of the SAME URI in one shard must collapse to one
+    doc (latest warc_date wins) before any downstream operator sees a
+    duplicated doc_id."""
+    from tests.test_warc import _response_record
+    from datapump_spark.recipes import web_corpus
+
+    def rec(uri, text, date):
+        body = (b"HTTP/1.1 200 OK\r\n\r\n<html><body><p>"
+                + text.encode() + b"</p></body></html>")
+        return (b"WARC/1.0\r\nWARC-Type: response\r\n"
+                + f"WARC-Target-URI: {uri}\r\n".encode()
+                + f"WARC-Date: {date}\r\n".encode()
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body + b"\r\n\r\n")
+
+    old = ("the quick brown fox jumps over the lazy dog before the "
+           "morning edit happened")
+    new = ("the quick brown fox jumps over the lazy dog after the "
+           "evening edit happened")
+    p = tmp_path / "c.warc"
+    p.write_bytes(rec("https://a.example/x", old, "2024-03-01T00:00:00Z")
+                  + rec("https://a.example/x", new, "2024-03-02T00:00:00Z"))
+    out = web_corpus(spark, str(p),
+                     recipe=CorpusRecipe(min_words=5,
+                                         gopher_kwargs=dict(
+                                             max_dup_word_frac=1.0,
+                                             max_dup_2gram_frac=1.0,
+                                             min_stop_hits=0)))
+    clean = out["clean"].collect()
+    assert len(clean) == 1 and "evening" in clean[0]["text"]
+    assert out["rejected"].count() == 0       # collapsed upstream, not rejected
