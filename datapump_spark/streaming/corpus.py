@@ -124,6 +124,15 @@ class StreamingCorpusIngest:
         return self.spark.createDataFrame([], schema)
 
     def _handle_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        # one row per doc id per batch: every downstream gate (and the
+        # append-only corpus sink) assumes unique ids; a duplicated id in
+        # one batch (re-crawled URI in a WET shard, a re-sent jsonl row)
+        # collapses deterministically (max text wins)
+        others = [c for c in batch_df.columns if c != "doc_id"]
+        batch_df = (batch_df.groupBy("doc_id")
+                    .agg(F.max_by(F.struct(*others),
+                                  F.col("text")).alias("__r"))
+                    .select("doc_id", "__r.*"))
         batch_df = batch_df.persist()
         try:
             n_in = batch_df.count()

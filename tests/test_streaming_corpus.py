@@ -263,3 +263,24 @@ def test_cross_batch_span_gate(spark, tmp_path):
     assert audit[1]["n_admitted"] == 1            # doc kept, span cut
     grams = spark.read.parquet(ingest.gram_index_dir)
     assert grams.select("gram").distinct().count() > 0
+
+
+def test_duplicate_doc_id_within_batch_collapses(spark, tmp_path):
+    """Two rows with the SAME doc_id in one batch (re-sent row) collapse
+    to one deterministically before the gates; the corpus never holds a
+    duplicated id."""
+    inp = tmp_path / "in"
+    inp.mkdir()
+    _write(inp, "b0.json", 1_000_000_000,
+           [_doc(1, f"{GOOD} version aaa"),
+            _doc(1, f"{GOOD} version zzz"),     # same id, max text wins
+            _doc(2)])
+    ingest = StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"))
+    ingest.drain(tmp_path / "cp")
+    rows = spark.read.parquet(ingest.corpus_dir).collect()
+    by_id = {}
+    for r in rows:
+        assert r["doc_id"] not in by_id, "duplicated doc_id admitted"
+        by_id[r["doc_id"]] = r["text"]
+    assert set(by_id) == {1, 2}
+    assert by_id[1].endswith("version zzz")
