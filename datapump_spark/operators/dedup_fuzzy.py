@@ -84,17 +84,21 @@ def minhash_signatures(
 
 def lsh_candidate_pairs(
     sigs: DataFrame, id_col: str, bands: int, rows_per_band: int,
+    scope_col: str | None = None,
 ) -> DataFrame:
     """(id_a, id_b) candidate pairs: equal on at least one band of the
-    signature. Join key = (band_idx, band values) — never all-pairs."""
+    signature. Join key = (band_idx, band values) — never all-pairs.
+    ``scope_col`` (a column of ``sigs``) folds into every band key, so
+    only same-scope rows can collide."""
     k = bands * rows_per_band
+    scope = [F.col(scope_col).alias("__scope")] if scope_col else []
     band_structs = F.array(*[
         F.struct(
             F.lit(b).alias("band"),
             F.struct(*[
                 F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
                 for r in range(rows_per_band)
-            ]).alias("key"),
+            ], *scope).alias("key"),
         )
         for b in range(bands)
     ])
@@ -149,11 +153,22 @@ def minhash_near_dup_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     bands: int = 4, rows_per_band: int = 4, shingle_n: int = 3,
     threshold: float = 0.5, hash_fn: str = "md5",
+    scope_col: str | None = None,
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
-    exact-Jaccard verify → threshold. (id_a, id_b, jaccard)."""
+    exact-Jaccard verify → threshold. (id_a, id_b, jaccard).
+
+    ``scope_col`` (e.g. ``'lang'``) restricts pairs to rows sharing that
+    value by folding it into every LSH band key — the standard production
+    scoping (dedup within language): candidate volume shrinks and
+    cross-scope accidental collisions cost nothing, at zero extra
+    shuffles (the scope rides the band key that was the join key
+    anyway)."""
     sigs = minhash_signatures(df, id_col, text_col, bands * rows_per_band, shingle_n, hash_fn)
-    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band)
+    if scope_col is not None:
+        sigs = sigs.join(df.select(id_col, scope_col), id_col)
+    cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
+                                scope_col=scope_col)
     sh = word_shingles(df, id_col, text_col, shingle_n)
     verified = verify_jaccard(sh, cands, id_col)
     return verified.where(F.col("jaccard") >= threshold)

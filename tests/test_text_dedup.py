@@ -300,3 +300,37 @@ def test_hamming_probe_matches_brute_force(spark):
     got = {r.id for r in hamming_probe(probe, index, "doc_id", "sig",
                                        max_hamming=k).collect()}
     assert got == want and want, "probe disagrees with brute force"
+
+
+def test_scoped_near_dup_pairs(spark):
+    """scope_col='lang': byte-identical texts in DIFFERENT languages
+    never pair (cross-scope collisions are free), same-language near-dups
+    still do, and clustering inherits the scope through **minhash_kwargs."""
+    from datapump_spark.operators.dedup_fuzzy import (
+        minhash_near_dup_pairs,
+        near_dup_clusters,
+    )
+
+    body = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree")
+    docs = spark.createDataFrame(
+        [(1, body + " ending one", "en"),
+         (2, body + " ending two", "en"),      # near-dup of 1, same lang
+         (3, body + " ending one", "fr"),      # identical to 1, other lang
+         (4, "entirely different content about rivers and mountains "
+             "and weather patterns shaping them", "en")],
+        "doc_id bigint, text string, lang string")
+
+    unscoped = {(r.id_a, r.id_b)
+                for r in minhash_near_dup_pairs(docs, threshold=0.5)
+                .collect()}
+    assert (1, 3) in unscoped
+    scoped = {(r.id_a, r.id_b)
+              for r in minhash_near_dup_pairs(docs, threshold=0.5,
+                                              scope_col="lang").collect()}
+    assert (1, 2) in scoped and (1, 3) not in scoped and (2, 3) not in scoped
+
+    cl = {r.doc_id: r.cluster_id
+          for r in near_dup_clusters(docs, threshold=0.5,
+                                     scope_col="lang").collect()}
+    assert cl[1] == cl[2] and cl[3] != cl[1] and cl[4] not in (cl[1],)
