@@ -54,6 +54,10 @@ class CorpusRecipe:
     # NORMALIZED token stream (same contract as span_dedup_n).
     surgical_decontam: bool = False
     dedup_threshold: float = 0.5
+    # near-dup scoping column (e.g. 'lang'): only same-scope docs can
+    # pair in the MinHash-LSH stage — the per-language production
+    # scoping; None = corpus-wide
+    dedup_scope_col: str | None = None
     seq_budget: int = 1024
     weights: dict[str, float] | None = None
     source_col: str = "source"
@@ -172,9 +176,11 @@ def pretrain_corpus(
                  .withColumn("reject_reason", F.lit("exact_dup")))
 
     # 5. near-dup clustering → best-quality canonical per cluster
+    scope_kw = ({"scope_col": r.dedup_scope_col}
+                if r.dedup_scope_col else {})
     clusters = near_dup_clusters(survivors, id_col, text_col,
                                  threshold=r.dedup_threshold,
-                                 hash_fn=r.hash_fn)
+                                 hash_fn=r.hash_fn, **scope_kw)
     canon = canonical_docs(clusters, quality_score(survivors, id_col, text_col),
                            id_col)
     clean = survivors.join(canon.select(id_col), id_col, "semi")

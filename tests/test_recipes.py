@@ -366,3 +366,28 @@ def test_web_corpus_recrawl_same_uri_latest_wins(spark, tmp_path):
     clean = out["clean"].collect()
     assert len(clean) == 1 and "evening" in clean[0]["text"]
     assert out["rejected"].count() == 0       # collapsed upstream, not rejected
+
+
+def test_dedup_scope_col_in_recipe(spark):
+    """dedup_scope_col='lang': an identical doc in another language is
+    NOT near-dup-rejected (and not exact-rejected either — exact dedup
+    fingerprints content corpus-wide, so make the twin a near- not
+    exact-dup)."""
+    body = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree and sings loudly")
+    rows = [(1, body + " ending one", "en"),
+            (2, body + " ending two", "fr"),   # near-dup of 1, other lang
+            (3, body + " ending three", "en")]  # near-dup of 1, same lang
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string")
+    kw = dict(min_words=5, gopher_kwargs=dict(max_dup_word_frac=1.0,
+                                              max_dup_2gram_frac=1.0,
+                                              min_stop_hits=0))
+    scoped = pretrain_corpus(docs, None,
+                             CorpusRecipe(dedup_scope_col="lang", **kw))
+    ids = {r.doc_id for r in scoped["clean"].collect()}
+    # en pair {1,3} collapses to its best-quality member; fr doc 2 is
+    # out of scope and survives untouched
+    assert 2 in ids and len(ids) == 2 and len(ids & {1, 3}) == 1
+    unscoped = pretrain_corpus(docs, None, CorpusRecipe(**kw))
+    assert len({r.doc_id for r in unscoped["clean"].collect()}) == 1
