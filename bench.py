@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     # round-6: perceptual image near-dedup (stdlib decode → dHash →
     # Manku pigeonhole pairs)
     "q_image_dedup",
+    # round-6: contrastive triples (near-dup positives + ANN hard negatives)
+    "q_contrastive_triples",
 ]
 
 

@@ -1159,6 +1159,17 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return image_near_dup(media, max_hamming=6)
 
 
+def q_contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-triples bootstrap over the documents corpus
+    (recipes.contrastive_triples): near-dup paraphrase positives + ANN
+    hard negatives. BENCH VARIANT — composition of oracled stages, no
+    single SQL twin; semantics pinned in test_recipes."""
+    from datapump_spark.recipes import contrastive_triples
+
+    return contrastive_triples(
+        _t(spark, sf_dir, "documents").select("doc_id", "text"))
+
+
 QUERIES = {
     "q_csv_scan": q_csv_scan,
     "q_multiformat_ts": q_multiformat_ts,
@@ -2903,6 +2914,8 @@ BENCH_VARIANTS = {
     # Perceptual image dedup — Python-side decode, no SQL twin; pair
     # semantics pinned in test_multimodal.
     "q_image_dedup": q_image_dedup,
+    # contrastive training-data bootstrap (composition, pytest-pinned)
+    "q_contrastive_triples": q_contrastive_triples,
 }
 
 
