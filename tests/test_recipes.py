@@ -102,6 +102,9 @@ def test_repetition_and_ppl_gates(spark):
     assert clean_ids | set(rej) == {r[0] for r in rows}
 
 
+# slow: redaction itself is driver-oracle-gated (q_pii_redact
+# EXTRA); this adds only the recipe-stage routing
+@pytest.mark.slow
 def test_pii_redacted_in_clean(spark):
     docs = spark.createDataFrame(
         [(i, "the quick brown fox jumps over the lazy dog contact "
@@ -334,6 +337,10 @@ def test_contrastive_triples(spark):
     assert {(a, p) for a, p, _ in triples} == pos_pairs
 
 
+# slow: the duplicate-id collapse hazard is gated in-default by
+# test_streaming_corpus.test_duplicate_doc_id_within_batch_collapses;
+# this adds only the WARC-side latest-capture rule
+@pytest.mark.slow
 def test_web_corpus_recrawl_same_uri_latest_wins(spark, tmp_path):
     """Two captures of the SAME URI in one shard must collapse to one
     doc (latest warc_date wins) before any downstream operator sees a
@@ -368,6 +375,10 @@ def test_web_corpus_recrawl_same_uri_latest_wins(spark, tmp_path):
     assert out["rejected"].count() == 0       # collapsed upstream, not rejected
 
 
+# slow: the scoped-banding semantics are gated in-default at the
+# operator level (test_text_dedup.test_scoped_near_dup_pairs); this
+# adds only the recipe knob plumbing
+@pytest.mark.slow
 def test_dedup_scope_col_in_recipe(spark):
     """dedup_scope_col='lang': an identical doc in another language is
     NOT near-dup-rejected (and not exact-rejected either — exact dedup

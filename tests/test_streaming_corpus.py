@@ -123,6 +123,10 @@ def test_full_recipe_composition_per_batch(spark, tmp_path):
     assert fps.select("fp").distinct().count() == 3
 
 
+# slow: the incremental near-dup semantics are driver-oracle-gated
+# every round (q_incremental_near_dup) and the streaming index
+# mechanics run in-default via the exact-path and span-gate tests
+@pytest.mark.slow
 def test_cross_batch_near_dup_index(spark, tmp_path):
     """With near_dup_threshold set, a batch doc near-identical (but NOT
     byte-identical) to content admitted in an EARLIER batch is rejected
