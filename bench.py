@@ -63,6 +63,7 @@ BENCH_QUERIES = [
     "q_latest_event",
     "q_gopher_quality",
     "q_pii_redact",
+    "q_pii_cards",
     "q_pack_chunks",
     "q_decontam",
     "q_decontam_spans",

@@ -77,3 +77,57 @@ def pii_redact_sql(id_expr: str, text_expr: str, table: str,
         p = pat.replace("'", "''")
         c = f"regexp_replace({c}, '{p}', '{token}', 'g')"
     return f"SELECT {id_expr}, {c} AS {out_col} FROM {table}"
+
+
+# Candidate payment-card shape: 13-19 digits with optional single
+# space/dash separators. RE2 ∩ Java (no lookaround); validity is decided
+# by the Luhn check below, not the regex.
+CARD_CANDIDATE_RE = r"[0-9](?:[ -]?[0-9]){12,18}"
+
+
+def _luhn_ok(digits):
+    """Luhn checksum as a pure column expression over a digits-only
+    string: reversed digit stream, every second digit doubled (−9 past
+    9), sum ≡ 0 (mod 10). Zero Python — runs inside higher-order
+    lambdas, so one text row validates all its candidates in place."""
+    n = F.length(digits)
+    vals = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.ascii(F.substring(digits, (n - i + 1).cast("int"), 1))
+        - 48)
+    summed = F.aggregate(
+        F.zip_with(vals,
+                   F.sequence(F.lit(1), n),
+                   lambda d, i: F.when(i % 2 == 0,
+                                       F.when(d * 2 > 9, d * 2 - 9)
+                                       .otherwise(d * 2)).otherwise(d)),
+        F.lit(0),
+        lambda acc, x: acc + x)
+    return (n >= 13) & (summed % 10 == 0)
+
+
+def redact_cards(df: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text",
+                 out_col: str = "clean_text") -> DataFrame:
+    """Payment-card redaction with LUHN VALIDATION — the scrub the plain
+    regex patterns above can't do: a 16-digit order id must survive
+    while a real card number (spaced, dashed, or bare) becomes
+    ``[CARD]``. Candidates come from one ``regexp_extract_all``, the
+    Luhn check runs per candidate inside a codegen ``filter`` lambda,
+    and redaction is an ``aggregate`` fold replacing each VALID
+    candidate — still zero Python, scan-speed, shuffle-free.
+
+    Returns ``(id, out_col, n_cards)``."""
+    c = F.col(text_col)
+    cands = F.array_distinct(
+        F.regexp_extract_all(c, F.lit(CARD_CANDIDATE_RE), F.lit(0)))
+    valid = F.filter(
+        cands,
+        lambda s: _luhn_ok(F.regexp_replace(s, "[^0-9]", "")))
+    redacted = F.aggregate(
+        valid, c, lambda acc, s: F.replace(acc, s, F.lit("[CARD]")))
+    return df.select(
+        F.col(id_col),
+        redacted.alias(out_col),
+        F.size(valid).cast("bigint").alias("n_cards"),
+    )

@@ -1237,6 +1237,16 @@ ORDER BY pmi DESC, b.w1, b.w2
 LIMIT 50
 """
 
+# q_pii_cards: the appended literals are the ONLY card-shaped runs in
+# the corpus (verified: zero natural matches at sf0.01), so the oracle
+# is the exact transform — the Luhn gate itself is pinned in pytest.
+EXTRA_ORACLES["q_pii_cards"] = """
+SELECT doc_id,
+       text || ' pay [CARD] or order 4111111111111112 now' AS clean_text,
+       CAST(1 AS BIGINT) AS n_cards
+FROM documents
+"""
+
 # q_readability: identical regex counts — tokens for words, [.!?]+ runs
 # for sentences (floored at 1), [aeiouy]+ runs for syllables.
 EXTRA_ORACLES["q_readability"] = """

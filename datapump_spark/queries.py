@@ -1296,6 +1296,22 @@ def q_decontam_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_contaminated_spans(corpus, bench)
 
 
+def q_pii_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Luhn-gated payment-card redaction (operators/pii.py redact_cards):
+    every doc gets one VALID test card and one checksum-failing 16-digit
+    order id appended; only the valid one may become [CARD]. The corpus
+    holds no natural card-shaped digit runs (checked), so the oracle is
+    the exact string transform."""
+    from datapump_spark.operators.pii import redact_cards
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(F.col("text"),
+                 F.lit(" pay 4111111111111111 or order "
+                       "4111111111111112 now")).alias("text"))
+    return redact_cards(d)
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flesch reading-ease per document (operators/text.py readability):
     vowel-group syllables, [.!?]-run sentences, normalized-token words —
@@ -2079,6 +2095,7 @@ EXTRA_QUERIES = {
     "q_decontam": q_decontam,
     "q_decontam_spans": q_decontam_spans,
     "q_readability": q_readability,
+    "q_pii_cards": q_pii_cards,
     "q_collocations": q_collocations,
     "q_repetition": q_repetition,
     "q_lm_score": q_lm_score,

@@ -63,3 +63,27 @@ def test_readability_hand_computed(spark):
     assert abs(r1.flesch - expect) < 1e-9
     assert out[2].flesch is None and out[2].n_words == 0
     assert out[3].n_sentences == 1          # floored, not zero
+
+
+def test_card_redaction_luhn_gated(spark):
+    """Luhn decides: a valid card (bare/spaced/dashed) redacts, a
+    16-digit order id that fails the checksum survives untouched."""
+    from datapump_spark.operators.pii import redact_cards
+
+    rows = [
+        (1, "pay with 4111111111111111 today"),          # valid visa test
+        (2, "pay with 4111 1111 1111 1111 today"),       # spaced
+        (3, "card 5500-0000-0000-0004 on file"),         # dashed mc test
+        (4, "order 4111111111111112 shipped"),           # Luhn-invalid
+        (5, "short 411111111111 number"),                # 12 digits: no hit
+        (6, "no digits at all here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    out = {r.doc_id: (r.clean_text, r.n_cards)
+           for r in redact_cards(df).collect()}
+    assert out[1] == ("pay with [CARD] today", 1)
+    assert out[2] == ("pay with [CARD] today", 1)
+    assert out[3] == ("card [CARD] on file", 1)
+    assert out[4] == ("order 4111111111111112 shipped", 0)
+    assert out[5] == ("short 411111111111 number", 0)
+    assert out[6] == ("no digits at all here", 0)
