@@ -1648,8 +1648,14 @@ EXTRA_ORACLES["q_expectations"] = " UNION ALL ".join([
 
 EXTRA_ORACLES["q_band_join"] = f"""
 WITH bands(band, lo, hi) AS (VALUES
-  ('nano', 0.0, 1.0), ('micro', 1.0, 10.0), ('small', 10.0, 50.0),
-  ('mid', 50.0, 150.0), ('large', 150.0, 500.0))
+  -- CAST: bare decimal literals type as DECIMAL(4,1) in DuckDB, which the
+  -- driver's normalizer may render unlike Python float (the HUGEINT
+  -- lesson, VERDICT r6) — keep oracle outputs in the standard type set.
+  ('nano', CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE)),
+  ('micro', CAST(1.0 AS DOUBLE), CAST(10.0 AS DOUBLE)),
+  ('small', CAST(10.0 AS DOUBLE), CAST(50.0 AS DOUBLE)),
+  ('mid', CAST(50.0 AS DOUBLE), CAST(150.0 AS DOUBLE)),
+  ('large', CAST(150.0 AS DOUBLE), CAST(500.0 AS DOUBLE)))
 SELECT band, lo, hi, CAST(count(*) AS BIGINT) AS n_events,
        {_DEC_SUM.format(expr='value')} AS sum_value
 FROM events LEFT JOIN bands ON value >= lo AND value < hi
@@ -2399,9 +2405,15 @@ d AS (
          {hash63_sql("'tokmix:' || doc_id::VARCHAR")} AS h
   FROM documents),
 c AS (
+  -- CAST: DuckDB's windowed sum(BIGINT) yields HUGEINT (int128), the only
+  -- nonstandard output type among the gated oracles; the driver's value
+  -- normalizer renders int128 differently from Python int, so the hash
+  -- gate fails even on identical row sets (VERDICT r6 root cause). Keep
+  -- every oracle output in BIGINT/VARCHAR/DOUBLE/BOOLEAN/TIMESTAMP.
   SELECT doc_id, source, n_tok,
-         sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
-                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT)
            AS cum_tok
   FROM d)
 SELECT c.doc_id, c.source, c.n_tok, c.cum_tok
@@ -2930,8 +2942,10 @@ WITH base AS (
 c AS (SELECT d, CAST(count(*) AS BIGINT) AS n FROM base
       WHERE d BETWEEN 1 AND 9 GROUP BY d),
 t AS (SELECT CAST(sum(n) AS DOUBLE) AS tot FROM c),
+-- CAST: the bare literals would type the list DECIMAL, and round(DECIMAL,6)
+-- stays DECIMAL(18,6) — a nonstandard oracle output type (VERDICT r6).
 e AS (SELECT unnest(generate_series(1, 9)) AS d,
-             unnest([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514]) AS ef)
+             unnest(CAST([0.3010299956639812, 0.17609125905568124, 0.12493873660829992, 0.09691001300805642, 0.07918124604762482, 0.06694678963061322, 0.05799194697768673, 0.05115252244738129, 0.04575749056067514] AS DOUBLE[])) AS ef)
 SELECT c.d AS digit, c.n,
        round(c.n / t.tot, 6) AS obs_freq,
        round(e.ef, 6) AS exp_freq,
@@ -3132,4 +3146,12 @@ for _k in ("q_frame_sample", "q_resample_weekly"):
 for _k in ("q_span_dedup", "q_main_content"):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_dupe_count", "q_explode_tokens"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Round-7 rotation (see queries.DRIVER_PROMOTED_R7): SURVEY §2 keys are
+# tenured back into the driver record (queries.SURVEY_S2_TENURED); the
+# demoted twins keep the identical SQL gate in pytest.
+for _k in ("q_dedupe_last", "q_dupe_count"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_set_ops", "q_histogram"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -54,10 +54,32 @@ def test_driver_registry_capped_at_50():
 _SLOW_EXTRA = {
     "q_canonical_docs", "q_sparse_sim", "q_fuzzy_pairs", "q_pagerank",
     "q_incremental_near_dup",
-    # round-6 additions: gated per-round by scripts/check_oracle.py and
-    # (bloom) by test_bloom's equals-exact-path pin
-    "q_bloom_dedup", "q_image_decode",
 }
+
+
+# Types DuckDB may emit from an oracle. HUGEINT and DECIMAL are banned:
+# the driver's value normalizer renders int128/Decimal differently from
+# the Python int/float the Spark side produces, so rows/schema pass and
+# the value hash fails with no locally visible symptom (the
+# q_token_budget_mix round-6 incident). INTEGER/DATE/arrays are proven
+# safe — gated queries shipped them green for six rounds.
+_BANNED_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+def test_oracle_result_types_are_driver_safe(duck):
+    import __spark_entry__ as entry
+
+    offenders = []
+    for name, sql in {**entry.oracle_sql(), **EXTRA_ORACLES}.items():
+        rel = duck.sql(f"SELECT * FROM ({sql}) LIMIT 0")
+        for col, typ in zip(rel.columns, rel.types):
+            t = str(typ)
+            if any(t.startswith(b) for b in _BANNED_ORACLE_TYPES):
+                offenders.append(f"{name}.{col}: {t}")
+    assert not offenders, (
+        "oracle outputs must avoid HUGEINT/DECIMAL (driver hash-gate "
+        "normalization differs from the local checker): "
+        + "; ".join(offenders))
 
 
 @pytest.mark.parametrize("name", [
