@@ -169,7 +169,13 @@ def bloom_incremental_dedup(
              F.first("bloom_maybe").alias("bloom_maybe"))
         .select("fp", "bloom_maybe", "__row.*")
     )
-    novel = firsts.where(~F.col("bloom_maybe")).drop("bloom_maybe")
-    maybe = (firsts.where(F.col("bloom_maybe")).drop("bloom_maybe")
+    # Null-text rows have a null fp, so bloom_maybe is null (three-valued
+    # probe above) and would fail BOTH filters — silently dropping rows
+    # the exact path keeps. Route null verdicts through the anti-join
+    # side: a null fp never equi-matches the index, so the left_anti
+    # keeps it, exactly like incremental_dedup.
+    verdict = F.coalesce(F.col("bloom_maybe"), F.lit(True))
+    novel = firsts.where(~verdict).drop("bloom_maybe")
+    maybe = (firsts.where(verdict).drop("bloom_maybe")
              .join(corpus_fps.select("fp"), "fp", "left_anti"))
     return novel.unionByName(maybe)

@@ -75,8 +75,14 @@ def _l2_normalized(df: DataFrame, id_col: str, vec_col: str,
     # Catalyst hoist the O(dim) norm fold into a once-per-row
     # _common_expr — a bare `x / nrm` re-evaluates the fold per ELEMENT
     # (O(dim²) per row; both measured on q_pq_topk, PERF.md round 6).
+    # forall(isNotNull): array_min/array_max IGNORE null elements, so a
+    # vector like [null, 3.0] would pass the min/max test, get a null
+    # norm, and emerge all-null — the exact degenerate input this filter
+    # exists to drop. Keep the predicate on the raw column (see PERF note
+    # above).
     base = (df
             .where(F.col(vec_col).isNotNull()
+                   & F.forall(vec_col, lambda x: x.isNotNull())
                    & ((F.array_min(vec_col) != 0.0)
                       | (F.array_max(vec_col) != 0.0)))
             .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")))

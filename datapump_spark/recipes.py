@@ -293,6 +293,7 @@ def rag_index(
     _write_manifest(workdir, {
         "chunk_tokens": chunk_tokens, "overlap": overlap, "dim": dim,
         "pq_m": pq_m, "pq_k": pq_k, "lloyd_iters": lloyd_iters,
+        "gen": 0,
         "baseline_mse": pq_reconstruction_mse(
             emb, cb, id_col="chunk_key", vec_col="embedding"),
     })
@@ -316,6 +317,26 @@ def _read_manifest(workdir: str) -> dict:
     return json.loads((Path(workdir) / "manifest.json").read_text())
 
 
+def _index_paths(workdir: str, man: dict) -> dict:
+    """Resolve the index stores for the manifest's active generation.
+
+    ``chunks``/``vectors`` are append-only and generation-free; the
+    codebooks+codes PAIR must never be read mixed, so a retrain writes
+    both under a NEW generation suffix and the atomic manifest swap
+    (``_write_manifest`` tmp+replace) is the single commit point — a
+    reader that resolves paths through one manifest snapshot sees either
+    the old complete pair or the new complete pair, never a hybrid.
+    """
+    gen = man.get("gen", 0)
+    suffix = "" if gen == 0 else f"_g{gen}"
+    return {
+        "chunks": f"{workdir}/chunks",
+        "vectors": f"{workdir}/vectors",
+        "codes": f"{workdir}/codes{suffix}",
+        "codebooks": f"{workdir}/codebooks{suffix}.json",
+    }
+
+
 def rag_index_append(
     new_docs: DataFrame,
     workdir: str,
@@ -334,9 +355,13 @@ def rag_index_append(
     ``drift_retrain_factor × baseline`` the codebooks no longer fit the
     distribution the corpus has drifted to, so the index retrains — from
     the persisted full-precision VECTOR store (old + new), still never
-    touching admitted text — and re-encodes every code row. Searches see
-    either the old complete index or the new complete index (codes are
-    overwritten last, after the new codebooks are saved).
+    touching admitted text — and re-encodes every code row. The new
+    codebooks+codes pair lands under a fresh generation suffix and the
+    atomic manifest swap is the single commit point, so a search that
+    resolves paths through one manifest snapshot (``_index_paths``) sees
+    either the old complete pair or the new complete pair, never new
+    codebooks with old codes; the superseded generation stays on disk
+    for in-flight readers (drop it once they drain).
 
     At 100 TB: the steady-state append is one pass over the new batch
     (chunk → embed → encode, no shuffle wider than the batch) plus
@@ -357,8 +382,8 @@ def rag_index_append(
 
     spark = new_docs.sparkSession
     man = _read_manifest(workdir)
-    cb = load_model(f"{workdir}/codebooks.json")
-    paths = {k: f"{workdir}/{k}" for k in ("chunks", "vectors", "codes")}
+    paths = _index_paths(workdir, man)
+    cb = load_model(paths["codebooks"])
 
     chunks = chunk_documents(new_docs, id_col, text_col,
                              chunk_tokens=man["chunk_tokens"],
@@ -400,14 +425,19 @@ def rag_index_append(
             .write.mode("append").parquet(paths["codes"])
     else:
         # drift: retrain on the full persisted vector store (old + the
-        # rows just appended), re-encode everything, refresh the baseline
+        # rows just appended), re-encode everything under a NEW
+        # generation, then commit by swapping the manifest atomically —
+        # readers resolving through _index_paths never pair new
+        # codebooks with old codes (or vice versa).
         all_vecs = spark.read.parquet(paths["vectors"])
         cb = train_pq(all_vecs, id_col="chunk_key", vec_col="embedding",
                       m=man["pq_m"], k=man["pq_k"],
                       lloyd_iters=man["lloyd_iters"], dim=man["dim"])
-        save_model(cb, f"{workdir}/codebooks.json")
+        man["gen"] = man.get("gen", 0) + 1
+        new_paths = _index_paths(workdir, man)
+        save_model(cb, new_paths["codebooks"])
         pq_encode(all_vecs, cb, id_col="chunk_key", vec_col="embedding") \
-            .write.mode("overwrite").parquet(paths["codes"])
+            .write.mode("overwrite").parquet(new_paths["codes"])
         man["baseline_mse"] = pq_reconstruction_mse(
             all_vecs, cb, id_col="chunk_key", vec_col="embedding")
         _write_manifest(workdir, man)
@@ -434,9 +464,13 @@ def rag_search(
     from datapump_spark.operators.embeddings import hash_embed
     from datapump_spark.operators.pq import pq_topk
 
-    cb = load_model(f"{workdir}/codebooks.json")
-    vectors = spark.read.parquet(f"{workdir}/vectors")
-    codes = spark.read.parquet(f"{workdir}/codes")
+    # One manifest snapshot resolves the codebooks+codes pair — the
+    # atomic manifest swap in rag_index_append's retrain branch makes
+    # this read see a complete generation, never a mixed pair.
+    paths = _index_paths(workdir, _read_manifest(workdir))
+    cb = load_model(paths["codebooks"])
+    vectors = spark.read.parquet(paths["vectors"])
+    codes = spark.read.parquet(paths["codes"])
     qdf = hash_embed(
         spark.createDataFrame(queries, "chunk_key long, chunk_text string"),
         id_col="chunk_key", text_col="chunk_text", dim=dim)
@@ -565,23 +599,30 @@ def curation_funnel(
     one row per source with ``n_in``, one column per reject reason,
     ``n_clean`` and ``survival_rate`` (6-dp). Reasons are pivoted against
     the CLOSED reason set (`REJECT_REASONS`), so the schema is stable no
-    matter which gates were enabled. Two aggregations + one broadcast-able
-    join on the source key; never touches text."""
+    matter which gates were enabled. ``n_clean`` is COUNTED from the
+    clean stream (not derived as n_in − rejects): a weighted recipe
+    downsamples the clean stream without emitting reject rows, so the
+    arithmetic would overstate survival. Three aggregations + two
+    broadcast-able joins on the source key; never touches text."""
     per_src = docs.groupBy(source_col).agg(F.count("*").alias("n_in"))
     rej = (streams["rejected"]
            .join(docs.select(id_col, source_col), id_col)
            .groupBy(source_col)
            .pivot("reject_reason", list(REJECT_REASONS))
            .count())
-    out = per_src.join(rej, source_col, "left")
+    clean = (streams["clean"].select(id_col)
+             .join(docs.select(id_col, source_col), id_col)
+             .groupBy(source_col)
+             .agg(F.count("*").alias("__n_clean")))
+    out = per_src.join(rej, source_col, "left").join(clean, source_col,
+                                                     "left")
     reasons = [F.coalesce(F.col(r), F.lit(0)).cast("bigint").alias(r)
                for r in REJECT_REASONS]
-    n_rej = sum(F.coalesce(F.col(r), F.lit(0)) for r in REJECT_REASONS)
+    n_clean = F.coalesce(F.col("__n_clean"), F.lit(0))
     return out.select(
         source_col, F.col("n_in").cast("bigint").alias("n_in"), *reasons,
-        (F.col("n_in") - n_rej).cast("bigint").alias("n_clean"),
-        F.round((F.col("n_in") - n_rej) / F.col("n_in"), 6)
-        .alias("survival_rate"),
+        n_clean.cast("bigint").alias("n_clean"),
+        F.round(n_clean / F.col("n_in"), 6).alias("survival_rate"),
     )
 
 

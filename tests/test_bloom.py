@@ -94,6 +94,30 @@ def test_bloom_dedup_equals_exact_path(spark):
     assert len(exact) > 0
 
 
+def test_bloom_dedup_keeps_null_text_rows(spark):
+    """A null text fingerprints to null, so the bloom probe is null
+    (three-valued); null verdicts must route through the anti-join side
+    and survive — identical to the exact path, which keeps one null-fp
+    winner per batch."""
+    from datapump_spark.operators.incremental import (
+        fingerprints,
+        incremental_dedup,
+    )
+
+    batch = spark.createDataFrame(
+        [(1, "alpha"), (2, None), (3, None), (4, "beta")],
+        "doc_id bigint, text string")
+    corpus = spark.createDataFrame([(99, "beta")],
+                                   "doc_id bigint, text string")
+    fps = fingerprints(corpus)
+    exact = sorted(r["doc_id"] for r in
+                   incremental_dedup(batch, fps).collect())
+    bloomed = sorted(r["doc_id"] for r in
+                     bloom_incremental_dedup(batch, fps).collect())
+    assert bloomed == exact
+    assert 2 in bloomed  # the null-text winner survives
+
+
 @pytest.mark.slow
 def test_bloom_dedup_high_fpp_still_exact(spark):
     """Even a deliberately lousy filter (fpp=0.5 — most rows take the

@@ -62,14 +62,18 @@ def test_degenerate_vectors_dropped_not_crashing(spark, emb, codebooks):
     dropped at normalization, not turned into all-null arrays that crash
     the numpy encode kernel and fail the whole job (old behavior)."""
     dim = len(emb.first()["embedding"])
+    # 900003: a null ELEMENT — array_min/array_max ignore nulls, so only
+    # the forall(isNotNull) guard catches it before it becomes an
+    # all-null array out of the nullif division (round-6 regression).
     bad = spark.createDataFrame(
-        [(900001, [0.0] * dim), (900002, None)],
+        [(900001, [0.0] * dim), (900002, None),
+         (900003, [None] + [3.0] * (dim - 1))],
         "vec_id long, embedding array<double>")
     poisoned = emb.select("vec_id", "embedding").unionByName(bad)
     codes = pq_encode(poisoned, codebooks).collect()
-    assert len(codes) == emb.count()          # both degenerate rows dropped
+    assert len(codes) == emb.count()          # all degenerate rows dropped
     ids = {r["id"] for r in codes}
-    assert 900001 not in ids and 900002 not in ids
+    assert not ids & {900001, 900002, 900003}
     # end-to-end search over the poisoned corpus still completes
     out = pq_topk(poisoned, codebooks, k=5,
                   queries=poisoned.where(

@@ -215,7 +215,11 @@ def test_rag_index_append_drift_retrains(spark, tmp_path):
     persisted VECTOR store (text never re-read), all codes re-encode,
     and search over the merged index still self-retrieves."""
     from datapump_spark.functions.model_io import load_model
-    from datapump_spark.recipes import _read_manifest, rag_index_append
+    from datapump_spark.recipes import (
+        _index_paths,
+        _read_manifest,
+        rag_index_append,
+    )
 
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").limit(30)
     work = str(tmp_path / "drift")
@@ -231,10 +235,19 @@ def test_rag_index_append_drift_retrains(spark, tmp_path):
     out = rag_index_append(shifted, work, drift_retrain_factor=1.05)
     assert out["retrained"]
     assert out["batch_mse"] > 1.05 * base_before
-    cb_after = load_model(f"{work}/codebooks.json")
+    # the retrain committed a NEW generation via the atomic manifest
+    # swap: the active codebooks differ, the superseded gen-0 pair is
+    # left intact for in-flight readers
+    man = _read_manifest(work)
+    assert man["gen"] == 1
+    paths = _index_paths(work, man)
+    assert paths["codebooks"].endswith("codebooks_g1.json")
+    cb_after = load_model(paths["codebooks"])
     assert (cb_after != cb_before).any(), "retrain must move the codebooks"
+    cb_old = load_model(f"{work}/codebooks.json")
+    assert (cb_old == cb_before).all(), "old generation must stay intact"
     # codes were re-encoded for the WHOLE corpus under the new codebooks
-    assert (spark.read.parquet(f"{work}/codes").count()
+    assert (spark.read.parquet(paths["codes"]).count()
             == spark.read.parquet(f"{work}/vectors").count())
     # merged index still self-retrieves a shifted doc's chunk
     probe = (spark.read.parquet(f"{work}/chunks")

@@ -311,6 +311,27 @@ def test_curation_funnel(spark):
     assert abs(code["survival_rate"] - round(code["n_clean"] / 6, 6)) < 1e-12
 
 
+def test_curation_funnel_counts_weighted_clean_stream(spark):
+    """With recipe.weights set, weighted_mix downsamples the clean stream
+    WITHOUT emitting reject rows — n_clean must count the actual stream,
+    not be derived as n_in − rejects (which would overstate survival)."""
+    from datapump_spark.recipes import curation_funnel
+
+    base = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree and sings a morning song")
+    rows = [(i, f"{base} w{i}a w{i}b", "web") for i in range(40)]
+    docs = spark.createDataFrame(
+        rows, "doc_id bigint, text string, source string")
+    out = pretrain_corpus(docs, None,
+                          CorpusRecipe(min_words=10, dedup_threshold=0.95,
+                                       weights={"web": 0.5}))
+    n_clean_actual = out["clean"].count()
+    assert n_clean_actual < 40, "weights must downsample the clean stream"
+    row = curation_funnel(docs, out).collect()[0]
+    assert row["n_clean"] == n_clean_actual
+    assert row["survival_rate"] == round(n_clean_actual / 40, 6)
+
+
 def test_contrastive_triples(spark):
     """Positives are near-dup pairs, negatives come from the ANN ranking
     minus the positives, and a triple never pairs an anchor with its own
