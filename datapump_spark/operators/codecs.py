@@ -40,7 +40,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Payload is a recognized container but outside decode scope
-    (e.g. 16-bit PNG, interlaced PNG, RLE BMP, ADPCM WAV, any JPEG)."""
+    (e.g. 16-bit PNG, interlaced PNG, RLE BMP, ADPCM WAV,
+    progressive/arithmetic JPEG)."""
 
 
 # ---------------------------------------------------------------------------
@@ -271,15 +272,19 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PNG/BMP decode for real; JPEG, GIF, WebP
-    raise UnsupportedMediaError (their coders need real codec libraries —
-    the honest stub boundary)."""
+    """Dispatch on magic bytes: PNG/BMP/baseline-JPEG decode for real
+    (see :mod:`operators.jpeg` for the JPEG scope — progressive and
+    arithmetic streams still raise); GIF and WebP raise
+    UnsupportedMediaError (their coders need real codec libraries — the
+    honest stub boundary)."""
     if b[:8] == PNG_SIG:
         return decode_png(b)
     if b[:2] == b"BM":
         return decode_bmp(b)
     if b[:3] == b"\xff\xd8\xff":
-        raise UnsupportedMediaError("JPEG decode requires a codec library")
+        from datapump_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
         raise UnsupportedMediaError("GIF decode requires a codec library")
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":

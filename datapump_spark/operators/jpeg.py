@@ -1,0 +1,586 @@
+"""Baseline JPEG (ITU-T T.81) encode/decode in pure Python + numpy.
+
+Closes the biggest real-corpus multimodal gap (a crawl's images are
+mostly JPEG): ``decode_jpeg`` handles baseline sequential DCT streams —
+8-bit samples, Huffman entropy coding, 1 or 3 components, any sampling
+factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Everything
+outside that scope (progressive SOF2, arithmetic coding, 12-bit, 4-comp
+CMYK) raises ``UnsupportedMediaError`` — the same honest seam as the
+PNG/BMP/WAV codecs in :mod:`operators.codecs`.
+
+``encode_jpeg`` emits baseline 4:4:4 or 4:2:0 streams with the standard
+Annex K quantization/Huffman tables (quality-scaled per the common IJG
+formula) — used by the fixture builders and round-trip tests, and it
+makes the sink side of a media pipeline real.
+
+All constants are from the published JPEG standard (ITU-T T.81 Annex K);
+the DCT is the orthonormal 8×8 DCT-II matrix (F = C·B·Cᵀ), numerically
+identical to the standard's FDCT/IDCT definition.
+
+Reference parity note: the reference (datapump.py) has no multimodal
+surface at all (requirements.txt:1-9); this extends the engine for
+training-data pipelines per the build charter.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+
+# --------------------------------------------------------------------------
+# Standard tables (ITU-T T.81 Annex K)
+# --------------------------------------------------------------------------
+
+QUANT_LUM = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], dtype=np.int32).reshape(8, 8)
+
+QUANT_CHROM = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], dtype=np.int32).reshape(8, 8)
+
+# zigzag position -> row-major index
+ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+UNZIGZAG = np.argsort(ZIGZAG)
+
+DC_LUM_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_LUM_VALS = list(range(12))
+DC_CHROM_BITS = [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
+DC_CHROM_VALS = list(range(12))
+AC_LUM_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_LUM_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+AC_CHROM_BITS = [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77]
+AC_CHROM_VALS = [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+    0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+    0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+    0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+    0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA]
+
+# orthonormal 8x8 DCT-II matrix: forward F = C @ B @ C.T, inverse C.T @ F @ C
+_k = np.arange(8).reshape(8, 1)
+_n = np.arange(8).reshape(1, 8)
+DCT_M = np.cos((2 * _n + 1) * _k * np.pi / 16) * np.where(_k == 0, np.sqrt(1 / 8), 0.5)
+
+
+def _quality_tables(quality: int) -> tuple[np.ndarray, np.ndarray]:
+    """IJG quality scaling: 50 = the Annex K tables verbatim."""
+    q = min(100, max(1, int(quality)))
+    scale = 5000 // q if q < 50 else 200 - 2 * q
+    out = []
+    for base in (QUANT_LUM, QUANT_CHROM):
+        t = (base * scale + 50) // 100
+        out.append(np.clip(t, 1, 255).astype(np.int32))
+    return out[0], out[1]
+
+
+def _build_code_table(bits, vals):
+    """Canonical Huffman: symbol -> (code, length)."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[vals[i]] = (code, length)
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+def _build_decode_table(bits, vals):
+    """(length, code) -> symbol."""
+    table, code, i = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[i]
+            code += 1
+            i += 1
+        code <<= 1
+    return table
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:          # byte stuffing
+                self.out.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)   # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    """Reads the entropy-coded segment with 0xFF00 unstuffing inline."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:
+                raise _RestartMarker(nxt)
+            else:
+                # scan ran dry (EOI/next segment): spec padding is 1-bits
+                self.acc = (self.acc << 8) | 0xFF
+                self.nbits += 8
+                return
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read_bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        return (self.acc >> self.nbits) & 1
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume the RST marker."""
+        self.acc, self.nbits = 0, 0
+        while self.data[self.pos] != 0xFF or not (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7):
+            self.pos += 1
+        self.pos += 2
+
+    def decode_symbol(self, table) -> int:
+        code, length = 0, 0
+        while True:
+            code = (code << 1) | self.read_bit()
+            length += 1
+            if length > 16:
+                raise ValueError("invalid Huffman stream")
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+
+
+class _RestartMarker(Exception):
+    def __init__(self, marker):
+        self.marker = marker
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value -> (size, code bits) per T.81 F.1.2.1."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    bits = v if v > 0 else v + (1 << size) - 1
+    return size, bits
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    if bits < (1 << (size - 1)):
+        return bits - (1 << size) + 1
+    return bits
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+def _fdct_quant(plane: np.ndarray, qtab: np.ndarray) -> np.ndarray:
+    """(H, W) float plane (level-shifted) -> (H/8, W/8, 64) quantized
+    coefficients in zigzag order. Vectorized over all blocks."""
+    h, w = plane.shape
+    blocks = plane.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3)
+    coefs = np.einsum("ij,abjk,lk->abil", DCT_M, blocks, DCT_M)
+    q = np.round(coefs / qtab).astype(np.int32)
+    return q.reshape(h // 8, w // 8, 64)[:, :, ZIGZAG]
+
+
+def _encode_block(bw: _BitWriter, zz: np.ndarray, pred: int,
+                  dc_tab, ac_tab) -> int:
+    size, bits = _magnitude(int(zz[0]) - pred)
+    code, length = dc_tab[size]
+    bw.write(code, length)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, length = ac_tab[0xF0]          # ZRL
+            bw.write(code, length)
+            run -= 16
+        size, bits = _magnitude(v)
+        code, length = ac_tab[(run << 4) | size]
+        bw.write(code, length)
+        bw.write(bits, size)
+        run = 0
+    if last < 63:
+        code, length = ac_tab[0x00]              # EOB
+        bw.write(code, length)
+    return int(zz[0])
+
+
+def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    """Edge-replicate to multiples of (mh, mw)."""
+    h, w = plane.shape
+    ph = (-h) % mh
+    pw = (-w) % mw
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    return plane
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 to a
+    baseline JFIF stream. ``subsampling``: '444' or '420' (2×2 chroma).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what web encoders do for error resilience)."""
+    if img.ndim == 3 and img.shape[2] == 1:
+        img = img[:, :, 0]
+    gray = img.ndim == 2
+    if subsampling not in ("444", "420"):
+        raise ValueError(f"unsupported subsampling {subsampling!r}")
+    h, w = img.shape[:2]
+    qlum, qchrom = _quality_tables(quality)
+    qlum_b, qchrom_b = qlum.reshape(64)[ZIGZAG], qchrom.reshape(64)[ZIGZAG]
+
+    f = img.astype(np.float64)
+    if gray:
+        comps = [(f - 128.0, qlum, 1, 1)]
+    else:
+        r, g, b = f[:, :, 0], f[:, :, 1], f[:, :, 2]
+        y = 0.299 * r + 0.587 * g + 0.114 * b
+        cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+        cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+        if subsampling == "420":
+            cbp = _pad_to(cb, 2, 2)
+            crp = _pad_to(cr, 2, 2)
+            cb = (cbp.reshape(cbp.shape[0] // 2, 2, -1, 2)
+                  .mean(axis=(1, 3)))
+            cr = (crp.reshape(crp.shape[0] // 2, 2, -1, 2)
+                  .mean(axis=(1, 3)))
+            comps = [(y - 128.0, qlum, 2, 2), (cb - 128.0, qchrom, 1, 1),
+                     (cr - 128.0, qchrom, 1, 1)]
+        else:
+            comps = [(y - 128.0, qlum, 1, 1), (cb - 128.0, qchrom, 1, 1),
+                     (cr - 128.0, qchrom, 1, 1)]
+
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
+    coef = []
+    for plane, qtab, ch, cv in comps:
+        # edge-pad so every component tiles the same MCU grid exactly
+        target_h = -(-h // (8 * vmax)) * 8 * cv
+        target_w = -(-w // (8 * hmax)) * 8 * ch
+        ph, pw = plane.shape
+        p = np.pad(plane, ((0, target_h - ph), (0, target_w - pw)),
+                   mode="edge")
+        coef.append(_fdct_quant(p, qtab))
+
+    dc_lum = _build_code_table(DC_LUM_BITS, DC_LUM_VALS)
+    ac_lum = _build_code_table(AC_LUM_BITS, AC_LUM_VALS)
+    dc_chrom = _build_code_table(DC_CHROM_BITS, DC_CHROM_VALS)
+    ac_chrom = _build_code_table(AC_CHROM_BITS, AC_CHROM_VALS)
+
+    bw = _BitWriter()
+    preds = [0] * len(comps)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+    scan_parts: list[bytes] = []
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                scan_parts.append(bw.flush())
+                scan_parts.append(
+                    bytes([0xFF, 0xD0 + (mcu_count // restart_interval - 1) % 8]))
+                bw = _BitWriter()
+                preds = [0] * len(comps)
+            for ci, (_, _, ch, cv) in enumerate(comps):
+                dct, act = ((dc_lum, ac_lum) if ci == 0
+                            else (dc_chrom, ac_chrom))
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = coef[ci][my * cv + by, mx * ch + bx]
+                        preds[ci] = _encode_block(bw, zz, preds[ci],
+                                                  dct, act)
+            mcu_count += 1
+    scan_parts.append(bw.flush())
+    scan = b"".join(scan_parts)
+
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)                          # APP0
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(x) for x in qlum_b)                                     # DQT 0
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(
+            int(x) for x in qchrom_b)                               # DQT 1
+    ncomp = 1 if gray else 3
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (_, _, ch, cv) in enumerate(comps):
+        sof += struct.pack("BBB", ci + 1, (ch << 4) | cv,
+                           0 if ci == 0 else 1)
+    out += b"\xff\xc0" + sof                                        # SOF0
+    for tc, th, bits, vals in (
+            (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+            (1, 0, AC_LUM_BITS, AC_LUM_VALS),
+            *(() if gray else (
+                (0, 1, DC_CHROM_BITS, DC_CHROM_VALS),
+                (1, 1, AC_CHROM_BITS, AC_CHROM_VALS)))):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)                            # DHT
+    sos = struct.pack(">HB", 6 + 2 * ncomp, ncomp)
+    for ci in range(ncomp):
+        td_ta = 0 if ci == 0 else 0x11
+        sos += struct.pack("BB", ci + 1, td_ta)
+    sos += b"\x00\x3f\x00"
+    out += b"\xff\xda" + sos + scan + b"\xff\xd9"                   # SOS+EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """Decode a baseline JPEG to (h, w, 3) RGB or (h, w, 1) grayscale
+    uint8. Progressive/arithmetic/12-bit raise UnsupportedMediaError."""
+    if b[:3] != b"\xff\xd8\xff":
+        raise ValueError("not a JPEG")
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart_interval = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2
+            continue
+        if marker == 0xD9:
+            break
+        seglen = struct.unpack(">H", b[i + 2:i + 4])[0]
+        seg = b[i + 4:i + 2 + seglen]
+        if marker == 0xDB:                        # DQT
+            j = 0
+            while j < len(seg):
+                pq, tq = seg[j] >> 4, seg[j] & 0x0F
+                j += 1
+                if pq:                             # 16-bit precision
+                    t = np.frombuffer(seg[j:j + 128], ">u2").astype(np.int32)
+                    j += 128
+                else:
+                    t = np.frombuffer(seg[j:j + 64], np.uint8).astype(np.int32)
+                    j += 64
+                full = np.zeros(64, np.int32)
+                full[ZIGZAG] = t
+                qtabs[tq] = full.reshape(8, 8)
+        elif marker == 0xC4:                      # DHT
+            j = 0
+            while j < len(seg):
+                tc, th = seg[j] >> 4, seg[j] & 0x0F
+                bits = list(seg[j + 1:j + 17])
+                n = sum(bits)
+                vals = list(seg[j + 17:j + 17 + n])
+                htabs[(tc, th)] = _build_decode_table(bits, vals)
+                j += 17 + n
+        elif marker in (0xC0, 0xC1):              # SOF0/SOF1 (baseline/ext seq)
+            precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
+            if precision != 8:
+                raise UnsupportedMediaError(f"{precision}-bit JPEG")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c:9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
+                              "tq": tq})
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise UnsupportedMediaError(
+                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:                      # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif marker == 0xDA:                      # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            return _decode_scan(b, i + 2 + seglen, frame, scan_sel,
+                                qtabs, htabs, restart_interval)
+        i += 2 + seglen
+    raise ValueError("no scan data in JPEG")
+
+
+def _decode_scan(b, pos, frame, scan_sel, qtabs, htabs, restart_interval):
+    fh, fw, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise UnsupportedMediaError(
+            f"sampling factors {hmax}x{vmax} beyond 2x2")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    order = []
+    for cs, td, ta in scan_sel:
+        c = by_id[cs]
+        order.append((c, htabs[(0, td)], htabs[(1, ta)]))
+    planes = {c["id"]: np.zeros(
+        (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32) for c in comps}
+
+    br = _BitReader(b, pos)
+    preds = {c["id"]: 0 for c in comps}
+    mcu_count = 0
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            if restart_interval and mcu_count and \
+                    mcu_count % restart_interval == 0:
+                br.sync_restart()
+                preds = {k: 0 for k in preds}
+            try:
+                for c, dct, act in order:
+                    for by in range(c["v"]):
+                        for bx in range(c["h"]):
+                            zz = _decode_block(br, dct, act, preds, c["id"])
+                            planes[c["id"]][my * c["v"] + by,
+                                            mx * c["h"] + bx] = zz
+            except _RestartMarker:
+                # tolerate encoders that place RST without DRI bookkeeping
+                br.sync_restart()
+                preds = {k: 0 for k in preds}
+            mcu_count += 1
+
+    out_planes = []
+    for c in comps:
+        zzp = planes[c["id"]]
+        q = qtabs[c["tq"]]
+        bh, bw_ = zzp.shape[:2]
+        coefs = zzp[:, :, UNZIGZAG].reshape(bh, bw_, 8, 8).astype(np.float64)
+        coefs *= q
+        blocks = np.einsum("ji,abjk,kl->abil", DCT_M, coefs, DCT_M)
+        plane = blocks.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8) + 128.0
+        # upsample to full resolution by replication
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = np.repeat(np.repeat(plane, ry, axis=0), rx, axis=1)
+        out_planes.append(plane[:fh, :fw])
+
+    if len(out_planes) == 1:
+        y = np.clip(np.round(out_planes[0]), 0, 255).astype(np.uint8)
+        return y[:, :, None]
+    if len(out_planes) != 3:
+        raise UnsupportedMediaError(
+            f"{len(out_planes)}-component JPEG (CMYK?)")
+    y, cb, cr = out_planes
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    bl = y + 1.772 * (cb - 128.0)
+    rgb = np.stack([r, g, bl], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+def _decode_block(br, dc_tab, ac_tab, preds, cid):
+    zz = np.zeros(64, np.int32)
+    size = br.decode_symbol(dc_tab)
+    diff = _extend(br.read_bits(size), size) if size else 0
+    preds[cid] += diff
+    zz[0] = preds[cid]
+    k = 1
+    while k < 64:
+        rs = br.decode_symbol(ac_tab)
+        run, size = rs >> 4, rs & 0x0F
+        if size == 0:
+            if run == 15:                    # ZRL
+                k += 16
+                continue
+            break                            # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(br.read_bits(size), size)
+        k += 1
+    return zz

@@ -6,14 +6,15 @@ use. Heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` over the binary column:
 one Python worker per partition, vectorized batches, no per-row pickling.
 
-Codec status: PNG, BMP, and PCM WAV decode FOR REAL via the pure-stdlib
-codecs in ``operators.codecs`` (zlib inflate + scanline unfilter, BI_RGB
-pixel walk, RIFF chunk walk) — ``fake=False`` runs them end-to-end.
-JPEG, GIF, WebP, and video remain honestly stubbed (their entropy coders
-need codec libraries this container lacks): the real path raises
-``UnsupportedMediaError`` on them, or nulls them out under
-``on_error='null'``. ``fake=True`` keeps the deterministic md5-derived
-stand-in features so plumbing tests need no real payloads.
+Codec status: PNG, BMP, PCM WAV, and baseline JPEG decode FOR REAL via
+the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
+(zlib inflate + scanline unfilter, BI_RGB pixel walk, RIFF chunk walk,
+Huffman + IDCT baseline JPEG) — ``fake=False`` runs them end-to-end.
+Progressive/arithmetic JPEG, GIF, WebP, and video remain honestly
+stubbed: the real path raises ``UnsupportedMediaError`` on them, or
+nulls them out under ``on_error='null'``. ``fake=True`` keeps the
+deterministic md5-derived stand-in features so plumbing tests need no
+real payloads.
 
 Scale notes: binary payloads dominate partition size — pipelines should
 set spark.sql.files.maxPartitionBytes down (or store media separately,
@@ -68,7 +69,8 @@ def _real_features(payload: bytes) -> list[float]:
     Audio (PCM WAV): [n_frames, channels, sample_rate, duration_ms, rms,
     peak, zero_crossing_rate, 0].
     Raises operators.codecs.UnsupportedMediaError on formats outside the
-    stdlib-decodable set (JPEG/GIF/WebP/video) — the honest codec seam.
+    decodable set (progressive JPEG/GIF/WebP/video) — the honest codec
+    seam.
     """
     import numpy as np
 

@@ -2975,6 +2975,23 @@ WHERE doc_id % 5 = 0
 """
 
 
+# q_jpeg_decode: the same recompute-from-arithmetic oracle over the
+# baseline-JPEG path. The Spark side must Huffman-decode + IDCT bytes it
+# encoded itself; solid grayscale at quality 95 round-trips exactly
+# (DC quantizer 2 → reconstruction error < 0.5; pinned in test_jpeg),
+# so the lossy codec still faces an exact value hash. CASTs keep the
+# output in the standard oracle type set.
+EXTRA_ORACLES["q_jpeg_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(8 + doc_id % 11 AS BIGINT) AS width,
+       CAST(8 + doc_id % 5 AS BIGINT) AS height,
+       CAST(1 AS BIGINT) AS channels,
+       CAST(doc_id % 256 AS DOUBLE) AS mean_px
+FROM documents
+WHERE doc_id % 7 = 0
+"""
+
+
 # q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
 # is a pruning structure with no false negatives, so the engine output
 # must equal the plain anti-join's exactly. A build/probe hash mismatch

@@ -1120,6 +1120,49 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG decode gate — the q_image_decode pattern over
+    the Huffman+IDCT path (operators/jpeg.py). One solid GRAYSCALE
+    JPEG per sampled document, encoded at quality 95 and decoded back
+    through the real feature kernel. Solid grayscale at q95 round-trips
+    EXACTLY (all AC coefficients are zero and the DC quantizer is 2, so
+    the reconstruction error is < 0.5 for every level — pinned for all
+    256 values in test_jpeg), which is what lets a lossy codec face an
+    exact SQL oracle: DuckDB recomputes dims and means from the doc_id
+    arithmetic alone and the value hash must match."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.jpeg import encode_jpeg
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def jpg(doc_id: int) -> bytes:
+                w, h = 8 + doc_id % 11, 8 + doc_id % 5
+                img = np.full((h, w), doc_id % 256, np.uint8)
+                return encode_jpeg(img, quality=95)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(jpg)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup (operators/multimodal.py
     image_near_dup): one textured PNG per sampled document, built so
@@ -2131,6 +2174,7 @@ EXTRA_QUERIES = {
     "q_promo_revenue": q_promo_revenue,
     "q_iot_ingest": q_iot_ingest,
     "q_image_decode": q_image_decode,
+    "q_jpeg_decode": q_jpeg_decode,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_seasonal_anomaly": q_seasonal_anomaly,

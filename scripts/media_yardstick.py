@@ -9,7 +9,10 @@ to feature rows by operators.multimodal.extract_features(fake=False) on
 local[$SPARK_GRAFT_CPUS], against the identical _real_features loop on
 one thread. Prints one JSON line per measurement.
 
-Usage: python scripts/media_yardstick.py [n_images] [min_edge_px]
+Usage: python scripts/media_yardstick.py [n_images] [min_edge_px] [fmt]
+``fmt``: png (default) or jpeg — jpeg exercises the pure-Python baseline
+Huffman+IDCT decoder (operators/jpeg.py), whose per-image cost is ~50×
+PNG's, i.e. the regime where the distributed kernel's headroom is real.
 """
 
 from __future__ import annotations
@@ -25,6 +28,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     base = int(sys.argv[2]) if len(sys.argv) > 2 else 16   # min edge px
+    fmt = sys.argv[3] if len(sys.argv) > 3 else "png"
 
     import numpy as np
 
@@ -45,6 +49,10 @@ def main() -> None:
         yy, xx = np.mgrid[0:h, 0:w]
         img = np.stack([(yy * 3 + i) % 256, (xx * 5) % 256,
                         (yy + xx + i) % 256], axis=2).astype(np.uint8)
+        if fmt == "jpeg":
+            from datapump_spark.operators.jpeg import encode_jpeg
+
+            return encode_jpeg(img, quality=85, subsampling="420")
         return codecs.encode_png(img)
 
     payloads = [_payload(i) for i in range(n)]
@@ -55,7 +63,7 @@ def main() -> None:
     for p in payloads:
         acc += _real_features(p)[3]
     single = time.perf_counter() - t0
-    print(json.dumps({"measure": "decode_single_thread", "n": n,
+    print(json.dumps({"measure": "decode_single_thread", "fmt": fmt, "n": n,
                       "mb": round(total_mb, 1), "sec": round(single, 2),
                       "img_per_sec": round(n / single)}))
 

@@ -267,7 +267,18 @@ def test_decode_image_dispatch_and_seams():
     img = _img(3, 5, 3, seed=11)
     assert (decode_image(encode_png(img)) == img).all()
     assert (decode_image(encode_bmp(img)) == img).all()
-    with pytest.raises(UnsupportedMediaError, match="JPEG"):
+    # baseline JPEG now decodes for real (operators/jpeg.py); lossy, so
+    # bound the error instead of requiring identity
+    from datapump_spark.operators.jpeg import encode_jpeg
+
+    out = decode_image(encode_jpeg(img, quality=95))
+    assert out.shape == img.shape
+    assert abs(out.astype(int) - img.astype(int)).mean() < 8
+    # progressive JPEG (SOF2) stays an honest seam
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        decode_image(b"\xff\xd8\xff\xc2" + b"\x00\x08" + b"\x00" * 8)
+    # corrupt/truncated JPEG fails loudly, not silently
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
     with pytest.raises(UnsupportedMediaError, match="GIF"):
         decode_image(b"GIF89a" + b"\x00" * 32)

@@ -1,0 +1,144 @@
+"""Baseline JPEG codec (operators/jpeg.py): spec-table pins, round-trip
+error bounds, subsampling/restart/odd-size coverage, honest seams.
+
+Shared-bug guard: a matched encoder/decoder pair can cancel a mistake
+(wrong zigzag both ways still round-trips), so the spec constants are
+pinned literally against the published Annex K values and the DCT is
+checked for orthonormality + the standard's DC definition — those are
+the interop-bearing parts."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+from datapump_spark.operators.jpeg import (
+    DCT_M,
+    QUANT_CHROM,
+    QUANT_LUM,
+    ZIGZAG,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_annex_k_tables_and_zigzag_pinned():
+    # T.81 Annex K.1/K.2 spot values (corners + interior)
+    assert QUANT_LUM[0, 0] == 16 and QUANT_LUM[0, 7] == 61
+    assert QUANT_LUM[7, 0] == 72 and QUANT_LUM[7, 7] == 99
+    assert QUANT_LUM[4, 4] == 68
+    assert QUANT_CHROM[0, 0] == 17 and QUANT_CHROM[2, 2] == 56
+    assert (QUANT_CHROM[4:] == 99).all()
+    # zigzag walk starts 0,1,8,16,9,2 and ends ...55,62,63
+    assert list(ZIGZAG[:6]) == [0, 1, 8, 16, 9, 2]
+    assert list(ZIGZAG[-3:]) == [55, 62, 63]
+    assert sorted(ZIGZAG) == list(range(64))
+
+
+def test_dct_is_orthonormal_with_standard_dc():
+    assert np.allclose(DCT_M @ DCT_M.T, np.eye(8), atol=1e-12)
+    # T.81 FDCT of a constant block c has S00 = 8c, all AC zero
+    block = np.full((8, 8), 37.0)
+    coef = DCT_M @ block @ DCT_M.T
+    assert coef[0, 0] == pytest.approx(8 * 37.0)
+    coef[0, 0] = 0.0
+    assert np.abs(coef).max() < 1e-10
+
+
+def test_solid_color_roundtrip_exact():
+    img = np.full((24, 17, 3), [200, 30, 90], dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_noise_roundtrip_bounded_error():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 50, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95, subsampling="444"))
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < 6, err
+
+
+def test_quality_trades_bytes_for_error():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)
+    hi, lo = encode_jpeg(img, 95), encode_jpeg(img, 20)
+    assert len(lo) < len(hi)
+    err_hi = np.abs(decode_jpeg(hi).astype(int) - img.astype(int)).mean()
+    err_lo = np.abs(decode_jpeg(lo).astype(int) - img.astype(int)).mean()
+    assert err_hi < err_lo
+
+
+def test_420_subsampling_roundtrip():
+    # chroma-smooth content: 4:2:0 loses little
+    y = np.linspace(40, 215, 32).astype(np.uint8)
+    img = np.zeros((32, 48, 3), np.uint8)
+    img[:, :, 0] = y[:, None]
+    img[:, :, 1] = 80
+    img[:, :, 2] = 160
+    out = decode_jpeg(encode_jpeg(img, quality=90, subsampling="420"))
+    assert out.shape == img.shape
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 6
+
+
+def test_grayscale_roundtrip():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (20, 20), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=90))
+    assert out.shape == (20, 20, 1)
+    assert np.abs(out[:, :, 0].astype(int) - img.astype(int)).mean() < 10
+
+
+@pytest.mark.parametrize("shape", [(7, 9, 3), (17, 8, 3), (1, 1, 3),
+                                   (9, 23, 3)])
+def test_non_multiple_of_eight_sizes(shape):
+    rng = np.random.default_rng(sum(shape))
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert out.shape == shape
+    out420 = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+    assert out420.shape == shape
+
+
+def test_restart_markers_roundtrip_identically():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, (40, 56, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img, 90, "444"))
+    rst = decode_jpeg(encode_jpeg(img, 90, "444", restart_interval=3))
+    assert (plain == rst).all()
+    rst420 = decode_jpeg(encode_jpeg(img, 90, "420", restart_interval=2))
+    assert rst420.shape == img.shape
+
+
+def test_seams_raise_unsupported():
+    # progressive (SOF2)
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 8)
+    # arithmetic-coded sequential (SOF9)
+    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x08" + b"\x00" * 8)
+    # truncated garbage fails loudly
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"PNG?")
+
+
+def test_dispatches_through_decode_image_and_dhash():
+    """The multimodal pipeline picks JPEG up with zero changes: dHash of
+    a JPEG re-encode of a PNG is near its source (the perceptual-dedup
+    scenario that motivated the decoder)."""
+    from datapump_spark.operators import codecs
+    from datapump_spark.operators.multimodal import _dhash64
+
+    rng = np.random.default_rng(13)
+    base = np.repeat(np.repeat(
+        rng.integers(0, 256, (6, 8, 3), dtype=np.uint8), 8, 0), 8, 1)
+    png = codecs.encode_png(base)
+    jpg = encode_jpeg(base, quality=90)
+    assert codecs.decode_image(jpg).shape == base.shape
+    d_png, d_jpg = _dhash64(png), _dhash64(jpg)
+    assert d_png is not None and d_jpg is not None
+    assert bin(d_png ^ d_jpg).count("1") <= 6
