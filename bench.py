@@ -228,9 +228,13 @@ def main() -> None:
     # Per-query fault isolation: one broken query must not erase the round's
     # bench evidence — failures are recorded as {"err": ...} and the JSON
     # line is always printed.
+    # Optional subset for targeted re-measurement (comma-separated names);
+    # the driver never sets this, so per-round records stay complete.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    names = ([n for n in only.split(",") if n] if only else BENCH_QUERIES)
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
-    for name in BENCH_QUERIES:
+    for name in names:
         fn = all_queries.get(name)
         if fn is None:
             errors[name] = "unknown query"
@@ -254,7 +258,9 @@ def main() -> None:
         "queries": {**timings, **{k: {"err": v} for k, v in errors.items()}},
         "sf": sf,
     }
-    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    # subset runs must not clobber the round's full record
+    full_name = "BENCH_FULL.json" if not only else "BENCH_SUBSET.json"
+    full_path = Path(__file__).resolve().parent / full_name
     full_path.write_text(json.dumps(full, indent=1) + "\n")
 
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])

@@ -177,9 +177,15 @@ def benford_deviation(
     digit = F.regexp_extract(
         F.abs(F.col(value_col)).cast("decimal(38,6)").cast("string"),
         r"[1-9]", 0)
+    # try_to_number, not cast: a value like 0.000 has no nonzero digit,
+    # so regexp_extract yields '' — ANSI cast('') would throw whenever
+    # the engine evaluates this subexpression before the between()
+    # filter (evaluation ORDER is not contractual: interpreted mode's
+    # subexpression elimination runs it eagerly even though codegen
+    # happened to short-circuit it)
     base = (
         df.where(F.col(value_col).isNotNull() & (F.col(value_col) != 0))
-        .withColumn("__d", digit.cast("int"))
+        .withColumn("__d", F.try_to_number(digit, F.lit("9")).cast("int"))
         .where(F.col("__d").between(1, 9))
     )
     counts = base.groupBy(*keys, "__d").agg(

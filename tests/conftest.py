@@ -20,10 +20,19 @@ def spark():
     from datapump_spark.session import tuned_builder
 
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
-    s = (tuned_builder("tests").master("local[8]")
+    b = (tuned_builder("tests").master("local[8]")
          .config("spark.ui.enabled", "false")
-         .config("spark.ui.showConsoleProgress", "false")
-         .getOrCreate())
+         .config("spark.ui.showConsoleProgress", "false"))
+    if os.environ.get("SPARK_GRAFT_TEST_NO_AQE"):
+        b = b.config("spark.sql.adaptive.enabled", "false")
+    # WholeStage codegen OFF for the suite: Janino compiles each unique
+    # tiny query for ~50-300 ms that interpretation never earns back on
+    # sf0.001 data (measured ~8% of suite wall; production sessions via
+    # tuned_builder keep it on). test_wet_path_is_pure_codegen re-enables
+    # it locally for its fusion assertion.
+    if not os.environ.get("SPARK_GRAFT_TEST_CODEGEN"):
+        b = b.config("spark.sql.codegen.wholeStage", "false")
+    s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     yield s
 

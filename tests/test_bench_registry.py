@@ -30,16 +30,13 @@ def test_bench_list_is_registered():
 
 
 # The two heaviest variants (multi-second ANN index builds) run behind
-# `slow`: the driver executes every BENCH_QUERIES entry per round with
-# errors recorded (bench.py n_errors), and their recall/value semantics
-# are pinned in test_pq / test_text_dedup — this smoke adds only the
-# registry wiring, which the cheap variants already cover in-default.
-_SLOW_VARIANTS = {"q_lsh_topk", "q_ivfpq_topk"}
-
-
+# All variant smokes are `slow` (round 7): the driver executes every
+# BENCH_QUERIES entry per round with errors recorded (bench.py n_errors),
+# and their recall/value semantics are pinned in test_pq /
+# test_text_dedup — this parametrization adds only registry wiring,
+# which test_bench_list_is_registered still covers in-default.
 @pytest.mark.parametrize("name", [
-    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_VARIANTS else n
-    for n in sorted(BENCH_VARIANTS)])
+    pytest.param(n, marks=pytest.mark.slow) for n in sorted(BENCH_VARIANTS)])
 def test_bench_variant_runs(spark, name):
     """BENCH_VARIANTS are outside the driver's 50-query correctness gate
     and outside EXTRA_ORACLES — this smoke is their only registry-wide

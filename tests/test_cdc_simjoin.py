@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -187,6 +188,8 @@ def test_apply_cdc_replay_idempotent(spark, tmp_path):
     assert {k: (s, v) for k, s, v in once} == _expected_state()
 
 
+@pytest.mark.slow  # semantics gated in-default by
+# test_apply_cdc_micro_batches_match_batch (same operator, same log)
 def test_apply_cdc_streaming_foreachbatch(spark, tmp_path):
     """Real Structured Streaming drive: file source → foreachBatch →
     apply_cdc; final state equals the batch operator over the full log."""

@@ -75,7 +75,9 @@ def test_train_learns_separable_signal(spark, sf_dir):
     (en-vs-rest is separable via stop_ratio: English stopword list)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     labeled = docs.withColumn("label", (docs["lang"] == "en").cast("int"))
-    model = train_logreg(labeled, "label", lr=1.0, iters=30,
+    # 14 iterations suffice for both assertions (loss < log 2 by iter ~8
+    # on this fixture); 30 doubled the wall for no extra signal
+    model = train_logreg(labeled, "label", lr=1.0, iters=14,
                          standardize=True)
     assert model.loss_curve[-1] < model.loss_curve[0]
     assert model.loss_curve[-1] < math.log(2)  # better than the 0.5 coin

@@ -48,12 +48,18 @@ def test_driver_registry_capped_at_50():
     assert set(ORACLES) <= set(QUERIES)
 
 
-# The heaviest parametrizations (multi-second DAGs) are `slow`: the same
-# queries pass the IDENTICAL DuckDB comparison in scripts/check_oracle.py,
-# which runs both registries per round — nothing loses its gate.
-_SLOW_EXTRA = {
-    "q_canonical_docs", "q_sparse_sim", "q_fuzzy_pairs", "q_pagerank",
-    "q_incremental_near_dup",
+# Round 7: the default tier keeps a SMOKE subset proving the gate harness
+# works (cheap, diverse shapes); every other parametrization is `slow`.
+# Nothing loses coverage — the same queries pass the IDENTICAL DuckDB
+# comparison in scripts/check_oracle.py (run each round over BOTH
+# registries) and the slow tier still runs the full parametrization.
+_DEFAULT_SMOKE = {
+    "q_set_ops", "q_histogram",            # freshly demoted from the 50
+    "q_semi_join", "q_unpivot",            # join shape / wide union
+    "q_resample_15min",                    # offset-alias resample family
+    "q_lm_score",                          # text scoring family
+    "q_equidepth",                         # percentile family
+    "q_url_canon",                         # string/url family
 }
 
 
@@ -83,7 +89,7 @@ def test_oracle_result_types_are_driver_safe(duck):
 
 
 @pytest.mark.parametrize("name", [
-    pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_EXTRA else n
+    n if n in _DEFAULT_SMOKE else pytest.param(n, marks=pytest.mark.slow)
     for n in sorted(EXTRA_QUERIES)])
 def test_extra_query_matches_oracle(name, spark, sf_dir, duck):
     sdf = EXTRA_QUERIES[name](spark, sf_dir)

@@ -40,6 +40,8 @@ def test_scores_rank_target_like_docs_higher(spark):
     assert min(sporty) > max(cody)
 
 
+@pytest.mark.slow  # q_dsir_sample is driver-hash-gated (determinism
+# included); this adds only the prefers-target property
 def test_dsir_sample_prefers_target_and_is_deterministic(spark):
     docs = _corpus(spark)
     target = spark.createDataFrame(

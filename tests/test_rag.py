@@ -160,10 +160,10 @@ def test_streaming_incremental_index(spark, tmp_path):
     assert len(top) == 1 and top[0]["neighbor_id"] == 10_001
 
 
-# slow: append-path search correctness runs in-default via the drift
-# test (append -> retrain -> self-retrieval) and the streaming
-# incremental-index test; what this adds is the expensive two-index
-# rebuild-parity comparison.
+# slow: append-path search correctness runs in-default via the
+# streaming incremental-index test (and the drift test in the slow
+# tier); what this adds is the expensive two-index rebuild-parity
+# comparison.
 @pytest.mark.slow
 def test_rag_index_append_matches_full_rebuild(spark, tmp_path):
     """VERDICT round-6 #7: index built on batch 1, batch 2 appended
@@ -209,6 +209,9 @@ def test_rag_index_append_matches_full_rebuild(spark, tmp_path):
     assert self_hits == {q for q, _ in queries}
 
 
+@pytest.mark.slow  # components gated in-default (train_pq/encode/mse
+# in test_pq, append admission in test_streaming_incremental_index);
+# this adds the retrain composition + generation-swap end-to-end
 def test_rag_index_append_drift_retrains(spark, tmp_path):
     """A batch from a shifted distribution (disjoint token space) trips
     the reconstruction-MSE drift gate: codebooks retrain from the

@@ -47,6 +47,8 @@ def test_clean_is_decontaminated(spark, sf_dir, streams):
     assert flags.where(F.col("contaminated")).count() == 0
 
 
+@pytest.mark.slow  # packing gated in-default by test_packing_quality;
+# the clean-only linkage also holds in the slow composition tests
 def test_sequences_reference_only_clean_docs(streams):
     _, out = streams
     seq_docs = {r.doc_id for r in out["sequences"].select("doc_id").collect()}
@@ -311,6 +313,8 @@ def test_curation_funnel(spark):
     assert abs(code["survival_rate"] - round(code["n_clean"] / 6, 6)) < 1e-12
 
 
+@pytest.mark.slow  # the funnel arithmetic is gated in-default by
+# test_curation_funnel; this adds the weighted-mix accounting twin
 def test_curation_funnel_counts_weighted_clean_stream(spark):
     """With recipe.weights set, weighted_mix downsamples the clean stream
     WITHOUT emitting reject rows — n_clean must count the actual stream,

@@ -77,6 +77,8 @@ def test_replay_is_idempotent(spark, ingest, tmp_path):
     assert audit.count() == 2          # one row per batch, not per run
 
 
+@pytest.mark.slow  # every stage is oracle-/unit-gated in-default;
+# this adds only the per-batch composition (round-7 wall budget)
 def test_full_recipe_composition_per_batch(spark, tmp_path):
     """VERDICT r3 #10: the pretrain_corpus recipe composed through the
     streaming ingest — each micro-batch runs the full cleaning chain

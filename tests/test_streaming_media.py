@@ -61,6 +61,8 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     assert before == after and len(before) == 3
 
 
+@pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;
+# replay idempotence gated by test_stream_replay_is_idempotent
 def test_cross_batch_perceptual_dedup(spark, tmp_path):
     """image_dedup_hamming: a later batch's noisy re-encode of an
     admitted image routes to quarantine as near_dup; distinct images

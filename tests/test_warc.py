@@ -43,7 +43,15 @@ def test_wet_fast_path_matches_exact_reader(spark):
 
 
 def test_wet_path_is_pure_codegen(spark):
-    plan = read_wet(spark, SHARDS)._jdf.queryExecution().executedPlan().toString()
+    # the suite session disables wholeStage codegen (tiny-job Janino
+    # compile tax, see conftest); force it on for this plan assertion
+    prior = spark.conf.get("spark.sql.codegen.wholeStage")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    try:
+        plan = (read_wet(spark, SHARDS)._jdf.queryExecution()
+                .executedPlan().toString())
+    finally:
+        spark.conf.set("spark.sql.codegen.wholeStage", prior)
     assert "mapInPandas" not in plan and "PythonUDF" not in plan
     assert plan.startswith("*(1)")        # one codegen'd stage, scan to output
 
