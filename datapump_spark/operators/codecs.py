@@ -274,7 +274,8 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 def decode_image(b: bytes) -> np.ndarray:
     """Dispatch on magic bytes: PNG/BMP/baseline-JPEG decode for real
     (see :mod:`operators.jpeg` for the JPEG scope — progressive and
-    arithmetic streams still raise); GIF and WebP raise
+    arithmetic streams still raise; GIF87a/89a via operators.gif — LZW,
+    interlace, transparency); WebP raises
     UnsupportedMediaError (their coders need real codec libraries — the
     honest stub boundary)."""
     if b[:8] == PNG_SIG:
@@ -286,7 +287,9 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return decode_jpeg(b)
     if b[:6] in (b"GIF87a", b"GIF89a"):
-        raise UnsupportedMediaError("GIF decode requires a codec library")
+        from datapump_spark.operators.gif import decode_gif
+
+        return decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
         raise UnsupportedMediaError("WebP decode requires a codec library")
     raise ValueError("unrecognized image payload")

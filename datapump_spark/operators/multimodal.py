@@ -10,7 +10,7 @@ Codec status: PNG, BMP, PCM WAV, and baseline JPEG decode FOR REAL via
 the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
 (zlib inflate + scanline unfilter, BI_RGB pixel walk, RIFF chunk walk,
 Huffman + IDCT baseline JPEG) — ``fake=False`` runs them end-to-end.
-Progressive/arithmetic JPEG, GIF, WebP, and video remain honestly
+Progressive/arithmetic JPEG, WebP, and video remain honestly
 stubbed: the real path raises ``UnsupportedMediaError`` on them, or
 nulls them out under ``on_error='null'``. ``fake=True`` keeps the
 deterministic md5-derived stand-in features so plumbing tests need no
@@ -69,7 +69,7 @@ def _real_features(payload: bytes) -> list[float]:
     Audio (PCM WAV): [n_frames, channels, sample_rate, duration_ms, rms,
     peak, zero_crossing_rate, 0].
     Raises operators.codecs.UnsupportedMediaError on formats outside the
-    decodable set (progressive JPEG/GIF/WebP/video) — the honest codec
+    decodable set (progressive JPEG/WebP/video) — the honest codec
     seam.
     """
     import numpy as np
@@ -137,10 +137,11 @@ _RESIZE_SCHEMA = T.StructType([
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize kernel. ``fake=True`` passes payloads through and stamps the
     target dimensions (plumbing-only). ``fake=False`` REALLY resizes:
-    decode PNG/BMP (operators/codecs.py), nearest-neighbor resample, and
-    re-encode as PNG — the output payload is always PNG, the normalization
-    a training-data pipeline wants anyway. JPEG/GIF/WebP inputs raise
-    UnsupportedMediaError (codec seam)."""
+    decode PNG/BMP/baseline-JPEG/GIF (operators/codecs.py dispatch),
+    nearest-neighbor resample, and re-encode as PNG — the output payload
+    is always PNG, the normalization a training-data pipeline wants
+    anyway. WebP/progressive-JPEG inputs raise UnsupportedMediaError
+    (codec seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         if not fake:

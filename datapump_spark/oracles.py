@@ -2992,6 +2992,32 @@ WHERE doc_id % 7 = 0
 """
 
 
+# q_gif_decode: checkerboard arithmetic twin — GIF is palette-exact, so
+# the decode must be byte-identical and the mean is a pure integer-ratio
+# recompute: n_even = ceil(w/2)*ceil(h/2) + floor(w/2)*floor(h/2) cells
+# carry value a, the rest b.
+EXTRA_ORACLES["q_gif_decode"] = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 7 AS w,
+         2 + doc_id % 4 AS h,
+         CAST(doc_id % 256 AS DOUBLE) AS a,
+         CAST((doc_id * 11) % 256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id % 9 = 0),
+c AS (
+  SELECT doc_id, w, h, a, b,
+         ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS n0,
+         w * h AS n
+  FROM g)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       round((n0 * a + (n - n0) * b) / n, 6) AS mean_px
+FROM c
+"""
+
+
 # q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
 # is a pruning structure with no false negatives, so the engine output
 # must equal the plain anti-join's exactly. A build/probe hash mismatch

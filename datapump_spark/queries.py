@@ -1163,6 +1163,50 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF decode gate (operators/gif.py: LZW + palette). GIF is
+    palette-exact, so unlike JPEG no quantization argument is needed:
+    a two-color checkerboard per sampled document must decode to
+    byte-identical pixels, and the oracle recomputes the channel means
+    from the checker arithmetic (ceil/floor of the pixel split) alone."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.gif import encode_gif
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def gif(doc_id: int) -> bytes:
+                w, h = 2 + doc_id % 7, 2 + doc_id % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                checker = ((yy + xx) % 2).astype(np.uint8)
+                a = doc_id % 256
+                b = (doc_id * 11) % 256
+                img = np.where(checker[..., None] == 0,
+                               np.uint8(a), np.uint8(b))
+                return encode_gif(np.broadcast_to(img, (h, w, 3)).copy())
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(gif)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+    )
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup (operators/multimodal.py
     image_near_dup): one textured PNG per sampled document, built so
@@ -2175,6 +2219,7 @@ EXTRA_QUERIES = {
     "q_iot_ingest": q_iot_ingest,
     "q_image_decode": q_image_decode,
     "q_jpeg_decode": q_jpeg_decode,
+    "q_gif_decode": q_gif_decode,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_seasonal_anomaly": q_seasonal_anomaly,

@@ -280,8 +280,12 @@ def test_decode_image_dispatch_and_seams():
     # corrupt/truncated JPEG fails loudly, not silently
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)
-    with pytest.raises(UnsupportedMediaError, match="GIF"):
-        decode_image(b"GIF89a" + b"\x00" * 32)
+    # GIF now decodes for real (operators/gif.py) — palette-exact
+    from datapump_spark.operators.gif import encode_gif
+
+    assert (decode_image(encode_gif(img)) == img).all()
+    with pytest.raises(UnsupportedMediaError, match="WebP"):
+        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"not media at all")
 

@@ -1,0 +1,131 @@
+"""GIF codec (operators/gif.py): LZW round-trips under dictionary
+pressure, interlacing, transparency/disposal compositing, animation
+frames, seams. The encoder is palette-exact (GIF is lossless within 256
+colors), so every round-trip assertion is equality, not a bound.
+
+Decoder-independence guard: the compositing tests hand-build streams
+(descriptor offsets, graphic-control blocks) rather than relying on the
+encoder, which never emits multi-frame or transparent streams."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+from datapump_spark.operators.gif import (
+    _lzw_encode,
+    decode_gif,
+    decode_gif_frames,
+    encode_gif,
+)
+
+
+def test_roundtrip_simple_palette():
+    img = np.zeros((20, 30, 3), np.uint8)
+    img[:, :15] = [255, 0, 0]
+    img[10:, 15:] = [0, 128, 255]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_roundtrip_full_palette_under_dictionary_pressure():
+    """256 random colors over 19 200 pixels: crosses every LZW code-width
+    boundary and forces a 12-bit dictionary reset."""
+    rng = np.random.default_rng(5)
+    pal = rng.integers(0, 256, (256, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 256, (120, 160))]
+    assert (decode_gif(encode_gif(img)) == img).all()
+
+
+def test_roundtrip_interlaced():
+    rng = np.random.default_rng(6)
+    pal = rng.integers(0, 256, (64, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, 64, (33, 21))]   # h not divisible by 8
+    assert (decode_gif(encode_gif(img, interlace=True)) == img).all()
+
+
+def test_roundtrip_tiny_and_two_color():
+    img = np.zeros((1, 1, 3), np.uint8)
+    assert (decode_gif(encode_gif(img)) == img).all()
+    img2 = np.zeros((3, 3, 3), np.uint8)
+    img2[1, 1] = 255
+    assert (decode_gif(encode_gif(img2)) == img2).all()
+
+
+def test_too_many_colors_raises():
+    rng = np.random.default_rng(9)
+    img = rng.integers(0, 256, (32, 32, 3), dtype=np.uint8)  # ~1k colors
+    with pytest.raises(UnsupportedMediaError, match="palette"):
+        encode_gif(img)
+
+
+def _hand_built_two_frame() -> bytes:
+    """2×2 canvas: frame 1 solid red; frame 2 a 1×1 transparent-aware
+    green patch at (1,1) with delay 50 ms."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 0, 0, 0])  # R,G,B,pad
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 3, 0)  # 4-entry GCT
+    out += pal
+
+    def frame(x, y, w, h, indices, transparent=None, delay_cs=0):
+        seg = bytearray()
+        flags = 0x01 if transparent is not None else 0x00
+        seg += bytes([0x21, 0xF9, 4, flags])
+        seg += struct.pack("<H", delay_cs)
+        seg += bytes([transparent or 0, 0])
+        seg += struct.pack("<BHHHHB", 0x2C, x, y, w, h, 0)
+        seg += bytes([2])  # min code size
+        seg += _lzw_encode(np.array(indices, np.int32), 2)
+        seg += b"\x00"
+        return seg
+
+    out += frame(0, 0, 2, 2, [0, 0, 0, 0])                  # all red
+    out += frame(1, 1, 1, 1, [1], transparent=None, delay_cs=5)  # green px
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_multiframe_compositing_and_delays():
+    frames = list(decode_gif_frames(_hand_built_two_frame()))
+    assert len(frames) == 2
+    f1, d1 = frames[0]
+    f2, d2 = frames[1]
+    assert (f1 == [255, 0, 0]).all()
+    assert d1 == 0 and d2 == 50
+    assert (f2[1, 1] == [0, 255, 0]).all()      # patch composited
+    assert (f2[0, 0] == [255, 0, 0]).all()      # rest persists
+
+
+def test_first_frame_via_decode_image_dispatch():
+    from datapump_spark.operators.codecs import decode_image
+
+    img = decode_image(_hand_built_two_frame())
+    assert img.shape == (2, 2, 3)
+    assert (img == [255, 0, 0]).all()
+
+
+def test_transparency_keeps_underlying_pixels():
+    pal = bytes([10, 10, 10, 200, 200, 200] + [0] * 6)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80 | 0x01, 0, 0)
+    out += pal
+    out += bytes([0x21, 0xF9, 4, 0x00, 0, 0, 0, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out += bytes([2]) + _lzw_encode(np.array([0, 1], np.int32), 2) + b"\x00"
+    # second frame: full-size, index 0 transparent, index 1 drawn
+    out += bytes([0x21, 0xF9, 4, 0x01, 0, 0, 0, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out += bytes([2]) + _lzw_encode(np.array([0, 0], np.int32), 2) + b"\x00"
+    out += b"\x3b"
+    frames = [f for f, _ in decode_gif_frames(bytes(out))]
+    # transparent second frame leaves frame-1 pixels in place
+    assert (frames[1] == frames[0]).all()
+
+
+def test_seams():
+    with pytest.raises(ValueError, match="not a GIF"):
+        decode_gif(b"NOPE")
+    with pytest.raises(ValueError):
+        decode_gif(b"GIF89a" + b"\x00" * 8)  # no image data
