@@ -143,6 +143,29 @@ def _build_decode_table(bits, vals):
     return table
 
 
+def _fast_table(decode_table) -> list:
+    """16-bit-prefix lookup: every 16-bit window starting with a code of
+    length L maps to (symbol << 5) | L; -1 = invalid prefix. One dict
+    probe per symbol becomes one list index — the decoder hot path.
+    Memoized (standard tables repeat across every image in a corpus;
+    the 65k-entry fill would otherwise dominate tiny-image decode)."""
+    key = tuple(sorted(decode_table.items()))
+    cached = _FAST_TABLES.get(key)
+    if cached is None:
+        fast = [-1] * 65536
+        for (length, code), sym in decode_table.items():
+            base = code << (16 - length)
+            step = 1 << (16 - length)
+            fast[base:base + step] = [(sym << 5) | length] * step
+        if len(_FAST_TABLES) > 64:   # bound worker memory
+            _FAST_TABLES.clear()
+        _FAST_TABLES[key] = cached = fast
+    return cached
+
+
+_FAST_TABLES: dict = {}
+
+
 class _BitWriter:
     def __init__(self):
         self.out = bytearray()
@@ -167,67 +190,72 @@ class _BitWriter:
 
 
 class _BitReader:
-    """Reads the entropy-coded segment with 0xFF00 unstuffing inline."""
+    """Reads the entropy-coded segment with 0xFF00 unstuffing inline.
+
+    Peek-based: symbols decode via one 16-bit-prefix list lookup
+    (``_fast_table``), so fills may overshoot an interval's end — a
+    marker encountered mid-fill pads with 1-bits (the spec's flush
+    padding) WITHOUT consuming it and flags ``pending_rst``; the MCU
+    loop re-syncs at the marker."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
         self.pos = pos
         self.acc = 0
         self.nbits = 0
+        self.pending_rst = False
 
     def _fill(self) -> None:
-        b = self.data[self.pos]
-        if b == 0xFF:
-            nxt = self.data[self.pos + 1]
-            if nxt == 0x00:
-                self.pos += 2
-            elif 0xD0 <= nxt <= 0xD7:
-                raise _RestartMarker(nxt)
+        if self.pos + 1 < len(self.data):
+            b = self.data[self.pos]
+            if b != 0xFF:
+                self.pos += 1
             else:
-                # scan ran dry (EOI/next segment): spec padding is 1-bits
-                self.acc = (self.acc << 8) | 0xFF
-                self.nbits += 8
-                return
+                nxt = self.data[self.pos + 1]
+                if nxt == 0x00:
+                    self.pos += 2
+                else:
+                    # RST / EOI / next segment: spec padding is 1-bits;
+                    # never consume the marker itself
+                    if 0xD0 <= nxt <= 0xD7:
+                        self.pending_rst = True
+                    b = 0xFF
         else:
-            self.pos += 1
+            b = 0xFF
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
-    def read_bit(self) -> int:
-        if self.nbits == 0:
+    def peek(self, n: int) -> int:
+        while self.nbits < n:
             self._fill()
-        self.nbits -= 1
-        return (self.acc >> self.nbits) & 1
+        return (self.acc >> (self.nbits - n)) & ((1 << n) - 1)
+
+    def consume(self, n: int) -> None:
+        self.nbits -= n
+        self.acc &= (1 << self.nbits) - 1
 
     def read_bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.read_bit()
+        if n == 0:
+            return 0
+        v = self.peek(n)
+        self.consume(n)
         return v
 
     def sync_restart(self) -> None:
         """Byte-align and consume the RST marker."""
         self.acc, self.nbits = 0, 0
+        self.pending_rst = False
         while self.data[self.pos] != 0xFF or not (
                 0xD0 <= self.data[self.pos + 1] <= 0xD7):
             self.pos += 1
         self.pos += 2
 
-    def decode_symbol(self, table) -> int:
-        code, length = 0, 0
-        while True:
-            code = (code << 1) | self.read_bit()
-            length += 1
-            if length > 16:
-                raise ValueError("invalid Huffman stream")
-            sym = table.get((length, code))
-            if sym is not None:
-                return sym
-
-
-class _RestartMarker(Exception):
-    def __init__(self, marker):
-        self.marker = marker
+    def decode_symbol(self, fast) -> int:
+        v = fast[self.peek(16)]
+        if v < 0:
+            raise ValueError("invalid Huffman stream")
+        self.consume(v & 0x1F)
+        return v >> 5
 
 
 def _magnitude(v: int) -> tuple[int, int]:
@@ -508,7 +536,8 @@ def _decode_scan(b, pos, frame, scan_sel, qtabs, htabs, restart_interval):
     order = []
     for cs, td, ta in scan_sel:
         c = by_id[cs]
-        order.append((c, htabs[(0, td)], htabs[(1, ta)]))
+        order.append((c, _fast_table(htabs[(0, td)]),
+                      _fast_table(htabs[(1, ta)])))
     planes = {c["id"]: np.zeros(
         (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32) for c in comps}
 
@@ -517,21 +546,21 @@ def _decode_scan(b, pos, frame, scan_sel, qtabs, htabs, restart_interval):
     mcu_count = 0
     for my in range(mcus_y):
         for mx in range(mcus_x):
-            if restart_interval and mcu_count and \
-                    mcu_count % restart_interval == 0:
+            if mcu_count and (
+                    (restart_interval
+                     and mcu_count % restart_interval == 0)
+                    or (br.pending_rst and br.nbits < 16)):
+                # second arm: tolerate encoders that place RST markers
+                # without DRI bookkeeping (the peek buffer has drained
+                # into padding, so the marker is genuinely next)
                 br.sync_restart()
                 preds = {k: 0 for k in preds}
-            try:
-                for c, dct, act in order:
-                    for by in range(c["v"]):
-                        for bx in range(c["h"]):
-                            zz = _decode_block(br, dct, act, preds, c["id"])
-                            planes[c["id"]][my * c["v"] + by,
-                                            mx * c["h"] + bx] = zz
-            except _RestartMarker:
-                # tolerate encoders that place RST without DRI bookkeeping
-                br.sync_restart()
-                preds = {k: 0 for k in preds}
+            for c, dct, act in order:
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = _decode_block(br, dct, act, preds, c["id"])
+                        planes[c["id"]][my * c["v"] + by,
+                                        mx * c["h"] + bx] = zz
             mcu_count += 1
 
     out_planes = []

@@ -3198,3 +3198,11 @@ for _k in ("q_dedupe_last", "q_dupe_count"):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_set_ops", "q_histogram"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Second round-7 rotation (see queries.DRIVER_PROMOTED_R7B): the exact
+# JPEG decode gate enters the driver record; the demoted window twin
+# keeps the identical SQL gate in pytest.
+for _k in ("q_jpeg_decode",):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_moving_avg",):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -3111,6 +3111,19 @@ for _k in DRIVER_PROMOTED_R7:
     QUERIES[_k] = EXTRA_QUERIES.pop(_k)
 for _k in DRIVER_DEMOTED_R7:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
+# Second round-7 rotation: the flagship new decode surface.
+#   + q_jpeg_decode — the baseline-JPEG Huffman+IDCT path facing an
+#     exact value hash (solid grayscale at q95 reconstructs exactly);
+#     strictly stronger multimodal evidence than a second window query,
+#   - q_moving_avg — the windowed-frame family keeps q_window_topn in
+#     the driver set and q_ewma / q_rolling_median in the EXTRA gate.
+DRIVER_PROMOTED_R7B = ("q_jpeg_decode",)
+DRIVER_DEMOTED_R7B = ("q_moving_avg",)
+for _k in DRIVER_PROMOTED_R7B:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R7B:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
 assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
