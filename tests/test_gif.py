@@ -129,3 +129,45 @@ def test_seams():
         decode_gif(b"NOPE")
     with pytest.raises(ValueError):
         decode_gif(b"GIF89a" + b"\x00" * 8)  # no image data
+
+
+def _animated(colors, delay_cs) -> bytes:
+    """n solid 2×2 frames from a 4-entry palette, each with the given
+    delay (hand-built; the encoder is single-frame by design)."""
+    pal = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255])
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 2, 0x80 | 0x01, 0, 0)
+    out += pal
+    for c, d in zip(colors, delay_cs):
+        out += bytes([0x21, 0xF9, 4, 0x00]) + struct.pack("<H", d) \
+            + bytes([0, 0])
+        out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 2, 0)
+        out += bytes([2])
+        out += _lzw_encode(np.array([c] * 4, np.int32), 2) + b"\x00"
+    out += b"\x3b"
+    return bytes(out)
+
+
+def test_sample_gif_frames_real_path(spark):
+    """Distributed REAL animation sampling: 3 frames × 200 ms sampled at
+    100 ms ticks → each frame emitted twice, PNG payloads decode back to
+    the right solid color; a corrupt payload nulls out, not crashes."""
+    from datapump_spark.operators.codecs import decode_png
+    from datapump_spark.operators.multimodal import sample_gif_frames
+
+    anim = _animated([0, 1, 2], [20, 20, 20])       # 3 × 200 ms
+    df = spark.createDataFrame(
+        [(1, bytearray(anim)), (2, bytearray(b"GIF89a-corrupt"))],
+        "media_id long, payload binary")
+    rows = sorted(sample_gif_frames(df, every_ms=100).collect(),
+                  key=lambda r: r["frame_idx"])
+    assert [r["media_id"] for r in rows] == [1] * 6
+    assert [r["frame_ts_ms"] for r in rows] == [0, 100, 200, 300, 400, 500]
+    expect = [(255, 0, 0)] * 2 + [(0, 255, 0)] * 2 + [(0, 0, 255)] * 2
+    for r, rgb in zip(rows, expect):
+        img = decode_png(bytes(r["frame_png"]))
+        assert img.shape == (2, 2, 3)
+        assert tuple(img[0, 0]) == rgb
+    # raise mode propagates the corrupt payload
+    with pytest.raises(Exception):
+        sample_gif_frames(df, every_ms=100, on_error="raise").collect()
