@@ -67,3 +67,48 @@ def test_resize_samples_only_real_pixels(h, w, nh, nw, seed):
     assert set(np.unique(out)) <= set(np.unique(img))
     # identity resize is exact
     assert (resize_nearest(img, w, h) == img).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(h=_DIMS, w=_DIMS, seed=st.integers(0, 2**31 - 1),
+       interlace=st.booleans())
+def test_gif_roundtrip_any_shape(h, w, seed, interlace):
+    """GIF is palette-exact: any ≤256-color image round-trips to
+    identity, interlaced or not, at every LZW code-width residue."""
+    from datapump_spark.operators.gif import decode_gif, encode_gif
+
+    rng = np.random.default_rng(seed)
+    n_colors = int(rng.integers(1, 257))
+    pal = rng.integers(0, 256, (n_colors, 3), dtype=np.uint8)
+    img = pal[rng.integers(0, n_colors, (h, w))]
+    out = decode_gif(encode_gif(img, interlace=interlace))
+    assert out.shape == img.shape and (out == img).all()
+
+
+@settings(max_examples=15, deadline=None)
+@given(h=_DIMS, w=_DIMS, seed=st.integers(0, 2**31 - 1),
+       quality=st.sampled_from([50, 75, 95]),
+       sub=st.sampled_from(["444", "420"]))
+def test_jpeg_roundtrip_shape_and_bounded_error(h, w, seed, quality, sub):
+    """JPEG is lossy: the property is shape preservation plus an error
+    bound that holds for ANY input at the given quality (worst case is
+    white noise; 255 would mean the pipeline lost the image)."""
+    from datapump_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=quality, subsampling=sub))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).mean()
+    assert err < (60 if sub == "420" else 35), err
+
+
+@settings(max_examples=15, deadline=None)
+@given(v=st.integers(0, 255), h=_DIMS, w=_DIMS)
+def test_jpeg_solid_grayscale_q95_is_exact(v, h, w):
+    """The exactness property q_jpeg_decode's oracle rests on, for
+    arbitrary dims (not just the 256 fixed-size cases in test_jpeg)."""
+    from datapump_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    img = np.full((h, w), v, np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=95))
+    assert (out[:, :, 0] == v).all()
