@@ -526,6 +526,18 @@ def decode_jpeg(b: bytes) -> np.ndarray:
 def _decode_scan(b, pos, frame, scan_sel, qtabs, htabs, restart_interval):
     fh, fw, comps = frame
     by_id = {c["id"]: c for c in comps}
+    if len(scan_sel) != len(comps):
+        # a baseline file MAY split components across several scans
+        # (non-interleaved); decoding only the first would silently
+        # return one channel as an image — refuse instead
+        raise UnsupportedMediaError(
+            f"multi-scan baseline JPEG ({len(scan_sel)} of "
+            f"{len(comps)} components in first scan)")
+    if len(comps) == 1:
+        # single-component scans are non-interleaved by definition
+        # (T.81 A.2.2): the MCU is ONE data unit regardless of the
+        # declared sampling factors
+        comps[0]["h"] = comps[0]["v"] = 1
     hmax = max(c["h"] for c in comps)
     vmax = max(c["v"] for c in comps)
     if hmax > 2 or vmax > 2:

@@ -112,6 +112,36 @@ def test_restart_markers_roundtrip_identically():
     assert rst420.shape == img.shape
 
 
+def test_multiscan_baseline_refused_not_misdecoded():
+    """A baseline file may split components across scans
+    (non-interleaved); decoding only the first scan would silently
+    return the Y channel as the image — the decoder must refuse."""
+    img = np.full((8, 8, 3), 99, np.uint8)
+    b = bytearray(encode_jpeg(img, quality=90))
+    # rewrite the SOS header from 3 components to 1 (keeps entropy data;
+    # the decoder must bail out before touching it)
+    sos = bytes(b).index(b"\xff\xda")
+    patched = (bytes(b[:sos]) + b"\xff\xda" + b"\x00\x08\x01\x01\x00"
+               + b"\x00\x3f\x00" + bytes(b[sos + 14:]))
+    with pytest.raises(UnsupportedMediaError, match="multi-scan"):
+        decode_jpeg(patched)
+
+
+def test_grayscale_odd_sampling_factors_decode():
+    """A 1-component frame declaring 2x2 sampling is legal and
+    non-interleaved by definition (T.81 A.2.2: MCU = one data unit) —
+    the declared factors must not change the block walk."""
+    img = np.full((10, 12), 137, np.uint8)
+    b = bytearray(encode_jpeg(img, quality=95))
+    sof = bytes(b).index(b"\xff\xc0")
+    comp_off = sof + 2 + 8          # first component spec: id, HV, Tq
+    assert b[comp_off] == 1 and b[comp_off + 1] == 0x11
+    b[comp_off + 1] = 0x22          # claim 2x2 sampling
+    out = decode_jpeg(bytes(b))
+    assert out.shape == (10, 12, 1)
+    assert (out[:, :, 0] == 137).all()
+
+
 def test_seams_raise_unsupported():
     # progressive (SOF2)
     with pytest.raises(UnsupportedMediaError, match="non-baseline"):
