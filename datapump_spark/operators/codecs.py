@@ -1,12 +1,13 @@
 """Pure-stdlib media codecs: PNG, BMP, WAV — real decode, no third-party libs.
 
-The container has no PIL/opencv/librosa, but three of the reference
-pipeline's common formats are decodable with nothing beyond ``zlib`` and
-numpy: PNG (DEFLATE + the five scanline filters), uncompressed BMP
-(BI_RGB 24/32-bit), and PCM WAV (RIFF chunk walk). This module implements
-them so the multimodal kernels in ``operators.multimodal`` can run a REAL
-decode→feature/resize path end-to-end; JPEG and video stay honestly
-stubbed (their entropy coders genuinely need a codec library).
+The container has no PIL/opencv/librosa, but the common formats are
+decodable in pure Python + numpy: PNG (DEFLATE + the five scanline
+filters), uncompressed BMP (BI_RGB 24/32-bit), PCM WAV (RIFF chunk
+walk), baseline JPEG (``operators.jpeg``: Annex K Huffman + IDCT), and
+GIF (``operators.gif``: LZW + compositing). The multimodal kernels in
+``operators.multimodal`` run a REAL decode→feature/resize path
+end-to-end; WebP, progressive/arithmetic JPEG, and video stay honestly
+stubbed.
 
 Everything here is driver-free, per-payload pure-Python/numpy — it runs
 inside Arrow-batched ``mapInPandas`` kernels, one call per payload. At

@@ -6,10 +6,11 @@ use. Heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` over the binary column:
 one Python worker per partition, vectorized batches, no per-row pickling.
 
-Codec status: PNG, BMP, PCM WAV, and baseline JPEG decode FOR REAL via
-the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
-(zlib inflate + scanline unfilter, BI_RGB pixel walk, RIFF chunk walk,
-Huffman + IDCT baseline JPEG) — ``fake=False`` runs them end-to-end.
+Codec status: PNG, BMP, PCM WAV, baseline JPEG, and GIF decode FOR REAL
+via the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
+/ ``operators.gif`` (zlib inflate + scanline unfilter, BI_RGB pixel
+walk, RIFF chunk walk, Huffman + IDCT baseline JPEG, LZW + compositing
+GIF) — ``fake=False`` runs them end-to-end.
 Progressive/arithmetic JPEG, WebP, and video remain honestly
 stubbed: the real path raises ``UnsupportedMediaError`` on them, or
 nulls them out under ``on_error='null'``. ``fake=True`` keeps the
@@ -96,10 +97,11 @@ def _real_features(payload: bytes) -> list[float]:
 def extract_features(df: DataFrame, fake: bool = True,
                      on_error: str = "raise") -> DataFrame:
     """(media_id, n_bytes, features[FEATURE_DIM]) via Arrow-batched
-    mapInPandas. ``fake=False`` runs the REAL stdlib decoders (PNG/BMP/
-    WAV, operators/codecs.py); payloads outside that set raise (the
-    JPEG/video codec seam) or, with ``on_error='null'``, yield
-    features=null so one bad item can't fail a 100 TB job."""
+    mapInPandas. ``fake=False`` runs the REAL decoders (PNG/BMP/WAV/
+    baseline-JPEG/GIF via operators/codecs.py dispatch); payloads
+    outside that set raise (the WebP/video codec seam) or, with
+    ``on_error='null'``, yield features=null so one bad item can't fail
+    a 100 TB job."""
     if on_error not in ("raise", "null"):
         raise ValueError(f"on_error must be 'raise' or 'null': {on_error!r}")
 
