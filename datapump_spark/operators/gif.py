@@ -72,12 +72,16 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
                          np.uint8)
 
 
+def _interlace_order(h: int) -> np.ndarray:
+    """Row order of the four GIF interlace passes — shared by encoder
+    (writes rows in this order) and decoder (scatters them back)."""
+    return np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
+                           np.arange(2, h, 4), np.arange(1, h, 2)])
+
+
 def _deinterlace(idx: np.ndarray) -> np.ndarray:
-    h = idx.shape[0]
-    order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
-                            np.arange(2, h, 4), np.arange(1, h, 2)])
     out = np.empty_like(idx)
-    out[order] = idx
+    out[_interlace_order(idx.shape[0])] = idx
     return out
 
 
@@ -168,6 +172,11 @@ def decode_gif_frames(b: bytes):
                 gct[bg % len(gct)] if gct is not None else 0)
         elif disposal == 3 and saved is not None:   # restore previous
             canvas = saved
+        # a Graphic Control Extension governs only the single graphic
+        # block that follows it (GIF89a §23) — reset for the next frame
+        transparent = None
+        delay_ms = 0
+        disposal = 0
     if not yielded:
         raise ValueError("GIF contains no image data")
 
@@ -209,9 +218,7 @@ def encode_gif(img: np.ndarray, interlace: bool = False) -> bytes:
 
     rows = idx.reshape(h, w)
     if interlace:
-        order = np.concatenate([np.arange(0, h, 8), np.arange(4, h, 8),
-                                np.arange(2, h, 4), np.arange(1, h, 2)])
-        rows = rows[order]
+        rows = rows[_interlace_order(h)]
     out += bytes([max(2, depth)])
     out += _lzw_encode(rows.reshape(-1).astype(np.int32),
                        max(2, depth))

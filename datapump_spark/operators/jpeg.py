@@ -206,12 +206,16 @@ class _BitReader:
         self.pending_rst = False
 
     def _fill(self) -> None:
-        if self.pos + 1 < len(self.data):
-            b = self.data[self.pos]
+        data, pos = self.data, self.pos
+        if pos < len(data):
+            b = data[pos]
             if b != 0xFF:
+                # a real byte — including the buffer's very LAST byte
+                # (a truncated stream without EOI must still decode the
+                # bits that are actually present)
                 self.pos += 1
-            else:
-                nxt = self.data[self.pos + 1]
+            elif pos + 1 < len(data):
+                nxt = data[pos + 1]
                 if nxt == 0x00:
                     self.pos += 2
                 else:
@@ -220,6 +224,9 @@ class _BitReader:
                     if 0xD0 <= nxt <= 0xD7:
                         self.pending_rst = True
                     b = 0xFF
+            else:
+                # lone trailing 0xFF: could be half a marker — pad
+                b = 0xFF
         else:
             b = 0xFF
         self.acc = (self.acc << 8) | b

@@ -116,7 +116,11 @@ def extract_features(df: DataFrame, fake: bool = True,
                 def safe(b):
                     try:
                         return _real_features(bytes(b))
-                    except (ValueError, TypeError):  # incl. Unsupported
+                    except Exception:
+                        # corrupt/truncated payloads raise struct.error,
+                        # IndexError, KeyError from the decoders — null
+                        # mode must survive ALL of them, not just the
+                        # typed UnsupportedMediaError
                         return None
                 feats = payloads.map(safe)
             yield pd.DataFrame({
@@ -221,17 +225,24 @@ def sample_gif_frames(df: DataFrame, every_ms: int = 100,
                     total = t
                     tick, fi = 0, 0
                     idx = 0
+                    png_cache: dict = {}
                     while tick < max(total, 1):
                         while (fi + 1 < len(frames)
                                and frames[fi + 1][0] <= tick):
                             fi += 1
                         ts, frame = frames[fi]
+                        png = png_cache.get(fi)
+                        if png is None:
+                            # one PNG per distinct frame, not per tick —
+                            # a 30 s two-frame GIF at 100 ms ticks would
+                            # otherwise zlib-compress 300 times
+                            png_cache[fi] = png = codecs.encode_png(frame)
                         out["media_id"].append(mid)
                         out["frame_idx"].append(idx)
                         out["frame_ts_ms"].append(tick)
                         out["height"].append(frame.shape[0])
                         out["width"].append(frame.shape[1])
-                        out["frame_png"].append(codecs.encode_png(frame))
+                        out["frame_png"].append(png)
                         idx += 1
                         tick += every_ms
                 except Exception:
@@ -293,7 +304,7 @@ def image_dhash(df: DataFrame, on_error: str = "null") -> DataFrame:
                 def safe(b):
                     try:
                         return _dhash64(b)
-                    except (ValueError, TypeError):  # incl. Unsupported
+                    except Exception:  # see extract_features null mode
                         return None
                 hashes = pdf["payload"].map(safe)
             yield pd.DataFrame({"media_id": pdf["media_id"],
@@ -361,7 +372,7 @@ def audio_fingerprint(df: DataFrame, on_error: str = "null") -> DataFrame:
                 def safe(b):
                     try:
                         return _audio_fp64(b)
-                    except (ValueError, TypeError):
+                    except Exception:  # see extract_features null mode
                         return None
                 fps = pdf["payload"].map(safe)
             yield pd.DataFrame({"media_id": pdf["media_id"], "afp": fps})

@@ -99,7 +99,7 @@ class DeltaMergeProfile:
                 "WHEN NOT MATCHED THEN INSERT *")
 
     def cdc_merge_sql(self, table: str, keys: Sequence[str],
-                      seq_cols: Sequence[str],
+                      seq_cols: Sequence[str], payload: Sequence[str],
                       tombstone_col: str = "__tombstone") -> str:
         """apply_cdc twin: one winner per key is staged in the source
         view (the sortless max_by collapse happens DataFrame-side in both
@@ -108,17 +108,31 @@ class DeltaMergeProfile:
         sink's marker rows exist to preserve, so `RESTORE`/CDF replaces
         tombstone retention; a stale update older than an applied delete
         is rejected by reading the pre-delete sequence from the CDF
-        (enable ``delta.enableChangeDataFeed`` via table_properties_sql)."""
+        (enable ``delta.enableChangeDataFeed`` via table_properties_sql).
+
+        Explicit column lists, NOT ``UPDATE SET *``/``INSERT *``: the
+        staged view carries the ``tombstone_col`` marker that the target
+        table must never receive — ``*`` would fail on the schema
+        mismatch (or, with schema.autoMerge, silently add the marker
+        column to the production table). ``payload`` is the target's
+        non-key non-seq data columns."""
         seq = [(f"s.{_qident(c)}", f"t.{_qident(c)}") for c in seq_cols]
         s_tuple = "(" + ", ".join(a for a, _ in seq) + ")"
         t_tuple = "(" + ", ".join(b for _, b in seq) + ")"
         guard = f"{s_tuple} >= {t_tuple}"
         ts = f"s.{_qident(tombstone_col)}"
+        data_cols = [*keys, *seq_cols, *payload]
+        sets = ", ".join(f"t.{_qident(c)} = s.{_qident(c)}"
+                         for c in data_cols if c not in keys)
+        ins_cols = ", ".join(_qident(c) for c in data_cols)
+        ins_vals = ", ".join(f"s.{_qident(c)}" for c in data_cols)
         return (f"MERGE INTO {self._table(table)} t "
                 f"USING {self.source_view} s ON {_on_clause(keys)} "
                 f"WHEN MATCHED AND {ts} AND {guard} THEN DELETE "
-                f"WHEN MATCHED AND NOT {ts} AND {guard} THEN UPDATE SET * "
-                f"WHEN NOT MATCHED AND NOT {ts} THEN INSERT *")
+                f"WHEN MATCHED AND NOT {ts} AND {guard} "
+                f"THEN UPDATE SET {sets} "
+                f"WHEN NOT MATCHED AND NOT {ts} "
+                f"THEN INSERT ({ins_cols}) VALUES ({ins_vals})")
 
     # -- maintenance / metadata -------------------------------------------
 

@@ -26,12 +26,23 @@ import subprocess
 
 
 def sql_literal(v) -> str:
+    import math
+
     if v is None:
         return "NULL"
     if isinstance(v, bool):
         return "TRUE" if v else "FALSE"
-    if isinstance(v, (int, float)):
+    if isinstance(v, float):
+        # bare nan/inf are not valid Postgres numeric literals
+        if math.isnan(v):
+            return "'NaN'::float8"
+        if math.isinf(v):
+            return f"'{'-' if v < 0 else ''}Infinity'::float8"
         return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray, memoryview)):
+        return r"'\x" + bytes(v).hex() + "'::bytea"
     return "'" + str(v).replace("'", "''") + "'"
 
 

@@ -24,15 +24,22 @@ def test_upsert_merge_shape():
 
 
 def test_cdc_merge_is_sequence_guarded_and_tombstone_aware():
-    sql = P.cdc_merge_sql("t", ["k"], ["ts", "seq"])
+    """Explicit column lists: the staged view carries __tombstone, which
+    the target must never receive — SET */INSERT * would propagate it
+    (schema mismatch, or a silent marker column under autoMerge)."""
+    sql = P.cdc_merge_sql("t", ["k"], ["ts", "seq"], ["v"])
     assert sql == (
         "MERGE INTO `default`.`t` t USING __merge_batch s ON t.`k` = s.`k` "
         "WHEN MATCHED AND s.`__tombstone` "
         "AND (s.`ts`, s.`seq`) >= (t.`ts`, t.`seq`) THEN DELETE "
         "WHEN MATCHED AND NOT s.`__tombstone` "
-        "AND (s.`ts`, s.`seq`) >= (t.`ts`, t.`seq`) THEN UPDATE SET * "
-        "WHEN NOT MATCHED AND NOT s.`__tombstone` THEN INSERT *"
+        "AND (s.`ts`, s.`seq`) >= (t.`ts`, t.`seq`) "
+        "THEN UPDATE SET t.`ts` = s.`ts`, t.`seq` = s.`seq`, t.`v` = s.`v` "
+        "WHEN NOT MATCHED AND NOT s.`__tombstone` "
+        "THEN INSERT (`k`, `ts`, `seq`, `v`) "
+        "VALUES (s.`k`, s.`ts`, s.`seq`, s.`v`)"
     )
+    assert "SET *" not in sql and "INSERT *" not in sql
 
 
 def test_maintenance_statements():

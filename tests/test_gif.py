@@ -148,6 +148,34 @@ def _animated(colors, delay_cs) -> bytes:
     return bytes(out)
 
 
+def test_gce_scope_does_not_leak_to_next_frame():
+    """A Graphic Control Extension governs only the single image that
+    follows it (GIF89a §23): frame 1 declares index 1 transparent; frame
+    2 has NO GCE and paints index 1 — its pixels must render (and its
+    delay must read 0), not inherit frame 1's transparency/delay."""
+    pal = bytes([255, 0, 0, 0, 255, 0] + [0] * 6)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", 2, 1, 0x80 | 0x01, 0, 0)
+    out += pal
+    # frame 1: GCE transparent=1, delay 30 cs; paints [0, 1]
+    out += bytes([0x21, 0xF9, 4, 0x01]) + struct.pack("<H", 30) \
+        + bytes([1, 0])
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out += bytes([2]) + _lzw_encode(np.array([0, 1], np.int32), 2) + b"\x00"
+    # frame 2: NO GCE; paints [1, 1]
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, 2, 1, 0)
+    out += bytes([2]) + _lzw_encode(np.array([1, 1], np.int32), 2) + b"\x00"
+    out += b"\x3b"
+    frames = list(decode_gif_frames(bytes(out)))
+    (f1, d1), (f2, d2) = frames
+    assert d1 == 300 and d2 == 0
+    # frame 1: pixel 1 transparent → background (red, the bg color)
+    assert tuple(f1[0, 0]) == (255, 0, 0)
+    # frame 2: index 1 must PAINT green everywhere (no inherited
+    # transparency)
+    assert (f2 == [0, 255, 0]).all()
+
+
 def test_sample_gif_frames_real_path(spark):
     """Distributed REAL animation sampling: 3 frames × 200 ms sampled at
     100 ms ticks → each frame emitted twice, PNG payloads decode back to

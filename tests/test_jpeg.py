@@ -112,6 +112,17 @@ def test_restart_markers_roundtrip_identically():
     assert rst420.shape == img.shape
 
 
+def test_truncated_stream_decodes_present_bits():
+    """A stream whose EOI is stripped (crawl truncation) must still
+    decode from the bytes that ARE present — the last entropy byte
+    must be consumed, not replaced with padding."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, (16, 16, 3), dtype=np.uint8)
+    b = encode_jpeg(img, quality=90)
+    full = decode_jpeg(b)
+    assert (decode_jpeg(b[:-2]) == full).all()   # EOI stripped
+
+
 def test_multiscan_baseline_refused_not_misdecoded():
     """A baseline file may split components across scans
     (non-interleaved); decoding only the first scan would silently

@@ -123,6 +123,38 @@ def test_postgres_duplicate_pk_single_statement_raises(pg):
                   'ON CONFLICT ("k") DO UPDATE SET "v" = excluded."v"')
 
 
+def test_literal_rendering_covers_awkward_types():
+    from datapump_spark.sinks.psql_dbapi import sql_literal
+
+    assert sql_literal(float("nan")) == "'NaN'::float8"
+    assert sql_literal(float("inf")) == "'Infinity'::float8"
+    assert sql_literal(float("-inf")) == "'-Infinity'::float8"
+    assert sql_literal(b"\x00\xff") == r"'\x00ff'::bytea"
+    assert sql_literal(bytearray(b"\x01")) == r"'\x01'::bytea"
+    assert sql_literal(None) == "NULL"
+    assert sql_literal(True) == "TRUE"
+    assert sql_literal("it's") == "'it''s'"
+
+
+def test_postgres_nan_and_bytea_roundtrip(spark, pg):
+    """NaN doubles and binary payloads survive the psql shim against a
+    real server (bare `nan` would abort the whole batch)."""
+    _psql(pg, 'CREATE TABLE "t2" ("k" BIGINT PRIMARY KEY, "x" FLOAT8, '
+              '"p" BYTEA)')
+    sink = JdbcUpsertSink(
+        PsqlConnectionFactory(pg, port=_PG_PORT, user="pgtest"),
+        dialect="postgres")
+    df = spark.createDataFrame(
+        [(1, float("nan"), bytearray(b"\x00\xff")),
+         (2, 2.5, bytearray(b"ok"))],
+        "k long, x double, p binary").coalesce(1)
+    sink.upsert(df, "t2", ["k"])
+    rows = sorted(_psql(
+        pg, "SELECT \"k\", \"x\"::text, encode(\"p\", 'hex') FROM \"t2\""
+    ).splitlines())
+    assert rows == ["1|NaN|00ff", "2|2.5|6f6b"]
+
+
 def test_postgres_duplicate_pk_in_one_batch(spark, pg):
     """The sink's in-batch PK dedupe (last wins) keeps a dirty batch
     loadable against real Postgres."""
