@@ -3018,6 +3018,20 @@ FROM c
 """
 
 
+# q_pdf_text: the extractor must return EXACTLY the printable-ASCII
+# projection the Spark side wrote into a real Flate-compressed PDF —
+# the oracle recomputes that projection without parsing a byte.
+EXTRA_ORACLES["q_pdf_text"] = """
+SELECT doc_id AS media_id,
+       regexp_replace(text, '[^ -~]', '', 'g') AS text,
+       CAST(length(regexp_replace(text, '[^ -~]', '', 'g')) AS BIGINT)
+         AS n_chars,
+       CAST(1 AS BIGINT) AS n_pages
+FROM documents
+WHERE doc_id % 6 = 0
+"""
+
+
 # q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
 # is a pruning structure with no false negatives, so the engine output
 # must equal the plain anti-join's exactly. A build/probe hash mismatch

@@ -1207,6 +1207,37 @@ def q_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text-extraction gate (operators/pdftext.py). Each
+    sampled document's printable-ASCII projection is written into a
+    genuine Flate-compressed one-page PDF (escape rules and all) and
+    extracted back through the full parser — zlib inflate, object scan,
+    content-stream walk, string unescaping. The oracle recomputes the
+    ASCII projection directly in SQL, so extraction must be EXACT for
+    the value hash to match."""
+    import pandas as pd
+
+    from datapump_spark.operators.pdftext import pdf_text
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
+            .select(F.col("doc_id").alias("media_id"),
+                    F.regexp_replace("text", r"[^ -~]", "").alias("__t")))
+
+    def build(batches):
+        from datapump_spark.operators.pdftext import encode_simple_pdf
+        for pdf_b in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_b["media_id"],
+                "payload": pdf_b["__t"].map(encode_simple_pdf),
+            })
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (pdf_text(media, on_error="raise")
+            .select("media_id", "text",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_pages").cast("long").alias("n_pages")))
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup (operators/multimodal.py
     image_near_dup): one textured PNG per sampled document, built so
@@ -2220,6 +2251,7 @@ EXTRA_QUERIES = {
     "q_image_decode": q_image_decode,
     "q_jpeg_decode": q_jpeg_decode,
     "q_gif_decode": q_gif_decode,
+    "q_pdf_text": q_pdf_text,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_seasonal_anomaly": q_seasonal_anomaly,

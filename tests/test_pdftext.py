@@ -1,0 +1,136 @@
+"""PDF text extraction (operators/pdftext.py): writer round-trips
+through REAL Flate + string escapes, hand-built streams exercise the
+operators the writer never emits (TJ arrays, hex strings, ', "),
+out-of-scope documents flag instead of emitting garbage."""
+
+from __future__ import annotations
+
+import zlib
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from datapump_spark.operators.pdftext import (
+    encode_simple_pdf,
+    extract_pdf_text,
+    pdf_text,
+)
+
+
+@pytest.mark.parametrize("text", [
+    "plain text",
+    "escapes: (parens) \\back\\slash\\ and (nested (deep))",
+    "multi\nline\ntext",
+    "blank\n\nline",
+    "",
+    "tab\tand\rcarriage",
+])
+def test_writer_roundtrip(text):
+    got, pages, flags = extract_pdf_text(encode_simple_pdf(text))
+    assert got == text.rstrip("\n")
+    assert pages == 1 and flags == []
+
+
+def test_uncompressed_stream():
+    got, _, flags = extract_pdf_text(
+        encode_simple_pdf("raw stream", compress=False))
+    assert got == "raw stream" and flags == []
+
+
+_ASCII = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+    max_size=120)
+
+
+@settings(max_examples=30, deadline=None)
+@given(text=_ASCII)
+def test_writer_roundtrip_property(text):
+    got, _, _ = extract_pdf_text(encode_simple_pdf(text))
+    assert got == text
+
+
+def _wrap_stream(content: bytes) -> bytes:
+    return (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(content)).encode()
+            + b" >>\nstream\n" + content + b"\nendstream\nendobj\n%%EOF")
+
+
+def test_tj_array_and_hex_and_quote_operators():
+    got, _, _ = extract_pdf_text(_wrap_stream(
+        b"BT [ (Hel) -120 (lo) ] TJ (, ) Tj <776f726c64> Tj ET"))
+    assert got == "Hello, world"
+    got, _, _ = extract_pdf_text(_wrap_stream(
+        b"BT (first) Tj (second) ' ET"))
+    assert got == "first\nsecond"
+
+
+def test_octal_escape_and_line_continuation():
+    got, _, _ = extract_pdf_text(_wrap_stream(
+        b"BT (A\\101\\treal\\\ncontinued) Tj ET"))
+    assert got == "AA\treal" + "continued"
+
+
+def test_text_outside_bt_et_is_ignored():
+    got, _, _ = extract_pdf_text(_wrap_stream(
+        b"(not text) Tj BT (yes) Tj ET (also not) Tj"))
+    assert got == "yes"
+
+
+def test_out_of_scope_flags_not_garbage():
+    _, _, flags = extract_pdf_text(
+        encode_simple_pdf("x") + b"<< /Encrypt 9 0 R >>")
+    assert "encrypted" in flags
+    _, _, flags = extract_pdf_text(
+        encode_simple_pdf("x") + b"<< /Subtype /Type0 >>")
+    assert "cid_font" in flags
+    # LZW-compressed stream: skipped + flagged, Flate text still extracted
+    lzw = (b"3 0 obj\n<< /Filter /LZWDecode /Length 4 >>\n"
+           b"stream\n\x80\x0b\x60\x50\nendstream\nendobj\n")
+    text, _, flags = extract_pdf_text(encode_simple_pdf("kept") + lzw)
+    assert text == "kept" and "unsupported_filter" in flags
+    # corrupt Flate: flagged, not crashed
+    bad = (b"3 0 obj\n<< /Filter /FlateDecode /Length 4 >>\n"
+           b"stream\nXXXX\nendstream\nendobj\n")
+    text, _, flags = extract_pdf_text(encode_simple_pdf("kept") + bad)
+    assert text == "kept" and "unsupported_filter" in flags
+
+
+def test_not_a_pdf_raises():
+    with pytest.raises(ValueError, match="not a PDF"):
+        extract_pdf_text(b"plain bytes")
+
+
+def test_multipage_object_scan():
+    """Two page objects, two content streams — object scanning needs no
+    xref, so this also stands in for linearized/damaged files."""
+    c1 = zlib.compress(b"BT (page one) Tj ET")
+    c2 = zlib.compress(b"BT (page two) Tj ET")
+    body = b"%PDF-1.4\n"
+    objs = [
+        b"<< /Type /Page /Contents 3 0 R >>",
+        b"<< /Type /Page /Contents 4 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(c1)).encode()
+        + b" >>\nstream\n" + c1 + b"\nendstream",
+        b"<< /Filter /FlateDecode /Length " + str(len(c2)).encode()
+        + b" >>\nstream\n" + c2 + b"\nendstream",
+    ]
+    for i, o in enumerate(objs, 1):
+        body += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    text, pages, flags = extract_pdf_text(body + b"%%EOF")
+    assert text == "page one\npage two"
+    assert pages == 2 and flags == []
+
+
+def test_pdf_text_spark_kernel(spark):
+    """Distributed extraction: round trip + null survival mode."""
+    rows = [(1, bytearray(encode_simple_pdf("doc one text"))),
+            (2, bytearray(encode_simple_pdf("doc\ntwo"))),
+            (3, bytearray(b"not a pdf at all"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in pdf_text(df).collect()}
+    assert out[1]["text"] == "doc one text" and out[1]["n_pages"] == 1
+    assert out[2]["text"] == "doc\ntwo" and out[2]["n_chars"] == 7
+    assert out[3]["text"] is None
+    with pytest.raises(Exception):
+        pdf_text(df, on_error="raise").collect()
