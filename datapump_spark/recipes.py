@@ -526,6 +526,55 @@ def web_corpus(
     return pretrain_corpus(docs, benchmark, recipe)
 
 
+def document_corpus(
+    spark,
+    pdf_path: str,
+    benchmark: DataFrame | None = None,
+    recipe: CorpusRecipe | None = None,
+    glob: str = "*.pdf",
+) -> dict[str, DataFrame]:
+    """Directory of PDFs → packed training sequences in ONE call — the
+    document twin of :func:`web_corpus`: ``binaryFile`` scan (JVM-side
+    listing, mtime/length pushdown) → REAL PDF text extraction
+    (``operators/pdftext``) → the full :func:`pretrain_corpus` chain.
+
+    ``doc_id`` is the 63-bit path hash (stable across re-ingestion),
+    ``source`` the file's parent directory name — so per-source
+    mixing/weights work on document trees out of the box. Files the
+    parser can't read (corrupt, encrypted, CID-font-only) land in the
+    extra ``quarantine`` stream with their flags rather than polluting
+    the corpus — the same routing doctrine as media_corpus.
+
+    At 100 TB: extraction is per-file CPU inside an Arrow kernel
+    (embarrassingly parallel, same shape as the image decode path);
+    everything downstream is the already-measured pretrain chain.
+    """
+    from datapump_spark.operators.pdftext import pdf_text
+    from datapump_spark.sources.mediadir import read_media_dir
+
+    raw = read_media_dir(spark, pdf_path, glob=glob)
+    files = raw.select(
+        F.xxhash64("path").bitwiseAND(F.lit((1 << 63) - 1))
+        .alias("media_id"),
+        F.col("content").alias("payload"),
+        F.col("path"),
+        F.regexp_extract("path", r"([^/]+)/[^/]+$", 1).alias("source"),
+    )
+    extracted = pdf_text(files, on_error="null") \
+        .join(files.select("media_id", "path", "source"), "media_id")
+    ok = (extracted
+          .where(F.col("text").isNotNull() & (F.col("text") != "")
+                 & (F.size("flags") == 0)))
+    quarantine = (extracted
+                  .where(F.col("text").isNull() | (F.col("text") == "")
+                         | (F.size("flags") > 0))
+                  .select("media_id", "path", "flags"))
+    docs = ok.select(F.col("media_id").alias("doc_id"), "text", "source")
+    streams = pretrain_corpus(docs, benchmark, recipe)
+    streams["quarantine"] = quarantine
+    return streams
+
+
 def contrastive_triples(
     docs: DataFrame,
     id_col: str = "doc_id",

@@ -122,6 +122,43 @@ def test_multipage_object_scan():
     assert pages == 2 and flags == []
 
 
+def test_document_corpus_one_call(spark, tmp_path):
+    """Directory of PDFs → clean/rejected/sequences/quarantine in one
+    call: readable files flow through the full pretrain chain keyed by
+    parent-dir source; corrupt and encrypted files quarantine with
+    flags instead of polluting the corpus."""
+    from datapump_spark.recipes import CorpusRecipe, document_corpus
+
+    # stopword-bearing base (the gopher gate needs real English) with
+    # per-file suffixes; threshold 0.95 keeps the variants distinct
+    # (the same fixture shape as test_curation_funnel)
+    base = ("the quick brown fox jumps over the lazy dog while the small "
+            "bird watches from a tall tree and sings a morning song")
+    (tmp_path / "arxiv").mkdir()
+    (tmp_path / "books").mkdir()
+    for i in range(4):
+        (tmp_path / "arxiv" / f"p{i}.pdf").write_bytes(
+            encode_simple_pdf(f"{base} ax{i}q ax{i}w"))
+    (tmp_path / "books" / "b0.pdf").write_bytes(
+        encode_simple_pdf(f"{base} bkza bkzb"))
+    (tmp_path / "books" / "broken.pdf").write_bytes(b"not a pdf")
+    (tmp_path / "books" / "locked.pdf").write_bytes(
+        encode_simple_pdf(f"{base} locked") + b"<< /Encrypt 9 0 R >>")
+
+    out = document_corpus(spark, str(tmp_path),
+                          recipe=CorpusRecipe(min_words=10,
+                                              dedup_threshold=0.95))
+    clean = out["clean"].collect()
+    assert {r["source"] for r in clean} == {"arxiv", "books"}
+    assert len(clean) == 5                      # 4 arxiv + 1 book
+    q = {r["path"].rsplit("/", 1)[-1]: r["flags"]
+         for r in out["quarantine"].collect()}
+    assert set(q) == {"broken.pdf", "locked.pdf"}
+    assert q["broken.pdf"] is None              # unparseable → null flags
+    assert "encrypted" in q["locked.pdf"]
+    assert out["sequences"].count() > 0
+
+
 def test_pdf_text_spark_kernel(spark):
     """Distributed extraction: round trip + null survival mode."""
     rows = [(1, bytearray(encode_simple_pdf("doc one text"))),
