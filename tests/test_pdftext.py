@@ -122,6 +122,8 @@ def test_multipage_object_scan():
     assert pages == 2 and flags == []
 
 
+@pytest.mark.slow  # composition of stages gated in-default
+# (pdf_text kernel above; pretrain chain in test_recipes)
 def test_document_corpus_one_call(spark, tmp_path):
     """Directory of PDFs → clean/rejected/sequences/quarantine in one
     call: readable files flow through the full pretrain chain keyed by
