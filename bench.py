@@ -177,6 +177,9 @@ BENCH_QUERIES = [
     "q_corpus_card",
     # round-6: REAL PNG encode→decode→pixel-stats round-trip (stdlib codecs)
     "q_image_decode",
+    "q_jpeg_decode",
+    "q_gif_decode",
+    "q_pdf_text",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",
     # round-6: SQ8 scalar-quantized ANN (dim-byte codes, near-exact recall)

@@ -63,6 +63,9 @@ def test_silence_and_dc_have_no_spectral_shape():
     assert got["dominant"] is None or got["dominant"] < 50.0
 
 
+@pytest.mark.slow  # kernel wiring is the same mapInPandas shape the
+# driver-gated decode queries exercise; the spectral math is pinned
+# by the closed-form tests above
 def test_distributed_kernel_and_null_mode(spark):
     from datapump_spark.operators.audiofeat import audio_spectral_features
 

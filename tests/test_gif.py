@@ -176,6 +176,8 @@ def test_gce_scope_does_not_leak_to_next_frame():
     assert (f2 == [0, 255, 0]).all()
 
 
+@pytest.mark.slow  # sampling timeline + compositing are pinned by the
+# pure hand-built-animation tests above; this adds the Spark wiring
 def test_sample_gif_frames_real_path(spark):
     """Distributed REAL animation sampling: 3 frames × 200 ms sampled at
     100 ms ticks → each frame emitted twice, PNG payloads decode back to
