@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q_jpeg_decode",
     "q_gif_decode",
     "q_pdf_text",
+    "q_audio_tone",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",
     # round-6: SQ8 scalar-quantized ANN (dim-byte codes, near-exact recall)

@@ -3032,6 +3032,19 @@ WHERE doc_id % 6 = 0
 """
 
 
+# q_audio_tone: the decode -> window -> rfft -> argmax path must land
+# exactly on the doc-derived bin-aligned tone frequency; the oracle
+# recomputes it from the id arithmetic without touching a sample.
+EXTRA_ORACLES["q_audio_tone"] = """
+SELECT doc_id AS media_id,
+       CAST(8000 AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(100 + (doc_id % 50) * 20 AS BIGINT) AS dominant_hz
+FROM documents
+WHERE doc_id % 8 = 0
+"""
+
+
 # q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
 # is a pruning structure with no false negatives, so the engine output
 # must equal the plain anti-join's exactly. A build/probe hash mismatch

@@ -1238,6 +1238,45 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_pages").cast("long").alias("n_pages")))
 
 
+def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio analysis gate (operators/audiofeat.py). Each sampled
+    document becomes a one-second PCM WAV carrying a pure sine at a
+    doc-derived frequency; the full decode → Hann window → rfft →
+    argmax path must land on EXACTLY that frequency. With n = sample
+    rate the FFT bins are 1 Hz apart, so the dominant bin is integral
+    after 0-dp rounding and the oracle recomputes it from doc_id
+    arithmetic alone — a lossy-looking DSP pipeline facing an exact
+    value hash (the q_jpeg_decode trick, in the frequency domain)."""
+    import pandas as pd
+
+    from datapump_spark.operators.audiofeat import audio_spectral_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators import codecs
+        sr = 8000
+        t = np.arange(sr) / sr
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def wav(doc_id: int) -> bytes:
+                f = 100 + (doc_id % 50) * 20          # bin-aligned
+                return codecs.encode_wav(0.5 * np.sin(2 * np.pi * f * t),
+                                         sr)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(wav)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = audio_spectral_features(media, on_error="raise")
+    return feats.select(
+        "media_id", "n_frames", "sample_rate",
+        F.round("dominant_hz", 0).cast("long").alias("dominant_hz"))
+
+
 def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dedup (operators/multimodal.py
     image_near_dup): one textured PNG per sampled document, built so
@@ -2252,6 +2291,7 @@ EXTRA_QUERIES = {
     "q_jpeg_decode": q_jpeg_decode,
     "q_gif_decode": q_gif_decode,
     "q_pdf_text": q_pdf_text,
+    "q_audio_tone": q_audio_tone,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_seasonal_anomaly": q_seasonal_anomaly,
