@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q_gif_decode",
     "q_pdf_text",
     "q_audio_tone",
+    "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",
     # round-6: SQ8 scalar-quantized ANN (dim-byte codes, near-exact recall)

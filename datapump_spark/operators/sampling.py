@@ -274,3 +274,53 @@ def token_budget_mix(
     return (df.withColumn("n_tok", n_tok)
             .withColumn("cum_tok", F.sum("n_tok").over(w))
             .where((src_budget >= 0) & (F.col("cum_tok") <= src_budget)))
+
+
+def curriculum_order(
+    df: DataFrame,
+    signal_col: str,
+    n_stages: int = 4,
+    id_col: str = "doc_id",
+    ascending: bool = True,
+    strategy: str = "exact",
+    hash_fn: str = "md5",
+) -> DataFrame:
+    """Curriculum ordering for training data: quantile STAGES over a
+    difficulty signal (easy → hard when ``ascending``), with a
+    deterministic hash shuffle WITHIN each stage — the standard
+    curriculum-learning data layout (train in (stage, ord) order).
+
+    (id, signal, stage 1..n, ord 1..|stage|); layout-independent and
+    replayable: stage is a pure function of the signal distribution and
+    ord of the id hash.
+
+    - ``strategy='exact'``: NTILE over a single total order — the
+      verifiable profile (exact SQL twin), but the stage pass is one
+      global sort.
+    - ``strategy='approx'``: the 100 TB profile — stage boundaries from
+      approxQuantile (driver-bounded: n_stages-1 doubles), assignment is
+      a scan-speed comparison chain, no global sort; the within-stage
+      shuffle window partitions by stage. Boundary-adjacent rows may
+      land one stage off vs exact (the documented quantile-sketch
+      tolerance); stage SIZES may differ accordingly.
+    """
+    if n_stages < 1:
+        raise ValueError(f"n_stages must be >= 1: {n_stages}")
+    sig = F.col(signal_col) if ascending else -F.col(signal_col)
+    if strategy == "exact":
+        w = Window.orderBy(sig.asc(), F.col(id_col).asc())
+        staged = df.withColumn("stage", F.ntile(n_stages).over(w))
+    elif strategy == "approx":
+        qs = [i / n_stages for i in range(1, n_stages)]
+        cuts = df.approxQuantile(signal_col, qs, 0.001)
+        if not ascending:
+            cuts = sorted(-c for c in cuts)
+        stage = F.lit(1)
+        for b in cuts:
+            stage = stage + (sig > F.lit(b)).cast("int")
+        staged = df.withColumn("stage", stage)
+    else:
+        raise ValueError(f"unknown strategy {strategy!r}")
+    h = _key_hash(F.col(id_col), "curr", hash_fn)
+    w2 = Window.partitionBy("stage").orderBy(h.asc(), F.col(id_col).asc())
+    return staged.withColumn("ord", F.row_number().over(w2))

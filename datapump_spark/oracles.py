@@ -3045,6 +3045,23 @@ WHERE doc_id % 8 = 0
 """
 
 
+# q_curriculum: NTILE staging + md5 within-stage shuffle, both engines
+# computing the identical total order (signal, id) and hash order.
+EXTRA_ORACLES["q_curriculum"] = f"""
+WITH staged AS (
+  SELECT doc_id, n_chars,
+         CAST(ntile(4) OVER (ORDER BY n_chars ASC, doc_id ASC) AS BIGINT)
+           AS stage
+  FROM documents)
+SELECT doc_id, n_chars, stage,
+       CAST(row_number() OVER (
+         PARTITION BY stage
+         ORDER BY {hash63_sql("'curr:' || CAST(doc_id AS VARCHAR)")} ASC,
+                  doc_id ASC) AS BIGINT) AS ord
+FROM staged
+"""
+
+
 # q_bloom_dedup: IDENTICAL SQL to q_incremental_dedup — the Bloom filter
 # is a pruning structure with no false negatives, so the engine output
 # must equal the plain anti-join's exactly. A build/probe hash mismatch

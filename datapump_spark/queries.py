@@ -1238,6 +1238,18 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_pages").cast("long").alias("n_pages")))
 
 
+def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum ordering (operators/sampling.py curriculum_order,
+    exact profile): length-quantile stages over documents (short = easy)
+    with a deterministic hash shuffle within each stage — the
+    easy-to-hard training layout. NTILE + the cross-engine md5
+    row_number make the whole (stage, ord) assignment exactly
+    SQL-twinned."""
+    from datapump_spark.operators.sampling import curriculum_order
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return curriculum_order(docs, "n_chars", n_stages=4)
+
+
 def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio analysis gate (operators/audiofeat.py). Each sampled
     document becomes a one-second PCM WAV carrying a pure sine at a
@@ -2292,6 +2304,7 @@ EXTRA_QUERIES = {
     "q_gif_decode": q_gif_decode,
     "q_pdf_text": q_pdf_text,
     "q_audio_tone": q_audio_tone,
+    "q_curriculum": q_curriculum,
     "q_bloom_dedup": q_bloom_dedup,
     "q_seasonal_decompose": q_seasonal_decompose,
     "q_seasonal_anomaly": q_seasonal_anomaly,

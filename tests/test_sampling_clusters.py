@@ -184,3 +184,62 @@ def test_token_budget_mix_contract(spark):
     assert again == {r["doc_id"] for r in out}
     with _pytest.raises(ValueError, match="budget_tokens"):
         token_budget_mix(df, "source", weights, 0, "doc_id")
+
+
+def test_curriculum_order_exact_properties(spark, sf_dir):
+    """Stages are contiguous signal quantiles (easy→hard), ord is a
+    1..|stage| permutation, and the layout is partition-independent."""
+    from datapump_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    out = curriculum_order(docs, "n_chars", n_stages=4).collect()
+    by_stage = {}
+    for r in out:
+        by_stage.setdefault(r["stage"], []).append(r)
+    assert set(by_stage) == {1, 2, 3, 4}
+    # quantile contiguity: every signal in stage s <= every one in s+1
+    for s in (1, 2, 3):
+        assert (max(r["n_chars"] for r in by_stage[s])
+                <= min(r["n_chars"] for r in by_stage[s + 1]))
+    for rows in by_stage.values():
+        assert sorted(r["ord"] for r in rows) == list(range(1, len(rows) + 1))
+    # deterministic across layout
+    again = curriculum_order(docs.repartition(7), "n_chars", 4).collect()
+    key = lambda r: (r["doc_id"], r["stage"], r["ord"])
+    assert sorted(map(key, again)) == sorted(map(key, out))
+
+
+def test_curriculum_order_approx_scale_path(spark, sf_dir):
+    """The 100 TB profile: no global-sort NTILE in the plan, stages
+    agree with exact within the quantile-sketch tolerance."""
+    from datapump_spark.operators.sampling import curriculum_order
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .select("doc_id", "n_chars")
+    exact = {r["doc_id"]: r["stage"] for r in
+             curriculum_order(docs, "n_chars", 4).collect()}
+    approx_df = curriculum_order(docs, "n_chars", 4, strategy="approx")
+    plan = approx_df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan
+    approx = {r["doc_id"]: r["stage"] for r in approx_df.collect()}
+    off = sum(1 for k in exact if abs(exact[k] - approx[k]) > 1)
+    assert off == 0, f"{off} docs more than one stage off"
+    agree = sum(1 for k in exact if exact[k] == approx[k]) / len(exact)
+    assert agree > 0.95, agree
+
+
+def test_curriculum_order_descending_and_validation(spark):
+    from datapump_spark.operators.sampling import curriculum_order
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(8)],
+                               "doc_id long, sig double")
+    desc = curriculum_order(df, "sig", 2, ascending=False).collect()
+    stage_of = {r["doc_id"]: r["stage"] for r in desc}
+    assert all(stage_of[i] == 1 for i in range(4, 8))   # hard first
+    assert all(stage_of[i] == 2 for i in range(0, 4))
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_stages"):
+        curriculum_order(df, "sig", 0)
+    with _pytest.raises(ValueError, match="strategy"):
+        curriculum_order(df, "sig", 2, strategy="bogus")
