@@ -153,6 +153,8 @@ def test_dup_passages_hand_docs(spark):
     assert not strict[1].near_dup and not strict[2].near_dup
 
 
+@pytest.mark.slow  # q_semantic_decontam's EXTRA oracle hash-gates the
+# same operator per round; this adds hand-vector flag semantics
 def test_semantic_decontam_flags_similar_vectors(spark):
     """Embedding-space decontamination: an exact copy and a slightly
     perturbed copy of a benchmark vector flag; an orthogonal vector does

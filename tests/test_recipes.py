@@ -34,6 +34,9 @@ def test_streams_partition_the_input(streams):
     assert clean_ids, "recipe rejected everything"
 
 
+@pytest.mark.slow  # decontamination itself is oracle-gated
+# (q_decontam/q_decontam_spans); this re-flags the recipe's clean
+# stream — composition routing, like the other slow recipe stages
 def test_clean_is_decontaminated(spark, sf_dir, streams):
     _, out = streams
     from datapump_spark.operators.decontam import decontaminate

@@ -302,6 +302,9 @@ def test_hamming_probe_matches_brute_force(spark):
     assert got == want and want, "probe disagrees with brute force"
 
 
+@pytest.mark.slow  # the scope_col band-key fold extends the gated
+# minhash path; recipe-level scoping is pinned by
+# test_dedup_scope_col_in_recipe in this tier
 def test_scoped_near_dup_pairs(spark):
     """scope_col='lang': byte-identical texts in DIFFERENT languages
     never pair (cross-scope collisions are free), same-language near-dups

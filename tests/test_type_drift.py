@@ -73,10 +73,11 @@ def test_events_query_list_nonempty():
 
 
 @pytest.mark.parametrize("encoding", [
-    "ntz_micros",
-    # tz/nanos analysis-only passes are `slow`: the exact-value sessionize
-    # check below still runs all three encodings in the default set, and
-    # ntz_micros (the current driver encoding) keeps the analyze sweep
+    # ALL analysis-only sweeps are `slow` (round 7): the exact-value
+    # sessionize check below still runs all three encodings in-default,
+    # and every gated events query analyzes the driver's actual nanos
+    # encoding on every oracle run
+    pytest.param("ntz_micros", marks=pytest.mark.slow),
     pytest.param("tz_micros", marks=pytest.mark.slow),
     pytest.param("nanos_bigint", marks=pytest.mark.slow),
 ])
