@@ -37,7 +37,28 @@ import re
 import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+(\d+)\s+obj\b(.*?)endobj", re.S)
-_STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.S)
+_STREAM_START_RE = re.compile(rb"stream\r?\n")
+# fallback only (no direct /Length): GREEDY to the object's last
+# endstream — the body already ends at endobj
+_STREAM_FALLBACK_RE = re.compile(rb"stream\r?\n(.*)\r?\nendstream", re.S)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)\b(?!\s+\d+\s+R)")
+
+
+def _stream_data(body: bytes) -> bytes | None:
+    """Extract a stream's exact bytes. The spec's /Length is
+    authoritative — a regex scanning for ``endstream`` would truncate
+    one byte whenever the (compressed) data happens to END with 0x0D,
+    because the EOL before the keyword is optional-\\r ambiguous."""
+    sm = _STREAM_START_RE.search(body)
+    if not sm:
+        return None
+    head = body[:sm.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm:
+        start = sm.end()
+        return body[start:start + int(lm.group(1))]
+    fm = _STREAM_FALLBACK_RE.search(body)
+    return fm.group(1) if fm else None
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
@@ -177,11 +198,10 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
     texts: list[str] = []
     for m in _OBJ_RE.finditer(b):
         body = m.group(3)
-        sm = _STREAM_RE.search(body)
-        if not sm:
+        data = _stream_data(body)
+        if data is None:
             continue
-        head = body[:sm.start()]
-        data = sm.group(1)
+        head = body[:_STREAM_START_RE.search(body).start()]
         if re.search(rb"/Filter", head):
             if re.search(rb"/FlateDecode\b", head):
                 try:
