@@ -16,7 +16,8 @@ Out of scope (documented seams — the flags tell the caller): CID/Type0
 composite fonts (two-byte codes; would need the font's ToUnicode CMap),
 encrypted documents, LZW/DCT-compressed content, Type3 glyph drawing.
 ``extract_pdf_text`` returns (text, n_pages, flags) where flags carries
-``cid_font`` / ``encrypted`` / ``unsupported_filter`` markers instead of
+``cid_font`` / ``encrypted`` / ``unsupported_filter`` / ``truncated``
+markers instead of
 silently emitting garbage.
 
 ``encode_simple_pdf`` writes a minimal valid single-font PDF (fixture
@@ -107,6 +108,14 @@ def _parse_literal_string(data: bytes, i: int) -> tuple[str, int]:
             depth -= 1
             if depth == 0:
                 return "".join(out), i + 1
+        elif c == 0x0D:
+            # unescaped EOL inside a literal is \n, CRLF collapsing to
+            # one (PDF 7.3.4.2)
+            out.append("\n")
+            i += 1
+            if i < n and data[i] == 0x0A:
+                i += 1
+            continue
         out.append(chr(c))
         i += 1
     return "".join(out), i
@@ -194,14 +203,29 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
     if re.search(rb"/Type0\b|/Identity-H\b", b):
         flags.add("cid_font")
 
-    n_pages = len(re.findall(rb"/Type\s*/Page[^s]", b))
+    n_pages = 0
     texts: list[str] = []
     for m in _OBJ_RE.finditer(b):
         body = m.group(3)
+        sm = _STREAM_START_RE.search(body)
+        head = body if sm is None else body[:sm.start()]
+        # count pages from object DICTS only — never from stream bytes,
+        # where a document ABOUT pdf syntax would inflate the count
+        n_pages += len(re.findall(rb"/Type\s*/Page(?![A-Za-z])", head))
+        if sm is None:
+            continue
         data = _stream_data(body)
+        lm = _LENGTH_RE.search(head)
+        if lm and data is not None and len(data) < int(lm.group(1)):
+            # the object scan cut at 'endobj' BYTES inside the stream —
+            # re-slice at absolute offsets from the full buffer, and say
+            # so if the file really ends early
+            start = m.start(3) + sm.end()
+            data = b[start:start + int(lm.group(1))]
+            if len(data) < int(lm.group(1)):
+                flags.add("truncated")
         if data is None:
             continue
-        head = body[:_STREAM_START_RE.search(body).start()]
         if re.search(rb"/Filter", head):
             if re.search(rb"/FlateDecode\b", head):
                 try:
@@ -275,15 +299,18 @@ _PDF_SCHEMA = ("media_id long, text string, n_chars int, n_pages int, "
                "flags array<string>")
 
 
-def pdf_text(df, on_error: str = "null"):
-    """(media_id, text, n_chars, n_pages, flags) via Arrow mapInPandas
-    over (media_id, payload). Same error contract as the image kernels:
-    ``'null'`` drops undecodable payloads to null text, ``'raise'``
-    propagates."""
+def pdf_text(df, on_error: str = "null", passthrough: tuple = ()):
+    """(media_id, text, n_chars, n_pages, flags[, passthrough…]) via
+    Arrow mapInPandas over (media_id, payload). Same error contract as
+    the image kernels: ``'null'`` drops undecodable payloads to null
+    text, ``'raise'`` propagates. ``passthrough`` names string columns
+    copied through the kernel — callers that need provenance (path,
+    source) avoid a re-scan + shuffle join back onto the input."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise': {on_error!r}")
+    schema = _PDF_SCHEMA + "".join(f", {c} string" for c in passthrough)
 
     def kernel(batches):
         for pdf_batch in batches:
@@ -302,9 +329,12 @@ def pdf_text(df, on_error: str = "null"):
                     chars.append(None)
                     pages.append(None)
                     flags.append(None)
-            yield pd.DataFrame({
+            out = {
                 "media_id": pdf_batch["media_id"], "text": texts,
                 "n_chars": chars, "n_pages": pages, "flags": flags,
-            })
+            }
+            for c in passthrough:
+                out[c] = pdf_batch[c]
+            yield pd.DataFrame(out)
 
-    return df.select("media_id", "payload").mapInPandas(kernel, _PDF_SCHEMA)
+    return df.select("media_id", "payload", *passthrough)         .mapInPandas(kernel, schema)

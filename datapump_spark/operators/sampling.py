@@ -312,12 +312,17 @@ def curriculum_order(
         staged = df.withColumn("stage", F.ntile(n_stages).over(w))
     elif strategy == "approx":
         qs = [i / n_stages for i in range(1, n_stages)]
-        cuts = df.approxQuantile(signal_col, qs, 0.001)
+        # n_stages=1 needs no cutpoints (approxQuantile([]) NPEs)
+        cuts = df.approxQuantile(signal_col, qs, 0.001) if qs else []
         if not ascending:
             cuts = sorted(-c for c in cuts)
         stage = F.lit(1)
         for b in cuts:
             stage = stage + (sig > F.lit(b)).cast("int")
+        # null signals: NTILE sorts them FIRST (stage 1) in the exact
+        # profile; the comparison chain would yield stage NULL — match
+        # the exact profile instead of emitting unsortable rows
+        stage = F.when(F.col(signal_col).isNull(), F.lit(1))             .otherwise(stage)
         staged = df.withColumn("stage", stage)
     else:
         raise ValueError(f"unknown strategy {strategy!r}")

@@ -560,8 +560,10 @@ def document_corpus(
         F.col("path"),
         F.regexp_extract("path", r"([^/]+)/[^/]+$", 1).alias("source"),
     )
-    extracted = pdf_text(files, on_error="null") \
-        .join(files.select("media_id", "path", "source"), "media_id")
+    # provenance rides THROUGH the kernel: joining it back would plan a
+    # second binaryFile scan plus a shuffle on the path hash
+    extracted = pdf_text(files, on_error="null",
+                         passthrough=("path", "source"))
     ok = (extracted
           .where(F.col("text").isNotNull() & (F.col("text") != "")
                  & (F.size("flags") == 0)))
