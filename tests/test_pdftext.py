@@ -173,3 +173,38 @@ def test_pdf_text_spark_kernel(spark):
     assert out[3]["text"] is None
     with pytest.raises(Exception):
         pdf_text(df, on_error="raise").collect()
+
+
+def test_endobj_bytes_inside_stream_do_not_truncate():
+    """The object scan cuts at 'endobj'; /Length-based re-slicing at
+    absolute offsets must recover streams whose CONTENT contains that
+    word (a PDF about PDFs), with no flags."""
+    raw = b"BT (the word endobj appears) Tj ET"
+    body = (b"%PDF-1.4\n1 0 obj\n<< /Type /Page >>\nendobj\n"
+            b"2 0 obj\n<< /Length " + str(len(raw)).encode()
+            + b" >>\nstream\n" + raw + b"\nendstream\nendobj\n%%EOF")
+    text, pages, flags = extract_pdf_text(body)
+    assert text == "the word endobj appears"
+    assert pages == 1 and flags == []
+
+
+def test_truncated_file_flags():
+    b = encode_simple_pdf("some text that will be cut")
+    text, _, flags = extract_pdf_text(b[:len(b) // 2])
+    assert "truncated" in flags or "unsupported_filter" in flags
+
+
+def test_unescaped_eol_in_literal_normalizes():
+    """PDF 7.3.4.2: an unescaped EOL inside a literal string is \\n,
+    CRLF collapsing to one."""
+    got, _, _ = extract_pdf_text(_wrap_stream(
+        b"BT (line1\r\nline2\rline3\nline4) Tj ET"))
+    assert got == "line1\nline2\nline3\nline4"
+
+
+def test_page_count_ignores_stream_bytes():
+    """'/Type /Page' in SHOWN TEXT must not count as a page; the real
+    page dict (even one ending at an odd boundary) must."""
+    _, pages, _ = extract_pdf_text(
+        encode_simple_pdf("a doc about /Type /Page syntax"))
+    assert pages == 1
