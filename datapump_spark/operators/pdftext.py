@@ -240,6 +240,31 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
         # (fonts, images, xref streams) simply yield nothing
         if b"BT" in data:
             texts.append(_content_text(data))
+
+    # a file cut mid-object has NO trailing 'endobj', so the scan above
+    # never sees its last object at all — detect it, flag, and salvage
+    # whatever Flate can inflate of the partial stream
+    last_end = max((m.end() for m in _OBJ_RE.finditer(b)), default=0)
+    hm = re.search(rb"(\d+)\s+(\d+)\s+obj\b", b[last_end:])
+    if hm:
+        tail = b[last_end:]
+        flags.add("truncated")
+        sm = _STREAM_START_RE.search(tail, hm.end())
+        if sm:
+            head = tail[hm.end():sm.start()]
+            n_pages += len(re.findall(rb"/Type\s*/Page(?![A-Za-z])", head))
+            data = tail[sm.end():]
+            if re.search(rb"/FlateDecode\b", head):
+                try:
+                    # decompressobj tolerates truncation (yields the
+                    # prefix); genuinely corrupt bytes still raise
+                    data = zlib.decompressobj().decompress(data)
+                except zlib.error:
+                    data = b""
+            elif re.search(rb"/Filter", head):
+                data = b""
+            if b"BT" in data:
+                texts.append(_content_text(data))
     return "\n".join(t for t in texts if t), n_pages, sorted(flags)
 
 
