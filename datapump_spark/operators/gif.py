@@ -51,6 +51,9 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
                 prev = None
                 continue
             if code == eoi:
+                if len(out) < n_pixels:
+                    raise ValueError(
+                        "truncated GIF LZW stream: EOI before all pixels")
                 return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
             if prev is None:
                 entry = table[code]
@@ -68,8 +71,10 @@ def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> np.ndarray:
                 width += 1
             if len(out) >= n_pixels:
                 return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
-    return np.frombuffer(bytes(out[:n_pixels].ljust(n_pixels, b"\x00")),
-                         np.uint8)
+    if len(out) < n_pixels:
+        raise ValueError("truncated GIF LZW stream: data ended before "
+                         f"{n_pixels} pixels were decoded")
+    return np.frombuffer(bytes(out[:n_pixels]), np.uint8)
 
 
 def _interlace_order(h: int) -> np.ndarray:

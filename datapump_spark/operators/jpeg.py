@@ -252,9 +252,12 @@ class _BitReader:
         """Byte-align and consume the RST marker."""
         self.acc, self.nbits = 0, 0
         self.pending_rst = False
-        while self.data[self.pos] != 0xFF or not (
-                0xD0 <= self.data[self.pos + 1] <= 0xD7):
+        while self.pos + 1 < len(self.data) and (
+                self.data[self.pos] != 0xFF or not (
+                0xD0 <= self.data[self.pos + 1] <= 0xD7)):
             self.pos += 1
+        if self.pos + 1 >= len(self.data):
+            raise ValueError("truncated JPEG: missing restart marker")
         self.pos += 2
 
     def decode_symbol(self, fast) -> int:

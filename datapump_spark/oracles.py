@@ -3250,3 +3250,11 @@ for _k in ("q_jpeg_decode",):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_moving_avg",):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Round-8 rotation (see queries.DRIVER_PROMOTED_R8): the round-7 decode
+# flagships enter the driver record; the demoted family twins keep the
+# identical SQL gate in pytest + scripts/check_oracle.py.
+for _k in ("q_pdf_text", "q_gif_decode", "q_audio_tone"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_hash_sample", "q_group_cap", "q_top_customers"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

@@ -3209,6 +3209,30 @@ for _k in DRIVER_PROMOTED_R7B:
     QUERIES[_k] = EXTRA_QUERIES.pop(_k)
 for _k in DRIVER_DEMOTED_R7B:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+# Round-8 rotation (VERDICT r7 #3): the round-7 decode flagships enter
+# the driver record — all three already pass the identical exact-hash
+# DuckDB gate as EXTRA keys.
+#   + q_pdf_text — PDF object-scan text extraction, exact-hash vs the
+#     fixture writer's known text,
+#   + q_gif_decode — GIF87a/89a LZW decode facing a checkerboard
+#     arithmetic twin (palette-exact reconstruction),
+#   + q_audio_tone — WAV decode → Hann window → rfft → argmax landing
+#     on the known synthesis frequency;
+#   - q_hash_sample — the sampling family keeps q_dsir_sample,
+#     q_weighted_mix and q_token_budget_mix in the driver set,
+#   - q_group_cap — the per-group top-k shape stays witnessed by
+#     q_window_topn,
+#   - q_top_customers — the join-agg shape stays witnessed by
+#     q_star_revenue and q_pricing_summary.
+# All demotions keep the IDENTICAL DuckDB comparison in
+# tests/test_extra_oracles.py + scripts/check_oracle.py.
+DRIVER_PROMOTED_R8 = ("q_pdf_text", "q_gif_decode", "q_audio_tone")
+DRIVER_DEMOTED_R8 = ("q_hash_sample", "q_group_cap", "q_top_customers")
+for _k in DRIVER_PROMOTED_R8:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R8:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
 assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")

@@ -72,8 +72,18 @@ class PsqlConnection:
         return self
 
     def executemany(self, sql: str, rows) -> None:
+        # Placeholder substitution splits on the literal '%s', so a '%s'
+        # inside a quoted string constant in the template would be treated
+        # as a parameter slot. The sink's generated SQL never does that;
+        # guard loudly against a template/row arity mismatch rather than
+        # rendering a silently shifted statement.
         frags = sql.split("%s")
         for row in rows:
+            if len(frags) - 1 != len(row):
+                raise ValueError(
+                    f"SQL template has {len(frags) - 1} %s placeholders "
+                    f"but the row has {len(row)} values; a '%s' inside a "
+                    "string literal in the template is not supported")
             rendered = []
             for i, frag in enumerate(frags):
                 rendered.append(frag)

@@ -53,14 +53,30 @@ def test_driver_registry_capped_at_50():
 # Nothing loses coverage — the same queries pass the IDENTICAL DuckDB
 # comparison in scripts/check_oracle.py (run each round over BOTH
 # registries) and the slow tier still runs the full parametrization.
-_DEFAULT_SMOKE = {
-    "q_set_ops", "q_histogram",            # freshly demoted from the 50
-    "q_semi_join", "q_unpivot",            # join shape / wide union
+# Round 8 (ADVICE): the subset ROTATES each round — a fixed anchor set
+# plus a window over the sorted registry keyed by the round number (the
+# count of committed CORRECTNESS_r*.json files), so every EXTRA family
+# passes through the default tier over time.
+_SMOKE_ANCHORS = {
+    "q_semi_join",                         # join shape
     "q_resample_15min",                    # offset-alias resample family
     "q_lm_score",                          # text scoring family
-    "q_equidepth",                         # percentile family
-    "q_url_canon",                         # string/url family
 }
+
+
+def _rotating_smoke() -> set:
+    import glob as _glob
+    here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    rnd = len(_glob.glob(os.path.join(here, "CORRECTNESS_r*.json")))
+    names = sorted(set(EXTRA_QUERIES) - _SMOKE_ANCHORS)
+    if not names:
+        return set(_SMOKE_ANCHORS)
+    start = (rnd * 5) % len(names)
+    window = [names[(start + i) % len(names)] for i in range(5)]
+    return _SMOKE_ANCHORS | set(window)
+
+
+_DEFAULT_SMOKE = _rotating_smoke()
 
 
 # Types DuckDB may emit from an oracle. HUGEINT and DECIMAL are banned:
