@@ -8,7 +8,7 @@ from __future__ import annotations
 import zlib
 
 import pytest
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from datapump_spark.operators.pdftext import (
@@ -208,3 +208,91 @@ def test_page_count_ignores_stream_bytes():
     _, pages, _ = extract_pdf_text(
         encode_simple_pdf("a doc about /Type /Page syntax"))
     assert pages == 1
+
+
+# --------------------------------------------------------------------------
+# CID/Type0 composite fonts (round 8) — PDF 9.7.4 Identity-H + a 9.10.3
+# ToUnicode CMap; the decode must APPLY the map, not pass bytes through.
+# --------------------------------------------------------------------------
+
+def test_cid_roundtrip_mixed_scripts():
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    t = ("Hello, CID! caffeé 你好 \U0001F600\n"
+         "line two: x < y > z (parens) \\ backslash")
+    text, pages, flags = extract_pdf_text(encode_cid_pdf(t))
+    assert text == t
+    assert pages == 1 and flags == []
+
+
+def test_cid_roundtrip_uncompressed_cmap():
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    t = "bfrange ASCII + bfchar €üß mix"
+    text, _, flags = extract_pdf_text(encode_cid_pdf(t, compress=False))
+    assert text == t and flags == []
+
+
+@given(st.text(min_size=0, max_size=120))
+@settings(max_examples=40, deadline=None)
+def test_cid_roundtrip_property(text):
+    """Any unicode text (minus the writer's line-split char and
+    unpaired surrogates) survives the CID write→extract loop exactly,
+    modulo the same trailing-newline rstrip the simple writer has."""
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    assume(all(not 0xD800 <= ord(c) <= 0xDFFF for c in text))
+    assume("\r" not in text)
+    got, _, flags = extract_pdf_text(encode_cid_pdf(text))
+    want = "\n".join(line for line in text.split("\n"))
+    assert got == want.rstrip("\n")
+    assert "cid_font" not in flags and "cid_unmapped" not in flags
+
+
+def test_type0_without_tounicode_flags():
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    raw = encode_cid_pdf("abc")
+    noto = raw.replace(b"/ToUnicode 7 0 R ", b"")
+    _, _, flags = extract_pdf_text(noto)
+    assert "cid_font" in flags
+
+
+def test_cid_unmapped_code_flags():
+    """A 2-byte code outside both the bfrange window and the bfchar set
+    flags cid_unmapped instead of emitting garbage."""
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    # code 0x0900 maps to nothing: the CMap for pure-ASCII text only
+    # covers <0020>-<007E>
+    raw = encode_cid_pdf("ab", compress=False)
+    assert b"<00610062>" in raw
+    patched = raw.replace(b"<00610062>", b"<09000062>")
+    # /Length of the (uncompressed) content stream is unchanged: the
+    # hex token has the same byte length
+    text, _, flags = extract_pdf_text(patched)
+    assert text == "b"
+    assert "cid_unmapped" in flags
+
+
+def test_cid_and_simple_fonts_coexist():
+    """Two content streams, one per font family: the /F1 Tf selection
+    must switch decoders per show, not globally."""
+    from datapump_spark.operators.pdftext import encode_cid_pdf
+    cid = encode_cid_pdf("CID says é", compress=False)
+    # append a second, simple-font object set after EOF: the object
+    # scan picks both streams up; F9 is a plain Type1 font
+    raw2 = b"BT /F9 10 Tf (plain latin-1) Tj ET"
+    extra = (b"8 0 obj\n<< /Font << /F9 9 0 R >> >>\nendobj\n"
+             b"9 0 obj\n<< /Type /Font /Subtype /Type1 >>\nendobj\n"
+             b"10 0 obj\n<< /Length " + str(len(raw2)).encode()
+             + b" >>\nstream\n" + raw2 + b"\nendstream\nendobj\n")
+    text, _, flags = extract_pdf_text(cid + extra)
+    assert "CID says é" in text and "plain latin-1" in text
+    assert flags == []
+
+
+def test_bfrange_array_destinations():
+    """The ``<lo> <hi> [ <d1> <d2> … ]`` bfrange form (one dst per
+    code) parses alongside the scalar form."""
+    from datapump_spark.operators.pdftext import _parse_tounicode
+    cm = _parse_tounicode(
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfrange\n<0005> <0007> [ <0041> <00420043> <0044> ]\n"
+        b"endbfrange\n")
+    assert cm.decode(b"\x00\x05\x00\x06\x00\x07") == "ABCD"
