@@ -6,8 +6,8 @@ filters), uncompressed BMP (BI_RGB 24/32-bit), PCM WAV (RIFF chunk
 walk), baseline JPEG (``operators.jpeg``: Annex K Huffman + IDCT), and
 GIF (``operators.gif``: LZW + compositing). The multimodal kernels in
 ``operators.multimodal`` run a REAL decode→feature/resize path
-end-to-end; WebP, progressive/arithmetic JPEG, and video stay honestly
-stubbed.
+end-to-end; WebP, arithmetic-coded JPEG, and video stay honestly
+stubbed (progressive SOF2 decodes for real since round 8).
 
 Everything here is driver-free, per-payload pure-Python/numpy — it runs
 inside Arrow-batched ``mapInPandas`` kernels, one call per payload. At
@@ -273,10 +273,10 @@ def resize_nearest(img: np.ndarray, width: int, height: int) -> np.ndarray:
 
 
 def decode_image(b: bytes) -> np.ndarray:
-    """Dispatch on magic bytes: PNG/BMP/baseline-JPEG decode for real
-    (see :mod:`operators.jpeg` for the JPEG scope — progressive and
-    arithmetic streams still raise; GIF87a/89a via operators.gif — LZW,
-    interlace, transparency); WebP raises
+    """Dispatch on magic bytes: PNG/BMP/JPEG (baseline AND progressive
+    — see :mod:`operators.jpeg`; arithmetic-coded streams still raise)
+    decode for real; GIF87a/89a via operators.gif — LZW,
+    interlace, transparency; WebP raises
     UnsupportedMediaError (their coders need real codec libraries — the
     honest stub boundary)."""
     if b[:8] == PNG_SIG:

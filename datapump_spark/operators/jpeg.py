@@ -1,21 +1,33 @@
-"""Baseline JPEG (ITU-T T.81) encode/decode in pure Python + numpy.
+"""Baseline + progressive JPEG (ITU-T T.81) encode/decode in pure
+Python + numpy.
 
 Closes the biggest real-corpus multimodal gap (a crawl's images are
-mostly JPEG): ``decode_jpeg`` handles baseline sequential DCT streams —
-8-bit samples, Huffman entropy coding, 1 or 3 components, any sampling
-factors up to 2×2 (4:4:4 / 4:2:2 / 4:2:0), restart intervals. Everything
-outside that scope (progressive SOF2, arithmetic coding, 12-bit, 4-comp
-CMYK) raises ``UnsupportedMediaError`` — the same honest seam as the
-PNG/BMP/WAV codecs in :mod:`operators.codecs`.
+mostly JPEG, and mostly PROGRESSIVE): ``decode_jpeg`` handles
+- baseline sequential DCT streams (SOF0/SOF1) — 8-bit samples, Huffman
+  entropy coding, 1 or 3 components, sampling factors up to 2×2
+  (4:4:4 / 4:2:2 / 4:2:0), restart intervals;
+- progressive DCT streams (SOF2, round 8) — spectral selection +
+  successive approximation per T.81 Annex G: interleaved and
+  non-interleaved DC scans (first + refinement), per-component AC
+  scans with EOB-run coding (first + the Annex G.1.2.3 correction-bit
+  refinement), restart markers resetting both predictions and EOB runs.
+Everything outside that scope (arithmetic coding, hierarchical, 12-bit,
+4-comp CMYK) raises ``UnsupportedMediaError`` — the same honest seam as
+the PNG/BMP/WAV codecs in :mod:`operators.codecs`.
 
 ``encode_jpeg`` emits baseline 4:4:4 or 4:2:0 streams with the standard
 Annex K quantization/Huffman tables (quality-scaled per the common IJG
-formula) — used by the fixture builders and round-trip tests, and it
-makes the sink side of a media pipeline real.
+formula); ``encode_jpeg_progressive`` emits SOF2 streams with the
+conventional ten-scan (three-component) / six-scan (grayscale)
+progression and per-scan optimal Huffman tables built by the Annex K.2
+frequency-merge procedure. Both make the sink side of a media pipeline
+real and give the decoder bit-exact fixtures.
 
 All constants are from the published JPEG standard (ITU-T T.81 Annex K);
 the DCT is the orthonormal 8×8 DCT-II matrix (F = C·B·Cᵀ), numerically
-identical to the standard's FDCT/IDCT definition.
+identical to the standard's FDCT/IDCT definition. The progressive
+entropy procedures follow the standard's flowcharts (G.2, figures
+G.3–G.7).
 
 Reference parity note: the reference (datapump.py) has no multimodal
 surface at all (requirements.txt:1-9); this extends the engine for
@@ -339,13 +351,11 @@ def _pad_to(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
     return plane
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 75,
-                subsampling: str = "444",
-                restart_interval: int = 0) -> bytes:
-    """Encode (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 to a
-    baseline JFIF stream. ``subsampling``: '444' or '420' (2×2 chroma).
-    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
-    that many MCUs (what web encoders do for error resilience)."""
+def _component_coefs(img: np.ndarray, quality: int, subsampling: str):
+    """Shared encoder front end (color convert, subsample, pad, FDCT,
+    quantize). Returns (gray, h, w, samp, coef, qlum_zz, qchrom_zz)
+    where samp[i] = (ch, cv) and coef[i] is the component's quantized
+    zigzag block array padded to the common MCU grid."""
     if img.ndim == 3 and img.shape[2] == 1:
         img = img[:, :, 0]
     gray = img.ndim == 2
@@ -387,6 +397,46 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
         p = np.pad(plane, ((0, target_h - ph), (0, target_w - pw)),
                    mode="edge")
         coef.append(_fdct_quant(p, qtab))
+    samp = [(ch, cv) for _, _, ch, cv in comps]
+    return gray, h, w, samp, coef, qlum_b, qchrom_b
+
+
+def _frame_header_segments(gray: bool, h: int, w: int, samp,
+                           qlum_zz, qchrom_zz, sof_marker: bytes,
+                           restart_interval: int = 0) -> bytearray:
+    """SOI + APP0 + DQT(s) + optional DRI + SOF — identical layout for
+    baseline (SOF0) and progressive (SOF2) streams."""
+    out = bytearray(b"\xff\xd8")                                    # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HHBB", 1, 1, 0, 0)                          # APP0
+    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
+        int(x) for x in qlum_zz)                                    # DQT 0
+    if not gray:
+        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(
+            int(x) for x in qchrom_zz)                              # DQT 1
+    ncomp = 1 if gray else 3
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
+    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
+    for ci, (ch, cv) in enumerate(samp):
+        sof += struct.pack("BBB", ci + 1, (ch << 4) | cv,
+                           0 if ci == 0 else 1)
+    out += sof_marker + sof                                         # SOF
+    return out
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 75,
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Encode (h, w, 3) RGB or (h, w)/(h, w, 1) grayscale uint8 to a
+    baseline JFIF stream. ``subsampling``: '444' or '420' (2×2 chroma).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    that many MCUs (what web encoders do for error resilience)."""
+    gray, h, w, samp, coef, qlum_b, qchrom_b = _component_coefs(
+        img, quality, subsampling)
+    comps = [(None, None, ch, cv) for ch, cv in samp]
+    hmax = max(c[2] for c in comps)
+    vmax = max(c[3] for c in comps)
 
     dc_lum = _build_code_table(DC_LUM_BITS, DC_LUM_VALS)
     ac_lum = _build_code_table(AC_LUM_BITS, AC_LUM_VALS)
@@ -420,22 +470,9 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
     scan_parts.append(bw.flush())
     scan = b"".join(scan_parts)
 
-    out = bytearray(b"\xff\xd8")                                    # SOI
-    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
-        + struct.pack(">HHBB", 1, 1, 0, 0)                          # APP0
-    out += b"\xff\xdb" + struct.pack(">HB", 67, 0) + bytes(
-        int(x) for x in qlum_b)                                     # DQT 0
-    if not gray:
-        out += b"\xff\xdb" + struct.pack(">HB", 67, 1) + bytes(
-            int(x) for x in qchrom_b)                               # DQT 1
+    out = _frame_header_segments(gray, h, w, samp, qlum_b, qchrom_b,
+                                 b"\xff\xc0", restart_interval)
     ncomp = 1 if gray else 3
-    if restart_interval:
-        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)  # DRI
-    sof = struct.pack(">HBHHB", 8 + 3 * ncomp, 8, h, w, ncomp)
-    for ci, (_, _, ch, cv) in enumerate(comps):
-        sof += struct.pack("BBB", ci + 1, (ch << 4) | cv,
-                           0 if ci == 0 else 1)
-    out += b"\xff\xc0" + sof                                        # SOF0
     for tc, th, bits, vals in (
             (0, 0, DC_LUM_BITS, DC_LUM_VALS),
             (1, 0, AC_LUM_BITS, AC_LUM_VALS),
@@ -455,17 +492,353 @@ def encode_jpeg(img: np.ndarray, quality: int = 75,
 
 
 # --------------------------------------------------------------------------
+# Progressive encoder (ITU-T T.81 Annex G; scan script and the optimal
+# Huffman construction are the conventional ones from Annex K.2)
+# --------------------------------------------------------------------------
+
+def _gen_optimal_table(freqs: dict[int, int]) -> tuple[list, list]:
+    """Code lengths from symbol frequencies by the T.81 K.2 merge
+    procedure (figures K.9-K.11): repeatedly merge the two least-
+    frequent chains, histogram the depths, fold depths >16 down, and
+    reserve one phantom symbol so no real symbol gets the all-ones
+    code. Returns (BITS[16], HUFFVAL)."""
+    freq = [0] * 257
+    for sym, n in freqs.items():
+        freq[sym] = n
+    freq[256] = 1                       # reserved: claims the all-1s code
+    codesize = [0] * 257
+    others = [-1] * 257
+    while True:
+        c1, best = -1, None
+        for i in range(257):
+            if freq[i] and (best is None or freq[i] <= best):
+                best, c1 = freq[i], i
+        c2, best = -1, None
+        for i in range(257):
+            if freq[i] and i != c1 and (best is None or freq[i] < best):
+                best, c2 = freq[i], i
+        if c2 < 0:
+            break
+        freq[c1] += freq[c2]
+        freq[c2] = 0
+        codesize[c1] += 1
+        while others[c1] >= 0:
+            c1 = others[c1]
+            codesize[c1] += 1
+        others[c1] = c2
+        codesize[c2] += 1
+        while others[c2] >= 0:
+            c2 = others[c2]
+            codesize[c2] += 1
+    bits = [0] * 33
+    for length in codesize:
+        if length:
+            bits[length] += 1
+    i = 32
+    while i > 16:                       # depth-limit fold (figure K.10)
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                        # drop the reserved symbol's code
+    vals = []
+    for length in range(1, 33):
+        for sym in range(256):
+            if codesize[sym] == length:
+                vals.append(sym)
+    return bits[1:17], vals
+
+
+class _SymbolCounter:
+    """Pass-1 emitter: records symbol frequencies, discards bits."""
+
+    def __init__(self):
+        self.freq: dict[int, int] = {}
+
+    def symbol(self, sym: int) -> None:
+        self.freq[sym] = self.freq.get(sym, 0) + 1
+
+    def bits(self, v: int, n: int) -> None:
+        pass
+
+    def restart(self, idx: int) -> None:
+        pass
+
+
+class _SymbolWriter:
+    """Pass-2 emitter: Huffman codes + raw bits into a _BitWriter,
+    flushing and emitting RSTn at restart boundaries."""
+
+    def __init__(self, table: dict):
+        self.table = table
+        self.bw = _BitWriter()
+        self.parts: list[bytes] = []
+
+    def symbol(self, sym: int) -> None:
+        code, length = self.table[sym]
+        self.bw.write(code, length)
+
+    def bits(self, v: int, n: int) -> None:
+        if n:
+            self.bw.write(v, n)
+
+    def restart(self, idx: int) -> None:
+        self.parts.append(self.bw.flush())
+        self.parts.append(bytes([0xFF, 0xD0 + idx % 8]))
+        self.bw = _BitWriter()
+
+    def data(self) -> bytes:
+        self.parts.append(self.bw.flush())
+        return b"".join(self.parts)
+
+
+def _default_progression(ncomp: int) -> list[tuple]:
+    """(comp indices, Ss, Se, Ah, Al) per scan — the conventional
+    spectral-selection + successive-approximation script (what libjpeg
+    documents as its default progression; the shape is standard across
+    web encoders)."""
+    if ncomp == 1:
+        return [([0], 0, 0, 0, 1), ([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2),
+                ([0], 1, 63, 2, 1), ([0], 0, 0, 1, 0), ([0], 1, 63, 1, 0)]
+    return [([0, 1, 2], 0, 0, 0, 1),
+            ([0], 1, 5, 0, 2), ([2], 1, 63, 0, 1), ([1], 1, 63, 0, 1),
+            ([0], 6, 63, 0, 2), ([0], 1, 63, 2, 1),
+            ([0, 1, 2], 0, 0, 1, 0),
+            ([2], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([0], 1, 63, 1, 0)]
+
+
+def _comp_block_grid(fh: int, fw: int, ch: int, cv: int,
+                     hmax: int, vmax: int) -> tuple[int, int]:
+    """Non-interleaved block grid of one component (T.81 A.2.2):
+    ceil over the component's OWN sample dimensions, not the padded
+    MCU grid."""
+    comp_w = -(-fw * ch // hmax)
+    comp_h = -(-fh * cv // vmax)
+    return -(-comp_h // 8), -(-comp_w // 8)
+
+
+def _enc_ac_first_scan(em, blocks, ss, se, al, restart_interval=0):
+    """Figure G.3/G.4: first AC scan of a band with EOB-run coding.
+    ``blocks`` yields zigzag coefficient rows in scan order."""
+    eobrun = 0
+
+    def flush_eob():
+        nonlocal eobrun
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.symbol(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            eobrun = 0
+
+    for unit, zz in enumerate(blocks):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            em.restart(unit // restart_interval - 1)
+        r = 0
+        for k in range(ss, se + 1):
+            v = int(zz[k])
+            mag = abs(v) >> al
+            if mag == 0:
+                r += 1
+                continue
+            flush_eob()
+            while r > 15:
+                em.symbol(0xF0)
+                r -= 16
+            s = mag.bit_length()
+            em.symbol((r << 4) | s)
+            em.bits(mag if v > 0 else (~mag) & ((1 << s) - 1), s)
+            r = 0
+        if r > 0:
+            eobrun += 1
+            if eobrun == 0x7FFF:
+                flush_eob()
+    flush_eob()
+
+
+def _enc_ac_refine_scan(em, blocks, ss, se, al, restart_interval=0):
+    """Figure G.7 refinement AC scan: newly-nonzero coefficients get a
+    (run, 1) symbol + sign bit; already-nonzero coefficients crossed on
+    the way contribute buffered correction bits; fully-zero tails fold
+    into EOB runs whose correction bits are emitted with the EOB
+    symbol."""
+    eobrun = 0
+    pending: list[int] = []             # correction bits owed to EOB run
+
+    def flush_eob():
+        nonlocal eobrun, pending
+        if eobrun:
+            nbits = eobrun.bit_length() - 1
+            em.symbol(nbits << 4)
+            em.bits(eobrun & ((1 << nbits) - 1), nbits)
+            for bit in pending:
+                em.bits(bit, 1)
+            pending = []
+            eobrun = 0
+
+    for unit, zz in enumerate(blocks):
+        if restart_interval and unit and unit % restart_interval == 0:
+            flush_eob()
+            em.restart(unit // restart_interval - 1)
+        absv = [0] * (se + 1)
+        eob = ss - 1                    # index of last NEWLY-nonzero coef
+        for k in range(ss, se + 1):
+            absv[k] = abs(int(zz[k])) >> al
+            if absv[k] == 1:
+                eob = k
+        r = 0
+        block_bits: list[int] = []      # correction bits of this block
+        for k in range(ss, se + 1):
+            mag = absv[k]
+            if mag == 0:
+                r += 1
+                continue
+            while r > 15 and k <= eob:
+                flush_eob()
+                em.symbol(0xF0)
+                r -= 16
+                for bit in block_bits:
+                    em.bits(bit, 1)
+                block_bits = []
+            if mag > 1:                 # history coef: correction bit
+                block_bits.append(mag & 1)
+                continue
+            flush_eob()
+            em.symbol((r << 4) | 1)
+            em.bits(1 if int(zz[k]) >= 0 else 0, 1)
+            for bit in block_bits:
+                em.bits(bit, 1)
+            block_bits = []
+            r = 0
+        if r > 0 or block_bits:
+            eobrun += 1
+            pending.extend(block_bits)
+            if eobrun == 0x7FFF or len(pending) > 937:
+                flush_eob()
+    flush_eob()
+
+
+def encode_jpeg_progressive(img: np.ndarray, quality: int = 75,
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
+    """Encode to a progressive (SOF2) JFIF stream with the conventional
+    scan script. DC scans use the standard Annex K DC tables; every AC
+    scan gets a two-pass optimal Huffman table (EOB-run symbols 0xN0
+    are NOT in the standard baseline tables, so progressive encoders
+    always define their own — T.81 K.2). ``restart_interval`` applies
+    per scan (units = MCUs in DC scans, blocks in AC scans)."""
+    gray, h, w, samp, coef, qlum_b, qchrom_b = _component_coefs(
+        img, quality, subsampling)
+    hmax = max(ch for ch, _ in samp)
+    vmax = max(cv for _, cv in samp)
+    mcus_y = -(-h // (8 * vmax))
+    mcus_x = -(-w // (8 * hmax))
+    ncomp = len(samp)
+
+    out = _frame_header_segments(gray, h, w, samp, qlum_b, qchrom_b,
+                                 b"\xff\xc2", restart_interval)
+    for tc, th, bits, vals in (
+            (0, 0, DC_LUM_BITS, DC_LUM_VALS),
+            *(() if gray else ((0, 1, DC_CHROM_BITS, DC_CHROM_VALS),))):
+        out += b"\xff\xc4" + struct.pack(">HB", 3 + 16 + len(vals),
+                                         (tc << 4) | th)
+        out += bytes(bits) + bytes(vals)                            # DHT
+
+    dc_tabs = [_build_code_table(DC_LUM_BITS, DC_LUM_VALS),
+               _build_code_table(DC_CHROM_BITS, DC_CHROM_VALS)]
+
+    def dc_scan_data(cis, ah, al):
+        bw = _BitWriter()
+        parts: list[bytes] = []
+        preds = {ci: 0 for ci in cis}
+        mcu = 0
+        for my in range(mcus_y):
+            for mx in range(mcus_x):
+                if restart_interval and mcu and \
+                        mcu % restart_interval == 0:
+                    parts.append(bw.flush())
+                    parts.append(bytes([
+                        0xFF, 0xD0 + (mcu // restart_interval - 1) % 8]))
+                    bw = _BitWriter()
+                    preds = {ci: 0 for ci in cis}
+                for ci in cis:
+                    ch, cv = samp[ci]
+                    for by in range(cv):
+                        for bx in range(ch):
+                            dc = int(coef[ci][my * cv + by,
+                                              mx * ch + bx][0])
+                            if ah == 0:
+                                val = dc >> al
+                                size, b_ = _magnitude(val - preds[ci])
+                                preds[ci] = val
+                                code, length = dc_tabs[
+                                    0 if ci == 0 else 1][size]
+                                bw.write(code, length)
+                                if size:
+                                    bw.write(b_, size)
+                            else:
+                                bw.write((dc >> al) & 1, 1)
+                mcu += 1
+        parts.append(bw.flush())
+        return b"".join(parts)
+
+    def ac_blocks(ci):
+        ch, cv = samp[ci]
+        by_t, bx_t = _comp_block_grid(h, w, ch, cv, hmax, vmax)
+        for byy in range(by_t):
+            for bxx in range(bx_t):
+                yield coef[ci][byy, bxx]
+
+    for cis, ss, se, ah, al in _default_progression(ncomp):
+        if ss == 0:                     # DC scan (first or refine)
+            scan_data = dc_scan_data(cis, ah, al)
+        else:                           # AC scan: two-pass optimal table
+            enc = _enc_ac_refine_scan if ah else _enc_ac_first_scan
+            counter = _SymbolCounter()
+            enc(counter, ac_blocks(cis[0]), ss, se, al, restart_interval)
+            if not counter.freq:        # scan with zero symbols: pad one
+                counter.freq[0x00] = 1
+            bits, vals = _gen_optimal_table(counter.freq)
+            out += b"\xff\xc4" + struct.pack(
+                ">HB", 3 + 16 + len(vals), (1 << 4) | 0)
+            out += bytes(bits) + bytes(vals)
+            writer = _SymbolWriter(_build_code_table(bits, vals))
+            enc(writer, ac_blocks(cis[0]), ss, se, al, restart_interval)
+            scan_data = writer.data()
+        sos = struct.pack(">HB", 6 + 2 * len(cis), len(cis))
+        for ci in cis:
+            # DC scans: Td = 0 (lum) / 1 (chrom), Ta unused; AC scans:
+            # Ta = 0 (the per-scan optimal table), Td unused
+            tdta = ((0 if ci == 0 else 1) << 4) if ss == 0 else 0x00
+            sos += struct.pack("BB", ci + 1, tdta)
+        sos += struct.pack("BBB", ss, se, (ah << 4) | al)
+        out += b"\xff\xda" + sos + scan_data
+    out += b"\xff\xd9"                                              # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline JPEG to (h, w, 3) RGB or (h, w, 1) grayscale
-    uint8. Progressive/arithmetic/12-bit raise UnsupportedMediaError."""
+    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
+    (h, w, 3) RGB or (h, w, 1) grayscale uint8. Arithmetic-coded,
+    hierarchical and 12-bit streams raise UnsupportedMediaError."""
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
+    progressive = False
+    planes = None                       # progressive: coefficient state
     restart_interval = 0
     i = 2
     while i + 4 <= len(b):
@@ -501,9 +874,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 bits = list(seg[j + 1:j + 17])
                 n = sum(bits)
                 vals = list(seg[j + 17:j + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated JPEG: incomplete DHT")
                 htabs[(tc, th)] = _build_decode_table(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1):              # SOF0/SOF1 (baseline/ext seq)
+        elif marker in (0xC0, 0xC1, 0xC2):        # SOF0/1 baseline, SOF2 prog
             precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise UnsupportedMediaError(f"{precision}-bit JPEG")
@@ -513,10 +888,11 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0x0F,
                               "tq": tq})
             frame = (fh, fw, comps)
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+            progressive = marker == 0xC2
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
-                f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+                f"unsupported JPEG coding (SOF marker 0x{marker:02x})")
         elif marker == 0xDD:                      # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                      # SOS
@@ -527,9 +903,33 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
-            return _decode_scan(b, i + 2 + seglen, frame, scan_sel,
-                                qtabs, htabs, restart_interval)
+            if not progressive:
+                return _decode_scan(b, i + 2 + seglen, frame, scan_sel,
+                                    qtabs, htabs, restart_interval)
+            ss, se = seg[1 + 2 * ns], seg[2 + 2 * ns]
+            ahal = seg[3 + 2 * ns]
+            if planes is None:
+                fh, fw, comps = frame
+                hmax = max(c["h"] for c in comps)
+                vmax = max(c["v"] for c in comps)
+                if hmax > 2 or vmax > 2:
+                    raise UnsupportedMediaError(
+                        f"sampling factors {hmax}x{vmax} beyond 2x2")
+                mcus_x = -(-fw // (8 * hmax))
+                mcus_y = -(-fh // (8 * vmax))
+                planes = {c["id"]: np.zeros(
+                    (mcus_y * c["v"], mcus_x * c["h"], 64), np.int32)
+                    for c in comps}
+            i = _progressive_scan(b, i + 2 + seglen, frame, scan_sel,
+                                  ss, se, ahal >> 4, ahal & 0x0F,
+                                  htabs, restart_interval, planes)
+            continue
         i += 2 + seglen
+    if planes is not None:
+        fh, fw, comps = frame
+        hmax = max(c["h"] for c in comps)
+        vmax = max(c["v"] for c in comps)
+        return _reconstruct(planes, comps, qtabs, fh, fw, hmax, vmax)
     raise ValueError("no scan data in JPEG")
 
 
@@ -585,6 +985,13 @@ def _decode_scan(b, pos, frame, scan_sel, qtabs, htabs, restart_interval):
                                         mx * c["h"] + bx] = zz
             mcu_count += 1
 
+    return _reconstruct(planes, comps, qtabs, fh, fw, hmax, vmax)
+
+
+def _reconstruct(planes, comps, qtabs, fh, fw, hmax, vmax) -> np.ndarray:
+    """Dequantize + IDCT + upsample + color-convert the accumulated
+    zigzag coefficient grids — shared by the baseline single-scan path
+    and the progressive multi-scan path."""
     out_planes = []
     for c in comps:
         zzp = planes[c["id"]]
@@ -635,3 +1042,180 @@ def _decode_block(br, dc_tab, ac_tab, preds, cid):
         zz[k] = _extend(br.read_bits(size), size)
         k += 1
     return zz
+
+
+# --------------------------------------------------------------------------
+# Progressive scan decoding (T.81 Annex G.2, figures G.3-G.7)
+# --------------------------------------------------------------------------
+
+def _next_marker_pos(b: bytes, pos: int) -> int:
+    """First byte offset at/after ``pos`` of a real marker (not a
+    stuffed 0xFF00, not an RSTn) — where the next header segment
+    starts after a scan's entropy data."""
+    while pos + 1 < len(b):
+        if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
+                0xD0 <= b[pos + 1] <= 0xD7):
+            return pos
+        pos += 1
+    return len(b)
+
+
+def _dc_unit(br: _BitReader, fast, zz, preds, cid, ah, al) -> None:
+    """One block's DC contribution: magnitude-coded diff on the first
+    pass (G.1.2.1, stored << Al), one raw refinement bit afterwards."""
+    if ah == 0:
+        size = br.decode_symbol(fast)
+        diff = _extend(br.read_bits(size), size) if size else 0
+        preds[cid] += diff
+        zz[0] = preds[cid] << al
+    elif br.read_bits(1):
+        zz[0] |= 1 << al
+
+
+def _ac_first_unit(br, fast, zz, ss, se, al, eobrun) -> int:
+    """First AC scan of a band (figure G.3): run/size symbols with
+    EOB-run escapes; values land << Al."""
+    if eobrun > 0:
+        return eobrun - 1
+    k = ss
+    while k <= se:
+        rs = br.decode_symbol(fast)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r != 15:                 # EOBn: run of 2^r (+ extra bits)
+                eobrun = (1 << r) - 1
+                if r:
+                    eobrun += br.read_bits(r)
+                break
+            k += 16                     # ZRL
+            continue
+        k += r
+        if k > se:
+            raise ValueError("AC run past spectral band")
+        zz[k] = _extend(br.read_bits(s), s) << al
+        k += 1
+    return eobrun
+
+
+def _ac_refine_unit(br, fast, zz, ss, se, al, eobrun) -> int:
+    """Refinement AC scan (G.1.2.3): newly-nonzero coefficients arrive
+    as (run, 1) symbols + sign; every already-nonzero coefficient
+    crossed — including those inside an EOB run — reads one correction
+    bit. The ``& p1`` guard keeps a coefficient corrected at most once
+    per scan (history values are multiples of 2^(Al+1), so bit Al only
+    gets set by THIS scan)."""
+    p1 = 1 << al
+    m1 = -p1
+    k = ss
+    if eobrun == 0:
+        while k <= se:
+            rs = br.decode_symbol(fast)
+            r, s = rs >> 4, rs & 0x0F
+            val = 0
+            if s == 0:
+                if r != 15:
+                    eobrun = 1 << r
+                    if r:
+                        eobrun += br.read_bits(r)
+                    break
+                # r == 15: ZRL — skip 16 zero-history coefficients
+            else:
+                if s != 1:
+                    raise ValueError("invalid AC refinement size")
+                val = p1 if br.read_bits(1) else m1
+            while k <= se:
+                c = int(zz[k])
+                if c != 0:
+                    if br.read_bits(1) and (c & p1) == 0:
+                        zz[k] = c + (p1 if c >= 0 else m1)
+                else:
+                    if r == 0:
+                        break
+                    r -= 1
+                k += 1
+            if s and k <= se:
+                zz[k] = val
+            k += 1
+    if eobrun > 0:
+        while k <= se:
+            c = int(zz[k])
+            if c != 0 and br.read_bits(1) and (c & p1) == 0:
+                zz[k] = c + (p1 if c >= 0 else m1)
+            k += 1
+        eobrun -= 1
+    return eobrun
+
+
+def _progressive_scan(b, pos, frame, scan_sel, ss, se, ah, al,
+                      htabs, restart_interval, planes) -> int:
+    """Decode ONE progressive scan into the shared coefficient grids;
+    returns the buffer offset of the next marker segment. DC scans may
+    interleave components over the MCU grid; AC scans are always
+    single-component over that component's own block grid (T.81
+    A.2.2 / G.1.1.1.1)."""
+    fh, fw, comps = frame
+    by_id = {c["id"]: c for c in comps}
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    br = _BitReader(b, pos)
+
+    if ss == 0:                         # ---- DC scan ----
+        if se != 0:
+            raise ValueError("progressive DC scan with Se != 0")
+        sel = []
+        for cs, td, _ta in scan_sel:
+            fast = _fast_table(htabs[(0, td)]) if ah == 0 else None
+            sel.append((by_id[cs], fast))
+        preds = {c["id"]: 0 for c, _ in sel}
+        unit = 0
+        if len(sel) > 1:                # interleaved: MCU grid
+            mcus_x = -(-fw // (8 * hmax))
+            mcus_y = -(-fh // (8 * vmax))
+            for my in range(mcus_y):
+                for mx in range(mcus_x):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.sync_restart()
+                        preds = {k: 0 for k in preds}
+                    for c, fast in sel:
+                        for by in range(c["v"]):
+                            for bx in range(c["h"]):
+                                _dc_unit(br, fast,
+                                         planes[c["id"]][my * c["v"] + by,
+                                                         mx * c["h"] + bx],
+                                         preds, c["id"], ah, al)
+                    unit += 1
+        else:                           # single component: own block grid
+            c, fast = sel[0]
+            by_t, bx_t = _comp_block_grid(fh, fw, c["h"], c["v"],
+                                          hmax, vmax)
+            for byy in range(by_t):
+                for bxx in range(bx_t):
+                    if restart_interval and unit and \
+                            unit % restart_interval == 0:
+                        br.sync_restart()
+                        preds = {k: 0 for k in preds}
+                    _dc_unit(br, fast, planes[c["id"]][byy, bxx],
+                             preds, c["id"], ah, al)
+                    unit += 1
+    else:                               # ---- AC scan ----
+        if len(scan_sel) != 1:
+            raise ValueError("interleaved progressive AC scan")
+        cs, _td, ta = scan_sel[0]
+        c = by_id[cs]
+        fast = _fast_table(htabs[(1, ta)])
+        by_t, bx_t = _comp_block_grid(fh, fw, c["h"], c["v"], hmax, vmax)
+        unit_fn = _ac_first_unit if ah == 0 else _ac_refine_unit
+        eobrun = 0
+        unit = 0
+        for byy in range(by_t):
+            for bxx in range(bx_t):
+                if restart_interval and unit and \
+                        unit % restart_interval == 0:
+                    br.sync_restart()
+                    eobrun = 0
+                eobrun = unit_fn(br, fast, planes[c["id"]][byy, bxx],
+                                 ss, se, al, eobrun)
+                unit += 1
+
+    return _next_marker_pos(b, br.pos)

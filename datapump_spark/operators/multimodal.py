@@ -9,9 +9,9 @@ one Python worker per partition, vectorized batches, no per-row pickling.
 Codec status: PNG, BMP, PCM WAV, baseline JPEG, and GIF decode FOR REAL
 via the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
 / ``operators.gif`` (zlib inflate + scanline unfilter, BI_RGB pixel
-walk, RIFF chunk walk, Huffman + IDCT baseline JPEG, LZW + compositing
-GIF) — ``fake=False`` runs them end-to-end.
-Progressive/arithmetic JPEG, WebP, and video remain honestly
+walk, RIFF chunk walk, Huffman + IDCT baseline AND progressive JPEG,
+LZW + compositing GIF) — ``fake=False`` runs them end-to-end.
+Arithmetic-coded JPEG, WebP, and video remain honestly
 stubbed: the real path raises ``UnsupportedMediaError`` on them, or
 nulls them out under ``on_error='null'``. ``fake=True`` keeps the
 deterministic md5-derived stand-in features so plumbing tests need no
@@ -70,8 +70,8 @@ def _real_features(payload: bytes) -> list[float]:
     Audio (PCM WAV): [n_frames, channels, sample_rate, duration_ms, rms,
     peak, zero_crossing_rate, 0].
     Raises operators.codecs.UnsupportedMediaError on formats outside the
-    decodable set (progressive JPEG/WebP/video) — the honest codec
-    seam.
+    decodable set (arithmetic JPEG/WebP/video) — the honest codec
+    seam. Progressive JPEG decodes for real (round 8).
     """
     import numpy as np
 
@@ -143,10 +143,10 @@ _RESIZE_SCHEMA = T.StructType([
 def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> DataFrame:
     """Resize kernel. ``fake=True`` passes payloads through and stamps the
     target dimensions (plumbing-only). ``fake=False`` REALLY resizes:
-    decode PNG/BMP/baseline-JPEG/GIF (operators/codecs.py dispatch),
+    decode PNG/BMP/JPEG (baseline + progressive)/GIF (codecs dispatch),
     nearest-neighbor resample, and re-encode as PNG — the output payload
     is always PNG, the normalization a training-data pipeline wants
-    anyway. WebP/progressive-JPEG inputs raise UnsupportedMediaError
+    anyway. WebP/arithmetic-JPEG inputs raise UnsupportedMediaError
     (codec seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

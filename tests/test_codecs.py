@@ -274,9 +274,15 @@ def test_decode_image_dispatch_and_seams():
     out = decode_image(encode_jpeg(img, quality=95))
     assert out.shape == img.shape
     assert abs(out.astype(int) - img.astype(int)).mean() < 8
-    # progressive JPEG (SOF2) stays an honest seam
-    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
-        decode_image(b"\xff\xd8\xff\xc2" + b"\x00\x08" + b"\x00" * 8)
+    # progressive JPEG (SOF2) decodes for real since round 8 — and
+    # reconstructs the SAME pixels as baseline (identical coefficients)
+    from datapump_spark.operators.jpeg import encode_jpeg_progressive
+
+    assert (decode_image(encode_jpeg_progressive(img, quality=95))
+            == out).all()
+    # arithmetic coding (SOF9) stays an honest seam
+    with pytest.raises(UnsupportedMediaError, match="unsupported"):
+        decode_image(b"\xff\xd8\xff\xc9" + b"\x00\x08" + b"\x00" * 8)
     # corrupt/truncated JPEG fails loudly, not silently
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)

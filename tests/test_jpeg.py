@@ -20,6 +20,7 @@ from datapump_spark.operators.jpeg import (
     ZIGZAG,
     decode_jpeg,
     encode_jpeg,
+    encode_jpeg_progressive,
 )
 
 
@@ -154,12 +155,11 @@ def test_grayscale_odd_sampling_factors_decode():
 
 
 def test_seams_raise_unsupported():
-    # progressive (SOF2)
-    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
-        decode_jpeg(b"\xff\xd8\xff\xc2\x00\x08" + b"\x00" * 8)
-    # arithmetic-coded sequential (SOF9)
-    with pytest.raises(UnsupportedMediaError, match="non-baseline"):
+    # arithmetic-coded sequential (SOF9) and hierarchical (SOF5)
+    with pytest.raises(UnsupportedMediaError, match="unsupported"):
         decode_jpeg(b"\xff\xd8\xff\xc9\x00\x08" + b"\x00" * 8)
+    with pytest.raises(UnsupportedMediaError, match="unsupported"):
+        decode_jpeg(b"\xff\xd8\xff\xc5\x00\x08" + b"\x00" * 8)
     # truncated garbage fails loudly
     with pytest.raises(ValueError):
         decode_jpeg(b"\xff\xd8\xff\xe0" + b"\x00" * 16)
@@ -183,3 +183,64 @@ def test_dispatches_through_decode_image_and_dhash():
     d_png, d_jpg = _dhash64(png), _dhash64(jpg)
     assert d_png is not None and d_jpg is not None
     assert bin(d_png ^ d_jpg).count("1") <= 6
+
+
+# --------------------------------------------------------------------------
+# Progressive (SOF2) — round 8. The progression is coefficient-lossless,
+# so a progressive stream must reconstruct EXACTLY the same pixels as a
+# baseline stream of the same image/quality.
+# --------------------------------------------------------------------------
+
+@pytest.mark.parametrize("shape,sub", [
+    ((16, 16), "444"), ((24, 17, 3), "444"), ((33, 41, 3), "420"),
+    ((8, 8), "444"), ((1, 1), "444"),
+])
+def test_progressive_matches_baseline_exactly(shape, sub):
+    rng = np.random.default_rng(42)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 75, sub))
+    prog = decode_jpeg(encode_jpeg_progressive(img, 75, sub))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_is_sof2():
+    img = np.full((8, 8), 99, np.uint8)
+    b = encode_jpeg_progressive(img)
+    assert b"\xff\xc2" in b and b"\xff\xc0" not in b
+    # multiple SOS segments — the whole point of a progression
+    assert b.count(b"\xff\xda") > 1
+
+
+@pytest.mark.parametrize("ri", [1, 3, 7])
+def test_progressive_restart_intervals(ri):
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(40, 56, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, 80, "420"))
+    prog = decode_jpeg(
+        encode_jpeg_progressive(img, 80, "420", restart_interval=ri))
+    assert np.array_equal(base, prog)
+
+
+def test_progressive_quality_extremes_and_gray():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(9, 11, 3), dtype=np.uint8)
+    for q in (1, 100):
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg(img, q)),
+            decode_jpeg(encode_jpeg_progressive(img, q)))
+    g = np.tile(np.arange(64, dtype=np.uint8) * 4, (32, 1))
+    assert np.array_equal(decode_jpeg(encode_jpeg(g, 50)),
+                          decode_jpeg(encode_jpeg_progressive(g, 50)))
+
+
+def test_progressive_truncated_raises():
+    img = np.full((16, 16), 50, np.uint8)
+    b = encode_jpeg_progressive(img)
+    # cut inside the first scan's entropy data: the later scans vanish
+    # and the remaining bits must not crash into an index error
+    first_sos = b.index(b"\xff\xda")
+    cut = b[:first_sos + 20]
+    try:
+        decode_jpeg(cut)
+    except (ValueError, UnsupportedMediaError):
+        pass  # loud failure is fine; silent garbage is not
