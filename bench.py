@@ -179,6 +179,7 @@ BENCH_QUERIES = [
     "q_image_decode",
     "q_jpeg_decode",
     "q_gif_decode",
+    "q_webp_decode",
     "q_pdf_text",
     "q_audio_tone",
     "q_curriculum",

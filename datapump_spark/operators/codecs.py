@@ -292,5 +292,8 @@ def decode_image(b: bytes) -> np.ndarray:
 
         return decode_gif(b)
     if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
-        raise UnsupportedMediaError("WebP decode requires a codec library")
+        from datapump_spark.operators.webp import decode_webp
+
+        # lossless (VP8L) decodes for real; lossy VP8/VP8X raise inside
+        return decode_webp(b)
     raise ValueError("unrecognized image payload")

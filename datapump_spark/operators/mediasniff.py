@@ -150,6 +150,11 @@ def parse_media_header(b: bytes) -> dict:
             fmt = "mkv"
         elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
             fmt = "webp"
+            if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+                # VP8L header: 14-bit w-1 then 14-bit h-1, LSB-first
+                w = 1 + (b[21] | ((b[22] & 0x3F) << 8))
+                h = 1 + ((b[22] >> 6) | (b[23] << 2)
+                         | ((b[24] & 0x0F) << 10))
     except (IndexError, ValueError):
         pass
     return {"format": fmt, "kind": _KIND.get(fmt, "blob"), "width": w,
@@ -221,6 +226,18 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
     wav_canonical = is_wav & _magic(c, 12, b"fmt ") & _magic(c, 36, b"data")
     wav_byte_rate = _le_n(c, 28, 4)
 
+    # lossless WebP (VP8L): 14-bit w-1 / h-1 packed LSB-first after the
+    # 0x2F signature byte — fixed offsets, so the codegen path can read
+    # them (lossy VP8/VP8X dims stay the pandas kernel's job)
+    is_vp8l = is_webp & _magic(c, 12, b"VP8L") & (n >= 25) & (
+        _byte(c, 20) == 0x2F)
+    vp8l_w = (_byte(c, 21).cast("long")
+              + _byte(c, 22).bitwiseAND(F.lit(0x3F)).cast("long") * 256 + 1)
+    vp8l_h = (F.shiftright(_byte(c, 22), 6).cast("long")
+              + _byte(c, 23).cast("long") * 4
+              + _byte(c, 24).bitwiseAND(F.lit(0x0F)).cast("long") * 1024
+              + 1)
+
     fmt = (
         F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
         .when(is_bmp, "bmp").when(is_wav, "wav").when(is_flac, "flac")
@@ -243,11 +260,13 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             F.when(is_png, _be_n(c, 16, 4))
             .when(is_gif, _le_n(c, 6, 2))
             .when(is_bmp, _le32_signed(18))
+            .when(is_vp8l, vp8l_w)
         ).cast("int"),
         "height": (
             F.when(is_png, _be_n(c, 20, 4))
             .when(is_gif, _le_n(c, 8, 2))
             .when(is_bmp, _le32_signed(22))
+            .when(is_vp8l, vp8l_h)
         ).cast("int"),
         "sample_rate": (
             F.when(wav_canonical, _le_n(c, 24, 4))

@@ -3018,6 +3018,31 @@ FROM c
 """
 
 
+# q_webp_decode: same checkerboard arithmetic twin as q_gif_decode —
+# VP8L is lossless, so every encoder feature variant must reconstruct
+# the exact pixels and the mean is a pure integer-ratio recompute.
+EXTRA_ORACLES["q_webp_decode"] = """
+WITH g AS (
+  SELECT doc_id,
+         2 + doc_id % 7 AS w,
+         2 + doc_id % 4 AS h,
+         CAST(doc_id % 256 AS DOUBLE) AS a,
+         CAST((doc_id * 13) % 256 AS DOUBLE) AS b
+  FROM documents WHERE doc_id % 8 = 0),
+c AS (
+  SELECT doc_id, w, h, a, b,
+         ((w + 1) // 2) * ((h + 1) // 2) + (w // 2) * (h // 2) AS n0,
+         w * h AS n
+  FROM g)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       round((n0 * a + (n - n0) * b) / n, 6) AS mean_px
+FROM c
+"""
+
+
 # q_pdf_text: the extractor must return EXACTLY the printable-ASCII
 # projection the Spark side wrote into a real Flate-compressed PDF —
 # the oracle recomputes that projection without parsing a byte.

@@ -1251,6 +1251,60 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("n_pages").cast("long").alias("n_pages")))
 
 
+def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless-WebP (VP8L) decode gate (operators/webp.py, r8).
+    Same checkerboard arithmetic twin as q_gif_decode — VP8L is
+    lossless, so decode must be byte-identical regardless of which
+    bitstream features the encoder picked. doc_id rotates the feature
+    set (plain literals / SUBTRACT_GREEN / 2-color palette with
+    sub-byte bundling / color-cache + LZ77 runs), so the one hash gate
+    witnesses four decoder paths."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.webp import encode_webp_vp8l
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def webp(doc_id: int) -> bytes:
+                w, h = 2 + doc_id % 7, 2 + doc_id % 4
+                yy, xx = np.mgrid[0:h, 0:w]
+                checker = ((yy + xx) % 2).astype(np.uint8)
+                a = doc_id % 256
+                b = (doc_id * 13) % 256
+                img = np.where(checker[..., None] == 0,
+                               np.uint8(a), np.uint8(b))
+                img = np.broadcast_to(img, (h, w, 3)).copy()
+                variant = (doc_id // 8) % 4
+                if variant == 1:
+                    return encode_webp_vp8l(img, subtract_green=True)
+                if variant == 2:
+                    return encode_webp_vp8l(img, palette=True)
+                if variant == 3:
+                    return encode_webp_vp8l(img, cache_bits=4, lz77=True)
+                return encode_webp_vp8l(img)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(webp)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+    )
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (operators/sampling.py curriculum_order,
     exact profile): length-quantile stages over documents (short = easy)
@@ -2315,6 +2369,7 @@ EXTRA_QUERIES = {
     "q_image_decode": q_image_decode,
     "q_jpeg_decode": q_jpeg_decode,
     "q_gif_decode": q_gif_decode,
+    "q_webp_decode": q_webp_decode,
     "q_pdf_text": q_pdf_text,
     "q_audio_tone": q_audio_tone,
     "q_curriculum": q_curriculum,

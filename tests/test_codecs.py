@@ -290,8 +290,14 @@ def test_decode_image_dispatch_and_seams():
     from datapump_spark.operators.gif import encode_gif
 
     assert (decode_image(encode_gif(img)) == img).all()
+    # lossless WebP (VP8L) decodes for real since round 8 — exact
+    from datapump_spark.operators.webp import encode_webp_vp8l
+
+    assert (decode_image(encode_webp_vp8l(img)) == img).all()
+    # lossy WebP (VP8) stays an honest seam
     with pytest.raises(UnsupportedMediaError, match="WebP"):
-        decode_image(b"RIFF\x00\x00\x00\x00WEBP" + b"\x00" * 16)
+        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00"
+                     + b"\x00" * 4)
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"not media at all")
 
