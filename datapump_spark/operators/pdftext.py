@@ -4,8 +4,15 @@ document format after HTML.
 Scope (the common machine-generated case, asserted honestly):
 - classic cross-reference PDFs AND xref-stream PDFs are both handled by
   object scanning (``N G obj … endobj``), so damaged/linearized files
-  still extract;
-- content streams stored raw or FlateDecode-compressed (zlib);
+  still extract; objects packed inside compressed object streams
+  (/ObjStm, §7.5.7 — the modern layout) are expanded into the scan
+  (r8), so their page/font dicts count and resolve;
+- content streams stored raw, FlateDecode- (zlib) or LZWDecode-
+  compressed (r8: full TIFF-variant LZW incl. /EarlyChange);
+- Standard-security-handler encryption with an EMPTY user password
+  (RC4 V1/V2, R2/R3 — the common permissions-only case) is decrypted
+  transparently and flagged ``decrypted`` (r8); real password
+  protection and AES keep the honest ``encrypted`` flag;
 - text operators: BT/ET blocks, Tj, ' , " and TJ array shows, Td/TD/T*
   line moves (emitted as newlines);
 - string syntax: literal ``( … )`` with all escape forms (octal,
@@ -18,8 +25,9 @@ Scope (the common machine-generated case, asserted honestly):
 
 Out of scope (documented seams — the flags tell the caller): Type0
 fonts WITHOUT a usable ToUnicode CMap (flag ``cid_font``; codes that a
-present CMap doesn't cover flag ``cid_unmapped``),
-encrypted documents, LZW/DCT-compressed content, Type3 glyph drawing.
+present CMap doesn't cover flag ``cid_unmapped``), password-protected
+and AES-encrypted documents (``encrypted``), DCT/JBIG2/CCITT image
+filters (``unsupported_filter``), Type3 glyph drawing.
 ``extract_pdf_text`` returns (text, n_pages, flags) where flags carries
 ``cid_font`` / ``encrypted`` / ``unsupported_filter`` / ``truncated``
 markers instead of
@@ -65,6 +73,329 @@ def _stream_data(body: bytes) -> bytes | None:
         return body[start:start + int(lm.group(1))]
     fm = _STREAM_FALLBACK_RE.search(body)
     return fm.group(1) if fm else None
+
+def lzw_decode(data: bytes, early: int = 1) -> bytes:
+    """PDF/TIFF-variant LZW (PDF 32000-1 §7.4.4): MSB-first bit
+    packing, 9→12-bit codes, 256 = Clear, 257 = EOD; ``early``
+    (/EarlyChange, default 1) advances the code width one entry
+    early."""
+    out = bytearray()
+    table: dict[int, bytes] = {i: bytes([i]) for i in range(256)}
+    next_code, width = 258, 9
+    prev: bytes | None = None
+    acc = nbits = 0
+    for byte in data:
+        acc = (acc << 8) | byte
+        nbits += 8
+        while nbits >= width:
+            code = (acc >> (nbits - width)) & ((1 << width) - 1)
+            nbits -= width
+            acc &= (1 << nbits) - 1
+            if code == 256:             # Clear
+                table = {i: bytes([i]) for i in range(256)}
+                next_code, width = 258, 9
+                prev = None
+                continue
+            if code == 257:             # EOD
+                return bytes(out)
+            if prev is None:
+                if code >= 256:
+                    raise ValueError("corrupt LZW stream")
+                entry = table[code]
+            elif code in table:
+                entry = table[code]
+                table[next_code] = prev + entry[:1]
+                next_code += 1
+            elif code == next_code:
+                entry = prev + prev[:1]
+                table[next_code] = entry
+                next_code += 1
+            else:
+                raise ValueError("corrupt LZW stream")
+            out += entry
+            prev = entry
+            if next_code + early >= (1 << width) and width < 12:
+                width += 1
+    return bytes(out)
+
+
+def lzw_encode(data: bytes, early: int = 1) -> bytes:
+    """Greedy LZW encoder mirroring :func:`lzw_decode`'s width
+    schedule — fixture/sink side."""
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+            acc &= (1 << nbits) - 1
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    emit(256, width)                    # leading Clear (conventional)
+    w = b""
+    for i in range(len(data)):
+        c = w + data[i:i + 1]
+        if c in table:
+            w = c
+            continue
+        emit(table[w], width)
+        table[c] = next_code
+        next_code += 1
+        # the decoder's table lags the encoder's by ONE entry (it adds
+        # on the NEXT code), so the encoder's width bump fires one
+        # entry later than the decoder's `next_code + early >= 2^w`
+        if next_code + early - 1 >= (1 << width) and width < 12:
+            width += 1
+        if next_code == 4096:           # table full: reset
+            emit(256, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        w = data[i:i + 1]
+    if w:
+        emit(table[w], width)
+    emit(257, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Standard security handler (PDF 32000-1 §7.6.3): RC4 V1/V2, R2/R3 with
+# an EMPTY user password — the overwhelmingly common "permissions-only"
+# encryption. Real password protection stays flagged 'encrypted'.
+# --------------------------------------------------------------------------
+
+_PAD = bytes([
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41, 0x64, 0x00, 0x4E,
+    0x56, 0xFF, 0xFA, 0x01, 0x08, 0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68,
+    0x3E, 0x80, 0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, ch in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = ch ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _std_file_key(owner: bytes, p: int, id0: bytes, r: int,
+                  n: int) -> bytes:
+    """Algorithm 2 (empty user password): the RC4 file key."""
+    import hashlib
+    h = hashlib.md5(_PAD + owner + (p & 0xFFFFFFFF).to_bytes(4, "little")
+                    + id0).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h[:n]).digest()
+    return h[:n]
+
+
+def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
+    """Algorithms 4/5: the /U value an empty user password produces."""
+    import hashlib
+    if r == 2:
+        return _rc4(key, _PAD)
+    x = hashlib.md5(_PAD + id0).digest()
+    x = _rc4(key, x)
+    for i in range(1, 20):
+        x = _rc4(bytes(kb ^ i for kb in key), x)
+    return x
+
+
+def _std_owner_value(r: int, n: int) -> bytes:
+    """Algorithm 3 with empty owner AND user passwords: the /O value."""
+    import hashlib
+    h = hashlib.md5(_PAD).digest()
+    if r >= 3:
+        for _ in range(50):
+            h = hashlib.md5(h).digest()
+    key = h[:n]
+    o = _rc4(key, _PAD)
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(kb ^ i for kb in key), o)
+    return o
+
+
+class _StdDecryptor:
+    """Per-object RC4 decryption (Algorithm 1)."""
+
+    __slots__ = ("key",)
+
+    def __init__(self, key: bytes):
+        self.key = key
+
+    def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        import hashlib
+        ok = hashlib.md5(self.key + num.to_bytes(3, "little")
+                         + gen.to_bytes(2, "little")).digest()
+        return _rc4(ok[:min(len(self.key) + 5, 16)], data)
+
+
+def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
+    """Parse a hex ``<...>`` or literal ``(...)`` string starting at
+    ``at`` into raw BYTES (the /O //U /ID values are binary)."""
+    while at < len(body) and body[at] in b" \t\r\n":
+        at += 1
+    if at >= len(body):
+        return None
+    if body[at] == ord("<"):
+        j = body.find(b">", at + 1)
+        if j < 0:
+            return None
+        hx = re.sub(rb"\s", b"", body[at + 1:j])
+        if len(hx) % 2:
+            hx += b"0"
+        return bytes.fromhex(hx.decode("ascii"))
+    if body[at] == ord("("):
+        s, _ = _parse_literal_string(body, at)
+        return s.encode("latin-1", errors="replace")
+    return None
+
+
+def _try_standard_decrypt(b: bytes,
+                          objs: dict[int, bytes]) -> _StdDecryptor | None:
+    """Resolve the /Encrypt dict; if it is the Standard handler with
+    RC4 (V 1/2, R 2/3) and the EMPTY user password validates against
+    /U, return a decryptor — else None (stays flagged 'encrypted')."""
+    em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", b)
+    enc = objs.get(int(em.group(1))) if em else None
+    if enc is None:
+        return None
+    if not re.search(rb"/Filter\s*/Standard\b", enc):
+        return None
+    vm = re.search(rb"/V\s+(\d+)", enc)
+    rm = re.search(rb"/R\s+(\d+)", enc)
+    pm = re.search(rb"/P\s+(-?\d+)", enc)
+    lm = re.search(rb"/Length\s+(\d+)", enc)
+    om = re.search(rb"/O\s*", enc)
+    um = re.search(rb"/U\s*", enc)
+    if not (vm and rm and pm and om and um):
+        return None
+    v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
+    if v not in (1, 2) or r not in (2, 3):
+        return None                     # AES / R4+ stay out of scope
+    n = (int(lm.group(1)) // 8) if (lm and v == 2) else 5
+    o_val = _parse_pdf_bytestring(enc, om.end())
+    u_val = _parse_pdf_bytestring(enc, um.end())
+    idm = re.search(rb"/ID\s*\[", b)
+    id0 = _parse_pdf_bytestring(b, idm.end()) if idm else b""
+    if o_val is None or u_val is None or id0 is None:
+        return None
+    key = _std_file_key(o_val, p, id0, r, n)
+    want = _std_user_check(key, r, id0)
+    got = u_val[:16] if r >= 3 else u_val
+    if want[:len(got)] != got:
+        return None                     # real user password required
+    return _StdDecryptor(key)
+
+
+def _decrypt_streams_in_place(b: bytes, dec: _StdDecryptor) -> bytes:
+    """RC4 preserves length, so decrypting every stream's bytes at
+    their absolute offsets keeps all /Length values and the object
+    layout valid — the rest of the parser runs unchanged."""
+    out = bytearray(b)
+    for m in _OBJ_RE.finditer(b):
+        num, gen = int(m.group(1)), int(m.group(2))
+        body = m.group(3)
+        sm = _STREAM_START_RE.search(body)
+        if sm is None:
+            continue
+        head = body[:sm.start()]
+        start = m.start(3) + sm.end()
+        lm = _LENGTH_RE.search(head)
+        if lm:
+            length = int(lm.group(1))
+        else:
+            fm = _STREAM_FALLBACK_RE.search(body)
+            if not fm:
+                continue
+            start = m.start(3) + fm.start(1)
+            length = len(fm.group(1))
+        length = min(length, len(b) - start)
+        out[start:start + length] = dec.decrypt(
+            num, gen, b[start:start + length])
+    return bytes(out)
+
+
+def _expand_object_streams(
+        objs: dict[int, bytes]) -> tuple[dict[int, bytes], set[str]]:
+    """PDF 32000-1 §7.5.7: objects of /Type /ObjStm hold N wrapper-less
+    objects (never streams) — ``N`` pairs of "objnum offset" before
+    /First, bodies after. Returns (embedded objnum → body, flags).
+    Without this, the dicts of a modern xref-stream PDF (pages, fonts,
+    ToUnicode refs) are invisible to the object scan."""
+    extra: dict[int, bytes] = {}
+    flags: set[str] = set()
+    for body in objs.values():
+        sm = _STREAM_START_RE.search(body)
+        if sm is None:
+            continue
+        head = body[:sm.start()]
+        if not re.search(rb"/Type\s*/ObjStm\b", head):
+            continue
+        nm = re.search(rb"/N\s+(\d+)", head)
+        fm = re.search(rb"/First\s+(\d+)", head)
+        data = _stream_data(body)
+        if nm is None or fm is None or data is None:
+            flags.add("truncated")
+            continue
+        data = _defilter(head, data)
+        if data is None:
+            flags.add("unsupported_filter")
+            continue
+        n, first = int(nm.group(1)), int(fm.group(1))
+        header = data[:first].split()
+        pairs = []
+        for i in range(min(n, len(header) // 2)):
+            try:
+                pairs.append((int(header[2 * i]), int(header[2 * i + 1])))
+            except ValueError:
+                break
+        ends = [off for _, off in pairs[1:]] + [len(data) - first]
+        for (num, off), end in zip(pairs, ends):
+            extra[num] = data[first + off:first + end]
+        if len(pairs) < n:
+            flags.add("truncated")
+    return extra, flags
+
+
+def _early_change(head: bytes) -> int:
+    m = re.search(rb"/EarlyChange\s+(\d+)", head)
+    return int(m.group(1)) if m else 1
+
+
+def _defilter(head: bytes, data: bytes) -> bytes | None:
+    """Apply the stream dict's /Filter (none, Flate, or LZW). None =
+    unsupported filter or corrupt data — the caller flags it."""
+    if not re.search(rb"/Filter", head):
+        return data
+    if re.search(rb"/FlateDecode\b", head):
+        try:
+            return zlib.decompress(data)
+        except zlib.error:
+            return None
+    if re.search(rb"/LZWDecode\b", head):
+        try:
+            return lzw_decode(data, _early_change(head))
+        except ValueError:
+            return None
+    return None
+
 
 _ESCAPES = {
     ord("n"): "\n", ord("r"): "\r", ord("t"): "\t", ord("b"): "\b",
@@ -277,11 +608,7 @@ def _build_type0_fonts(objs: dict[int, bytes]) -> tuple[dict, int]:
                 if data is not None:
                     tsm = _STREAM_START_RE.search(tobj)
                     thead = tobj[:tsm.start()] if tsm else tobj
-                    if re.search(rb"/FlateDecode\b", thead):
-                        try:
-                            data = zlib.decompress(data)
-                        except zlib.error:
-                            data = None
+                    data = _defilter(thead, data)
                     if data is not None:
                         cmap = _parse_tounicode(data)
         if cmap is None or not cmap.mapping:
@@ -380,18 +707,35 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
     if not b.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
     flags: set[str] = set()
-    if re.search(rb"/Encrypt\b", b):
-        flags.add("encrypted")
 
     objs: dict[int, bytes] = {}
     for m in _OBJ_RE.finditer(b):
         objs[int(m.group(1))] = m.group(3)
-    fonts, undecoded = _build_type0_fonts(objs)
+
+    if re.search(rb"/Encrypt\b", b):
+        dec = _try_standard_decrypt(b, objs)
+        if dec is None:
+            flags.add("encrypted")     # real password / AES: stay honest
+        else:
+            flags.add("decrypted")     # empty-user-password RC4: read it
+            b = _decrypt_streams_in_place(b, dec)
+            objs = {int(m.group(1)): m.group(3)
+                    for m in _OBJ_RE.finditer(b)}
+
+    embedded, stm_flags = _expand_object_streams(objs)
+    flags |= stm_flags
+    # top-level definitions win over ObjStm copies (spec: one or the
+    # other; damaged files may carry both)
+    merged = {**embedded, **objs}
+    fonts, undecoded = _build_type0_fonts(merged)
     if undecoded or (not fonts
                      and re.search(rb"/Type0\b|/Identity-H\b", b)):
         flags.add("cid_font")
 
-    n_pages = 0
+    # pages declared inside object streams are counted here; top-level
+    # page dicts are counted in the scan below
+    n_pages = sum(len(re.findall(rb"/Type\s*/Page(?![A-Za-z])", body))
+                  for body in embedded.values())
     texts: list[str] = []
     for m in _OBJ_RE.finditer(b):
         body = m.group(3)
@@ -414,16 +758,10 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
                 flags.add("truncated")
         if data is None:
             continue
-        if re.search(rb"/Filter", head):
-            if re.search(rb"/FlateDecode\b", head):
-                try:
-                    data = zlib.decompress(data)
-                except zlib.error:
-                    flags.add("unsupported_filter")
-                    continue
-            else:
-                flags.add("unsupported_filter")
-                continue
+        data = _defilter(head, data)
+        if data is None:
+            flags.add("unsupported_filter")
+            continue
         # content streams contain text operators; other streams
         # (fonts, images, xref streams) simply yield nothing
         if b"BT" in data:
@@ -449,6 +787,12 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
                     data = zlib.decompressobj().decompress(data)
                 except zlib.error:
                     data = b""
+            elif re.search(rb"/LZWDecode\b", head):
+                try:
+                    # lzw_decode yields the prefix when data runs out
+                    data = lzw_decode(data, _early_change(head))
+                except ValueError:
+                    data = b""
             elif re.search(rb"/Filter", head):
                 data = b""
             if b"BT" in data:
@@ -469,17 +813,23 @@ def _pdf_escape(s: str) -> bytes:
             .replace(b"\n", rb"\n"))
 
 
-def encode_simple_pdf(text: str, compress: bool = True) -> bytes:
+def encode_simple_pdf(text: str, compress: bool = True,
+                      method: str = "flate") -> bytes:
     """One-page Helvetica PDF showing ``text`` (lines become Td moves),
-    Flate-compressed content stream by default, valid xref table."""
+    Flate- (default) or LZW-compressed content stream, valid xref
+    table."""
     shows = b"\n".join(
         b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
         for line in text.split("\n")) or b"() Tj"
     content = b"BT /F1 12 Tf 50 780 Td " + shows + b" ET"
     filt = b""
     if compress:
-        content = zlib.compress(content)
-        filt = b"/Filter /FlateDecode "
+        if method == "lzw":
+            content = lzw_encode(content)
+            filt = b"/Filter /LZWDecode "
+        else:
+            content = zlib.compress(content)
+            filt = b"/Filter /FlateDecode "
 
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
@@ -578,6 +928,110 @@ def encode_cid_pdf(text: str, compress: bool = True) -> bytes:
     out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
             + b" /Root 1 0 R >>\nstartxref\n"
             + str(xref_at).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
+def encode_objstm_pdf(text: str, filter_method: str = "flate") -> bytes:
+    """One-page PDF with its catalog/pages/page/font DICTS packed into
+    a compressed object stream (§7.5.7) — the modern xref-stream
+    layout's object placement. The content stream stays top-level
+    (streams cannot live inside an ObjStm). The object scan must
+    expand the ObjStm to see the page dict (page count) at all."""
+    shows = b"\n".join(
+        b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
+        for line in text.split("\n")) or b"() Tj"
+    content = zlib.compress(b"BT /F1 12 Tf 50 780 Td " + shows + b" ET")
+
+    inner = [
+        (2, b"<< /Type /Catalog /Pages 3 0 R >>"),
+        (3, b"<< /Type /Pages /Kids [4 0 R] /Count 1 >>"),
+        (4, b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 6 0 R >> >> /Contents 5 0 R >>"),
+        (6, b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"),
+    ]
+    bodies = b""
+    header = b""
+    for num, body in inner:
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += body + b"\n"
+    stm = header + bodies
+    first = len(header)
+    if filter_method == "lzw":
+        stm_enc, filt = lzw_encode(stm), b"/Filter /LZWDecode "
+    else:
+        stm_enc, filt = zlib.compress(stm), b"/Filter /FlateDecode "
+
+    objs = [
+        b"<< /Type /ObjStm /N " + str(len(inner)).encode() + b" /First "
+        + str(first).encode() + b" " + filt + b"/Length "
+        + str(len(stm_enc)).encode() + b" >>\nstream\n" + stm_enc
+        + b"\nendstream",
+    ]
+    out = bytearray(b"%PDF-1.5\n")
+    out += b"1 0 obj\n" + objs[0] + b"\nendobj\n"
+    out += (b"5 0 obj\n<< /Filter /FlateDecode /Length "
+            + str(len(content)).encode() + b" >>\nstream\n" + content
+            + b"\nendstream\nendobj\n")
+    out += (b"trailer\n<< /Root 2 0 R >>\n%%EOF\n")
+    return bytes(out)
+
+
+def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
+    """Standard-security-handler PDF (RC4, empty user AND owner
+    passwords — the common permissions-only case). R=2 → V1 40-bit,
+    R=3 → V2 128-bit. Streams are RC4-encrypted with per-object keys;
+    the extractor must derive the file key from /O, /P and /ID, verify
+    the empty password against /U, and decrypt."""
+    if r not in (2, 3):
+        raise ValueError("r must be 2 or 3")
+    n = 5 if r == 2 else 16
+    v = 1 if r == 2 else 2
+    p = -44
+    id0 = bytes(range(16))
+
+    o_val = _std_owner_value(r, n)
+    key = _std_file_key(o_val, p, id0, r, n)
+    u_val = _std_user_check(key, r, id0)
+    if r >= 3:
+        u_val = u_val + b"\x00" * 16    # U is 32 bytes; last 16 arbitrary
+    dec = _StdDecryptor(key)            # RC4 encrypt == decrypt
+
+    shows = b"\n".join(
+        b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
+        for line in text.split("\n")) or b"() Tj"
+    content = zlib.compress(b"BT /F1 12 Tf 50 780 Td " + shows + b" ET")
+    content = dec.decrypt(4, 0, content)    # encrypt obj 4's stream
+
+    enc_dict = (b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
+                + str(r).encode()
+                + (b" /Length 128" if v == 2 else b"")
+                + b" /P " + str(p).encode()
+                + b" /O <" + o_val.hex().encode() + b">"
+                + b" /U <" + u_val.hex().encode() + b"> >>")
+    objs = [
+        b"<< /Type /Catalog /Pages 2 0 R >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+        b"/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>",
+        b"<< /Filter /FlateDecode /Length " + str(len(content)).encode()
+        + b" >>\nstream\n" + content + b"\nendstream",
+        b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        enc_dict,
+    ]
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R /Encrypt 6 0 R /ID [<"
+            + id0.hex().encode() + b"> <" + id0.hex().encode()
+            + b">] >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
     return bytes(out)
 
 

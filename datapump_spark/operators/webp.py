@@ -419,24 +419,24 @@ def _ctdelta(t: int, c: int) -> int:
 
 def _inverse_color_transform(px: np.ndarray, size_bits: int,
                              sub: np.ndarray) -> np.ndarray:
+    """Vectorized: no spatial dependency — blue only needs the FINAL
+    red of the same pixel, so the whole plane is three array ops."""
     h, w = px.shape
-    out = px.copy()
-    for y in range(h):
-        srow = sub[y >> size_bits]
-        for x in range(w):
-            cte = int(srow[x >> size_bits])
-            g2r = cte & 0xFF
-            g2b = (cte >> 8) & 0xFF
-            r2b = (cte >> 16) & 0xFF
-            v = int(out[y, x])
-            green = (v >> 8) & 0xFF
-            red = (v >> 16) & 0xFF
-            blue = v & 0xFF
-            red = (red + _ctdelta(g2r, green)) & 0xFF
-            blue = (blue + _ctdelta(g2b, green)) & 0xFF
-            blue = (blue + _ctdelta(r2b, red)) & 0xFF
-            out[y, x] = (v & 0xFF00FF00) | (red << 16) | blue
-    return out
+    cte = sub[np.ix_(np.arange(h) >> size_bits,
+                     np.arange(w) >> size_bits)]
+
+    def s8(a):                          # reinterpret low byte as int8
+        return (a & 0xFF).astype(np.uint8).view(np.int8).astype(np.int32)
+
+    g2r, g2b, r2b = s8(cte), s8(cte >> 8), s8(cte >> 16)
+    green = s8(px >> 8)
+    red = (((px >> 16) & 0xFF).astype(np.int32)
+           + ((g2r * green) >> 5)) & 0xFF
+    blue = ((px & 0xFF).astype(np.int32) + ((g2b * green) >> 5)
+            + ((r2b * red.astype(np.uint8).view(np.int8)
+                .astype(np.int32)) >> 5)) & 0xFF
+    return ((px & 0xFF00FF00) | (red.astype(np.uint32) << 16)
+            | blue.astype(np.uint32))
 
 
 def _bytes4(v: int) -> tuple[int, int, int, int]:

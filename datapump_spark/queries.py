@@ -1218,13 +1218,15 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     sampled document's printable-ASCII projection is written into a
     genuine Flate-compressed one-page PDF (escape rules and all) and
     extracted back through the full parser — zlib inflate, object scan,
-    content-stream walk, string unescaping. Even doc_ids write a
-    simple-font PDF; odd doc_ids write a Type0/Identity-H PDF whose
-    2-byte CIDs go through the embedded ToUnicode CMap (round 8), so
-    the hash gate also proves the composite-font decode is applied
-    (latin-1 passthrough of the CID bytes would NOT reproduce the
-    text). The oracle recomputes the ASCII projection directly in SQL,
-    so extraction must be EXACT for the value hash to match."""
+    content-stream walk, string unescaping. doc_id rotates the writer
+    through FIVE layouts (round 8), so the one hash gate witnesses each
+    read path: simple font / Type0-CID via ToUnicode CMap (latin-1
+    passthrough of the 2-byte codes would NOT reproduce the text) /
+    LZWDecode content / dicts packed in a compressed object stream /
+    RC4 empty-user-password encryption (key derived from /O /P /ID,
+    verified against /U, streams decrypted). The oracle recomputes the
+    ASCII projection directly in SQL, so extraction must be EXACT for
+    the value hash to match."""
     import pandas as pd
 
     from datapump_spark.operators.pdftext import pdf_text
@@ -1234,13 +1236,19 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.regexp_replace("text", r"[^ -~]", "").alias("__t")))
 
     def build(batches):
-        from datapump_spark.operators.pdftext import (encode_cid_pdf,
-                                                      encode_simple_pdf)
+        from datapump_spark.operators import pdftext as P
+        writers = [
+            P.encode_simple_pdf,
+            P.encode_cid_pdf,
+            lambda t: P.encode_simple_pdf(t, method="lzw"),
+            P.encode_objstm_pdf,
+            P.encode_encrypted_pdf,
+        ]
         for pdf_b in batches:
             yield pd.DataFrame({
                 "media_id": pdf_b["media_id"],
                 "payload": [
-                    encode_cid_pdf(t) if mid % 12 else encode_simple_pdf(t)
+                    writers[(mid // 6) % 5](t)
                     for mid, t in zip(pdf_b["media_id"], pdf_b["__t"])],
             })
 

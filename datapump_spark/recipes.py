@@ -564,12 +564,17 @@ def document_corpus(
     # second binaryFile scan plus a shuffle on the path hash
     extracted = pdf_text(files, on_error="null",
                          passthrough=("path", "source"))
+    # 'decrypted' is informational (empty-user-password RC4 was read in
+    # full, r8) — every other flag marks content the parser could not
+    # fully read and routes to quarantine
+    bad_flags = F.size(F.array_except(
+        "flags", F.array(F.lit("decrypted"))))
     ok = (extracted
           .where(F.col("text").isNotNull() & (F.col("text") != "")
-                 & (F.size("flags") == 0)))
+                 & (bad_flags == 0)))
     quarantine = (extracted
                   .where(F.col("text").isNull() | (F.col("text") == "")
-                         | (F.size("flags") > 0))
+                         | (bad_flags > 0))
                   .select("media_id", "path", "flags"))
     docs = ok.select(F.col("media_id").alias("doc_id"), "text", "source")
     streams = pretrain_corpus(docs, benchmark, recipe)

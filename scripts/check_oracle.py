@@ -99,6 +99,15 @@ def main():
             d_cols = [d[0] for d in res.description]
             d_rows = res.fetchall()
             problems = []
+            # the driver's hash normalizer renders HUGEINT/DECIMAL
+            # unlike Python int/float with NO local symptom — gate the
+            # oracle's static output types on every run of this script,
+            # not only in the pytest sweep (VERDICT r7 "wrong" #3)
+            rel = con.sql(f"SELECT * FROM ({os_[name]}) LIMIT 0")
+            for col, typ in zip(rel.columns, rel.types):
+                t = str(typ)
+                if t.startswith(("HUGEINT", "UHUGEINT", "DECIMAL")):
+                    problems.append(f"banned oracle type {col}: {t}")
             if len(s_rows) != len(d_rows):
                 problems.append(f"rowcount spark={len(s_rows)} duck={len(d_rows)}")
             if sorted(s_cols) != sorted(d_cols):

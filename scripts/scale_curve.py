@@ -27,6 +27,15 @@ def main() -> None:
         i = rest.index("--fuzzy-only")
         fuzzy_only = [int(x) for x in rest[i + 1].split(",")]
         rest = rest[:i] + rest[i + 2:]
+    # --fuzzy-op minhash,clusters,span : limit the fuzzy tier to named
+    # ops so the huge multipliers can run ONE op per process — shuffle
+    # files are only guaranteed reclaimed at app exit, and the 5 M-doc
+    # tier's combined shuffle volume exceeds local disk otherwise
+    fuzzy_ops = {"minhash", "clusters", "span"}
+    if "--fuzzy-op" in rest:
+        i = rest.index("--fuzzy-op")
+        fuzzy_ops = set(rest[i + 1].split(","))
+        rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
@@ -92,6 +101,31 @@ def main() -> None:
         near_dup_clusters,
     )
 
+    def shuffle_write_bytes() -> int | None:
+        """Total shuffle-write bytes across completed stages (driver UI
+        REST API) — deltas around an op give its shuffle volume."""
+        import json as _json
+        import urllib.request
+
+        try:
+            ui = spark.sparkContext.uiWebUrl
+            app = spark.sparkContext.applicationId
+            url = f"{ui}/api/v1/applications/{app}/stages?status=complete"
+            with urllib.request.urlopen(url, timeout=10) as r:
+                stages = _json.load(r)
+            return sum(s.get("shuffleWriteBytes", 0) for s in stages)
+        except Exception:
+            return None
+
+    def timed(runs: dict, key: str, fn) -> None:
+        s0 = shuffle_write_bytes()
+        t0 = time.perf_counter()
+        fn()
+        runs[key] = round(time.perf_counter() - t0, 2)
+        s1 = shuffle_write_bytes()
+        if s0 is not None and s1 is not None:
+            runs[key + "_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dedup_out: dict[str, dict[str, float]] = {}
     for mult in fuzzy_only or (1, 10, 50):
@@ -118,25 +152,25 @@ def main() -> None:
         )
         big_docs.count()
         runs = {}
-        t0 = time.perf_counter()
-        minhash_near_dup_pairs(big_docs, threshold=0.5, hash_fn="xxhash64") \
-            .write.format("noop").mode("overwrite").save()
-        runs["minhash_near_dup"] = round(time.perf_counter() - t0, 2)
+        if "minhash" in fuzzy_ops:
+            timed(runs, "minhash_near_dup", lambda: minhash_near_dup_pairs(
+                big_docs, threshold=0.5, hash_fn="xxhash64")
+                .write.format("noop").mode("overwrite").save())
 
-        t0 = time.perf_counter()
-        near_dup_clusters(big_docs, threshold=0.5, hash_fn="xxhash64") \
-            .write.format("noop").mode("overwrite").save()
-        runs["dup_clusters"] = round(time.perf_counter() - t0, 2)
+        if "clusters" in fuzzy_ops:
+            timed(runs, "dup_clusters", lambda: near_dup_clusters(
+                big_docs, threshold=0.5, hash_fn="xxhash64")
+                .write.format("noop").mode("overwrite").save())
 
         # exact repeated-span removal on the same replicated corpus: the
         # suffixed replicas keep cross-replica grams disjoint, so the
         # duplicated-gram table grows linearly in mult
         from datapump_spark.operators.line_dedup import remove_duplicate_spans
 
-        t0 = time.perf_counter()
-        remove_duplicate_spans(big_docs, n=10, hash_fn="xxhash64") \
-            .write.format("noop").mode("overwrite").save()
-        runs["span_dedup"] = round(time.perf_counter() - t0, 2)
+        if "span" in fuzzy_ops:
+            timed(runs, "span_dedup", lambda: remove_duplicate_spans(
+                big_docs, n=10, hash_fn="xxhash64")
+                .write.format("noop").mode("overwrite").save())
 
         if fuzzy_only:
             dedup_out[f"x{mult}"] = runs
