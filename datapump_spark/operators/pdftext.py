@@ -379,22 +379,69 @@ def _early_change(head: bytes) -> int:
     return int(m.group(1)) if m else 1
 
 
+def _ascii_hex_decode(data: bytes) -> bytes:
+    end = data.find(b">")
+    hx = re.sub(rb"\s", b"", data[:end if end >= 0 else len(data)])
+    if len(hx) % 2:
+        hx += b"0"
+    return bytes.fromhex(hx.decode("ascii"))
+
+
+def _ascii85_decode(data: bytes) -> bytes:
+    import base64
+    end = data.find(b"~>")
+    body = re.sub(rb"\s", b"", data[:end if end >= 0 else len(data)])
+    return base64.a85decode(body)
+
+
+def _run_length_decode(data: bytes) -> bytes:
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        ln = data[i]
+        i += 1
+        if ln == 128:                   # EOD
+            break
+        if ln < 128:
+            out += data[i:i + ln + 1]
+            i += ln + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated RunLength stream")
+            out += data[i:i + 1] * (257 - ln)
+            i += 1
+    return bytes(out)
+
+
+_FILTER_VALUE_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/[A-Za-z0-9]+)")
+
+
 def _defilter(head: bytes, data: bytes) -> bytes | None:
-    """Apply the stream dict's /Filter (none, Flate, or LZW). None =
+    """Apply the stream dict's /Filter — a single name or an ARRAY
+    chain, applied in order (PDF 32000-1 §7.4). Supported: Flate, LZW
+    (incl. /EarlyChange), ASCIIHex, ASCII85, RunLength. None =
     unsupported filter or corrupt data — the caller flags it."""
-    if not re.search(rb"/Filter", head):
-        return data
-    if re.search(rb"/FlateDecode\b", head):
+    fm = _FILTER_VALUE_RE.search(head)
+    if fm is None:
+        return data if not re.search(rb"/Filter", head) else None
+    names = re.findall(rb"/([A-Za-z0-9]+)", fm.group(1))
+    for name in names:
         try:
-            return zlib.decompress(data)
-        except zlib.error:
+            if name in (b"FlateDecode", b"Fl"):
+                data = zlib.decompress(data)
+            elif name in (b"LZWDecode", b"LZW"):
+                data = lzw_decode(data, _early_change(head))
+            elif name in (b"ASCIIHexDecode", b"AHx"):
+                data = _ascii_hex_decode(data)
+            elif name in (b"ASCII85Decode", b"A85"):
+                data = _ascii85_decode(data)
+            elif name in (b"RunLengthDecode", b"RL"):
+                data = _run_length_decode(data)
+            else:
+                return None             # DCT/JBIG2/CCITT/Crypt: image land
+        except (ValueError, zlib.error):
             return None
-    if re.search(rb"/LZWDecode\b", head):
-        try:
-            return lzw_decode(data, _early_change(head))
-        except ValueError:
-            return None
-    return None
+    return data
 
 
 _ESCAPES = {
@@ -813,11 +860,36 @@ def _pdf_escape(s: str) -> bytes:
             .replace(b"\n", rb"\n"))
 
 
+def _run_length_encode(data: bytes) -> bytes:
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:                       # run of 2..128 identical bytes
+            out.append(257 - (j - i + 1))
+            out.append(data[i])
+            i = j + 1
+        else:
+            k = i
+            while k < n and k - i < 128:
+                if k < n - 2 and data[k] == data[k + 1] == data[k + 2]:
+                    break
+                k += 1
+            out.append(k - i - 1)
+            out += data[i:k]
+            i = k
+    out.append(128)                     # EOD
+    return bytes(out)
+
+
 def encode_simple_pdf(text: str, compress: bool = True,
                       method: str = "flate") -> bytes:
     """One-page Helvetica PDF showing ``text`` (lines become Td moves),
-    Flate- (default) or LZW-compressed content stream, valid xref
-    table."""
+    valid xref table. ``method`` picks the content-stream filter:
+    'flate' (default), 'lzw', 'rle', or the chain 'a85+flate'
+    (ASCII85-armored zlib — exercises /Filter arrays)."""
     shows = b"\n".join(
         b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
         for line in text.split("\n")) or b"() Tj"
@@ -827,6 +899,13 @@ def encode_simple_pdf(text: str, compress: bool = True,
         if method == "lzw":
             content = lzw_encode(content)
             filt = b"/Filter /LZWDecode "
+        elif method == "rle":
+            content = _run_length_encode(content)
+            filt = b"/Filter /RunLengthDecode "
+        elif method == "a85+flate":
+            import base64
+            content = base64.a85encode(zlib.compress(content)) + b"~>"
+            filt = b"/Filter [/ASCII85Decode /FlateDecode] "
         else:
             content = zlib.compress(content)
             filt = b"/Filter /FlateDecode "

@@ -364,3 +364,34 @@ def test_rc4_wrong_user_password_stays_flagged():
     text, _, flags = extract_pdf_text(bytes(raw))
     assert "encrypted" in flags and "decrypted" not in flags
     assert "cannot read me" not in text
+
+
+@pytest.mark.parametrize("method", ["rle", "a85+flate"])
+def test_ascii85_and_runlength_filters(method):
+    """/RunLengthDecode and the [/ASCII85Decode /FlateDecode] chain
+    (filter ARRAYS apply in order) both extract exactly."""
+    t = "filter chains! aaaa bbbb\nline (two) \\ three"
+    text, pages, flags = extract_pdf_text(
+        encode_simple_pdf(t, method=method))
+    assert text == t and pages == 1 and flags == []
+
+
+def test_runlength_codec_property():
+    import random
+
+    from datapump_spark.operators.pdftext import (_run_length_decode,
+                                                  _run_length_encode)
+    random.seed(1)
+    for _ in range(30):
+        d = bytes(random.choices(b"aabcd", k=random.randrange(0, 600)))
+        assert _run_length_decode(_run_length_encode(d)) == d
+    assert _run_length_decode(_run_length_encode(b"x" * 1000)) == b"x" * 1000
+
+
+def test_indirect_filter_reference_flags_honestly():
+    """/Filter given as an indirect reference isn't resolved — the
+    stream flags unsupported_filter instead of misparsing."""
+    bad = (b"3 0 obj\n<< /Filter 8 0 R /Length 4 >>\n"
+           b"stream\nXXXX\nendstream\nendobj\n")
+    text, _, flags = extract_pdf_text(encode_simple_pdf("kept") + bad)
+    assert text == "kept" and "unsupported_filter" in flags
