@@ -144,6 +144,7 @@ def parse_media_header(b: bytes) -> dict:
             fmt = "ogg"
         elif b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
             fmt = "mp3"
+            sr, ch, dur = _mp3_info(b)
         elif b[4:8] == b"ftyp":
             fmt = "mp4"
         elif b[:4] == b"\x1aE\xdf\xa3":
@@ -160,6 +161,60 @@ def parse_media_header(b: bytes) -> dict:
     return {"format": fmt, "kind": _KIND.get(fmt, "blob"), "width": w,
             "height": h, "sample_rate": sr, "channels": ch,
             "duration_ms": dur}
+
+
+# MPEG-1/2/2.5 Layer III sample rates by version bits, and bitrates
+# (kbps) by version — the overwhelming real-corpus case; Layer I/II
+# headers yield Nones rather than guesses.
+_MP3_SR = {3: (44100, 48000, 32000), 2: (22050, 24000, 16000),
+           0: (11025, 12000, 8000)}
+_MP3_BR_V1 = (0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224,
+              256, 320)
+_MP3_BR_V2 = (0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144,
+              160)
+
+
+def _mp3_info(b: bytes):
+    """(sample_rate, channels, duration_ms) from the first Layer III
+    frame header: Xing/Info frame count when present (VBR), else a CBR
+    estimate from the first frame's bitrate. r8."""
+    i = 0
+    if b[:3] == b"ID3" and len(b) >= 10:
+        # syncsafe 28-bit tag size (+10 header, +10 optional footer)
+        i = 10 + ((b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9])
+        if b[5] & 0x10:
+            i += 10
+    while i + 4 <= len(b):
+        if b[i] == 0xFF and (b[i + 1] & 0xE0) == 0xE0:
+            break
+        i += 1
+    else:
+        return None, None, None
+    h1 = b[i + 1]
+    version = (h1 >> 3) & 0x3           # 3=V1, 2=V2, 0=V2.5
+    layer = (h1 >> 1) & 0x3             # 1=Layer III
+    if version == 1 or layer != 1:
+        return None, None, None
+    br_idx = b[i + 2] >> 4
+    sr_idx = (b[i + 2] >> 2) & 0x3
+    if sr_idx == 3 or br_idx in (0, 15):
+        return None, None, None
+    sr = _MP3_SR[version][sr_idx]
+    bitrate = (_MP3_BR_V1 if version == 3 else _MP3_BR_V2)[br_idx] * 1000
+    ch = 1 if (b[i + 3] >> 6) == 3 else 2
+    spf = 1152 if version == 3 else 576
+    dur = None
+    # Xing/Info (VBR): after the side info block
+    side = (17 if ch == 1 else 32) if version == 3 else \
+        (9 if ch == 1 else 17)
+    x = i + 4 + side
+    if b[x:x + 4] in (b"Xing", b"Info") and len(b) >= x + 12 \
+            and b[x + 7] & 0x1:
+        frames = _be(b[x + 8:x + 12])
+        dur = frames * spf * 1000 // sr
+    elif bitrate:
+        dur = (len(b) - i) * 8000 // bitrate
+    return sr, ch, dur
 
 
 # ---------------------------------------------------------------------------

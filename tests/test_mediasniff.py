@@ -264,3 +264,35 @@ def test_truncated_headers_abstain_in_both_paths(spark):
     assert e[4]["format"] == p[4]["format"] == "wav"
     assert p[4]["sample_rate"] is None and p[4]["channels"] is None
     assert e[4]["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame-header walk (round 8): Layer III sample rate / channels /
+# duration (Xing frame count when present, CBR estimate otherwise).
+# ---------------------------------------------------------------------------
+
+def test_mp3_cbr_duration_estimate():
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])   # V1 L3, 128 kbps, 44.1 kHz
+    mp3 = (hdr + b"\x00" * 413) * 10
+    p = parse_media_header(mp3)
+    assert p["format"] == "mp3" and p["kind"] == "audio"
+    assert (p["sample_rate"], p["channels"]) == (44100, 2)
+    assert p["duration_ms"] == len(mp3) * 8000 // 128000
+
+
+def test_mp3_xing_frame_count_wins():
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    xing = b"Xing" + (1).to_bytes(4, "big") + (100).to_bytes(4, "big")
+    p = parse_media_header(hdr + b"\x00" * 32 + xing + b"\x00" * 1200)
+    assert p["duration_ms"] == 100 * 1152 * 1000 // 44100
+
+
+def test_mp3_id3_tag_skipped_and_bare_tag_abstains():
+    hdr = bytes([0xFF, 0xF3, 0x90, 0xC0])   # V2 L3, 22.05 kHz, mono
+    id3 = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10
+    p = parse_media_header(id3 + hdr + b"\x00" * 200)
+    assert (p["sample_rate"], p["channels"]) == (22050, 1)
+    assert p["duration_ms"] is not None
+    # a tag with no audio frame yields Nones, never a guess
+    p = parse_media_header(b"ID3\x04\x00" + b"\x00" * 20)
+    assert p["format"] == "mp3" and p["sample_rate"] is None
