@@ -147,8 +147,10 @@ def parse_media_header(b: bytes) -> dict:
             sr, ch, dur = _mp3_info(b)
         elif b[4:8] == b"ftyp":
             fmt = "mp4"
+            w, h, dur = _mp4_info(b)
         elif b[:4] == b"\x1aE\xdf\xa3":
             fmt = "mkv"
+            w, h, dur = _mkv_info(b)
         elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
             fmt = "webp"
             if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
@@ -215,6 +217,131 @@ def _mp3_info(b: bytes):
     elif bitrate:
         dur = (len(b) - i) * 8000 // bitrate
     return sr, ch, dur
+
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl", b"edts"}
+
+
+def _mp4_boxes(b: bytes, i: int, end: int):
+    """Yield (type, payload_start, payload_end) for ISO-BMFF boxes in
+    b[i:end] (u32 size; size==1 → 64-bit largesize; size==0 → to
+    end)."""
+    while i + 8 <= end:
+        size = _be(b[i:i + 4])
+        typ = b[i + 4:i + 8]
+        payload = i + 8
+        if size == 1 and i + 16 <= end:
+            size = int.from_bytes(b[i + 8:i + 16], "big")
+            payload = i + 16
+        elif size == 0:
+            size = end - i
+        if size < 8 or i + size > end:
+            return
+        yield typ, payload, i + size
+        i += size
+
+
+def _mp4_info(b: bytes):
+    """(width, height, duration_ms) from the moov box: mvhd timescale/
+    duration, and the max tkhd 16.16 fixed-point track dimensions
+    (audio tracks carry 0x0) — pure box arithmetic, no codec. r8."""
+    w = h = dur = None
+    for typ, p, e in _mp4_boxes(b, 0, len(b)):
+        if typ != b"moov":
+            continue
+        for t2, p2, e2 in _mp4_boxes(b, p, e):
+            if t2 == b"mvhd" and e2 - p2 >= 20:
+                ver = b[p2]
+                if ver == 1 and e2 - p2 >= 28:
+                    scale = _be(b[p2 + 20:p2 + 24])
+                    d = int.from_bytes(b[p2 + 24:p2 + 32], "big")
+                else:
+                    scale = _be(b[p2 + 12:p2 + 16])
+                    d = _be(b[p2 + 16:p2 + 20])
+                if scale:
+                    dur = d * 1000 // scale
+            elif t2 == b"trak":
+                for t3, p3, e3 in _mp4_boxes(b, p2, e2):
+                    if t3 != b"tkhd" or e3 - p3 < 8:
+                        continue
+                    # width/height: last 8 payload bytes, 16.16 fixed
+                    tw = _be(b[e3 - 8:e3 - 6])
+                    th = _be(b[e3 - 4:e3 - 2])
+                    if tw and th:
+                        w = max(w or 0, tw)
+                        h = max(h or 0, th)
+    return w, h, dur
+
+
+def _ebml_varint(b: bytes, i: int, strip: bool):
+    """(value, next_index) or (None, i). IDs keep the marker bit
+    (conventional notation); sizes strip it. An all-ones size value
+    means 'unknown' and returns -1."""
+    if i >= len(b) or b[i] == 0:
+        return None, i
+    ln = 8 - b[i].bit_length() + 1
+    if i + ln > len(b):
+        return None, i
+    val = b[i] if not strip else b[i] & ((1 << (8 - ln)) - 1)
+    all_ones = (1 << (7 * ln)) - 1 if strip else None
+    for k in range(1, ln):
+        val = (val << 8) | b[i + k]
+    if strip and val == all_ones:
+        val = -1
+    return val, i + ln
+
+
+def _ebml_children(b: bytes, i: int, end: int):
+    """Yield (id, payload_start, payload_end) for EBML elements."""
+    while i < end:
+        eid, i = _ebml_varint(b, i, strip=False)
+        if eid is None:
+            return
+        size, i = _ebml_varint(b, i, strip=True)
+        if size is None:
+            return
+        pe = end if size == -1 else min(i + size, end)
+        yield eid, i, pe
+        if size == -1:
+            return                      # unknown size: runs to the end
+        i = pe
+
+
+def _mkv_info(b: bytes):
+    """(width, height, duration_ms) from Matroska/WebM EBML: Segment →
+    Info(TimestampScale, Duration) and Tracks → Video(PixelWidth/
+    Height) — header arithmetic only, no codec. r8."""
+    import struct as _struct
+    w = h = dur = None
+    for eid, p, e in _ebml_children(b, 0, len(b)):
+        if eid != 0x18538067:           # Segment
+            continue
+        for e2, p2, q2 in _ebml_children(b, p, e):
+            if e2 == 0x1549A966:        # Info
+                scale, fdur = 1_000_000, None
+                for e3, p3, q3 in _ebml_children(b, p2, q2):
+                    if e3 == 0x2AD7B1:  # TimestampScale (ns)
+                        scale = int.from_bytes(b[p3:q3], "big")
+                    elif e3 == 0x4489:  # Duration (float ticks)
+                        if q3 - p3 == 4:
+                            fdur = _struct.unpack(">f", b[p3:q3])[0]
+                        elif q3 - p3 == 8:
+                            fdur = _struct.unpack(">d", b[p3:q3])[0]
+                if fdur is not None and scale:
+                    dur = int(fdur * scale / 1e6)
+            elif e2 == 0x1654AE6B:      # Tracks
+                for e3, p3, q3 in _ebml_children(b, p2, q2):
+                    if e3 != 0xAE:      # TrackEntry
+                        continue
+                    for e4, p4, q4 in _ebml_children(b, p3, q3):
+                        if e4 != 0xE0:  # Video
+                            continue
+                        for e5, p5, q5 in _ebml_children(b, p4, q4):
+                            if e5 == 0xB0:
+                                w = int.from_bytes(b[p5:q5], "big")
+                            elif e5 == 0xBA:
+                                h = int.from_bytes(b[p5:q5], "big")
+    return w, h, dur
 
 
 # ---------------------------------------------------------------------------

@@ -296,3 +296,68 @@ def test_mp3_id3_tag_skipped_and_bare_tag_abstains():
     # a tag with no audio frame yields Nones, never a guess
     p = parse_media_header(b"ID3\x04\x00" + b"\x00" * 20)
     assert p["format"] == "mp3" and p["sample_rate"] is None
+
+
+# ---------------------------------------------------------------------------
+# Video container walks (round 8): MP4 box arithmetic, Matroska EBML —
+# duration and dimensions without any codec.
+# ---------------------------------------------------------------------------
+
+def _mp4_box(typ, payload):
+    import struct
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def test_mp4_moov_dims_and_duration():
+    import struct
+    mvhd = _mp4_box(b"mvhd", b"\x00\x00\x00\x00" + b"\x00" * 8
+                    + struct.pack(">II", 1000, 12500) + b"\x00" * 80)
+    tkhd_v = (b"\x00\x00\x00\x07" + b"\x00" * 68
+              + struct.pack(">HHHH", 640, 0, 360, 0))
+    tkhd_a = b"\x00\x00\x00\x07" + b"\x00" * 68 + b"\x00" * 8
+    moov = _mp4_box(b"moov", mvhd
+                    + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_a))
+                    + _mp4_box(b"trak", _mp4_box(b"tkhd", tkhd_v)))
+    p = parse_media_header(_mp4_box(b"ftyp", b"isom") + moov)
+    assert p["format"] == "mp4" and p["kind"] == "video"
+    assert (p["width"], p["height"]) == (640, 360)   # audio track's 0x0 skipped
+    assert p["duration_ms"] == 12500
+    # version-1 mvhd (64-bit duration)
+    import struct as s2
+    mvhd1 = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                     + s2.pack(">I", 600) + s2.pack(">Q", 3000) + b"\x00" * 80)
+    p = parse_media_header(_mp4_box(b"ftyp", b"x") + _mp4_box(b"moov", mvhd1))
+    assert p["duration_ms"] == 5000
+    # bare ftyp abstains
+    p = parse_media_header(_mp4_box(b"ftyp", b"isom"))
+    assert p["format"] == "mp4" and p["width"] is None
+
+
+def _ebml(eid, payload):
+    n = (eid.bit_length() + 7) // 8
+    out = eid.to_bytes(n, "big")
+    for ln in range(1, 9):
+        if len(payload) < (1 << (7 * ln)) - 1:
+            out += (((1 << (8 - ln)) << (8 * (ln - 1)))
+                    | len(payload)).to_bytes(ln, "big")
+            break
+    return out + payload
+
+
+def test_mkv_segment_walk():
+    import struct
+    info = _ebml(0x1549A966,
+                 _ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                 + _ebml(0x4489, struct.pack(">d", 42_000.0)))
+    video = _ebml(0xE0, _ebml(0xB0, (1280).to_bytes(2, "big"))
+                  + _ebml(0xBA, (720).to_bytes(2, "big")))
+    tracks = _ebml(0x1654AE6B, _ebml(0xAE, video))
+    mkv = (_ebml(0x1A45DFA3, _ebml(0x4282, b"matroska"))
+           + _ebml(0x18538067, info + tracks))
+    p = parse_media_header(mkv)
+    assert p["format"] == "mkv" and p["kind"] == "video"
+    assert (p["width"], p["height"]) == (1280, 720)
+    assert p["duration_ms"] == 42000
+    # bare magic abstains, never guesses
+    p = parse_media_header(b"\x1aE\xdf\xa3" + b"\x00" * 8)
+    assert p["format"] == "mkv" and p["width"] is None
