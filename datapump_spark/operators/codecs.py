@@ -17,7 +17,7 @@ out, repartition by content-hash to even out size skew) is what matters,
 and it is identical for these stdlib codecs and a real PIL/ffmpeg swap-in.
 
 Scope (documented, asserted): PNG 8-bit depth, color types 0/2/3/4/6,
-non-interlaced (Adam7 raises); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
+non-interlaced AND Adam7-interlaced (r8); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
 top-down or bottom-up; WAV PCM 8/16-bit and IEEE float32, canonical or
 chunk-walked layouts. Out-of-scope inputs raise ``UnsupportedMediaError``
 (a ValueError) so callers can route rather than crash.
@@ -41,7 +41,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Payload is a recognized container but outside decode scope
-    (e.g. 16-bit PNG, interlaced PNG, RLE BMP, ADPCM WAV,
+    (e.g. 16-bit PNG, RLE BMP, ADPCM WAV,
     progressive/arithmetic JPEG)."""
 
 
@@ -49,18 +49,38 @@ class UnsupportedMediaError(ValueError):
 # PNG
 # ---------------------------------------------------------------------------
 
-def encode_png(img: np.ndarray) -> bytes:
-    """Encode an (h, w) or (h, w, c) uint8 array (c in 1/2/3/4) as a
-    non-interlaced 8-bit PNG, filter type 0 on every scanline."""
+# Adam7 pass origins/steps: (x0, y0, dx, dy) per PNG spec §8.2
+_ADAM7 = ((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+
+def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
+    """Encode an (h, w) or (h, w, c) uint8 array (c in 1/2/3/4) as an
+    8-bit PNG, filter type 0 on every scanline; ``interlace=True``
+    writes the seven Adam7 sub-images (r8)."""
     img = np.ascontiguousarray(img, dtype=np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
     h, w, c = img.shape
     color = {1: 0, 2: 4, 3: 2, 4: 6}[c]
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    # filter byte 0 prepended to each row
-    raw = np.concatenate(
-        [np.zeros((h, 1), np.uint8), img.reshape(h, w * c)], axis=1).tobytes()
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0,
+                       1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = img[y0::dy, x0::dx]
+            ph, pw = sub.shape[:2]
+            if ph == 0 or pw == 0:
+                continue
+            parts.append(np.concatenate(
+                [np.zeros((ph, 1), np.uint8), sub.reshape(ph, pw * c)],
+                axis=1).tobytes())
+        raw = b"".join(parts)
+    else:
+        # filter byte 0 prepended to each row
+        raw = np.concatenate(
+            [np.zeros((h, 1), np.uint8), img.reshape(h, w * c)],
+            axis=1).tobytes()
     idat = zlib.compress(raw, 6)
 
     def chunk(ctype: bytes, data: bytes) -> bytes:
@@ -119,8 +139,8 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit non-interlaced PNG to an (h, w, c) uint8 array.
-    Palette images resolve through PLTE to RGB. Raises
+    """Decode an 8-bit PNG (non-interlaced or Adam7) to an (h, w, c)
+    uint8 array. Palette images resolve through PLTE to RGB. Raises
     UnsupportedMediaError outside that scope, ValueError on corrupt data."""
     if b[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -136,8 +156,6 @@ def decode_png(b: bytes) -> np.ndarray:
                 ">IIBBBBB", data[:13])
             if depth != 8:
                 raise UnsupportedMediaError(f"PNG bit depth {depth}")
-            if interlace:
-                raise UnsupportedMediaError("interlaced (Adam7) PNG")
             if color not in _PNG_CHANNELS:
                 raise UnsupportedMediaError(f"PNG color type {color}")
         elif ctype == b"PLTE":
@@ -151,9 +169,26 @@ def decode_png(b: bytes) -> np.ndarray:
         raise ValueError("PNG missing IHDR/IDAT")
     bpp = _PNG_CHANNELS[color]
     raw = zlib.decompress(b"".join(idat))
-    if len(raw) != h * (1 + w * bpp):
-        raise ValueError("PNG IDAT length mismatch")
-    img = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+    if interlace:                       # Adam7 (r8): seven sub-images
+        img = np.zeros((h, w, bpp), np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            ph = len(range(y0, h, dy))
+            pw = len(range(x0, w, dx))
+            if ph == 0 or pw == 0:
+                continue
+            span = ph * (1 + pw * bpp)
+            if pos + span > len(raw):
+                raise ValueError("PNG interlaced IDAT length mismatch")
+            sub = _unfilter(raw[pos:pos + span], pw, ph, bpp)
+            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            pos += span
+        if pos != len(raw):
+            raise ValueError("PNG interlaced IDAT length mismatch")
+    else:
+        if len(raw) != h * (1 + w * bpp):
+            raise ValueError("PNG IDAT length mismatch")
+        img = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -141,11 +141,12 @@ def test_png_out_of_scope_raises():
          + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100)))
     with pytest.raises(UnsupportedMediaError, match="bit depth"):
         decode_png(b)
-    # Adam7 interlace
+    # Adam7 interlace decodes since round 8, but a corrupt interlaced
+    # stream (wrong total length) still fails loudly
     ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 1)
     b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
          + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100)))
-    with pytest.raises(UnsupportedMediaError, match="interlaced"):
+    with pytest.raises(ValueError, match="interlaced IDAT"):
         decode_png(b)
     with pytest.raises(ValueError):
         decode_png(b"\x89PNG-not-really")
@@ -318,3 +319,15 @@ def test_codecs_agree_with_header_sniffer():
     assert meta["sample_rate"] == sr == 16000
     assert meta["channels"] == s.shape[1] == 1
     assert meta["duration_ms"] == s.shape[0] * 1000 // sr == 100
+
+
+@pytest.mark.parametrize("shape", [(1, 1), (7, 7, 3), (8, 8, 4),
+                                   (13, 17, 3), (33, 41), (5, 9, 2)])
+def test_adam7_interlaced_png_roundtrip(shape):
+    """Adam7 (round 8): the seven sub-images scatter back exactly for
+    every color type and for dimensions that leave passes empty."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, shape, dtype=np.uint8)
+    out = decode_png(encode_png(img, interlace=True))
+    want = img if img.ndim == 3 else img[:, :, None]
+    assert np.array_equal(out, want)
