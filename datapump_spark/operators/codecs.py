@@ -16,8 +16,10 @@ parallel; the Spark-side contract (binary column in, fixed-schema batch
 out, repartition by content-hash to even out size skew) is what matters,
 and it is identical for these stdlib codecs and a real PIL/ffmpeg swap-in.
 
-Scope (documented, asserted): PNG 8-bit depth, color types 0/2/3/4/6,
-non-interlaced AND Adam7-interlaced (r8); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
+Scope (documented, asserted): PNG all spec bit depths (1/2/4-bit
+gray+palette unpack and scale, 8-bit native, 16-bit as the high-byte
+projection — r8), color types 0/2/3/4/6, non-interlaced AND
+Adam7-interlaced (r8); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
 top-down or bottom-up; WAV PCM 8/16-bit and IEEE float32, canonical or
 chunk-walked layouts. Out-of-scope inputs raise ``UnsupportedMediaError``
 (a ValueError) so callers can route rather than crash.
@@ -41,7 +43,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Payload is a recognized container but outside decode scope
-    (e.g. 16-bit PNG, RLE BMP, ADPCM WAV,
+    (e.g. RLE BMP, ADPCM WAV,
     progressive/arithmetic JPEG)."""
 
 
@@ -91,15 +93,16 @@ def encode_png(img: np.ndarray, interlace: bool = False) -> bytes:
             + chunk(b"IEND", b""))
 
 
-def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
-    """Reverse PNG scanline filtering. Returns (h, w*bpp) uint8.
+def _unfilter(raw: bytes, stride: int, h: int, bpp: int) -> np.ndarray:
+    """Reverse PNG scanline filtering over ``stride``-byte rows with a
+    ``bpp``-byte left-pixel distance (sub-byte depths use bpp=1 per the
+    spec). Returns (h, stride) uint8.
 
     Filters None/Up are numpy-vectorized across the row; Sub/Average/Paeth
     have a true left-to-right data dependence and fall back to a per-byte
     scan on just the rows that use them (most encoders emit long runs of
     a single filter type, so typical images hit the vector path).
     """
-    stride = w * bpp
     out = np.empty((h, stride), np.uint16)
     prev = np.zeros(stride, np.uint16)
     pos = 0
@@ -139,8 +142,9 @@ def _unfilter(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray:
 
 
 def decode_png(b: bytes) -> np.ndarray:
-    """Decode an 8-bit PNG (non-interlaced or Adam7) to an (h, w, c)
-    uint8 array. Palette images resolve through PLTE to RGB. Raises
+    """Decode a PNG (any spec bit depth, non-interlaced or Adam7) to
+    an (h, w, c) uint8 array — 16-bit samples project to their high
+    byte. Palette images resolve through PLTE to RGB. Raises
     UnsupportedMediaError outside that scope, ValueError on corrupt data."""
     if b[:8] != PNG_SIG:
         raise ValueError("not a PNG")
@@ -154,10 +158,12 @@ def decode_png(b: bytes) -> np.ndarray:
         if ctype == b"IHDR":
             w, h, depth, color, _comp, _filt, interlace = struct.unpack(
                 ">IIBBBBB", data[:13])
-            if depth != 8:
-                raise UnsupportedMediaError(f"PNG bit depth {depth}")
             if color not in _PNG_CHANNELS:
                 raise UnsupportedMediaError(f"PNG color type {color}")
+            if depth not in (1, 2, 4, 8, 16) or (
+                    depth < 8 and color not in (0, 3)):
+                raise UnsupportedMediaError(
+                    f"PNG bit depth {depth} for color type {color}")
         elif ctype == b"PLTE":
             plte = data
         elif ctype == b"IDAT":
@@ -167,28 +173,52 @@ def decode_png(b: bytes) -> np.ndarray:
         i += 12 + clen
     if w is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT")
-    bpp = _PNG_CHANNELS[color]
+    nch = _PNG_CHANNELS[color]
+    bpp = max(1, nch * depth // 8)      # left-pixel byte distance
     raw = zlib.decompress(b"".join(idat))
+
+    def rows_to_pixels(rows: np.ndarray, pw: int) -> np.ndarray:
+        """(ph, stride_bytes) filtered bytes -> (ph, pw, nch) uint8.
+        Sub-byte depths unpack MSB-first; grayscale scales to 0..255;
+        16-bit keeps the high byte (the standard 8-bit projection)."""
+        if depth == 8:
+            return rows[:, :pw * nch].reshape(-1, pw, nch)
+        if depth == 16:
+            return rows.reshape(-1, pw * nch, 2)[:, :, 0]                 .reshape(-1, pw, nch)
+        bits = np.unpackbits(rows, axis=1)[:, :pw * depth]             .reshape(-1, pw, depth)
+        vals = np.zeros(bits.shape[:2], np.uint8)
+        for k in range(depth):
+            vals = (vals << 1) | bits[:, :, k]
+        if color == 0:                  # grayscale: scale to full range
+            vals = (vals.astype(np.uint16)
+                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        return vals[:, :, None]
+
+    def line_bytes(pw: int) -> int:
+        return (pw * nch * depth + 7) // 8
+
     if interlace:                       # Adam7 (r8): seven sub-images
-        img = np.zeros((h, w, bpp), np.uint8)
+        img = np.zeros((h, w, nch), np.uint8)
         pos = 0
         for x0, y0, dx, dy in _ADAM7:
             ph = len(range(y0, h, dy))
             pw = len(range(x0, w, dx))
             if ph == 0 or pw == 0:
                 continue
-            span = ph * (1 + pw * bpp)
+            stride = line_bytes(pw)
+            span = ph * (1 + stride)
             if pos + span > len(raw):
                 raise ValueError("PNG interlaced IDAT length mismatch")
-            sub = _unfilter(raw[pos:pos + span], pw, ph, bpp)
-            img[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            sub = _unfilter(raw[pos:pos + span], stride, ph, bpp)
+            img[y0::dy, x0::dx] = rows_to_pixels(sub, pw)
             pos += span
         if pos != len(raw):
             raise ValueError("PNG interlaced IDAT length mismatch")
     else:
-        if len(raw) != h * (1 + w * bpp):
+        stride = line_bytes(w)
+        if len(raw) != h * (1 + stride):
             raise ValueError("PNG IDAT length mismatch")
-        img = _unfilter(raw, w, h, bpp).reshape(h, w, bpp)
+        img = rows_to_pixels(_unfilter(raw, stride, h, bpp), w)
     if color == 3:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")

@@ -135,8 +135,8 @@ def test_png_palette_resolves_to_rgb():
 
 def test_png_out_of_scope_raises():
     img = _img(4, 4, 3)
-    # 16-bit depth
-    ihdr = struct.pack(">IIBBBBB", 4, 4, 16, 2, 0, 0, 0)
+    # sub-byte depth on a TRUECOLOR image is invalid per spec
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 4, 2, 0, 0, 0)
     b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
          + _png_chunk(b"IDAT", zlib.compress(b"\x00" * 100)))
     with pytest.raises(UnsupportedMediaError, match="bit depth"):
@@ -331,3 +331,36 @@ def test_adam7_interlaced_png_roundtrip(shape):
     out = decode_png(encode_png(img, interlace=True))
     want = img if img.ndim == 3 else img[:, :, None]
     assert np.array_equal(out, want)
+
+
+def test_png_sub_byte_and_16bit_depths():
+    """Round 8: 1/2/4-bit grayscale+palette unpack MSB-first (grayscale
+    scales to 0..255 exactly); 16-bit keeps the high byte."""
+    def build(w, h, depth, color, raw, plte=None):
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        out = PNG_SIG + _png_chunk(b"IHDR", ihdr)
+        if plte is not None:
+            out += _png_chunk(b"PLTE", plte)
+        return out + _png_chunk(b"IDAT", zlib.compress(raw)) \
+            + _png_chunk(b"IEND", b"")
+
+    # 1-bit checkerboard
+    bits = np.indices((3, 10)).sum(0) % 2
+    raw = b"".join(b"\x00" + np.packbits(r.astype(np.uint8)).tobytes()
+                   for r in bits)
+    img = decode_png(build(10, 3, 1, 0, raw))
+    assert (img[:, :, 0] == bits * 255).all()
+
+    # 2-bit grayscale: 0..3 -> 0/85/170/255
+    img = decode_png(build(7, 1, 2, 0, b"\x00\x1b\xe4"))
+    assert list(img[0, :, 0]) == [0, 85, 170, 255, 255, 170, 85]
+
+    # 4-bit palette
+    pal = np.arange(48, dtype=np.uint8).reshape(16, 3)
+    img = decode_png(build(5, 1, 4, 3, b"\x00\x0f\x78\x30",
+                           plte=pal.tobytes()))
+    assert (img[0] == pal[[0, 15, 7, 8, 3]]).all()
+
+    # 16-bit RGB: high-byte projection
+    img = decode_png(build(1, 1, 16, 2, b"\x00\x12\x34\xff\x00\x00\xff"))
+    assert list(img[0, 0]) == [0x12, 0xFF, 0x00]
