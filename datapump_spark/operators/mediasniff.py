@@ -544,3 +544,162 @@ def verify_media_format(
         .select("media_id", "claimed", F.col("format").alias("sniffed"),
                 "n_bytes")
     )
+
+
+# ---------------------------------------------------------------------------
+# EXIF (round 8): APP1 TIFF/IFD walk — orientation, camera, timestamps.
+# Pure byte arithmetic (TIFF 6.0 IFD layout inside the Exif APP1
+# segment); both byte orders; the Exif sub-IFD is followed for the
+# capture timestamp and pixel dimensions. A training-data pipeline
+# needs orientation (dedup robustness) and provenance timestamps.
+# ---------------------------------------------------------------------------
+
+_EXIF_TAGS = {0x010F: "make", 0x0110: "model", 0x0112: "orientation",
+              0x0132: "datetime"}
+_EXIF_SUB_TAGS = {0x9003: "datetime_original",
+                  0xA002: "pixel_x", 0xA003: "pixel_y"}
+
+
+def _ifd_entries(t: bytes, off: int, bo: str):
+    """Yield (tag, type, count, value_bytes_or_offset_field) for one
+    IFD; value payloads >4 bytes live at the offset the field names."""
+    if off + 2 > len(t):
+        return
+    n = int.from_bytes(t[off:off + 2], bo)
+    for k in range(n):
+        e = off + 2 + 12 * k
+        if e + 12 > len(t):
+            return
+        tag = int.from_bytes(t[e:e + 2], bo)
+        typ = int.from_bytes(t[e + 2:e + 4], bo)
+        cnt = int.from_bytes(t[e + 4:e + 8], bo)
+        yield tag, typ, cnt, t[e + 8:e + 12]
+
+
+def _ifd_value(t: bytes, typ: int, cnt: int, field: bytes, bo: str):
+    size = {1: 1, 2: 1, 3: 2, 4: 4}.get(typ)
+    if size is None:
+        return None
+    total = size * cnt
+    data = field[:total] if total <= 4 else None
+    if data is None:
+        off = int.from_bytes(field, bo)
+        if off + total > len(t):
+            return None
+        data = t[off:off + total]
+    if typ == 2:                        # ASCII, NUL-terminated
+        return data.split(b"\x00")[0].decode("latin-1", "replace").strip()
+    vals = [int.from_bytes(data[i * size:(i + 1) * size], bo)
+            for i in range(cnt)]
+    return vals[0] if cnt == 1 else vals
+
+
+def parse_exif(b: bytes) -> dict:
+    """EXIF tags from a JPEG's APP1 segment (or a bare TIFF buffer):
+    {orientation, make, model, datetime, datetime_original, pixel_x,
+    pixel_y} — keys absent when the file carries no EXIF. Never
+    raises; malformed IFDs yield what parsed so far."""
+    out: dict = {}
+    t = None
+    if b[:3] == b"\xff\xd8\xff":        # find the Exif APP1 segment
+        i = 2
+        while i + 4 <= len(b) and b[i] == 0xFF:
+            marker = b[i + 1]
+            if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+                i += 2
+                continue
+            if marker in (0xDA, 0xD9):
+                break
+            seglen = int.from_bytes(b[i + 2:i + 4], "big")
+            if marker == 0xE1 and b[i + 4:i + 10] == b"Exif\x00\x00":
+                t = b[i + 10:i + 2 + seglen]
+                break
+            i += 2 + seglen
+    elif b[:2] in (b"II", b"MM"):
+        t = b
+    if t is None or len(t) < 8:
+        return out
+    bo = "little" if t[:2] == b"II" else "big"
+    if int.from_bytes(t[2:4], bo) != 42:
+        return out
+    try:
+        ifd0 = int.from_bytes(t[4:8], bo)
+        sub_off = None
+        for tag, typ, cnt, field in _ifd_entries(t, ifd0, bo):
+            if tag in _EXIF_TAGS:
+                v = _ifd_value(t, typ, cnt, field, bo)
+                if v is not None:
+                    out[_EXIF_TAGS[tag]] = v
+            elif tag == 0x8769:         # Exif sub-IFD pointer
+                sub_off = int.from_bytes(field, bo)
+        if sub_off is not None:
+            for tag, typ, cnt, field in _ifd_entries(t, sub_off, bo):
+                if tag in _EXIF_SUB_TAGS:
+                    v = _ifd_value(t, typ, cnt, field, bo)
+                    if v is not None:
+                        out[_EXIF_SUB_TAGS[tag]] = v
+    except Exception:
+        pass                            # partial EXIF: keep what parsed
+    return out
+
+
+def encode_exif_app1(tags: dict, byte_order: str = "little") -> bytes:
+    """Build an Exif APP1 segment carrying ``tags`` (fixture/sink
+    side): IFD0 with make/model/orientation/datetime and an Exif
+    sub-IFD with datetime_original/pixel dims. Insert after SOI with
+    :func:`inject_exif`."""
+    bo = byte_order
+    ii = b"II" if bo == "little" else b"MM"
+
+    def u(v, n):
+        return int(v).to_bytes(n, bo)
+
+    # lay out: header(8) IFD0 [entries + next=0] subIFD, then string pool
+    ifd0_tags = [(k, v) for k, v in (
+        (0x010F, tags.get("make")), (0x0110, tags.get("model")),
+        (0x0112, tags.get("orientation")),
+        (0x0132, tags.get("datetime"))) if v is not None]
+    sub_tags = [(k, v) for k, v in (
+        (0x9003, tags.get("datetime_original")),
+        (0xA002, tags.get("pixel_x")), (0xA003, tags.get("pixel_y")))
+        if v is not None]
+    n0 = len(ifd0_tags) + (1 if sub_tags else 0)
+    ifd0_off = 8
+    sub_ifd_off = ifd0_off + 2 + 12 * n0 + 4
+    pool_off = sub_ifd_off + (2 + 12 * len(sub_tags) + 4 if sub_tags else 0)
+    pool = bytearray()
+
+    def entry(tag, val):
+        nonlocal pool
+        if isinstance(val, str):
+            data = val.encode("latin-1") + b"\x00"
+            if len(data) <= 4:
+                return u(tag, 2) + u(2, 2) + u(len(data), 4) \
+                    + data.ljust(4, b"\x00")
+            off = pool_off + len(pool)
+            pool += data
+            return u(tag, 2) + u(2, 2) + u(len(data), 4) + u(off, 4)
+        return u(tag, 2) + u(3, 2) + u(1, 4) + u(val, 2).ljust(4, b"\x00")
+
+    body = bytearray(ii + u(42, 2) + u(ifd0_off, 4))
+    body += u(n0, 2)
+    for tag, val in ifd0_tags:
+        body += entry(tag, val)
+    if sub_tags:
+        body += u(0x8769, 2) + u(4, 2) + u(1, 4) + u(sub_ifd_off, 4)
+    body += u(0, 4)                     # next IFD
+    if sub_tags:
+        body += u(len(sub_tags), 2)
+        for tag, val in sub_tags:
+            body += entry(tag, val)
+        body += u(0, 4)
+    body += pool
+    payload = b"Exif\x00\x00" + bytes(body)
+    return b"\xff\xe1" + (len(payload) + 2).to_bytes(2, "big") + payload
+
+
+def inject_exif(jpeg: bytes, app1: bytes) -> bytes:
+    """Insert an APP1 segment right after SOI."""
+    if jpeg[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    return jpeg[:2] + app1 + jpeg[2:]

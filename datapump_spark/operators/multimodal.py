@@ -6,12 +6,13 @@ use. Heavy per-item work (decode, resize, feature extraction, frame
 sampling) runs as Arrow-batched ``mapInPandas`` over the binary column:
 one Python worker per partition, vectorized batches, no per-row pickling.
 
-Codec status: PNG, BMP, PCM WAV, baseline JPEG, and GIF decode FOR REAL
+Codec status: PNG, BMP, PCM WAV, JPEG (baseline + progressive), GIF,
+and lossless WebP (VP8L) decode FOR REAL
 via the pure-Python codecs in ``operators.codecs`` / ``operators.jpeg``
 / ``operators.gif`` (zlib inflate + scanline unfilter, BI_RGB pixel
 walk, RIFF chunk walk, Huffman + IDCT baseline AND progressive JPEG,
 LZW + compositing GIF) — ``fake=False`` runs them end-to-end.
-Arithmetic-coded JPEG, WebP, and video remain honestly
+Arithmetic-coded JPEG, lossy WebP (VP8), and video remain honestly
 stubbed: the real path raises ``UnsupportedMediaError`` on them, or
 nulls them out under ``on_error='null'``. ``fake=True`` keeps the
 deterministic md5-derived stand-in features so plumbing tests need no
@@ -70,8 +71,9 @@ def _real_features(payload: bytes) -> list[float]:
     Audio (PCM WAV): [n_frames, channels, sample_rate, duration_ms, rms,
     peak, zero_crossing_rate, 0].
     Raises operators.codecs.UnsupportedMediaError on formats outside the
-    decodable set (arithmetic JPEG/WebP/video) — the honest codec
-    seam. Progressive JPEG decodes for real (round 8).
+    decodable set (arithmetic JPEG / lossy-VP8 WebP / video) — the honest
+    codec seam. Progressive JPEG and lossless WebP decode for real
+    (round 8).
     """
     import numpy as np
 
@@ -98,8 +100,8 @@ def extract_features(df: DataFrame, fake: bool = True,
                      on_error: str = "raise") -> DataFrame:
     """(media_id, n_bytes, features[FEATURE_DIM]) via Arrow-batched
     mapInPandas. ``fake=False`` runs the REAL decoders (PNG/BMP/WAV/
-    baseline-JPEG/GIF via operators/codecs.py dispatch); payloads
-    outside that set raise (the WebP/video codec seam) or, with
+    JPEG/GIF/VP8L-WebP via operators/codecs.py dispatch); payloads
+    outside that set raise (the lossy-video codec seam) or, with
     ``on_error='null'``, yield features=null so one bad item can't fail
     a 100 TB job."""
     if on_error not in ("raise", "null"):
@@ -146,7 +148,7 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     decode PNG/BMP/JPEG (baseline + progressive)/GIF (codecs dispatch),
     nearest-neighbor resample, and re-encode as PNG — the output payload
     is always PNG, the normalization a training-data pipeline wants
-    anyway. WebP/arithmetic-JPEG inputs raise UnsupportedMediaError
+    anyway. Lossy-WebP/arithmetic-JPEG inputs raise UnsupportedMediaError
     (codec seam)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -395,3 +397,40 @@ def audio_near_dup(df: DataFrame, max_hamming: int = 6,
     return hamming_pairs(sigs, "media_id", "afp", bits=64,
                          max_hamming=max_hamming,
                          max_block_size=max_block_size)
+
+
+_EXIF_SCHEMA = ("media_id long, orientation int, make string, "
+                "model string, datetime string, datetime_original string, "
+                "pixel_x int, pixel_y int")
+
+
+def extract_exif(df: DataFrame) -> DataFrame:
+    """EXIF provenance metadata per JPEG payload (mediasniff.parse_exif
+    — APP1 TIFF/IFD walk, both byte orders, r8): orientation for
+    rotation-aware dedup, camera make/model and capture timestamps for
+    provenance. Payloads without EXIF (or non-JPEGs) yield nulls; the
+    parser never raises. Arrow mapInPandas, same kernel shape as the
+    codecs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datapump_spark.operators.mediasniff import parse_exif
+        for pdf in batches:
+            rows = [parse_exif(bytes(p)) if p is not None else {}
+                    for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "orientation": pd.array(
+                    [r.get("orientation") for r in rows], dtype="Int32"),
+                "make": [r.get("make") for r in rows],
+                "model": [r.get("model") for r in rows],
+                "datetime": [r.get("datetime") for r in rows],
+                "datetime_original": [r.get("datetime_original")
+                                      for r in rows],
+                "pixel_x": pd.array([r.get("pixel_x") for r in rows],
+                                    dtype="Int32"),
+                "pixel_y": pd.array([r.get("pixel_y") for r in rows],
+                                    dtype="Int32"),
+            })
+
+    return df.select("media_id", "payload").mapInPandas(kernel,
+                                                        _EXIF_SCHEMA)

@@ -220,3 +220,34 @@ def test_media_corpus_one_call(spark, tmp_path):
     assert "c_other.png" in media and "tone.wav" in media
     assert len({"a_base.png", "b_copy.png"} & set(media)) == 1
     assert out["dup_pairs"].count() == 1
+
+
+def test_extract_exif_kernel(spark):
+    """EXIF provenance through the Arrow kernel (round 8): tagged
+    JPEGs yield orientation/camera/timestamps, untagged and non-JPEG
+    payloads yield nulls without erroring."""
+    import numpy as np
+
+    from datapump_spark.operators.jpeg import encode_jpeg
+    from datapump_spark.operators.mediasniff import (encode_exif_app1,
+                                                     inject_exif)
+    from datapump_spark.operators.multimodal import extract_exif
+
+    tags = {"make": "SynthCam", "model": "SC-1000", "orientation": 6,
+            "datetime": "2024:05:01 10:11:12",
+            "datetime_original": "2024:04:30 09:00:01",
+            "pixel_x": 64, "pixel_y": 48}
+    plain = encode_jpeg(np.full((8, 8), 7, np.uint8))
+    rows = [(1, bytearray(inject_exif(plain, encode_exif_app1(tags)))),
+            (2, bytearray(inject_exif(plain,
+                                      encode_exif_app1(tags, "big")))),
+            (3, bytearray(plain)),
+            (4, bytearray(b"not media"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    out = {r["media_id"]: r for r in extract_exif(df).collect()}
+    for mid in (1, 2):
+        assert out[mid]["orientation"] == 6
+        assert out[mid]["make"] == "SynthCam"
+        assert out[mid]["datetime_original"] == "2024:04:30 09:00:01"
+        assert (out[mid]["pixel_x"], out[mid]["pixel_y"]) == (64, 48)
+    assert out[3]["orientation"] is None and out[4]["make"] is None
