@@ -180,6 +180,7 @@ BENCH_QUERIES = [
     "q_jpeg_decode",
     "q_gif_decode",
     "q_webp_decode",
+    "q_exif",
     "q_pdf_text",
     "q_audio_tone",
     "q_curriculum",

@@ -3043,6 +3043,23 @@ FROM c
 """
 
 
+# q_exif: the APP1 IFD walk must return EXACTLY the tags the writer
+# computed from doc_id arithmetic — recomputed here in SQL.
+EXTRA_ORACLES["q_exif"] = """
+SELECT doc_id AS media_id,
+       CAST(1 + doc_id % 8 AS BIGINT) AS orientation,
+       'Cam' || CAST(doc_id % 7 AS VARCHAR) AS make,
+       'M-' || CAST(doc_id % 100 AS VARCHAR) AS model,
+       '2024:01:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || ' 12:00:00' AS datetime,
+       '2023:12:' || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+           || ' 08:30:00' AS datetime_original,
+       CAST(16 + doc_id % 64 AS BIGINT) AS pixel_x,
+       CAST(16 + doc_id % 32 AS BIGINT) AS pixel_y
+FROM documents WHERE doc_id % 11 = 0
+"""
+
+
 # q_pdf_text: the extractor must return EXACTLY the printable-ASCII
 # projection the Spark side wrote into a real Flate-compressed PDF —
 # the oracle recomputes that projection without parsing a byte.

@@ -1313,6 +1313,55 @@ def q_webp_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EXIF extraction gate (mediasniff.parse_exif via the
+    multimodal.extract_exif kernel, r8). Each sampled document becomes
+    a real JPEG with an injected APP1 TIFF/IFD segment whose tags are
+    pure doc_id arithmetic — alternating byte orders per row — and the
+    oracle recomputes every tag in SQL, so the IFD walk must be
+    EXACT."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_exif
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.jpeg import encode_jpeg
+        from datapump_spark.operators.mediasniff import (encode_exif_app1,
+                                                         inject_exif)
+        base = encode_jpeg(np.full((8, 8), 9, np.uint8))
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def jpg(doc_id: int) -> bytes:
+                tags = {
+                    "make": f"Cam{doc_id % 7}",
+                    "model": f"M-{doc_id % 100}",
+                    "orientation": 1 + doc_id % 8,
+                    "datetime": f"2024:01:{1 + doc_id % 28:02d} 12:00:00",
+                    "datetime_original":
+                        f"2023:12:{1 + doc_id % 28:02d} 08:30:00",
+                    "pixel_x": 16 + doc_id % 64,
+                    "pixel_y": 16 + doc_id % 32,
+                }
+                bo = "little" if doc_id % 22 == 0 else "big"
+                return inject_exif(base, encode_exif_app1(tags, bo))
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(jpg)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (extract_exif(media)
+            .select("media_id",
+                    F.col("orientation").cast("long").alias("orientation"),
+                    "make", "model", "datetime", "datetime_original",
+                    F.col("pixel_x").cast("long").alias("pixel_x"),
+                    F.col("pixel_y").cast("long").alias("pixel_y")))
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (operators/sampling.py curriculum_order,
     exact profile): length-quantile stages over documents (short = easy)
@@ -2378,6 +2427,7 @@ EXTRA_QUERIES = {
     "q_jpeg_decode": q_jpeg_decode,
     "q_gif_decode": q_gif_decode,
     "q_webp_decode": q_webp_decode,
+    "q_exif": q_exif,
     "q_pdf_text": q_pdf_text,
     "q_audio_tone": q_audio_tone,
     "q_curriculum": q_curriculum,
