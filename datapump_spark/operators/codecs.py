@@ -20,8 +20,10 @@ Scope (documented, asserted): PNG all spec bit depths (1/2/4-bit
 gray+palette unpack and scale, 8-bit native, 16-bit as the high-byte
 projection — r8), color types 0/2/3/4/6, non-interlaced AND
 Adam7-interlaced (r8); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
-top-down or bottom-up; WAV PCM 8/16-bit and IEEE float32, canonical or
-chunk-walked layouts. Out-of-scope inputs raise ``UnsupportedMediaError``
+top-down or bottom-up; WAV PCM 8/16-bit, IEEE float32, and
+IMA-ADPCM (format 0x11, r8: block-header predictor/index + the
+standard step tables, encoder included), canonical or chunk-walked
+layouts. Out-of-scope inputs raise ``UnsupportedMediaError``
 (a ValueError) so callers can route rather than crash.
 
 Reference parity: the reference (datapump.py) has no media handling; this
@@ -43,7 +45,7 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Payload is a recognized container but outside decode scope
-    (e.g. RLE BMP, ADPCM WAV,
+    (e.g. RLE BMP, MS-ADPCM/mu-law WAV,
     progressive/arithmetic JPEG)."""
 
 
@@ -294,18 +296,151 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
             + b"data" + struct.pack("<I", len(data)) + data)
 
 
+# IMA-ADPCM tables (IMA Digital Audio Focus Group recommendation; the
+# same tables every implementation pins)
+_IMA_STEPS = np.array([
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767], np.int32)
+_IMA_INDEX = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _ima_decode_nibbles(nibbles, predictor: int, index: int):
+    """Decode a nibble sequence given the block header state; returns
+    (int16 list, predictor, index)."""
+    out = []
+    for n in nibbles:
+        step = int(_IMA_STEPS[index])
+        diff = step >> 3
+        if n & 1:
+            diff += step >> 2
+        if n & 2:
+            diff += step >> 1
+        if n & 4:
+            diff += step
+        predictor = predictor - diff if n & 8 else predictor + diff
+        predictor = max(-32768, min(32767, predictor))
+        index = max(0, min(88, index + _IMA_INDEX[n & 7]))
+        out.append(predictor)
+    return out, predictor, index
+
+
+def _decode_ima_adpcm(data: bytes, ch: int, block_align: int) -> np.ndarray:
+    """IMA/DVI ADPCM (WAV format tag 0x11): 4-byte per-channel block
+    headers (predictor i16, step index u8), then nibbles in 4-byte
+    per-channel groups, low nibble first. Returns (n, ch) int16-range
+    float64 PRE-division."""
+    chans: list[list[int]] = [[] for _ in range(ch)]
+    for boff in range(0, len(data) - 4 * ch + 1, block_align):
+        block = data[boff:boff + block_align]
+        preds, idxs = [], []
+        for c in range(ch):
+            p, ix = struct.unpack_from("<hB", block, 4 * c)
+            ix = min(88, ix)
+            preds.append(p)
+            idxs.append(ix)
+            chans[c].append(p)          # header predictor IS sample 0
+        body = block[4 * ch:]
+        # per-channel 4-byte (8-nibble) interleaved groups
+        for goff in range(0, len(body) - len(body) % (4 * ch), 4 * ch):
+            for c in range(ch):
+                quad = body[goff + 4 * c:goff + 4 * c + 4]
+                nibbles = []
+                for byte in quad:
+                    nibbles.append(byte & 0x0F)
+                    nibbles.append(byte >> 4)
+                vals, preds[c], idxs[c] = _ima_decode_nibbles(
+                    nibbles, preds[c], idxs[c])
+                chans[c].extend(vals)
+    n = min(len(c) for c in chans) if ch else 0
+    return np.stack([np.array(c[:n], np.float64) for c in chans], axis=1)
+
+
+def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
+                     block_align: int = 1024) -> bytes:
+    """Encode float samples in [-1, 1] as an IMA-ADPCM WAV (format tag
+    0x11) — fixture/sink side for the ADPCM decode path."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int64)
+    spb = (block_align - 4 * ch) * 2 // ch + 1   # samples per block
+    data = bytearray()
+    pos = 0
+    # step index carries ACROSS blocks; seed it from the first sample
+    # delta so the quantizer doesn't spend the first samples ramping up
+    idxs = []
+    for c in range(ch):
+        d0 = abs(int(pcm[1, c]) - int(pcm[0, c])) if pcm.shape[0] > 1 else 0
+        idxs.append(int(np.searchsorted(_IMA_STEPS, max(d0, 7)).clip(0, 88)))
+    while pos < pcm.shape[0]:
+        chunk = pcm[pos:pos + spb]
+        pos += spb
+        # pad the final block by repeating the last sample
+        if chunk.shape[0] < spb:
+            pad = np.repeat(chunk[-1:], spb - chunk.shape[0], axis=0)
+            chunk = np.vstack([chunk, pad])
+        preds = [int(chunk[0, c]) for c in range(ch)]
+        for c in range(ch):
+            data += struct.pack("<hBB", preds[c], idxs[c], 0)
+        nibbles: list[list[int]] = [[] for _ in range(ch)]
+        for k in range(1, spb):
+            for c in range(ch):
+                step = int(_IMA_STEPS[idxs[c]])
+                diff = int(chunk[k, c]) - preds[c]
+                n = 0
+                if diff < 0:
+                    n = 8
+                    diff = -diff
+                if diff >= step:
+                    n |= 4
+                    diff -= step
+                if diff >= step >> 1:
+                    n |= 2
+                    diff -= step >> 1
+                if diff >= step >> 2:
+                    n |= 1
+                dec, preds[c], idxs[c] = _ima_decode_nibbles(
+                    [n], preds[c], idxs[c])
+                nibbles[c].append(n)
+        for c in range(ch):             # pad to whole 8-nibble groups
+            while len(nibbles[c]) % 8:
+                nibbles[c].append(0)
+        groups = len(nibbles[0]) // 8
+        for g in range(groups):
+            for c in range(ch):
+                for j in range(0, 8, 2):
+                    lo = nibbles[c][g * 8 + j]
+                    hi = nibbles[c][g * 8 + j + 1]
+                    data.append(lo | (hi << 4))
+    real_ba = 4 * ch + (spb - 1 + 7) // 8 * 4 * ch
+    byte_rate = sample_rate * real_ba // spb
+    fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate, byte_rate,
+                      real_ba, 4, 2, spb)
+    out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    out += b"data" + struct.pack("<I", len(data)) + bytes(data)
+    return b"RIFF" + struct.pack("<I", 4 + len(out) - 4) + out
+
+
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM (8/16-bit int or 32-bit float) WAV via a RIFF chunk
-    walk. Returns (samples float64 in [-1, 1], shape (n, channels);
-    sample_rate)."""
+    """Decode a PCM (8/16-bit int or 32-bit float) or IMA-ADPCM (r8)
+    WAV via a RIFF chunk walk. Returns (samples float64 in [-1, 1],
+    shape (n, channels); sample_rate)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     i, audio_fmt, ch, sr, bits, data = 12, None, None, None, None, None
+    block_align = None
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         clen = struct.unpack("<I", b[i + 4:i + 8])[0]
         if cid == b"fmt " and i + 8 + 16 <= len(b):
             audio_fmt, ch, sr = struct.unpack("<HHI", b[i + 8:i + 16])
+            block_align = struct.unpack("<H", b[i + 20:i + 22])[0]
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
         elif cid == b"data":
             data = b[i + 8:i + 8 + clen]
@@ -318,6 +453,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif audio_fmt == 3 and bits == 32:
         s = np.frombuffer(data, "<f4").astype(np.float64)
+    elif audio_fmt == 0x11 and bits == 4:
+        if not block_align or block_align <= 4 * ch:
+            raise ValueError("ADPCM WAV with invalid block align")
+        return (_decode_ima_adpcm(data, ch, block_align) / 32768.0), sr
     else:
         raise UnsupportedMediaError(f"WAV format={audio_fmt} bits={bits}")
     n = (len(s) // ch) * ch
