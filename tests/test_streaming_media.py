@@ -23,6 +23,12 @@ def media_dir(tmp_path):
     # a REAL progressive JPEG: decodes since round 8 (no quarantine)
     from datapump_spark.operators.jpeg import encode_jpeg_progressive
     (d / "g.jpg").write_bytes(encode_jpeg_progressive(img, quality=95))
+    # lossless WebP and IMA-ADPCM WAV: decode since round 8
+    from datapump_spark.operators.webp import encode_webp_vp8l
+    (d / "h.webp").write_bytes(encode_webp_vp8l(img))
+    import numpy as _np
+    (d / "i.wav").write_bytes(codecs.encode_wav_adpcm(
+        0.4 * _np.sin(_np.arange(800) / 20.0), 8000))
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -38,11 +44,14 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
              spark.read.parquet(ing.features_dir).collect()}
     quar = {r["path"].rsplit("/", 1)[-1]: r for r in
             spark.read.parquet(ing.quarantine_dir).collect()}
-    assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg"}
+    assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
+                          "h.webp", "i.wav"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["g.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
+    assert feats["h.webp"]["features"][:3] == [9.0, 6.0, 3.0]
+    assert feats["i.wav"]["features"][1:3] == [1.0, 8000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
     assert feats["a.png"]["sniffed_format"] == "png"
@@ -62,7 +71,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 4
+    assert before == after and len(before) == 6
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;
