@@ -142,6 +142,7 @@ def parse_media_header(b: bytes) -> dict:
                 dur = total * 1000 // sr
         elif b[:4] == b"OggS":
             fmt = "ogg"
+            sr, ch, dur = _ogg_info(b)
         elif b[:3] == b"ID3" or (len(b) >= 2 and b[0] == 0xFF and (b[1] & 0xE0) == 0xE0):
             fmt = "mp3"
             sr, ch, dur = _mp3_info(b)
@@ -216,6 +217,39 @@ def _mp3_info(b: bytes):
         dur = frames * spf * 1000 // sr
     elif bitrate:
         dur = (len(b) - i) * 8000 // bitrate
+    return sr, ch, dur
+
+
+def _ogg_info(b: bytes):
+    """(sample_rate, channels, duration_ms) from an Ogg stream: the
+    first page's codec ID header (Vorbis or Opus) gives rate/channels;
+    the LAST page's granule position gives total samples (Opus
+    granules run at 48 kHz minus the pre-skip). r8."""
+    sr = ch = dur = None
+    gp_rate = None
+    preskip = 0
+    # codec ID header: first packet after the first 28+nsegs header
+    if len(b) < 28:
+        return None, None, None
+    nsegs = b[26]
+    pkt = b[27 + nsegs:27 + nsegs + 19]
+    if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
+        ch = pkt[11]
+        sr = int.from_bytes(pkt[12:16], "little")
+        gp_rate = sr
+    elif pkt[:8] == b"OpusHead" and len(pkt) >= 14:
+        ch = pkt[9]
+        preskip = int.from_bytes(pkt[10:12], "little")
+        sr = int.from_bytes(pkt[12:16], "little") or 48000
+        gp_rate = 48000                 # Opus granules are ALWAYS 48 kHz
+    if gp_rate:
+        # last page's granule position = total samples
+        last = b.rfind(b"OggS")
+        if last >= 0 and last + 14 <= len(b):
+            gp = int.from_bytes(b[last + 6:last + 14], "little",
+                                signed=True)
+            if gp > 0:
+                dur = max(0, gp - preskip) * 1000 // gp_rate
     return sr, ch, dur
 
 

@@ -361,3 +361,33 @@ def test_mkv_segment_walk():
     # bare magic abstains, never guesses
     p = parse_media_header(b"\x1aE\xdf\xa3" + b"\x00" * 8)
     assert p["format"] == "mkv" and p["width"] is None
+
+
+def test_ogg_vorbis_and_opus_duration():
+    """Ogg (round 8): rate/channels from the first page's codec ID
+    header; duration from the last page's granule position (Opus
+    granules at 48 kHz minus pre-skip)."""
+    import struct
+
+    def page(htype, granule, serial, seq, segments):
+        return (b"OggS\x00" + bytes([htype]) + struct.pack("<q", granule)
+                + struct.pack("<II", serial, seq) + b"\x00" * 4
+                + bytes([len(segments)])
+                + bytes(len(s) for s in segments) + b"".join(segments))
+
+    vid = (b"\x01vorbis" + struct.pack("<I", 0) + bytes([2])
+           + struct.pack("<I", 44100) + b"\x00" * 9)
+    p = parse_media_header(page(2, 0, 7, 0, [vid])
+                           + page(4, 44100 * 3, 7, 1, [b"\x00" * 10]))
+    assert (p["sample_rate"], p["channels"], p["duration_ms"]) == \
+        (44100, 2, 3000)
+
+    oid = (b"OpusHead" + bytes([1, 1]) + struct.pack("<H", 312)
+           + struct.pack("<I", 16000) + b"\x00" * 3)
+    p = parse_media_header(page(2, 0, 9, 0, [oid])
+                           + page(4, 48000 * 2 + 312, 9, 1, [b"\x00" * 4]))
+    assert (p["sample_rate"], p["channels"], p["duration_ms"]) == \
+        (16000, 1, 2000)
+
+    p = parse_media_header(b"OggS" + b"\x00" * 30)
+    assert p["format"] == "ogg" and p["duration_ms"] is None
