@@ -10,7 +10,7 @@ local[$SPARK_GRAFT_CPUS], against the identical _real_features loop on
 one thread. Prints one JSON line per measurement.
 
 Usage: python scripts/media_yardstick.py [n_images] [min_edge_px] [fmt]
-``fmt``: png (default) or jpeg — jpeg exercises the pure-Python baseline
+``fmt``: png (default), jpeg, jpeg_prog, or webp — jpeg exercises the pure-Python baseline
 Huffman+IDCT decoder (operators/jpeg.py), whose per-image cost is ~50×
 PNG's, i.e. the regime where the distributed kernel's headroom is real.
 """
@@ -53,6 +53,15 @@ def main() -> None:
             from datapump_spark.operators.jpeg import encode_jpeg
 
             return encode_jpeg(img, quality=85, subsampling="420")
+        if fmt == "jpeg_prog":
+            from datapump_spark.operators.jpeg import encode_jpeg_progressive
+
+            return encode_jpeg_progressive(img, quality=85,
+                                           subsampling="420")
+        if fmt == "webp":
+            from datapump_spark.operators.webp import encode_webp_vp8l
+
+            return encode_webp_vp8l(img, subtract_green=True)
         return codecs.encode_png(img)
 
     payloads = [_payload(i) for i in range(n)]
