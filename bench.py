@@ -181,6 +181,7 @@ BENCH_QUERIES = [
     "q_gif_decode",
     "q_webp_decode",
     "q_exif",
+    "q_sniff_av",
     "q_pdf_text",
     "q_audio_tone",
     "q_curriculum",

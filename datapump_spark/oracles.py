@@ -3060,6 +3060,36 @@ FROM documents WHERE doc_id % 11 = 0
 """
 
 
+# q_sniff_av: every field of the five hand-assembled containers is
+# doc_id arithmetic — the MP3 frame walk, MP4 box walk, EBML walk,
+# Ogg granule math, and VP8L header bits must all reproduce it.
+EXTRA_ORACLES["q_sniff_av"] = """
+WITH d AS (
+  SELECT doc_id, (doc_id // 10) % 5 AS v
+  FROM documents WHERE doc_id % 10 = 0)
+SELECT doc_id AS media_id,
+  CASE v WHEN 0 THEN 'mp3' WHEN 1 THEN 'mp4' WHEN 2 THEN 'mkv'
+         WHEN 3 THEN 'ogg' ELSE 'webp' END AS format,
+  CASE WHEN v IN (0, 3) THEN 'audio' WHEN v = 4 THEN 'image'
+       ELSE 'video' END AS kind,
+  CAST(CASE v WHEN 1 THEN 16 + doc_id % 640
+              WHEN 2 THEN 16 + doc_id % 1264
+              WHEN 4 THEN 2 + doc_id % 40 END AS BIGINT) AS width,
+  CAST(CASE v WHEN 1 THEN 16 + doc_id % 360
+              WHEN 2 THEN 16 + doc_id % 704
+              WHEN 4 THEN 2 + doc_id % 30 END AS BIGINT) AS height,
+  CAST(CASE WHEN v IN (0, 3) THEN 44100 END AS BIGINT) AS sample_rate,
+  CAST(CASE v WHEN 0 THEN 2
+              WHEN 3 THEN 1 + doc_id % 2 END AS BIGINT) AS channels,
+  CAST(CASE v WHEN 0 THEN (417 * (2 + doc_id % 5) * 8000) // 128000
+              WHEN 1 THEN 1000 + doc_id % 9000
+              WHEN 2 THEN 500 + doc_id % 5000
+              WHEN 3 THEN (1 + doc_id % 30) * 1000
+              END AS BIGINT) AS duration_ms
+FROM d
+"""
+
+
 # q_pdf_text: the extractor must return EXACTLY the printable-ASCII
 # projection the Spark side wrote into a real Flate-compressed PDF —
 # the oracle recomputes that projection without parsing a byte.

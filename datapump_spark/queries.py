@@ -1362,6 +1362,103 @@ def q_exif(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("pixel_y").cast("long").alias("pixel_y")))
 
 
+def q_sniff_av(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video container-sniff gate (r8): each sampled doc
+    becomes one of five hand-assembled containers — CBR MP3, MP4 moov,
+    Matroska EBML, Ogg Vorbis, lossless-WebP VP8L — whose headers are
+    pure doc_id arithmetic; the pandas sniff kernel walks them and the
+    oracle recomputes every field in SQL, so the frame/box/EBML/page
+    walks must be EXACT."""
+    import pandas as pd
+
+    from datapump_spark.operators.mediasniff import sniff_media
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 10 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import struct
+
+        import numpy as np
+
+        from datapump_spark.operators.webp import encode_webp_vp8l
+
+        def mp4_box(typ, payload):
+            return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+        def ebml(eid, payload):
+            nb = (eid.bit_length() + 7) // 8
+            out = eid.to_bytes(nb, "big")
+            for ln in range(1, 9):
+                if len(payload) < (1 << (7 * ln)) - 1:
+                    out += (((1 << (8 - ln)) << (8 * (ln - 1)))
+                            | len(payload)).to_bytes(ln, "big")
+                    break
+            return out + payload
+
+        def ogg_page(htype, granule, serial, seq, segments):
+            return (b"OggS\x00" + bytes([htype])
+                    + struct.pack("<q", granule)
+                    + struct.pack("<II", serial, seq) + b"\x00" * 4
+                    + bytes([len(segments)])
+                    + bytes(len(s) for s in segments) + b"".join(segments))
+
+        def payload(doc_id: int) -> bytes:
+            v = (doc_id // 10) % 5
+            if v == 0:                  # CBR MP3: V1 L3 128k 44.1 stereo
+                frame = bytes([0xFF, 0xFB, 0x90, 0x00]) + b"\x00" * 413
+                return frame * (2 + doc_id % 5)
+            if v == 1:                  # MP4: mvhd + one video tkhd
+                dur = 1000 + doc_id % 9000
+                mvhd = mp4_box(b"mvhd", b"\x00" * 12
+                               + struct.pack(">II", 1000, dur)
+                               + b"\x00" * 80)
+                tkhd = (b"\x00\x00\x00\x07" + b"\x00" * 68
+                        + struct.pack(">HHHH", 16 + doc_id % 640, 0,
+                                      16 + doc_id % 360, 0))
+                moov = mp4_box(b"moov", mvhd
+                               + mp4_box(b"trak", mp4_box(b"tkhd", tkhd)))
+                return mp4_box(b"ftyp", b"isom") + moov
+            if v == 2:                  # Matroska
+                ticks = 500 + doc_id % 5000
+                info = ebml(0x1549A966,
+                            ebml(0x2AD7B1, (1_000_000).to_bytes(3, "big"))
+                            + ebml(0x4489, struct.pack(">d", float(ticks))))
+                video = ebml(0xE0,
+                             ebml(0xB0, (16 + doc_id % 1264)
+                                  .to_bytes(2, "big"))
+                             + ebml(0xBA, (16 + doc_id % 704)
+                                    .to_bytes(2, "big")))
+                tracks = ebml(0x1654AE6B, ebml(0xAE, video))
+                return (ebml(0x1A45DFA3, ebml(0x4282, b"matroska"))
+                        + ebml(0x18538067, info + tracks))
+            if v == 3:                  # Ogg Vorbis
+                secs = 1 + doc_id % 30
+                vid = (b"\x01vorbis" + struct.pack("<I", 0)
+                       + bytes([1 + doc_id % 2])
+                       + struct.pack("<I", 44100) + b"\x00" * 9)
+                return (ogg_page(2, 0, 7, 0, [vid])
+                        + ogg_page(4, 44100 * secs, 7, 1, [b"\x00" * 8]))
+            img = np.full((2 + doc_id % 30, 2 + doc_id % 40, 3),
+                          doc_id % 256, np.uint8)
+            return encode_webp_vp8l(img)
+
+        for pdf in batches:
+            ids = pdf["media_id"]
+            yield pd.DataFrame({"media_id": ids,
+                                "payload": ids.map(payload)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    out = sniff_media(media, strategy="pandas")
+    return out.select(
+        "media_id", "format", "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("channels").cast("long").alias("channels"),
+        F.col("duration_ms").cast("long").alias("duration_ms"))
+
+
 def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum ordering (operators/sampling.py curriculum_order,
     exact profile): length-quantile stages over documents (short = easy)
@@ -2428,6 +2525,7 @@ EXTRA_QUERIES = {
     "q_gif_decode": q_gif_decode,
     "q_webp_decode": q_webp_decode,
     "q_exif": q_exif,
+    "q_sniff_av": q_sniff_av,
     "q_pdf_text": q_pdf_text,
     "q_audio_tone": q_audio_tone,
     "q_curriculum": q_curriculum,
