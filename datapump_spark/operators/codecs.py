@@ -153,6 +153,7 @@ def decode_png(b: bytes) -> np.ndarray:
     i, w = 8, None
     idat: list[bytes] = []
     plte = None
+    trns = None
     while i + 8 <= len(b):
         clen = struct.unpack(">I", b[i:i + 4])[0]
         ctype = b[i + 4:i + 8]
@@ -168,6 +169,8 @@ def decode_png(b: bytes) -> np.ndarray:
                     f"PNG bit depth {depth} for color type {color}")
         elif ctype == b"PLTE":
             plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -225,7 +228,27 @@ def decode_png(b: bytes) -> np.ndarray:
         if plte is None:
             raise ValueError("palette PNG missing PLTE")
         pal = np.frombuffer(plte, np.uint8).reshape(-1, 3)
-        img = pal[img[:, :, 0]]
+        idx = img[:, :, 0]
+        img = pal[idx]
+        if trns is not None:            # per-entry alpha (r8)
+            alpha = np.full(pal.shape[0], 255, np.uint8)
+            t = np.frombuffer(trns, np.uint8)
+            alpha[:len(t)] = t
+            img = np.concatenate([img, alpha[idx][:, :, None]], axis=2)
+    elif trns is not None and color in (0, 2):
+        # color-key transparency: 16-bit sample values, compare the
+        # high byte (matching the 16->8 projection)
+        key = np.frombuffer(trns, ">u2").astype(np.uint16)
+        if depth < 16:
+            keyv = key.astype(np.uint8)
+        else:
+            keyv = (key >> 8).astype(np.uint8)
+        if color == 0 and depth < 8:
+            keyv = (keyv.astype(np.uint16)
+                    * (255 // ((1 << depth) - 1))).astype(np.uint8)
+        match = (img == keyv[None, None, :]).all(axis=2)
+        alpha = np.where(match, 0, 255).astype(np.uint8)
+        img = np.concatenate([img, alpha[:, :, None]], axis=2)
     return img
 
 

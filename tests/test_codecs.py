@@ -400,3 +400,34 @@ def test_adpcm_invalid_block_align_raises():
     b[at:at + 2] = (2).to_bytes(2, "little")   # block_align <= 4*ch
     with pytest.raises(ValueError, match="block align"):
         decode_wav(bytes(b))
+
+
+def test_png_trns_transparency():
+    """tRNS (round 8): palette per-entry alpha; gray/RGB color keys
+    (compared via the same high-byte projection as 16-bit samples)."""
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+    ihdr = struct.pack(">IIBBBBB", 4, 1, 8, 3, 0, 0, 0)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"PLTE", pal.tobytes())
+         + _png_chunk(b"tRNS", bytes([255, 255, 255, 0]))
+         + _png_chunk(b"IDAT", zlib.compress(
+             b"\x00" + bytes([0, 3, 7, 5])))
+         + _png_chunk(b"IEND", b""))
+    img = decode_png(b)
+    assert img.shape == (1, 4, 4)
+    assert list(img[0, :, 3]) == [255, 0, 255, 255]
+
+    ihdr = struct.pack(">IIBBBBB", 3, 1, 8, 0, 0, 0, 0)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"tRNS", struct.pack(">H", 10))
+         + _png_chunk(b"IDAT", zlib.compress(b"\x00" + bytes([10, 20, 10])))
+         + _png_chunk(b"IEND", b""))
+    assert list(decode_png(b)[0, :, 1]) == [0, 255, 0]
+
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 2, 0, 0, 0)
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"tRNS", struct.pack(">HHH", 1, 2, 3))
+         + _png_chunk(b"IDAT", zlib.compress(
+             b"\x00" + bytes([1, 2, 3, 9, 9, 9])))
+         + _png_chunk(b"IEND", b""))
+    assert list(decode_png(b)[0, :, 3]) == [0, 255]
