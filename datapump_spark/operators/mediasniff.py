@@ -207,10 +207,11 @@ def _mp3_info(b: bytes):
     ch = 1 if (b[i + 3] >> 6) == 3 else 2
     spf = 1152 if version == 3 else 576
     dur = None
-    # Xing/Info (VBR): after the side info block
+    # Xing/Info (VBR): after the side info block (+2 if the protection
+    # bit is CLEAR — bit 0 low means a CRC-16 follows the header)
     side = (17 if ch == 1 else 32) if version == 3 else \
         (9 if ch == 1 else 17)
-    x = i + 4 + side
+    x = i + 4 + side + (0 if h1 & 1 else 2)
     if b[x:x + 4] in (b"Xing", b"Info") and len(b) >= x + 12 \
             and b[x + 7] & 0x1:
         frames = _be(b[x + 8:x + 12])
