@@ -1479,7 +1479,12 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate the FFT bins are 1 Hz apart, so the dominant bin is integral
     after 0-dp rounding and the oracle recomputes it from doc_id
     arithmetic alone — a lossy-looking DSP pipeline facing an exact
-    value hash (the q_jpeg_decode trick, in the frequency domain)."""
+    value hash (the q_jpeg_decode trick, in the frequency domain).
+    Round 8: every other id encodes as IMA-ADPCM (block_align=16 →
+    25 samples/block divides the 8000 exactly, so n_frames is
+    unpadded); the 4-bit quantization noise is broadband and tens of
+    dB below the tone, so the dominant bin is unmoved — the hash gate
+    additionally witnesses the ADPCM decode."""
     import pandas as pd
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
@@ -1498,8 +1503,11 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
             def wav(doc_id: int) -> bytes:
                 f = 100 + (doc_id % 50) * 20          # bin-aligned
-                return codecs.encode_wav(0.5 * np.sin(2 * np.pi * f * t),
-                                         sr)
+                sig = 0.5 * np.sin(2 * np.pi * f * t)
+                if doc_id % 16 == 0:
+                    return codecs.encode_wav_adpcm(sig, sr,
+                                                   block_align=16)
+                return codecs.encode_wav(sig, sr)
 
             yield pd.DataFrame({"media_id": ids, "payload": ids.map(wav)})
 
