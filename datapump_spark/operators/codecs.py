@@ -446,6 +446,9 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
     fmt = struct.pack("<HHIIHHHH", 0x11, ch, sample_rate, byte_rate,
                       real_ba, 4, 2, spb)
     out = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    # the fact chunk is REQUIRED for compressed formats: true per-
+    # channel frame count, so decoders drop the final-block padding
+    out += b"fact" + struct.pack("<II", 4, s.shape[0])
     out += b"data" + struct.pack("<I", len(data)) + bytes(data)
     return b"RIFF" + struct.pack("<I", 4 + len(out) - 4) + out
 
@@ -458,6 +461,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("not a WAV")
     i, audio_fmt, ch, sr, bits, data = 12, None, None, None, None, None
     block_align = None
+    fact_frames = None
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         clen = struct.unpack("<I", b[i + 4:i + 8])[0]
@@ -465,6 +469,8 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, ch, sr = struct.unpack("<HHI", b[i + 8:i + 16])
             block_align = struct.unpack("<H", b[i + 20:i + 22])[0]
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+        elif cid == b"fact" and clen >= 4 and i + 12 <= len(b):
+            fact_frames = struct.unpack("<I", b[i + 8:i + 12])[0]
         elif cid == b"data":
             data = b[i + 8:i + 8 + clen]
         i += 8 + clen + (clen & 1)
@@ -479,7 +485,10 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     elif audio_fmt == 0x11 and bits == 4:
         if not block_align or block_align <= 4 * ch:
             raise ValueError("ADPCM WAV with invalid block align")
-        return (_decode_ima_adpcm(data, ch, block_align) / 32768.0), sr
+        out = _decode_ima_adpcm(data, ch, block_align) / 32768.0
+        if fact_frames is not None:     # drop final-block padding
+            out = out[:fact_frames]
+        return out, sr
     else:
         raise UnsupportedMediaError(f"WAV format={audio_fmt} bits={bits}")
     n = (len(s) // ch) * ch

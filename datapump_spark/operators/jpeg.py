@@ -846,6 +846,9 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             i += 1
             continue
         marker = b[i + 1]
+        if marker == 0xFF:              # fill byte (T.81 B.1.1.2)
+            i += 1
+            continue
         if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
             i += 2
             continue
@@ -1055,6 +1058,9 @@ def _next_marker_pos(b: bytes, pos: int) -> int:
     while pos + 1 < len(b):
         if b[pos] == 0xFF and b[pos + 1] != 0x00 and not (
                 0xD0 <= b[pos + 1] <= 0xD7):
+            # skip fill bytes (FF FF...) to the real marker byte pair
+            while pos + 2 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
             return pos
         pos += 1
     return len(b)

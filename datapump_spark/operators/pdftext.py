@@ -591,7 +591,9 @@ def _parse_tounicode(data: bytes) -> _CMap:
             code_lens.add(width)
             if hi - lo > 0xFFFF:        # corrupt range — refuse the bomb
                 hi = lo + 0xFFFF
-            if i + 2 < n and toks[i + 2] == b"[":
+            if i + 2 >= n:              # truncated range: keep what parsed
+                break
+            if toks[i + 2] == b"[":
                 j = i + 3
                 code = lo
                 while j < n and toks[j] != b"]":
@@ -884,6 +886,25 @@ def _run_length_encode(data: bytes) -> bytes:
     return bytes(out)
 
 
+def _assemble_pdf(objs: list[bytes], trailer_extra: bytes = b"") -> bytes:
+    """Serialize numbered objects + classic xref + trailer (shared by
+    every fixture writer; /Root is always object 1)."""
+    out = bytearray(b"%PDF-1.4\n")
+    offsets = [0]
+    for i, o in enumerate(objs, start=1):
+        offsets.append(len(out))
+        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
+    xref_at = len(out)
+    out += f"xref\n0 {len(objs) + 1}\n".encode()
+    out += b"0000000000 65535 f \n"
+    for off in offsets[1:]:
+        out += f"{off:010d} 00000 n \n".encode()
+    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
+            + b" /Root 1 0 R" + trailer_extra + b" >>\nstartxref\n"
+            + str(xref_at).encode() + b"\n%%EOF\n")
+    return bytes(out)
+
+
 def encode_simple_pdf(text: str, compress: bool = True,
                       method: str = "flate") -> bytes:
     """One-page Helvetica PDF showing ``text`` (lines become Td moves),
@@ -919,20 +940,7 @@ def encode_simple_pdf(text: str, compress: bool = True,
         + b" >>\nstream\n" + content + b"\nendstream",
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, o in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n"
-            + str(xref_at).encode() + b"\n%%EOF\n")
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def encode_cid_pdf(text: str, compress: bool = True) -> bytes:
@@ -994,20 +1002,7 @@ def encode_cid_pdf(text: str, compress: bool = True) -> bytes:
         b"<< " + mfilt + b"/Length " + str(len(cmap)).encode()
         + b" >>\nstream\n" + cmap + b"\nendstream",
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, o in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-            + b" /Root 1 0 R >>\nstartxref\n"
-            + str(xref_at).encode() + b"\n%%EOF\n")
-    return bytes(out)
+    return _assemble_pdf(objs)
 
 
 def encode_objstm_pdf(text: str, filter_method: str = "flate") -> bytes:
@@ -1097,21 +1092,9 @@ def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
         b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
         enc_dict,
     ]
-    out = bytearray(b"%PDF-1.4\n")
-    offsets = [0]
-    for i, o in enumerate(objs, start=1):
-        offsets.append(len(out))
-        out += f"{i} 0 obj\n".encode() + o + b"\nendobj\n"
-    xref_at = len(out)
-    out += f"xref\n0 {len(objs) + 1}\n".encode()
-    out += b"0000000000 65535 f \n"
-    for off in offsets[1:]:
-        out += f"{off:010d} 00000 n \n".encode()
-    out += (b"trailer\n<< /Size " + str(len(objs) + 1).encode()
-            + b" /Root 1 0 R /Encrypt 6 0 R /ID [<"
-            + id0.hex().encode() + b"> <" + id0.hex().encode()
-            + b">] >>\nstartxref\n" + str(xref_at).encode() + b"\n%%EOF\n")
-    return bytes(out)
+    return _assemble_pdf(objs, b" /Encrypt 6 0 R /ID [<"
+                         + id0.hex().encode() + b"> <"
+                         + id0.hex().encode() + b">]")
 
 
 # --------------------------------------------------------------------------

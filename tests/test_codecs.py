@@ -431,3 +431,18 @@ def test_png_trns_transparency():
              b"\x00" + bytes([1, 2, 3, 9, 9, 9])))
          + _png_chunk(b"IEND", b""))
     assert list(decode_png(b)[0, :, 3]) == [0, 255]
+
+
+def test_adpcm_fact_chunk_truncates_padding():
+    """The fact chunk (mandatory for compressed WAV) carries the true
+    frame count; decode drops the encoder's final-block padding
+    (round-8 review finding: padded frames inflated n_frames/duration
+    for any non-block-multiple signal)."""
+    from datapump_spark.operators.codecs import encode_wav_adpcm
+    sig = np.stack([np.sin(np.arange(4000) / 30.0),
+                    np.cos(np.arange(4000) / 17.0)], axis=1) * 0.5
+    out, _ = decode_wav(encode_wav_adpcm(sig, 8000, block_align=256))
+    assert out.shape == (4000, 2)
+    out, _ = decode_wav(encode_wav_adpcm(
+        0.3 * np.sin(np.arange(777) / 9.0), 8000))
+    assert out.shape[0] == 777

@@ -244,3 +244,18 @@ def test_progressive_truncated_raises():
         decode_jpeg(cut)
     except (ValueError, UnsupportedMediaError):
         pass  # loud failure is fine; silent garbage is not
+
+
+def test_fill_bytes_before_markers_decode_identically():
+    """T.81 B.1.1.2: any number of 0xFF fill bytes may precede a
+    marker. Our encoder never emits them, so this is a hand-built
+    foreign-encoder fixture — round-8 review found the multi-scan walk
+    misread them as a marker with a bogus length."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        b = enc(img, 95)
+        ref = decode_jpeg(b)
+        assert np.array_equal(
+            decode_jpeg(b.replace(b"\xff\xc4", b"\xff\xff\xff\xc4")), ref)
+        assert np.array_equal(
+            decode_jpeg(b.replace(b"\xff\xda", b"\xff\xff\xda", 1)), ref)

@@ -395,3 +395,15 @@ def test_indirect_filter_reference_flags_honestly():
            b"stream\nXXXX\nendstream\nendobj\n")
     text, _, flags = extract_pdf_text(encode_simple_pdf("kept") + bad)
     assert text == "kept" and "unsupported_filter" in flags
+
+
+def test_truncated_bfrange_keeps_what_parsed():
+    """A bfrange with a missing destination (token count ≡ 2 mod 3)
+    keeps the entries that parsed instead of raising IndexError
+    (round-8 review finding)."""
+    from datapump_spark.operators.pdftext import _parse_tounicode
+    cm = _parse_tounicode(
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"2 beginbfrange\n<0041> <0042> <0061>\n<0050> <0051>\n"
+        b"endbfrange\n")
+    assert cm.decode(b"\x00\x41\x00\x42") == "ab"

@@ -135,3 +135,37 @@ def test_sniffer_reports_vp8l_dims():
     info = parse_media_header(b)
     assert info["format"] == "webp" and info["kind"] == "image"
     assert (info["width"], info["height"]) == (47, 21)
+
+
+def test_simple_code_symbols_in_read_order_not_canonical():
+    """Foreign-encoder fixture (hand-written bitstream): a 2-symbol
+    simple prefix code stores symbols in READ order — code 0 is the
+    FIRST symbol even when it is numerically larger. Our encoder
+    always writes them sorted, so only a hand-built stream exercises
+    this."""
+    import struct
+
+    from datapump_spark.operators.webp import _LSBWriter
+    bw = _LSBWriter()
+    bw.write(0, 14)                     # width - 1
+    bw.write(0, 14)                     # height - 1
+    bw.write(0, 1)                      # alpha hint
+    bw.write(0, 3)                      # version
+    bw.write(0, 1)                      # no transforms
+    bw.write(0, 1)                      # no color cache
+    bw.write(0, 1)                      # no meta prefix image
+    # green: simple, 2 symbols, first 8-bit: 200 then 100 (DESCENDING)
+    bw.write(1, 1); bw.write(1, 1); bw.write(1, 1)
+    bw.write(200, 8); bw.write(100, 8)
+    for val in (10, 20, 255):           # red/blue/alpha: 1-symbol codes
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(val, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)  # dist
+    bw.write(0, 1)                      # pixel: green code bit 0 -> 200
+    payload = b"\x2f" + bw.data()
+    vp8l = b"VP8L" + struct.pack("<I", len(payload)) + payload
+    if len(payload) & 1:
+        vp8l += b"\x00"
+    out = decode_webp(b"RIFF" + struct.pack("<I", 4 + len(vp8l))
+                      + b"WEBP" + vp8l)
+    assert out.shape == (1, 1, 3)
+    assert list(out[0, 0]) == [10, 200, 20]
