@@ -233,15 +233,26 @@ def _ogg_info(b: bytes):
     if len(b) < 28:
         return None, None, None
     nsegs = b[26]
-    pkt = b[27 + nsegs:27 + nsegs + 19]
+    # first packet length from the lacing table (values < 255 end a
+    # packet) — slicing a fixed 19 bytes would read past a short
+    # OpusHead into the next page's bytes (ADVICE r8)
+    plen = 0
+    for lace in b[27:27 + nsegs]:
+        plen += lace
+        if lace < 255:
+            break
+    pkt = b[27 + nsegs:27 + nsegs + min(plen, 19)]
     if pkt[:7] == b"\x01vorbis" and len(pkt) >= 16:
         ch = pkt[11]
         sr = int.from_bytes(pkt[12:16], "little")
         gp_rate = sr
-    elif pkt[:8] == b"OpusHead" and len(pkt) >= 14:
+    elif pkt[:8] == b"OpusHead" and len(pkt) >= 12:
         ch = pkt[9]
         preskip = int.from_bytes(pkt[10:12], "little")
-        sr = int.from_bytes(pkt[12:16], "little") or 48000
+        # input-sample-rate field needs the full 4 bytes; a truncated
+        # packet would otherwise yield a bogus short-slice rate
+        sr = (int.from_bytes(pkt[12:16], "little")
+              if len(pkt) >= 16 else 0) or 48000
         gp_rate = 48000                 # Opus granules are ALWAYS 48 kHz
     if gp_rate:
         # last page's granule position = total samples
@@ -287,7 +298,9 @@ def _mp4_info(b: bytes):
         for t2, p2, e2 in _mp4_boxes(b, p, e):
             if t2 == b"mvhd" and e2 - p2 >= 20:
                 ver = b[p2]
-                if ver == 1 and e2 - p2 >= 28:
+                if ver == 1:
+                    if e2 - p2 < 32:    # u64 duration needs 32 bytes
+                        continue        # truncated v1 box: no duration
                     scale = _be(b[p2 + 20:p2 + 24])
                     d = int.from_bytes(b[p2 + 24:p2 + 32], "big")
                 else:
@@ -640,6 +653,9 @@ def parse_exif(b: bytes) -> dict:
         i = 2
         while i + 4 <= len(b) and b[i] == 0xFF:
             marker = b[i + 1]
+            if marker == 0xFF:          # fill byte (T.81 B.1.1.2)
+                i += 1
+                continue
             if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
                 i += 2
                 continue

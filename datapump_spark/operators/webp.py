@@ -638,12 +638,20 @@ def _limited_lengths(freqs: dict[int, int], limit: int) -> dict[int, int]:
             codesize[c2] += 1
     lengths = {syms[i]: codesize[i] for i in range(n)}
     if max(lengths.values()) > limit:
-        # fall back to a flat code — always Kraft-valid, and fixtures
-        # don't need optimality past the depth limit
+        # fall back to a near-flat code. A plain flat code is Kraft-
+        # INCOMPLETE when the symbol count is not a power of two
+        # (sum 2^-l < 1), and strict VP8L decoders (libwebp) reject
+        # under-subscribed tables — so promote the (2^flat - n) most
+        # frequent symbols one level to make the Kraft sum exactly 1.
         flat = max(1, (len(lengths) - 1).bit_length())
         if flat > limit:
             raise ValueError("alphabet too large for depth limit")
+        by_freq = sorted(lengths, key=lambda s: (-freqs[s], s))
+        k = (1 << flat) - len(lengths)
         lengths = {s: flat for s in lengths}
+        if flat > 1:
+            for s in by_freq[:k]:
+                lengths[s] = flat - 1
     return lengths
 
 

@@ -259,3 +259,16 @@ def test_fill_bytes_before_markers_decode_identically():
             decode_jpeg(b.replace(b"\xff\xc4", b"\xff\xff\xff\xc4")), ref)
         assert np.array_equal(
             decode_jpeg(b.replace(b"\xff\xda", b"\xff\xff\xda", 1)), ref)
+
+
+def test_appended_data_after_eoi_ignored():
+    """ADVICE r8 (verified already-handled, pinned here): progressive
+    files with payloads appended after EOI (MPO second images, camera
+    thumbnails) must decode identically — the marker walk breaks at
+    0xD9 instead of misparsing a spurious SOS from the tail bytes."""
+    img = np.random.default_rng(7).integers(
+        0, 256, (16, 16, 3)).astype(np.uint8)
+    for enc in (encode_jpeg, encode_jpeg_progressive):
+        b = enc(img, quality=90)
+        tail = b"\x00\x12\x34\xff\xda\x00\x08garbage\xff\xd8junk"
+        assert np.array_equal(decode_jpeg(b + tail), decode_jpeg(b))

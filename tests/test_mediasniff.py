@@ -391,3 +391,53 @@ def test_ogg_vorbis_and_opus_duration():
 
     p = parse_media_header(b"OggS" + b"\x00" * 30)
     assert p["format"] == "ogg" and p["duration_ms"] is None
+
+
+def test_truncated_v1_mvhd_abstains_not_garbage():
+    """ADVICE r8: a version-1 mvhd truncated to 28-31 bytes used to
+    read the u64 duration from a short slice (silently wrong value);
+    it must abstain instead — and never fall into the v0 layout."""
+    import struct
+    # v1 header truncated right after the timescale (28 bytes < 32)
+    mvhd = _mp4_box(b"mvhd", b"\x01\x00\x00\x00" + b"\x00" * 16
+                    + struct.pack(">I", 600) + b"\x00" * 4)
+    p = parse_media_header(_mp4_box(b"ftyp", b"x")
+                           + _mp4_box(b"moov", mvhd))
+    assert p["format"] == "mp4" and p["duration_ms"] is None
+
+
+def test_truncated_opushead_falls_back_to_48k():
+    """ADVICE r8: a 14-byte OpusHead packet used to read the sample
+    rate from a 2-byte slice; the short field must fall back to the
+    48 kHz granule rate (channels/pre-skip still parse)."""
+    import struct
+
+    def page(htype, granule, serial, seq, segments):
+        return (b"OggS\x00" + bytes([htype]) + struct.pack("<q", granule)
+                + struct.pack("<II", serial, seq) + b"\x00" * 4
+                + bytes([len(segments)])
+                + bytes(len(s) for s in segments) + b"".join(segments))
+
+    oid = b"OpusHead" + bytes([1, 2]) + struct.pack("<H", 0) + b"\x00\x01"
+    assert len(oid) == 14
+    p = parse_media_header(page(2, 0, 9, 0, [oid])
+                           + page(4, 48000, 9, 1, [b"\x00" * 4]))
+    assert (p["sample_rate"], p["channels"], p["duration_ms"]) == \
+        (48000, 2, 1000)
+
+
+def test_parse_exif_skips_fill_bytes():
+    """ADVICE r8: T.81 B.1.1.2 allows any number of 0xFF fill bytes
+    before a marker; parse_exif's APP1 walk must skip them exactly as
+    decode_jpeg does, not read a derailed segment length."""
+    from datapump_spark.operators.mediasniff import parse_exif
+    tiff = (b"II" + (42).to_bytes(2, "little") + (8).to_bytes(4, "little")
+            + (1).to_bytes(2, "little")                    # 1 IFD entry
+            + (0x0112).to_bytes(2, "little")               # orientation
+            + (3).to_bytes(2, "little") + (1).to_bytes(4, "little")
+            + (6).to_bytes(2, "little") + b"\x00\x00"
+            + (0).to_bytes(4, "little"))
+    app1 = b"Exif\x00\x00" + tiff
+    seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
+    jpg = b"\xff\xd8" + b"\xff\xff\xff" + seg + b"\xff\xd9"
+    assert parse_exif(jpg).get("orientation") == 6

@@ -169,3 +169,28 @@ def test_simple_code_symbols_in_read_order_not_canonical():
                       + b"WEBP" + vp8l)
     assert out.shape == (1, 1, 3)
     assert list(out[0, 0]) == [10, 200, 20]
+
+
+def test_limited_lengths_kraft_complete():
+    """ADVICE r8: the depth-limit fallback used to hand every symbol
+    one flat length, which is Kraft-INCOMPLETE (sum 2^-l < 1) for
+    non-power-of-two alphabets — strict VP8L decoders (libwebp) reject
+    under-subscribed tables. The fold must redistribute to an exact
+    Kraft sum of 1."""
+    from fractions import Fraction
+
+    from datapump_spark.operators.webp import _limited_lengths
+
+    # geometric frequencies force depths past the limit; non-power-of-
+    # two counts are the Kraft-incomplete cases (300 uses the literal
+    # code's limit of 15 — the 7 limit is the 19-symbol cl code's)
+    for n, limit in ((3, 7), (5, 7), (6, 7), (7, 7), (300, 15)):
+        freqs = {s: 1 << min(s, 40) for s in range(n)}
+        lengths = _limited_lengths(freqs, limit)
+        assert set(lengths) == set(freqs)
+        assert max(lengths.values()) <= limit
+        assert min(lengths.values()) >= 1
+        assert sum(Fraction(1, 2 ** ln) for ln in lengths.values()) == 1
+        # most frequent symbols got the shorter codes
+        top = max(freqs, key=freqs.get)
+        assert lengths[top] == min(lengths.values())
