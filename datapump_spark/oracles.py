@@ -3330,3 +3330,11 @@ for _k in ("q_pdf_text", "q_gif_decode", "q_audio_tone"):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_hash_sample", "q_group_cap", "q_top_customers"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Round-9 rotation (see queries.DRIVER_PROMOTED_R9): the round-8
+# decode/sniff flagships enter the driver record; the demoted family
+# twins keep the identical SQL gate in pytest + scripts/check_oracle.py.
+for _k in ("q_webp_decode", "q_exif", "q_sniff_av"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_pivot", "q_corr", "q_latest_event"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

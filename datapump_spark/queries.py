@@ -3465,6 +3465,29 @@ for _k in DRIVER_PROMOTED_R8:
 for _k in DRIVER_DEMOTED_R8:
     EXTRA_QUERIES[_k] = QUERIES.pop(_k)
 
+# Round-9 rotation (VERDICT r8 #6): the round-8 decode/sniff flagships
+# enter the driver record — all three already pass the identical
+# exact-hash DuckDB gate as EXTRA keys and were independently re-run by
+# the r8 judge (scripts/check_oracle.py, ALL OK).
+#   + q_webp_decode — VP8L lossless decode (prefix codes, transforms)
+#     facing an exact reconstruction hash,
+#   + q_exif — EXIF IFD walk with an exact-hash gate,
+#   + q_sniff_av — MP3 frame walk / MP4 moov / Matroska EBML / Ogg
+#     granule duration behind one exact SQL oracle;
+#   - q_pivot — the reshaping family keeps q_rollup and q_cube in the
+#     driver set,
+#   - q_corr — the statistics family keeps q_trend and q_acf,
+#   - q_latest_event — the per-key latest shape stays witnessed by
+#     q_window_topn (and q_latest_event's own EXTRA gate).
+# All demotions keep the IDENTICAL DuckDB comparison in
+# tests/test_extra_oracles.py + scripts/check_oracle.py.
+DRIVER_PROMOTED_R9 = ("q_webp_decode", "q_exif", "q_sniff_av")
+DRIVER_DEMOTED_R9 = ("q_pivot", "q_corr", "q_latest_event")
+for _k in DRIVER_PROMOTED_R9:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R9:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
 assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
