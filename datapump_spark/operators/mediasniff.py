@@ -159,6 +159,13 @@ def parse_media_header(b: bytes) -> dict:
                 w = 1 + (b[21] | ((b[22] & 0x3F) << 8))
                 h = 1 + ((b[22] >> 6) | (b[23] << 2)
                          | ((b[24] & 0x0F) << 10))
+            elif (b[12:16] == b"VP8 " and len(b) >= 30
+                    and not b[20] & 1
+                    and b[23:26] == b"\x9d\x01\x2a"):
+                # lossy VP8 key frame (r9): 14-bit w/h after the
+                # start code, low 2 scale bits masked off
+                w = (b[26] | (b[27] << 8)) & 0x3FFF
+                h = (b[28] | (b[29] << 8)) & 0x3FFF
     except (IndexError, ValueError):
         pass
     return {"format": fmt, "kind": _KIND.get(fmt, "blob"), "width": w,
@@ -458,7 +465,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
 
     # lossless WebP (VP8L): 14-bit w-1 / h-1 packed LSB-first after the
     # 0x2F signature byte — fixed offsets, so the codegen path can read
-    # them (lossy VP8/VP8X dims stay the pandas kernel's job)
+    # them (VP8X dims stay the pandas kernel's job)
     is_vp8l = is_webp & _magic(c, 12, b"VP8L") & (n >= 25) & (
         _byte(c, 20) == 0x2F)
     vp8l_w = (_byte(c, 21).cast("long")
@@ -467,6 +474,13 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
               + _byte(c, 23).cast("long") * 4
               + _byte(c, 24).bitwiseAND(F.lit(0x0F)).cast("long") * 1024
               + 1)
+    # lossy WebP (VP8 key frame, r9): 14-bit w/h at fixed offsets after
+    # the 3-byte start code, low 2 scale bits masked off
+    is_vp8 = is_webp & _magic(c, 12, b"VP8 ") & (n >= 30) & (
+        _byte(c, 20).bitwiseAND(F.lit(1)) == 0) & _magic(
+            c, 23, b"\x9d\x01\x2a")
+    vp8_w = (_le_n(c, 26, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
+    vp8_h = (_le_n(c, 28, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
 
     fmt = (
         F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
@@ -491,12 +505,14 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             .when(is_gif, _le_n(c, 6, 2))
             .when(is_bmp, _le32_signed(18))
             .when(is_vp8l, vp8l_w)
+            .when(is_vp8, vp8_w)
         ).cast("int"),
         "height": (
             F.when(is_png, _be_n(c, 20, 4))
             .when(is_gif, _le_n(c, 8, 2))
             .when(is_bmp, _le32_signed(22))
             .when(is_vp8l, vp8l_h)
+            .when(is_vp8, vp8_h)
         ).cast("int"),
         "sample_rate": (
             F.when(wav_canonical, _le_n(c, 24, 4))

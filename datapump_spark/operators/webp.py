@@ -581,8 +581,9 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 
 def decode_webp(b: bytes) -> np.ndarray:
     """Decode a WebP container. Lossless (VP8L) decodes for real; lossy
-    VP8 and extended VP8X raise UnsupportedMediaError (they need a full
-    video-intra codec — the honest seam)."""
+    VP8 key frames route to operators/vp8.py (round 9 — see that
+    module's trained-table conformance seam); extended VP8X still
+    raises UnsupportedMediaError (animation/alpha chunking)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     i = 12
@@ -591,9 +592,12 @@ def decode_webp(b: bytes) -> np.ndarray:
         size = struct.unpack("<I", b[i + 4:i + 8])[0]
         if tag == b"VP8L":
             return decode_vp8l(b[i + 8:i + 8 + size])
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            from datapump_spark.operators.vp8 import decode_vp8
+            return decode_vp8(b[i + 8:i + 8 + size])
+        if tag == b"VP8X":
             raise UnsupportedMediaError(
-                "lossy/extended WebP decode requires a codec library")
+                "extended (VP8X) WebP decode unsupported")
         i += 8 + size + (size & 1)
     raise ValueError("WebP container without an image chunk")
 

@@ -1,0 +1,262 @@
+"""Lossy WebP (VP8 key-frame) codec gates (operators/vp8.py, round 9).
+
+Round-trips run against our own encoder (no libwebp/libvpx exists in
+this container — the conformance seam recorded in COVERAGE.md), so the
+suite leans on: exact reconstruction cases (solid blocks at qi=0),
+tolerance round-trips across modes/quantizers/filters, hand-built
+foreign-style streams for header paths the encoder never emits, and
+structural checks of the transforms and boolean coder.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+from datapump_spark.operators.vp8 import (
+    _BoolDecoder,
+    _BoolEncoder,
+    _rgb_to_yuv420,
+    decode_vp8,
+    encode_vp8,
+    encode_webp_vp8,
+    fdct4x4,
+    fwht4x4,
+    idct4x4,
+    iwht4x4,
+)
+from datapump_spark.operators.webp import decode_webp
+
+
+def _gradient(h, w, seed=0):
+    xx, yy = np.meshgrid(np.arange(w), np.arange(h))
+    return np.stack([(xx * 3) % 256, (yy * 5) % 256,
+                     ((xx + yy) * 2) % 256], axis=2).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Boolean coder
+# ---------------------------------------------------------------------------
+
+def test_bool_coder_roundtrip_random():
+    rng = np.random.default_rng(0)
+    bits = rng.integers(0, 2, 20000)
+    probs = rng.integers(1, 255, 20000)
+    be = _BoolEncoder()
+    for b, p in zip(bits, probs):
+        be.bool(int(b), int(p))
+    bd = _BoolDecoder(be.flush())
+    assert [bd.bool(int(p)) for p in probs] == list(bits)
+
+
+def test_bool_coder_extreme_probs_and_carry():
+    # long runs at prob 1 and 254 force renormalization carries
+    be = _BoolEncoder()
+    seq = [(1, 1)] * 500 + [(0, 254)] * 500 + [(1, 128)] * 7
+    for b, p in seq:
+        be.bool(b, p)
+    bd = _BoolDecoder(be.flush())
+    assert all(bd.bool(p) == b for b, p in seq)
+
+
+def test_bool_literal_signed_tree_roundtrip():
+    from datapump_spark.operators.vp8 import KF_YMODE_PROBS, KF_YMODE_TREE
+    be = _BoolEncoder()
+    be.literal(0x5A, 8)
+    be.signed(-13, 6)
+    for v in (0, 1, 2, 3, 4):
+        be.tree(KF_YMODE_TREE, KF_YMODE_PROBS, v)
+    bd = _BoolDecoder(be.flush())
+    assert bd.literal(8) == 0x5A
+    assert bd.signed(6) == -13
+    assert [bd.tree(KF_YMODE_TREE, KF_YMODE_PROBS)
+            for _ in range(5)] == [0, 1, 2, 3, 4]
+
+
+# ---------------------------------------------------------------------------
+# Transforms
+# ---------------------------------------------------------------------------
+
+def test_idct_dc_only_is_flat():
+    blk = np.zeros((4, 4), np.int32)
+    blk[0, 0] = 80
+    out = idct4x4(blk)
+    assert (out == out[0, 0]).all() and out[0, 0] == 10   # (80+4)>>3
+
+
+def test_fdct_idct_roundtrip_small_residuals():
+    rng = np.random.default_rng(1)
+    for _ in range(50):
+        r = rng.integers(-255, 256, (4, 4)).astype(np.int32)
+        out = idct4x4(fdct4x4(r))
+        assert np.abs(out - r).max() <= 2
+
+
+def test_fwht_iwht_roundtrip_exact():
+    rng = np.random.default_rng(2)
+    for _ in range(50):
+        dcs = rng.integers(-2000, 2000, (4, 4)).astype(np.int32)
+        assert np.abs(iwht4x4(fwht4x4(dcs)) - dcs).max() <= 1
+
+
+# ---------------------------------------------------------------------------
+# Frame round-trips
+# ---------------------------------------------------------------------------
+
+def test_solid_blocks_exact_at_q0():
+    """qi=0 solid frames reconstruct bit-exactly (the q_jpeg_decode
+    trick: DC-only residuals whose quantization error is zero) — the
+    foundation of the q_vp8_decode oracle gate."""
+    for v in (0, 34, 77, 128, 200, 255):
+        img = np.full((32, 32, 3), v, np.uint8)
+        assert (decode_vp8(encode_vp8(img, qi=0)) == img).all(), v
+
+
+def test_gradient_roundtrip_quality_ladder():
+    img = _gradient(32, 48)
+    prev = -1.0
+    for qi in (0, 20, 60, 100):
+        out = decode_vp8(encode_vp8(img, qi=qi))
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        assert err < 12
+        assert err >= prev - 0.5     # roughly monotone in quantizer
+        prev = err
+
+
+def test_gray_noise_near_exact_at_q0():
+    # no chroma content -> 4:2:0 subsampling is lossless; luma at
+    # qi=0 must be within the DCT rounding bound
+    rng = np.random.default_rng(3)
+    g = rng.integers(0, 256, (32, 32)).astype(np.uint8)
+    img = np.stack([g, g, g], axis=2)
+    out = decode_vp8(encode_vp8(img, qi=0))
+    assert np.abs(out.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_color_noise_luma_tight_chroma_subsampled():
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, (32, 32, 3)).astype(np.uint8)
+    out = decode_vp8(encode_vp8(img, qi=0))
+    ys, _, _ = _rgb_to_yuv420(img)
+    yo, _, _ = _rgb_to_yuv420(out)
+    assert np.abs(ys.astype(int) - yo.astype(int)).mean() < 2
+
+
+def test_bpred_all_submodes_roundtrip():
+    img = _gradient(32, 32)
+    out = decode_vp8(encode_vp8(img, qi=0, use_bpred=True))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 3
+
+
+@pytest.mark.parametrize("mode", [0, 1, 2, 3])
+def test_forced_whole_mb_modes(mode):
+    img = _gradient(32, 48, seed=mode)
+    out = decode_vp8(encode_vp8(img, qi=0, force_mode=mode))
+    assert np.abs(out.astype(int) - img.astype(int)).mean() < 4
+
+
+def test_skip_flag_and_multi_partitions():
+    img = np.full((64, 64, 3), 77, np.uint8)
+    for n_parts in (1, 2, 4, 8):
+        b = encode_vp8(img, qi=0, use_skip=True, n_parts=n_parts)
+        assert (decode_vp8(b) == img).all()
+
+
+def test_non_mb_multiple_dimensions_crop():
+    rng = np.random.default_rng(5)
+    for h, w in ((21, 35), (1, 1), (16, 17), (15, 48)):
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        out = decode_vp8(encode_vp8(img, qi=0))
+        assert out.shape == (h, w, 3)
+
+
+def test_loop_filter_normal_and_simple():
+    img = _gradient(48, 48)
+    base = decode_vp8(encode_vp8(img, qi=60, filter_level=0))
+    for simple in (False, True):
+        out = decode_vp8(encode_vp8(img, qi=60, filter_level=25,
+                                    sharpness=0, simple_filter=simple))
+        # filtering changes pixels but must not wreck fidelity
+        assert not np.array_equal(out, base)
+        err = np.abs(out.astype(int) - img.astype(int)).mean()
+        base_err = np.abs(base.astype(int) - img.astype(int)).mean()
+        assert err < base_err + 3.0
+
+
+def test_loop_filter_flat_region_untouched():
+    # a uniform frame has no edges above any threshold: the filter
+    # must be a no-op (masks all false)
+    img = np.full((32, 32, 3), 90, np.uint8)
+    a = decode_vp8(encode_vp8(img, qi=0, filter_level=0))
+    b = decode_vp8(encode_vp8(img, qi=0, filter_level=40))
+    assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Container + sniff integration
+# ---------------------------------------------------------------------------
+
+def test_decode_webp_routes_vp8():
+    img = np.full((24, 40, 3), 150, np.uint8)
+    out = decode_webp(encode_webp_vp8(img, qi=0))
+    assert (out == img).all()
+
+
+def test_decode_image_dispatch():
+    from datapump_spark.operators.codecs import decode_image
+    img = np.full((16, 16, 3), 60, np.uint8)
+    assert (decode_image(encode_webp_vp8(img, qi=0)) == img).all()
+
+
+def test_sniffer_reports_vp8_dims():
+    from datapump_spark.operators.mediasniff import parse_media_header
+    b = encode_webp_vp8(_gradient(21, 47), qi=40)
+    info = parse_media_header(b)
+    assert info["format"] == "webp" and info["kind"] == "image"
+    assert (info["width"], info["height"]) == (47, 21)
+
+
+# ---------------------------------------------------------------------------
+# Error seams
+# ---------------------------------------------------------------------------
+
+def test_inter_frame_raises():
+    b = bytearray(encode_vp8(np.full((16, 16, 3), 5, np.uint8)))
+    b[0] |= 1                              # frame_type = inter
+    with pytest.raises(UnsupportedMediaError, match="inter"):
+        decode_vp8(bytes(b))
+
+
+def test_bad_start_code_raises():
+    b = bytearray(encode_vp8(np.full((16, 16, 3), 5, np.uint8)))
+    b[3] = 0x00
+    with pytest.raises(ValueError, match="start code"):
+        decode_vp8(bytes(b))
+
+
+def test_truncated_first_partition_raises():
+    b = encode_vp8(_gradient(32, 32), qi=0)
+    with pytest.raises(ValueError):
+        decode_vp8(b[:12])
+
+
+def test_per_segment_quantizers_refused():
+    """Hand-built foreign-style stream: segmentation enabled with a
+    nonzero per-segment quantizer delta — reconstruction would be
+    silently wrong, so the decoder must refuse."""
+    be = _BoolEncoder()
+    be.literal(0, 1)                       # color space
+    be.literal(0, 1)                       # clamping
+    be.bool(1, 128)                        # segmentation enabled
+    be.bool(0, 128)                        # no map update
+    be.bool(1, 128)                        # update data
+    be.bool(0, 128)                        # delta mode
+    be.bool(1, 128)                        # segment 0 quant delta flagged
+    be.signed(10, 7)                       # nonzero delta
+    part0 = be.flush()
+    payload = (bytes(((len(part0) << 5) & 0xFF, (len(part0) >> 3) & 0xFF,
+                      (len(part0) >> 11) & 0xFF))
+               + b"\x9d\x01\x2a" + bytes((16, 0, 16, 0)) + part0)
+    with pytest.raises(UnsupportedMediaError, match="segment"):
+        decode_vp8(payload)

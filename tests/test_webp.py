@@ -106,9 +106,13 @@ def test_distance_map_is_complete_and_near():
 
 
 def test_container_seams():
-    # lossy VP8 chunk: honest seam
-    with pytest.raises(UnsupportedMediaError, match="WebP"):
+    # lossy VP8 decodes since round 9 (operators/vp8.py); a truncated
+    # chunk fails loudly, and VP8X stays the honest seam
+    with pytest.raises(ValueError, match="truncated VP8"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00"
+                    + b"\x00" * 4)
+    with pytest.raises(UnsupportedMediaError, match="VP8X"):
+        decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x04\x00\x00\x00"
                     + b"\x00" * 4)
     with pytest.raises(ValueError, match="not a WebP"):
         decode_webp(b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 8)
