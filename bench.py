@@ -184,6 +184,8 @@ BENCH_QUERIES = [
     "q_sniff_av",
     "q_pdf_text",
     "q_audio_tone",
+    # round-9: real MJPEG-AVI frame extraction (RIFF walk + JPEG decode)
+    "q_video_frames",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -52,7 +52,7 @@ _KIND = {
     "png": "image", "jpeg": "image", "gif": "image", "bmp": "image",
     "webp": "image",
     "wav": "audio", "flac": "audio", "ogg": "audio", "mp3": "audio",
-    "mp4": "video", "mkv": "video",
+    "mp4": "video", "mkv": "video", "avi": "video",
 }
 
 # JPEG start-of-frame markers that carry dimensions (C0-CF minus the
@@ -152,6 +152,10 @@ def parse_media_header(b: bytes) -> dict:
         elif b[:4] == b"\x1aE\xdf\xa3":
             fmt = "mkv"
             w, h, dur = _mkv_info(b)
+        elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+            fmt = "avi"
+            from datapump_spark.operators.avi import avi_info
+            w, h, dur, _ = avi_info(b)
         elif b[:4] == b"RIFF" and b[8:12] == b"WEBP":
             fmt = "webp"
             if b[12:16] == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
@@ -444,6 +448,14 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
     is_riff = _magic(c, 0, b"RIFF")
     is_wav = is_riff & _magic(c, 8, b"WAVE")
     is_webp = is_riff & _magic(c, 8, b"WEBP")
+    # canonical AVI only (LIST hdrl with avih first, the layout every
+    # muxer emits): avih body at 32 — usec/frame, frames, dims at
+    # fixed offsets; non-canonical files stay the pandas kernel's job
+    is_avi = (is_riff & _magic(c, 8, b"AVI ") & _magic(c, 12, b"LIST")
+              & _magic(c, 20, b"hdrl") & _magic(c, 24, b"avih")
+              & (n >= 72))
+    avi_usec = _le_n(c, 32, 4)
+    avi_frames = _le_n(c, 48, 4)
     is_flac = _magic(c, 0, b"fLaC") & (n >= 38)
     is_ogg = _magic(c, 0, b"OggS")
     is_mp3 = _magic(c, 0, b"ID3") | (
@@ -486,7 +498,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
         F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
         .when(is_bmp, "bmp").when(is_wav, "wav").when(is_flac, "flac")
         .when(is_ogg, "ogg").when(is_mp3, "mp3").when(is_mp4, "mp4")
-        .when(is_mkv, "mkv").when(is_webp, "webp")
+        .when(is_mkv, "mkv").when(is_avi, "avi").when(is_webp, "webp")
     )
     kind_map = F.create_map(
         *[F.lit(x) for kv in _KIND.items() for x in kv])
@@ -506,6 +518,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             .when(is_bmp, _le32_signed(18))
             .when(is_vp8l, vp8l_w)
             .when(is_vp8, vp8_w)
+            .when(is_avi & (_le_n(c, 64, 4) > 0), _le_n(c, 64, 4))
         ).cast("int"),
         "height": (
             F.when(is_png, _be_n(c, 20, 4))
@@ -513,6 +526,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             .when(is_bmp, _le32_signed(22))
             .when(is_vp8l, vp8l_h)
             .when(is_vp8, vp8_h)
+            .when(is_avi & (_le_n(c, 68, 4) > 0), _le_n(c, 68, 4))
         ).cast("int"),
         "sample_rate": (
             F.when(wav_canonical, _le_n(c, 24, 4))
@@ -528,6 +542,8 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
                    F.floor(_le_n(c, 40, 4) * 1000 / wav_byte_rate))
             .when(is_flac & (flac_sr > 0),
                   F.floor(flac_total * 1000 / flac_sr))
+            .when(is_avi & (avi_usec > 0),
+                  F.floor(avi_frames * avi_usec / 1000))
         ).cast("long"),
     }
 

@@ -171,11 +171,21 @@ def resize_images(df: DataFrame, width: int, height: int, fake: bool = True) -> 
     return df.select("media_id", "payload").mapInPandas(kernel, _RESIZE_SCHEMA)
 
 
+_VIDEO_FRAME_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "
+                       "width int, height int, frame_png binary")
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> DataFrame:
-    """Video frame sampling stub: fake mode emits one synthetic frame row
-    per whole ``every_ms`` of duration (explode happens in the plan, sizes
-    derived from metadata — the real decoder only changes the payload).
-    For animated GIFs the REAL path exists: :func:`sample_gif_frames`."""
+    """Video frame sampling. Fake mode emits one synthetic frame row
+    per whole ``every_ms`` of duration (explode happens in the plan,
+    sizes derived from metadata — the real decoder only changes the
+    payload). ``fake=False`` (round 9) is the REAL path for the one
+    video container the engine decodes: MJPEG-in-AVI via
+    :func:`sample_video_frames` — it cleared the package's former
+    single NotImplementedError. Animated GIFs have their own real
+    path: :func:`sample_gif_frames`."""
+    if not fake:
+        return sample_video_frames(df, every_ms=every_ms)
     frames = df.select(
         "media_id",
         F.explode(
@@ -183,9 +193,62 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
                 (F.col("meta.duration_ms") / every_ms).cast("long") - 1, F.lit(0)))
         ).alias("frame_idx"),
     )
-    if not fake:
-        raise NotImplementedError("real frame extraction requires a video codec")
     return frames.withColumn("frame_ts_ms", F.col("frame_idx") * every_ms)
+
+
+def sample_video_frames(df: DataFrame, every_ms: int = 1000,
+                        on_error: str = "null") -> DataFrame:
+    """REAL video frame sampling over MJPEG-AVI payloads (round 9):
+    RIFF walk + per-frame baseline-JPEG decode (operators/avi.py),
+    emit the frame on display at each ``every_ms`` tick re-encoded as
+    PNG (the same normalization as the GIF path). Arrow mapInPandas
+    kernel; ``on_error='null'`` drops undecodable/unsupported-codec
+    payloads (one corrupt file can't fail a crawl-scale job),
+    ``'raise'`` propagates."""
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise': {on_error!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from datapump_spark.operators import codecs
+        from datapump_spark.operators.avi import decode_avi_frames
+
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms",
+                                   "width", "height", "frame_png")}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                try:
+                    frames = [(ts, rgb) for _, ts, rgb
+                              in decode_avi_frames(bytes(payload))]
+                    if not frames:
+                        continue
+                    last_ts = frames[-1][0]
+                    emit_idx = 0
+                    png_cache: dict = {}
+                    tick = 0
+                    while tick <= last_ts:
+                        # frame on display at `tick`
+                        fi = 0
+                        for j, (ts, _) in enumerate(frames):
+                            if ts <= tick:
+                                fi = j
+                        ts, rgb = frames[fi]
+                        if fi not in png_cache:
+                            png_cache[fi] = codecs.encode_png(rgb)
+                        out["media_id"].append(mid)
+                        out["frame_idx"].append(emit_idx)
+                        out["frame_ts_ms"].append(tick)
+                        out["height"].append(rgb.shape[0])
+                        out["width"].append(rgb.shape[1])
+                        out["frame_png"].append(png_cache[fi])
+                        emit_idx += 1
+                        tick += every_ms
+                except Exception:
+                    if on_error == "raise":
+                        raise
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        kernel, _VIDEO_FRAME_SCHEMA)
 
 
 _GIF_FRAME_SCHEMA = ("media_id long, frame_idx int, frame_ts_ms long, "

@@ -3338,3 +3338,22 @@ for _k in ("q_webp_decode", "q_exif", "q_sniff_av"):
     ORACLES[_k] = EXTRA_ORACLES.pop(_k)
 for _k in ("q_pivot", "q_corr", "q_latest_event"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+# Real MJPEG-AVI frame extraction (round 9): ticks at 1000 ms over
+# (2 + doc_id % 4) frames spaced 500 ms; the frame on display at tick
+# k is source frame 2k, whose solid gray level is pure doc_id
+# arithmetic (exact through JPEG q95 + PNG).
+EXTRA_ORACLES["q_video_frames"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 16 = 0),
+ticks AS (
+    SELECT doc_id,
+           CAST(k AS INT) AS frame_idx,
+           CAST(k * 1000 AS BIGINT) AS frame_ts_ms,
+           2 * k AS src_frame
+    FROM docs,
+         UNNEST(generate_series(0, ((2 + doc_id % 4) - 1) // 2)) AS t(k))
+SELECT doc_id AS media_id, frame_idx, frame_ts_ms,
+       CAST(48 AS INT) AS width, CAST(32 AS INT) AS height,
+       CAST((doc_id * 7 + src_frame * 50) % 200 + 20 AS DOUBLE) AS gray
+FROM ticks
+"""

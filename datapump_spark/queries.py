@@ -3491,3 +3491,60 @@ for _k in DRIVER_DEMOTED_R9:
 assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
+
+
+def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame extraction gate (operators/avi.py, round 9 —
+    the path that cleared the package's single NotImplementedError).
+    Each sampled document becomes an MJPEG AVI of 2-5 solid gray
+    frames at 2 fps; sample_frames(fake=False) must walk the RIFF
+    container, decode the baseline JPEGs, hold the frame on display at
+    each 1-second tick and re-encode it as PNG. Solid gray at q95
+    reconstructs exactly (the q_jpeg_decode trick), so the decoded
+    frame mean IS the doc_id arithmetic the oracle recomputes — the
+    hash gate witnesses the whole AVI→JPEG→PNG chain."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.avi import encode_avi_mjpeg
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def avi(doc_id: int) -> bytes:
+                nf = 2 + doc_id % 4
+                frames = [np.full((32, 48, 3),
+                                  (doc_id * 7 + i * 50) % 200 + 20,
+                                  np.uint8) for i in range(nf)]
+                return encode_avi_mjpeg(frames, fps=2, quality=95)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(avi)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    frames = sample_frames(media, every_ms=1000, fake=False)
+
+    def gray(batches):
+        from datapump_spark.operators.codecs import decode_png
+        for pdf in batches:
+            yield pd.DataFrame({
+                "media_id": pdf["media_id"],
+                "frame_idx": pdf["frame_idx"],
+                "frame_ts_ms": pdf["frame_ts_ms"],
+                "width": pdf["width"],
+                "height": pdf["height"],
+                "gray": [float(decode_png(bytes(p))[..., :3].mean())
+                         for p in pdf["frame_png"]],
+            })
+
+    return frames.mapInPandas(
+        gray, "media_id long, frame_idx int, frame_ts_ms long, "
+              "width int, height int, gray double")
+
+
+EXTRA_QUERIES["q_video_frames"] = q_video_frames
