@@ -9,10 +9,11 @@ Scope (the common machine-generated case, asserted honestly):
   (r8), so their page/font dicts count and resolve;
 - content streams stored raw, FlateDecode- (zlib) or LZWDecode-
   compressed (r8: full TIFF-variant LZW incl. /EarlyChange);
-- Standard-security-handler encryption with an EMPTY user password
-  (RC4 V1/V2, R2/R3 — the common permissions-only case) is decrypted
-  transparently and flagged ``decrypted`` (r8); real password
-  protection and AES keep the honest ``encrypted`` flag;
+- Standard-security-handler encryption with an EMPTY user password —
+  RC4 V1/V2, R2/R3 (r8) AND AES-128-CBC V4/R4 /CFM /AESV2 (r9, pure-
+  Python AES in operators/aes.py pinned to the FIPS-197 vectors) — is
+  decrypted transparently and flagged ``decrypted``; real password
+  protection and AESV3 (V5) keep the honest ``encrypted`` flag;
 - text operators: BT/ET blocks, Tj, ' , " and TJ array shows, Td/TD/T*
   line moves (emitted as newlines);
 - string syntax: literal ``( … )`` with all escape forms (octal,
@@ -26,7 +27,7 @@ Scope (the common machine-generated case, asserted honestly):
 Out of scope (documented seams — the flags tell the caller): Type0
 fonts WITHOUT a usable ToUnicode CMap (flag ``cid_font``; codes that a
 present CMap doesn't cover flag ``cid_unmapped``), password-protected
-and AES-encrypted documents (``encrypted``), DCT/JBIG2/CCITT image
+and AESV3-encrypted documents (``encrypted``), DCT/JBIG2/CCITT image
 filters (``unsupported_filter``), Type3 glyph drawing.
 ``extract_pdf_text`` returns (text, n_pages, flags) where flags carries
 ``cid_font`` / ``encrypted`` / ``unsupported_filter`` / ``truncated``
@@ -193,11 +194,14 @@ def _rc4(key: bytes, data: bytes) -> bytes:
 
 
 def _std_file_key(owner: bytes, p: int, id0: bytes, r: int,
-                  n: int) -> bytes:
-    """Algorithm 2 (empty user password): the RC4 file key."""
+                  n: int, meta_clear: bool = False) -> bytes:
+    """Algorithm 2 (empty user password): the file key (RC4 and
+    AESV2 share it; R4 with /EncryptMetadata false appends the
+    ffffffff sentinel)."""
     import hashlib
+    tail = b"\xff\xff\xff\xff" if (r >= 4 and meta_clear) else b""
     h = hashlib.md5(_PAD + owner + (p & 0xFFFFFFFF).to_bytes(4, "little")
-                    + id0).digest()
+                    + id0 + tail).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h[:n]).digest()
@@ -232,18 +236,39 @@ def _std_owner_value(r: int, n: int) -> bytes:
 
 
 class _StdDecryptor:
-    """Per-object RC4 decryption (Algorithm 1)."""
+    """Per-object decryption (Algorithm 1): RC4, or AES-128-CBC for
+    /CFM /AESV2 (round 9 — the object key gains the 'sAlT' suffix and
+    the stream's first 16 bytes are the IV, PKCS#7-padded)."""
 
-    __slots__ = ("key",)
+    __slots__ = ("key", "aes")
 
-    def __init__(self, key: bytes):
+    def __init__(self, key: bytes, aes: bool = False):
         self.key = key
+        self.aes = aes
+
+    def _objkey(self, num: int, gen: int) -> bytes:
+        import hashlib
+        salt = b"sAlT" if self.aes else b""
+        ok = hashlib.md5(self.key + num.to_bytes(3, "little")
+                         + gen.to_bytes(2, "little") + salt).digest()
+        return ok[:min(len(self.key) + 5, 16)]
 
     def decrypt(self, num: int, gen: int, data: bytes) -> bytes:
-        import hashlib
-        ok = hashlib.md5(self.key + num.to_bytes(3, "little")
-                         + gen.to_bytes(2, "little")).digest()
-        return _rc4(ok[:min(len(self.key) + 5, 16)], data)
+        if self.aes:
+            from datapump_spark.operators.aes import aes_cbc_decrypt
+            return aes_cbc_decrypt(data, self._objkey(num, gen))
+        return _rc4(self._objkey(num, gen), data)
+
+    def encrypt(self, num: int, gen: int, data: bytes) -> bytes:
+        """Fixture-writer twin (RC4 is symmetric; AES pads + prepends
+        a deterministic object-derived IV)."""
+        if self.aes:
+            import hashlib
+
+            from datapump_spark.operators.aes import aes_cbc_encrypt
+            iv = hashlib.md5(b"iv" + num.to_bytes(3, "little")).digest()
+            return aes_cbc_encrypt(data, self._objkey(num, gen), iv)
+        return _rc4(self._objkey(num, gen), data)
 
 
 def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
@@ -270,8 +295,10 @@ def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
 def _try_standard_decrypt(b: bytes,
                           objs: dict[int, bytes]) -> _StdDecryptor | None:
     """Resolve the /Encrypt dict; if it is the Standard handler with
-    RC4 (V 1/2, R 2/3) and the EMPTY user password validates against
-    /U, return a decryptor — else None (stays flagged 'encrypted')."""
+    RC4 (V 1/2, R 2/3) or AES-128 (V 4 / R 4 with /CFM /AESV2, r9)
+    and the EMPTY user password validates against /U, return a
+    decryptor — else None (stays flagged 'encrypted'). AESV3 (V 5,
+    SHA-256 key derivation) remains out of scope."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", b)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
@@ -287,27 +314,43 @@ def _try_standard_decrypt(b: bytes,
     if not (vm and rm and pm and om and um):
         return None
     v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
-    if v not in (1, 2) or r not in (2, 3):
-        return None                     # AES / R4+ stay out of scope
-    n = (int(lm.group(1)) // 8) if (lm and v == 2) else 5
+    aes = False
+    if v == 4 and r == 4:
+        # crypt-filter dispatch: only the AESV2 StdCF stream filter
+        # is in scope (V2-in-a-CF would also be decodable but is rare
+        # enough to leave flagged)
+        if not re.search(rb"/CFM\s*/AESV2\b", enc):
+            return None
+        aes = True
+    elif v not in (1, 2) or r not in (2, 3):
+        return None                     # AESV3 / R5+ stay out of scope
+    n = (int(lm.group(1)) // 8) if (lm and v >= 2) else 5
+    if aes:
+        n = 16                          # AESV2 is AES-128
     o_val = _parse_pdf_bytestring(enc, om.end())
     u_val = _parse_pdf_bytestring(enc, um.end())
     idm = re.search(rb"/ID\s*\[", b)
     id0 = _parse_pdf_bytestring(b, idm.end()) if idm else b""
     if o_val is None or u_val is None or id0 is None:
         return None
-    key = _std_file_key(o_val, p, id0, r, n)
+    meta_clear = re.search(rb"/EncryptMetadata\s+false", enc) is not None
+    key = _std_file_key(o_val, p, id0, r, n, meta_clear)
     want = _std_user_check(key, r, id0)
     got = u_val[:16] if r >= 3 else u_val
     if want[:len(got)] != got:
         return None                     # real user password required
-    return _StdDecryptor(key)
+    return _StdDecryptor(key, aes)
 
 
 def _decrypt_streams_in_place(b: bytes, dec: _StdDecryptor) -> bytes:
-    """RC4 preserves length, so decrypting every stream's bytes at
-    their absolute offsets keeps all /Length values and the object
-    layout valid — the rest of the parser runs unchanged."""
+    """Decrypt every stream's bytes at their absolute offsets. RC4
+    preserves length, so the layout stays valid untouched. AES output
+    is SHORTER (16-byte IV + PKCS#7 padding removed): the gap is
+    space-padded (whitespace before ``endstream`` is legal) and the
+    direct /Length value is rewritten in place, space-padded to its
+    original digit width so no offset moves — the object-scan parser
+    runs unchanged either way. The parser never follows xref offsets,
+    so in-place is safe by construction."""
     out = bytearray(b)
     for m in _OBJ_RE.finditer(b):
         num, gen = int(m.group(1)), int(m.group(2))
@@ -327,8 +370,20 @@ def _decrypt_streams_in_place(b: bytes, dec: _StdDecryptor) -> bytes:
             start = m.start(3) + fm.start(1)
             length = len(fm.group(1))
         length = min(length, len(b) - start)
-        out[start:start + length] = dec.decrypt(
-            num, gen, b[start:start + length])
+        try:
+            plain = dec.decrypt(num, gen, b[start:start + length])
+        except ValueError:
+            continue                    # bad padding: leave untouched
+        out[start:start + len(plain)] = plain
+        if len(plain) < length:
+            out[start + len(plain):start + length] = \
+                b" " * (length - len(plain))
+            if lm:                      # keep /Length honest, same width
+                digits = str(len(plain)).encode()
+                span = lm.end(1) - lm.start(1)
+                if len(digits) <= span:
+                    at = m.start(3) + lm.start(1)
+                    out[at:at + span] = digits.ljust(span)
     return bytes(out)
 
 
@@ -764,9 +819,9 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
     if re.search(rb"/Encrypt\b", b):
         dec = _try_standard_decrypt(b, objs)
         if dec is None:
-            flags.add("encrypted")     # real password / AES: stay honest
+            flags.add("encrypted")     # real password / AESV3: honest
         else:
-            flags.add("decrypted")     # empty-user-password RC4: read it
+            flags.add("decrypted")     # empty-password RC4/AESV2: read
             b = _decrypt_streams_in_place(b, dec)
             objs = {int(m.group(1)): m.group(3)
                     for m in _OBJ_RE.finditer(b)}
@@ -1051,15 +1106,16 @@ def encode_objstm_pdf(text: str, filter_method: str = "flate") -> bytes:
 
 
 def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
-    """Standard-security-handler PDF (RC4, empty user AND owner
-    passwords — the common permissions-only case). R=2 → V1 40-bit,
-    R=3 → V2 128-bit. Streams are RC4-encrypted with per-object keys;
-    the extractor must derive the file key from /O, /P and /ID, verify
-    the empty password against /U, and decrypt."""
-    if r not in (2, 3):
-        raise ValueError("r must be 2 or 3")
+    """Standard-security-handler PDF (empty user AND owner passwords —
+    the common permissions-only case). R=2 → RC4 V1 40-bit, R=3 → RC4
+    V2 128-bit, R=4 → AES-128-CBC via /CF /StdCF /CFM /AESV2 (round
+    9). Streams are encrypted with per-object keys; the extractor must
+    derive the file key from /O, /P and /ID, verify the empty password
+    against /U, and decrypt."""
+    if r not in (2, 3, 4):
+        raise ValueError("r must be 2, 3 or 4")
     n = 5 if r == 2 else 16
-    v = 1 if r == 2 else 2
+    v = {2: 1, 3: 2, 4: 4}[r]
     p = -44
     id0 = bytes(range(16))
 
@@ -1068,17 +1124,19 @@ def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
     u_val = _std_user_check(key, r, id0)
     if r >= 3:
         u_val = u_val + b"\x00" * 16    # U is 32 bytes; last 16 arbitrary
-    dec = _StdDecryptor(key)            # RC4 encrypt == decrypt
+    dec = _StdDecryptor(key, aes=(r == 4))
 
     shows = b"\n".join(
         b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
         for line in text.split("\n")) or b"() Tj"
     content = zlib.compress(b"BT /F1 12 Tf 50 780 Td " + shows + b" ET")
-    content = dec.decrypt(4, 0, content)    # encrypt obj 4's stream
+    content = dec.encrypt(4, 0, content)    # encrypt obj 4's stream
 
     enc_dict = (b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
                 + str(r).encode()
-                + (b" /Length 128" if v == 2 else b"")
+                + (b" /Length 128" if v >= 2 else b"")
+                + (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                   b" /StmF /StdCF /StrF /StdCF" if r == 4 else b"")
                 + b" /P " + str(p).encode()
                 + b" /O <" + o_val.hex().encode() + b">"
                 + b" /U <" + u_val.hex().encode() + b"> >>")

@@ -1219,14 +1219,15 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine Flate-compressed one-page PDF (escape rules and all) and
     extracted back through the full parser — zlib inflate, object scan,
     content-stream walk, string unescaping. doc_id rotates the writer
-    through FIVE layouts (round 8), so the one hash gate witnesses each
+    through SIX layouts (round 9), so the one hash gate witnesses each
     read path: simple font / Type0-CID via ToUnicode CMap (latin-1
     passthrough of the 2-byte codes would NOT reproduce the text) /
     LZWDecode content / dicts packed in a compressed object stream /
     RC4 empty-user-password encryption (key derived from /O /P /ID,
-    verified against /U, streams decrypted). The oracle recomputes the
-    ASCII projection directly in SQL, so extraction must be EXACT for
-    the value hash to match."""
+    verified against /U, streams decrypted) / AES-128 V4 AESV2
+    encryption (r9: IV-prefixed CBC streams, in-place re-lengthing).
+    The oracle recomputes the ASCII projection directly in SQL, so
+    extraction must be EXACT for the value hash to match."""
     import pandas as pd
 
     from datapump_spark.operators.pdftext import pdf_text
@@ -1243,12 +1244,13 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda t: P.encode_simple_pdf(t, method="lzw"),
             P.encode_objstm_pdf,
             P.encode_encrypted_pdf,
+            lambda t: P.encode_encrypted_pdf(t, r=4),   # AESV2 (r9)
         ]
         for pdf_b in batches:
             yield pd.DataFrame({
                 "media_id": pdf_b["media_id"],
                 "payload": [
-                    writers[(mid // 6) % 5](t)
+                    writers[(mid // 6) % 6](t)
                     for mid, t in zip(pdf_b["media_id"], pdf_b["__t"])],
             })
 

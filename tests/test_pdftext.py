@@ -407,3 +407,74 @@ def test_truncated_bfrange_keeps_what_parsed():
         b"2 beginbfrange\n<0041> <0042> <0061>\n<0050> <0051>\n"
         b"endbfrange\n")
     assert cm.decode(b"\x00\x41\x00\x42") == "ab"
+
+
+# ---------------------------------------------------------------------------
+# AES (round 9)
+# ---------------------------------------------------------------------------
+
+def test_aes_fips_197_vectors():
+    """The pure-Python AES (operators/aes.py) pinned to the published
+    FIPS-197 appendix C vectors (128/192/256) and an SP 800-38A
+    ECB/CBC pair — the tables are derived from GF(2^8), so these
+    vectors are the whole correctness argument."""
+    from datapump_spark.operators.aes import (
+        aes_cbc_decrypt,
+        aes_cbc_encrypt,
+        aes_decrypt_block,
+        aes_encrypt_block,
+    )
+    pt = bytes.fromhex("00112233445566778899aabbccddeeff")
+    k128 = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert aes_encrypt_block(pt, k128).hex() == \
+        "69c4e0d86a7b0430d8cdb78070b4c55a"
+    assert aes_decrypt_block(aes_encrypt_block(pt, k128), k128) == pt
+    k192 = k128 + bytes.fromhex("1011121314151617")
+    assert aes_encrypt_block(pt, k192).hex() == \
+        "dda97ca4864cdfe06eaf70a0ec0d7191"
+    k256 = k192 + bytes.fromhex("18191a1b1c1d1e1f")
+    assert aes_encrypt_block(pt, k256).hex() == \
+        "8ea2b7ca516745bfeafc49904b496089"
+    k = bytes.fromhex("2b7e151628aed2a6abf7158809cf4f3c")
+    p1 = bytes.fromhex("6bc1bee22e409f96e93d7e117393172a")
+    assert aes_encrypt_block(p1, k).hex() == \
+        "3ad77bb40d7a3660a89ecaf32466ef97"
+    iv = bytes.fromhex("000102030405060708090a0b0c0d0e0f")
+    assert aes_cbc_encrypt(p1, k, iv)[16:32].hex() == \
+        "7649abac8119b246cee98e9b12e9197d"
+    msg = b"arbitrary-length cbc payload!" * 5
+    assert aes_cbc_decrypt(aes_cbc_encrypt(msg, k, iv), k) == msg
+
+
+def test_aesv2_empty_password_decrypts():
+    """AES-128 V4/R4 /CFM /AESV2 (round 9): same empty-password key
+    derivation as RC4 R3, per-object key salted with 'sAlT', streams
+    IV-prefixed CBC — decrypted transparently, /Length rewritten in
+    place (output is shorter than ciphertext)."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    t = "aes secret text\nsecond (line) with \\ escapes"
+    raw = encode_encrypted_pdf(t, r=4)
+    assert b"/AESV2" in raw and b"/V 4" in raw
+    text, pages, flags = extract_pdf_text(raw)
+    assert text == t and pages == 1 and flags == ["decrypted"]
+
+
+def test_aesv2_wrong_user_password_stays_flagged():
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    raw = bytearray(encode_encrypted_pdf("cannot read me", r=4))
+    at = raw.index(b"/U <") + 4
+    raw[at:at + 8] = b"00000000"
+    text, _, flags = extract_pdf_text(bytes(raw))
+    assert "encrypted" in flags and "decrypted" not in flags
+    assert "cannot read me" not in text
+
+
+def test_aesv3_stays_flagged():
+    """V5 (AESV3, SHA-256 derivation) is out of scope: honest flag,
+    never garbage."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    raw = encode_encrypted_pdf("v5 locked", r=4)
+    raw = raw.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(
+        b"/AESV2", b"/AESV3")
+    text, _, flags = extract_pdf_text(raw)
+    assert "encrypted" in flags and "v5 locked" not in text
