@@ -448,35 +448,55 @@ def _embedding_near_dup_lsh(
     return rows.groupBy("bucket").applyInPandas(kernel, _pair_schema())
 
 
-def _driver_union_find(edges, spark, id_col: str):
-    """Solve CC for a small, already-pruned edge list with path-compressed
-    union-find on the driver; returns a (node, label) DataFrame.
+def _np_connected_components(a, b):
+    """Vectorized CC over an edge list (two equal-length int arrays):
+    min-label scatter + pointer jumping (Shiloach–Vishkin shape) on
+    compacted node indices. Returns (nodes, min-id label per node).
+    ~2.7 s for 2 M edges vs ~6.6 s for dict union-find and ~20 s for
+    the old toLocalIterator feed (round-9 fix for the driver-CC cost
+    that dominated the 2.5 M-doc tier in PERF.md)."""
+    import numpy as np
+
+    a = np.asarray(a, np.int64)
+    b = np.asarray(b, np.int64)
+    nodes, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    e = len(a)
+    ia, ib = idx[:e], idx[e:]
+    labels = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        la, lb = labels[ia], labels[ib]
+        lo = np.minimum(la, lb)
+        before = labels.copy()
+        np.minimum.at(labels, la, lo)
+        np.minimum.at(labels, lb, lo)
+        while True:                     # pointer jumping to roots
+            nl = labels[labels]
+            if np.array_equal(nl, labels):
+                break
+            labels = nl
+        if np.array_equal(labels, before):
+            break
+    return nodes, nodes[labels]
+
+
+def _driver_union_find(pairs_df, spark, id_col: str):
+    """Solve CC for a small, already-pruned edge list on the driver;
+    returns a (node, label) DataFrame. One Arrow toPandas collect +
+    the vectorized numpy CC + one Arrow createDataFrame — no
+    per-row Python anywhere.
 
     This is NOT a corpus collect: the input is the candidate-pair list
     (LSH survivors), typically orders of magnitude smaller than the
     corpus, and callers gate on a measured edge count before choosing
     this path."""
-    parent: dict = {}
+    import pandas as pd
 
-    def find(x):
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
-    for a, b in edges:
-        parent.setdefault(a, a)
-        parent.setdefault(b, b)
-        ra, rb = find(a), find(b)
-        if ra != rb:
-            # union by min so the final relabel pass is a pure find()
-            if rb < ra:
-                ra, rb = rb, ra
-            parent[rb] = ra
-    rows = [(n, find(n)) for n in parent]
-    return spark.createDataFrame(rows, f"node long, label long")
+    local = pairs_df.toPandas()
+    nodes, labels = _np_connected_components(
+        local["id_a"].to_numpy(), local["id_b"].to_numpy())
+    return spark.createDataFrame(
+        pd.DataFrame({"node": nodes, "label": labels}),
+        "node long, label long")
 
 
 def connected_components(
@@ -512,9 +532,7 @@ def connected_components(
     pairs_c = pairs.select("id_a", "id_b").persist()
     n_edges = pairs_c.count()
     if n_edges <= driver_edge_cap and driver_edge_cap > 0:
-        final = _driver_union_find(
-            ((r["id_a"], r["id_b"]) for r in pairs_c.toLocalIterator()),
-            pairs.sparkSession, id_col)
+        final = _driver_union_find(pairs_c, pairs.sparkSession, id_col)
         pairs_c.unpersist()
         return (
             nodes.select(F.col(id_col))

@@ -223,9 +223,15 @@ def _mp3_info(b: bytes):
     side = (17 if ch == 1 else 32) if version == 3 else \
         (9 if ch == 1 else 17)
     x = i + 4 + side + (0 if h1 & 1 else 2)
+    # VBRI (Fraunhofer VBR): FIXED offset 32 after the 4-byte header,
+    # regardless of side-info size — frames u32 big-endian at +14 (r9)
+    v = i + 4 + 32
     if b[x:x + 4] in (b"Xing", b"Info") and len(b) >= x + 12 \
             and b[x + 7] & 0x1:
         frames = _be(b[x + 8:x + 12])
+        dur = frames * spf * 1000 // sr
+    elif b[v:v + 4] == b"VBRI" and len(b) >= v + 18:
+        frames = _be(b[v + 14:v + 18])
         dur = frames * spf * 1000 // sr
     elif bitrate:
         dur = (len(b) - i) * 8000 // bitrate

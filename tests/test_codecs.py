@@ -452,3 +452,34 @@ def test_adpcm_fact_chunk_truncates_padding():
     out, _ = decode_wav(encode_wav_adpcm(
         0.3 * np.sin(np.arange(777) / 9.0), 8000))
     assert out.shape[0] == 777
+
+
+def test_adam7_interlaced_palette_with_trns():
+    """Foreign-style fixture (r9): Adam7-interlaced color-type-3 PNG
+    with per-entry tRNS alpha — a combination our encoder never emits
+    (it writes RGB), so the pass-extraction x palette x alpha
+    interaction only a hand-built file exercises."""
+    from datapump_spark.operators.codecs import _ADAM7
+
+    h = w = 8
+    idx = (np.arange(h * w).reshape(h, w) % 4).astype(np.uint8)
+    pal = np.array([[255, 0, 0], [0, 255, 0], [0, 0, 255],
+                    [7, 7, 7]], np.uint8)
+    raw = bytearray()
+    for x0, y0, dx, dy in _ADAM7:
+        sub = idx[y0::dy, x0::dx]
+        if sub.size == 0:
+            continue
+        for row in sub:
+            raw += b"\x00" + row.tobytes()     # filter 0 per pass row
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 3, 0, 0, 1)  # interlace=1
+    b = (PNG_SIG + _png_chunk(b"IHDR", ihdr)
+         + _png_chunk(b"PLTE", pal.tobytes())
+         + _png_chunk(b"tRNS", bytes([255, 128, 0]))     # entry 3 opaque
+         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+         + _png_chunk(b"IEND", b""))
+    img = decode_png(b)
+    assert img.shape == (h, w, 4)
+    assert np.array_equal(img[..., :3].reshape(-1, 3), pal[idx.reshape(-1)])
+    alpha = np.array([255, 128, 0, 255], np.uint8)
+    assert np.array_equal(img[..., 3].reshape(-1), alpha[idx.reshape(-1)])

@@ -201,3 +201,77 @@ def test_sample_gif_frames_real_path(spark):
     # raise mode propagates the corrupt payload
     with pytest.raises(Exception):
         sample_gif_frames(df, every_ms=100, on_error="raise").collect()
+
+
+def test_deferred_clear_codes_foreign_stream():
+    """Foreign-encoder fixture (r9, hand-built LZW stream): when the
+    code table fills at 4096, many real encoders EMIT NO CLEAR CODE
+    and keep coding from the frozen table (the 'deferred clear'
+    GIF89a allowance). Our own encoder always clears at the cap, so
+    only a custom stream exercises the frozen-table decode path."""
+    import struct
+
+    import numpy as np
+
+    from datapump_spark.operators.gif import decode_gif
+
+    rng = np.random.default_rng(42)
+    h, w = 80, 80                        # 6400 px: fills 4096 at 8-bit
+    idx = rng.integers(0, 256, (h, w)).astype(np.int32)
+
+    # GIF-variant LZW encoder that NEVER emits clear after the initial
+    # one: at table-full it freezes the table (deferred clear)
+    min_code = 8
+    clear, eoi = 256, 257
+    table = {bytes([i]): i for i in range(256)}
+    next_code, width = 258, 9
+    acc = nbits = 0
+    data = bytearray()
+
+    def emit(code):
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    prev = b""
+    frozen = False
+    for v in idx.reshape(-1):
+        cur = prev + bytes([int(v)])
+        if cur in table:
+            prev = cur
+            continue
+        emit(table[prev])
+        if not frozen:
+            table[cur] = next_code
+            next_code += 1
+            if next_code > (1 << width):
+                if width < 12:
+                    width += 1
+                else:
+                    frozen = True        # deferred clear: just stop
+        prev = bytes([int(v)])
+    if prev:
+        emit(table[prev])
+    emit(eoi)
+    if nbits:
+        data.append(acc & 0xFF)
+    assert frozen, "fixture must actually reach the 4096 cap"
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | 7, 0, 0)
+    out += pal.tobytes()
+    out += struct.pack("<BHHHHB", 0x2C, 0, 0, w, h, 0)
+    out += bytes([min_code])
+    for i in range(0, len(data), 255):   # sub-block the stream
+        blk = data[i:i + 255]
+        out += bytes([len(blk)]) + blk
+    out += b"\x00\x3b"
+
+    img = decode_gif(bytes(out))
+    assert np.array_equal(img[..., 0].astype(np.int32), idx)

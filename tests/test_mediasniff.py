@@ -441,3 +441,24 @@ def test_parse_exif_skips_fill_bytes():
     seg = b"\xff\xe1" + (len(app1) + 2).to_bytes(2, "big") + app1
     jpg = b"\xff\xd8" + b"\xff\xff\xff" + seg + b"\xff\xd9"
     assert parse_exif(jpg).get("orientation") == 6
+
+
+def test_mp3_vbri_header_frame_count():
+    """Foreign-encoder fixture (r9): the Fraunhofer VBRI header sits
+    at FIXED offset 32 after the frame header (not after the side
+    info like Xing); its big-endian frame count wins over the CBR
+    estimate."""
+    import struct
+    # MPEG-1 Layer III, 128 kbps, 44.1 kHz, stereo, no CRC
+    hdr = bytes([0xFF, 0xFB, 0x90, 0x00])
+    vbri = (b"VBRI" + struct.pack(">HHH", 1, 0, 80)
+            + struct.pack(">II", 500_000, 1000))   # bytes, frames
+    frame = hdr + b"\x00" * 32 + vbri + b"\x00" * 100
+    p = parse_media_header(frame)
+    assert p["format"] == "mp3"
+    # 1000 frames x 1152 samples / 44100 Hz = 26122 ms
+    assert p["duration_ms"] == 1000 * 1152 * 1000 // 44100
+    # truncated VBRI falls back to the CBR estimate, never a bogus read
+    short = hdr + b"\x00" * 32 + b"VBRI" + b"\x00" * 6
+    p = parse_media_header(short)
+    assert p["duration_ms"] == len(short) * 8000 // 128000

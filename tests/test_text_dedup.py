@@ -337,3 +337,47 @@ def test_scoped_near_dup_pairs(spark):
           for r in near_dup_clusters(docs, threshold=0.5,
                                      scope_col="lang").collect()}
     assert cl[1] == cl[2] and cl[3] != cl[1] and cl[4] not in (cl[1],)
+
+
+def test_np_connected_components_matches_union_find():
+    """The vectorized driver CC (round 9: Arrow collect + numpy
+    scatter-min/pointer-jumping) must produce exactly the dict
+    union-find's min-id labels — random graphs and the long-chain
+    worst case (pointer jumping handles diameter, not just cliques)."""
+    import numpy as np
+
+    from datapump_spark.operators.dedup_fuzzy import _np_connected_components
+
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 3000, 5000)
+    b = rng.integers(0, 3000, 5000)
+    nodes, labels = _np_connected_components(a, b)
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in zip(a.tolist(), b.tolist()):
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    assert dict(zip(nodes.tolist(), labels.tolist())) == \
+        {n: find(n) for n in parent}
+    # chain worst case: one component labeled by its min id
+    n = 10_000
+    nodes, labels = _np_connected_components(
+        np.arange(n - 1) + 7, np.arange(1, n) + 7)
+    assert (labels == 7).all() and len(nodes) == n
+    # self-loops and duplicate edges are harmless
+    nodes, labels = _np_connected_components(
+        np.array([1, 1, 2]), np.array([1, 2, 1]))
+    assert labels.tolist() == [1, 1]

@@ -260,3 +260,27 @@ def test_per_segment_quantizers_refused():
                + b"\x9d\x01\x2a" + bytes((16, 0, 16, 0)) + part0)
     with pytest.raises(UnsupportedMediaError, match="segment"):
         decode_vp8(payload)
+
+
+def test_bpred_vr_hd_hand_computed():
+    """B_VR / B_HD pinned to hand-computed §12.3 values (round-9
+    review found off-by-ones here that round-trips CANNOT catch — the
+    encoder shares the predictor, so self-consistency hides them)."""
+    from datapump_spark.operators.vp8 import B_HD_PRED, B_VR_PRED, _pred_b
+
+    a = np.array([20, 30, 40, 50], np.int32)
+    l = np.array([12, 14, 16, 18], np.int32)
+    ar = np.array([60, 70, 80, 90], np.int32)
+    al = 10
+    # E = [18,16,14,12,10,20,30,40,50]
+    vr = _pred_b(B_VR_PRED, a, l, al, ar)
+    assert vr[0, 0] == (10 + 20 + 1) >> 1
+    assert vr[0, 3] == (40 + 50 + 1) >> 1
+    assert vr[3, 0] == (16 + 2 * 14 + 12 + 2) >> 2
+    assert vr[1, 3] == (30 + 2 * 40 + 50 + 2) >> 2
+    assert vr[2, 1] == vr[0, 0] and vr[3, 1] == vr[1, 0]
+    hd = _pred_b(B_HD_PRED, a, l, al, ar)
+    assert hd[3, 0] == (18 + 16 + 1) >> 1
+    assert hd[0, 0] == (12 + 10 + 1) >> 1
+    assert hd[0, 3] == (20 + 2 * 30 + 40 + 2) >> 2
+    assert hd[2, 0] == hd[3, 2] and hd[1, 1] == hd[2, 3]
