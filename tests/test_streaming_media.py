@@ -26,6 +26,11 @@ def media_dir(tmp_path):
     # lossless WebP and IMA-ADPCM WAV: decode since round 8
     from datapump_spark.operators.webp import encode_webp_vp8l
     (d / "h.webp").write_bytes(encode_webp_vp8l(img))
+    # LOSSY WebP (VP8 key frame): decodes since round 9 — previously
+    # sniff-only quarantine, now a features row
+    from datapump_spark.operators.vp8 import encode_webp_vp8
+    (d / "j.webp").write_bytes(encode_webp_vp8(
+        np.full((6, 9, 3), 80, np.uint8), qi=0))
     import numpy as _np
     (d / "i.wav").write_bytes(codecs.encode_wav_adpcm(
         0.4 * _np.sin(_np.arange(800) / 20.0), 8000))
@@ -45,12 +50,13 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     quar = {r["path"].rsplit("/", 1)[-1]: r for r in
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
-                          "h.webp", "i.wav"}
+                          "h.webp", "i.wav", "j.webp"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["g.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["h.webp"]["features"][:3] == [9.0, 6.0, 3.0]
+    assert feats["j.webp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["i.wav"]["features"][1:3] == [1.0, 8000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
@@ -71,7 +77,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 6
+    assert before == after and len(before) == 7
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;
