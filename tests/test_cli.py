@@ -94,6 +94,9 @@ def test_module_entry_subprocess(tmp_path):
     assert summary["jobs_run"] == 1 and len(summary["processed"]) == 1
 
 
+@pytest.mark.slow  # K5 catalog semantics gated in-default by
+# test_catalog; drain mechanics by test_drain_runs_all_jobs
+# (r9 tier move)
 def test_drain_with_orgs_gate(spark, tmp_path):
     """--orgs enables the K5 catalog: allowed org's views registered,
     unknown org's job fails without consuming its queue files."""

@@ -123,6 +123,10 @@ def test_train_fraction_sampling(emb):
     assert pq_reconstruction_mse(emb, cb) < 0.8
 
 
+@pytest.mark.slow  # recall floors gated in-default by
+# test_adc_recall_vs_exact and per-round by scripts/ann_recall.py;
+# index structure by test_ivfpq_candidate_generation_is_equi_join +
+# test_ivfpq_external_queries (r9 tier move, suite-wall budget)
 def test_ivfpq_recall_and_knobs(emb):
     """IVF-PQ composes cell pruning with code compression: recall tracks
     n_probe (the IVF knob) and re-rank (the PQ knob); probing all cells

@@ -93,6 +93,9 @@ def test_rag_index_artifacts_are_separable(spark, tmp_path):
     assert codes.count() == spark.read.parquet(paths["vectors"]).count()
 
 
+@pytest.mark.slow  # append-collision gate and roundtrip
+# self-retrieval stay in-default; streaming-append idempotence is
+# gated by the streaming-corpus tests (r9 tier move)
 def test_streaming_incremental_index(spark, tmp_path):
     """Index maintenance under Structured Streaming: codebooks are frozen
     train-once state; each micro-batch hash-embeds and PQ-encodes its new

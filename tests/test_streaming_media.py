@@ -68,6 +68,10 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     assert quar["e.bmp"]["sniffed_format"] == "png"
 
 
+@pytest.mark.slow  # partition-overwrite replay idempotence is the
+# same doctrine gated in-default by test_streaming_corpus.py::
+# test_replay_is_idempotent; media decode coverage stays via
+# test_stream_decodes_and_quarantines (r9 tier move)
 def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing = StreamingMediaIngest(spark, str(media_dir), str(tmp_path / "out"))
     ing.drain(tmp_path / "cp")
