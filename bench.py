@@ -186,6 +186,8 @@ BENCH_QUERIES = [
     "q_audio_tone",
     # round-9: real MJPEG-AVI frame extraction (RIFF walk + JPEG decode)
     "q_video_frames",
+    # round-9: lossy-VP8 WebP exact decode
+    "q_vp8_decode",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

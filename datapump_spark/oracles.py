@@ -3357,3 +3357,14 @@ SELECT doc_id AS media_id, frame_idx, frame_ts_ms,
        CAST((doc_id * 7 + src_frame * 50) % 200 + 20 AS DOUBLE) AS gray
 FROM ticks
 """
+
+# Lossy-VP8 decode (round 9): solid gray at qi=0 reconstructs exactly,
+# so every column is doc_id arithmetic.
+EXTRA_ORACLES["q_vp8_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id // 8) % 4 * 12 AS BIGINT) AS width,
+       CAST(16 + (doc_id // 16) % 3 * 10 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       round(CAST(20 + (doc_id * 7) % 200 AS DOUBLE), 6) AS mean_px
+FROM documents WHERE doc_id % 8 = 0
+"""

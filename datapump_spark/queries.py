@@ -3550,3 +3550,50 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_video_frames"] = q_video_frames
+
+
+def q_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-WebP (VP8 key-frame) decode gate (operators/vp8.py,
+    round 9): one solid-gray VP8 WebP per sampled document at qi=0 —
+    the boolean decoder, header parse, token decode, dequant, inverse
+    DCT/WHT, DC prediction, YUV reconstruction and the non-MB-multiple
+    crop must together reproduce EXACTLY the doc-derived gray level
+    and dimensions (the q_jpeg_decode trick: DC-only residuals whose
+    quantization error is zero). doc_id varies the dims across
+    MB-multiple and cropped shapes."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+        .select(F.col("doc_id").alias("media_id"))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.vp8 import encode_webp_vp8
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def webp(doc_id: int) -> bytes:
+                v = 20 + (doc_id * 7) % 200
+                w = 16 + (doc_id // 8) % 4 * 12
+                h = 16 + (doc_id // 16) % 3 * 10
+                return encode_webp_vp8(
+                    np.full((h, w, 3), v, np.uint8), qi=0)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(webp)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+    )
+
+
+EXTRA_QUERIES["q_vp8_decode"] = q_vp8_decode
