@@ -170,6 +170,10 @@ def parse_media_header(b: bytes) -> dict:
                 # start code, low 2 scale bits masked off
                 w = (b[26] | (b[27] << 8)) & 0x3FFF
                 h = (b[28] | (b[29] << 8)) & 0x3FFF
+            elif b[12:16] == b"VP8X" and len(b) >= 30:
+                # extended container (r9): 24-bit LE canvas w-1 / h-1
+                w = 1 + (b[24] | (b[25] << 8) | (b[26] << 16))
+                h = 1 + (b[27] | (b[28] << 8) | (b[29] << 16))
     except (IndexError, ValueError):
         pass
     return {"format": fmt, "kind": _KIND.get(fmt, "blob"), "width": w,
@@ -499,6 +503,10 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             c, 23, b"\x9d\x01\x2a")
     vp8_w = (_le_n(c, 26, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
     vp8_h = (_le_n(c, 28, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
+    # extended WebP (VP8X, r9): 24-bit LE canvas w-1 / h-1
+    is_vp8x = is_webp & _magic(c, 12, b"VP8X") & (n >= 30)
+    vp8x_w = (_le_n(c, 24, 3) + 1).cast("long")
+    vp8x_h = (_le_n(c, 27, 3) + 1).cast("long")
 
     fmt = (
         F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
@@ -524,6 +532,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             .when(is_bmp, _le32_signed(18))
             .when(is_vp8l, vp8l_w)
             .when(is_vp8, vp8_w)
+            .when(is_vp8x, vp8x_w)
             .when(is_avi & (_le_n(c, 64, 4) > 0), _le_n(c, 64, 4))
         ).cast("int"),
         "height": (
@@ -532,6 +541,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
             .when(is_bmp, _le32_signed(22))
             .when(is_vp8l, vp8l_h)
             .when(is_vp8, vp8_h)
+            .when(is_vp8x, vp8x_h)
             .when(is_avi & (_le_n(c, 68, 4) > 0), _le_n(c, 68, 4))
         ).cast("int"),
         "sample_rate": (

@@ -10,8 +10,11 @@ max-symbol short-circuit), LZ77 backward references with the 120-entry
 transforms — PREDICTOR (14 modes, including Select and the clamped
 add/subtract pair), COLOR (3.5-bit fixed-point cross-channel deltas),
 SUBTRACT_GREEN, and COLOR_INDEXING (with sub-byte pixel bundling for
-palettes ≤16 colors). Lossy VP8 and VP8X-extended files raise
-``UnsupportedMediaError`` — the same honest seam as the other codecs.
+palettes ≤16 colors). Lossy VP8 routes to operators/vp8.py (r9), and
+VP8X-extended STILLS decode too (r9: canvas header, ALPH alpha in all
+four prediction filters, raw or headless-VP8L compression, inner
+VP8/VP8L routing); animated files raise ``UnsupportedMediaError`` —
+the remaining honest seam.
 
 ``encode_webp_vp8l`` emits spec-valid lossless streams for the fixture
 and sink side: literal coding with per-channel canonical prefix codes
@@ -586,19 +589,24 @@ def decode_webp(b: bytes) -> np.ndarray:
     raises UnsupportedMediaError (animation/alpha chunking)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP")
+    chunks = []
     i = 12
     while i + 8 <= len(b):
         tag = b[i:i + 4]
         size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        chunks.append((tag, i + 8, min(i + 8 + size, len(b))))
+        i += 8 + size + (size & 1)
+    tags = [t for t, _, _ in chunks]
+    if b"VP8X" in tags:
+        # extended container still (r9): canvas + optional ALPH +
+        # VP8/VP8L; animation raises inside
+        return decode_webp_extended(b, chunks)
+    for tag, p, e in chunks:
         if tag == b"VP8L":
-            return decode_vp8l(b[i + 8:i + 8 + size])
+            return decode_vp8l(b[p:e])
         if tag == b"VP8 ":
             from datapump_spark.operators.vp8 import decode_vp8
-            return decode_vp8(b[i + 8:i + 8 + size])
-        if tag == b"VP8X":
-            raise UnsupportedMediaError(
-                "extended (VP8X) WebP decode unsupported")
-        i += 8 + size + (size & 1)
+            return decode_vp8(b[p:e])
     raise ValueError("WebP container without an image chunk")
 
 
@@ -972,3 +980,169 @@ def _forward_color_transform(px: np.ndarray, g2r: int, g2b: int,
                         - _ctdelta(r2b & 0xFF, red)) & 0xFF
             out[y, x] = (v & 0xFF00FF00) | (new_red << 16) | new_blue
     return out
+
+
+# --------------------------------------------------------------------------
+# Extended container (VP8X) stills + ALPH alpha (round 9)
+# --------------------------------------------------------------------------
+
+def _unfilter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Invert the ALPH chunk's prediction filter (container spec §
+    Alpha filtering): 0 none, 1 horizontal, 2 vertical, 3 gradient.
+    Boundary rule: the top-left pixel predicts 0, the rest of the top
+    row predicts left, the rest of the left column predicts above."""
+    if method == 0:
+        return a
+    out = a.astype(np.int32)
+    h, w = out.shape
+    if method == 1:                     # horizontal: rows cumsum; the
+        out[:, 0] = np.cumsum(out[:, 0]) & 0xFF   # left col chains down
+        out = np.cumsum(out, axis=1) & 0xFF
+    elif method == 2:                   # vertical: top row chains right
+        out[0, :] = np.cumsum(out[0, :]) & 0xFF
+        out = np.cumsum(out, axis=0) & 0xFF
+    elif method == 3:                   # gradient: clip makes it serial
+        for y in range(h):
+            for x in range(w):
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = out[0, x - 1]
+                elif x == 0:
+                    pred = out[y - 1, 0]
+                else:
+                    pred = min(255, max(0, int(out[y, x - 1])
+                                        + int(out[y - 1, x])
+                                        - int(out[y - 1, x - 1])))
+                out[y, x] = (out[y, x] + pred) & 0xFF
+    else:
+        raise ValueError("bad ALPH filter method")
+    return out.astype(np.uint8)
+
+
+def _filter_alpha(a: np.ndarray, method: int) -> np.ndarray:
+    """Encoder twin of _unfilter_alpha (fixture side)."""
+    if method == 0:
+        return a
+    src = a.astype(np.int32)
+    h, w = src.shape
+    out = src.copy()
+    for y in range(h):
+        for x in range(w):
+            if method == 1:
+                pred = (0 if x == 0 and y == 0
+                        else src[y - 1, 0] if x == 0 else src[y, x - 1])
+            elif method == 2:
+                pred = (0 if x == 0 and y == 0
+                        else src[0, x - 1] if y == 0 else src[y - 1, x])
+            else:
+                if x == 0 and y == 0:
+                    pred = 0
+                elif y == 0:
+                    pred = src[0, x - 1]
+                elif x == 0:
+                    pred = src[y - 1, 0]
+                else:
+                    pred = min(255, max(0, int(src[y, x - 1])
+                                        + int(src[y - 1, x])
+                                        - int(src[y - 1, x - 1])))
+            out[y, x] = (src[y, x] - pred) & 0xFF
+    return out.astype(np.uint8)
+
+
+def decode_alph(data: bytes, w: int, h: int) -> np.ndarray:
+    """Decode an ALPH chunk to (h, w) uint8 alpha. Header byte:
+    bits 0-1 compression (0 raw, 1 headless VP8L), bits 2-3 filter,
+    bits 4-5 preprocessing (level reduction — decode-side no-op)."""
+    if not data:
+        raise ValueError("empty ALPH chunk")
+    comp = data[0] & 3
+    filt = (data[0] >> 2) & 3
+    if comp == 0:
+        if len(data) - 1 < w * h:
+            raise ValueError("truncated raw ALPH chunk")
+        a = np.frombuffer(data, np.uint8, w * h, offset=1).reshape(h, w)
+    elif comp == 1:
+        # headless lossless stream: alpha travels as the GREEN channel
+        br = _LSBReader(data[1:])
+        px, transforms = _decode_entropy_image(br, w, h, True)
+        px = _apply_inverse_transforms(px, transforms, w)
+        a = ((px >> 8) & 0xFF).astype(np.uint8)
+    else:
+        raise UnsupportedMediaError("reserved ALPH compression method")
+    return _unfilter_alpha(a, filt)
+
+
+def decode_webp_extended(b: bytes, chunks: list) -> np.ndarray:
+    """Decode a VP8X still (canvas header + optional ALPH + VP8/VP8L).
+    Animated files (ANIM/ANMF) raise UnsupportedMediaError — the
+    remaining honest seam of the extended container."""
+    tags = {t: b[p:e] for t, p, e in chunks}
+    vp8x = tags[b"VP8X"]
+    if len(vp8x) < 10:
+        raise ValueError("truncated VP8X chunk")
+    flags = vp8x[0]
+    if flags & 0x02 or b"ANIM" in tags or b"ANMF" in tags:
+        raise UnsupportedMediaError("animated WebP unsupported")
+    cw = 1 + (vp8x[4] | (vp8x[5] << 8) | (vp8x[6] << 16))
+    ch = 1 + (vp8x[7] | (vp8x[8] << 8) | (vp8x[9] << 16))
+    if b"VP8L" in tags:
+        img = decode_vp8l(tags[b"VP8L"])
+    elif b"VP8 " in tags:
+        from datapump_spark.operators.vp8 import decode_vp8
+        img = decode_vp8(tags[b"VP8 "])
+        if b"ALPH" in tags:
+            a = decode_alph(tags[b"ALPH"], img.shape[1], img.shape[0])
+            img = np.concatenate([img, a[:, :, None]], axis=2)
+    else:
+        raise UnsupportedMediaError("VP8X container without image data")
+    if img.shape[:2] != (ch, cw):
+        raise ValueError("VP8X canvas/frame dimension mismatch")
+    return img
+
+
+def encode_webp_vp8x(img: np.ndarray, *, lossless: bool = False,
+                     alpha_filter: int = 0,
+                     alpha_lossless: bool = False, qi: int = 4) -> bytes:
+    """Encode (h, w, 3|4) uint8 as an EXTENDED (VP8X) WebP still —
+    fixture twin of decode_webp_extended. RGBA + lossy picks the
+    VP8 + ALPH layout (raw or headless-VP8L alpha, optional filter);
+    ``lossless`` wraps a VP8L chunk instead."""
+    h, w = img.shape[:2]
+    has_alpha = img.ndim == 3 and img.shape[2] == 4
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    body = b""
+    flags = 0
+    if lossless:
+        inner = encode_webp_vp8l(img)
+        at = inner.index(b"VP8L")
+        size = struct.unpack("<I", inner[at + 4:at + 8])[0]
+        body += chunk(b"VP8L", inner[at + 8:at + 8 + size])
+        if has_alpha:
+            flags |= 0x10
+    else:
+        from datapump_spark.operators.vp8 import encode_vp8
+        if has_alpha:
+            flags |= 0x10
+            a = _filter_alpha(img[:, :, 3], alpha_filter)
+            if alpha_lossless:
+                # headless VP8L: green channel carries the alpha
+                g = np.zeros((h, w, 3), np.uint8)
+                g[:, :, 1] = a
+                full = encode_webp_vp8l(g)
+                at = full.index(b"VP8L")
+                size = struct.unpack("<I", full[at + 4:at + 8])[0]
+                payload = full[at + 8:at + 8 + size]
+                alph = bytes([1 | (alpha_filter << 2)]) + payload[5:]
+            else:
+                alph = bytes([0 | (alpha_filter << 2)]) + a.tobytes()
+            body += chunk(b"ALPH", alph)
+        body += chunk(b"VP8 ", encode_vp8(img[:, :, :3], qi=qi))
+    vp8x = (bytes([flags]) + b"\x00\x00\x00"
+            + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+    body = chunk(b"VP8X", vp8x) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body

@@ -295,16 +295,20 @@ def test_decode_image_dispatch_and_seams():
     from datapump_spark.operators.webp import encode_webp_vp8l
 
     assert (decode_image(encode_webp_vp8l(img)) == img).all()
-    # lossy WebP (VP8) decodes for real since round 9 (operators/
-    # vp8.py); the extended VP8X container stays the honest seam
+    # lossy WebP (VP8) and VP8X stills decode for real since round 9
+    # (operators/vp8.py, webp.decode_webp_extended); ANIMATED extended
+    # files are the remaining honest seam
     from datapump_spark.operators.vp8 import encode_webp_vp8
+    from datapump_spark.operators.webp import encode_webp_vp8x
 
     lossy = decode_image(encode_webp_vp8(
         np.full((16, 16, 3), 99, np.uint8), qi=0))
     assert (lossy == 99).all()
-    with pytest.raises(UnsupportedMediaError, match="VP8X"):
-        decode_image(b"RIFF\x10\x00\x00\x00WEBPVP8X\x04\x00\x00\x00"
-                     + b"\x00" * 4)
+    anim = bytearray(encode_webp_vp8x(
+        np.full((16, 16, 3), 5, np.uint8), qi=0))
+    anim[anim.index(b"VP8X") + 8] |= 0x02
+    with pytest.raises(UnsupportedMediaError, match="animated"):
+        decode_image(bytes(anim))
     with pytest.raises(ValueError, match="unrecognized"):
         decode_image(b"not media at all")
 

@@ -284,3 +284,74 @@ def test_bpred_vr_hd_hand_computed():
     assert hd[0, 0] == (12 + 10 + 1) >> 1
     assert hd[0, 3] == (20 + 2 * 30 + 40 + 2) >> 2
     assert hd[2, 0] == hd[3, 2] and hd[1, 1] == hd[2, 3]
+
+
+# ---------------------------------------------------------------------------
+# Extended container (VP8X) stills + ALPH (round 9)
+# ---------------------------------------------------------------------------
+
+def test_vp8x_lossless_rgba_exact():
+    from datapump_spark.operators.webp import decode_webp, encode_webp_vp8x
+    rng = np.random.default_rng(1)
+    img = rng.integers(0, 256, (20, 30, 4)).astype(np.uint8)
+    assert np.array_equal(decode_webp(encode_webp_vp8x(
+        img, lossless=True)), img)
+
+
+@pytest.mark.parametrize("alpha_filter", [0, 1, 2, 3])
+def test_vp8x_lossy_with_raw_alpha_filters(alpha_filter):
+    """ALPH raw compression with all four prediction filters: the
+    alpha plane must come back bit-exactly over a solid qi=0 VP8
+    frame (so the color is exact too)."""
+    from datapump_spark.operators.webp import decode_webp, encode_webp_vp8x
+    alpha = (np.arange(24 * 40).reshape(24, 40) % 256).astype(np.uint8)
+    img = np.dstack([np.full((24, 40, 3), 90, np.uint8), alpha])
+    out = decode_webp(encode_webp_vp8x(img, qi=0,
+                                       alpha_filter=alpha_filter))
+    assert out.shape == (24, 40, 4)
+    assert np.array_equal(out[..., 3], alpha)
+    assert (out[..., :3] == 90).all()
+
+
+def test_vp8x_headless_vp8l_alpha():
+    """ALPH compression method 1: a headless VP8L stream whose GREEN
+    channel carries the alpha plane."""
+    from datapump_spark.operators.webp import decode_webp, encode_webp_vp8x
+    rng = np.random.default_rng(9)
+    alpha = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    img = np.dstack([np.full((16, 16, 3), 40, np.uint8), alpha])
+    out = decode_webp(encode_webp_vp8x(img, qi=0, alpha_lossless=True,
+                                       alpha_filter=2))
+    assert np.array_equal(out[..., 3], alpha)
+
+
+def test_vp8x_animation_and_mismatch_seams():
+    from datapump_spark.operators.webp import decode_webp, encode_webp_vp8x
+    img = np.full((16, 16, 3), 7, np.uint8)
+    b = bytearray(encode_webp_vp8x(img, qi=0))
+    at = b.index(b"VP8X") + 8
+    b[at] |= 0x02                      # animation flag
+    with pytest.raises(UnsupportedMediaError, match="animated"):
+        decode_webp(bytes(b))
+    b = bytearray(encode_webp_vp8x(img, qi=0))
+    b[b.index(b"VP8X") + 8 + 4] = 99   # corrupt canvas width
+    with pytest.raises(ValueError, match="canvas"):
+        decode_webp(bytes(b))
+
+
+def test_vp8x_sniffer_both_paths(spark):
+    from datapump_spark.operators.mediasniff import (
+        parse_media_header,
+        sniff_media,
+    )
+    from datapump_spark.operators.webp import encode_webp_vp8x
+    b = encode_webp_vp8x(np.full((21, 47, 3), 9, np.uint8), qi=40)
+    info = parse_media_header(b)
+    assert (info["format"], info["width"], info["height"]) == \
+        ("webp", 47, 21)
+    df = spark.createDataFrame([(1, bytearray(b))],
+                               "media_id long, payload binary")
+    for strategy in ("expr", "pandas"):
+        row = sniff_media(df, strategy=strategy).collect()[0]
+        assert (row["format"], row["width"], row["height"]) == \
+            ("webp", 47, 21), strategy

@@ -106,12 +106,12 @@ def test_distance_map_is_complete_and_near():
 
 
 def test_container_seams():
-    # lossy VP8 decodes since round 9 (operators/vp8.py); a truncated
-    # chunk fails loudly, and VP8X stays the honest seam
+    # lossy VP8 and VP8X stills decode since round 9; truncated chunks
+    # fail loudly, and animation stays the honest seam (test_vp8)
     with pytest.raises(ValueError, match="truncated VP8"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8 \x04\x00\x00\x00"
                     + b"\x00" * 4)
-    with pytest.raises(UnsupportedMediaError, match="VP8X"):
+    with pytest.raises(ValueError, match="truncated VP8X"):
         decode_webp(b"RIFF\x10\x00\x00\x00WEBPVP8X\x04\x00\x00\x00"
                     + b"\x00" * 4)
     with pytest.raises(ValueError, match="not a WebP"):
