@@ -3509,8 +3509,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapump_spark.operators.multimodal import sample_frames
 
+    # the id list is tiny (KBs) but each id becomes an expensive
+    # Python build+decode: spread it across the executors BEFORE the
+    # kernel or AQE coalesces the whole job onto one worker
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0) \
-        .select(F.col("doc_id").alias("media_id"))
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def build(batches):
         import numpy as np
@@ -3565,8 +3569,11 @@ def q_vp8_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapump_spark.operators.multimodal import extract_features
 
+    # tiny id list, expensive per-id Python codec work: spread before
+    # the kernel (see q_video_frames)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
-        .select(F.col("doc_id").alias("media_id"))
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def build(batches):
         import numpy as np
