@@ -585,8 +585,10 @@ def decode_vp8l(payload: bytes) -> np.ndarray:
 def decode_webp(b: bytes) -> np.ndarray:
     """Decode a WebP container. Lossless (VP8L) decodes for real; lossy
     VP8 key frames route to operators/vp8.py (round 9 — see that
-    module's trained-table conformance seam); extended VP8X still
-    raises UnsupportedMediaError (animation/alpha chunking)."""
+    module's trained-table conformance seam); extended VP8X stills
+    decode canvas + ALPH + inner image; ANIMATED files (round 9)
+    return the FIRST composited frame (the PIL/thumbnailer convention
+    for still APIs) — the full timeline is decode_webp_anim_frames."""
     if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
         raise ValueError("not a WebP")
     chunks = []
@@ -597,9 +599,12 @@ def decode_webp(b: bytes) -> np.ndarray:
         chunks.append((tag, i + 8, min(i + 8 + size, len(b))))
         i += 8 + size + (size & 1)
     tags = [t for t, _, _ in chunks]
+    if b"ANMF" in tags:
+        for _, _, canvas in decode_webp_anim_frames(b):
+            return canvas
     if b"VP8X" in tags:
         # extended container still (r9): canvas + optional ALPH +
-        # VP8/VP8L; animation raises inside
+        # VP8/VP8L; the bare animation FLAG without frames raises
         return decode_webp_extended(b, chunks)
     for tag, p, e in chunks:
         if tag == b"VP8L":
@@ -1075,15 +1080,17 @@ def decode_alph(data: bytes, w: int, h: int) -> np.ndarray:
 
 def decode_webp_extended(b: bytes, chunks: list) -> np.ndarray:
     """Decode a VP8X still (canvas header + optional ALPH + VP8/VP8L).
-    Animated files (ANIM/ANMF) raise UnsupportedMediaError — the
-    remaining honest seam of the extended container."""
+    Real animations route through decode_webp_anim_frames upstream
+    (decode_webp); a file carrying the animation FLAG with no ANMF
+    frames is contradictory and raises here."""
     tags = {t: b[p:e] for t, p, e in chunks}
     vp8x = tags[b"VP8X"]
     if len(vp8x) < 10:
         raise ValueError("truncated VP8X chunk")
     flags = vp8x[0]
     if flags & 0x02 or b"ANIM" in tags or b"ANMF" in tags:
-        raise UnsupportedMediaError("animated WebP unsupported")
+        raise UnsupportedMediaError(
+            "animated-flagged WebP without ANMF frames")
     cw = 1 + (vp8x[4] | (vp8x[5] << 8) | (vp8x[6] << 16))
     ch = 1 + (vp8x[7] | (vp8x[8] << 8) | (vp8x[9] << 16))
     if b"VP8L" in tags:
@@ -1144,5 +1151,178 @@ def encode_webp_vp8x(img: np.ndarray, *, lossless: bool = False,
         body += chunk(b"VP8 ", encode_vp8(img[:, :, :3], qi=qi))
     vp8x = (bytes([flags]) + b"\x00\x00\x00"
             + struct.pack("<I", w - 1)[:3] + struct.pack("<I", h - 1)[:3])
+    body = chunk(b"VP8X", vp8x) + body
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
+
+
+# --------------------------------------------------------------------------
+# Animated WebP (round 9): ANIM/ANMF frame walk + canvas compositing
+# --------------------------------------------------------------------------
+
+def _riff_chunks(b: bytes, i: int, end: int):
+    """Yield (tag, payload_start, payload_end); bodies even-padded."""
+    while i + 8 <= end:
+        tag = b[i:i + 4]
+        size = struct.unpack("<I", b[i + 4:i + 8])[0]
+        yield tag, i + 8, min(i + 8 + size, end)
+        i += 8 + size + (size & 1)
+
+
+def _le24(b: bytes) -> int:
+    return b[0] | (b[1] << 8) | (b[2] << 16)
+
+
+def _decode_anmf_image(b: bytes, p: int, e: int) -> np.ndarray:
+    """Decode the sub-chunks of one ANMF payload (optional ALPH +
+    VP8/VP8L) into (h, w, 4) RGBA."""
+    sub = {t: (p2, e2) for t, p2, e2 in _riff_chunks(b, p, e)}
+    if b"VP8L" in sub:
+        p2, e2 = sub[b"VP8L"]
+        img = decode_vp8l(b[p2:e2])
+    elif b"VP8 " in sub:
+        from datapump_spark.operators.vp8 import decode_vp8
+        p2, e2 = sub[b"VP8 "]
+        img = decode_vp8(b[p2:e2])
+        if b"ALPH" in sub:
+            p3, e3 = sub[b"ALPH"]
+            a = decode_alph(b[p3:e3], img.shape[1], img.shape[0])
+            img = np.concatenate([img, a[:, :, None]], axis=2)
+    else:
+        raise ValueError("ANMF frame without image data")
+    if img.shape[2] == 3:
+        img = np.concatenate(
+            [img, np.full(img.shape[:2] + (1,), 255, np.uint8)], axis=2)
+    return img
+
+
+def decode_webp_anim_frames(b: bytes):
+    """Yield (frame_idx, ts_ms, rgba uint8 (canvas_h, canvas_w, 4))
+    for every frame of an animated WebP (container spec ANIM/ANMF,
+    round 9): per-frame sub-image decode (VP8L, or VP8 + ALPH),
+    composited onto the canvas at the frame's (2x, 2y) offset with the
+    frame's blending method (B=0 alpha-over, B=1 overwrite), then the
+    disposal method applied (D=1 restores the ANIM background color
+    over the frame rect). ts_ms is the cumulative display start of
+    each frame. Raises ValueError on files with the animation flag but
+    no ANMF frames."""
+    if b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        raise ValueError("not a WebP")
+    chunks = list(_riff_chunks(b, 12, len(b)))
+    tags = {t: (p, e) for t, p, e in chunks}
+    if b"VP8X" not in tags:
+        raise ValueError("animated WebP requires a VP8X header")
+    p, e = tags[b"VP8X"]
+    vp8x = b[p:e]
+    if len(vp8x) < 10:
+        raise ValueError("truncated VP8X chunk")
+    cw = 1 + _le24(vp8x[4:7])
+    ch = 1 + _le24(vp8x[7:10])
+    if b"ANMF" not in tags:
+        raise ValueError("animated WebP without ANMF frames")
+    bg = (255, 255, 255, 255)
+    if b"ANIM" in tags:
+        p, e = tags[b"ANIM"]
+        if e - p >= 4:
+            ab = b[p:p + 4]                 # BGRA byte order
+            bg = (ab[2], ab[1], ab[0], ab[3])
+    canvas = np.empty((ch, cw, 4), np.uint8)
+    canvas[:] = bg
+    idx = 0
+    ts = 0
+    for tag, p, e in chunks:
+        if tag != b"ANMF" or e - p < 16:
+            continue
+        hdr = b[p:p + 16]
+        fx, fy = _le24(hdr[0:3]) * 2, _le24(hdr[3:6]) * 2
+        fw, fh = _le24(hdr[6:9]) + 1, _le24(hdr[9:12]) + 1
+        dur = _le24(hdr[12:15])
+        overwrite = bool(hdr[15] & 0x02)    # B=1: do not blend
+        dispose = bool(hdr[15] & 0x01)      # D=1: dispose to background
+        img = _decode_anmf_image(b, p + 16, e)
+        if img.shape[:2] != (fh, fw):
+            raise ValueError("ANMF frame dimension mismatch")
+        if fx + fw > cw or fy + fh > ch:
+            raise ValueError("ANMF frame outside the canvas")
+        region = canvas[fy:fy + fh, fx:fx + fw]
+        if overwrite:
+            region[:] = img
+        else:
+            # Porter-Duff 'over' in float, rounded back to uint8
+            fa = img[:, :, 3:4].astype(np.float64) / 255.0
+            ca = region[:, :, 3:4].astype(np.float64) / 255.0
+            oa = fa + ca * (1.0 - fa)
+            rgb = np.where(
+                oa > 0,
+                (img[:, :, :3] * fa + region[:, :, :3] * ca * (1.0 - fa))
+                / np.where(oa > 0, oa, 1.0),
+                0.0)
+            region[:, :, :3] = np.round(rgb).astype(np.uint8)
+            region[:, :, 3] = np.round(oa[:, :, 0] * 255.0).astype(np.uint8)
+        yield idx, ts, canvas.copy()
+        idx += 1
+        ts += dur
+        if dispose:
+            canvas[fy:fy + fh, fx:fx + fw] = bg
+
+
+def encode_webp_anim(frames, durations=None, *, offsets=None,
+                     canvas_size=None, bg=(255, 255, 255, 255),
+                     lossless: bool = True, blend=False, dispose=False,
+                     qi: int = 4) -> bytes:
+    """Encode an animated WebP — fixture/sink twin of
+    decode_webp_anim_frames. ``frames`` are (h, w, 3|4) uint8 arrays;
+    ``offsets`` per-frame (x, y) pairs (EVEN values — the format
+    stores x/2); ``blend``/``dispose`` are bools or per-frame lists.
+    ``lossless`` wraps each frame as VP8L (exact round trip), else
+    lossy VP8 at ``qi``."""
+    frames = list(frames)
+    if not frames:
+        raise ValueError("no frames")
+    n = len(frames)
+    durations = list(durations) if durations is not None else [100] * n
+    offsets = list(offsets) if offsets is not None else [(0, 0)] * n
+    blends = list(blend) if isinstance(blend, (list, tuple)) else [blend] * n
+    disposes = (list(dispose) if isinstance(dispose, (list, tuple))
+                else [dispose] * n)
+    if canvas_size is None:
+        cw = max(ox + f.shape[1] for f, (ox, oy) in zip(frames, offsets))
+        ch = max(oy + f.shape[0] for f, (ox, oy) in zip(frames, offsets))
+    else:
+        cw, ch = canvas_size
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        out = tag + struct.pack("<I", len(body)) + body
+        return out + (b"\x00" if len(body) & 1 else b"")
+
+    has_alpha = any(f.ndim == 3 and f.shape[2] == 4 for f in frames)
+    body = chunk(b"ANIM", bytes([bg[2], bg[1], bg[0], bg[3]])
+                 + struct.pack("<H", 0))
+    for f, dur, (ox, oy), bl, dis in zip(frames, durations, offsets,
+                                         blends, disposes):
+        if ox % 2 or oy % 2:
+            raise ValueError("frame offsets must be even")
+        fh, fw = f.shape[:2]
+        if lossless:
+            full = encode_webp_vp8l(f)
+            at = full.index(b"VP8L")
+            size = struct.unpack("<I", full[at + 4:at + 8])[0]
+            payload = chunk(b"VP8L", full[at + 8:at + 8 + size])
+        else:
+            from datapump_spark.operators.vp8 import encode_vp8
+            payload = b""
+            if f.ndim == 3 and f.shape[2] == 4:
+                payload += chunk(b"ALPH", bytes([0]) + f[:, :, 3].tobytes())
+                f = f[:, :, :3]
+            payload += chunk(b"VP8 ", encode_vp8(f, qi=qi))
+        flags = (0 if bl else 0x02) | (0x01 if dis else 0)
+        hdr = ((ox // 2).to_bytes(3, "little")
+               + (oy // 2).to_bytes(3, "little")
+               + (fw - 1).to_bytes(3, "little")
+               + (fh - 1).to_bytes(3, "little")
+               + int(dur).to_bytes(3, "little") + bytes([flags]))
+        body += chunk(b"ANMF", hdr + payload)
+    flags = 0x02 | (0x10 if has_alpha else 0)
+    vp8x = (bytes([flags]) + b"\x00\x00\x00"
+            + struct.pack("<I", cw - 1)[:3] + struct.pack("<I", ch - 1)[:3])
     body = chunk(b"VP8X", vp8x) + body
     return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WEBP" + body
