@@ -179,8 +179,8 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
     """Video frame sampling. Fake mode emits one synthetic frame row
     per whole ``every_ms`` of duration (explode happens in the plan,
     sizes derived from metadata — the real decoder only changes the
-    payload). ``fake=False`` (round 9) is the REAL path for the one
-    video container the engine decodes: MJPEG-in-AVI via
+    payload). ``fake=False`` (round 9) is the REAL path for the video
+    containers the engine decodes: MJPEG-in-AVI and photo-JPEG MP4 via
     :func:`sample_video_frames` — it cleared the package's former
     single NotImplementedError. Animated GIFs have their own real
     path: :func:`sample_gif_frames`."""
@@ -198,27 +198,36 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, fake: bool = True) -> Dat
 
 def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         on_error: str = "null") -> DataFrame:
-    """REAL video frame sampling over MJPEG-AVI payloads (round 9):
-    RIFF walk + per-frame baseline-JPEG decode (operators/avi.py),
-    emit the frame on display at each ``every_ms`` tick re-encoded as
-    PNG (the same normalization as the GIF path). Arrow mapInPandas
-    kernel; ``on_error='null'`` drops undecodable/unsupported-codec
-    payloads (one corrupt file can't fail a crawl-scale job),
-    ``'raise'`` propagates."""
+    """REAL video frame sampling over MJPEG-AVI and photo-JPEG
+    MP4/MOV payloads (round 9): container walk (RIFF in
+    operators/avi.py, ISO-BMFF sample tables in operators/mp4video.py)
+    + per-frame baseline-JPEG decode, emit the frame on display at
+    each ``every_ms`` tick re-encoded as PNG (the same normalization
+    as the GIF path). Arrow mapInPandas kernel; ``on_error='null'``
+    drops undecodable/unsupported-codec payloads (one corrupt file
+    can't fail a crawl-scale job), ``'raise'`` propagates."""
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise': {on_error!r}")
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from datapump_spark.operators import codecs
         from datapump_spark.operators.avi import decode_avi_frames
+        from datapump_spark.operators.mp4video import decode_mp4_frames
+        from datapump_spark.operators.webp import decode_webp_anim_frames
 
         for pdf in batches:
             out = {k: [] for k in ("media_id", "frame_idx", "frame_ts_ms",
                                    "width", "height", "frame_png")}
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 try:
-                    frames = [(ts, rgb) for _, ts, rgb
-                              in decode_avi_frames(bytes(payload))]
+                    pb = bytes(payload)
+                    if len(pb) >= 12 and pb[4:8] == b"ftyp":
+                        dec = decode_mp4_frames
+                    elif pb[:4] == b"RIFF" and pb[8:12] == b"WEBP":
+                        dec = decode_webp_anim_frames
+                    else:
+                        dec = decode_avi_frames
+                    frames = [(ts, rgb) for _, ts, rgb in dec(pb)]
                     if not frames:
                         continue
                     last_ts = frames[-1][0]
