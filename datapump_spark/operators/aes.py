@@ -13,6 +13,8 @@ claims."""
 
 from __future__ import annotations
 
+import functools
+
 
 def _xtime(a: int) -> int:
     a <<= 1
@@ -82,64 +84,142 @@ def _expand_key(key: bytes) -> list[list[int]]:
             for r in range(nr + 1)]
 
 
-def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
-    s = [b ^ k for b, k in zip(block, rks[0])]
-    nr = len(rks) - 1
-    for rnd in range(1, nr + 1):
-        s = [_SBOX[b] for b in s]
-        # ShiftRows on column-major byte order: row r rotates left r
-        s = [s[(i + 4 * (i % 4)) % 16] for i in range(16)]
-        if rnd < nr:
-            t = []
-            for c in range(4):
-                a = s[4 * c:4 * c + 4]
-                t += [
-                    _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3],
-                    a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3],
-                    a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3),
-                    _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2),
-                ]
-            s = t
-        s = [b ^ k for b, k in zip(s, rks[rnd])]
-    return bytes(s)
+# T-tables (round 9 perf): the classic Rijndael word tables, DERIVED
+# at import from the same GF arithmetic as the S-box (never
+# transcribed). Encryption folds SubBytes+ShiftRows+MixColumns into 4
+# lookups per output word; decryption uses the equivalent inverse
+# cipher (round keys passed through InvMixColumns). ~100x over the
+# per-byte schoolbook loops — the PDF 2.0 password hash (Algorithm
+# 2.B) runs 64+ chained CBC rounds per document and made the naive
+# form a 1.8 s/hash bottleneck.
+
+def _ror8(w: int) -> int:
+    return ((w >> 8) | (w << 24)) & 0xFFFFFFFF
 
 
-def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
+def _build_tables():
+    te0, td0 = [], []
+    for x in range(256):
+        sx = _SBOX[x]
+        te0.append((_gmul(sx, 2) << 24) | (sx << 16) | (sx << 8)
+                   | _gmul(sx, 3))
+        ix = _INV_SBOX[x]
+        td0.append((_gmul(ix, 14) << 24) | (_gmul(ix, 9) << 16)
+                   | (_gmul(ix, 13) << 8) | _gmul(ix, 11))
+    te = [te0, [_ror8(w) for w in te0]]
+    te.append([_ror8(w) for w in te[1]])
+    te.append([_ror8(w) for w in te[2]])
+    td = [td0, [_ror8(w) for w in td0]]
+    td.append([_ror8(w) for w in td[1]])
+    td.append([_ror8(w) for w in td[2]])
+    return te, td
+
+
+(_TE0, _TE1, _TE2, _TE3), (_TD0, _TD1, _TD2, _TD3) = _build_tables()
+
+
+def _words(rk: list[int]) -> list[int]:
+    """One 16-int column-major round key -> 4 big-endian u32 words."""
+    return [(rk[i] << 24) | (rk[i + 1] << 16) | (rk[i + 2] << 8)
+            | rk[i + 3] for i in (0, 4, 8, 12)]
+
+
+def _imc(w: int) -> int:
+    """InvMixColumns of a round-key word (Td o S cancels InvSubBytes)."""
+    return (_TD0[_SBOX[w >> 24]] ^ _TD1[_SBOX[(w >> 16) & 0xFF]]
+            ^ _TD2[_SBOX[(w >> 8) & 0xFF]] ^ _TD3[_SBOX[w & 0xFF]])
+
+
+@functools.lru_cache(maxsize=64)
+def _enc_schedule(key: bytes) -> list[list[int]]:
+    return [_words(rk) for rk in _expand_key(key)]
+
+
+@functools.lru_cache(maxsize=64)
+def _dec_schedule(key: bytes) -> list[list[int]]:
+    """Equivalent-inverse-cipher keys: reversed, middle rounds through
+    InvMixColumns."""
+    rks = _enc_schedule(key)
     nr = len(rks) - 1
-    s = [b ^ k for b, k in zip(block, rks[nr])]
-    for rnd in range(nr - 1, -1, -1):
-        # InvShiftRows: row r rotates right r
-        s = [s[(i - 4 * (i % 4)) % 16] for i in range(16)]
-        s = [_INV_SBOX[b] for b in s]
-        s = [b ^ k for b, k in zip(s, rks[rnd])]
-        if rnd > 0:
-            t = []
-            for c in range(4):
-                a = s[4 * c:4 * c + 4]
-                t += [
-                    _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                    ^ _gmul(a[2], 13) ^ _gmul(a[3], 9),
-                    _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                    ^ _gmul(a[2], 11) ^ _gmul(a[3], 13),
-                    _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                    ^ _gmul(a[2], 14) ^ _gmul(a[3], 11),
-                    _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                    ^ _gmul(a[2], 9) ^ _gmul(a[3], 14),
-                ]
-            s = t
-    return bytes(s)
+    out = [rks[nr]]
+    for i in range(nr - 1, 0, -1):
+        out.append([_imc(w) for w in rks[i]])
+    out.append(rks[0])
+    return out
+
+
+def _encrypt_block_w(block: bytes, rks: list[list[int]]) -> bytes:
+    nr = len(rks) - 1
+    k = rks[0]
+    s0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    for rnd in range(1, nr):
+        k = rks[rnd]
+        t0 = (_TE0[s0 >> 24] ^ _TE1[(s1 >> 16) & 0xFF]
+              ^ _TE2[(s2 >> 8) & 0xFF] ^ _TE3[s3 & 0xFF] ^ k[0])
+        t1 = (_TE0[s1 >> 24] ^ _TE1[(s2 >> 16) & 0xFF]
+              ^ _TE2[(s3 >> 8) & 0xFF] ^ _TE3[s0 & 0xFF] ^ k[1])
+        t2 = (_TE0[s2 >> 24] ^ _TE1[(s3 >> 16) & 0xFF]
+              ^ _TE2[(s0 >> 8) & 0xFF] ^ _TE3[s1 & 0xFF] ^ k[2])
+        t3 = (_TE0[s3 >> 24] ^ _TE1[(s0 >> 16) & 0xFF]
+              ^ _TE2[(s1 >> 8) & 0xFF] ^ _TE3[s2 & 0xFF] ^ k[3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = rks[nr]
+    sb = _SBOX
+    o0 = ((sb[s0 >> 24] << 24) | (sb[(s1 >> 16) & 0xFF] << 16)
+          | (sb[(s2 >> 8) & 0xFF] << 8) | sb[s3 & 0xFF]) ^ k[0]
+    o1 = ((sb[s1 >> 24] << 24) | (sb[(s2 >> 16) & 0xFF] << 16)
+          | (sb[(s3 >> 8) & 0xFF] << 8) | sb[s0 & 0xFF]) ^ k[1]
+    o2 = ((sb[s2 >> 24] << 24) | (sb[(s3 >> 16) & 0xFF] << 16)
+          | (sb[(s0 >> 8) & 0xFF] << 8) | sb[s1 & 0xFF]) ^ k[2]
+    o3 = ((sb[s3 >> 24] << 24) | (sb[(s0 >> 16) & 0xFF] << 16)
+          | (sb[(s1 >> 8) & 0xFF] << 8) | sb[s2 & 0xFF]) ^ k[3]
+    return b"".join(w.to_bytes(4, "big") for w in (o0, o1, o2, o3))
+
+
+def _decrypt_block_w(block: bytes, dks: list[list[int]]) -> bytes:
+    nr = len(dks) - 1
+    k = dks[0]
+    s0 = int.from_bytes(block[0:4], "big") ^ k[0]
+    s1 = int.from_bytes(block[4:8], "big") ^ k[1]
+    s2 = int.from_bytes(block[8:12], "big") ^ k[2]
+    s3 = int.from_bytes(block[12:16], "big") ^ k[3]
+    for rnd in range(1, nr):
+        k = dks[rnd]
+        t0 = (_TD0[s0 >> 24] ^ _TD1[(s3 >> 16) & 0xFF]
+              ^ _TD2[(s2 >> 8) & 0xFF] ^ _TD3[s1 & 0xFF] ^ k[0])
+        t1 = (_TD0[s1 >> 24] ^ _TD1[(s0 >> 16) & 0xFF]
+              ^ _TD2[(s3 >> 8) & 0xFF] ^ _TD3[s2 & 0xFF] ^ k[1])
+        t2 = (_TD0[s2 >> 24] ^ _TD1[(s1 >> 16) & 0xFF]
+              ^ _TD2[(s0 >> 8) & 0xFF] ^ _TD3[s3 & 0xFF] ^ k[2])
+        t3 = (_TD0[s3 >> 24] ^ _TD1[(s2 >> 16) & 0xFF]
+              ^ _TD2[(s1 >> 8) & 0xFF] ^ _TD3[s0 & 0xFF] ^ k[3])
+        s0, s1, s2, s3 = t0, t1, t2, t3
+    k = dks[nr]
+    ib = _INV_SBOX
+    o0 = ((ib[s0 >> 24] << 24) | (ib[(s3 >> 16) & 0xFF] << 16)
+          | (ib[(s2 >> 8) & 0xFF] << 8) | ib[s1 & 0xFF]) ^ k[0]
+    o1 = ((ib[s1 >> 24] << 24) | (ib[(s0 >> 16) & 0xFF] << 16)
+          | (ib[(s3 >> 8) & 0xFF] << 8) | ib[s2 & 0xFF]) ^ k[1]
+    o2 = ((ib[s2 >> 24] << 24) | (ib[(s1 >> 16) & 0xFF] << 16)
+          | (ib[(s0 >> 8) & 0xFF] << 8) | ib[s3 & 0xFF]) ^ k[2]
+    o3 = ((ib[s3 >> 24] << 24) | (ib[(s2 >> 16) & 0xFF] << 16)
+          | (ib[(s1 >> 8) & 0xFF] << 8) | ib[s0 & 0xFF]) ^ k[3]
+    return b"".join(w.to_bytes(4, "big") for w in (o0, o1, o2, o3))
 
 
 def aes_encrypt_block(block: bytes, key: bytes) -> bytes:
     if len(block) != 16:
         raise ValueError("AES block must be 16 bytes")
-    return _encrypt_block(block, _expand_key(key))
+    return _encrypt_block_w(block, _enc_schedule(key))
 
 
 def aes_decrypt_block(block: bytes, key: bytes) -> bytes:
     if len(block) != 16:
         raise ValueError("AES block must be 16 bytes")
-    return _decrypt_block(block, _expand_key(key))
+    return _decrypt_block_w(block, _dec_schedule(key))
 
 
 def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes | None = None,
@@ -151,12 +231,12 @@ def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes | None = None,
         iv, data = data[:16], data[16:]
     if len(iv) != 16 or len(data) % 16:
         raise ValueError("CBC data not block-aligned")
-    rks = _expand_key(key)
+    dks = _dec_schedule(key)
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
         blk = data[i:i + 16]
-        out += bytes(a ^ b for a, b in zip(_decrypt_block(blk, rks),
+        out += bytes(a ^ b for a, b in zip(_decrypt_block_w(blk, dks),
                                            prev))
         prev = blk
     if unpad:
@@ -169,6 +249,22 @@ def aes_cbc_decrypt(data: bytes, key: bytes, iv: bytes | None = None,
     return bytes(out)
 
 
+def aes_cbc_encrypt_nopad(data: bytes, key: bytes, iv: bytes) -> bytes:
+    """Raw CBC encrypt of block-aligned data, no padding, no IV
+    prefix — the primitive the PDF 2.0 hash (Algorithm 2.B) and the
+    /UE //OE file-key wrapping use."""
+    if len(iv) != 16 or len(data) % 16:
+        raise ValueError("CBC data not block-aligned")
+    rks = _enc_schedule(key)
+    out = bytearray()
+    prev = iv
+    for i in range(0, len(data), 16):
+        blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
+        prev = _encrypt_block_w(blk, rks)
+        out += prev
+    return bytes(out)
+
+
 def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
     """CBC encrypt with PKCS#7 padding, IV prepended (the PDF AESV2
     stream layout) — fixture-writer twin of aes_cbc_decrypt."""
@@ -176,11 +272,11 @@ def aes_cbc_encrypt(data: bytes, key: bytes, iv: bytes) -> bytes:
         raise ValueError("IV must be 16 bytes")
     n = 16 - len(data) % 16
     data = data + bytes([n]) * n
-    rks = _expand_key(key)
+    rks = _enc_schedule(key)
     out = bytearray(iv)
     prev = iv
     for i in range(0, len(data), 16):
         blk = bytes(a ^ b for a, b in zip(data[i:i + 16], prev))
-        prev = _encrypt_block(blk, rks)
+        prev = _encrypt_block_w(blk, rks)
         out += prev
     return bytes(out)

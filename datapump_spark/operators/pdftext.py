@@ -48,6 +48,7 @@ build charter.
 
 from __future__ import annotations
 
+import functools
 import re
 import zlib
 
@@ -220,6 +221,50 @@ def _std_user_check(key: bytes, r: int, id0: bytes) -> bytes:
     return x
 
 
+@functools.lru_cache(maxsize=256)
+def _hash_2b(pw: bytes, salt: bytes, udata: bytes, r: int) -> bytes:
+    """PDF 2.0 password hash (ISO 32000-2 Algorithm 2.B, round 9).
+    R 5 is a plain SHA-256; R 6 iterates an AES-128-CBC mix whose
+    first-16-byte sum picks SHA-256/384/512 per round, stopping after
+    round 64 once the last cipher byte is <= rounds - 32. Memoized:
+    a corpus encrypted by one producer repeats the same (salt,
+    password) pairs across thousands of files, and the R6 iteration
+    is ~0.2 s — per-worker-process, each distinct pair costs once."""
+    import hashlib
+
+    from datapump_spark.operators.aes import aes_cbc_encrypt_nopad
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    if r == 5:
+        return k
+    i = 0
+    e = b"\x00"
+    while i < 64 or e[-1] > i - 32:
+        k1 = (pw + k + udata) * 64
+        e = aes_cbc_encrypt_nopad(k1, k[:16], k[16:32])
+        k = {0: hashlib.sha256, 1: hashlib.sha384,
+             2: hashlib.sha512}[sum(e[:16]) % 3](e).digest()
+        i += 1
+    return k[:32]
+
+
+def _v5_file_key(pw: bytes, u_val: bytes, ue_val: bytes,
+                 r: int) -> bytes | None:
+    """Algorithms 2.A / 8 for the USER password: validate ``pw``
+    against /U (48 bytes: hash + validation salt + key salt) and
+    unwrap the 32-byte file key from /UE — None when the password
+    does not validate."""
+    from datapump_spark.operators.aes import aes_cbc_decrypt
+
+    if len(u_val) < 48 or len(ue_val) < 32:
+        return None
+    if _hash_2b(pw, u_val[32:40], b"", r) != u_val[:32]:
+        return None
+    inter = _hash_2b(pw, u_val[40:48], b"", r)
+    return aes_cbc_decrypt(ue_val[:32], inter, iv=b"\x00" * 16,
+                           unpad=False)
+
+
 def _std_owner_value(r: int, n: int) -> bytes:
     """Algorithm 3 with empty owner AND user passwords: the /O value."""
     import hashlib
@@ -238,16 +283,21 @@ def _std_owner_value(r: int, n: int) -> bytes:
 class _StdDecryptor:
     """Per-object decryption (Algorithm 1): RC4, or AES-128-CBC for
     /CFM /AESV2 (round 9 — the object key gains the 'sAlT' suffix and
-    the stream's first 16 bytes are the IV, PKCS#7-padded)."""
+    the stream's first 16 bytes are the IV, PKCS#7-padded). V5
+    (/AESV3, round 9) uses the 32-byte file key DIRECTLY — ISO
+    32000-2 dropped per-object key derivation."""
 
-    __slots__ = ("key", "aes")
+    __slots__ = ("key", "aes", "v5")
 
-    def __init__(self, key: bytes, aes: bool = False):
+    def __init__(self, key: bytes, aes: bool = False, v5: bool = False):
         self.key = key
-        self.aes = aes
+        self.aes = aes or v5
+        self.v5 = v5
 
     def _objkey(self, num: int, gen: int) -> bytes:
         import hashlib
+        if self.v5:
+            return self.key
         salt = b"sAlT" if self.aes else b""
         ok = hashlib.md5(self.key + num.to_bytes(3, "little")
                          + gen.to_bytes(2, "little") + salt).digest()
@@ -295,10 +345,11 @@ def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
 def _try_standard_decrypt(b: bytes,
                           objs: dict[int, bytes]) -> _StdDecryptor | None:
     """Resolve the /Encrypt dict; if it is the Standard handler with
-    RC4 (V 1/2, R 2/3) or AES-128 (V 4 / R 4 with /CFM /AESV2, r9)
-    and the EMPTY user password validates against /U, return a
-    decryptor — else None (stays flagged 'encrypted'). AESV3 (V 5,
-    SHA-256 key derivation) remains out of scope."""
+    RC4 (V 1/2, R 2/3), AES-128 (V 4 / R 4 with /CFM /AESV2, r9) or
+    AES-256 (V 5 / R 5-6 with /CFM /AESV3, r9 — the PDF 2.0 scheme,
+    SHA-2 family hash per Algorithm 2.B) and the EMPTY user password
+    validates against /U, return a decryptor — else None (stays
+    flagged 'encrypted')."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", b)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
@@ -314,6 +365,20 @@ def _try_standard_decrypt(b: bytes,
     if not (vm and rm and pm and om and um):
         return None
     v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
+    if v == 5 and r in (5, 6):
+        # PDF 2.0: AES-256, file key unwrapped from /UE after the
+        # empty user password validates via the 2.B hash
+        if not re.search(rb"/CFM\s*/AESV3\b", enc):
+            return None
+        uem = re.search(rb"/UE\s*", enc)
+        u_val = _parse_pdf_bytestring(enc, um.end())
+        ue_val = _parse_pdf_bytestring(enc, uem.end()) if uem else None
+        if u_val is None or ue_val is None:
+            return None
+        key = _v5_file_key(b"", u_val, ue_val, r)
+        if key is None:
+            return None                 # real user password required
+        return _StdDecryptor(key, v5=True)
     aes = False
     if v == 4 and r == 4:
         # crypt-filter dispatch: only the AESV2 StdCF stream filter
@@ -323,7 +388,7 @@ def _try_standard_decrypt(b: bytes,
             return None
         aes = True
     elif v not in (1, 2) or r not in (2, 3):
-        return None                     # AESV3 / R5+ stay out of scope
+        return None                     # unknown scheme stays flagged
     n = (int(lm.group(1)) // 8) if (lm and v >= 2) else 5
     if aes:
         n = 16                          # AESV2 is AES-128
@@ -1109,22 +1174,44 @@ def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
     """Standard-security-handler PDF (empty user AND owner passwords —
     the common permissions-only case). R=2 → RC4 V1 40-bit, R=3 → RC4
     V2 128-bit, R=4 → AES-128-CBC via /CF /StdCF /CFM /AESV2 (round
-    9). Streams are encrypted with per-object keys; the extractor must
-    derive the file key from /O, /P and /ID, verify the empty password
-    against /U, and decrypt."""
-    if r not in (2, 3, 4):
-        raise ValueError("r must be 2, 3 or 4")
-    n = 5 if r == 2 else 16
-    v = {2: 1, 3: 2, 4: 4}[r]
+    9), R=5/6 → AES-256 /AESV3 (PDF 2.0, round 9: /U //O carry the
+    2.B hash + salts, /UE //OE wrap the random file key). Streams are
+    encrypted per Algorithm 1/1.A; the extractor must validate the
+    empty password and decrypt."""
+    if r not in (2, 3, 4, 5, 6):
+        raise ValueError("r must be 2, 3, 4, 5 or 6")
     p = -44
     id0 = bytes(range(16))
 
-    o_val = _std_owner_value(r, n)
-    key = _std_file_key(o_val, p, id0, r, n)
-    u_val = _std_user_check(key, r, id0)
-    if r >= 3:
-        u_val = u_val + b"\x00" * 16    # U is 32 bytes; last 16 arbitrary
-    dec = _StdDecryptor(key, aes=(r == 4))
+    if r >= 5:
+        import hashlib
+
+        from datapump_spark.operators.aes import (
+            aes_cbc_encrypt_nopad,
+            aes_encrypt_block,
+        )
+        key = hashlib.sha256(b"datapump fixture file key").digest()
+        vsalt, ksalt = b"uVALsalt", b"uKEYsalt"
+        ovsalt, oksalt = b"oVALsalt", b"oKEYsalt"
+        zero_iv = b"\x00" * 16
+        u_val = _hash_2b(b"", vsalt, b"", r) + vsalt + ksalt
+        ue_val = aes_cbc_encrypt_nopad(
+            key, _hash_2b(b"", ksalt, b"", r), zero_iv)
+        o_val = _hash_2b(b"", ovsalt, u_val, r) + ovsalt + oksalt
+        oe_val = aes_cbc_encrypt_nopad(
+            key, _hash_2b(b"", oksalt, u_val, r), zero_iv)
+        perms = aes_encrypt_block(
+            (p & 0xFFFFFFFF).to_bytes(4, "little")
+            + b"\xff\xff\xff\xffTadbfixp", key)
+        dec = _StdDecryptor(key, v5=True)
+    else:
+        n = 5 if r == 2 else 16
+        o_val = _std_owner_value(r, n)
+        key = _std_file_key(o_val, p, id0, r, n)
+        u_val = _std_user_check(key, r, id0)
+        if r >= 3:
+            u_val = u_val + b"\x00" * 16  # U is 32 bytes; last 16 arbitrary
+        dec = _StdDecryptor(key, aes=(r == 4))
 
     shows = b"\n".join(
         b"(" + _pdf_escape(line) + b") Tj 0 -14 Td"
@@ -1132,14 +1219,27 @@ def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
     content = zlib.compress(b"BT /F1 12 Tf 50 780 Td " + shows + b" ET")
     content = dec.encrypt(4, 0, content)    # encrypt obj 4's stream
 
-    enc_dict = (b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
-                + str(r).encode()
-                + (b" /Length 128" if v >= 2 else b"")
-                + (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
-                   b" /StmF /StdCF /StrF /StdCF" if r == 4 else b"")
-                + b" /P " + str(p).encode()
-                + b" /O <" + o_val.hex().encode() + b">"
-                + b" /U <" + u_val.hex().encode() + b"> >>")
+    if r >= 5:
+        enc_dict = (b"<< /Filter /Standard /V 5 /R " + str(r).encode()
+                    + b" /Length 256"
+                    + b" /CF << /StdCF << /CFM /AESV3 /Length 32 >> >>"
+                    + b" /StmF /StdCF /StrF /StdCF"
+                    + b" /P " + str(p).encode()
+                    + b" /O <" + o_val.hex().encode() + b">"
+                    + b" /OE <" + oe_val.hex().encode() + b">"
+                    + b" /U <" + u_val.hex().encode() + b">"
+                    + b" /UE <" + ue_val.hex().encode() + b">"
+                    + b" /Perms <" + perms.hex().encode() + b"> >>")
+    else:
+        v = {2: 1, 3: 2, 4: 4}[r]
+        enc_dict = (b"<< /Filter /Standard /V " + str(v).encode() + b" /R "
+                    + str(r).encode()
+                    + (b" /Length 128" if v >= 2 else b"")
+                    + (b" /CF << /StdCF << /CFM /AESV2 /Length 16 >> >>"
+                       b" /StmF /StdCF /StrF /StdCF" if r == 4 else b"")
+                    + b" /P " + str(p).encode()
+                    + b" /O <" + o_val.hex().encode() + b">"
+                    + b" /U <" + u_val.hex().encode() + b"> >>")
     objs = [
         b"<< /Type /Catalog /Pages 2 0 R >>",
         b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",

@@ -469,12 +469,47 @@ def test_aesv2_wrong_user_password_stays_flagged():
     assert "cannot read me" not in text
 
 
-def test_aesv3_stays_flagged():
-    """V5 (AESV3, SHA-256 derivation) is out of scope: honest flag,
-    never garbage."""
+def test_aesv3_empty_password_decrypts():
+    """AES-256 V5 (PDF 2.0 /AESV3, round 9): the 2.B SHA-2-family
+    hash validates the empty user password against /U, the file key
+    unwraps from /UE via AES-256-CBC, and streams decrypt with the
+    file key DIRECTLY (no per-object derivation). R5 (the plain
+    SHA-256 precursor) and R6 (the iterated hash) both round-trip."""
     from datapump_spark.operators.pdftext import encode_encrypted_pdf
-    raw = encode_encrypted_pdf("v5 locked", r=4)
-    raw = raw.replace(b"/V 4 /R 4", b"/V 5 /R 6").replace(
-        b"/AESV2", b"/AESV3")
-    text, _, flags = extract_pdf_text(raw)
+    t = "v5 secret\nsecond (line) with \\ escapes"
+    for r in (5, 6):
+        raw = encode_encrypted_pdf(t, r=r)
+        assert b"/AESV3" in raw and b"/V 5" in raw
+        text, pages, flags = extract_pdf_text(raw)
+        assert text == t and pages == 1 and flags == ["decrypted"], r
+
+
+def test_aesv3_wrong_password_or_missing_ue_stays_flagged():
+    """Honest flag, never garbage: a V5 file whose /U hash does not
+    match the empty password, or whose /UE is absent, stays
+    'encrypted'."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    raw = bytearray(encode_encrypted_pdf("v5 locked", r=6))
+    at = raw.index(b"/U <") + 4
+    raw[at:at + 8] = b"00000000"
+    text, _, flags = extract_pdf_text(bytes(raw))
     assert "encrypted" in flags and "v5 locked" not in text
+    # a V5 dict with no /UE (hand-mangled) also stays flagged
+    raw2 = encode_encrypted_pdf("v5 locked", r=6).replace(b"/UE", b"/XE")
+    text2, _, flags2 = extract_pdf_text(raw2)
+    assert "encrypted" in flags2 and "v5 locked" not in text2
+
+
+def test_hash_2b_iteration_contract():
+    """Algorithm 2.B runs at least 64 rounds and stops on the
+    last-cipher-byte condition; R5 degenerates to one SHA-256."""
+    import hashlib
+
+    from datapump_spark.operators.pdftext import _hash_2b
+    assert _hash_2b(b"", b"salt8888", b"", 5) == \
+        hashlib.sha256(b"salt8888").digest()
+    h6 = _hash_2b(b"", b"salt8888", b"", 6)
+    assert len(h6) == 32 and h6 != _hash_2b(b"", b"salt8888", b"", 5)
+    # deterministic and salt-sensitive
+    assert h6 == _hash_2b(b"", b"salt8888", b"", 6)
+    assert h6 != _hash_2b(b"", b"salt9999", b"", 6)
