@@ -1,0 +1,168 @@
+"""ZIP / TAR archive ingestion (round 9).
+
+Crawl and document dumps routinely arrive as archives — a directory
+of ``.zip`` bundles, ``.tar`` / ``.tar.gz`` shards — and a 100 TB
+pipeline needs to explode them into member rows WITHOUT a driver-side
+unpack step. Same architecture as the WARC reader (sources/warc.py):
+``binaryFile`` scan (parallelism = archive count; archives are not
+splittable) -> Arrow ``mapInPandas`` kernel over the stdlib
+``zipfile`` / ``tarfile`` parsers. Member filtering happens INSIDE
+the kernel before bytes materialize, so a ``member_glob`` prunes I/O
+per member, not per archive.
+
+Scale notes: one archive is held in executor memory while exploded
+(the binaryFile contract — size shards like crawl WARCs, ~1 GiB);
+``max_member_bytes`` guards against zip-bomb members by SKIPPING
+oversized entries into the ``skipped`` accounting column of
+``archive_stats`` rather than OOMing a task.
+
+Reference parity note: the reference (datapump.py) reads loose CSVs
+only; charter extension for training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import io
+from typing import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MEMBER_SCHEMA = ("archive_path string, member_path string, "
+                 "member_bytes binary, member_size long, mtime timestamp")
+
+
+def _iter_zip(data: bytes, member_glob, max_bytes):
+    import datetime
+    import zipfile
+
+    with zipfile.ZipFile(io.BytesIO(data)) as zf:
+        for info in zf.infolist():
+            if info.is_dir():
+                continue
+            if member_glob and not fnmatch.fnmatch(info.filename,
+                                                   member_glob):
+                continue
+            if max_bytes is not None and info.file_size > max_bytes:
+                yield info.filename, None, info.file_size, None
+                continue
+            mtime = datetime.datetime(*info.date_time)
+            yield (info.filename, zf.read(info), info.file_size, mtime)
+
+
+def _iter_tar(data: bytes, member_glob, max_bytes):
+    import datetime
+    import tarfile
+
+    # mode 'r:*' sniffs plain/gz/bz2/xz members transparently (stdlib)
+    with tarfile.open(fileobj=io.BytesIO(data), mode="r:*") as tf:
+        for info in tf:
+            if not info.isfile():
+                continue
+            if member_glob and not fnmatch.fnmatch(info.name, member_glob):
+                continue
+            if max_bytes is not None and info.size > max_bytes:
+                yield info.name, None, info.size, None
+                continue
+            f = tf.extractfile(info)
+            mtime = datetime.datetime.utcfromtimestamp(info.mtime)
+            yield (info.name, f.read() if f else b"", info.size, mtime)
+
+
+def _sniff_archive(data: bytes) -> str | None:
+    if data[:4] in (b"PK\x03\x04", b"PK\x05\x06"):
+        return "zip"
+    if data[:2] == b"\x1f\x8b" or data[:3] == b"BZh" \
+            or data[:6] == b"\xfd7zXZ\x00":
+        return "tar"                    # compressed tar (r:* sniffs)
+    if len(data) > 262 and data[257:262] == b"ustar":
+        return "tar"
+    return None
+
+
+def read_archive_members(spark: SparkSession, path: str, *,
+                         member_glob: str | None = None,
+                         max_member_bytes: int | None = None,
+                         on_error: str = "null") -> DataFrame:
+    """One row per archive MEMBER: (archive_path, member_path,
+    member_bytes, member_size, mtime). ZIP and TAR (plain/gz/bz2/xz)
+    are sniffed per file by magic — a directory can mix both.
+    Oversized members (``max_member_bytes``) and, under
+    ``on_error='null'``, unreadable archives yield rows with NULL
+    member_bytes (size still reported) so accounting never silently
+    drops data; ``on_error='raise'`` propagates parser errors."""
+    import pandas as pd
+
+    if on_error not in ("null", "raise"):
+        raise ValueError(f"on_error must be 'null' or 'raise': {on_error!r}")
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("archive_path", "member_path",
+                                    "member_bytes", "member_size", "mtime")}
+            for path_, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                kind = _sniff_archive(data)
+                try:
+                    if kind == "zip":
+                        it = _iter_zip(data, member_glob, max_member_bytes)
+                    elif kind == "tar":
+                        it = _iter_tar(data, member_glob, max_member_bytes)
+                    else:
+                        raise ValueError(
+                            f"not a zip/tar archive: {path_}")
+                    for name, payload, size, mtime in it:
+                        rows["archive_path"].append(path_)
+                        rows["member_path"].append(name)
+                        rows["member_bytes"].append(payload)
+                        rows["member_size"].append(size)
+                        rows["mtime"].append(mtime)
+                except Exception:
+                    if on_error == "raise":
+                        raise
+                    rows["archive_path"].append(path_)
+                    rows["member_path"].append(None)
+                    rows["member_bytes"].append(None)
+                    rows["member_size"].append(None)
+                    rows["mtime"].append(None)
+            yield pd.DataFrame(rows)
+
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("path", "content").mapInPandas(kernel, MEMBER_SCHEMA)
+
+
+def archive_stats(members: DataFrame) -> DataFrame:
+    """Per-archive accounting over read_archive_members output:
+    member/byte totals plus the skipped (NULL-bytes) count — the
+    invariant a curation run audits before trusting an explode."""
+    return members.groupBy("archive_path").agg(
+        F.count("*").alias("n_members"),
+        F.sum(F.when(F.col("member_bytes").isNull(), 1).otherwise(0))
+         .alias("n_skipped"),
+        F.sum("member_size").alias("total_bytes"),
+    )
+
+
+def archive_text_documents(spark: SparkSession, path: str, *,
+                           member_glob: str = "*.txt",
+                           max_member_bytes: int | None = None) -> DataFrame:
+    """Archives of text files -> (doc_id, source, text) rows ready for
+    the pretrain_corpus chain: doc_id is a 63-bit hash of
+    archive+member path (the WET/URI convention), source is the
+    archive file name. Decode is lenient UTF-8 (crawl text is dirty);
+    skipped/unreadable members are dropped here — run archive_stats
+    on read_archive_members for the audit view."""
+    members = read_archive_members(
+        spark, path, member_glob=member_glob,
+        max_member_bytes=max_member_bytes)
+    return (members
+            .where(F.col("member_bytes").isNotNull())
+            .select(
+                F.xxhash64(F.concat_ws("::", "archive_path", "member_path"))
+                 .bitwiseAND(F.lit((1 << 63) - 1)).alias("doc_id"),
+                F.element_at(F.split("archive_path", "/"), -1)
+                 .alias("source"),
+                F.col("member_path"),
+                F.decode("member_bytes", "UTF-8").alias("text"),
+            ))
