@@ -3339,12 +3339,15 @@ for _k in ("q_webp_decode", "q_exif", "q_sniff_av"):
 for _k in ("q_pivot", "q_corr", "q_latest_event"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
 
-# Real MJPEG-AVI frame extraction (round 9): ticks at 1000 ms over
+# Real video frame extraction (round 9): ticks at 1000 ms over
 # (2 + doc_id % 4) frames spaced 500 ms; the frame on display at tick
 # k is source frame 2k, whose solid gray level is pure doc_id
-# arithmetic (exact through JPEG q95 + PNG).
+# arithmetic (exact through JPEG q95 + PNG; VP8L lossless outright).
+# Container rotates per doc_id//16 mod 3 (MJPEG AVI / photo-JPEG MP4 /
+# animated WebP) — timing and pixels are container-independent, so one
+# oracle covers all three walks.
 EXTRA_ORACLES["q_video_frames"] = """
-WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 16 = 0),
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 18 = 0),
 ticks AS (
     SELECT doc_id,
            CAST(k AS INT) AS frame_idx,

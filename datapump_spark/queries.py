@@ -1219,13 +1219,15 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine Flate-compressed one-page PDF (escape rules and all) and
     extracted back through the full parser — zlib inflate, object scan,
     content-stream walk, string unescaping. doc_id rotates the writer
-    through SIX layouts (round 9), so the one hash gate witnesses each
-    read path: simple font / Type0-CID via ToUnicode CMap (latin-1
-    passthrough of the 2-byte codes would NOT reproduce the text) /
-    LZWDecode content / dicts packed in a compressed object stream /
-    RC4 empty-user-password encryption (key derived from /O /P /ID,
-    verified against /U, streams decrypted) / AES-128 V4 AESV2
-    encryption (r9: IV-prefixed CBC streams, in-place re-lengthing).
+    through SEVEN layouts (round 9), so the one hash gate witnesses
+    each read path: simple font / Type0-CID via ToUnicode CMap
+    (latin-1 passthrough of the 2-byte codes would NOT reproduce the
+    text) / LZWDecode content / dicts packed in a compressed object
+    stream / RC4 empty-user-password encryption (key derived from /O
+    /P /ID, verified against /U, streams decrypted) / AES-128 V4
+    AESV2 encryption (r9: IV-prefixed CBC streams, in-place
+    re-lengthing) / AES-256 V5 R6 AESV3 (r9: PDF 2.0 Algorithm-2.B
+    hash, file key unwrapped from /UE, keyed directly).
     The oracle recomputes the ASCII projection directly in SQL, so
     extraction must be EXACT for the value hash to match."""
     import pandas as pd
@@ -1245,12 +1247,13 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             P.encode_objstm_pdf,
             P.encode_encrypted_pdf,
             lambda t: P.encode_encrypted_pdf(t, r=4),   # AESV2 (r9)
+            lambda t: P.encode_encrypted_pdf(t, r=6),   # AESV3 (r9)
         ]
         for pdf_b in batches:
             yield pd.DataFrame({
                 "media_id": pdf_b["media_id"],
                 "payload": [
-                    writers[(mid // 6) % 6](t)
+                    writers[(mid // 6) % 7](t)
                     for mid, t in zip(pdf_b["media_id"], pdf_b["__t"])],
             })
 
@@ -3496,15 +3499,19 @@ assert SURVEY_S2_TENURED <= set(QUERIES), (
 
 
 def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video frame extraction gate (operators/avi.py, round 9 —
-    the path that cleared the package's single NotImplementedError).
-    Each sampled document becomes an MJPEG AVI of 2-5 solid gray
-    frames at 2 fps; sample_frames(fake=False) must walk the RIFF
-    container, decode the baseline JPEGs, hold the frame on display at
-    each 1-second tick and re-encode it as PNG. Solid gray at q95
-    reconstructs exactly (the q_jpeg_decode trick), so the decoded
-    frame mean IS the doc_id arithmetic the oracle recomputes — the
-    hash gate witnesses the whole AVI→JPEG→PNG chain."""
+    """REAL video frame extraction gate (operators/avi.py +
+    operators/mp4video.py, round 9 — the path that cleared the
+    package's single NotImplementedError). Each sampled document
+    becomes 2-5 solid gray frames at 2 fps in a ROTATING container —
+    doc_id//16 mod 3 picks MJPEG AVI / photo-JPEG MP4 / animated WebP
+    (lossless VP8L frames) — so one hash gate witnesses the RIFF walk,
+    the ISO-BMFF stsd/stts/stsc/stsz/stco sample-table walk, AND the
+    ANMF canvas-composite walk. sample_frames(fake=False) must
+    dispatch on magic bytes, decode the frames, hold the frame on
+    display at each 1-second tick and re-encode it as PNG. Solid gray
+    at q95 reconstructs exactly (the q_jpeg_decode trick; VP8L is
+    lossless outright), so the decoded frame mean IS the doc_id
+    arithmetic the oracle recomputes."""
     import pandas as pd
 
     from datapump_spark.operators.multimodal import sample_frames
@@ -3512,7 +3519,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the id list is tiny (KBs) but each id becomes an expensive
     # Python build+decode: spread it across the executors BEFORE the
     # kernel or AQE coalesces the whole job onto one worker
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0) \
+    # stride 18 (not a multiple of 4): frame counts alternate 2/4 so
+    # the tick walk exercises BOTH k=0 and k=1 (a multiple-of-4 stride
+    # pins nf=2, where only frame 0 ever displays), and //16 %3 still
+    # cycles all three containers
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 18 == 0) \
         .select(F.col("doc_id").alias("media_id")) \
         .repartition(spark.sparkContext.defaultParallelism)
 
@@ -3520,17 +3531,23 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
         import numpy as np
 
         from datapump_spark.operators.avi import encode_avi_mjpeg
+        from datapump_spark.operators.mp4video import encode_mp4_mjpeg
+        from datapump_spark.operators.webp import encode_webp_anim
         for pdf in batches:
             ids = pdf["media_id"]
 
-            def avi(doc_id: int) -> bytes:
+            def video(doc_id: int) -> bytes:
                 nf = 2 + doc_id % 4
                 frames = [np.full((32, 48, 3),
                                   (doc_id * 7 + i * 50) % 200 + 20,
                                   np.uint8) for i in range(nf)]
-                return encode_avi_mjpeg(frames, fps=2, quality=95)
+                k = (doc_id // 16) % 3
+                if k == 2:                       # 2 fps animation
+                    return encode_webp_anim(frames, [500] * nf)
+                enc = encode_avi_mjpeg if k == 0 else encode_mp4_mjpeg
+                return enc(frames, fps=2, quality=95)
 
-            yield pd.DataFrame({"media_id": ids, "payload": ids.map(avi)})
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(video)})
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
     frames = sample_frames(media, every_ms=1000, fake=False)
