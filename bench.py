@@ -188,6 +188,8 @@ BENCH_QUERIES = [
     "q_video_frames",
     # round-9: lossy-VP8 WebP exact decode
     "q_vp8_decode",
+    # round-9: DOCX/ODT office text extraction (ZIP+XML round trip)
+    "q_doc_text",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -3371,3 +3371,20 @@ SELECT doc_id AS media_id,
        round(CAST(20 + (doc_id * 7) % 200 AS DOUBLE), 6) AS mean_px
 FROM documents WHERE doc_id % 8 = 0
 """
+
+
+# q_doc_text (round 9): DOCX/ODT round trip must reproduce EXACTLY the
+# ASCII projection with '.' -> newline (each newline = one paragraph
+# boundary the XML walk has to reassemble).
+EXTRA_ORACLES["q_doc_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 7 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(length(txt) - length(replace(txt, chr(10), '')) + 1 AS BIGINT)
+         AS n_paragraphs
+FROM t
+"""

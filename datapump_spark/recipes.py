@@ -531,12 +531,14 @@ def document_corpus(
     pdf_path: str,
     benchmark: DataFrame | None = None,
     recipe: CorpusRecipe | None = None,
-    glob: str = "*.pdf",
+    glob: str = "*.{pdf,docx,odt}",
 ) -> dict[str, DataFrame]:
-    """Directory of PDFs → packed training sequences in ONE call — the
-    document twin of :func:`web_corpus`: ``binaryFile`` scan (JVM-side
-    listing, mtime/length pushdown) → REAL PDF text extraction
-    (``operators/pdftext``) → the full :func:`pretrain_corpus` chain.
+    """Directory of documents → packed training sequences in ONE call —
+    the document twin of :func:`web_corpus`: ``binaryFile`` scan
+    (JVM-side listing, mtime/length pushdown) → REAL text extraction
+    with per-payload magic dispatch (PDF via ``operators/pdftext``,
+    DOCX/ODT via ``operators/docx``, round 9) → the full
+    :func:`pretrain_corpus` chain.
 
     ``doc_id`` is the 63-bit path hash (stable across re-ingestion),
     ``source`` the file's parent directory name — so per-source
@@ -549,7 +551,7 @@ def document_corpus(
     (embarrassingly parallel, same shape as the image decode path);
     everything downstream is the already-measured pretrain chain.
     """
-    from datapump_spark.operators.pdftext import pdf_text
+    from datapump_spark.operators.docx import document_text
     from datapump_spark.sources.mediadir import read_media_dir
 
     raw = read_media_dir(spark, pdf_path, glob=glob)
@@ -562,8 +564,8 @@ def document_corpus(
     )
     # provenance rides THROUGH the kernel: joining it back would plan a
     # second binaryFile scan plus a shuffle on the path hash
-    extracted = pdf_text(files, on_error="null",
-                         passthrough=("path", "source"))
+    extracted = document_text(files, on_error="null",
+                              passthrough=("path", "source"))
     # 'decrypted' is informational (empty-user-password RC4 was read in
     # full, r8) — every other flag marks content the parser could not
     # fully read and routes to quarantine
