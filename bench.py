@@ -190,6 +190,8 @@ BENCH_QUERIES = [
     "q_vp8_decode",
     # round-9: DOCX/ODT office text extraction (ZIP+XML round trip)
     "q_doc_text",
+    # round-9: baseline TIFF decode (IFD walk, 4 compressions, predictor)
+    "q_tiff_decode",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -594,4 +594,10 @@ def decode_image(b: bytes) -> np.ndarray:
 
         # lossless (VP8L) decodes for real; lossy VP8/VP8X raise inside
         return decode_webp(b)
+    if b[:4] in (b"II*\x00", b"MM\x00*"):
+        from datapump_spark.operators.tiff import decode_tiff
+
+        # baseline strips (none/LZW/Deflate/PackBits, predictor 2);
+        # tiled/planar/fax raise inside (r9)
+        return decode_tiff(b)
     raise ValueError("unrecognized image payload")

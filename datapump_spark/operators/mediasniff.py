@@ -50,7 +50,7 @@ SNIFF_SCHEMA = T.StructType([
 
 _KIND = {
     "png": "image", "jpeg": "image", "gif": "image", "bmp": "image",
-    "webp": "image",
+    "webp": "image", "tiff": "image",
     "wav": "audio", "flac": "audio", "ogg": "audio", "mp3": "audio",
     "mp4": "video", "mkv": "video", "avi": "video",
 }
@@ -105,6 +105,25 @@ def parse_media_header(b: bytes) -> dict:
                 i += 2 + seglen
         elif b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
             fmt, w, h = "gif", _le(b[6:8]), _le(b[8:10])
+        elif b[:4] in (b"II*\x00", b"MM\x00*"):
+            # TIFF 6.0: dims from the first IFD (tags 256/257) — the
+            # same IFD layout the EXIF walk reads inside JPEG APP1 (r9)
+            fmt = "tiff"
+            try:
+                import struct as _st
+
+                from datapump_spark.operators.tiff import _read_ifd
+                if b[0] == 0x49:
+                    u16 = lambda bb, o: _st.unpack_from("<H", bb, o)[0]
+                    u32 = lambda bb, o: _st.unpack_from("<I", bb, o)[0]
+                else:
+                    u16 = lambda bb, o: _st.unpack_from(">H", bb, o)[0]
+                    u32 = lambda bb, o: _st.unpack_from(">I", bb, o)[0]
+                tags = _read_ifd(b, u32(b, 4), u16, u32)
+                w = tags.get(256, [None])[0]
+                h = tags.get(257, [None])[0]
+            except Exception:
+                pass                    # corrupt IFD: format only
         elif b[:2] == b"BM" and len(b) >= 26:
             # BITMAPINFOHEADER: signed LE32 at 18/22; negative height
             # means top-down row order — magnitude is the pixel height.
@@ -455,6 +474,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
     is_jpeg = _magic(c, 0, b"\xff\xd8\xff")
     is_gif = (_magic(c, 0, b"GIF87a") | _magic(c, 0, b"GIF89a")) & (n >= 10)
     is_bmp = _magic(c, 0, b"BM") & (n >= 26)
+    is_tiff = _magic(c, 0, b"II*\x00") | _magic(c, 0, b"MM\x00*")
     is_riff = _magic(c, 0, b"RIFF")
     is_wav = is_riff & _magic(c, 8, b"WAVE")
     is_webp = is_riff & _magic(c, 8, b"WEBP")
@@ -513,6 +533,7 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
         .when(is_bmp, "bmp").when(is_wav, "wav").when(is_flac, "flac")
         .when(is_ogg, "ogg").when(is_mp3, "mp3").when(is_mp4, "mp4")
         .when(is_mkv, "mkv").when(is_avi, "avi").when(is_webp, "webp")
+        .when(is_tiff, "tiff")
     )
     kind_map = F.create_map(
         *[F.lit(x) for kv in _KIND.items() for x in kv])

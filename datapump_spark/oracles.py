@@ -3388,3 +3388,16 @@ SELECT doc_id AS media_id, txt AS text,
          AS n_paragraphs
 FROM t
 """
+
+
+# Baseline-TIFF decode (round 9): lossless, so every column is doc_id
+# arithmetic regardless of which compression/endianness the writer
+# rotation picked.
+EXTRA_ORACLES["q_tiff_decode"] = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id // 8) % 4 * 12 AS BIGINT) AS width,
+       CAST(16 + (doc_id // 16) % 3 * 10 AS BIGINT) AS height,
+       CAST(3 AS BIGINT) AS channels,
+       round(CAST(20 + (doc_id * 7) % 200 AS DOUBLE), 6) AS mean_px
+FROM documents WHERE doc_id % 8 = 4
+"""

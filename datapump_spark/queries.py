@@ -3664,3 +3664,54 @@ def q_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_doc_text"] = q_doc_text
+
+
+def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF decode gate (operators/tiff.py, round 9).
+    Each sampled document becomes a solid-color TIFF whose compression
+    rotates through none / LZW / Deflate / PackBits /
+    predictor-2+Deflate and whose byte order alternates II/MM — the
+    decoder must walk the IFD, reassemble strips, undo the filter and
+    reproduce EXACTLY the doc-derived pixel value and dims (TIFF is
+    lossless, so mean_px IS the doc_id arithmetic)."""
+    import pandas as pd
+
+    from datapump_spark.operators.multimodal import extract_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 4) \
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.tiff import encode_tiff
+        comps = [("none", False), ("lzw", False), ("deflate", False),
+                 ("packbits", False), ("deflate", True)]
+        for pdf_b in batches:
+            ids = pdf_b["media_id"]
+
+            def tif(doc_id: int) -> bytes:
+                v = 20 + (doc_id * 7) % 200
+                w = 16 + (doc_id // 8) % 4 * 12
+                h = 16 + (doc_id // 16) % 3 * 10
+                comp, pred = comps[(doc_id // 8) % 5]
+                return encode_tiff(
+                    np.full((h, w, 3), v, np.uint8), comp,
+                    big_endian=bool((doc_id // 4) % 2), predictor=pred)
+
+            yield pd.DataFrame({"media_id": ids, "payload": ids.map(tif)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = extract_features(media, fake=False)
+    f = F.col("features")
+    return feats.select(
+        "media_id",
+        f[0].cast("long").alias("width"),
+        f[1].cast("long").alias("height"),
+        f[2].cast("long").alias("channels"),
+        F.round(f[3], 6).alias("mean_px"),
+    )
+
+
+EXTRA_QUERIES["q_tiff_decode"] = q_tiff_decode

@@ -1,0 +1,146 @@
+"""Baseline TIFF gates (operators/tiff.py, round 9): strip assembly,
+all four compressions, predictor 2, both byte orders, 1-bit bilevel,
+palette, honest seams, sniffer and decode_image routing."""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+from datapump_spark.operators.tiff import (
+    _packbits_decode,
+    _packbits_encode,
+    decode_tiff,
+    encode_tiff,
+)
+
+
+def _img(h=13, w=17, c=3, seed=7):
+    return np.random.default_rng(seed).integers(
+        0, 256, (h, w, c) if c else (h, w), dtype=np.uint8)
+
+
+def test_roundtrip_all_compressions_both_orders():
+    img = _img()
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for be in (False, True):
+            assert (decode_tiff(encode_tiff(img, comp, big_endian=be))
+                    == img).all(), (comp, be)
+
+
+def test_predictor_and_channel_shapes():
+    for c in (0, 3, 4):                 # gray 2-D, RGB, RGBA
+        img = _img(9, 5, c)
+        for comp in ("lzw", "deflate"):
+            out = decode_tiff(encode_tiff(img, comp, predictor=True))
+            assert out.shape == img.shape and (out == img).all()
+    with pytest.raises(ValueError, match="predictor"):
+        encode_tiff(_img(), "packbits", predictor=True)
+
+
+def test_multi_strip_odd_tail():
+    # height 13 at rows_per_strip 4 -> 4 strips, last one short
+    img = _img(13, 6, 3)
+    out = decode_tiff(encode_tiff(img, "packbits", rows_per_strip=4))
+    assert (out == img).all()
+
+
+def test_bilevel_both_photometrics():
+    """Hand-built 1-bit fixtures (the writer only emits 8-bit): row
+    bytes are bit-packed MSB-first; photometric 0 means WhiteIsZero."""
+    w, h = 10, 3
+    bits = np.array([[1, 0] * 5, [0, 1] * 5, [1] * 10], np.uint8)
+    rows = np.packbits(bits, axis=1).tobytes()
+    for photo, want in ((1, bits * 255), (0, 255 - bits * 255)):
+        ifd = struct.pack("<H", 8)
+        entries = [
+            (256, 3, 1, w), (257, 3, 1, h), (258, 3, 1, 1),
+            (259, 3, 1, 1), (262, 3, 1, photo), (277, 3, 1, 1),
+            (273, 4, 1, 8 + 2 + 8 * 12 + 4), (279, 4, 1, len(rows)),
+        ]
+        for tag, typ, cnt, val in sorted(entries):
+            ifd += struct.pack("<HHI", tag, typ, cnt)
+            ifd += struct.pack("<I" if typ == 4 else "<HH", val, 0)[
+                :4] if typ == 3 else struct.pack("<I", val)
+        ifd += struct.pack("<I", 0)
+        b = b"II*\x00" + struct.pack("<I", 8) + ifd + rows
+        assert (decode_tiff(b) == want).all(), photo
+
+
+def test_palette_colormap():
+    img = _img(5, 4, 3)
+    # build a palette file by hand: indices + 16-bit ColorMap
+    idx = np.arange(20, dtype=np.uint8).reshape(5, 4)
+    cmap = np.zeros((3, 256), np.uint16)
+    cmap[0, :20] = np.arange(20) * 13 << 8
+    cmap[1, :20] = np.arange(20) * 7 << 8
+    cmap[2, :20] = np.arange(20) * 3 << 8
+    data = idx.tobytes()
+    n = 9
+    cmap_at = 8 + 2 + n * 12 + 4 + len(data)
+    entries = [
+        (256, 3, 1, 4), (257, 3, 1, 5), (258, 3, 1, 8),
+        (259, 3, 1, 1), (262, 3, 1, 3), (277, 3, 1, 1),
+        (273, 4, 1, 8 + 2 + n * 12 + 4), (279, 4, 1, len(data)),
+        (320, 3, 768, cmap_at),
+    ]
+    ifd = struct.pack("<H", n)
+    for tag, typ, cnt, val in sorted(entries):
+        ifd += struct.pack("<HHII", tag, typ, cnt, val)
+    ifd += struct.pack("<I", 0)
+    b = (b"II*\x00" + struct.pack("<I", 8) + ifd + data
+         + cmap.tobytes())
+    out = decode_tiff(b)
+    assert out.shape == (5, 4, 3)
+    assert (out[2, 3] == ((11 * 13) & 0xFF, (11 * 7) & 0xFF,
+                          (11 * 3) & 0xFF)).all()
+
+
+def test_seams_and_malformed():
+    img = _img(8, 8, 3)
+    b = bytearray(encode_tiff(img, "none"))
+    # flip the compression tag value to CCITT G3 (3)
+    at = b.index(struct.pack("<HHI", 259, 3, 1))
+    b[at + 8] = 3
+    with pytest.raises(UnsupportedMediaError, match="compression 3"):
+        decode_tiff(bytes(b))
+    with pytest.raises(ValueError, match="not a TIFF"):
+        decode_tiff(b"ACME")
+    # IFD offset beyond EOF
+    with pytest.raises(ValueError, match="truncated"):
+        decode_tiff(b"II*\x00" + struct.pack("<I", 9999))
+    # tile tags refuse
+    b2 = bytearray(encode_tiff(img, "none"))
+    at = b2.index(struct.pack("<HHI", 278, 3, 1))
+    b2[at:at + 2] = struct.pack("<H", 322)     # RowsPerStrip -> TileWidth
+    with pytest.raises(UnsupportedMediaError, match="tiled"):
+        decode_tiff(bytes(b2))
+
+
+def test_packbits_edge_cases():
+    for payload in (b"", b"a", b"ab", b"aaab", b"a" * 300,
+                    bytes(range(200)) * 2):
+        assert _packbits_decode(_packbits_encode(payload)) == payload
+
+
+def test_sniffer_and_decode_image_route(spark):
+    from datapump_spark.operators.codecs import decode_image
+    from datapump_spark.operators.mediasniff import (
+        parse_media_header,
+        sniff_media,
+    )
+    img = _img(7, 9, 3)
+    b = encode_tiff(img, "lzw", big_endian=True)
+    assert (decode_image(b) == img).all()
+    info = parse_media_header(b)
+    assert (info["format"], info["kind"]) == ("tiff", "image")
+    assert (info["width"], info["height"]) == (9, 7)
+    df = spark.createDataFrame([(1, bytearray(b))],
+                               "media_id long, payload binary")
+    for st in ("expr", "pandas"):
+        row = sniff_media(df, strategy=st).collect()[0]
+        assert (row["format"], row["kind"]) == ("tiff", "image"), st
+    assert sniff_media(df, strategy="pandas").collect()[0]["width"] == 9
