@@ -3401,3 +3401,12 @@ SELECT doc_id AS media_id,
        round(CAST(20 + (doc_id * 7) % 200 AS DOUBLE), 6) AS mean_px
 FROM documents WHERE doc_id % 8 = 4
 """
+
+
+# Round-9 second rotation twin (see queries.DRIVER_PROMOTED_R9B).
+for _k in ("q_vp8_decode", "q_video_frames", "q_doc_text",
+           "q_tiff_decode"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_bloom_dedup", "q_simhash", "q_media_stats",
+           "q_shard_assign"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)

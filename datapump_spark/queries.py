@@ -3715,3 +3715,24 @@ def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_tiff_decode"] = q_tiff_decode
+
+
+# Round-9 second rotation: this round's decode/extraction flagships
+# enter the driver record (all exact-hash gated above); the demoted
+# keys keep the IDENTICAL gate in pytest + scripts/check_oracle.py —
+# each is the family twin of a key that stays (q_bloom_dedup ~
+# q_exact_dedup incremental arm, q_simhash ~ q_minhash_near_dup,
+# q_media_stats ~ q_sniff_av, q_shard_assign ~ q_weighted_mix).
+DRIVER_PROMOTED_R9B = ("q_vp8_decode", "q_video_frames",
+                       "q_doc_text", "q_tiff_decode")
+DRIVER_DEMOTED_R9B = ("q_bloom_dedup", "q_simhash",
+                      "q_media_stats", "q_shard_assign")
+for _k in DRIVER_PROMOTED_R9B:
+    QUERIES[_k] = EXTRA_QUERIES.pop(_k)
+for _k in DRIVER_DEMOTED_R9B:
+    EXTRA_QUERIES[_k] = QUERIES.pop(_k)
+
+assert SURVEY_S2_TENURED <= set(QUERIES), (
+    "SURVEY §2 keys must stay in the driver-gated set: missing "
+    f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
+assert len(QUERIES) == 50, f"driver cap: {len(QUERIES)}"
