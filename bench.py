@@ -192,6 +192,8 @@ BENCH_QUERIES = [
     "q_doc_text",
     # round-9: baseline TIFF decode (IFD walk, 4 compressions, predictor)
     "q_tiff_decode",
+    # round-9: XLSX typed scan (SURVEY S8 made real)
+    "q_xlsx_scan",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

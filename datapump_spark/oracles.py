@@ -3410,3 +3410,15 @@ for _k in ("q_vp8_decode", "q_video_frames", "q_doc_text",
 for _k in ("q_bloom_dedup", "q_simhash", "q_media_stats",
            "q_shard_assign"):
     EXTRA_ORACLES[_k] = ORACLES.pop(_k)
+
+
+# q_xlsx_scan (round 9, SURVEY S8 made real): the workbook was built
+# from this exact slice, so re-selecting it IS the oracle.
+EXTRA_ORACLES["q_xlsx_scan"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type,
+       CAST(round(value, 6) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id LIMIT 20000
+"""

@@ -3736,3 +3736,59 @@ assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
 assert len(QUERIES) == 50, f"driver cap: {len(QUERIES)}"
+
+
+def scaled_events_xlsx(sf_dir: str, n_rows: int = 20000) -> str:
+    """Materialize (once, atomically) an XLSX workbook of the first
+    ``n_rows`` events — the Excel twin of scaled_events_csv (SURVEY S8
+    made real, r9). Driver-side DuckDB + the pure-stdlib writer; a
+    one-time fixture build, not plan cost."""
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_xlsx_{n_rows}")
+    target = out_dir / "events.xlsx"
+    if not target.exists():
+        import duckdb
+
+        from datapump_spark.sources.xlsx import encode_xlsx
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        b = encode_xlsx([["event_id", "ts", "user_id",
+                          "event_type", "value"]] + [list(r) for r in rows])
+        tmp = out_dir.parent / f".events_xlsx.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        (tmp / "events.xlsx").write_bytes(b)
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
+    return str(target)
+
+
+def q_xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY S8 made real (round 9): typed ingestion of an XLSX
+    workbook — ZIP + SpreadsheetML parse (shared strings, numbers) via
+    the stdlib reader in sources/xlsx.py, all-string contract like the
+    raw CSV scan, then the same native casts. The oracle recomputes
+    the identical slice from the events parquet, so the cell walk must
+    be EXACT."""
+    from datapump_spark.sources.xlsx import read_xlsx
+
+    raw = read_xlsx(spark, scaled_events_xlsx(sf_dir))
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+EXTRA_QUERIES["q_xlsx_scan"] = q_xlsx_scan
