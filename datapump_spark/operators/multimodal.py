@@ -213,6 +213,7 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
         from datapump_spark.operators import codecs
         from datapump_spark.operators.avi import decode_avi_frames
         from datapump_spark.operators.mp4video import decode_mp4_frames
+        from datapump_spark.operators.webm import decode_webm_frames
         from datapump_spark.operators.webp import decode_webp_anim_frames
 
         for pdf in batches:
@@ -225,6 +226,8 @@ def sample_video_frames(df: DataFrame, every_ms: int = 1000,
                         dec = decode_mp4_frames
                     elif pb[:4] == b"RIFF" and pb[8:12] == b"WEBP":
                         dec = decode_webp_anim_frames
+                    elif pb[:4] == b"\x1aE\xdf\xa3":
+                        dec = decode_webm_frames
                     else:
                         dec = decode_avi_frames
                     frames = [(ts, rgb) for _, ts, rgb in dec(pb)]

@@ -3343,9 +3343,9 @@ for _k in ("q_pivot", "q_corr", "q_latest_event"):
 # (2 + doc_id % 4) frames spaced 500 ms; the frame on display at tick
 # k is source frame 2k, whose solid gray level is pure doc_id
 # arithmetic (exact through JPEG q95 + PNG; VP8L lossless outright).
-# Container rotates per doc_id//16 mod 3 (MJPEG AVI / photo-JPEG MP4 /
-# animated WebP) — timing and pixels are container-independent, so one
-# oracle covers all three walks.
+# Container rotates per doc_id//16 mod 4 (MJPEG AVI / photo-JPEG MP4 /
+# animated WebP / all-intra VP8 WebM) — timing and pixels are
+# container-independent, so one oracle covers all four walks.
 EXTRA_ORACLES["q_video_frames"] = """
 WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 18 = 0),
 ticks AS (

@@ -3503,10 +3503,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/mp4video.py, round 9 — the path that cleared the
     package's single NotImplementedError). Each sampled document
     becomes 2-5 solid gray frames at 2 fps in a ROTATING container —
-    doc_id//16 mod 3 picks MJPEG AVI / photo-JPEG MP4 / animated WebP
-    (lossless VP8L frames) — so one hash gate witnesses the RIFF walk,
-    the ISO-BMFF stsd/stts/stsc/stsz/stco sample-table walk, AND the
-    ANMF canvas-composite walk. sample_frames(fake=False) must
+    doc_id//16 mod 4 picks MJPEG AVI / photo-JPEG MP4 / animated WebP
+    (lossless VP8L frames) / all-intra VP8 WebM — so one hash gate
+    witnesses the RIFF walk, the ISO-BMFF stsd/stts/stsc/stsz/stco
+    sample-table walk, the ANMF canvas-composite walk, AND the EBML
+    Cluster/SimpleBlock walk. sample_frames(fake=False) must
     dispatch on magic bytes, decode the frames, hold the frame on
     display at each 1-second tick and re-encode it as PNG. Solid gray
     at q95 reconstructs exactly (the q_jpeg_decode trick; VP8L is
@@ -3532,6 +3533,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from datapump_spark.operators.avi import encode_avi_mjpeg
         from datapump_spark.operators.mp4video import encode_mp4_mjpeg
+        from datapump_spark.operators.webm import encode_webm_vp8
         from datapump_spark.operators.webp import encode_webp_anim
         for pdf in batches:
             ids = pdf["media_id"]
@@ -3541,9 +3543,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 frames = [np.full((32, 48, 3),
                                   (doc_id * 7 + i * 50) % 200 + 20,
                                   np.uint8) for i in range(nf)]
-                k = (doc_id // 16) % 3
+                k = (doc_id // 16) % 4
                 if k == 2:                       # 2 fps animation
                     return encode_webp_anim(frames, [500] * nf)
+                if k == 3:                       # solid qi=0 is exact
+                    return encode_webm_vp8(frames, fps=2, qi=0)
                 enc = encode_avi_mjpeg if k == 0 else encode_mp4_mjpeg
                 return enc(frames, fps=2, quality=95)
 
