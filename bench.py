@@ -194,6 +194,8 @@ BENCH_QUERIES = [
     "q_tiff_decode",
     # round-9: XLSX typed scan (SURVEY S8 made real)
     "q_xlsx_scan",
+    # round-9: zero-Python SRT/WebVTT cue parsing
+    "q_subtitle_cues",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -3422,3 +3422,23 @@ SELECT event_id,
 FROM events
 ORDER BY event_id LIMIT 20000
 """
+
+
+# q_subtitle_cues (round 9): cue timing and multi-line bodies are pure
+# doc_id arithmetic; format (SRT vs WebVTT) rotates Spark-side and is
+# invisible to the recomputation.
+EXTRA_ORACLES["q_subtitle_cues"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 9 = 0),
+cues AS (
+    SELECT doc_id, CAST(k AS BIGINT) AS cue_idx
+    FROM docs,
+         UNNEST(generate_series(0, (2 + doc_id % 3) - 1)) AS t(k))
+SELECT doc_id, cue_idx,
+       CAST((doc_id % 1000) * 40 + cue_idx * 1500 AS BIGINT) AS start_ms,
+       CAST((doc_id % 1000) * 40 + cue_idx * 1500 + 900 + cue_idx * 100
+            AS BIGINT) AS end_ms,
+       'line one ' || doc_id || ' ' || cue_idx ||
+         CASE WHEN cue_idx % 2 = 1
+              THEN chr(10) || 'second ' || cue_idx ELSE '' END AS cue_text
+FROM cues
+"""

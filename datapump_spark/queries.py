@@ -3796,3 +3796,46 @@ def q_xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_xlsx_scan"] = q_xlsx_scan
+
+
+def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen SRT/WebVTT cue parsing gate (operators/subtitles.py,
+    round 9). Each sampled document becomes a genuine subtitle file —
+    SRT (counters, comma millis) for even doc_id//9, WebVTT (header
+    block, dot millis, cue settings) for odd — whose cue timings and
+    multi-line bodies are pure doc_id arithmetic; the zero-Python
+    parser must split blocks, decode the timing arrow and reassemble
+    cue text EXACTLY as the oracle recomputes them."""
+    import pandas as pd
+
+    from datapump_spark.operators.subtitles import parse_subtitles
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 9 == 0)
+            .select("doc_id"))
+
+    def build(batches):
+        from datapump_spark.operators.subtitles import format_srt, format_vtt
+        for pdf_b in batches:
+            ids = pdf_b["doc_id"]
+
+            def sub(doc_id: int) -> str:
+                cues = []
+                for i in range(2 + doc_id % 3):
+                    start = (doc_id % 1000) * 40 + i * 1500
+                    text = f"line one {doc_id} {i}"
+                    if i % 2 == 1:
+                        text += f"\nsecond {i}"
+                    cues.append((start, start + 900 + i * 100, text))
+                fmt = format_srt if (doc_id // 9) % 2 == 0 else format_vtt
+                return fmt(cues)
+
+            yield pd.DataFrame({"doc_id": ids, "text": ids.map(sub)})
+
+    subs = docs.mapInPandas(build, "doc_id long, text string")
+    out = parse_subtitles(subs)
+    return out.select("doc_id",
+                      F.col("cue_idx").cast("long").alias("cue_idx"),
+                      "start_ms", "end_ms", "cue_text")
+
+
+EXTRA_QUERIES["q_subtitle_cues"] = q_subtitle_cues

@@ -34,6 +34,15 @@ def media_dir(tmp_path):
     import numpy as _np
     (d / "i.wav").write_bytes(codecs.encode_wav_adpcm(
         0.4 * _np.sin(_np.arange(800) / 20.0), 8000))
+    # baseline TIFF (LZW strips): decodes since round 9
+    from datapump_spark.operators.tiff import encode_tiff
+    (d / "k.tiff").write_bytes(encode_tiff(img, "lzw"))
+    # ANIMATED WebP: admitted since round 9 (first composited frame),
+    # previously an undecodable quarantine
+    from datapump_spark.operators.webp import encode_webp_anim
+    (d / "l.webp").write_bytes(encode_webp_anim(
+        [np.full((6, 9, 3), 50, np.uint8),
+         np.full((6, 9, 3), 90, np.uint8)], [100, 100]))
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -50,13 +59,17 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     quar = {r["path"].rsplit("/", 1)[-1]: r for r in
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
-                          "h.webp", "i.wav", "j.webp"}
+                          "h.webp", "i.wav", "j.webp", "k.tiff",
+                          "l.webp"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["g.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["h.webp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["j.webp"]["features"][:3] == [9.0, 6.0, 3.0]
+    assert feats["k.tiff"]["features"][:3] == [9.0, 6.0, 3.0]
+    # mean over RGBA incl. the opaque alpha: (50*3 + 255) / 4
+    assert feats["l.webp"]["features"][:4] == [9.0, 6.0, 4.0, 101.25]
     assert feats["i.wav"]["features"][1:3] == [1.0, 8000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]

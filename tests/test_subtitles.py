@@ -1,0 +1,68 @@
+"""SRT/WebVTT cue parsing gates (operators/subtitles.py, round 9):
+zero-Python block/arrow/body decomposition, format quirks, plan
+assertion."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapump_spark.operators.subtitles import (
+    format_srt,
+    format_vtt,
+    parse_subtitles,
+)
+
+CUES = [(0, 900, "hello there"),
+        (1500, 2500, "two\nlines"),
+        (3_700_000, 3_700_900, "over an hour")]
+
+
+def _parse(spark, text, doc_id=1):
+    df = spark.createDataFrame([(doc_id, text)], "doc_id long, text string")
+    return sorted(parse_subtitles(df).collect(), key=lambda r: r["cue_idx"])
+
+
+def test_srt_roundtrip(spark):
+    rows = _parse(spark, format_srt(CUES))
+    assert [(r["cue_idx"], r["start_ms"], r["end_ms"], r["cue_text"])
+            for r in rows] == [
+        (0, 0, 900, "hello there"),
+        (1, 1500, 2500, "two\nlines"),
+        (2, 3_700_000, 3_700_900, "over an hour")]
+
+
+def test_vtt_roundtrip_with_header_and_settings(spark):
+    """The WEBVTT header block has no arrow (dropped), cue settings
+    after the target are ignored, dot millis parse."""
+    rows = _parse(spark, format_vtt(CUES))
+    assert [(r["start_ms"], r["end_ms"]) for r in rows] == [
+        (0, 900), (1500, 2500), (3_700_000, 3_700_900)]
+    assert rows[1]["cue_text"] == "two\nlines"
+
+
+def test_vtt_short_form_and_note_blocks(spark):
+    text = ("WEBVTT\n\nNOTE this is a comment\nspanning lines\n\n"
+            "02:03.500 --> 02:04.000\nshort-form hours omitted\n\n"
+            "STYLE\n::cue { color: lime }\n\n"
+            "00:05.000 --> 00:06.250 align:end\nlast cue")
+    rows = _parse(spark, text)
+    assert [(r["cue_idx"], r["start_ms"], r["end_ms"]) for r in rows] == [
+        (0, 123500, 124000), (1, 5000, 6250)]
+    assert rows[1]["cue_text"] == "last cue"
+
+
+def test_crlf_and_empty(spark):
+    crlf = format_srt(CUES[:2]).replace("\n", "\r\n")
+    rows = _parse(spark, crlf)
+    assert len(rows) == 2 and rows[0]["cue_text"].strip() == "hello there"
+    assert _parse(spark, "no cues here at all") == []
+
+
+def test_zero_python_plan(spark):
+    """The parser must stay whole-stage codegen: no Python evals in
+    the plan (the 100 TB transcript-scan property)."""
+    df = spark.createDataFrame([(1, format_srt(CUES))],
+                               "doc_id long, text string")
+    plan = parse_subtitles(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()
