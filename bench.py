@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "q_xlsx_scan",
     # round-9: zero-Python SRT/WebVTT cue parsing
     "q_subtitle_cues",
+    # round-9: Avro object-container scan (null + deflate codecs)
+    "q_avro_scan",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -3442,3 +3442,15 @@ SELECT doc_id, cue_idx,
               THEN chr(10) || 'second ' || cue_idx ELSE '' END AS cue_text
 FROM cues
 """
+
+
+# q_avro_scan (round 9): the two-codec fixture was built from this
+# exact slice with native types, so re-selecting it IS the oracle.
+EXTRA_ORACLES["q_avro_scan"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type,
+       CAST(round(value, 6) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id LIMIT 20000
+"""

@@ -3839,3 +3839,63 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_subtitle_cues"] = q_subtitle_cues
+
+
+def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
+    """Materialize (once) the first ``n_rows`` events as TWO Avro
+    container files — first half codec null, second half deflate — so
+    one scan witnesses both block decoders (r9)."""
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_avro_{n_rows}")
+    if not out_dir.exists():
+        import duckdb
+
+        from datapump_spark.sources.avro import encode_avro
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        schema = {"type": "record", "name": "Event", "fields": [
+            {"name": "event_id", "type": "long"},
+            {"name": "ts", "type": "string"},
+            {"name": "user_id", "type": "long"},
+            {"name": "event_type", "type": ["null", "string"]},
+            {"name": "value", "type": "double"},
+        ]}
+        recs = [dict(zip(("event_id", "ts", "user_id", "event_type",
+                          "value"), r)) for r in rows]
+        half = len(recs) // 2
+        tmp = out_dir.parent / f".events_avro.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        (tmp / "part0.avro").write_bytes(
+            encode_avro(schema, recs[:half], codec="null"))
+        (tmp / "part1.avro").write_bytes(
+            encode_avro(schema, recs[half:], codec="deflate"))
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir)
+
+
+def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Avro object-container read gate (sources/avro.py, round 9):
+    container magic + metadata map, zigzag varints, sync-framed
+    blocks, null AND deflate codecs (the fixture splits the slice
+    across both), nullable-union fields — decoded records must
+    reproduce EXACTLY the events slice the oracle re-selects. Native
+    types ride through (no string coercion), unlike the XLSX twin."""
+    from datapump_spark.sources.avro import read_avro
+
+    return read_avro(spark, scaled_events_avro(sf_dir)).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round("value", 6).alias("value"))
+
+
+EXTRA_QUERIES["q_avro_scan"] = q_avro_scan

@@ -1,0 +1,73 @@
+"""Avro object-container gates (sources/avro.py, round 9): zigzag
+varints, sync framing, both codecs, the full schema surface (unions,
+arrays, maps, enums, fixed, nested records), typed Spark read, honest
+seams."""
+
+from __future__ import annotations
+
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+from datapump_spark.sources.avro import (
+    encode_avro,
+    iter_avro_records,
+    read_avro,
+)
+
+SCHEMA = {"type": "record", "name": "T", "fields": [
+    {"name": "id", "type": "long"},
+    {"name": "name", "type": ["null", "string"]},
+    {"name": "score", "type": "double"},
+    {"name": "tags", "type": {"type": "array", "items": "string"}},
+    {"name": "counts", "type": {"type": "map", "values": "long"}},
+    {"name": "kind", "type": {"type": "enum", "name": "K",
+                              "symbols": ["x", "y"]}},
+    {"name": "nested", "type": {"type": "record", "name": "N",
+                                "fields": [{"name": "v", "type": "int"}]}},
+]}
+RECS = [
+    {"id": -5, "name": None, "score": 1.25, "tags": ["a", "b"],
+     "counts": {"k": 9}, "kind": "y", "nested": {"v": 42}},
+    {"id": 2 ** 40, "name": "hé", "score": -0.5, "tags": [],
+     "counts": {}, "kind": "x", "nested": {"v": -1}},
+]
+
+
+def test_roundtrip_both_codecs():
+    for codec in ("null", "deflate"):
+        out = [r for _, r in iter_avro_records(
+            encode_avro(SCHEMA, RECS, codec))]
+        assert out == RECS, codec
+
+
+def test_honest_seams():
+    b = bytearray(encode_avro(SCHEMA, RECS, "null"))
+    with pytest.raises(ValueError, match="not an Avro"):
+        list(iter_avro_records(b"PAR1" + bytes(b)[4:]))
+    # unsupported codec name in the metadata map
+    at = b.index(b"null", b.index(b"avro.codec"))
+    b[at:at + 4] = b"zstd"
+    with pytest.raises(UnsupportedMediaError, match="zstd"):
+        list(iter_avro_records(bytes(b)))
+    # corrupted sync marker
+    b2 = bytearray(encode_avro(SCHEMA, RECS, "null"))
+    b2[-1] ^= 0xFF
+    with pytest.raises(ValueError, match="sync"):
+        list(iter_avro_records(bytes(b2)))
+
+
+def test_read_avro_typed(spark, tmp_path):
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "a.avro").write_bytes(encode_avro(SCHEMA, RECS[:1], "null"))
+    (d / "b.avro").write_bytes(encode_avro(SCHEMA, RECS[1:], "deflate"))
+    df = read_avro(spark, str(d))
+    assert dict(df.dtypes)["nested"] == "struct<v:int>"
+    assert dict(df.dtypes)["tags"] == "array<string>"
+    rows = {r["id"]: r for r in df.collect()}
+    assert rows[-5]["name"] is None and rows[-5]["kind"] == "y"
+    assert rows[-5]["nested"]["v"] == 42
+    assert rows[2 ** 40]["name"] == "hé"
+    assert rows[2 ** 40]["counts"] == {}
+    with pytest.raises(Exception):      # missing path: Spark analysis
+        read_avro(spark, str(tmp_path / "empty_missing"))
