@@ -3347,14 +3347,14 @@ for _k in ("q_pivot", "q_corr", "q_latest_event"):
 # animated WebP / all-intra VP8 WebM) — timing and pixels are
 # container-independent, so one oracle covers all four walks.
 EXTRA_ORACLES["q_video_frames"] = """
-WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 18 = 0),
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 27 = 0),
 ticks AS (
     SELECT doc_id,
            CAST(k AS INT) AS frame_idx,
            CAST(k * 1000 AS BIGINT) AS frame_ts_ms,
            2 * k AS src_frame
     FROM docs,
-         UNNEST(generate_series(0, ((2 + doc_id % 4) - 1) // 2)) AS t(k))
+         UNNEST(generate_series(0, ((2 + doc_id % 2) - 1) // 2)) AS t(k))
 SELECT doc_id AS media_id, frame_idx, frame_ts_ms,
        CAST(48 AS INT) AS width, CAST(32 AS INT) AS height,
        CAST((doc_id * 7 + src_frame * 50) % 200 + 20 AS DOUBLE) AS gray

@@ -3520,11 +3520,13 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the id list is tiny (KBs) but each id becomes an expensive
     # Python build+decode: spread it across the executors BEFORE the
     # kernel or AQE coalesces the whole job onto one worker
-    # stride 18 (not a multiple of 4): frame counts alternate 2/4 so
-    # the tick walk exercises BOTH k=0 and k=1 (a multiple-of-4 stride
-    # pins nf=2, where only frame 0 ever displays), and //16 %3 still
-    # cycles all three containers
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 18 == 0) \
+    # stride 27 (odd, not a multiple of 4): frame counts alternate 2/3
+    # so the tick walk exercises BOTH k=0 and k=1 (a multiple-of-4
+    # stride pins nf=2, where only frame 0 ever displays), //16 %4
+    # cycles all four containers, and the doc count keeps this — the
+    # most expensive per-doc Python build+decode in the bench — from
+    # dominating the headline (q_audio_tone's round-8 lesson)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 27 == 0) \
         .select(F.col("doc_id").alias("media_id")) \
         .repartition(spark.sparkContext.defaultParallelism)
 
@@ -3539,7 +3541,7 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
             ids = pdf["media_id"]
 
             def video(doc_id: int) -> bytes:
-                nf = 2 + doc_id % 4
+                nf = 2 + doc_id % 2
                 frames = [np.full((32, 48, 3),
                                   (doc_id * 7 + i * 50) % 200 + 20,
                                   np.uint8) for i in range(nf)]
