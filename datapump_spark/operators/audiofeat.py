@@ -41,7 +41,7 @@ def _spectral(payload: bytes) -> list:
 
     from datapump_spark.operators import codecs
 
-    s, sr = codecs.decode_wav(payload)
+    s, sr = codecs.decode_audio(payload)
     mono = s.mean(axis=1)
     n = len(mono)
     rms = float(np.sqrt(np.mean(mono ** 2))) if n else 0.0

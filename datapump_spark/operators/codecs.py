@@ -601,3 +601,19 @@ def decode_image(b: bytes) -> np.ndarray:
         # tiled/planar/fax raise inside (r9)
         return decode_tiff(b)
     raise ValueError("unrecognized image payload")
+
+
+def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
+    """Dispatch on magic bytes: WAV (PCM / IMA-ADPCM) via decode_wav,
+    FLAC (r9, operators/flac.py) decoded losslessly then normalized —
+    both return (samples float64 in [-1, 1], shape (n, channels);
+    sample_rate), so audio features and near-dedup admit FLAC
+    transparently."""
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return decode_wav(b)
+    if b[:4] == b"fLaC":
+        from datapump_spark.operators.flac import decode_flac
+
+        samples, sr, bps = decode_flac(b)
+        return samples.astype(np.float64) / (1 << (bps - 1)), sr
+    raise ValueError("unrecognized audio payload")

@@ -79,8 +79,9 @@ def _real_features(payload: bytes) -> list[float]:
 
     from datapump_spark.operators import codecs
 
-    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        s, sr = codecs.decode_wav(payload)
+    if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
+            or payload[:4] == b"fLaC":
+        s, sr = codecs.decode_audio(payload)
         mono = s.mean(axis=1)
         zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \
             if len(mono) > 1 else 0.0
@@ -421,7 +422,7 @@ def _audio_fp64(payload: bytes) -> int:
 
     from datapump_spark.operators import codecs
 
-    samples, _sr = codecs.decode_wav(bytes(payload))
+    samples, _sr = codecs.decode_audio(bytes(payload))
     mono = samples.astype(np.float64).mean(axis=1)
     if len(mono) < 65:
         mono = np.pad(mono, (0, 65 - len(mono)))

@@ -1485,11 +1485,13 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     after 0-dp rounding and the oracle recomputes it from doc_id
     arithmetic alone — a lossy-looking DSP pipeline facing an exact
     value hash (the q_jpeg_decode trick, in the frequency domain).
-    Round 8: every other id encodes as IMA-ADPCM (block_align=16 →
+    Round 8: doc_id % 16 == 0 encodes as IMA-ADPCM (block_align=16 →
     25 samples/block divides the 8000 exactly, so n_frames is
     unpadded); the 4-bit quantization noise is broadband and tens of
-    dB below the tone, so the dominant bin is unmoved — the hash gate
-    additionally witnesses the ADPCM decode."""
+    dB below the tone, so the dominant bin is unmoved. Round 9:
+    doc_id % 16 == 8 encodes as FLAC (operators/flac.py, LOSSLESS —
+    the int16-quantized tone decodes bit-exactly, so the bin is
+    untouched by construction) — one hash gate, three codecs."""
     import pandas as pd
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
@@ -1512,6 +1514,10 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 16 == 0:
                     return codecs.encode_wav_adpcm(sig, sr,
                                                    block_align=16)
+                if doc_id % 16 == 8:                  # FLAC (r9)
+                    from datapump_spark.operators.flac import encode_flac
+                    return encode_flac(
+                        (sig * 32767).astype(np.int16), sr)
                 return codecs.encode_wav(sig, sr)
 
             yield pd.DataFrame({"media_id": ids, "payload": ids.map(wav)})

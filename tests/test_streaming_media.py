@@ -43,6 +43,11 @@ def media_dir(tmp_path):
     (d / "l.webp").write_bytes(encode_webp_anim(
         [np.full((6, 9, 3), 50, np.uint8),
          np.full((6, 9, 3), 90, np.uint8)], [100, 100]))
+    # FLAC: decodes since round 9 (lossless -> features row)
+    from datapump_spark.operators.flac import encode_flac
+    (d / "m.flac").write_bytes(encode_flac(
+        (0.3 * 32767 * np.sin(np.arange(800) / 9.0)).astype(np.int16),
+        8000))
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -60,7 +65,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
                           "h.webp", "i.wav", "j.webp", "k.tiff",
-                          "l.webp"}
+                          "l.webp", "m.flac"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
@@ -71,6 +76,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     # mean over RGBA incl. the opaque alpha: (50*3 + 255) / 4
     assert feats["l.webp"]["features"][:4] == [9.0, 6.0, 4.0, 101.25]
     assert feats["i.wav"]["features"][1:3] == [1.0, 8000.0]
+    assert feats["m.flac"]["features"][:3] == [800.0, 1.0, 8000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
     assert feats["a.png"]["sniffed_format"] == "png"
@@ -94,7 +100,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 9
+    assert before == after and len(before) == 10
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;
