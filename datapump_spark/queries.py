@@ -1489,7 +1489,7 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     25 samples/block divides the 8000 exactly, so n_frames is
     unpadded); the 4-bit quantization noise is broadband and tens of
     dB below the tone, so the dominant bin is unmoved. Round 9:
-    doc_id % 16 == 8 encodes as FLAC (operators/flac.py, LOSSLESS —
+    doc_id % 32 == 8 encodes as FLAC (operators/flac.py, LOSSLESS —
     the int16-quantized tone decodes bit-exactly, so the bin is
     untouched by construction) — one hash gate, three codecs."""
     import pandas as pd
@@ -1497,7 +1497,8 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapump_spark.operators.audiofeat import audio_spectral_features
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
-        .select(F.col("doc_id").alias("media_id"))
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(spark.sparkContext.defaultParallelism)
 
     def build(batches):
         import numpy as np
@@ -1514,7 +1515,7 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
                 if doc_id % 16 == 0:
                     return codecs.encode_wav_adpcm(sig, sr,
                                                    block_align=16)
-                if doc_id % 16 == 8:                  # FLAC (r9)
+                if doc_id % 32 == 8:                  # FLAC (r9)
                     from datapump_spark.operators.flac import encode_flac
                     return encode_flac(
                         (sig * 32767).astype(np.int16), sr)

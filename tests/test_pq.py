@@ -35,6 +35,11 @@ def test_train_shape_and_determinism(emb, codebooks):
     assert np.array_equal(codebooks, again)
 
 
+@pytest.mark.slow
+# slow: the quality this asserts (k-means training lowers quantization
+# MSE) is re-measured every round by scripts/ann_recall.py and the
+# recall-gated PQ/IVF-PQ bench variants; codebook determinism and the
+# ADC path stay default-gated in this file.
 def test_training_reduces_mse(emb, codebooks):
     """More Lloyd rounds → monotone-ish distortion drop; trained codebooks
     beat the round-0 (id % k seeded) codebooks clearly."""
