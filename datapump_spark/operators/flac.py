@@ -249,11 +249,18 @@ def decode_flac(b: bytes) -> tuple[np.ndarray, int, int]:
             n = _BLOCKSIZES[bs_code]
         else:
             raise ValueError("reserved FLAC blocksize code")
+        if sr_code == 15:               # spec: invalid, frame rejected
+            raise ValueError("invalid FLAC sample-rate code 15")
         if sr_code == 12:
             r.read(8)
         elif sr_code in (13, 14):
             r.read(16)
-        bits = _SIZES.get(size_code, bps) if size_code else bps
+        if size_code == 0:
+            bits = bps                  # 0 = get from STREAMINFO
+        elif size_code in _SIZES:
+            bits = _SIZES[size_code]
+        else:                           # code 3: reserved (ADVICE r9)
+            raise ValueError("reserved FLAC bit-depth code")
         crc_expect = r.read(8)
         if _crc8(b[start:start + r.byte - start - 1]) != crc_expect:
             raise ValueError("FLAC frame header CRC-8 mismatch")

@@ -25,8 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-_ARROW = (r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
-          r"(?:(\d{1,2}):)?(\d{2}):(\d{2})[,.](\d{3})")
+# hours may exceed two digits (WebVTT allows 2+; >99h transcripts
+# exist) — a {1,2} cap made '100:00:00.000' match a SHIFTED substring,
+# silently dropping the leading digit (ADVICE r9)
+_ARROW = (r"(?:(\d{1,4}):)?(\d{2}):(\d{2})[,.](\d{3})\s*-->\s*"
+          r"(?:(\d{1,4}):)?(\d{2}):(\d{2})[,.](\d{3})")
 
 
 def _ms(h, m, s, ms):

@@ -70,8 +70,13 @@ def _packbits_encode(b: bytes) -> bytes:
             if j + 2 < len(b) and b[j + 1] == b[j] and b[j + 2] == b[j]:
                 break
             j += 1
-        out += bytes([j - i]) + b[i:j + 1]
-        i = j + 1
+        # clamp at EOF: the loop can exit with j == len(b), where a
+        # count of j-i would declare one more literal byte than is
+        # emitted — spec-conformant PackBits decoders (libtiff) reject
+        # such a strip (ADVICE r9)
+        lit = b[i:min(j + 1, len(b))]
+        out += bytes([len(lit) - 1]) + lit
+        i += len(lit)
     return bytes(out)
 
 

@@ -120,9 +120,11 @@ def _decode_datum(r: _Reader, schema):
     raise ValueError(f"unsupported Avro schema node: {schema!r}")
 
 
-def iter_avro_records(b: bytes):
-    """Yield decoded record dicts from one Avro object-container file;
-    returns (schema_dict, iterator) via first yield of the schema."""
+def parse_avro_header(b: bytes):
+    """Header-only parse of an Avro object container: (schema_dict,
+    codec, reader positioned at the first data block, sync_marker).
+    The schema lives entirely in the file metadata map, so it is
+    available even for zero-record containers (ADVICE r9)."""
     if b[:4] != _MAGIC:
         raise ValueError("not an Avro object container")
     r = _Reader(b, 4)
@@ -142,6 +144,15 @@ def iter_avro_records(b: bytes):
         raise UnsupportedMediaError(f"Avro codec {codec!r} unsupported")
     schema = json.loads(meta["avro.schema"])
     sync = r.raw(16)
+    return schema, codec, r, sync
+
+
+def iter_avro_records(b: bytes):
+    """Yield (schema_dict, record_dict) pairs, one per decoded record,
+    from one Avro object-container file (the schema is repeated on
+    every yield so callers can consume it without a separate header
+    pass; use :func:`parse_avro_header` for schema-only access)."""
+    schema, codec, r, sync = parse_avro_header(b)
     while r.i < len(b):
         n_rec = r.long()
         size = r.long()
@@ -194,11 +205,9 @@ def read_avro(spark: SparkSession, path: str) -> DataFrame:
         .select("content").limit(1).collect()
     if not first:
         raise ValueError(f"no Avro files under {path}")
-    gen = iter_avro_records(bytes(first[0]["content"]))
-    try:
-        schema_json, _ = next(gen)
-    except StopIteration:
-        raise ValueError("empty Avro container")
+    # schema from the file METADATA (not the first record) so a valid
+    # zero-record container reads as an empty DataFrame (ADVICE r9)
+    schema_json, _, _, _ = parse_avro_header(bytes(first[0]["content"]))
     if schema_json.get("type") != "record":
         raise ValueError("top-level Avro schema must be a record")
     fields = schema_json["fields"]

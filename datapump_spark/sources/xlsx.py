@@ -85,11 +85,20 @@ def iter_xlsx_cells(b: bytes, sheet: str | None = None):
         if sheet is not None and name != sheet:
             continue
         root = ET.fromstring(zf.read(member))
+        # ECMA-376 makes the r attribute on <row> and <c> OPTIONAL —
+        # position is implied sequentially (previous row + 1, previous
+        # cell's column + 1). Defaulting missing refs used to collapse
+        # every cell onto row -1 / column 0 (ADVICE r9).
+        last_row = -1
         for row in root.iter(_MAIN + "row"):
-            r = int(row.get("r", "0")) - 1
+            rattr = row.get("r")
+            r = int(rattr) - 1 if rattr else last_row + 1
+            last_row = r
+            next_col = 0
             for c in row.iter(_MAIN + "c"):
-                ref = c.get("r", "A")
-                col = _col_index(ref)
+                ref = c.get("r")
+                col = _col_index(ref) if ref else next_col
+                next_col = col + 1
                 typ = c.get("t", "n")
                 v = c.find(_MAIN + "v")
                 if typ == "inlineStr":

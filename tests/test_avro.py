@@ -71,3 +71,23 @@ def test_read_avro_typed(spark, tmp_path):
     assert rows[2 ** 40]["counts"] == {}
     with pytest.raises(Exception):      # missing path: Spark analysis
         read_avro(spark, str(tmp_path / "empty_missing"))
+
+
+def test_empty_container_reads_as_empty_dataframe(spark, tmp_path):
+    """ADVICE r9: the schema lives in the file METADATA map, so a
+    valid zero-record container is an empty typed DataFrame, not an
+    'empty Avro container' error."""
+    d = tmp_path / "avro"
+    d.mkdir()
+    (d / "empty.avro").write_bytes(encode_avro(SCHEMA, [], "null"))
+    df = read_avro(spark, str(d))
+    assert df.count() == 0
+    assert df.columns == [f["name"] for f in SCHEMA["fields"]]
+
+
+def test_parse_avro_header_schema_only():
+    from datapump_spark.sources.avro import parse_avro_header
+    for codec in ("null", "deflate"):
+        schema, got_codec, _, _ = parse_avro_header(
+            encode_avro(SCHEMA, [], codec))
+        assert schema == SCHEMA and got_codec == codec

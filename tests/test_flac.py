@@ -151,3 +151,20 @@ def test_decode_audio_route_and_spectral_features():
     assert sr == 8000 and f.shape == (8000, 1)
     spec = np.abs(np.fft.rfft(f[:, 0] * np.hanning(8000)))
     assert int(np.argmax(spec[1:]) + 1) == 440
+
+
+def test_reserved_frame_header_codes_raise():
+    """ADVICE r9: sample-rate code 15 is spec-INVALID and bit-depth
+    code 3 is reserved — both must reject the frame, not fall through
+    to STREAMINFO defaults and decode garbage."""
+    x = np.zeros(100, np.int16)
+    b = encode_flac(x, 8000)
+    frame_at = 4 + 4 + 34                # fLaC + STREAMINFO
+    sr15 = bytearray(b)
+    sr15[frame_at + 2] |= 0x0F           # sample-rate code -> 15
+    with pytest.raises(ValueError, match="sample-rate code 15"):
+        decode_flac(bytes(sr15))
+    bd3 = bytearray(b)
+    bd3[frame_at + 3] = (bd3[frame_at + 3] & ~0x0E) | (3 << 1)
+    with pytest.raises(ValueError, match="reserved FLAC bit-depth"):
+        decode_flac(bytes(bd3))

@@ -66,3 +66,16 @@ def test_zero_python_plan(spark):
     plan = parse_subtitles(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "mapInPandas" not in plan.lower()
+
+
+def test_hours_beyond_two_digits(spark):
+    """ADVICE r9: WebVTT allows 2+ digit hours (>99h transcripts
+    exist); '100:00:00.000' used to match a SHIFTED substring that
+    silently dropped the leading hour digit."""
+    text = ("WEBVTT\n\n100:00:00.000 --> 100:00:01.500\nlate cue\n\n"
+            "1000:02:03.004 --> 1000:02:04.000\nlater still\n")
+    rows = _parse(spark, text)
+    assert len(rows) == 2
+    assert rows[0]["start_ms"] == 100 * 3_600_000
+    assert rows[0]["end_ms"] == 100 * 3_600_000 + 1500
+    assert rows[1]["start_ms"] == (1000 * 3600 + 2 * 60 + 3) * 1000 + 4

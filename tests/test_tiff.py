@@ -144,3 +144,29 @@ def test_sniffer_and_decode_image_route(spark):
         row = sniff_media(df, strategy=st).collect()[0]
         assert (row["format"], row["kind"]) == ("tiff", "image"), st
     assert sniff_media(df, strategy="pandas").collect()[0]["width"] == 9
+
+
+def test_packbits_literal_run_at_eof_is_well_formed():
+    """ADVICE r9: a buffer ending mid-literal used to emit a count
+    byte declaring one more literal byte than was written (encode
+    (b'ab') -> 02 61 62, claiming 3); spec-strict PackBits decoders
+    (libtiff/PIL) reject such strips. Walk every strip strictly."""
+    for payload in (b"ab", b"a", b"abc" + bytes(range(130)), b"aaab",
+                    b"abab", b"xy" * 64 + b"z", b"aaa" + b"bc"):
+        enc = _packbits_encode(payload)
+        out = bytearray()
+        i = 0
+        while i < len(enc):
+            n = enc[i]
+            i += 1
+            if n < 128:                  # literal: n+1 bytes MUST exist
+                assert i + n + 1 <= len(enc), (payload, "declared "
+                                               "literal overruns strip")
+                out += enc[i:i + n + 1]
+                i += n + 1
+            elif n > 128:                # repeat of 257-n
+                assert i < len(enc), (payload, "repeat byte missing")
+                out += bytes([enc[i]]) * (257 - n)
+                i += 1
+        assert bytes(out) == payload, payload
+        assert _packbits_decode(enc) == payload, payload

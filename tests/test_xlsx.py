@@ -85,3 +85,36 @@ def test_read_xlsx_multiple_files_union(spark, tmp_path):
     (d / "b.xlsx").write_bytes(encode_xlsx([["k", "v"], [2, "y"]]))
     got = {(r["k"], r["v"]) for r in read_xlsx(spark, str(d)).collect()}
     assert got == {("1", "x"), ("2", "y")}
+
+
+def _workbook_without_refs() -> bytes:
+    """A minimal SpreadsheetML workbook whose <row>/<c> elements omit
+    the optional r attribute (position implied sequentially) — the
+    layout some producers emit."""
+    ns = ('xmlns="http://schemas.openxmlformats.org/'
+          'spreadsheetml/2006/main"')
+    wb = (f'<workbook {ns}><sheets><sheet name="S" sheetId="1"/>'
+          '</sheets></workbook>')
+    sheet = (
+        f'<worksheet {ns}><sheetData>'
+        '<row><c t="inlineStr"><is><t>a</t></is></c><c><v>1</v></c></row>'
+        '<row r="4"><c r="B4"><v>2</v></c><c><v>3</v></c></row>'
+        '<row><c><v>4</v></c></row>'
+        '</sheetData></worksheet>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        z.writestr("xl/workbook.xml", wb)
+        z.writestr("xl/worksheets/sheet1.xml", sheet)
+    return buf.getvalue()
+
+
+def test_implied_row_and_cell_positions():
+    """ADVICE r9: ECMA-376 makes r optional on <row> and <c>; missing
+    refs used to collapse every cell onto row -1 / column 0. Implied
+    semantics: previous row + 1; previous cell's column + 1 (explicit
+    refs re-anchor both counters)."""
+    grid = {(r, c): v for _, r, c, v, _ in
+            iter_xlsx_cells(_workbook_without_refs())}
+    assert grid == {(0, 0): "a", (0, 1): "1",   # implied row 0, cols 0,1
+                    (3, 1): "2", (3, 2): "3",   # explicit B4, implied C4
+                    (4, 0): "4"}                # implied row 4 after r=4
