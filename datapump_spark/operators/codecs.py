@@ -605,10 +605,11 @@ def decode_image(b: bytes) -> np.ndarray:
 
 def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes: WAV (PCM / IMA-ADPCM) via decode_wav,
-    FLAC (r9, operators/flac.py) decoded losslessly then normalized —
-    both return (samples float64 in [-1, 1], shape (n, channels);
-    sample_rate), so audio features and near-dedup admit FLAC
-    transparently."""
+    FLAC (r9, operators/flac.py) decoded losslessly then normalized,
+    MP3 (r10, operators/mp3.py — MPEG-1 Layer III, ID3v2 skipped) —
+    all return (samples float64 in [-1, 1], shape (n, channels);
+    sample_rate), so audio features and near-dedup admit every
+    decodable format transparently."""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return decode_wav(b)
     if b[:4] == b"fLaC":
@@ -616,4 +617,11 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
 
         samples, sr, bps = decode_flac(b)
         return samples.astype(np.float64) / (1 << (bps - 1)), sr
+    if b[:3] == b"ID3" or (len(b) > 4 and b[0] == 0xFF
+                           and (b[1] & 0xE6) == 0xE2):
+        # MPEG audio sync with layer III bits (incl. LSF versions,
+        # which decode_mp3 refuses honestly)
+        from datapump_spark.operators.mp3 import decode_mp3
+
+        return decode_mp3(b)
     raise ValueError("unrecognized audio payload")

@@ -1,0 +1,324 @@
+"""MP3 (MPEG-1 Layer III) gates (operators/mp3.py, round 10): table
+validity, filterbank near-PR, encode/decode round trips across rates
+and channel modes, bit-reservoir handling, the decode-only paths the
+encoder twin never emits (linbits escapes, count1 table B, short
+blocks, MS stereo, scalefactor requantization), honest seams, and
+the decode_audio route."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+
+from datapump_spark.operators.codecs import UnsupportedMediaError, decode_audio
+from datapump_spark.operators import mp3
+from datapump_spark.operators.mp3 import decode_mp3, encode_mp3
+
+
+def _tone(freq, sr, secs=0.5, amp=0.5):
+    t = np.arange(int(sr * secs)) / sr
+    return amp * np.sin(2 * np.pi * freq * t)
+
+
+def _dominant(y, sr, skip=4096, n=8192):
+    seg = y[skip:skip + n]
+    spec = np.abs(np.fft.rfft(seg * np.hanning(len(seg))))
+    return np.fft.rfftfreq(len(seg), 1 / sr)[int(np.argmax(spec))]
+
+
+def _snr_db(y, x, search=3500, n=8000):
+    best = max(range(search), key=lambda d: float(np.dot(y[d:d + n], x[:n])))
+    s, r = y[best:best + n], x[:n]
+    g = float(np.dot(s, r) / np.dot(r, r))
+    err = s - g * r
+    return 10 * math.log10(float(np.dot(r, r)) * g * g
+                           / float(np.dot(err, err)))
+
+
+# ---------------------------------------------------------------------------
+# Tables and filterbank invariants
+# ---------------------------------------------------------------------------
+
+
+def test_all_huffman_tables_kraft_complete_and_prefix_free():
+    for code_id in sorted(set(mp3._CODE_OF.values())):
+        if mp3._TABLE_INFO[code_id][0] == 0:
+            continue                     # table 0 carries no codes
+        codes = mp3._pair_codes(code_id)  # _validate_prefix runs inside
+        n = mp3._TABLE_INFO[code_id][0] + 1
+        assert set(codes) == {(x, y) for x in range(n) for y in range(n)}
+        assert max(l for _, l in codes.values()) <= mp3._MAXLEN
+    for sel in (0, 1):
+        assert set(mp3._quad_codes(sel)) == set(range(16))
+
+
+def test_pqmf_round_trip_snr():
+    """Adjoint-constructed analysis/synthesis is near-PR: > 40 dB on
+    white noise at the 480-sample filterbank delay."""
+    x = np.random.default_rng(0).standard_normal(32 * 300)
+    y = mp3._synthesis(mp3._analysis(x))
+    s, r = y[480:480 + 6000], x[:6000]
+    g = float(np.dot(s, r) / np.dot(r, r))
+    err = s - g * r
+    snr = 10 * math.log10(float(np.dot(r, r)) * g * g
+                          / float(np.dot(err, err)))
+    assert snr > 40.0 and abs(g - 1.0) < 0.01, (snr, g)
+
+
+def test_mdct_adjoint_scale_is_exact():
+    """Forward scale 1/9 makes MDCT -> IMDCT+OLA identity (TDAC)."""
+    rng = np.random.default_rng(1)
+    s = rng.standard_normal(18 * 20)
+    G = 18
+    X = np.stack([mp3._MDCT_FWD_SCALE * (s[g * 18:g * 18 + 36]
+                                         @ mp3._WM36) for g in range(G)])
+    out = np.zeros(len(s))
+    for g in range(G):
+        out[g * 18:g * 18 + 36] += (mp3._M36 @ X[g]) * mp3._W_NORMAL
+    assert np.allclose(out[36:(G - 1) * 18], s[36:(G - 1) * 18], atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Round trips
+# ---------------------------------------------------------------------------
+
+
+def test_tone_round_trip_all_rates():
+    for sr in (44100, 48000, 32000):
+        x = _tone(440, sr)
+        out, got = decode_mp3(encode_mp3(x, sr))
+        assert got == sr and out.shape[1] == 1
+        assert abs(_dominant(out[:, 0], sr) - 440) < 10
+        assert _snr_db(out[:, 0], x) > 18
+
+
+def test_stereo_round_trip_keeps_channels_apart():
+    sr = 44100
+    x = np.stack([_tone(440, sr), _tone(1000, sr, amp=0.4)], 1)
+    out, got = decode_mp3(encode_mp3(x, sr))
+    assert got == sr and out.shape[1] == 2
+    assert abs(_dominant(out[:, 0], sr) - 440) < 10
+    assert abs(_dominant(out[:, 1], sr) - 1000) < 10
+
+
+def test_noise_and_int16_round_trip():
+    rng = np.random.default_rng(2)
+    x = 0.3 * rng.standard_normal(44100 // 2)
+    assert _snr_db(decode_mp3(encode_mp3(x, 44100))[0][:, 0], x) > 12
+    xi = (_tone(440, 44100) * 32767).astype(np.int16)
+    out, _ = decode_mp3(encode_mp3(xi, 44100))
+    assert abs(_dominant(out[:, 0], 44100) - 440) < 10
+
+
+def test_id3_tag_skipped_and_silence():
+    b = encode_mp3(_tone(440, 44100, 0.1), 44100)
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 + b
+    out, sr = decode_mp3(tagged)
+    assert sr == 44100 and len(out)
+    out, _ = decode_mp3(encode_mp3(np.zeros(500), 44100))
+    assert np.max(np.abs(out)) < 1e-6
+
+
+def test_bit_reservoir_reconstruction():
+    """Move the head of frame 2's main data into frame 1's padding and
+    set main_data_begin accordingly: decode must be IDENTICAL — this
+    is the reservoir path our no-reservoir encoder never emits."""
+    sr = 44100
+    b = bytearray(encode_mp3(_tone(300, sr, 0.2, amp=0.05), sr))
+    # locate frames (encoder emits VBR frames back to back)
+    frames = []
+    i = 0
+    while i < len(b) - 4:
+        h = mp3._parse_header(bytes(b), i)
+        assert h is not None
+        frames.append((i, h["frame_len"]))
+        i += h["frame_len"]
+    assert len(frames) >= 3
+    (o1, l1), (o2, l2) = frames[1], frames[2]
+    si_len = 17
+    main2_at = o2 + 4 + si_len
+    J = 8
+    # frame 1 must end in >= J zero-pad bytes for the move to be legal
+    assert bytes(b[o1 + l1 - J:o1 + l1]) == b"\x00" * J
+    moved = bytes(b[main2_at:main2_at + J])
+    b[o1 + l1 - J:o1 + l1] = moved
+    b[main2_at:o2 + l2 - J] = b[main2_at + J:o2 + l2]
+    b[o2 + l2 - J:o2 + l2] = b"\x00" * J
+    # main_data_begin = J: first 9 bits of frame 2's side info
+    b[o2 + 4] = J >> 1
+    b[o2 + 5] = ((J & 1) << 7) | (b[o2 + 5] & 0x7F)
+    ref, _ = decode_mp3(encode_mp3(_tone(300, sr, 0.2, amp=0.05), sr))
+    got, _ = decode_mp3(bytes(b))
+    assert np.allclose(got, ref, atol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# Decode-only paths (hand-built granules)
+# ---------------------------------------------------------------------------
+
+
+def _build_frame(granule_bits: str, *, table=16, big_values, count1table=1,
+                 global_gain=210, scalefac_compress=0, sr_idx=0):
+    """Wrap hand-written granule main data (bit string) in a valid
+    mono frame; granule 1 is empty (part2_3_length 0)."""
+    bw = mp3._BW()
+    bw.write(0, 9)                       # main_data_begin
+    bw.write(0, 5)
+    for _ in range(4):
+        bw.write(0, 1)                   # scfsi
+    for gr in range(2):
+        bw.write(len(granule_bits) if gr == 0 else 0, 12)
+        bw.write(big_values if gr == 0 else 0, 9)
+        bw.write(global_gain, 8)
+        bw.write(scalefac_compress, 4)
+        bw.write(0, 1)                   # no window switching
+        for _ in range(3):
+            bw.write(table, 5)
+        bw.write(7, 4)
+        bw.write(7, 3)
+        bw.write(0, 1)                   # preflag
+        bw.write(0, 1)                   # scalefac_scale
+        bw.write(count1table, 1)
+    si = bw.bytes_padded()
+    assert len(si) == 17
+    mw = mp3._BW()
+    for bit in granule_bits:
+        mw.write(int(bit), 1)
+    main = mw.bytes_padded()
+    need = 4 + 17 + len(main)
+    br_idx = next(i for i in range(1, 15)
+                  if 144000 * mp3._BITRATE[i] // 44100 >= need)
+    flen = 144000 * mp3._BITRATE[br_idx] // 44100
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | (sr_idx << 2), 3 << 6])
+    return hdr + si + main + b"\x00" * (flen - need)
+
+
+def _code_bits(codes, sym):
+    c, l = codes[sym]
+    return format(c, "b").zfill(l)
+
+
+def test_linbits_escape_and_count1_table_b():
+    """A value of 15+esc through table 24's linbits-4 escape, signs,
+    and a count1 quad through fixed table B — none of which the
+    encoder twin emits."""
+    codes = mp3._pair_codes(24)
+    bits = _code_bits(codes, (15, 0)) + "0110" + "1"   # x=15+6=21, neg
+    bits += _code_bits(codes, (2, 3)) + "0" + "1"      # (2, -3)
+    # count1 table B: fixed 4-bit ~v code; v=0b1010 -> (1,0,1,0)
+    bits += format((~0b1010) & 0xF, "b").zfill(4) + "0" + "1"
+    frame = _build_frame(bits, table=24, big_values=2, count1table=1)
+    out, sr = decode_mp3(frame)
+    assert sr == 44100 and np.isfinite(out).all()
+    # reconstruct the expected spectrum through the public requantizer
+    xs = np.zeros(576)
+    xs[:8] = [-21, 0, 2, -3, 1, 0, -1, 0]
+    g = {"window_switching": 0, "block_type": 0, "mixed": 0,
+         "scalefac_scale": 0, "global_gain": 210, "preflag": 0,
+         "subblock_gain": [0, 0, 0]}
+    xr = mp3._requantize(xs, g, 44100, [0] * 22, [[0] * 3] * 13)
+    assert xr[0] == pytest.approx(-(21 ** (4 / 3)))
+    assert xr[3] == pytest.approx(-(3 ** (4 / 3)))
+
+
+def test_scalefactor_requantization_paths():
+    """scalefac_scale, preflag/pretab and subblock gain all change the
+    requantized magnitude exactly as the spec formula says."""
+    xs = np.zeros(576)
+    xs[100] = 2.0                        # sfb 13 at 44.1 kHz long
+    base = {"window_switching": 0, "block_type": 0, "mixed": 0,
+            "global_gain": 210, "preflag": 0, "scalefac_scale": 0,
+            "subblock_gain": [0, 0, 0]}
+    sf = [0] * 22
+    ref = mp3._requantize(xs, base, 44100, sf, [[0] * 3] * 13)[100]
+    sf9 = list(sf)
+    sf9[13] = 2
+    halfstep = mp3._requantize(xs, base, 44100, sf9, [[0] * 3] * 13)[100]
+    assert halfstep == pytest.approx(ref * 2.0 ** -1.0)   # 0.5 * 2
+    full = dict(base, scalefac_scale=1)
+    fullstep = mp3._requantize(xs, full, 44100, sf9, [[0] * 3] * 13)[100]
+    assert fullstep == pytest.approx(ref * 2.0 ** -2.0)
+    pre = dict(base, preflag=1)
+    xs2 = np.zeros(576)
+    xs2[450] = 2.0                       # sfb 21 at 44.1 kHz: pretab 2?
+    got = mp3._requantize(xs2, pre, 44100, sf, [[0] * 3] * 13)[450]
+    want = mp3._requantize(xs2, base, 44100, sf, [[0] * 3] * 13)[450]
+    sfb = next(s for s in range(22)
+               if mp3._SFB_LONG[44100][s] <= 450 < mp3._SFB_LONG[44100][s + 1])
+    assert got == pytest.approx(want * 2.0 ** (-0.5 * mp3._PRETAB[sfb]))
+
+
+def test_short_block_reorder_is_permutation_and_imdct_runs():
+    for mixed in (False, True):
+        _, _, _, perm = mp3._line_maps(44100, True, mixed)
+        assert sorted(perm) == list(range(576))
+    g = {"window_switching": 1, "block_type": 2, "mixed": 0,
+         "global_gain": 220, "preflag": 0, "scalefac_scale": 0,
+         "subblock_gain": [0, 1, 2]}
+    xs = np.zeros(576)
+    xs[:60] = 3.0
+    xr = mp3._requantize(xs, g, 44100, [0] * 22, [[0] * 3] * 13)
+    assert np.isfinite(xr).all() and (np.abs(xr) > 0).sum() == 60
+    out = mp3._imdct_short(xr[:18])
+    assert out.shape == (36,) and np.isfinite(out).all()
+
+
+def test_ms_stereo_matrix_inverts():
+    sr = 44100
+    hdr = {"mode": 1, "mode_ext": 0x2}
+    L = np.linspace(1, 2, 576)
+    R = np.linspace(-1, 1, 576)
+    m = (L + R) / math.sqrt(2)
+    s = (L - R) / math.sqrt(2)
+    g_r = {"window_switching": 0, "block_type": 0, "mixed": 0}
+    mp3._stereo(m, s, 576, g_r, hdr, [0] * 22, [[0] * 3] * 13, sr)
+    assert np.allclose(m, L) and np.allclose(s, R)
+
+
+def test_intensity_stereo_long():
+    sr = 44100
+    hdr = {"mode": 1, "mode_ext": 0x1}
+    xl = np.zeros(576)
+    xl[540:576] = 1.0                    # inside sfb 21 (418..576)
+    xr = np.zeros(576)
+    sf_r = [0] * 22
+    sf_r[21] = 3                         # is_pos 3 for the last sfb
+    g_r = {"window_switching": 0, "block_type": 0, "mixed": 0}
+    mp3._stereo(xl, xr, 418, g_r, hdr, sf_r, [[0] * 3] * 13, sr)
+    ratio = math.tan(3 * math.pi / 12)
+    assert xl[540] == pytest.approx(ratio / (1 + ratio))
+    assert xr[540] == pytest.approx(1 / (1 + ratio))
+
+
+# ---------------------------------------------------------------------------
+# Seams + dispatch
+# ---------------------------------------------------------------------------
+
+
+def test_honest_seams():
+    with pytest.raises(ValueError, match="no MPEG-1 Layer III"):
+        decode_mp3(b"\x00" * 64)
+    b = bytearray(encode_mp3(_tone(440, 44100, 0.1), 44100))
+    lsf = bytearray(b)
+    lsf[1] = 0xF3                        # version MPEG-2, layer III
+    with pytest.raises(UnsupportedMediaError, match="LSF"):
+        decode_mp3(bytes(lsf))
+    free = bytearray(b)
+    free[2] = free[2] & 0x0F             # bitrate index 0 = free format
+    with pytest.raises(UnsupportedMediaError, match="free-format"):
+        decode_mp3(bytes(free))
+    with pytest.raises(UnsupportedMediaError, match="kHz"):
+        encode_mp3(np.zeros(100), 8000)
+
+
+def test_decode_audio_routes_mp3():
+    x = _tone(440, 44100)
+    f, sr = decode_audio(encode_mp3(x, 44100))
+    assert sr == 44100 and f.shape[1] == 1
+    assert abs(_dominant(f[:, 0], sr) - 440) < 10
+    tagged = b"ID3\x04\x00\x00\x00\x00\x00\x0a" + b"\x00" * 10 \
+        + encode_mp3(x, 44100)
+    f2, sr2 = decode_audio(tagged)
+    assert sr2 == 44100 and len(f2)
