@@ -791,16 +791,22 @@ def decode_mp3(b: bytes):
                 g = si["granules"][gr][ch]
                 xr = _alias_reduce(xrs[ch], g)
                 short = g["window_switching"] and g["block_type"] == 2
-                sub = np.empty((32, 18))
-                for sb in range(32):
-                    X = xr[18 * sb:18 * sb + 18]
-                    if short and not (g["mixed"] and sb < 2):
-                        t = _imdct_short(X)
-                    else:
-                        bt = g["block_type"] if not short else 0
-                        t = _imdct_long(X, bt)
-                    sub[sb] = t[:18] + overlap[ch, sb]
-                    overlap[ch, sb] = t[18:]
+                if not short:             # hot path: one matmul for all
+                    t32 = ((_M36 @ xr.reshape(32, 18).T)
+                           * _WINDOWS[g["block_type"]][:, None])
+                    sub = t32[:18].T + overlap[ch]
+                    overlap[ch] = t32[18:].T
+                    sub = np.ascontiguousarray(sub)
+                else:
+                    sub = np.empty((32, 18))
+                    for sb in range(32):
+                        X = xr[18 * sb:18 * sb + 18]
+                        if g["mixed"] and sb < 2:
+                            t = _imdct_long(X, 0)
+                        else:
+                            t = _imdct_short(X)
+                        sub[sb] = t[:18] + overlap[ch, sb]
+                        overlap[ch, sb] = t[18:]
                 # frequency inversion: odd subbands, odd time samples
                 sub[1::2, 1::2] *= -1.0
                 synth_slots[ch].append(sub.T)   # (18 slots, 32 bands)

@@ -80,7 +80,9 @@ def _real_features(payload: bytes) -> list[float]:
     from datapump_spark.operators import codecs
 
     if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
-            or payload[:4] == b"fLaC":
+            or payload[:4] == b"fLaC" or payload[:3] == b"ID3" \
+            or (len(payload) > 4 and payload[0] == 0xFF
+                and (payload[1] & 0xE6) == 0xE2):
         s, sr = codecs.decode_audio(payload)
         mono = s.mean(axis=1)
         zcr = float(np.mean(np.signbit(mono[1:]) != np.signbit(mono[:-1]))) \

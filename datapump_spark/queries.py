@@ -1485,40 +1485,61 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     after 0-dp rounding and the oracle recomputes it from doc_id
     arithmetic alone — a lossy-looking DSP pipeline facing an exact
     value hash (the q_jpeg_decode trick, in the frequency domain).
-    Round 8: doc_id % 16 == 0 encodes as IMA-ADPCM (block_align=16 →
-    25 samples/block divides the 8000 exactly, so n_frames is
-    unpadded); the 4-bit quantization noise is broadband and tens of
-    dB below the tone, so the dominant bin is unmoved. Round 9:
-    doc_id % 32 == 8 encodes as FLAC (operators/flac.py, LOSSLESS —
-    the int16-quantized tone decodes bit-exactly, so the bin is
-    untouched by construction) — one hash gate, three codecs."""
+    Round 10 rotation (mod 64 over the doc_id % 16 == 0 sample —
+    sampling halved per the round-9 verdict's perf target):
+      0 → IMA-ADPCM WAV, 0.5 s (block_align=16 → 25 samples/block
+          divides 4000 exactly; 4-bit noise is broadband, tens of dB
+          below the tone; 2 Hz bins, every tone frequency even);
+     16 → FLAC, 0.25 s (LOSSLESS: n = 2000, 4 Hz bins, every tone
+          frequency is a multiple of 4 so the bin stays exact);
+     32 → MP3, 0.25 s at 32 kHz (operators/mp3.py — decoded length is
+          a fixed 7 frames = 8064 samples, bin width 250/63 Hz, and
+          the MP3-arm frequency grid is multiples of 250, so the
+          dominant bin is STILL exactly integral despite lossy
+          coding and codec delay);
+     48 → PCM WAV, 1 s.
+    One hash gate, four codecs."""
     import pandas as pd
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
 
-    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 0) \
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0) \
         .select(F.col("doc_id").alias("media_id")) \
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(16)
 
     def build(batches):
+        from functools import lru_cache
+
         import numpy as np
 
         from datapump_spark.operators import codecs
         sr = 8000
         t = np.arange(sr) / sr
+
+        @lru_cache(maxsize=16)
+        def mp3_payload(f: int) -> bytes:
+            # only 8 distinct MP3 frequencies: cache the encode, the
+            # gate's subject is the DECODE path
+            from datapump_spark.operators.mp3 import encode_mp3
+            t32 = np.arange(8000) / 32000.0
+            return encode_mp3(0.5 * np.sin(2 * np.pi * f * t32), 32000)
+
         for pdf in batches:
             ids = pdf["media_id"]
 
             def wav(doc_id: int) -> bytes:
+                rot = doc_id % 64
+                if rot == 32:                         # MP3 (r10)
+                    return mp3_payload(250 * (1 + (doc_id // 64) % 8))
                 f = 100 + (doc_id % 50) * 20          # bin-aligned
                 sig = 0.5 * np.sin(2 * np.pi * f * t)
-                if doc_id % 16 == 0:
-                    return codecs.encode_wav_adpcm(sig, sr,
+                if rot == 0:
+                    return codecs.encode_wav_adpcm(sig[:4000], sr,
                                                    block_align=16)
-                if doc_id % 32 == 8:                  # FLAC (r9)
+                if rot == 16:                         # FLAC (r9)
                     from datapump_spark.operators.flac import encode_flac
                     return encode_flac(
-                        (sig * 32767).astype(np.int16), sr)
+                        (sig[:2000] * 32767).astype(np.int16), sr)
                 return codecs.encode_wav(sig, sr)
 
             yield pd.DataFrame({"media_id": ids, "payload": ids.map(wav)})

@@ -48,6 +48,10 @@ def media_dir(tmp_path):
     (d / "m.flac").write_bytes(encode_flac(
         (0.3 * 32767 * np.sin(np.arange(800) / 9.0)).astype(np.int16),
         8000))
+    # MP3: decodes since round 10 (MPEG-1 Layer III -> features row)
+    from datapump_spark.operators.mp3 import encode_mp3
+    (d / "n.mp3").write_bytes(encode_mp3(
+        0.4 * np.sin(2 * np.pi * 500 * np.arange(8000) / 32000.0), 32000))
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -65,7 +69,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
                           "h.webp", "i.wav", "j.webp", "k.tiff",
-                          "l.webp", "m.flac"}
+                          "l.webp", "m.flac", "n.mp3"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
@@ -77,6 +81,8 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     assert feats["l.webp"]["features"][:4] == [9.0, 6.0, 4.0, 101.25]
     assert feats["i.wav"]["features"][1:3] == [1.0, 8000.0]
     assert feats["m.flac"]["features"][:3] == [800.0, 1.0, 8000.0]
+    # 7 decoded MPEG-1 frames = 8064 samples at the sniffed 32 kHz
+    assert feats["n.mp3"]["features"][:3] == [8064.0, 1.0, 32000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
     assert feats["a.png"]["sniffed_format"] == "png"
