@@ -3461,3 +3461,13 @@ SELECT event_id,
 FROM events
 ORDER BY event_id LIMIT 20000
 """
+
+
+# Round-10 rotation (see queries.DRIVER_PROMOTED_R10): the round-9
+# source/extraction flagships enter the driver record; the demoted
+# family twins keep the identical SQL gate in pytest +
+# scripts/check_oracle.py.
+for _k in ("q_xlsx_scan", "q_avro_scan", "q_subtitle_cues"):
+    ORACLES[_k] = EXTRA_ORACLES.pop(_k)
+for _k in ("q_anti_join", "q_weighted_mix", "q_sessionize"):
+    EXTRA_ORACLES[_k] = ORACLES.pop(_k)
