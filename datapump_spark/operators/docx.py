@@ -220,28 +220,47 @@ _ANY_SCHEMA = ("media_id long, text string, n_chars int, n_units int, "
                "kind string, flags array<string>")
 
 
-def document_text(df, on_error: str = "null", passthrough: tuple = ()):
+def document_text(df, on_error: str = "null", passthrough: tuple = (),
+                  passwords: dict[str, str] | None = None):
     """(media_id, text, n_chars, n_units, kind, flags[, passthrough…])
     over MIXED document payloads — per-payload magic dispatch between
     the PDF parser (operators/pdftext) and the office-XML parser here.
     ``n_units`` is pages for PDFs, paragraphs for office docs; ``kind``
-    is pdf / docx / odt. Error contract matches pdf_text."""
+    is pdf / docx / odt. Error contract matches pdf_text.
+
+    ``passwords`` (r10): per-source PDF password map — each key is a
+    path substring (exact path, directory, or source name), matched
+    longest-key-first against the payload's ``path`` passthrough
+    column; requires 'path' in ``passthrough``. Unmatched paths fall
+    back to the empty password (the permissions-only case)."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
         raise ValueError(f"on_error must be 'null' or 'raise': {on_error!r}")
+    if passwords and "path" not in passthrough:
+        raise ValueError("passwords= needs 'path' in passthrough")
+    pw_items = sorted((passwords or {}).items(),
+                      key=lambda kv: -len(kv[0]))
     schema = _ANY_SCHEMA + "".join(f", {c} string" for c in passthrough)
 
     def kernel(batches):
         from datapump_spark.operators.pdftext import extract_pdf_text
 
+        def pw_for(path) -> str:
+            for needle, pw in pw_items:
+                if needle in (path or ""):
+                    return pw
+            return ""
+
         for pdf_batch in batches:
+            paths = pdf_batch["path"] if pw_items \
+                else [None] * len(pdf_batch)
             texts, chars, units, kinds, flags = [], [], [], [], []
-            for payload in pdf_batch["payload"]:
+            for payload, path in zip(pdf_batch["payload"], paths):
                 pb = bytes(payload)
                 try:
                     if pb[:5] == b"%PDF-":
-                        t, n, fl = extract_pdf_text(pb)
+                        t, n, fl = extract_pdf_text(pb, pw_for(path))
                         kind = "pdf"
                     else:
                         t, n, fl = extract_docx_text(pb)

@@ -194,14 +194,22 @@ def _rc4(key: bytes, data: bytes) -> bytes:
     return bytes(out)
 
 
+def _pad_pw(pw: bytes) -> bytes:
+    """Algorithm 2 step a: pad/truncate a password to 32 bytes with
+    the standard padding string."""
+    return (pw + _PAD)[:32]
+
+
 def _std_file_key(owner: bytes, p: int, id0: bytes, r: int,
-                  n: int, meta_clear: bool = False) -> bytes:
-    """Algorithm 2 (empty user password): the file key (RC4 and
-    AESV2 share it; R4 with /EncryptMetadata false appends the
-    ffffffff sentinel)."""
+                  n: int, meta_clear: bool = False,
+                  padded_user: bytes = _PAD) -> bytes:
+    """Algorithm 2: the file key from the (padded) USER password (RC4
+    and AESV2 share it; R4 with /EncryptMetadata false appends the
+    ffffffff sentinel). Default = the empty-password padding."""
     import hashlib
     tail = b"\xff\xff\xff\xff" if (r >= 4 and meta_clear) else b""
-    h = hashlib.md5(_PAD + owner + (p & 0xFFFFFFFF).to_bytes(4, "little")
+    h = hashlib.md5(padded_user + owner
+                    + (p & 0xFFFFFFFF).to_bytes(4, "little")
                     + id0 + tail).digest()
     if r >= 3:
         for _ in range(50):
@@ -265,19 +273,57 @@ def _v5_file_key(pw: bytes, u_val: bytes, ue_val: bytes,
                            unpad=False)
 
 
-def _std_owner_value(r: int, n: int) -> bytes:
-    """Algorithm 3 with empty owner AND user passwords: the /O value."""
+def _v5_owner_key(pw: bytes, o_val: bytes, oe_val: bytes, u_val: bytes,
+                  r: int) -> bytes | None:
+    """Algorithm 2.A for the OWNER password (r10): the owner hash
+    salts /O with the full 48-byte /U value as extra user data; the
+    file key unwraps from /OE."""
+    from datapump_spark.operators.aes import aes_cbc_decrypt
+
+    if len(o_val) < 48 or len(oe_val) < 32 or len(u_val) < 48:
+        return None
+    if _hash_2b(pw, o_val[32:40], u_val[:48], r) != o_val[:32]:
+        return None
+    inter = _hash_2b(pw, o_val[40:48], u_val[:48], r)
+    return aes_cbc_decrypt(oe_val[:32], inter, iv=b"\x00" * 16,
+                           unpad=False)
+
+
+def _std_owner_key(r: int, n: int, owner_pw: bytes = b"",
+                   user_pw: bytes = b"") -> bytes:
+    """Algorithm 3 steps a-d: the RC4 key derived from the owner
+    password (falling back to the user password when absent)."""
     import hashlib
-    h = hashlib.md5(_PAD).digest()
+    h = hashlib.md5(_pad_pw(owner_pw or user_pw)).digest()
     if r >= 3:
         for _ in range(50):
             h = hashlib.md5(h).digest()
-    key = h[:n]
-    o = _rc4(key, _PAD)
+    return h[:n]
+
+
+def _std_owner_value(r: int, n: int, owner_pw: bytes = b"",
+                     user_pw: bytes = b"") -> bytes:
+    """Algorithm 3: the /O value (the padded user password encrypted
+    under the owner-derived RC4 key)."""
+    key = _std_owner_key(r, n, owner_pw, user_pw)
+    o = _rc4(key, _pad_pw(user_pw))
     if r >= 3:
         for i in range(1, 20):
             o = _rc4(bytes(kb ^ i for kb in key), o)
     return o
+
+
+def _std_user_pw_from_owner(r: int, n: int, owner_pw: bytes,
+                            o_val: bytes) -> bytes:
+    """Algorithm 7 steps a-b (r10): recover the PADDED user password
+    from /O with the owner password."""
+    key = _std_owner_key(r, n, owner_pw)
+    if r == 2:
+        return _rc4(key, o_val)
+    u = o_val
+    for i in range(19, -1, -1):
+        u = _rc4(bytes(kb ^ i for kb in key), u)
+    return u
 
 
 class _StdDecryptor:
@@ -342,14 +388,16 @@ def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
     return None
 
 
-def _try_standard_decrypt(b: bytes,
-                          objs: dict[int, bytes]) -> _StdDecryptor | None:
+def _try_standard_decrypt(b: bytes, objs: dict[int, bytes],
+                          password: bytes = b"") -> _StdDecryptor | None:
     """Resolve the /Encrypt dict; if it is the Standard handler with
     RC4 (V 1/2, R 2/3), AES-128 (V 4 / R 4 with /CFM /AESV2, r9) or
     AES-256 (V 5 / R 5-6 with /CFM /AESV3, r9 — the PDF 2.0 scheme,
-    SHA-2 family hash per Algorithm 2.B) and the EMPTY user password
-    validates against /U, return a decryptor — else None (stays
-    flagged 'encrypted')."""
+    SHA-2 family hash per Algorithm 2.B) and ``password`` validates —
+    tried as the USER password, then as the OWNER password (Algorithm
+    7 / the /OE unwrap, r10); the default empty string covers the
+    common permissions-only case — return a decryptor, else None
+    (stays flagged 'encrypted')."""
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", b)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
@@ -371,13 +419,21 @@ def _try_standard_decrypt(b: bytes,
         if not re.search(rb"/CFM\s*/AESV3\b", enc):
             return None
         uem = re.search(rb"/UE\s*", enc)
+        oem = re.search(rb"/OE\s*", enc)
         u_val = _parse_pdf_bytestring(enc, um.end())
         ue_val = _parse_pdf_bytestring(enc, uem.end()) if uem else None
         if u_val is None or ue_val is None:
             return None
-        key = _v5_file_key(b"", u_val, ue_val, r)
+        key = _v5_file_key(password, u_val, ue_val, r)
+        if key is None and oem is not None:
+            # owner-password path: /O salts with the /U value, the
+            # file key unwraps from /OE (r10)
+            o_val48 = _parse_pdf_bytestring(enc, om.end())
+            oe_val = _parse_pdf_bytestring(enc, oem.end())
+            if o_val48 is not None and oe_val is not None:
+                key = _v5_owner_key(password, o_val48, oe_val, u_val, r)
         if key is None:
-            return None                 # real user password required
+            return None                 # the real password differs
         return _StdDecryptor(key, v5=True)
     aes = False
     if v == 4 and r == 4:
@@ -399,12 +455,23 @@ def _try_standard_decrypt(b: bytes,
     if o_val is None or u_val is None or id0 is None:
         return None
     meta_clear = re.search(rb"/EncryptMetadata\s+false", enc) is not None
-    key = _std_file_key(o_val, p, id0, r, n, meta_clear)
-    want = _std_user_check(key, r, id0)
-    got = u_val[:16] if r >= 3 else u_val
-    if want[:len(got)] != got:
-        return None                     # real user password required
-    return _StdDecryptor(key, aes)
+
+    def _user_attempt(padded: bytes) -> _StdDecryptor | None:
+        key = _std_file_key(o_val, p, id0, r, n, meta_clear, padded)
+        want = _std_user_check(key, r, id0)
+        got = u_val[:16] if r >= 3 else u_val
+        if want[:len(got)] != got:
+            return None
+        return _StdDecryptor(key, aes)
+
+    dec = _user_attempt(_pad_pw(password))
+    if dec is None:
+        # owner-password path (Algorithm 7, r10): recover the padded
+        # user password from /O and retry — also covers files with a
+        # user password but an EMPTY owner password
+        dec = _user_attempt(_std_user_pw_from_owner(r, n, password,
+                                                    o_val))
+    return dec
 
 
 def _decrypt_streams_in_place(b: bytes, dec: _StdDecryptor) -> bytes:
@@ -867,14 +934,19 @@ def _content_text(content: bytes, fonts: dict | None = None) -> str:
     return "".join(out).rstrip("\n")
 
 
-def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
+def extract_pdf_text(b: bytes,
+                     password: str | bytes = "") -> tuple[str, int, list[str]]:
     """(text, n_pages, flags). Flags: 'encrypted', 'cid_font' (a Type0
     font with no usable ToUnicode CMap), 'cid_unmapped' (a CMap was
     present but some codes fell outside it), 'unsupported_filter' —
     present when part of the document is outside scope (the extracted
-    text covers what IS in scope)."""
+    text covers what IS in scope). ``password`` (r10) is tried as the
+    user then the owner password; the default empty string covers the
+    common permissions-only encryption."""
     if not b.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
+    if isinstance(password, str):
+        password = password.encode("latin-1", errors="replace")
     flags: set[str] = set()
 
     objs: dict[int, bytes] = {}
@@ -882,7 +954,7 @@ def extract_pdf_text(b: bytes) -> tuple[str, int, list[str]]:
         objs[int(m.group(1))] = m.group(3)
 
     if re.search(rb"/Encrypt\b", b):
-        dec = _try_standard_decrypt(b, objs)
+        dec = _try_standard_decrypt(b, objs, password)
         if dec is None:
             flags.add("encrypted")     # real password / AESV3: honest
         else:
@@ -1170,14 +1242,17 @@ def encode_objstm_pdf(text: str, filter_method: str = "flate") -> bytes:
     return bytes(out)
 
 
-def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
+def encode_encrypted_pdf(text: str, r: int = 3, user_pw: bytes = b"",
+                         owner_pw: bytes = b"") -> bytes:
     """Standard-security-handler PDF (empty user AND owner passwords —
     the common permissions-only case). R=2 → RC4 V1 40-bit, R=3 → RC4
     V2 128-bit, R=4 → AES-128-CBC via /CF /StdCF /CFM /AESV2 (round
     9), R=5/6 → AES-256 /AESV3 (PDF 2.0, round 9: /U //O carry the
     2.B hash + salts, /UE //OE wrap the random file key). Streams are
     encrypted per Algorithm 1/1.A; the extractor must validate the
-    empty password and decrypt."""
+    password and decrypt. ``user_pw`` / ``owner_pw`` (r10) produce
+    really-passworded fixtures; both default empty (the common
+    permissions-only case)."""
     if r not in (2, 3, 4, 5, 6):
         raise ValueError("r must be 2, 3, 4, 5 or 6")
     p = -44
@@ -1194,20 +1269,21 @@ def encode_encrypted_pdf(text: str, r: int = 3) -> bytes:
         vsalt, ksalt = b"uVALsalt", b"uKEYsalt"
         ovsalt, oksalt = b"oVALsalt", b"oKEYsalt"
         zero_iv = b"\x00" * 16
-        u_val = _hash_2b(b"", vsalt, b"", r) + vsalt + ksalt
+        u_val = _hash_2b(user_pw, vsalt, b"", r) + vsalt + ksalt
         ue_val = aes_cbc_encrypt_nopad(
-            key, _hash_2b(b"", ksalt, b"", r), zero_iv)
-        o_val = _hash_2b(b"", ovsalt, u_val, r) + ovsalt + oksalt
+            key, _hash_2b(user_pw, ksalt, b"", r), zero_iv)
+        o_val = _hash_2b(owner_pw, ovsalt, u_val, r) + ovsalt + oksalt
         oe_val = aes_cbc_encrypt_nopad(
-            key, _hash_2b(b"", oksalt, u_val, r), zero_iv)
+            key, _hash_2b(owner_pw, oksalt, u_val, r), zero_iv)
         perms = aes_encrypt_block(
             (p & 0xFFFFFFFF).to_bytes(4, "little")
             + b"\xff\xff\xff\xffTadbfixp", key)
         dec = _StdDecryptor(key, v5=True)
     else:
         n = 5 if r == 2 else 16
-        o_val = _std_owner_value(r, n)
-        key = _std_file_key(o_val, p, id0, r, n)
+        o_val = _std_owner_value(r, n, owner_pw, user_pw)
+        key = _std_file_key(o_val, p, id0, r, n,
+                            padded_user=_pad_pw(user_pw))
         u_val = _std_user_check(key, r, id0)
         if r >= 3:
             u_val = u_val + b"\x00" * 16  # U is 32 bytes; last 16 arbitrary
@@ -1263,13 +1339,16 @@ _PDF_SCHEMA = ("media_id long, text string, n_chars int, n_pages int, "
                "flags array<string>")
 
 
-def pdf_text(df, on_error: str = "null", passthrough: tuple = ()):
+def pdf_text(df, on_error: str = "null", passthrough: tuple = (),
+             password: str = ""):
     """(media_id, text, n_chars, n_pages, flags[, passthrough…]) via
     Arrow mapInPandas over (media_id, payload). Same error contract as
     the image kernels: ``'null'`` drops undecodable payloads to null
     text, ``'raise'`` propagates. ``passthrough`` names string columns
     copied through the kernel — callers that need provenance (path,
-    source) avoid a re-scan + shuffle join back onto the input."""
+    source) avoid a re-scan + shuffle join back onto the input.
+    ``password`` (r10) is tried per payload as user then owner
+    password; for per-source maps use document_text(passwords=...)."""
     import pandas as pd
 
     if on_error not in ("null", "raise"):
@@ -1281,7 +1360,8 @@ def pdf_text(df, on_error: str = "null", passthrough: tuple = ()):
             texts, chars, pages, flags = [], [], [], []
             for payload in pdf_batch["payload"]:
                 try:
-                    t, np_, fl = extract_pdf_text(bytes(payload))
+                    t, np_, fl = extract_pdf_text(bytes(payload),
+                                                  password)
                     texts.append(t)
                     chars.append(len(t))
                     pages.append(np_)

@@ -532,6 +532,7 @@ def document_corpus(
     benchmark: DataFrame | None = None,
     recipe: CorpusRecipe | None = None,
     glob: str = "*.{pdf,docx,odt}",
+    passwords: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Directory of documents → packed training sequences in ONE call —
     the document twin of :func:`web_corpus`: ``binaryFile`` scan
@@ -564,8 +565,11 @@ def document_corpus(
     )
     # provenance rides THROUGH the kernel: joining it back would plan a
     # second binaryFile scan plus a shuffle on the path hash
+    # passwords: per-source map (path substring -> password, r10) for
+    # user/owner-passworded PDFs in the tree
     extracted = document_text(files, on_error="null",
-                              passthrough=("path", "source"))
+                              passthrough=("path", "source"),
+                              passwords=passwords)
     # 'decrypted' is informational (empty-user-password RC4 was read in
     # full, r8) — every other flag marks content the parser could not
     # fully read and routes to quarantine

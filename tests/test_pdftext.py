@@ -513,3 +513,71 @@ def test_hash_2b_iteration_contract():
     # deterministic and salt-sensitive
     assert h6 == _hash_2b(b"", b"salt8888", b"", 6)
     assert h6 != _hash_2b(b"", b"salt9999", b"", 6)
+
+
+def test_user_passworded_pdfs_decrypt_with_password():
+    """r10 (VERDICT r9 #7): a caller-supplied password decrypts
+    user-passworded R3/R4/R6 fixtures exactly; the wrong password
+    still refuses."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    t = "classified line one\nclassified (line) two"
+    for r in (3, 4, 6):
+        raw = encode_encrypted_pdf(t, r=r, user_pw=b"s3cret",
+                                   owner_pw=b"b0ss")
+        text, pages, flags = extract_pdf_text(raw, password="s3cret")
+        assert text == t and pages == 1 and flags == ["decrypted"], r
+        text, _, flags = extract_pdf_text(raw)          # empty pw
+        assert "encrypted" in flags and "classified" not in text, r
+        text, _, flags = extract_pdf_text(raw, password="wrong")
+        assert "encrypted" in flags and "classified" not in text, r
+
+
+def test_owner_password_recovers_user_passworded_pdfs():
+    """Algorithm 7 (RC4/AES-128) and the /OE unwrap (AES-256): the
+    OWNER password alone reads a user-passworded file."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    t = "owner-readable body"
+    for r in (2, 3, 4, 6):
+        raw = encode_encrypted_pdf(t, r=r, user_pw=b"s3cret",
+                                   owner_pw=b"b0ss")
+        text, _, flags = extract_pdf_text(raw, password="b0ss")
+        assert text == t and flags == ["decrypted"], r
+
+
+def test_owner_only_password_still_opens_with_empty_password():
+    """A file with an owner password but an EMPTY user password is the
+    permissions-only case: it must keep decrypting with no password."""
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    for r in (3, 4, 6):
+        raw = encode_encrypted_pdf("open to all", r=r, user_pw=b"",
+                                   owner_pw=b"adminpw")
+        text, _, flags = extract_pdf_text(raw)
+        assert text == "open to all" and flags == ["decrypted"], r
+
+
+def test_document_text_per_source_password_map(spark):
+    """document_text(passwords=...): longest-substring path match
+    picks the password per payload; unmatched paths fall back to the
+    empty password."""
+    from datapump_spark.operators.docx import document_text
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    rows = [
+        (1, encode_encrypted_pdf("alpha body", r=4, user_pw=b"pwA"),
+         "/corp/hr/a.pdf"),
+        (2, encode_encrypted_pdf("beta body", r=6, user_pw=b"pwB"),
+         "/corp/legal/b.pdf"),
+        (3, encode_encrypted_pdf("gamma body", r=3), "/corp/pub/c.pdf"),
+        (4, encode_encrypted_pdf("delta body", r=4, user_pw=b"pwA"),
+         "/corp/other/d.pdf"),            # no map entry: stays flagged
+    ]
+    df = spark.createDataFrame(rows,
+                               "media_id long, payload binary, path string")
+    out = {r["media_id"]: r for r in document_text(
+        df, passthrough=("path",),
+        passwords={"/hr/": "pwA", "/legal/": "pwB"}).collect()}
+    assert out[1]["text"] == "alpha body" and out[1]["flags"] == ["decrypted"]
+    assert out[2]["text"] == "beta body" and out[2]["flags"] == ["decrypted"]
+    assert out[3]["text"] == "gamma body"       # empty-pw fallback
+    assert "encrypted" in out[4]["flags"]
+    with pytest.raises(ValueError, match="passthrough"):
+        document_text(df, passwords={"x": "y"})
