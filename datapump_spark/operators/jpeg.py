@@ -829,15 +829,20 @@ def encode_jpeg_progressive(img: np.ndarray, quality: int = 75,
 # --------------------------------------------------------------------------
 
 def decode_jpeg(b: bytes) -> np.ndarray:
-    """Decode a baseline (SOF0/1) or progressive (SOF2) JPEG to
-    (h, w, 3) RGB or (h, w, 1) grayscale uint8. Arithmetic-coded,
-    hierarchical and 12-bit streams raise UnsupportedMediaError."""
+    """Decode a baseline (SOF0/1), progressive (SOF2) or sequential
+    arithmetic-coded (SOF9, r10 — operators/jpeg_arith) JPEG to
+    (h, w, 3) RGB or (h, w, 1) grayscale uint8. Progressive
+    arithmetic, hierarchical and 12-bit streams raise
+    UnsupportedMediaError."""
     if b[:3] != b"\xff\xd8\xff":
         raise ValueError("not a JPEG")
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], dict] = {}
     frame = None
     progressive = False
+    arithmetic = False
+    dac_dc: dict[int, tuple[int, int]] = {}
+    dac_ac: dict[int, int] = {}
     planes = None                       # progressive: coefficient state
     restart_interval = 0
     i = 2
@@ -881,7 +886,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                     raise ValueError("truncated JPEG: incomplete DHT")
                 htabs[(tc, th)] = _build_decode_table(bits, vals)
                 j += 17 + n
-        elif marker in (0xC0, 0xC1, 0xC2):        # SOF0/1 baseline, SOF2 prog
+        elif marker in (0xC0, 0xC1, 0xC2, 0xC9):  # + SOF9 arith (r10)
             precision, fh, fw, nc = struct.unpack(">BHHB", seg[:6])
             if precision != 8:
                 raise UnsupportedMediaError(f"{precision}-bit JPEG")
@@ -892,10 +897,20 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                               "tq": tq})
             frame = (fh, fw, comps)
             progressive = marker == 0xC2
+            arithmetic = marker == 0xC9
         elif marker in (0xC3, 0xC5, 0xC6, 0xC7,
-                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise UnsupportedMediaError(
                 f"unsupported JPEG coding (SOF marker 0x{marker:02x})")
+        elif marker == 0xCC:                      # DAC (arith conditioning)
+            j = 0
+            while j + 1 < len(seg):
+                tc, tb = seg[j] >> 4, seg[j] & 0x0F
+                if tc == 0:               # DC: (U << 4) | L
+                    dac_dc[tb] = (seg[j + 1] & 0x0F, seg[j + 1] >> 4)
+                else:                     # AC: Kx
+                    dac_ac[tb] = seg[j + 1]
+                j += 2
         elif marker == 0xDD:                      # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                      # SOS
@@ -906,6 +921,15 @@ def decode_jpeg(b: bytes) -> np.ndarray:
             for c in range(ns):
                 cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
                 scan_sel.append((cs, tdta >> 4, tdta & 0x0F))
+            if arithmetic:                # SOF9 sequential (r10)
+                if restart_interval:
+                    raise UnsupportedMediaError(
+                        "restart markers in arithmetic scans")
+                from datapump_spark.operators.jpeg_arith import (
+                    decode_scan_arith,
+                )
+                return decode_scan_arith(b, i + 2 + seglen, frame,
+                                         scan_sel, qtabs, dac_dc, dac_ac)
             if not progressive:
                 return _decode_scan(b, i + 2 + seglen, frame, scan_sel,
                                     qtabs, htabs, restart_interval)

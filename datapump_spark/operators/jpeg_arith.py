@@ -1,0 +1,465 @@
+"""Arithmetic-coded JPEG (T.81 Annex E/F, round 10) — the last JPEG
+seam: sequential DCT with arithmetic entropy coding (SOF9), which was
+previously refused honestly.
+
+The structure follows the public spec: the adaptive binary QM-coder
+with the standard 113-state Qe estimation table plus the fixed
+non-adaptive state used for AC sign decisions; DC difference coding
+conditioned on the previous diff's (L, U) classification with a
+49-bin statistics area per table (bins 0-19: five conditioning
+classes x (zero, sign, SP, SN); 20-34: X1..X15 magnitude-category
+bins; 35-48: magnitude-bit bins); AC coefficients with per-k
+(SE, S0, SP/X1) bin triplets and the Kx split selecting the
+X2../M2.. areas at offsets 189/217 (245 bins per table); DAC
+conditioning markers; magnitude categories and bit patterns per
+Figures F.23-F.25. Statistics areas are PER TABLE (so Cb/Cr share
+the chroma table's adaptation, as real streams do) while the DC
+prediction and conditioning context stay per component. The DCT /
+dequantization / upsampling back half is shared with the Huffman
+decoder (operators/jpeg._reconstruct).
+
+Fidelity seams (honest, recorded in COVERAGE.md): the Qe state table
+is transcribed from the widely published T.81 Table D.3 (validated
+structurally at import); the QM coder pair here is built as exact
+mutual inverses (interval arithmetic with conditional MPS/LPS
+exchange) and uses Huffman-style 0xFF 0x00 byte stuffing —
+conformance against foreign arithmetic JPEGs cannot be exercised
+in-container (no arithmetic-capable libjpeg exists here), the same
+caveat as the VP8/MP3 entropy tables. Progressive arithmetic (SOF10),
+non-interleaved scans and restart markers inside arithmetic scans
+stay refused.
+
+Reference parity note: the reference has no image surface; charter
+extension (closes VERDICT r9 task #4).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+
+# ---------------------------------------------------------------------------
+# Qe probability-estimation state machine (T.81 Table D.3): each row is
+# (Qe, NMPS, NLPS, SWITCH).  The appended row is the fixed
+# half-probability state used for AC signs (self-looping, never adapts).
+# ---------------------------------------------------------------------------
+
+_QE = [
+    (0x5A1D, 1, 1, 1), (0x2586, 2, 14, 0), (0x1114, 3, 16, 0),
+    (0x080B, 4, 18, 0), (0x03D8, 5, 20, 0), (0x01DA, 6, 23, 0),
+    (0x00E5, 7, 25, 0), (0x006F, 8, 28, 0), (0x0036, 9, 30, 0),
+    (0x001A, 10, 33, 0), (0x000D, 11, 35, 0), (0x0006, 12, 9, 0),
+    (0x0003, 13, 10, 0), (0x0001, 13, 12, 0), (0x5A7F, 15, 15, 1),
+    (0x3F25, 16, 36, 0), (0x2CF2, 17, 38, 0), (0x207C, 18, 39, 0),
+    (0x17B9, 19, 40, 0), (0x1182, 20, 42, 0), (0x0CEF, 21, 43, 0),
+    (0x09A1, 22, 45, 0), (0x072F, 23, 46, 0), (0x055C, 24, 48, 0),
+    (0x0406, 25, 49, 0), (0x0303, 26, 51, 0), (0x0240, 27, 52, 0),
+    (0x01B1, 28, 54, 0), (0x0144, 29, 56, 0), (0x00F5, 30, 57, 0),
+    (0x00B7, 31, 59, 0), (0x008A, 32, 60, 0), (0x0068, 33, 62, 0),
+    (0x004E, 34, 63, 0), (0x003B, 35, 32, 0), (0x002C, 9, 33, 0),
+    (0x5AE1, 37, 37, 1), (0x484C, 38, 64, 0), (0x3A0D, 39, 65, 0),
+    (0x2EF1, 40, 67, 0), (0x261F, 41, 68, 0), (0x1F33, 42, 69, 0),
+    (0x19A8, 43, 70, 0), (0x1518, 44, 72, 0), (0x1177, 45, 73, 0),
+    (0x0E74, 46, 74, 0), (0x0BFB, 47, 75, 0), (0x09F8, 48, 77, 0),
+    (0x0861, 49, 78, 0), (0x0706, 50, 79, 0), (0x05CD, 51, 48, 0),
+    (0x04DE, 52, 50, 0), (0x040F, 53, 50, 0), (0x0363, 54, 51, 0),
+    (0x02D4, 55, 52, 0), (0x025C, 56, 53, 0), (0x01F8, 57, 54, 0),
+    (0x01A4, 58, 55, 0), (0x0160, 59, 56, 0), (0x0125, 60, 57, 0),
+    (0x00F6, 61, 58, 0), (0x00CB, 62, 59, 0), (0x00AB, 63, 61, 0),
+    (0x008F, 32, 61, 0), (0x5B12, 65, 65, 1), (0x4D04, 66, 80, 0),
+    (0x412C, 67, 81, 0), (0x37D8, 68, 82, 0), (0x2FE8, 69, 83, 0),
+    (0x293C, 70, 84, 0), (0x2379, 71, 86, 0), (0x1EDF, 72, 87, 0),
+    (0x1AA9, 73, 87, 0), (0x174E, 74, 72, 0), (0x1424, 75, 72, 0),
+    (0x119C, 76, 74, 0), (0x0F6B, 77, 74, 0), (0x0D51, 78, 75, 0),
+    (0x0BB6, 79, 77, 0), (0x0A40, 48, 80, 0), (0x5832, 81, 81, 1),
+    (0x4D1C, 82, 88, 0), (0x438E, 83, 89, 0), (0x3BDD, 84, 90, 0),
+    (0x34EE, 85, 91, 0), (0x2EAE, 86, 92, 0), (0x299A, 87, 93, 0),
+    (0x2516, 71, 86, 0), (0x5570, 89, 89, 1), (0x4CA9, 90, 95, 0),
+    (0x44D9, 91, 96, 0), (0x3E22, 92, 97, 0), (0x3824, 93, 99, 0),
+    (0x32B4, 94, 99, 0), (0x2E17, 86, 93, 0), (0x56A8, 96, 96, 1),
+    (0x4F46, 97, 101, 0), (0x47E5, 98, 102, 0), (0x41CF, 99, 103, 0),
+    (0x3C3D, 100, 104, 0), (0x375E, 93, 99, 0), (0x5231, 102, 105, 0),
+    (0x4C0F, 103, 106, 0), (0x4639, 104, 107, 0), (0x415E, 99, 103, 0),
+    (0x5627, 106, 105, 1), (0x50E7, 107, 108, 0), (0x4B85, 103, 109, 0),
+    (0x5597, 109, 110, 0), (0x504F, 107, 111, 0), (0x5A10, 111, 110, 1),
+    (0x5522, 109, 112, 0), (0x59EB, 111, 112, 1),
+    (0x5A1D, 113, 113, 0),               # fixed ~0.5 state (AC signs)
+]
+
+for _row in _QE:
+    assert 0 < _row[0] < 0x8000 and 0 <= _row[1] < len(_QE) \
+        and 0 <= _row[2] < len(_QE) and _row[3] in (0, 1)
+del _row
+
+_FIXED = len(_QE) - 1
+
+
+# ---------------------------------------------------------------------------
+# QM coder pair: the decoder is bit-oriented (A in (0x8000, 0x10000],
+# C the offset inside the current interval); the encoder is its exact
+# mirror, accumulating the code value in a big int and emitting with
+# 0xFF 0x00 stuffing at flush.
+# ---------------------------------------------------------------------------
+
+
+class _ArithDecoder:
+    __slots__ = ("b", "bitpos", "prev_ff", "A", "C", "ended")
+
+    def __init__(self, b: bytes, byte_pos: int):
+        self.b = b
+        self.bitpos = byte_pos * 8
+        self.prev_ff = False
+        self.ended = False
+        self.A = 0x10000
+        self.C = 0
+        for _ in range(16):
+            self.C = (self.C << 1) | self._bit()
+
+    def _bit(self) -> int:
+        if self.ended:
+            return 1                     # past the marker: feed 1s
+        byte_i, bit_i = divmod(self.bitpos, 8)
+        if byte_i >= len(self.b):
+            self.ended = True
+            return 1
+        byte = self.b[byte_i]
+        if bit_i == 0:
+            if self.prev_ff:
+                if byte != 0x00:         # a marker ends the scan
+                    self.ended = True
+                    return 1
+                self.bitpos += 8         # skip the stuffed zero
+                self.prev_ff = False
+                return self._bit()
+            self.prev_ff = byte == 0xFF
+        self.bitpos += 1
+        return (byte >> (7 - bit_i)) & 1
+
+    def decode(self, st: list) -> int:
+        """One binary decision; st = [state_index, mps] adapts in
+        place."""
+        qe, nmps, nlps, switch = _QE[st[0]]
+        self.A -= qe
+        if self.C >= qe:                 # upper subinterval (width A)
+            self.C -= qe
+            if self.A & 0x8000:
+                return st[1]
+            if self.A < qe:              # conditional exchange
+                d = 1 - st[1]
+                if switch:
+                    st[1] ^= 1
+                st[0] = nlps
+            else:
+                d = st[1]
+                st[0] = nmps
+        else:                            # lower subinterval (width qe)
+            if self.A < qe:              # conditional exchange
+                d = st[1]
+                st[0] = nmps
+            else:
+                d = 1 - st[1]
+                if switch:
+                    st[1] ^= 1
+                st[0] = nlps
+            self.A = qe
+        while self.A < 0x8000:
+            self.A <<= 1
+            self.C = (self.C << 1) | self._bit()
+        return d
+
+
+class _ArithEncoder:
+    __slots__ = ("A", "low", "nbits")
+
+    def __init__(self):
+        self.A = 0x10000
+        self.low = 0
+        self.nbits = 16                  # mirrors the decoder preload
+
+    def code(self, d: int, st: list):
+        qe, nmps, nlps, switch = _QE[st[0]]
+        self.A -= qe
+        if d == st[1]:                   # MPS
+            if self.A & 0x8000:
+                self.low += qe
+                return
+            if self.A < qe:              # exchange: MPS takes the lower
+                self.A = qe
+            else:
+                self.low += qe
+            st[0] = nmps
+        else:                            # LPS
+            if self.A < qe:              # exchange: LPS takes the upper
+                self.low += qe
+            else:
+                self.A = qe
+            if switch:
+                st[1] ^= 1
+            st[0] = nlps
+        while self.A < 0x8000:
+            self.A <<= 1
+            self.low <<= 1
+            self.nbits += 1
+
+    def flush(self) -> bytes:
+        # largest value in [low, low+A) whose 15 trailing bits are
+        # zero: the decoder's trailing fed-1s (< 0x8000 <= A) then
+        # stay inside the interval
+        v = (self.low + self.A - 1) & ~0x7FFF
+        total = self.nbits
+        pad = (-total) % 8
+        v <<= pad
+        total += pad
+        out = bytearray()
+        for i in range(total - 8, -1, -8):
+            byte = (v >> i) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+        return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Statistics areas and magnitude coding (Figures F.23-F.25)
+# ---------------------------------------------------------------------------
+
+
+def _new_stats(n: int) -> list:
+    return [[0, 0] for _ in range(n)]
+
+
+def _classify(m: int, sign: int, lo: int, hi: int) -> int:
+    """DC conditioning class for the NEXT block from this diff's
+    category top bit."""
+    if m < (1 << lo) >> 1:
+        return 0
+    if m > (1 << hi) >> 1:
+        return 12 + sign * 4
+    return 4 + sign * 4
+
+
+def _decode_v(dec, st_first, x_area, shared: bool):
+    """Magnitude: returns (v >= 1, category_top_bit m)."""
+    m = dec.decode(st_first)
+    sti = 0
+    if m:
+        if shared:                       # AC: SP doubles as X1
+            if dec.decode(st_first):
+                m = 2
+                while dec.decode(x_area[sti]):
+                    m <<= 1
+                    if m == 0x8000:
+                        raise ValueError("arith magnitude overflow")
+                    sti += 1
+        else:                            # DC: X1.. all in x_area
+            while dec.decode(x_area[sti]):
+                m <<= 1
+                if m == 0x8000:
+                    raise ValueError("arith magnitude overflow")
+                sti += 1
+    v = m
+    mm = m >> 1
+    while mm:
+        if dec.decode(x_area[sti + 14]):
+            v |= mm
+        mm >>= 1
+    return v + 1, m
+
+
+def _encode_v(enc, v: int, st_first, x_area, shared: bool) -> int:
+    """Mirror of _decode_v; returns the category top bit."""
+    if v == 1:
+        enc.code(0, st_first)
+        return 0
+    enc.code(1, st_first)
+    m = 1
+    while (m << 1) <= v - 1:
+        m <<= 1
+    sti = 0
+    if shared:
+        if m == 1:
+            enc.code(0, st_first)
+        else:
+            enc.code(1, st_first)
+            mm = 2
+            while mm < m:
+                enc.code(1, x_area[sti])
+                mm <<= 1
+                sti += 1
+            enc.code(0, x_area[sti])
+    else:
+        mm = 1
+        while mm < m:
+            enc.code(1, x_area[sti])
+            mm <<= 1
+            sti += 1
+        enc.code(0, x_area[sti])
+    rest = (v - 1) ^ m
+    mm = m >> 1
+    while mm:
+        enc.code(1 if rest & mm else 0, x_area[sti + 14])
+        mm >>= 1
+    return m
+
+
+# ---------------------------------------------------------------------------
+# Scan decode (sequential, SOF9)
+# ---------------------------------------------------------------------------
+
+
+def decode_scan_arith(b: bytes, pos: int, frame, scan_sel, qtabs,
+                      dc_cond, ac_cond) -> np.ndarray:
+    """Decode one interleaved sequential arithmetic scan; returns the
+    reconstructed image via jpeg._reconstruct."""
+    from datapump_spark.operators.jpeg import _reconstruct
+
+    fh, fw, comps = frame
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise UnsupportedMediaError("sampling beyond 2x2")
+    sel = {cs: (td, ta) for cs, td, ta in scan_sel}
+    if any(c["id"] not in sel for c in comps):
+        raise UnsupportedMediaError("non-interleaved arithmetic scan")
+    mcus_x = -(-fw // (8 * hmax))
+    mcus_y = -(-fh // (8 * vmax))
+    dc_stats = {td: _new_stats(49) for td, _ in sel.values()}
+    ac_stats = {ta: _new_stats(245) for _, ta in sel.values()}
+    dc_ctx = {c["id"]: 0 for c in comps}
+    last_dc = {c["id"]: 0 for c in comps}
+    planes = {c["id"]: np.zeros((mcus_y * c["v"], mcus_x * c["h"], 64),
+                                np.int32) for c in comps}
+    dec = _ArithDecoder(b, pos)
+    fixed = [_FIXED, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for c in comps:
+                cid = c["id"]
+                td, ta = sel[cid]
+                dlo, dhi = dc_cond.get(td, (0, 1))
+                kx = ac_cond.get(ta, 5)
+                st = dc_stats[td]
+                ast = ac_stats[ta]
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        zz = planes[cid][my * c["v"] + by,
+                                         mx * c["h"] + bx]
+                        s0 = dc_ctx[cid]
+                        if dec.decode(st[s0]):
+                            sign = dec.decode(st[s0 + 1])
+                            v, m = _decode_v(dec, st[s0 + 2 + sign],
+                                             st[20:], shared=False)
+                            dc_ctx[cid] = _classify(m, sign, dlo, dhi)
+                            last_dc[cid] += -v if sign else v
+                        else:
+                            dc_ctx[cid] = 0
+                        zz[0] = last_dc[cid]
+                        k = 1
+                        while k <= 63:
+                            if dec.decode(ast[3 * (k - 1)]):
+                                break    # EOB
+                            while dec.decode(ast[3 * (k - 1) + 1]) == 0:
+                                k += 1
+                                if k > 63:
+                                    raise ValueError("arith AC overflow")
+                            sign = dec.decode(fixed)
+                            x_area = ast[(189 if k <= kx else 217):]
+                            v, _ = _decode_v(dec, ast[3 * (k - 1) + 2],
+                                             x_area, shared=True)
+                            zz[k] = -v if sign else v
+                            k += 1
+    return _reconstruct(planes, comps, qtabs, fh, fw, hmax, vmax)
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin (SOF9 writer)
+# ---------------------------------------------------------------------------
+
+
+def encode_jpeg_arith(img: np.ndarray, quality: int = 75,
+                      subsampling: str = "444") -> bytes:
+    """Sequential arithmetic-coded JPEG writer (SOF9 + DAC carrying
+    the default L=0 U=1 Kx=5 conditioning) — the fixture twin that
+    exercises every decode path above."""
+    from datapump_spark.operators.jpeg import (
+        _component_coefs,
+        _frame_header_segments,
+    )
+
+    gray, h, w, samp, coef, qlum_zz, qchrom_zz = _component_coefs(
+        img, quality, subsampling)
+    ncomp = len(coef)
+    hmax = max(ch for ch, _ in samp)
+    vmax = max(cv for _, cv in samp)
+    mcus_x = -(-w // (8 * hmax))
+    mcus_y = -(-h // (8 * vmax))
+    tbl_of = [0] + [1] * (ncomp - 1)
+    dc_stats = {t: _new_stats(49) for t in set(tbl_of)}
+    ac_stats = {t: _new_stats(245) for t in set(tbl_of)}
+    dc_ctx = [0] * ncomp
+    last_dc = [0] * ncomp
+    enc = _ArithEncoder()
+    fixed = [_FIXED, 0]
+    for my in range(mcus_y):
+        for mx in range(mcus_x):
+            for ci in range(ncomp):
+                ch, cv = samp[ci]
+                st = dc_stats[tbl_of[ci]]
+                ast = ac_stats[tbl_of[ci]]
+                for by in range(cv):
+                    for bx in range(ch):
+                        zz = coef[ci][my * cv + by, mx * ch + bx]
+                        diff = int(zz[0]) - last_dc[ci]
+                        last_dc[ci] = int(zz[0])
+                        s0 = dc_ctx[ci]
+                        if diff == 0:
+                            enc.code(0, st[s0])
+                            dc_ctx[ci] = 0
+                        else:
+                            enc.code(1, st[s0])
+                            sign = 1 if diff < 0 else 0
+                            enc.code(sign, st[s0 + 1])
+                            m = _encode_v(enc, abs(diff),
+                                          st[s0 + 2 + sign], st[20:],
+                                          shared=False)
+                            dc_ctx[ci] = _classify(m, sign, 0, 1)
+                        nz = np.nonzero(zz[1:])[0]
+                        last_k = int(nz[-1]) + 1 if len(nz) else 0
+                        k = 1
+                        while k <= last_k:
+                            enc.code(0, ast[3 * (k - 1)])   # not EOB
+                            while zz[k] == 0:
+                                enc.code(0, ast[3 * (k - 1) + 1])
+                                k += 1
+                            enc.code(1, ast[3 * (k - 1) + 1])
+                            v = int(zz[k])
+                            enc.code(1 if v < 0 else 0, fixed)
+                            x_area = ast[(189 if k <= 5 else 217):]
+                            _encode_v(enc, abs(v), ast[3 * (k - 1) + 2],
+                                      x_area, shared=True)
+                            k += 1
+                        if last_k < 63:
+                            enc.code(1, ast[3 * last_k])    # EOB
+    data = enc.flush()
+
+    out = _frame_header_segments(gray, h, w, samp, qlum_zz, qchrom_zz,
+                                 b"\xff\xc9")
+    # DAC: conditioning for every table in use (defaults made explicit)
+    pairs = [(0, 0, 0x10), (1, 0, 5)]
+    if not gray:
+        pairs += [(0, 1, 0x10), (1, 1, 5)]
+    dac = bytearray()
+    for tc, tb, val in pairs:
+        dac += bytes([(tc << 4) | tb, val])
+    out += b"\xff\xcc" + struct.pack(">H", 2 + len(dac)) + dac
+    sos = bytearray([ncomp])
+    for ci in range(ncomp):
+        t = tbl_of[ci]
+        sos += bytes([ci + 1, (t << 4) | t])
+    sos += bytes([0, 63, 0])
+    out += b"\xff\xda" + struct.pack(">H", 2 + len(sos)) + sos
+    out += data + b"\xff\xd9"
+    return bytes(out)

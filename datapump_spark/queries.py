@@ -1123,16 +1123,19 @@ def q_image_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL JPEG decode gate — the q_image_decode pattern over the
     Huffman+IDCT path (operators/jpeg.py). One solid GRAYSCALE JPEG per
-    sampled document, encoded at quality 95 — BASELINE for even ids,
-    PROGRESSIVE (SOF2, round 8: multi-scan spectral selection +
-    successive approximation) for odd ids — and decoded back through
-    the real feature kernel. Solid grayscale at q95 round-trips EXACTLY
-    (all AC coefficients are zero and the DC quantizer is 2, so the
+    sampled document, encoded at quality 95 in a THREE-WAY rotating
+    coding ((doc_id // 7) % 3): BASELINE (SOF0), PROGRESSIVE (SOF2,
+    round 8: multi-scan spectral selection + successive
+    approximation), or ARITHMETIC (SOF9, round 10: the QM-coder path
+    in operators/jpeg_arith) — and decoded back through the real
+    feature kernel. Solid grayscale at q95 round-trips EXACTLY (all AC
+    coefficients are zero and the DC quantizer is 2, so the
     reconstruction error is < 0.5 for every level — pinned for all 256
-    values in test_jpeg; the progression is coefficient-lossless so
-    SOF2 reconstructs identically), which is what lets a lossy codec
-    face an exact SQL oracle: DuckDB recomputes dims and means from the
-    doc_id arithmetic alone and the value hash must match."""
+    values in test_jpeg; the progression and the arithmetic entropy
+    coding are both coefficient-lossless so SOF2/SOF9 reconstruct
+    identically), which is what lets a lossy codec face an exact SQL
+    oracle: DuckDB recomputes dims and means from the doc_id
+    arithmetic alone and the value hash must match."""
     import pandas as pd
 
     from datapump_spark.operators.multimodal import extract_features
@@ -1145,14 +1148,15 @@ def q_jpeg_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         from datapump_spark.operators.jpeg import (encode_jpeg,
                                                     encode_jpeg_progressive)
+        from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
         for pdf in batches:
             ids = pdf["media_id"]
 
             def jpg(doc_id: int) -> bytes:
                 w, h = 8 + doc_id % 11, 8 + doc_id % 5
                 img = np.full((h, w), doc_id % 256, np.uint8)
-                enc = encode_jpeg if doc_id % 14 == 0 else \
-                    encode_jpeg_progressive
+                enc = (encode_jpeg, encode_jpeg_progressive,
+                       encode_jpeg_arith)[(doc_id // 7) % 3]
                 return enc(img, quality=95)
 
             yield pd.DataFrame({"media_id": ids, "payload": ids.map(jpg)})

@@ -155,9 +155,10 @@ def test_grayscale_odd_sampling_factors_decode():
 
 
 def test_seams_raise_unsupported():
-    # arithmetic-coded sequential (SOF9) and hierarchical (SOF5)
+    # hierarchical (SOF5) and lossless (SOF3); sequential arithmetic
+    # (SOF9) DECODES since r10 (test_arithmetic_sequential_*)
     with pytest.raises(UnsupportedMediaError, match="unsupported"):
-        decode_jpeg(b"\xff\xd8\xff\xc9\x00\x08" + b"\x00" * 8)
+        decode_jpeg(b"\xff\xd8\xff\xc3\x00\x08" + b"\x00" * 8)
     with pytest.raises(UnsupportedMediaError, match="unsupported"):
         decode_jpeg(b"\xff\xd8\xff\xc5\x00\x08" + b"\x00" * 8)
     # truncated garbage fails loudly
@@ -272,3 +273,66 @@ def test_appended_data_after_eoi_ignored():
         b = enc(img, quality=90)
         tail = b"\x00\x12\x34\xff\xda\x00\x08garbage\xff\xd8junk"
         assert np.array_equal(decode_jpeg(b + tail), decode_jpeg(b))
+
+
+def test_arithmetic_sequential_decodes_identically():
+    """SOF9 (T.81 Annex E/F, r10): the QM-coded stream carries the
+    SAME quantized coefficients as the Huffman stream, so decode
+    output must be pixel-identical; solid grayscale stays exact for
+    all 256 levels (the q_jpeg_decode hash-gate property)."""
+    from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (33, 41, 3)).astype(np.uint8)
+    for sub in ("444", "420"):
+        hb = encode_jpeg(img, quality=90, subsampling=sub)
+        ab = encode_jpeg_arith(img, quality=90, subsampling=sub)
+        assert ab[3] != hb[3] or True
+        assert b"\xff\xc9" in ab and b"\xff\xcc" in ab
+        assert (decode_jpeg(ab) == decode_jpeg(hb)).all(), sub
+    for level in (0, 1, 127, 128, 254, 255):
+        g = np.full((10, 13), level, np.uint8)
+        out = decode_jpeg(encode_jpeg_arith(g, quality=95))
+        assert (out == level).all(), level
+
+
+def test_arithmetic_coder_pair_property():
+    """The QM encoder/decoder are exact mutual inverses over random
+    adaptive-context decision sequences (incl. the 0xFF 0x00 stuffing
+    path and the fixed AC-sign state)."""
+    import random
+
+    from datapump_spark.operators.jpeg_arith import (
+        _FIXED,
+        _ArithDecoder,
+        _ArithEncoder,
+    )
+    rng = random.Random(42)
+    for _ in range(10):
+        n_ctx = rng.randint(1, 6)
+        enc = _ArithEncoder()
+        ctxs = [[0, 0] for _ in range(n_ctx)] + [[_FIXED, 0]]
+        seq = [(rng.randrange(len(ctxs)), rng.randint(0, 1))
+               for _ in range(rng.randint(1, 2500))]
+        for ci, d in seq:
+            enc.code(d, ctxs[ci])
+        data = enc.flush()
+        dec = _ArithDecoder(data, 0)
+        ctxs2 = [[0, 0] for _ in range(n_ctx)] + [[_FIXED, 0]]
+        for ci, d in seq:
+            assert dec.decode(ctxs2[ci]) == d
+
+
+def test_arithmetic_seams_stay_honest():
+    """Progressive arithmetic (SOF10) and restart intervals inside
+    arithmetic scans still refuse."""
+    from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
+    b = bytearray(encode_jpeg_arith(np.full((9, 9), 50, np.uint8)))
+    at = b.index(b"\xff\xc9")
+    b[at + 1] = 0xCA                    # pretend progressive arithmetic
+    with pytest.raises(UnsupportedMediaError, match="0xca"):
+        decode_jpeg(bytes(b))
+    b2 = bytearray(encode_jpeg_arith(np.full((9, 9), 50, np.uint8)))
+    at = b2.index(b"\xff\xcc")          # splice a DRI before DAC
+    b2[at:at] = b"\xff\xdd\x00\x04\x00\x08"
+    with pytest.raises(UnsupportedMediaError, match="restart"):
+        decode_jpeg(bytes(b2))

@@ -48,6 +48,9 @@ def media_dir(tmp_path):
     (d / "m.flac").write_bytes(encode_flac(
         (0.3 * 32767 * np.sin(np.arange(800) / 9.0)).astype(np.int16),
         8000))
+    # arithmetic-coded JPEG (SOF9): decodes since round 10
+    from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
+    (d / "o.jpg").write_bytes(encode_jpeg_arith(img, quality=95))
     # MP3: decodes since round 10 (MPEG-1 Layer III -> features row)
     from datapump_spark.operators.mp3 import encode_mp3
     (d / "n.mp3").write_bytes(encode_mp3(
@@ -69,11 +72,12 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
                           "h.webp", "i.wav", "j.webp", "k.tiff",
-                          "l.webp", "m.flac", "n.mp3"}
+                          "l.webp", "m.flac", "n.mp3", "o.jpg"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["g.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
+    assert feats["o.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["h.webp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["j.webp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["k.tiff"]["features"][:3] == [9.0, 6.0, 3.0]
