@@ -355,3 +355,75 @@ def test_vp8x_sniffer_both_paths(spark):
         row = sniff_media(df, strategy=strategy).collect()[0]
         assert (row["format"], row["width"], row["height"]) == \
             ("webp", 47, 21), strategy
+
+
+def test_foreign_coef_prob_updates_decode_identically():
+    """Foreign-fixture round 4 (VERDICT r9 #6): streams whose header
+    UPDATES coefficient probabilities (RFC 6386 §13.4) — bytes the
+    default encoder never emits — must decode to the same pixels as
+    the default-table stream of the same content: the probabilities
+    change the entropy coding, never the reconstruction."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (24, 40, 3)).astype(np.uint8)
+    ref = decode_vp8(encode_vp8(img, qi=4))
+    # moderate and extreme updates, spread across plane/band/context
+    for updates in (
+        {(0, 0, 0, 0): 30, (0, 1, 1, 1): 200, (2, 0, 0, 0): 77},
+        {(i, j, k, t): 1 if (i + j + k + t) % 2 else 254
+         for i in range(4) for j in range(0, 8, 3)
+         for k in range(3) for t in range(0, 11, 4)},
+    ):
+        b = encode_vp8(img, qi=4, coef_prob_updates=updates)
+        assert (decode_vp8(b) == ref).all()
+        # the stream really is different bytes
+        assert b != encode_vp8(img, qi=4)
+
+
+def test_foreign_segmentation_header_decodes_identically():
+    """Segmentation enabled with an updated id map (2-level tree over
+    custom probs), present-but-zero quantizer deltas and loop-filter
+    deltas: the decoder must parse and tolerate all of it and still
+    reconstruct the same pixels."""
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, (33, 18, 3)).astype(np.uint8)
+    ref = decode_vp8(encode_vp8(img, qi=2))
+    for seg in ({"tree_probs": [90, 160, 40], "lf_deltas": False},
+                {"tree_probs": [1, 254, 128], "lf_deltas": True}):
+        b = encode_vp8(img, qi=2, segmentation=seg)
+        assert (decode_vp8(b) == ref).all()
+    # combined: segmentation + prob updates + skip + multi-partition
+    b = encode_vp8(img, qi=2,
+                   segmentation={"tree_probs": [128, 77, 200],
+                                 "lf_deltas": True},
+                   coef_prob_updates={(1, 0, 0, 0): 10, (3, 2, 1, 5): 250},
+                   use_skip=True, n_parts=2)
+    assert (decode_vp8(b) == ref).all()
+
+
+def test_nonzero_segment_quantizer_delta_still_refuses():
+    """The honest seam stays: a NONZERO per-segment quantizer delta
+    would silently change reconstruction, so the decoder refuses it
+    (the fixture path only emits present-but-zero deltas)."""
+    from datapump_spark.operators.vp8 import _BoolEncoder
+    img = np.full((16, 16, 3), 90, np.uint8)
+    b = bytearray(encode_vp8(img, qi=2,
+                             segmentation={"tree_probs": [128, 128, 128],
+                                           "lf_deltas": False}))
+    # rebuild with a nonzero delta: flip the first quantizer delta by
+    # re-encoding the header is complex, so craft a minimal stream by
+    # patching via the encoder with a monkeypatched signed value
+    import datapump_spark.operators.vp8 as vp8mod
+    orig = _BoolEncoder.signed
+
+    def bad_signed(self, v, n):
+        orig(self, 3 if n == 7 else v, n)
+
+    _BoolEncoder.signed = bad_signed
+    try:
+        raw = encode_vp8(img, qi=2,
+                         segmentation={"tree_probs": [128, 128, 128],
+                                       "lf_deltas": False})
+    finally:
+        _BoolEncoder.signed = orig
+    with pytest.raises(UnsupportedMediaError, match="quantizer delta"):
+        decode_vp8(raw)
