@@ -338,12 +338,6 @@ _W_STOP[6:12] = np.sin(np.pi / 12 * (np.arange(6, 12) - 6 + 0.5))
 _W_STOP[12:18] = 1.0
 _WINDOWS = {0: _W_NORMAL, 1: _W_START, 3: _W_STOP}
 
-# forward-MDCT scale so that MDCT -> IMDCT -> overlap-add is identity
-# for the sine window (TDAC): the composite per-sample gain of the
-# unscaled adjoint chain is 18, measured analytically from
-# (w*M36)(w*M36)^T's overlap structure.
-_MDCT_SCALE = 1.0 / 18.0
-
 # polyphase: 512-tap Kaiser windowed-sinc pseudo-QMF prototype
 # (stand-in for spec Table B.3, which is table-only), cutoff pi/64,
 # with the (-1)^(i//64) sign pattern that turns the V-FIFO fold into

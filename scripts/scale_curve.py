@@ -52,6 +52,12 @@ def main() -> None:
     spark = (
         tuned_builder("scale-curve").master(f"local[{cpus}]")
         .config("spark.driver.memory", "24g")
+        # zstd shuffle blocks (~30% smaller than the lz4 default): the
+        # x1000 / 5 M-doc tier's per-op shuffle would otherwise brush
+        # this box's ~80 GB free disk (r8: killed at 92%); on a real
+        # cluster this is the same knob you set when shuffle volume,
+        # not CPU, is the binding constraint
+        .config("spark.io.compression.codec", "zstd")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
