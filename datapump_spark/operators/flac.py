@@ -14,7 +14,8 @@ but never decoded. This implements the public format spec (RFC 9639):
 - stereo decorrelation: left/side, right/side, mid/side.
 
 Scope seams (honest, recorded in COVERAGE.md): sample sizes 8/16/24
-bit, up to 2 channels decoded (more raise); CRC-16 frame footers are
+bit, up to 8 independent channels decoded (r10 — stereo
+decorrelation stays 2-channel per spec); CRC-16 frame footers are
 skipped (CRC-8 headers ARE verified). The fixture encoder emits
 16-bit CONSTANT / VERBATIM / FIXED-order-2-with-Rice subframes and
 mid/side stereo, so every decoder branch is witnessed by round trips.
@@ -220,9 +221,8 @@ def decode_flac(b: bytes) -> tuple[np.ndarray, int, int]:
     n_ch = ((info[12] >> 1) & 0x7) + 1
     bps = (((info[12] & 1) << 4) | (info[13] >> 4)) + 1
     total = ((info[13] & 0x0F) << 32) | int.from_bytes(info[14:18], "big")
-    if n_ch > 2:
-        raise UnsupportedMediaError(f"FLAC with {n_ch} channels "
-                                    "unsupported (mono/stereo only)")
+    # n_ch is a 3-bit field + 1, so 1..8 by construction (r10:
+    # multichannel decodes; stereo decorrelation stays 2-channel)
     if bps not in (8, 16, 24):
         raise UnsupportedMediaError(f"FLAC {bps}-bit unsupported")
 
@@ -371,8 +371,8 @@ def encode_flac(samples: np.ndarray, sample_rate: int,
     if x.ndim == 1:
         x = x[:, None]
     n, n_ch = x.shape
-    if n_ch > 2:
-        raise ValueError("mono/stereo only")
+    if n_ch > 8:
+        raise ValueError("FLAC allows at most 8 channels")
     bps = 16
 
     info = bytearray(34)

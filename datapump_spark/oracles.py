@@ -3451,7 +3451,8 @@ FROM cues
 """
 
 
-# q_avro_scan (round 9): the two-codec fixture was built from this
+# q_avro_scan (r9, three codecs since r10 incl. snappy): the fixture
+# was built from this
 # exact slice with native types, so re-selecting it IS the oracle.
 EXTRA_ORACLES["q_avro_scan"] = """
 SELECT event_id,

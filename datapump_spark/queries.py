@@ -3876,14 +3876,15 @@ EXTRA_QUERIES["q_subtitle_cues"] = q_subtitle_cues
 
 
 def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
-    """Materialize (once) the first ``n_rows`` events as TWO Avro
-    container files — first half codec null, second half deflate — so
-    one scan witnesses both block decoders (r9)."""
+    """Materialize (once) the first ``n_rows`` events as THREE Avro
+    container files — thirds in codec null, deflate and snappy (r10:
+    the pure-Python raw snappy codec) — so one scan witnesses every
+    block decoder."""
     import os
     import shutil
 
     out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
-               / f"events_avro_{n_rows}")
+               / f"events_avro3_{n_rows}")
     if not out_dir.exists():
         import duckdb
 
@@ -3903,14 +3904,16 @@ def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
         ]}
         recs = [dict(zip(("event_id", "ts", "user_id", "event_type",
                           "value"), r)) for r in rows]
-        half = len(recs) // 2
+        third = len(recs) // 3
         tmp = out_dir.parent / f".events_avro.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
         (tmp / "part0.avro").write_bytes(
-            encode_avro(schema, recs[:half], codec="null"))
+            encode_avro(schema, recs[:third], codec="null"))
         (tmp / "part1.avro").write_bytes(
-            encode_avro(schema, recs[half:], codec="deflate"))
+            encode_avro(schema, recs[third:2 * third], codec="deflate"))
+        (tmp / "part2.avro").write_bytes(
+            encode_avro(schema, recs[2 * third:], codec="snappy"))
         try:
             tmp.rename(out_dir)
         except OSError:
@@ -3921,8 +3924,8 @@ def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
 def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro object-container read gate (sources/avro.py, round 9):
     container magic + metadata map, zigzag varints, sync-framed
-    blocks, null AND deflate codecs (the fixture splits the slice
-    across both), nullable-union fields — decoded records must
+    blocks, null, deflate AND snappy codecs (the fixture splits the slice
+    across all three), nullable-union fields — decoded records must
     reproduce EXACTLY the events slice the oracle re-selects. Native
     types ride through (no string coercion), unlike the XLSX twin."""
     from datapump_spark.sources.avro import read_avro

@@ -8,13 +8,15 @@ architecture as the WARC/archive/XLSX sources: container magic +
 metadata map (schema JSON, codec), sync-marker-framed data blocks,
 zigzag-varint primitives, and recursive datum decoding.
 
-Scope (honest seams recorded in COVERAGE.md): codecs null and
-deflate (raw zlib); schemas of records over primitives, nullable
+Scope (honest seams recorded in COVERAGE.md): codecs null,
+deflate (raw zlib) and snappy (r10, pure-Python raw codec in
+operators/snappy.py with the spec's big-endian CRC32 of the
+uncompressed block); schemas of records over primitives, nullable
 ``["null", T]`` unions, enums, fixed, arrays, maps, and NESTED
-records (nested output as Spark structs). Snappy/zstd codecs and
+records (nested output as Spark structs). The zstd codec and
 recursive-type schemas raise UnsupportedMediaError/ValueError.
 
-Writer twin ``encode_avro`` (null + deflate) exists for fixtures and
+Writer twin ``encode_avro`` (null/deflate/snappy) exists for fixtures and
 the q_avro_scan exact-hash gate.
 
 Reference parity note: the reference reads loose CSVs only; charter
@@ -140,7 +142,7 @@ def parse_avro_header(b: bytes):
             k = r.bytes_().decode("utf-8")
             meta[k] = r.bytes_()
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate"):
+    if codec not in ("null", "deflate", "snappy"):
         raise UnsupportedMediaError(f"Avro codec {codec!r} unsupported")
     schema = json.loads(meta["avro.schema"])
     sync = r.raw(16)
@@ -159,6 +161,16 @@ def iter_avro_records(b: bytes):
         block = r.raw(size)
         if codec == "deflate":
             block = zlib.decompress(block, wbits=-15)
+        elif codec == "snappy":
+            # spec: raw-snappy block + 4-byte BIG-endian CRC32 of the
+            # UNCOMPRESSED data (r10, operators/snappy.py)
+            from datapump_spark.operators.snappy import snappy_decompress
+            if len(block) < 4:
+                raise ValueError("truncated snappy Avro block")
+            crc = int.from_bytes(block[-4:], "big")
+            block = snappy_decompress(block[:-4])
+            if zlib.crc32(block) & 0xFFFFFFFF != crc:
+                raise ValueError("snappy Avro block CRC32 mismatch")
         if r.raw(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         br = _Reader(block)
@@ -306,8 +318,8 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
     """Encode record dicts as one Avro object container — fixture/sink
     twin of read_avro. Deterministic sync marker (fixtures diff
     cleanly)."""
-    if codec not in ("null", "deflate"):
-        raise ValueError("codec must be null or deflate")
+    if codec not in ("null", "deflate", "snappy"):
+        raise ValueError("codec must be null, deflate or snappy")
     body = bytearray()
     n = 0
     for rec in records:
@@ -317,6 +329,10 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
     if codec == "deflate":
         co = zlib.compressobj(wbits=-15)
         block = co.compress(block) + co.flush()
+    elif codec == "snappy":
+        from datapump_spark.operators.snappy import snappy_compress
+        block = snappy_compress(block) \
+            + (zlib.crc32(block) & 0xFFFFFFFF).to_bytes(4, "big")
     sync = bytes(range(16))
     meta = {"avro.schema": json.dumps(schema).encode(),
             "avro.codec": codec.encode()}

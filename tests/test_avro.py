@@ -91,3 +91,19 @@ def test_parse_avro_header_schema_only():
         schema, got_codec, _, _ = parse_avro_header(
             encode_avro(SCHEMA, [], codec))
         assert schema == SCHEMA and got_codec == codec
+
+
+def test_snappy_codec_round_trip_and_crc():
+    """r10: avro.codec snappy via the pure-Python raw codec — round
+    trip both directions, CRC32 verified, corruption caught."""
+    import zlib
+
+    b = encode_avro(SCHEMA, RECS, "snappy")
+    assert b"snappy" in b
+    assert [r for _, r in iter_avro_records(b)] == RECS
+    # corrupt one compressed byte after the header: CRC or framing
+    bad = bytearray(b)
+    at = bad.index(bytes(range(16))) + 16 + 4   # into the block body
+    bad[at] ^= 0x55
+    with pytest.raises(ValueError):
+        list(iter_avro_records(bytes(bad)))

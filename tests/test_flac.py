@@ -128,10 +128,12 @@ def test_hand_built_escape_partitions_and_wasted_bits():
 def test_seams_and_corruption():
     x = np.zeros(100, np.int16)
     b = bytearray(encode_flac(x, 8000))
-    # 3-channel STREAMINFO -> honest refusal
+    # STREAMINFO claiming 3 channels over 1-channel frames: caught
+    # as a channel-count mismatch (r10: multichannel now decodes, so
+    # the old blanket >2-channel refusal is gone)
     b3 = bytearray(b)
     b3[8 + 12] = (b3[8 + 12] & ~0x0E) | (2 << 1)
-    with pytest.raises(UnsupportedMediaError, match="channels"):
+    with pytest.raises(ValueError, match="channel count mismatch"):
         decode_flac(bytes(b3))
     # header CRC-8 corruption is CAUGHT, not silently decoded
     hdr_at = len(b) - 1
@@ -168,3 +170,15 @@ def test_reserved_frame_header_codes_raise():
     bd3[frame_at + 3] = (bd3[frame_at + 3] & ~0x0E) | (3 << 1)
     with pytest.raises(ValueError, match="reserved FLAC bit-depth"):
         decode_flac(bytes(bd3))
+
+
+def test_multichannel_round_trip():
+    """r10: up to 8 independent channels (5.1/7.1 payloads) round-trip
+    losslessly; >8 still refuses."""
+    rng = np.random.default_rng(9)
+    for n_ch in (3, 6, 8):
+        x = rng.integers(-3000, 3000, (2000, n_ch)).astype(np.int16)
+        out, sr, bps = decode_flac(encode_flac(x, 48000))
+        assert sr == 48000 and out.shape == x.shape and (out == x).all()
+    with pytest.raises(ValueError, match="at most 8"):
+        encode_flac(np.zeros((100, 9), np.int16), 8000)
