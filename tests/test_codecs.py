@@ -281,9 +281,11 @@ def test_decode_image_dispatch_and_seams():
 
     assert (decode_image(encode_jpeg_progressive(img, quality=95))
             == out).all()
-    # arithmetic coding (SOF9) stays an honest seam
-    with pytest.raises(UnsupportedMediaError, match="unsupported"):
-        decode_image(b"\xff\xd8\xff\xc9" + b"\x00\x08" + b"\x00" * 8)
+    # arithmetic coding (SOF9) decodes for real since round 10 — and
+    # reconstructs the SAME pixels as baseline (identical coefficients)
+    from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
+
+    assert (decode_image(encode_jpeg_arith(img, quality=95)) == out).all()
     # corrupt/truncated JPEG fails loudly, not silently
     with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 32)

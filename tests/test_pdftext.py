@@ -162,6 +162,10 @@ def test_document_corpus_one_call(spark, tmp_path):
     assert out["sequences"].count() > 0
 
 
+@pytest.mark.slow  # the pdf_text Spark kernel runs end-to-end under
+# the q_pdf_text driver hash gate every round (seven rotating layouts);
+# this test adds only the on_error/passthrough plumbing on top of the
+# unit-gated extractor (r10 rebalance)
 def test_pdf_text_spark_kernel(spark):
     """Distributed extraction: round trip + null survival mode."""
     rows = [(1, bytearray(encode_simple_pdf("doc one text"))),

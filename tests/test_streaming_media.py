@@ -110,7 +110,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 10
+    assert before == after and len(before) == 12
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;

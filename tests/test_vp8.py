@@ -339,6 +339,10 @@ def test_vp8x_animation_and_mismatch_seams():
         decode_webp(bytes(b))
 
 
+@pytest.mark.slow  # VP8X dims are pinned per-path in test_mediasniff
+# hand-built buffers and ride the q_webp_decode/q_sniff_av oracle gates;
+# this test adds only the expr-vs-pandas Spark-session cross-check
+# (r10 rebalance)
 def test_vp8x_sniffer_both_paths(spark):
     from datapump_spark.operators.mediasniff import (
         parse_media_header,
