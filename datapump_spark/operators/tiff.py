@@ -15,9 +15,11 @@ This implements TIFF 6.0 baseline + the two ubiquitous extensions:
   with an optional unassociated alpha ExtraSample), 3 (palette via
   the 16-bit ColorMap).
 
-Tiled TIFFs, planar configuration 2, CCITT fax and JPEG-in-TIFF
-compressions are refused with UnsupportedMediaError (honest seams,
-recorded in COVERAGE.md). The IFD walk shares the TIFF 6.0 layout the
+Round 10 adds TILED layouts (tags 322-325, edge-cropped tiles,
+per-tile predictor restart) and PLANAR configuration 2 (one sample
+plane per strip/tile sequence) for both layouts. CCITT fax and
+JPEG-in-TIFF compressions stay refused with UnsupportedMediaError
+(honest seams, recorded in COVERAGE.md). The IFD walk shares the TIFF 6.0 layout the
 EXIF parser (operators/mediasniff.parse_exif) already walks inside
 JPEG APP1 segments.
 
@@ -119,10 +121,10 @@ def decode_tiff(b: bytes) -> np.ndarray:
     else:
         raise ValueError("not a TIFF")
     tags = _read_ifd(b, u32(b, 4), u16, u32)
-    if 322 in tags or 323 in tags:
-        raise UnsupportedMediaError("tiled TIFF unsupported (strips only)")
-    if tags.get(284, [1])[0] != 1:
-        raise UnsupportedMediaError("planar TIFF unsupported")
+    tiled = 322 in tags or 323 in tags
+    planar = tags.get(284, [1])[0]
+    if planar not in (1, 2):
+        raise UnsupportedMediaError(f"TIFF planar config {planar}")
     comp = tags.get(259, [1])[0]
     if comp not in (1, 5, 8, 32946, 32773):
         raise UnsupportedMediaError(f"TIFF compression {comp} unsupported")
@@ -137,44 +139,121 @@ def decode_tiff(b: bytes) -> np.ndarray:
                                     "unsupported (1 or 8)")
     depth = bps[0]
     photo = tags.get(262, [1])[0]
-    offsets = tags.get(273)
-    counts = tags.get(279)
-    if not offsets or not counts or len(offsets) != len(counts):
-        raise ValueError("TIFF without a consistent strip table")
-    rows_per = tags.get(278, [h])[0] or h
     pred = tags.get(317, [1])[0]
+    if depth == 1 and (tiled or planar == 2) and spp != 1:
+        raise UnsupportedMediaError("1-bit multi-sample tiled/planar TIFF")
 
-    row_bytes = (w * spp * depth + 7) // 8
-    raw = bytearray()
-    for si, (off, cnt) in enumerate(zip(offsets, counts)):
-        strip = b[off:off + cnt]
-        if len(strip) < cnt:
-            raise ValueError("truncated TIFF strip")
+    def decompress(chunk: bytes) -> bytes:
         if comp == 5:
             from datapump_spark.operators.pdftext import lzw_decode
-            strip = lzw_decode(strip)
-        elif comp in (8, 32946):
-            strip = zlib.decompress(strip)
-        elif comp == 32773:
-            strip = _packbits_decode(strip)
-        nrows = min(rows_per, h - si * rows_per)
-        if len(strip) < nrows * row_bytes:
-            raise ValueError("TIFF strip shorter than its rows")
-        raw += strip[:nrows * row_bytes]
+            return lzw_decode(chunk)
+        if comp in (8, 32946):
+            return zlib.decompress(chunk)
+        if comp == 32773:
+            return _packbits_decode(chunk)
+        return chunk
 
-    if depth == 1:
-        bits = np.unpackbits(
-            np.frombuffer(bytes(raw), np.uint8).reshape(h, row_bytes),
-            axis=1)[:, :w]
-        px = (bits * 255).astype(np.uint8)
-        if photo == 0:                   # WhiteIsZero
-            px = 255 - px
-        return px
-    px = np.frombuffer(bytes(raw), np.uint8).reshape(h, w, spp)
-    if pred == 2:
-        px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
-    elif pred != 1:
-        raise UnsupportedMediaError(f"TIFF predictor {pred} unsupported")
+    # samples per chunk-row: chunky carries all samples interleaved,
+    # planar config 2 carries ONE sample plane per strip/tile sequence
+    ch_spp = spp if planar == 1 else 1
+    n_planes = 1 if planar == 1 else spp
+
+    if tiled:                            # r10: tile assembly
+        tw = tags.get(322, [0])[0]
+        tl = tags.get(323, [0])[0]
+        offsets = tags.get(324)
+        counts = tags.get(325)
+        if not tw or not tl or not offsets or not counts \
+                or len(offsets) != len(counts):
+            raise ValueError("tiled TIFF without a consistent tile table")
+        across = -(-w // tw)
+        down = -(-h // tl)
+        per_plane = across * down
+        if len(offsets) < per_plane * n_planes:
+            raise ValueError("TIFF tile table shorter than the grid")
+        tile_row_bytes = (tw * ch_spp * depth + 7) // 8
+        out = np.zeros((h, w, spp), np.uint8) if depth == 8 else \
+            np.zeros((h, w), np.uint8)
+        for p in range(n_planes):
+            for ti in range(per_plane):
+                off, cnt = offsets[p * per_plane + ti], \
+                    counts[p * per_plane + ti]
+                chunk = b[off:off + cnt]
+                if len(chunk) < cnt:
+                    raise ValueError("truncated TIFF tile")
+                data = decompress(chunk)
+                if len(data) < tl * tile_row_bytes:
+                    raise ValueError("TIFF tile shorter than its rows")
+                ty, tx = (ti // across) * tl, (ti % across) * tw
+                ny, nx = min(tl, h - ty), min(tw, w - tx)
+                if depth == 1:
+                    bits = np.unpackbits(
+                        np.frombuffer(data[:tl * tile_row_bytes],
+                                      np.uint8).reshape(tl, -1),
+                        axis=1)[:ny, :nx]
+                    out[ty:ty + ny, tx:tx + nx] = bits * 255
+                    continue
+                px = np.frombuffer(data[:tl * tile_row_bytes], np.uint8) \
+                    .reshape(tl, tw, ch_spp)
+                if pred == 2:
+                    px = np.cumsum(px.astype(np.int64),
+                                   axis=1).astype(np.uint8)
+                elif pred != 1:
+                    raise UnsupportedMediaError(
+                        f"TIFF predictor {pred} unsupported")
+                if planar == 1:
+                    out[ty:ty + ny, tx:tx + nx] = px[:ny, :nx]
+                else:
+                    out[ty:ty + ny, tx:tx + nx, p] = px[:ny, :nx, 0]
+        if depth == 1:
+            if photo == 0:
+                out = 255 - out
+            return out
+        px = out
+    else:
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF without a consistent strip table")
+        rows_per = tags.get(278, [h])[0] or h
+        per_plane = -(-h // rows_per)
+        if planar == 2 and len(offsets) < per_plane * spp:
+            raise ValueError("planar TIFF strip table shorter than "
+                             "planes x strips")
+        row_bytes = (w * ch_spp * depth + 7) // 8
+        planes = []
+        for p in range(n_planes):
+            raw = bytearray()
+            for si in range(per_plane if planar == 2 else len(offsets)):
+                idx = p * per_plane + si if planar == 2 else si
+                off, cnt = offsets[idx], counts[idx]
+                strip = b[off:off + cnt]
+                if len(strip) < cnt:
+                    raise ValueError("truncated TIFF strip")
+                strip = decompress(strip)
+                nrows = min(rows_per, h - si * rows_per)
+                if len(strip) < nrows * row_bytes:
+                    raise ValueError("TIFF strip shorter than its rows")
+                raw += strip[:nrows * row_bytes]
+            planes.append(bytes(raw))
+
+        if depth == 1:
+            bits = np.unpackbits(
+                np.frombuffer(planes[0], np.uint8).reshape(h, row_bytes),
+                axis=1)[:, :w]
+            px = (bits * 255).astype(np.uint8)
+            if photo == 0:                   # WhiteIsZero
+                px = 255 - px
+            return px
+        if planar == 1:
+            px = np.frombuffer(planes[0], np.uint8).reshape(h, w, spp)
+        else:                            # r10: recombine sample planes
+            px = np.stack([np.frombuffer(pl, np.uint8).reshape(h, w)
+                           for pl in planes], axis=2)
+        if pred == 2:
+            px = np.cumsum(px.astype(np.int64), axis=1).astype(np.uint8)
+        elif pred != 1:
+            raise UnsupportedMediaError(f"TIFF predictor {pred} unsupported")
     if photo == 3:                       # palette: 16-bit ColorMap
         cmap = tags.get(320)
         if not cmap or len(cmap) < 3 * 256 or spp != 1:
@@ -193,11 +272,15 @@ def decode_tiff(b: bytes) -> np.ndarray:
 
 def encode_tiff(img: np.ndarray, compression: str = "none", *,
                 big_endian: bool = False, rows_per_strip: int = 8,
-                predictor: bool = False) -> bytes:
-    """Encode (h, w[, c]) uint8 as a strip-based baseline TIFF —
-    fixture/sink twin of decode_tiff. ``compression``: none / lzw /
-    deflate / packbits; ``predictor`` applies horizontal differencing
-    (lzw/deflate only, tag 317=2)."""
+                predictor: bool = False, planar: bool = False,
+                tile: tuple[int, int] | None = None) -> bytes:
+    """Encode (h, w[, c]) uint8 as a baseline TIFF — fixture/sink twin
+    of decode_tiff. ``compression``: none / lzw / deflate / packbits;
+    ``predictor`` applies horizontal differencing (lzw/deflate only,
+    tag 317=2). r10: ``planar=True`` writes planar configuration 2
+    (one sample plane per strip/tile sequence); ``tile=(tw, tl)``
+    writes a tiled layout (tags 322-325; dimensions must be multiples
+    of 16 per the spec) instead of strips."""
     img = np.ascontiguousarray(img, np.uint8)
     if img.ndim == 2:
         img = img[:, :, None]
@@ -210,22 +293,48 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor needs lzw or deflate")
 
-    src = img
-    if predictor:
-        d = src.astype(np.int16)
-        d[:, 1:] = d[:, 1:] - d[:, :-1]
-        src = (d & 0xFF).astype(np.uint8)
-    strips = []
-    for y0 in range(0, h, rows_per_strip):
-        data = src[y0:y0 + rows_per_strip].tobytes()
+    if tile is not None and (tile[0] % 16 or tile[1] % 16):
+        raise ValueError("TIFF tile dimensions must be multiples of 16")
+
+    def pack(data: bytes) -> bytes:
         if comp_id == 5:
             from datapump_spark.operators.pdftext import lzw_encode
-            data = lzw_encode(data)
-        elif comp_id == 8:
-            data = zlib.compress(data)
-        elif comp_id == 32773:
-            data = _packbits_encode(data)
-        strips.append(data)
+            return lzw_encode(data)
+        if comp_id == 8:
+            return zlib.compress(data)
+        if comp_id == 32773:
+            return _packbits_encode(data)
+        return data
+
+    def hdiff(a: np.ndarray) -> np.ndarray:
+        d = a.astype(np.int16)
+        d[:, 1:] = d[:, 1:] - d[:, :-1]
+        return (d & 0xFF).astype(np.uint8)
+
+    strips = []
+    if tile is not None:
+        tw, tl = tile
+        plane_arrs = ([img[:, :, p:p + 1] for p in range(spp)] if planar
+                      else [img])
+        for arr in plane_arrs:
+            padded = np.zeros((-(-h // tl) * tl, -(-w // tw) * tw,
+                               arr.shape[2]), np.uint8)
+            padded[:h, :w] = arr
+            for ty in range(0, padded.shape[0], tl):
+                for tx in range(0, padded.shape[1], tw):
+                    block = padded[ty:ty + tl, tx:tx + tw]
+                    if predictor:
+                        # differencing restarts per TILE (the decoder
+                        # cumsums within each tile independently)
+                        block = hdiff(block)
+                    strips.append(pack(block.tobytes()))
+    else:
+        src = hdiff(img) if predictor else img
+        plane_arrs = ([src[:, :, p:p + 1] for p in range(spp)] if planar
+                      else [src])
+        for arr in plane_arrs:
+            for y0 in range(0, h, rows_per_strip):
+                strips.append(pack(arr[y0:y0 + rows_per_strip].tobytes()))
 
     entries = []                         # (tag, type, count, value(s))
     photo = 1 if spp == 1 else 2
@@ -235,7 +344,13 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
     entries.append((259, 3, 1, [comp_id]))
     entries.append((262, 3, 1, [photo]))
     entries.append((277, 3, 1, [spp]))
-    entries.append((278, 3, 1, [rows_per_strip]))
+    if tile is None:
+        entries.append((278, 3, 1, [rows_per_strip]))
+    else:
+        entries.append((322, 3, 1, [tile[0]]))
+        entries.append((323, 3, 1, [tile[1]]))
+    if planar:
+        entries.append((284, 3, 1, [2]))
     if spp == 4:
         entries.append((338, 3, 1, [2]))      # unassociated alpha
     if predictor:
@@ -266,8 +381,9 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
         extra_at += len(packed)
         return struct.pack(e + "I", at)
 
-    entries.append((273, 4, len(strips), strip_offs))
-    entries.append((279, 4, len(strips), [len(s) for s in strips]))
+    off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
+    entries.append((off_tag, 4, len(strips), strip_offs))
+    entries.append((cnt_tag, 4, len(strips), [len(s) for s in strips]))
     entries.sort(key=lambda t: t[0])
     ifd = struct.pack(e + "H", n)
     for tag, typ, cnt, vals in entries:

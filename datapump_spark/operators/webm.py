@@ -8,8 +8,10 @@ Cluster timestamps -> SimpleBlock framing), which this adds on top of
 the EBML varint/children helpers the sniffer (mediasniff._mkv_info)
 already ships. All-intra WebM (every frame a key frame) decodes end
 to end; inter-frame (P-frame) streams and V_VP9/V_AV1 codecs raise
-UnsupportedMediaError honestly, recorded in COVERAGE.md. Lacing is
-out of scope (fixture writer never emits it; laced blocks raise).
+UnsupportedMediaError honestly, recorded in COVERAGE.md. Round 10
+adds all three LACING modes (Xiph 255-terminated sizes, fixed equal
+split, EBML vint + signed-vint deltas) with a lacing-capable fixture
+writer; laced frames share the block timestamp.
 
 Layout (Matroska spec / RFC 9559, public):
 
@@ -73,10 +75,68 @@ def _webm_video_track(b: bytes):
     raise ValueError("not a Matroska/WebM file (no Segment)")
 
 
+def _signed_vint(b: bytes, i: int) -> tuple[int, int]:
+    """EBML SIGNED vint (lacing deltas): unsigned value minus
+    2^(7*len-1) - 1."""
+    v, j = _ebml_varint(b, i, strip=True)
+    return v - ((1 << (7 * (j - i) - 1)) - 1), j
+
+
+def _laced_sizes(b: bytes, i: int, end: int,
+                 flags: int) -> tuple[list[int], int]:
+    """Per-frame byte sizes for a (possibly laced) block: Xiph (0x02,
+    255-terminated size bytes), fixed (0x04, equal split) and EBML
+    (0x06, first size as vint + signed-vint deltas) lacing — r10; the
+    last frame is always the remainder."""
+    mode = flags & 0x06
+    if mode == 0:
+        return [end - i], i
+    if i >= end:
+        raise ValueError("truncated lacing header")
+    count = b[i] + 1
+    i += 1
+    sizes: list[int] = []
+    if mode == 0x04:                     # fixed-size lacing
+        total = end - i
+        if count == 0 or total % count:
+            raise ValueError("fixed-lacing size not divisible")
+        return [total // count] * count, i
+    if mode == 0x02:                     # Xiph lacing
+        for _ in range(count - 1):
+            sz = 0
+            while True:
+                if i >= end:
+                    raise ValueError("truncated Xiph lacing header")
+                v = b[i]
+                i += 1
+                sz += v
+                if v < 255:
+                    break
+            sizes.append(sz)
+    else:                                # EBML lacing
+        for k in range(count - 1):
+            if i >= end:
+                raise ValueError("truncated EBML lacing header")
+            if k == 0:
+                sz, i = _ebml_varint(b, i, strip=True)
+            else:
+                delta, i = _signed_vint(b, i)
+                sz += delta
+            if sz < 0 or i > end:
+                raise ValueError("bad EBML-laced frame size")
+            sizes.append(sz)
+    last = end - i - sum(sizes)
+    if last < 0:
+        raise ValueError("laced frame sizes exceed the block")
+    sizes.append(last)
+    return sizes, i
+
+
 def decode_webm_frames(b: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
     """Yield (frame_idx, ts_ms, rgb uint8 (h, w, 3)) for every
-    SimpleBlock of the first video track in an all-intra VP8 WebM.
-    Non-VP8 codecs, inter frames and laced blocks raise
+    SimpleBlock of the first video track in an all-intra VP8 WebM —
+    including Xiph/fixed/EBML-laced blocks (r10; laced frames share
+    the block timestamp). Non-VP8 codecs and inter frames raise
     UnsupportedMediaError; a malformed container raises ValueError."""
     from datapump_spark.operators.vp8 import decode_vp8
 
@@ -102,16 +162,16 @@ def decode_webm_frames(b: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
                     raise ValueError("truncated SimpleBlock header")
                 rel = struct.unpack(">h", b[i:i + 2])[0]
                 flags = b[i + 2]
-                if flags & 0x06:
-                    raise UnsupportedMediaError(
-                        "laced WebM blocks unsupported")
                 if not flags & 0x80:
                     raise UnsupportedMediaError(
                         "WebM inter (non-key) frames unsupported "
                         "(all-intra only)")
                 ts_ms = (cluster_ts + rel) * scale // 1_000_000
-                yield idx, ts_ms, decode_vp8(b[i + 3:q3])
-                idx += 1
+                sizes, di = _laced_sizes(b, i + 3, q3, flags)
+                for sz in sizes:
+                    yield idx, ts_ms, decode_vp8(b[di:di + sz])
+                    di += sz
+                    idx += 1
 
 
 def _el(eid: int, body: bytes) -> bytes:
@@ -131,10 +191,48 @@ def _uint(v: int) -> bytes:
     return v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big")
 
 
-def encode_webm_vp8(frames, fps: int = 10, qi: int = 4) -> bytes:
-    """Encode RGB uint8 frames as an all-intra VP8 WebM (one Cluster
-    per frame — exercises the cluster-timestamp walk) — fixture/sink
-    twin of decode_webm_frames."""
+def _lace_header(sizes: list[int], mode: str) -> bytes:
+    """Lacing header for all frames of one block (the last size is
+    implied by the block remainder)."""
+    out = bytearray([len(sizes) - 1])
+    if mode == "fixed":
+        if any(s != sizes[0] for s in sizes):
+            raise ValueError("fixed lacing needs equal frame sizes")
+        return bytes(out)
+    if mode == "xiph":
+        for s in sizes[:-1]:
+            while s >= 255:
+                out.append(255)
+                s -= 255
+            out.append(s)
+        return bytes(out)
+    # EBML: first size as vint, then signed-vint deltas
+    def vint(v: int) -> bytes:
+        for ln in range(1, 9):
+            if v < (1 << (7 * ln)) - 1:
+                return (v | (1 << (7 * ln))).to_bytes(ln, "big")
+        raise ValueError("vint overflow")
+
+    out += vint(sizes[0])
+    for k in range(1, len(sizes) - 1):
+        delta = sizes[k] - sizes[k - 1]
+        for ln in range(1, 9):
+            bias = (1 << (7 * ln - 1)) - 1
+            if -bias <= delta <= bias:
+                out += ((delta + bias) | (1 << (7 * ln))).to_bytes(ln,
+                                                                   "big")
+                break
+    return bytes(out)
+
+
+def encode_webm_vp8(frames, fps: int = 10, qi: int = 4,
+                    lacing: str | None = None) -> bytes:
+    """Encode RGB uint8 frames as an all-intra VP8 WebM — fixture/sink
+    twin of decode_webm_frames. Default: one Cluster per frame
+    (exercises the cluster-timestamp walk). ``lacing`` (r10):
+    'xiph' / 'ebml' / 'fixed' packs ALL frames into one laced
+    SimpleBlock instead ('fixed' needs equal-size payloads, e.g.
+    identical frames at qi=0)."""
     from datapump_spark.operators.vp8 import encode_vp8
 
     frames = list(frames)
@@ -159,11 +257,20 @@ def encode_webm_vp8(frames, fps: int = 10, qi: int = 4) -> bytes:
         _el(0x83, _uint(1)), _el(0x86, b"V_VP8"), video,
     ]))
     tracks = _el(0x1654AE6B, entry)
-    clusters = b""
-    for i, f in enumerate(frames):
-        payload = encode_vp8(f, qi=qi)
-        block = b"\x81" + struct.pack(">h", 0) + b"\x80" + payload
-        clusters += _el(0x1F43B675,
-                        _el(0xE7, _uint(i * step)) + _el(0xA3, block))
+    if lacing is None:
+        clusters = b""
+        for i, f in enumerate(frames):
+            payload = encode_vp8(f, qi=qi)
+            block = b"\x81" + struct.pack(">h", 0) + b"\x80" + payload
+            clusters += _el(0x1F43B675,
+                            _el(0xE7, _uint(i * step)) + _el(0xA3, block))
+    else:
+        mode_bits = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[lacing]
+        payloads = [encode_vp8(f, qi=qi) for f in frames]
+        block = (b"\x81" + struct.pack(">h", 0)
+                 + bytes([0x80 | mode_bits])
+                 + _lace_header([len(p) for p in payloads], lacing)
+                 + b"".join(payloads))
+        clusters = _el(0x1F43B675, _el(0xE7, _uint(0)) + _el(0xA3, block))
     segment = _el(0x18538067, info + tracks + clusters)
     return ebml + segment

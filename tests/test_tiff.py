@@ -112,11 +112,12 @@ def test_seams_and_malformed():
     # IFD offset beyond EOF
     with pytest.raises(ValueError, match="truncated"):
         decode_tiff(b"II*\x00" + struct.pack("<I", 9999))
-    # tile tags refuse
+    # a tile-width tag with NO tile offset table: malformed, caught
+    # (tiles themselves DECODE since r10 — test_tiled_layout_*)
     b2 = bytearray(encode_tiff(img, "none"))
     at = b2.index(struct.pack("<HHI", 278, 3, 1))
     b2[at:at + 2] = struct.pack("<H", 322)     # RowsPerStrip -> TileWidth
-    with pytest.raises(UnsupportedMediaError, match="tiled"):
+    with pytest.raises(ValueError, match="tile table"):
         decode_tiff(bytes(b2))
 
 
@@ -170,3 +171,44 @@ def test_packbits_literal_run_at_eof_is_well_formed():
                 i += 1
         assert bytes(out) == payload, payload
         assert _packbits_decode(enc) == payload, payload
+
+
+def test_tiled_layout_round_trips():
+    """r10: tiles (tags 322-325) with edge cropping, every
+    compression, both byte orders, and per-tile predictor restart."""
+    img = _img(37, 45, 3)                # not multiples of 16: crops
+    for comp in ("none", "lzw", "deflate", "packbits"):
+        for be in (False, True):
+            out = decode_tiff(encode_tiff(img, comp, big_endian=be,
+                                          tile=(16, 16)))
+            assert (out == img).all(), (comp, be)
+    out = decode_tiff(encode_tiff(img, "lzw", tile=(32, 16),
+                                  predictor=True))
+    assert (out == img).all()
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_tiff(img, tile=(10, 16))
+
+
+def test_planar_configuration_round_trips():
+    """r10: planar config 2 — one sample plane per strip sequence —
+    for strips AND tiles, gray/RGB/RGBA, with predictor."""
+    for c in (3, 4):
+        img = _img(21, 17, c)
+        assert (decode_tiff(encode_tiff(img, "deflate", planar=True))
+                == img).all()
+        assert (decode_tiff(encode_tiff(img, "packbits", planar=True,
+                                        tile=(16, 16))) == img).all()
+        assert (decode_tiff(encode_tiff(img, "lzw", planar=True,
+                                        predictor=True)) == img).all()
+    g = _img(9, 13, 0)
+    assert (decode_tiff(encode_tiff(g, "none", planar=True)) == g).all()
+
+
+def test_tiled_planar_seams_stay_honest():
+    import struct as _s
+    img = _img(20, 20, 3)
+    b = bytearray(encode_tiff(img, tile=(16, 16)))
+    # truncate the last tile's byte count claim -> truncated tile
+    b2 = bytes(b)[:len(b) - 40]
+    with pytest.raises(ValueError):
+        decode_tiff(b2)

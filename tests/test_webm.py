@@ -50,10 +50,12 @@ def test_codec_and_frame_seams():
     raw[at + 3] = 0x00
     with pytest.raises(UnsupportedMediaError, match="inter"):
         list(decode_webm_frames(bytes(raw)))
-    # lacing bits -> refusal
+    # lacing bits on an UNlaced block: the frame count byte eats the
+    # first payload byte, so the sizes cannot fit — malformed, caught
+    # (real laced blocks DECODE since r10 — test_laced_blocks_decode)
     raw = bytearray(b)
     raw[at + 3] = 0x80 | 0x02
-    with pytest.raises(UnsupportedMediaError, match="laced"):
+    with pytest.raises(ValueError):
         list(decode_webm_frames(bytes(raw)))
 
 
@@ -84,3 +86,43 @@ def test_sniffer_and_kernel_route(spark):
     assert [r["frame_ts_ms"] for r in rows] == [0, 1000]
     png = decode_png(bytes(rows[1]["frame_png"]))
     assert (png[..., :3] == 120).all()            # frame 2 on display
+
+
+def test_laced_blocks_decode():
+    """r10: Xiph, EBML and fixed lacing — all frames of one laced
+    SimpleBlock decode (sharing the block timestamp); sizes come from
+    the lacing header with the last frame as remainder."""
+    frames = [np.full((16, 16, 3), 40 * (i + 1), np.uint8)
+              for i in range(4)]
+    ref = [f for _, _, f in decode_webm_frames(
+        encode_webm_vp8(frames, qi=0))]
+    for mode in ("xiph", "ebml"):
+        got = list(decode_webm_frames(
+            encode_webm_vp8(frames, qi=0, lacing=mode)))
+        assert [i for i, _, _ in got] == [0, 1, 2, 3], mode
+        for (_, ts, f), r in zip(got, ref):
+            assert ts == 0 and (f == r).all(), mode
+    # fixed lacing needs byte-identical payloads: identical frames
+    same = [np.full((16, 16, 3), 77, np.uint8)] * 4
+    got = list(decode_webm_frames(
+        encode_webm_vp8(same, qi=0, lacing="fixed")))
+    assert len(got) == 4 and all((f == 77).all() for _, _, f in got)
+    # variable-size frames through xiph/ebml (fixed would refuse)
+    var = [np.full((16 * (i + 1), 16, 3), 90, np.uint8) for i in range(3)]
+    for mode in ("xiph", "ebml"):
+        got = list(decode_webm_frames(
+            encode_webm_vp8(var, qi=0, lacing=mode)))
+        assert [f.shape[0] for _, _, f in got] == [16, 32, 48], mode
+    with pytest.raises(ValueError, match="equal frame sizes"):
+        encode_webm_vp8(var, qi=0, lacing="fixed")
+
+
+def test_laced_seams_stay_honest():
+    frames = [np.full((16, 16, 3), 80, np.uint8)] * 2
+    b = bytearray(encode_webm_vp8(frames, qi=0, lacing="xiph"))
+    # corrupt the lace count so sizes exceed the block
+    at = b.index(b"\x81\x00\x00")        # block: track 1, rel 0...
+    assert b[at + 3] & 0x06              # flags carry lacing bits
+    b[at + 4] = 250                      # claim 251 frames
+    with pytest.raises(ValueError):
+        list(decode_webm_frames(bytes(b)))
