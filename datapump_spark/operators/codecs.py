@@ -606,7 +606,8 @@ def decode_image(b: bytes) -> np.ndarray:
 def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes: WAV (PCM / IMA-ADPCM) via decode_wav,
     FLAC (r9, operators/flac.py) decoded losslessly then normalized,
-    MP3 (r10, operators/mp3.py — MPEG-1 Layer III, ID3v2 skipped) —
+    MP3 (r10, operators/mp3.py — MPEG-1/2/2.5 Layer III incl. the LSF
+    low-rate extensions, ID3v2 skipped) —
     all return (samples float64 in [-1, 1], shape (n, channels);
     sample_rate), so audio features and near-dedup admit every
     decodable format transparently."""
@@ -619,8 +620,7 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
         return samples.astype(np.float64) / (1 << (bps - 1)), sr
     if b[:3] == b"ID3" or (len(b) > 4 and b[0] == 0xFF
                            and (b[1] & 0xE6) == 0xE2):
-        # MPEG audio sync with layer III bits (incl. LSF versions,
-        # which decode_mp3 refuses honestly)
+        # MPEG audio sync with layer III bits (MPEG-1 and LSF)
         from datapump_spark.operators.mp3 import decode_mp3
 
         return decode_mp3(b)

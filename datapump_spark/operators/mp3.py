@@ -1,12 +1,14 @@
-"""MP3 (MPEG-1 Audio Layer III) decode/encode in pure Python + numpy
-(round 10).
+"""MP3 (MPEG-1/2/2.5 Audio Layer III) decode/encode in pure Python +
+numpy (round 10).
 
 MP3 is the most common audio payload in any crawl and until now it
 was sniff-only (frame walk + Xing/VBRI duration in mediasniff) while
 WAV/ADPCM/FLAC fully decode. This implements the public ISO/IEC
 11172-3 Layer III decode chain:
 
-- frame headers (MPEG-1, Layer III, CRC skipped), ID3v2 tag skip;
+- frame headers (MPEG-1 AND the MPEG-2/2.5 LSF extensions — /2 and
+  /4 sample rates, one granule per frame — Layer III, CRC skipped),
+  ID3v2 tag skip;
 - side information (main_data_begin bit reservoir, scfsi, per-granule
   part2_3_length / big_values / global_gain / scalefac_compress /
   window switching / block types / table_select / subblock_gain /
@@ -34,8 +36,10 @@ polyphase prototype is a Kaiser windowed-sinc pseudo-QMF stand-in
 for the spec's Table B.3 window (the table is not closed-form); the
 analysis side is constructed as the exact adjoint of the synthesis
 operator, so round trips are near-perfect-reconstruction by
-construction. MPEG-2/2.5 (LSF) and free-format bitrates are refused
-honestly.
+construction. LSF streams decode with the 9-bit scalefac_compress
+partitioning (implied preflag, four slen band groups) and the Annex-B
+LSF band tables; LSF intensity stereo and free-format bitrates are
+refused honestly.
 
 Scale note: decode runs as an Arrow mapInPandas kernel per document
 (operators/multimodal.decode_audio dispatch); the synthesis and
@@ -61,7 +65,12 @@ from datapump_spark.operators.codecs import UnsupportedMediaError
 # ---------------------------------------------------------------------------
 
 _SR = {0: 44100, 1: 48000, 2: 32000}
+# LSF sample-rate tables: version code 2 = MPEG-2 (/2), 0 = MPEG-2.5 (/4)
+_SR_BY_VERSION = {3: {0: 44100, 1: 48000, 2: 32000},
+                  2: {0: 22050, 1: 24000, 2: 16000},
+                  0: {0: 11025, 1: 12000, 2: 8000}}
 _BITRATE = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_BITRATE_V2 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
 
 _SFB_LONG = {
     44100: [0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110,
@@ -75,6 +84,37 @@ _SFB_SHORT = {
     44100: [0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192],
     48000: [0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192],
     32000: [0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192],
+}
+# LSF band tables (ISO 13818-3 Annex B; same transcription caveat as
+# the other normative tables — see module docstring)
+_SFB_LONG.update({
+    22050: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    24000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 114, 136,
+            162, 194, 232, 278, 332, 394, 464, 540, 576],
+    16000: [0, 6, 12, 18, 24, 30, 36, 44, 54, 66, 80, 96, 116, 140,
+            168, 200, 238, 284, 336, 396, 464, 522, 576],
+    8000: [0, 12, 24, 36, 48, 60, 72, 88, 108, 132, 160, 192, 232,
+           280, 336, 400, 476, 566, 568, 570, 572, 574, 576],
+})
+_SFB_LONG[11025] = _SFB_LONG[22050]
+_SFB_LONG[12000] = _SFB_LONG[24000]
+_SFB_SHORT.update({
+    22050: [0, 4, 8, 12, 18, 24, 32, 42, 56, 74, 100, 132, 174, 192],
+    24000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 136, 180, 192],
+    16000: [0, 4, 8, 12, 18, 26, 36, 48, 62, 80, 104, 134, 174, 192],
+    8000: [0, 8, 16, 24, 36, 52, 72, 96, 124, 160, 162, 164, 166, 192],
+})
+_SFB_SHORT[11025] = _SFB_SHORT[22050]
+_SFB_SHORT[12000] = _SFB_SHORT[24000]
+
+# LSF scalefactor partitioning (ISO 13818-3 2.4.3.2): slen values and
+# band-group counts per scalefac_compress range and block shape
+# (0 = long, 1 = short, 2 = mixed)
+_LSF_NSFB = {
+    0: ([6, 5, 5, 5], [9, 9, 9, 9], [6, 9, 9, 9]),
+    1: ([6, 5, 7, 3], [9, 9, 12, 6], [6, 9, 12, 6]),
+    2: ([11, 10, 0, 0], [18, 18, 0, 0], [15, 18, 0, 0]),
 }
 
 _PRETAB = [0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2, 0]
@@ -414,16 +454,17 @@ def _imdct_short(X: np.ndarray) -> np.ndarray:
 
 
 def _parse_header(b: bytes, i: int):
-    """Return dict or None if b[i:] is not a valid MPEG-1 L3 header."""
+    """Return dict or None if b[i:] is not a valid MPEG Layer III
+    header. MPEG-1 and the LSF extensions (MPEG-2 at /2 rates,
+    MPEG-2.5 at /4 rates — r10) both parse; version code 1 is
+    reserved."""
     if i + 4 > len(b) or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
         return None
     version = (b[i + 1] >> 3) & 0x3
     layer = (b[i + 1] >> 1) & 0x3
-    if layer != 1:                        # not Layer III
+    if layer != 1 or version == 1:        # not Layer III / reserved
         return None
-    if version != 3:                      # MPEG-2/2.5 LSF
-        raise UnsupportedMediaError("MPEG-2/2.5 (LSF) Layer III "
-                                    "unsupported")
+    lsf = version != 3
     prot = b[i + 1] & 1
     br_idx = b[i + 2] >> 4
     sr_idx = (b[i + 2] >> 2) & 0x3
@@ -434,24 +475,33 @@ def _parse_header(b: bytes, i: int):
     padding = (b[i + 2] >> 1) & 1
     mode = b[i + 3] >> 6
     mode_ext = (b[i + 3] >> 4) & 0x3
-    sr = _SR[sr_idx]
-    frame_len = 144000 * _BITRATE[br_idx] // sr + padding
-    return {"sr": sr, "sr_idx": sr_idx, "bitrate": _BITRATE[br_idx],
+    sr = _SR_BY_VERSION[version][sr_idx]
+    kbps = (_BITRATE_V2 if lsf else _BITRATE)[br_idx]
+    # LSF frames carry ONE granule (576 samples): 72000 factor
+    frame_len = (72000 if lsf else 144000) * kbps // sr + padding
+    return {"sr": sr, "sr_idx": sr_idx, "bitrate": kbps, "lsf": lsf,
+            "version": version,
             "prot": prot, "mode": mode, "mode_ext": mode_ext,
             "nch": 1 if mode == 3 else 2, "frame_len": frame_len}
 
 
-def _parse_side_info(b: bytes, nch: int):
+def _parse_side_info(b: bytes, nch: int, lsf: bool = False):
     r = _BR(b)
-    si = {"main_data_begin": r.read(9)}
-    r.read(5 if nch == 1 else 3)
-    si["scfsi"] = [[r.read(1) for _ in range(4)] for _ in range(nch)]
+    si = {"main_data_begin": r.read(8 if lsf else 9)}
+    if lsf:
+        r.read(1 if nch == 1 else 2)
+        si["scfsi"] = [[0] * 4 for _ in range(nch)]   # no scfsi in LSF
+    else:
+        r.read(5 if nch == 1 else 3)
+        si["scfsi"] = [[r.read(1) for _ in range(4)] for _ in range(nch)]
     grs = []
-    for _g in range(2):
+    for _g in range(1 if lsf else 2):
         chs = []
         for _c in range(nch):
             g = {"part2_3_length": r.read(12), "big_values": r.read(9),
-                 "global_gain": r.read(8), "scalefac_compress": r.read(4),
+                 "global_gain": r.read(8),
+                 "scalefac_compress": r.read(9 if lsf else 4),
+                 "lsf": lsf,
                  "window_switching": r.read(1)}
             if g["window_switching"]:
                 g["block_type"] = r.read(2)
@@ -470,7 +520,10 @@ def _parse_side_info(b: bytes, nch: int):
                 g["region0_count"] = r.read(4)
                 g["region1_count"] = r.read(3)
                 g["subblock_gain"] = [0, 0, 0]
-            g["preflag"] = r.read(1)
+            # LSF has no preflag bit: it is implied by the
+            # scalefac_compress >= 500 partition (set during
+            # scalefactor decode)
+            g["preflag"] = 0 if lsf else r.read(1)
             g["scalefac_scale"] = r.read(1)
             g["count1table_select"] = r.read(1)
             chs.append(g)
@@ -484,6 +537,55 @@ def _parse_side_info(b: bytes, nch: int):
 # ---------------------------------------------------------------------------
 
 _SCFSI_BANDS = [(0, 6), (6, 11), (11, 16), (16, 21)]
+
+
+def _read_scalefacs_lsf(r: _BR, g: dict):
+    """LSF scalefactors (ISO 13818-3 2.4.3.2, r10): scalefac_compress
+    (9 bits) partitions into four slen values over four band groups;
+    the >= 500 partition implies preflag. Intensity-coded channels
+    use a different partition and are refused upstream."""
+    sfc = g["scalefac_compress"]
+    if sfc < 400:
+        slen = [(sfc >> 4) // 5, (sfc >> 4) % 5, (sfc >> 2) & 3, sfc & 3]
+        part = 0
+    elif sfc < 500:
+        t = sfc - 400
+        slen = [(t >> 2) // 5, (t >> 2) % 5, t & 3, 0]
+        part = 1
+    else:
+        t = sfc - 500
+        slen = [t // 3, t % 3, 0, 0]
+        part = 2
+        g["preflag"] = 1
+    short = g["window_switching"] and g["block_type"] == 2
+    shape = 0 if not short else (2 if g["mixed"] else 1)
+    nsfb = _LSF_NSFB[part][shape]
+    long_sf = [0] * 22
+    short_sf = [[0, 0, 0] for _ in range(13)]
+    li = si = 0
+    for grp in range(4):
+        n = nsfb[grp]
+        sl = slen[grp]
+        if shape == 0:
+            for _ in range(n):
+                long_sf[li] = r.read(sl)
+                li += 1
+        elif shape == 1:
+            for _ in range(n // 3):
+                for w in range(3):
+                    short_sf[si][w] = r.read(sl)
+                si += 1
+        else:                            # mixed: first group is long
+            if grp == 0:
+                for _ in range(n):
+                    long_sf[li] = r.read(sl)
+                    li += 1
+            else:
+                for _ in range(n // 3):
+                    for w in range(3):
+                        short_sf[si + 3][w] = r.read(sl)
+                    si += 1
+    return long_sf, short_sf
 
 
 def _read_scalefacs(r: _BR, g: dict, scfsi, gr: int, prev):
@@ -720,7 +822,7 @@ def _skip_id3(b: bytes) -> int:
 
 
 def decode_mp3(b: bytes):
-    """Decode an MPEG-1 Layer III stream.  Returns (samples float64 in
+    """Decode an MPEG-1/2/2.5 Layer III stream.  Returns (samples float64 in
     [-1, 1] shape (n, channels), sample_rate).  Frames whose bit
     reservoir reaches before the available history are skipped (the
     standard seek/cut behavior)."""
@@ -751,8 +853,11 @@ def decode_mp3(b: bytes):
         if len(frame) < h["frame_len"]:
             break                          # truncated final frame
         off = 4 + (2 if h["prot"] == 0 else 0)
-        si_len = 17 if nch == 1 else 32
-        si = _parse_side_info(frame[off:off + si_len], nch)
+        if h["lsf"]:
+            si_len = 9 if nch == 1 else 17
+        else:
+            si_len = 17 if nch == 1 else 32
+        si = _parse_side_info(frame[off:off + si_len], nch, h["lsf"])
         slots = frame[off + si_len:]
         mdb = si["main_data_begin"]
         if mdb > len(reservoir):
@@ -762,15 +867,21 @@ def decode_mp3(b: bytes):
         data = (reservoir[len(reservoir) - mdb:] if mdb else b"") + slots
         r = _BR(data)
         prev_sf = [None] * nch
-        for gr in range(2):
+        if h["lsf"] and h["mode"] == 1 and h["mode_ext"] & 0x1:
+            raise UnsupportedMediaError(
+                "LSF intensity stereo unsupported")
+        for gr in range(1 if h["lsf"] else 2):
             xrs = []
             zeros = []
             for ch in range(nch):
                 g = si["granules"][gr][ch]
                 start = r.pos
                 end_bit = start + g["part2_3_length"]
-                long_sf, short_sf = _read_scalefacs(
-                    r, g, si["scfsi"][ch], gr, prev_sf[ch])
+                if h["lsf"]:
+                    long_sf, short_sf = _read_scalefacs_lsf(r, g)
+                else:
+                    long_sf, short_sf = _read_scalefacs(
+                        r, g, si["scfsi"][ch], gr, prev_sf[ch])
                 prev_sf[ch] = (long_sf, short_sf)
                 xs, zero = _decode_spectrum(r, g, sr, end_bit)
                 r.pos = end_bit
@@ -896,38 +1007,53 @@ def _encode_granule(q: np.ndarray, gg: int, bw: _BW) -> dict:
             "table_select": tid}
 
 
-def _write_side_info(gr_info, nch: int) -> bytes:
+def _write_side_info(gr_info, nch: int, lsf: bool = False) -> bytes:
     bw = _BW()
-    bw.write(0, 9)                        # main_data_begin
-    bw.write(0, 5 if nch == 1 else 3)
-    for _ in range(nch * 4):
-        bw.write(0, 1)                    # scfsi
-    for gr in range(2):
+    bw.write(0, 8 if lsf else 9)          # main_data_begin
+    if lsf:
+        bw.write(0, 1 if nch == 1 else 2)
+    else:
+        bw.write(0, 5 if nch == 1 else 3)
+        for _ in range(nch * 4):
+            bw.write(0, 1)                # scfsi
+    for gr in range(1 if lsf else 2):
         for ch in range(nch):
             g = gr_info[gr][ch]
             bw.write(g["part2_3_length"], 12)
             bw.write(g["big_values"], 9)
             bw.write(g["global_gain"], 8)
-            bw.write(0, 4)                # scalefac_compress
+            bw.write(0, 9 if lsf else 4)  # scalefac_compress
             bw.write(0, 1)                # window_switching
             for _r in range(3):
                 bw.write(g["table_select"], 5)
             bw.write(7, 4)                # region0_count
             bw.write(7, 3)                # region1_count
-            bw.write(0, 1)                # preflag
+            if not lsf:
+                bw.write(0, 1)            # preflag (absent in LSF)
             bw.write(0, 1)                # scalefac_scale
             bw.write(0, 1)                # count1table_select (A)
     return bw.bytes_padded()
 
 
 def encode_mp3(x, sr: int, normalize: bool = True) -> bytes:
-    """Encode PCM to an MPEG-1 Layer III stream (long blocks, zero
-    scalefactors, no reservoir; per-frame VBR bitrate selection).
-    ``x``: (n,) or (n, channels<=2), int16 or float in [-1, 1]."""
-    sr_idx = {44100: 0, 48000: 1, 32000: 2}.get(sr)
-    if sr_idx is None:
-        raise UnsupportedMediaError(f"MPEG-1 Layer III needs 32/44.1/48 "
-                                    f"kHz, got {sr}")
+    """Encode PCM to a Layer III stream — MPEG-1 at 32/44.1/48 kHz,
+    MPEG-2 at 16/22.05/24 kHz, MPEG-2.5 at 8/11.025/12 kHz (long
+    blocks, zero scalefactors, no reservoir; per-frame VBR bitrate
+    selection). ``x``: (n,) or (n, channels<=2), int16 or float in
+    [-1, 1]."""
+    _VER_SR = {44100: (3, 0), 48000: (3, 1), 32000: (3, 2),
+               22050: (2, 0), 24000: (2, 1), 16000: (2, 2),
+               11025: (0, 0), 12000: (0, 1), 8000: (0, 2)}
+    if sr not in _VER_SR:
+        raise UnsupportedMediaError(
+            f"Layer III sample rate {sr} unsupported (MPEG-1 or LSF "
+            "rates only)")
+    version, sr_idx = _VER_SR[sr]
+    lsf = version != 3
+    spf = 576 if lsf else 1152
+    grs = 1 if lsf else 2
+    brtab = _BITRATE_V2 if lsf else _BITRATE
+    factor = 72000 if lsf else 144000
     x = np.asarray(x)
     if x.dtype.kind in "iu":
         x = x.astype(np.float64) / 32768.0
@@ -935,11 +1061,11 @@ def encode_mp3(x, sr: int, normalize: bool = True) -> bytes:
     if x.shape[1] > 2:
         raise UnsupportedMediaError("more than 2 channels")
     nch = x.shape[1]
-    n_frames = max(1, -(-x.shape[0] // 1152))
-    total = n_frames * 1152 + 1152        # + flush for filterbank delay
+    n_frames = max(1, -(-x.shape[0] // spf))
+    total = n_frames * spf + 1152         # + flush for filterbank delay
     pcm = np.zeros((total, nch))
     pcm[:x.shape[0]] = np.clip(x, -1.0, 1.0)
-    n_gr = n_frames * 2
+    n_gr = n_frames * grs
     spectra = np.empty((nch, n_gr, 576))
     for ch in range(nch):
         S = _analysis(np.ascontiguousarray(pcm[:, ch]))
@@ -950,17 +1076,21 @@ def encode_mp3(x, sr: int, normalize: bool = True) -> bytes:
             spectra[ch, g] = _alias_expand(X.reshape(576).copy())
     # per-granule bit budget: the 12-bit part2_3_length field AND an
     # equal share of the largest (320 kbps) frame's main-data capacity
-    si_len = 17 if nch == 1 else 32
-    cap = min(4095, (144000 * 320 // sr - 4 - si_len) * 8 // (2 * nch))
+    if lsf:
+        si_len = 9 if nch == 1 else 17
+    else:
+        si_len = 17 if nch == 1 else 32
+    cap = min(4095, (factor * brtab[14] // sr - 4 - si_len) * 8
+              // (grs * nch))
     out = bytearray()
     for f in range(n_frames):
-        gr_info = [[None] * nch for _ in range(2)]
+        gr_info = [[None] * nch for _ in range(grs)]
         bw = _BW()
-        for gr in range(2):
+        for gr in range(grs):
             for ch in range(nch):
                 bump = 0
                 while True:               # rate loop: coarsen until fit
-                    q, gg = _quantize(spectra[ch, 2 * f + gr], bump)
+                    q, gg = _quantize(spectra[ch, grs * f + gr], bump)
                     gbw = _BW()
                     info = _encode_granule(q, gg, gbw)
                     if info["part2_3_length"] <= cap or bump > 255:
@@ -969,14 +1099,14 @@ def encode_mp3(x, sr: int, normalize: bool = True) -> bytes:
                 bw.extend(gbw)
                 gr_info[gr][ch] = info
         main = bw.bytes_padded()
-        si = _write_side_info(gr_info, nch)
+        si = _write_side_info(gr_info, nch, lsf)
         need = 4 + len(si) + len(main)
         br_idx = next((i for i in range(1, 15)
-                       if 144000 * _BITRATE[i] // sr >= need), None)
+                       if factor * brtab[i] // sr >= need), None)
         if br_idx is None:
-            raise ValueError("frame too large for 320 kbps")
-        frame_len = 144000 * _BITRATE[br_idx] // sr
-        hdr = bytes([0xFF, 0xFB,
+            raise ValueError("frame too large for the top bitrate")
+        frame_len = factor * brtab[br_idx] // sr
+        hdr = bytes([0xFF, 0xE0 | (version << 3) | 0x02 | 0x01,
                      (br_idx << 4) | (sr_idx << 2),
                      ((3 if nch == 1 else 0) << 6)])
         out += hdr + si + main + b"\x00" * (frame_len - need)

@@ -301,16 +301,12 @@ def test_honest_seams():
     with pytest.raises(ValueError, match="no MPEG-1 Layer III"):
         decode_mp3(b"\x00" * 64)
     b = bytearray(encode_mp3(_tone(440, 44100, 0.1), 44100))
-    lsf = bytearray(b)
-    lsf[1] = 0xF3                        # version MPEG-2, layer III
-    with pytest.raises(UnsupportedMediaError, match="LSF"):
-        decode_mp3(bytes(lsf))
     free = bytearray(b)
     free[2] = free[2] & 0x0F             # bitrate index 0 = free format
     with pytest.raises(UnsupportedMediaError, match="free-format"):
         decode_mp3(bytes(free))
-    with pytest.raises(UnsupportedMediaError, match="kHz"):
-        encode_mp3(np.zeros(100), 8000)
+    with pytest.raises(UnsupportedMediaError, match="sample rate"):
+        encode_mp3(np.zeros(100), 7000)
 
 
 def test_decode_audio_routes_mp3():
@@ -322,3 +318,41 @@ def test_decode_audio_routes_mp3():
         + encode_mp3(x, 44100)
     f2, sr2 = decode_audio(tagged)
     assert sr2 == 44100 and len(f2)
+
+
+def test_lsf_round_trip_all_rates():
+    """r10: MPEG-2 (/2) and MPEG-2.5 (/4) LSF streams — one granule
+    per frame, 8-bit main_data_begin, 9-bit scalefac_compress, LSF
+    band tables — round-trip at every rate."""
+    for sr in (22050, 24000, 16000, 11025, 12000, 8000):
+        x = _tone(300, sr, secs=1.0)
+        out, got = decode_mp3(encode_mp3(x, sr))
+        assert got == sr and out.shape[1] == 1
+        assert abs(_dominant(out[:, 0], sr, skip=2048, n=4096) - 300) < 8
+        assert _snr_db(out[:, 0], x, search=3000, n=3000) > 18, sr
+
+
+def test_lsf_scalefac_partitions():
+    """The three scalefac_compress partitions read the right bit
+    counts and the >= 500 range implies preflag."""
+    from datapump_spark.operators.mp3 import _BR, _read_scalefacs_lsf
+    # sfc 0: all slens zero -> zero bits, no preflag
+    g = {"scalefac_compress": 0, "window_switching": 0, "block_type": 0,
+         "mixed": 0, "preflag": 0}
+    r = _BR(b"\xff" * 8)
+    long_sf, _ = _read_scalefacs_lsf(r, g)
+    assert r.pos == 0 and long_sf == [0] * 22 and g["preflag"] == 0
+    # sfc 500: slen (0,0) -> zero bits but preflag IMPLIED
+    g = {"scalefac_compress": 500, "window_switching": 0,
+         "block_type": 0, "mixed": 0, "preflag": 0}
+    r = _BR(b"\xff" * 8)
+    _read_scalefacs_lsf(r, g)
+    assert g["preflag"] == 1
+    # sfc 35: slen [(35>>4)//5, (35>>4)%5, (35>>2)&3, 35&3] = [0,2,0,3]
+    # over long groups [6,5,5,5] -> 5*2 + 5*3 = 25 bits
+    g = {"scalefac_compress": 35, "window_switching": 0,
+         "block_type": 0, "mixed": 0, "preflag": 0}
+    r = _BR(b"\xff" * 8)
+    long_sf, _ = _read_scalefacs_lsf(r, g)
+    assert r.pos == 25 and long_sf[6] == 3 and long_sf[11] == 0 \
+        and long_sf[16] == 7
