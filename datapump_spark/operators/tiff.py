@@ -16,9 +16,11 @@ This implements TIFF 6.0 baseline + the two ubiquitous extensions:
   the 16-bit ColorMap).
 
 Round 10 adds TILED layouts (tags 322-325, edge-cropped tiles,
-per-tile predictor restart) and PLANAR configuration 2 (one sample
-plane per strip/tile sequence) for both layouts. CCITT fax and
-JPEG-in-TIFF compressions stay refused with UnsupportedMediaError
+per-tile predictor restart), PLANAR configuration 2 (one sample
+plane per strip/tile sequence) for both layouts, and CCITT G4 fax
+strips (compression 4 via operators/ccitt.py; photometric-0 ink
+mapping; uncompressed-mode extension, FillOrder 2, tiled G4 and G3
+refused). JPEG-in-TIFF stays refused with UnsupportedMediaError
 (honest seams, recorded in COVERAGE.md). The IFD walk shares the TIFF 6.0 layout the
 EXIF parser (operators/mediasniff.parse_exif) already walks inside
 JPEG APP1 segments.
@@ -126,7 +128,7 @@ def decode_tiff(b: bytes) -> np.ndarray:
     if planar not in (1, 2):
         raise UnsupportedMediaError(f"TIFF planar config {planar}")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 5, 8, 32946, 32773):
+    if comp not in (1, 4, 5, 8, 32946, 32773):
         raise UnsupportedMediaError(f"TIFF compression {comp} unsupported")
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
@@ -142,6 +144,34 @@ def decode_tiff(b: bytes) -> np.ndarray:
     pred = tags.get(317, [1])[0]
     if depth == 1 and (tiled or planar == 2) and spp != 1:
         raise UnsupportedMediaError("1-bit multi-sample tiled/planar TIFF")
+
+    if comp == 4:                        # CCITT G4 fax (r10)
+        from datapump_spark.operators.ccitt import ccitt_g4_decode
+        if depth != 1 or spp != 1:
+            raise UnsupportedMediaError("G4 TIFF must be 1-bit 1-sample")
+        if tiled:
+            raise UnsupportedMediaError("tiled G4 TIFF unsupported")
+        if tags.get(293, [0])[0] & 0x02:
+            raise UnsupportedMediaError(
+                "G4 uncompressed-mode extension unsupported")
+        if tags.get(266, [1])[0] != 1:
+            raise UnsupportedMediaError("G4 FillOrder 2 unsupported")
+        offsets = tags.get(273)
+        counts = tags.get(279)
+        if not offsets or not counts or len(offsets) != len(counts):
+            raise ValueError("TIFF without a consistent strip table")
+        rows_per = tags.get(278, [h])[0] or h
+        rows = []
+        for si, (off, cnt) in enumerate(zip(offsets, counts)):
+            strip = b[off:off + cnt]
+            if len(strip) < cnt:
+                raise ValueError("truncated TIFF strip")
+            nrows = min(rows_per, h - si * rows_per)
+            rows.append(ccitt_g4_decode(strip, w, nrows))
+        ink = np.concatenate(rows, axis=0)
+        # photometric 0 (the fax standard): ink is dark on white
+        return ((1 - ink) * 255 if photo == 0 else ink * 255) \
+            .astype(np.uint8)
 
     def decompress(chunk: bytes) -> bytes:
         if comp == 5:
@@ -270,6 +300,47 @@ def decode_tiff(b: bytes) -> np.ndarray:
     raise UnsupportedMediaError(f"TIFF samples-per-pixel {spp} unsupported")
 
 
+def _assemble_tiff(entries, strips, big_endian: bool,
+                   off_tag: int = 273, cnt_tag: int = 279) -> bytes:
+    """Shared writer back end: header(8) + IFD + chunk data + long
+    tag values, with chunk offsets/byte-counts appended to entries."""
+    e = ">" if big_endian else "<"
+    n = len(entries) + 2
+    ifd_at = 8
+    data_at = ifd_at + 2 + 12 * n + 4
+    strip_offs = []
+    pos = data_at
+    for st in strips:
+        strip_offs.append(pos)
+        pos += len(st)
+    extra_at = pos                       # long tag values after chunks
+    long_vals = b""
+
+    def val_bytes(typ, cnt, vals):
+        nonlocal long_vals, extra_at
+        fmt = {3: "H", 4: "I"}[typ]
+        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
+        if len(packed) <= 4:
+            return packed.ljust(4, b"\x00")
+        at = extra_at
+        long_vals += packed
+        extra_at += len(packed)
+        return struct.pack(e + "I", at)
+
+    entries = list(entries)
+    entries.append((off_tag, 4, len(strips), strip_offs))
+    entries.append((cnt_tag, 4, len(strips), [len(st) for st in strips]))
+    entries.sort(key=lambda t: t[0])
+    ifd = struct.pack(e + "H", n)
+    for tag, typ, cnt, vals in entries:
+        ifd += struct.pack(e + "HHI", tag, typ, cnt)
+        ifd += val_bytes(typ, cnt, vals)
+    ifd += struct.pack(e + "I", 0)       # no next IFD
+    header = (b"MM\x00*" if big_endian else b"II*\x00") \
+        + struct.pack(e + "I", ifd_at)
+    return header + ifd + b"".join(strips) + long_vals
+
+
 def encode_tiff(img: np.ndarray, compression: str = "none", *,
                 big_endian: bool = False, rows_per_strip: int = 8,
                 predictor: bool = False, planar: bool = False,
@@ -289,7 +360,22 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
         raise ValueError("encode_tiff supports 1/3/4 channels")
     e = ">" if big_endian else "<"
     comp_id = {"none": 1, "lzw": 5, "deflate": 8,
-               "packbits": 32773}[compression]
+               "packbits": 32773, "g4": 4}[compression]
+    if comp_id == 4:
+        from datapump_spark.operators.ccitt import ccitt_g4_encode
+        if spp != 1 or tile is not None or planar:
+            raise ValueError("g4 wants a 2-D bilevel image, strips only")
+        # photometric 0: dark pixels are ink
+        ink = (img[:, :, 0] < 128).astype(np.uint8)
+        strips = []
+        for y0 in range(0, h, rows_per_strip):
+            strips.append(ccitt_g4_encode(ink[y0:y0 + rows_per_strip]))
+        entries = [(256, 3, 1, [w]), (257, 3, 1, [h]),
+                   (258, 3, 1, [1]), (259, 3, 1, [4]),
+                   (262, 3, 1, [0]), (266, 3, 1, [1]),
+                   (277, 3, 1, [1]), (278, 3, 1, [rows_per_strip]),
+                   (293, 4, 1, [0])]
+        return _assemble_tiff(entries, strips, big_endian)
     if predictor and compression not in ("lzw", "deflate"):
         raise ValueError("predictor needs lzw or deflate")
 
@@ -355,41 +441,5 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
         entries.append((338, 3, 1, [2]))      # unassociated alpha
     if predictor:
         entries.append((317, 3, 1, [2]))
-    # layout: header(8) IFD strips... values...
-    n = len(entries) + 2                 # + StripOffsets, StripByteCounts
-    ifd_at = 8
-    ifd_size = 2 + 12 * n + 4
-    data_at = ifd_at + ifd_size
-    strip_offs = []
-    pos = data_at
-    for s in strips:
-        strip_offs.append(pos)
-        pos += len(s)
-    extra_at = pos                       # long tag values go after strips
-
-    long_vals = b""
-
-    def val_bytes(typ, cnt, vals):
-        nonlocal long_vals, extra_at
-        fmt = {3: "H", 4: "I"}[typ]
-        width = {3: 2, 4: 4}[typ]
-        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
-        if len(packed) <= 4:
-            return packed.ljust(4, b"\x00")
-        at = extra_at
-        long_vals += packed
-        extra_at += len(packed)
-        return struct.pack(e + "I", at)
-
     off_tag, cnt_tag = (324, 325) if tile is not None else (273, 279)
-    entries.append((off_tag, 4, len(strips), strip_offs))
-    entries.append((cnt_tag, 4, len(strips), [len(s) for s in strips]))
-    entries.sort(key=lambda t: t[0])
-    ifd = struct.pack(e + "H", n)
-    for tag, typ, cnt, vals in entries:
-        ifd += struct.pack(e + "HHI", tag, typ, cnt)
-        ifd += val_bytes(typ, cnt, vals)
-    ifd += struct.pack(e + "I", 0)       # no next IFD
-    header = (b"MM\x00*" if big_endian else b"II*\x00") \
-        + struct.pack(e + "I", ifd_at)
-    return header + ifd + b"".join(strips) + long_vals
+    return _assemble_tiff(entries, strips, big_endian, off_tag, cnt_tag)

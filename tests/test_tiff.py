@@ -212,3 +212,49 @@ def test_tiled_planar_seams_stay_honest():
     b2 = bytes(b)[:len(b) - 40]
     with pytest.raises(ValueError):
         decode_tiff(b2)
+
+
+def test_g4_fax_round_trips():
+    """r10: CCITT G4 (T.6/MMR) — the fax compression — decodes through
+    the TIFF layer: pass/vertical/horizontal modes, makeup runs,
+    multi-strip, both byte orders; photometric 0 maps ink to dark."""
+    rng = np.random.default_rng(3)
+    # document-like bilevel page: white background, black strokes
+    page = np.full((40, 120), 255, np.uint8)
+    page[5:8, 10:90] = 0
+    page[12:30, 40:44] = 0
+    page[20, :] = 0
+    for be in (False, True):
+        out = decode_tiff(encode_tiff(page, "g4", big_endian=be))
+        assert out.shape == page.shape and (out == page).all(), be
+    # noisy bilevel exercises horizontal mode heavily
+    noise = np.where(rng.random((30, 77)) > 0.7, 0, 255).astype(np.uint8)
+    assert (decode_tiff(encode_tiff(noise, "g4")) == noise).all()
+    # wide runs exercise makeup codes (> 64 and > 1728)
+    wide = np.full((6, 2200), 255, np.uint8)
+    wide[:, 100:2000] = 0
+    assert (decode_tiff(encode_tiff(wide, "g4")) == wide).all()
+    # G4 compresses documents hard
+    assert len(encode_tiff(page, "g4")) < len(encode_tiff(page, "none")) // 4
+
+
+def test_g4_seams_stay_honest():
+    from datapump_spark.operators.ccitt import ccitt_g4_decode
+    img = np.full((16, 16), 255, np.uint8)
+    b = bytearray(encode_tiff(img, "g4"))
+    # flip T6Options to claim the uncompressed-mode extension
+    at = b.index(struct.pack("<HHI", 293, 4, 1))
+    b[at + 8] = 0x02
+    with pytest.raises(UnsupportedMediaError, match="uncompressed-mode"):
+        decode_tiff(bytes(b))
+    # FillOrder 2 refuses
+    b2 = bytearray(encode_tiff(img, "g4"))
+    at = b2.index(struct.pack("<HHI", 266, 3, 1))
+    b2[at + 8] = 2
+    with pytest.raises(UnsupportedMediaError, match="FillOrder"):
+        decode_tiff(bytes(b2))
+    # garbage stream fails loudly
+    with pytest.raises(ValueError):
+        ccitt_g4_decode(b"\x00\x00\x00", 16, 4)
+    with pytest.raises(ValueError):
+        encode_tiff(np.zeros((8, 8, 3), np.uint8), "g4")
