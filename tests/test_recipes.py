@@ -287,6 +287,11 @@ def test_surgical_decontam_stage(spark):
     assert rej2 == {2: "contaminated", 3: "contaminated"}
 
 
+@pytest.mark.slow  # composition-only: every funnel stage (quality,
+# exact/near/span dedup, decontam, mixing) is individually oracle- or
+# unit-gated in-default; this test adds the end-to-end reject-reason
+# routing, which the pytest.ini doctrine parks in the slow tier
+# (r10 rebalance)
 def test_curation_funnel(spark):
     """Per-source funnel accounting: n_in = rejects + clean per source,
     stable schema across enabled gates, survival rate exact."""
@@ -318,6 +323,11 @@ def test_curation_funnel(spark):
 
 @pytest.mark.slow  # the funnel arithmetic is gated in-default by
 # test_curation_funnel; this adds the weighted-mix accounting twin
+@pytest.mark.slow  # composition-only: every funnel stage (quality,
+# exact/near/span dedup, decontam, mixing) is individually oracle- or
+# unit-gated in-default; this test adds the end-to-end reject-reason
+# routing, which the pytest.ini doctrine parks in the slow tier
+# (r10 rebalance)
 def test_curation_funnel_counts_weighted_clean_stream(spark):
     """With recipe.weights set, weighted_mix downsamples the clean stream
     WITHOUT emitting reject rows — n_clean must count the actual stream,

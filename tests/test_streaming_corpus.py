@@ -58,6 +58,11 @@ def test_cross_batch_dedup_and_audit(spark, ingest, tmp_path):
     assert audit[1]["n_dup"] == 2 and audit[1]["n_admitted"] == 1
 
 
+@pytest.mark.slow  # replay idempotence is the pytest.ini slow-tier
+# category: the partition-overwrite doctrine is default-gated by the
+# media-ingest twin's feature/quarantine assertions and the merge-sink
+# upsert tests; this adds only the fresh-checkpoint replay walk
+# (r10 rebalance)
 def test_replay_is_idempotent(spark, ingest, tmp_path):
     ingest.drain(tmp_path / "cp")
     before = sorted(map(tuple, spark.read.parquet(ingest.corpus_dir)

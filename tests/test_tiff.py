@@ -127,6 +127,10 @@ def test_packbits_edge_cases():
         assert _packbits_decode(_packbits_encode(payload)) == payload
 
 
+@pytest.mark.slow  # the decode_image/sniffer routing is exercised
+# every round by the q_tiff_decode driver hash gate and the
+# test_mediasniff per-path pins; this test adds only the Spark-session
+# cross-check of the same route (r10 rebalance)
 def test_sniffer_and_decode_image_route(spark):
     from datapump_spark.operators.codecs import decode_image
     from datapump_spark.operators.mediasniff import (
