@@ -610,7 +610,18 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     low-rate extensions, ID3v2 skipped) —
     all return (samples float64 in [-1, 1], shape (n, channels);
     sample_rate), so audio features and near-dedup admit every
-    decodable format transparently."""
+    decodable format transparently.
+
+    MP3 honesty gate (r11 advice fix): mp3.py's large Huffman pair
+    tables (7-13, 15, 16/24 families) are documented Laplacian
+    stand-ins, exact only for streams from the mirrored encode_mp3
+    twin (which marks its frames via the header private bit). A
+    stream that (a) selects one of those tables and (b) is NOT
+    twin-marked would decode to plausible-but-wrong samples, so it
+    raises UnsupportedMediaError here instead of poisoning
+    features/near-dedup. Foreign streams confined to the exactly
+    transcribed tables (0-3, 5, 6 + both count1 quads) decode
+    normally."""
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return decode_wav(b)
     if b[:4] == b"fLaC":
@@ -623,5 +634,13 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
         # MPEG audio sync with layer III bits (MPEG-1 and LSF)
         from datapump_spark.operators.mp3 import decode_mp3
 
-        return decode_mp3(b)
+        samples, sr, info = decode_mp3(b, return_info=True)
+        if info["standin_tables"] and not info["twin_marked"]:
+            raise UnsupportedMediaError(
+                "MP3 uses Huffman table(s) "
+                f"{sorted(info['standin_tables'])} whose codes are "
+                "documented stand-ins, not exact ISO transcriptions "
+                "— refusing a foreign stream rather than decoding "
+                "plausible-but-wrong samples")
+        return samples, sr
     raise ValueError("unrecognized audio payload")

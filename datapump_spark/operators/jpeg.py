@@ -117,6 +117,16 @@ AC_CHROM_VALS = [
 # orthonormal 8x8 DCT-II matrix: forward F = C @ B @ C.T, inverse C.T @ F @ C
 _k = np.arange(8).reshape(8, 1)
 _n = np.arange(8).reshape(1, 8)
+
+# COM payload encode_jpeg_arith stamps into every SOF9 stream it
+# writes (r11 advice fix): the QM-coder pair in jpeg_arith is an
+# exact MUTUAL inverse but uses 0xFF 0x00 byte stuffing where T.81
+# arithmetic coding specifies bit stuffing, so only twin-marked
+# streams are known to decode exactly — decode_jpeg refuses SOF9
+# streams without this mark instead of emitting plausible-but-wrong
+# pixels (conformance is environment-blocked: no arithmetic-capable
+# encoder exists in-container; see jpeg_arith docstring).
+ARITH_TWIN_COM = b"datapump-spark QM twin v1 (0xFF00 byte stuffing)"
 DCT_M = np.cos((2 * _n + 1) * _k * np.pi / 16) * np.where(_k == 0, np.sqrt(1 / 8), 0.5)
 
 
@@ -845,6 +855,7 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     dac_ac: dict[int, int] = {}
     planes = None                       # progressive: coefficient state
     restart_interval = 0
+    twin_arith = False                  # ARITH_TWIN_COM seen (r11)
     i = 2
     while i + 4 <= len(b):
         if b[i] != 0xFF:
@@ -911,6 +922,8 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 else:                     # AC: Kx
                     dac_ac[tb] = seg[j + 1]
                 j += 2
+        elif marker == 0xFE and seg == ARITH_TWIN_COM:
+            twin_arith = True             # our own SOF9 producer (r11)
         elif marker == 0xDD:                      # DRI
             restart_interval = struct.unpack(">H", seg[:2])[0]
         elif marker == 0xDA:                      # SOS
@@ -925,6 +938,13 @@ def decode_jpeg(b: bytes) -> np.ndarray:
                 if restart_interval:
                     raise UnsupportedMediaError(
                         "restart markers in arithmetic scans")
+                if not twin_arith:        # r11 advice fix: honest seam
+                    raise UnsupportedMediaError(
+                        "foreign arithmetic-coded JPEG (SOF9): the "
+                        "in-repo QM coder is a mutually-inverse twin "
+                        "with 0xFF00 byte stuffing, not verified "
+                        "T.81-conformant — refusing rather than "
+                        "decoding plausible-but-wrong pixels")
                 from datapump_spark.operators.jpeg_arith import (
                     decode_scan_arith,
                 )

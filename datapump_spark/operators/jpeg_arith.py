@@ -385,6 +385,7 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 75,
     the default L=0 U=1 Kx=5 conditioning) — the fixture twin that
     exercises every decode path above."""
     from datapump_spark.operators.jpeg import (
+        ARITH_TWIN_COM,
         _component_coefs,
         _frame_header_segments,
     )
@@ -447,6 +448,11 @@ def encode_jpeg_arith(img: np.ndarray, quality: int = 75,
 
     out = _frame_header_segments(gray, h, w, samp, qlum_zz, qchrom_zz,
                                  b"\xff\xc9")
+    # producer mark (r11): decode_jpeg only routes SOF9 into this
+    # QM-coder twin when the stream declares itself twin-written —
+    # foreign arithmetic JPEGs are refused honestly (module docstring)
+    out += (b"\xff\xfe" + struct.pack(">H", 2 + len(ARITH_TWIN_COM))
+            + ARITH_TWIN_COM)
     # DAC: conditioning for every table in use (defaults made explicit)
     pairs = [(0, 0, 0x10), (1, 0, 5)]
     if not gray:

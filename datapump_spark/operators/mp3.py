@@ -480,7 +480,7 @@ def _parse_header(b: bytes, i: int):
     # LSF frames carry ONE granule (576 samples): 72000 factor
     frame_len = (72000 if lsf else 144000) * kbps // sr + padding
     return {"sr": sr, "sr_idx": sr_idx, "bitrate": kbps, "lsf": lsf,
-            "version": version,
+            "version": version, "private": b[i + 2] & 1,
             "prot": prot, "mode": mode, "mode_ext": mode_ext,
             "nch": 1 if mode == 3 else 2, "frame_len": frame_len}
 
@@ -642,8 +642,13 @@ def _decode_pair(r: _BR, table_id: int):
     return x, y
 
 
-def _decode_spectrum(r: _BR, g: dict, sr: int, end_bit: int):
-    """576 spectral values + count1 end position (zero bound)."""
+def _decode_spectrum(r: _BR, g: dict, sr: int, end_bit: int,
+                     standin_used: set | None = None):
+    """576 spectral values + count1 end position (zero bound).
+    ``standin_used`` (r11) collects every big-value table id whose
+    CODE table is a documented Laplacian stand-in rather than an
+    exact ISO 11172-3 Table B.7 transcription — the caller decides
+    whether plausible-but-unverified output is acceptable."""
     xs = np.zeros(576)
     big = g["big_values"] * 2
     if g["window_switching"]:
@@ -661,6 +666,8 @@ def _decode_spectrum(r: _BR, g: dict, sr: int, end_bit: int):
         if _TABLE_INFO[tid][0] == 0:      # table 0: both values zero
             i += 2
             continue
+        if standin_used is not None and _CODE_OF[tid] not in _EXACT_PAIR:
+            standin_used.add(tid)
         x, y = _decode_pair(r, tid)
         xs[i], xs[i + 1] = x, y
         i += 2
@@ -821,11 +828,24 @@ def _skip_id3(b: bytes) -> int:
     return 0
 
 
-def decode_mp3(b: bytes):
+def decode_mp3(b: bytes, return_info: bool = False):
     """Decode an MPEG-1/2/2.5 Layer III stream.  Returns (samples float64 in
     [-1, 1] shape (n, channels), sample_rate).  Frames whose bit
     reservoir reaches before the available history are skipped (the
-    standard seek/cut behavior)."""
+    standard seek/cut behavior).
+
+    ``return_info`` (r11) appends a third element
+    ``{"standin_tables": set[int], "twin_marked": bool}``:
+    the big-value Huffman table ids decoded through a documented
+    Laplacian STAND-IN code table (module docstring — tables 7-13,
+    15, 16/24 families are not exact ISO transcriptions, so foreign
+    streams that select them decode to plausible-but-unverified
+    samples), and whether EVERY decoded frame carries the header
+    private bit that encode_mp3 sets (ISO 11172-3 §2.4.2.3 reserves
+    that bit for private use; the twin uses it as a producer mark,
+    so twin round trips through stand-in tables remain exact by
+    construction while unmarked foreign streams can be refused by
+    the ingest path)."""
     i = _skip_id3(b)
     # resync to the first parseable header
     first = None
@@ -840,6 +860,8 @@ def decode_mp3(b: bytes):
     sr, nch = first["sr"], first["nch"]
     reservoir = b""
     pcm = []
+    standin_tables: set[int] = set()
+    twin_marked = True
     overlap = np.zeros((nch, 32, 18))
     synth_slots = [[] for _ in range(nch)]
     while i < len(b) - 4:
@@ -866,6 +888,7 @@ def decode_mp3(b: bytes):
             continue                       # reservoir not yet primed
         data = (reservoir[len(reservoir) - mdb:] if mdb else b"") + slots
         r = _BR(data)
+        twin_marked = twin_marked and bool(h["private"])
         prev_sf = [None] * nch
         if h["lsf"] and h["mode"] == 1 and h["mode_ext"] & 0x1:
             raise UnsupportedMediaError(
@@ -883,7 +906,8 @@ def decode_mp3(b: bytes):
                     long_sf, short_sf = _read_scalefacs(
                         r, g, si["scfsi"][ch], gr, prev_sf[ch])
                 prev_sf[ch] = (long_sf, short_sf)
-                xs, zero = _decode_spectrum(r, g, sr, end_bit)
+                xs, zero = _decode_spectrum(r, g, sr, end_bit,
+                                            standin_tables)
                 r.pos = end_bit
                 xr = _requantize(xs, g, sr, long_sf, short_sf)
                 xrs.append(xr)
@@ -923,6 +947,10 @@ def decode_mp3(b: bytes):
         S = np.concatenate(synth_slots[ch], axis=0)
         pcm.append(_synthesis(S))
     out = np.stack(pcm, axis=1)
+    if return_info:
+        return np.clip(out, -1.0, 1.0), sr, {
+            "standin_tables": standin_tables,
+            "twin_marked": twin_marked}
     return np.clip(out, -1.0, 1.0), sr
 
 
@@ -1106,8 +1134,12 @@ def encode_mp3(x, sr: int, normalize: bool = True) -> bytes:
         if br_idx is None:
             raise ValueError("frame too large for the top bitrate")
         frame_len = factor * brtab[br_idx] // sr
+        # private bit (byte 2 bit 0, ISO 11172-3 §2.4.2.3 "for
+        # private use") set = twin producer mark; decode_mp3 reports
+        # it so the ingest path can refuse UNmarked streams that
+        # select a stand-in Huffman table (r11)
         hdr = bytes([0xFF, 0xE0 | (version << 3) | 0x02 | 0x01,
-                     (br_idx << 4) | (sr_idx << 2),
+                     (br_idx << 4) | (sr_idx << 2) | 0x01,
                      ((3 if nch == 1 else 0) << 6)])
         out += hdr + si + main + b"\x00" * (frame_len - need)
     return bytes(out)

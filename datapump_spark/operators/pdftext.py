@@ -9,11 +9,14 @@ Scope (the common machine-generated case, asserted honestly):
   (r8), so their page/font dicts count and resolve;
 - content streams stored raw, FlateDecode- (zlib) or LZWDecode-
   compressed (r8: full TIFF-variant LZW incl. /EarlyChange);
-- Standard-security-handler encryption with an EMPTY user password —
-  RC4 V1/V2, R2/R3 (r8) AND AES-128-CBC V4/R4 /CFM /AESV2 (r9, pure-
-  Python AES in operators/aes.py pinned to the FIPS-197 vectors) — is
-  decrypted transparently and flagged ``decrypted``; real password
-  protection and AESV3 (V5) keep the honest ``encrypted`` flag;
+- Standard-security-handler encryption — RC4 V1/V2, R2/R3 (r8),
+  AES-128-CBC V4/R4 /CFM /AESV2 (r9, pure-Python AES in
+  operators/aes.py pinned to the FIPS-197 vectors) AND AES-256 V5/R5-6
+  /AESV3 (r9, ISO 32000-2 Algorithm 2.A/2.B) — is decrypted and
+  flagged ``decrypted``; the caller may supply a user OR owner
+  password (r10; V5 hashes its NFKC'd UTF-8 form, r11), the default
+  empty string covers permissions-only files, and a WRONG password
+  keeps the honest ``encrypted`` flag;
 - text operators: BT/ET blocks, Tj, ' , " and TJ array shows, Td/TD/T*
   line moves (emitted as newlines);
 - string syntax: literal ``( … )`` with all escape forms (octal,
@@ -26,9 +29,9 @@ Scope (the common machine-generated case, asserted honestly):
 
 Out of scope (documented seams — the flags tell the caller): Type0
 fonts WITHOUT a usable ToUnicode CMap (flag ``cid_font``; codes that a
-present CMap doesn't cover flag ``cid_unmapped``), password-protected
-and AESV3-encrypted documents (``encrypted``), DCT/JBIG2/CCITT image
-filters (``unsupported_filter``), Type3 glyph drawing.
+present CMap doesn't cover flag ``cid_unmapped``), documents whose
+password the caller doesn't have (``encrypted``), DCT/JBIG2/CCITT
+image filters (``unsupported_filter``), Type3 glyph drawing.
 ``extract_pdf_text`` returns (text, n_pages, flags) where flags carries
 ``cid_font`` / ``encrypted`` / ``unsupported_filter`` / ``truncated``
 markers instead of
@@ -167,9 +170,10 @@ def lzw_encode(data: bytes, early: int = 1) -> bytes:
 
 
 # --------------------------------------------------------------------------
-# Standard security handler (PDF 32000-1 §7.6.3): RC4 V1/V2, R2/R3 with
-# an EMPTY user password — the overwhelmingly common "permissions-only"
-# encryption. Real password protection stays flagged 'encrypted'.
+# Standard security handler (PDF 32000-1 §7.6.3 / ISO 32000-2 §7.6.4):
+# RC4 V1/V2 R2/R3, AES-128 V4/R4, AES-256 V5/R5-6; empty OR
+# caller-supplied user/owner passwords (r10). A wrong password stays
+# flagged 'encrypted'.
 # --------------------------------------------------------------------------
 
 _PAD = bytes([
@@ -389,7 +393,9 @@ def _parse_pdf_bytestring(body: bytes, at: int) -> bytes | None:
 
 
 def _try_standard_decrypt(b: bytes, objs: dict[int, bytes],
-                          password: bytes = b"") -> _StdDecryptor | None:
+                          password: bytes = b"",
+                          password_v5: bytes | None = None,
+                          ) -> _StdDecryptor | None:
     """Resolve the /Encrypt dict; if it is the Standard handler with
     RC4 (V 1/2, R 2/3), AES-128 (V 4 / R 4 with /CFM /AESV2, r9) or
     AES-256 (V 5 / R 5-6 with /CFM /AESV3, r9 — the PDF 2.0 scheme,
@@ -397,7 +403,11 @@ def _try_standard_decrypt(b: bytes, objs: dict[int, bytes],
     tried as the USER password, then as the OWNER password (Algorithm
     7 / the /OE unwrap, r10); the default empty string covers the
     common permissions-only case — return a decryptor, else None
-    (stays flagged 'encrypted')."""
+    (stays flagged 'encrypted'). ``password_v5`` (r11) is the UTF-8
+    form used by the V5 hash (Algorithm 2.A hashes UTF-8, not the
+    legacy latin-1 padding); it defaults to ``password``."""
+    if password_v5 is None:
+        password_v5 = password
     em = re.search(rb"/Encrypt\s+(\d+)\s+\d+\s+R", b)
     enc = objs.get(int(em.group(1))) if em else None
     if enc is None:
@@ -424,14 +434,15 @@ def _try_standard_decrypt(b: bytes, objs: dict[int, bytes],
         ue_val = _parse_pdf_bytestring(enc, uem.end()) if uem else None
         if u_val is None or ue_val is None:
             return None
-        key = _v5_file_key(password, u_val, ue_val, r)
+        key = _v5_file_key(password_v5, u_val, ue_val, r)
         if key is None and oem is not None:
             # owner-password path: /O salts with the /U value, the
             # file key unwraps from /OE (r10)
             o_val48 = _parse_pdf_bytestring(enc, om.end())
             oe_val = _parse_pdf_bytestring(enc, oem.end())
             if o_val48 is not None and oe_val is not None:
-                key = _v5_owner_key(password, o_val48, oe_val, u_val, r)
+                key = _v5_owner_key(password_v5, o_val48, oe_val,
+                                    u_val, r)
         if key is None:
             return None                 # the real password differs
         return _StdDecryptor(key, v5=True)
@@ -942,11 +953,22 @@ def extract_pdf_text(b: bytes,
     present when part of the document is outside scope (the extracted
     text covers what IS in scope). ``password`` (r10) is tried as the
     user then the owner password; the default empty string covers the
-    common permissions-only encryption."""
+    common permissions-only encryption. A str password is encoded two
+    ways (r11): latin-1 for the legacy padded-password algorithms
+    (R 2-4, Algorithm 2 pads BYTES), and NFKC-normalized UTF-8
+    truncated to 127 bytes for V5/R5-6, where ISO 32000-2 Algorithm
+    2.A hashes the SASLprep'd UTF-8 password — NFKC is SASLprep's
+    normalization step, and its mapping/prohibited-code steps are
+    no-ops for passwords without control or deprecated codepoints."""
     if not b.startswith(b"%PDF-"):
         raise ValueError("not a PDF")
     if isinstance(password, str):
+        import unicodedata
+        pw_v5 = unicodedata.normalize(
+            "NFKC", password).encode("utf-8")[:127]
         password = password.encode("latin-1", errors="replace")
+    else:
+        pw_v5 = password[:127]
     flags: set[str] = set()
 
     objs: dict[int, bytes] = {}
@@ -954,7 +976,7 @@ def extract_pdf_text(b: bytes,
         objs[int(m.group(1))] = m.group(3)
 
     if re.search(rb"/Encrypt\b", b):
-        dec = _try_standard_decrypt(b, objs, password)
+        dec = _try_standard_decrypt(b, objs, password, pw_v5)
         if dec is None:
             flags.add("encrypted")     # real password / AESV3: honest
         else:

@@ -206,7 +206,13 @@ def _lace_header(sizes: list[int], mode: str) -> bytes:
                 s -= 255
             out.append(s)
         return bytes(out)
-    # EBML: first size as vint, then signed-vint deltas
+    # EBML: first size as vint, then signed-vint deltas. A
+    # single-frame laced block stores ZERO size fields (the lace-count
+    # byte is count-1 = 0 and the reader consumes count-1 sizes), so
+    # mirror the Xiph branch and emit nothing (r11 advice fix).
+    if len(sizes) == 1:
+        return bytes(out)
+
     def vint(v: int) -> bytes:
         for ln in range(1, 9):
             if v < (1 << (7 * ln)) - 1:

@@ -336,3 +336,24 @@ def test_arithmetic_seams_stay_honest():
     b2[at:at] = b"\xff\xdd\x00\x04\x00\x08"
     with pytest.raises(UnsupportedMediaError, match="restart"):
         decode_jpeg(bytes(b2))
+
+
+def test_foreign_arithmetic_jpeg_refused():
+    """r11 advice fix: SOF9 streams WITHOUT the twin COM mark refuse
+    (the QM coder pair deviates from T.81 byte/bit stuffing, so a
+    libjpeg -arithmetic stream would decode to wrong pixels); the
+    twin's own streams carry the mark and keep decoding."""
+    import struct as _s
+
+    from datapump_spark.operators.jpeg_arith import encode_jpeg_arith
+    b = encode_jpeg_arith(np.full((9, 9), 50, np.uint8))
+    assert decode_jpeg(b).shape == (9, 9, 1)        # marked: decodes
+    at = b.index(b"\xff\xfe")
+    seglen = _s.unpack(">H", b[at + 2:at + 4])[0]
+    foreign = b[:at] + b[at + 2 + seglen:]
+    with pytest.raises(UnsupportedMediaError, match="foreign arith"):
+        decode_jpeg(foreign)
+    # a COM with some OTHER text is not a producer mark either
+    other = (b[:at] + b"\xff\xfe\x00\x06butt" + b[at + 2 + seglen:])
+    with pytest.raises(UnsupportedMediaError, match="foreign arith"):
+        decode_jpeg(other)

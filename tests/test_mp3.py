@@ -320,6 +320,53 @@ def test_decode_audio_routes_mp3():
     assert sr2 == 44100 and len(f2)
 
 
+def _clear_private_bits(b: bytes) -> bytes:
+    """Rewrite every frame header with the private bit cleared —
+    turns a twin-marked stream into a 'foreign' one byte-for-byte."""
+    from datapump_spark.operators.mp3 import _parse_header
+    bb = bytearray(b)
+    i = 0
+    while i < len(bb) - 4:
+        h = _parse_header(bytes(bb[i:i + 4]), 0)
+        if h is not None:
+            bb[i + 2] &= 0xFE
+            i += h["frame_len"]
+        else:
+            i += 1
+    return bytes(bb)
+
+
+def test_standin_table_gate_refuses_unmarked_foreign_streams():
+    """r11 advice fix: the big Huffman pair tables are documented
+    stand-ins — decode_audio must refuse a stream that selects one
+    UNLESS it carries encode_mp3's private-bit producer mark; streams
+    confined to the exactly-transcribed tables decode regardless."""
+    from datapump_spark.operators.mp3 import _ENC_TABLES
+    # loud tone -> big quantized values -> stand-in table 15 selected
+    loud = encode_mp3(_tone(440, 44100, 0.2), 44100)
+    _, _, info = decode_mp3(loud, return_info=True)
+    assert info["standin_tables"] and info["twin_marked"]
+    foreign = _clear_private_bits(loud)
+    _, _, info_f = decode_mp3(foreign, return_info=True)
+    assert info_f["standin_tables"] and not info_f["twin_marked"]
+    with pytest.raises(UnsupportedMediaError, match="stand-in"):
+        decode_audio(foreign)
+    # plain decode_mp3 still decodes (callers opt into the gate)
+    out, sr = decode_mp3(foreign)
+    assert sr == 44100 and len(out)
+    # an unmarked hand-built frame confined to EXACT table 5 decodes
+    # through decode_audio (the gate only fires on stand-in tables)
+    assert (3, 6) in _ENC_TABLES          # exact-table tier exists
+    codes = mp3._pair_codes(5)
+    bits = (_code_bits(codes, (2, 3)) + "0" + "1"      # (2, -3)
+            + _code_bits(codes, (1, 0)) + "0")         # (1, 0)
+    frame = _build_frame(bits, table=5, big_values=2, count1table=1)
+    _, _, info_e = decode_mp3(frame, return_info=True)
+    assert not info_e["standin_tables"] and not info_e["twin_marked"]
+    f, sr = decode_audio(frame)
+    assert sr == 44100 and len(f)
+
+
 def test_lsf_round_trip_all_rates():
     """r10: MPEG-2 (/2) and MPEG-2.5 (/4) LSF streams — one granule
     per frame, 8-bit main_data_begin, 9-bit scalefac_compress, LSF

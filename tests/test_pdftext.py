@@ -536,6 +536,34 @@ def test_user_passworded_pdfs_decrypt_with_password():
         assert "encrypted" in flags and "classified" not in text, r
 
 
+def test_v5_non_ascii_password_hashes_utf8():
+    """r11 advice fix: ISO 32000-2 Algorithm 2.A hashes the
+    SASLprep'd UTF-8 password for V5/R5-6 — a non-ASCII str password
+    must validate against a fixture encrypted with its UTF-8 bytes
+    (latin-1 would produce different bytes for 'é' and lose 'ü' to
+    '?'), and NFKC-equivalent forms (e.g. NFD input) must validate
+    too. Legacy R3/R4 keep the latin-1 padded-password bytes."""
+    import unicodedata
+
+    from datapump_spark.operators.pdftext import encode_encrypted_pdf
+    t = "unicode-guarded body"
+    pw = "café über"                     # café über (NFC)
+    raw = encode_encrypted_pdf(t, r=6, user_pw=pw.encode("utf-8"))
+    text, _, flags = extract_pdf_text(raw, password=pw)
+    assert text == t and flags == ["decrypted"]
+    nfd = unicodedata.normalize("NFD", pw)
+    assert nfd != pw                               # really decomposed
+    text, _, flags = extract_pdf_text(raw, password=nfd)
+    assert text == t and flags == ["decrypted"]
+    _, _, flags = extract_pdf_text(raw, password="cafe uber")
+    assert "encrypted" in flags
+    # legacy algorithms pad BYTES: latin-1 encoding is still the
+    # correct str mapping there
+    raw3 = encode_encrypted_pdf(t, r=3, user_pw=pw.encode("latin-1"))
+    text, _, flags = extract_pdf_text(raw3, password=pw)
+    assert text == t and flags == ["decrypted"]
+
+
 def test_owner_password_recovers_user_passworded_pdfs():
     """Algorithm 7 (RC4/AES-128) and the /OE unwrap (AES-256): the
     OWNER password alone reads a user-passworded file."""

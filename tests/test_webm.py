@@ -115,6 +115,14 @@ def test_laced_blocks_decode():
         assert [f.shape[0] for _, _, f in got] == [16, 32, 48], mode
     with pytest.raises(ValueError, match="equal frame sizes"):
         encode_webm_vp8(var, qi=0, lacing="fixed")
+    # r11 advice fix: a SINGLE-frame laced block stores count-1 = 0
+    # size fields; the EBML branch used to still write the first-size
+    # vint, which the reader then consumed as frame data.
+    one = [np.full((16, 16, 3), 55, np.uint8)]
+    for mode in ("xiph", "ebml", "fixed"):
+        got = list(decode_webm_frames(
+            encode_webm_vp8(one, qi=0, lacing=mode)))
+        assert len(got) == 1 and (got[0][2] == 55).all(), mode
 
 
 def test_laced_seams_stay_honest():
