@@ -3557,10 +3557,16 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stride pins nf=2, where only frame 0 ever displays), //16 %4
     # cycles all four containers, and the doc count keeps this — the
     # most expensive per-doc Python build+decode in the bench — from
-    # dominating the headline (q_audio_tone's round-8 lesson)
+    # dominating the headline (q_audio_tone's round-8 lesson).
+    # 16 partitions, not defaultParallelism (r11): this query chains
+    # THREE Python nodes, so 32 partitions demands ~96 workers and a
+    # cold run pays ~90 fork+import costs for ~90 ms of task work —
+    # at 16 the per-task work is still only ~350 ms (186 docs x
+    # ~15 ms/doc measured per arm) and worker demand halves
+    # (q_audio_tone's fewer-partitions lesson, PERF.md)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 27 == 0) \
         .select(F.col("doc_id").alias("media_id")) \
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(16)
 
     def build(batches):
         import numpy as np
@@ -3776,18 +3782,24 @@ assert SURVEY_S2_TENURED <= set(QUERIES), (
 assert len(QUERIES) == 50, f"driver cap: {len(QUERIES)}"
 
 
-def scaled_events_xlsx(sf_dir: str, n_rows: int = 20000) -> str:
-    """Materialize (once, atomically) an XLSX workbook of the first
-    ``n_rows`` events — the Excel twin of scaled_events_csv (SURVEY S8
-    made real, r9). Driver-side DuckDB + the pure-stdlib writer; a
-    one-time fixture build, not plan cost."""
+def scaled_events_xlsx(sf_dir: str, n_rows: int = 20000,
+                       n_shards: int = 8) -> str:
+    """Materialize (once, atomically) the first ``n_rows`` events as
+    ``n_shards`` XLSX workbooks (row i -> shard i %% n_shards) — the
+    Excel twin of scaled_events_csv (SURVEY S8 made real, r9).
+    Sharded in r11 (VERDICT r10 #1): one workbook = ONE binaryFile
+    task, so the whole 20 k-row ElementTree parse rode a single
+    Python worker and its bench cost swung 2.9-6.9 s with
+    worker/box state; eight files make parallelism = file count
+    (the real-corpus shape — production xlsx trees are many-file)
+    and cut the gate's serial exposure 8x. Driver-side DuckDB + the
+    pure-stdlib writer; a one-time fixture build, not plan cost."""
     import os
     import shutil
 
     out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
-               / f"events_xlsx_{n_rows}")
-    target = out_dir / "events.xlsx"
-    if not target.exists():
+               / f"events_xlsx_{n_rows}x{n_shards}")
+    if not out_dir.exists():
         import duckdb
 
         from datapump_spark.sources.xlsx import encode_xlsx
@@ -3797,17 +3809,18 @@ def scaled_events_xlsx(sf_dir: str, n_rows: int = 20000) -> str:
                        user_id, event_type, round(value, 6) AS value
                 FROM '{sf_dir}/events.parquet'
                 ORDER BY event_id LIMIT {n_rows}""").fetchall()
-        b = encode_xlsx([["event_id", "ts", "user_id",
-                          "event_type", "value"]] + [list(r) for r in rows])
+        hdr = ["event_id", "ts", "user_id", "event_type", "value"]
         tmp = out_dir.parent / f".events_xlsx.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
-        (tmp / "events.xlsx").write_bytes(b)
+        for s in range(n_shards):
+            b = encode_xlsx([hdr] + [list(r) for r in rows[s::n_shards]])
+            (tmp / f"events_{s:02d}.xlsx").write_bytes(b)
         try:
             tmp.rename(out_dir)
         except OSError:
             shutil.rmtree(tmp, ignore_errors=True)  # concurrent build won
-    return str(target)
+    return str(out_dir / "events_*.xlsx")
 
 
 def q_xlsx_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
