@@ -196,6 +196,8 @@ BENCH_QUERIES = [
     "q_xlsx_scan",
     # round-9: zero-Python SRT/WebVTT cue parsing
     "q_subtitle_cues",
+    # round-11: EPUB spine-walk text extraction (OCF zip + XHTML)
+    "q_epub_text",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
     "q_curriculum",

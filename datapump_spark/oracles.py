@@ -3397,6 +3397,25 @@ FROM t
 """
 
 
+# q_epub_text (r11): EPUB round trip must reproduce EXACTLY the ASCII
+# projection; chapters hold 3 lines each, so n_chapters is
+# ceil(lines / 3) — lines = newline count + 1 (text '' is one empty
+# line -> one chapter, matching encode_epub's [['']] group).
+EXTRA_ORACLES["q_epub_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 11 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(ceil((length(txt) - length(replace(txt, chr(10), ''))
+                  + 1) / 3.0) AS BIGINT) AS n_chapters,
+       'epub' AS kind
+FROM t
+"""
+
+
 # Baseline-TIFF decode (round 9): lossless, so every column is doc_id
 # arithmetic regardless of which compression/endianness the writer
 # rotation picked.

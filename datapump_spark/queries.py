@@ -3710,6 +3710,47 @@ def q_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_doc_text"] = q_doc_text
 
 
+def q_epub_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL EPUB text-extraction gate (operators/docx.py, r11 —
+    VERDICT r10 #7). Each sampled document's printable-ASCII
+    projection ('.' -> newline, the q_doc_text trick) is written into
+    a genuine EPUB — OCF zip with a STORED mimetype entry,
+    container.xml -> OPF rootfile, manifest + spine, XHTML chapters
+    of 3 lines each — and extracted back through the MIXED
+    document_text dispatcher, witnessing container detection, spine
+    ordering across multiple chapters, the per-chapter XHTML block
+    walk and XML escaping. The oracle recomputes text and the
+    ceil(lines/3) chapter count from SQL; extraction must be EXACT."""
+    import pandas as pd
+
+    from datapump_spark.operators.docx import document_text
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 11 == 0)
+            .select(F.col("doc_id").alias("media_id"),
+                    F.translate(
+                        F.regexp_replace("text", r"[^ -~]", ""),
+                        ".", "\n").alias("__t"))
+            .repartition(16))
+
+    def build(batches):
+        from datapump_spark.operators.docx import encode_epub
+        for pdf_b in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_b["media_id"],
+                "payload": [encode_epub(t) for t in pdf_b["__t"]],
+            })
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (document_text(media, on_error="raise")
+            .select("media_id", "text",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_units").cast("long").alias("n_chapters"),
+                    "kind"))
+
+
+EXTRA_QUERIES["q_epub_text"] = q_epub_text
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode gate (operators/tiff.py, round 9).
     Each sampled document becomes a solid-color TIFF whose compression

@@ -11,8 +11,10 @@ import pytest
 
 from datapump_spark.operators.docx import (
     encode_docx,
+    encode_epub,
     encode_odt,
     extract_docx_text,
+    extract_epub_text,
     office_text,
 )
 
@@ -87,12 +89,96 @@ def test_document_corpus_mixed_tree(spark, tmp_path):
     (d / "a.pdf").write_bytes(encode_simple_pdf(long + "from pdf"))
     (d / "b.docx").write_bytes(encode_docx(long + "from docx"))
     (d / "c.odt").write_bytes(encode_odt(long + "from odt"))
+    (d / "e.epub").write_bytes(encode_epub(long + "from epub"))
     (d / "junk.docx").write_bytes(b"not a zip at all")
     out = document_corpus(spark, str(tmp_path),
                           recipe=CorpusRecipe(min_words=10,
                                               dedup_threshold=0.95))
     texts = [r["text"] for r in out["clean"].collect()]
-    assert sorted(t.split()[-2] for t in texts) == ["from", "from", "from"]
-    assert {t.split()[-1] for t in texts} == {"pdf", "docx", "odt"}
+    assert sorted(t.split()[-2] for t in texts) == ["from"] * 4
+    assert {t.split()[-1] for t in texts} == {"pdf", "docx", "odt", "epub"}
     q = out["quarantine"].collect()
     assert len(q) == 1 and q[0]["path"].endswith("junk.docx")
+
+
+def test_epub_roundtrip_and_spine_order():
+    """r11: multi-chapter EPUB round trip — spine order, 3-line
+    chapters, XML escaping; chapter count is ceil(lines/3)."""
+    t = "alpha & <beta>\nsecond\nthird\nchapter2 line\nfive\nsix\nseven"
+    text, n, flags = extract_epub_text(encode_epub(t))
+    assert text == t and n == 3 and flags == []
+    text, n, flags = extract_epub_text(encode_epub(""))
+    assert text == "" and n == 1 and flags == []
+    # spine order is authoritative: reverse the itemrefs and the
+    # chapters must come back reversed
+    src = encode_epub("a\nb\nc\nd")                    # 2 chapters
+    zf = zipfile.ZipFile(io.BytesIO(src))
+    files = {zi.filename: zf.read(zi.filename) for zi in zf.infolist()}
+    opf = files["OEBPS/content.opf"].decode()
+    r0, r1 = '<itemref idref="c0"/>', '<itemref idref="c1"/>'
+    files["OEBPS/content.opf"] = opf.replace(
+        r0 + r1, r1 + r0).encode()
+    text, n, _ = extract_epub_text(_rezip(files))
+    assert text == "d\na\nb\nc" and n == 2
+
+
+def _rezip(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        zi = zipfile.ZipInfo("mimetype")
+        zi.compress_type = zipfile.ZIP_STORED
+        z.writestr(zi, files.get("mimetype", b"application/epub+zip"))
+        for k, v in files.items():
+            if k != "mimetype":
+                z.writestr(k, v)
+    return buf.getvalue()
+
+
+def test_epub_foreign_xhtml_and_flags():
+    """Foreign-style chapters: named XHTML entities substituted
+    (unknown ones dropped + flagged), div-only layouts keep their
+    text, script/style skipped; DRM encryption.xml flagged; spine
+    idrefs without manifest targets flagged but don't fail the book;
+    non-EPUB zips and wrong mimetypes refuse."""
+    src = encode_epub("x")
+    zf = zipfile.ZipFile(io.BytesIO(src))
+    files = {zi.filename: zf.read(zi.filename) for zi in zf.infolist()}
+    files["OEBPS/ch000.xhtml"] = (
+        b'<?xml version="1.0"?>'
+        b'<html xmlns="http://www.w3.org/1999/xhtml"><body>'
+        b'<p>caf&eacute;&nbsp;&mdash; ok &amp; &unknownent; f</p>'
+        b'<div><p>nested</p></div><div>bare text</div>'
+        b'<script>var x = 1;</script></body></html>')
+    text, n, flags = extract_epub_text(_rezip(files))
+    assert text == "caf\xe9\xa0— ok &  f\nnested\nbare text"
+    assert n == 1 and flags == ["entity_dropped"]
+    # DRM flag: encryption.xml present, readable chapters still out
+    files2 = dict(files)
+    files2["META-INF/encryption.xml"] = b"<encryption/>"
+    _, _, flags = extract_epub_text(_rezip(files2))
+    assert "drm_encrypted" in flags
+    # dangling spine idref
+    files3 = {zi.filename: zf.read(zi.filename) for zi in zf.infolist()}
+    del files3["OEBPS/ch000.xhtml"]
+    text, n, flags = extract_epub_text(_rezip(files3))
+    assert text == "" and n == 0 and flags == ["missing_item"]
+    # refusals
+    with pytest.raises(ValueError, match="mimetype"):
+        extract_epub_text(_rezip({**files, "mimetype": b"text/plain"}))
+    with pytest.raises(ValueError, match="container"):
+        extract_epub_text(_rezip({"mimetype": b"application/epub+zip",
+                                  "other.txt": b"hi"}))
+    with pytest.raises(ValueError, match="not an EPUB"):
+        extract_epub_text(b"PK\x03\x04 garbage not a zip")
+
+
+def test_document_text_kind_epub(spark):
+    """The mixed dispatcher tags EPUB payloads kind='epub' with
+    n_units = chapter count."""
+    from datapump_spark.operators.docx import document_text
+    rows = [(1, encode_epub("a\nb\nc\nd")), (2, encode_docx("x"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in document_text(df).collect()}
+    assert got[1]["kind"] == "epub" and got[1]["n_units"] == 2
+    assert got[1]["text"] == "a\nb\nc\nd"
+    assert got[2]["kind"] == "docx"
