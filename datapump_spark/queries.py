@@ -3930,15 +3930,15 @@ EXTRA_QUERIES["q_subtitle_cues"] = q_subtitle_cues
 
 
 def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
-    """Materialize (once) the first ``n_rows`` events as THREE Avro
-    container files — thirds in codec null, deflate and snappy (r10:
-    the pure-Python raw snappy codec) — so one scan witnesses every
-    block decoder."""
+    """Materialize (once) the first ``n_rows`` events as FOUR Avro
+    container files — quarters in codec null, deflate, snappy (r10)
+    and zstd (r11: the pure-Python RFC 8878 decoder) — so one scan
+    witnesses every block decoder."""
     import os
     import shutil
 
     out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
-               / f"events_avro3_{n_rows}")
+               / f"events_avro4_{n_rows}")
     if not out_dir.exists():
         import duckdb
 
@@ -3958,16 +3958,14 @@ def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
         ]}
         recs = [dict(zip(("event_id", "ts", "user_id", "event_type",
                           "value"), r)) for r in rows]
-        third = len(recs) // 3
+        quarter = len(recs) // 4
         tmp = out_dir.parent / f".events_avro.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
-        (tmp / "part0.avro").write_bytes(
-            encode_avro(schema, recs[:third], codec="null"))
-        (tmp / "part1.avro").write_bytes(
-            encode_avro(schema, recs[third:2 * third], codec="deflate"))
-        (tmp / "part2.avro").write_bytes(
-            encode_avro(schema, recs[2 * third:], codec="snappy"))
+        for k, codec in enumerate(("null", "deflate", "snappy", "zstd")):
+            hi = (k + 1) * quarter if k < 3 else len(recs)
+            (tmp / f"part{k}.avro").write_bytes(
+                encode_avro(schema, recs[k * quarter:hi], codec=codec))
         try:
             tmp.rename(out_dir)
         except OSError:
@@ -3978,8 +3976,8 @@ def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
 def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Avro object-container read gate (sources/avro.py, round 9):
     container magic + metadata map, zigzag varints, sync-framed
-    blocks, null, deflate AND snappy codecs (the fixture splits the slice
-    across all three), nullable-union fields — decoded records must
+    blocks, null, deflate, snappy AND zstd codecs (the fixture splits
+    the slice across all four), nullable-union fields — decoded records must
     reproduce EXACTLY the events slice the oracle re-selects. Native
     types ride through (no string coercion), unlike the XLSX twin."""
     from datapump_spark.sources.avro import read_avro

@@ -9,14 +9,16 @@ metadata map (schema JSON, codec), sync-marker-framed data blocks,
 zigzag-varint primitives, and recursive datum decoding.
 
 Scope (honest seams recorded in COVERAGE.md): codecs null,
-deflate (raw zlib) and snappy (r10, pure-Python raw codec in
+deflate (raw zlib), zstd (r11, pure-Python RFC 8878 decoder in
+operators/zstd.py, conformance-pinned against libzstd) and snappy
+(r10, pure-Python raw codec in
 operators/snappy.py with the spec's big-endian CRC32 of the
 uncompressed block); schemas of records over primitives, nullable
 ``["null", T]`` unions, enums, fixed, arrays, maps, and NESTED
-records (nested output as Spark structs). The zstd codec and
+records (nested output as Spark structs). The bzip2/xz codecs and
 recursive-type schemas raise UnsupportedMediaError/ValueError.
 
-Writer twin ``encode_avro`` (null/deflate/snappy) exists for fixtures and
+Writer twin ``encode_avro`` (null/deflate/snappy/zstd) exists for fixtures and
 the q_avro_scan exact-hash gate.
 
 Reference parity note: the reference reads loose CSVs only; charter
@@ -142,7 +144,10 @@ def parse_avro_header(b: bytes):
             k = r.bytes_().decode("utf-8")
             meta[k] = r.bytes_()
     codec = meta.get("avro.codec", b"null").decode("ascii")
-    if codec not in ("null", "deflate", "snappy"):
+    if codec == "zstandard":
+        codec = "zstd"              # the Avro spec name; java/python
+        # writers emit "zstandard", some tools abbreviate "zstd"
+    if codec not in ("null", "deflate", "snappy", "zstd"):
         raise UnsupportedMediaError(f"Avro codec {codec!r} unsupported")
     schema = json.loads(meta["avro.schema"])
     sync = r.raw(16)
@@ -171,6 +176,12 @@ def iter_avro_records(b: bytes):
             block = snappy_decompress(block[:-4])
             if zlib.crc32(block) & 0xFFFFFFFF != crc:
                 raise ValueError("snappy Avro block CRC32 mismatch")
+        elif codec == "zstd":
+            # spec: each block is one zstd frame, no extra CRC (the
+            # frame's own checksum applies when present) — r11,
+            # operators/zstd.py, conformance-pinned vs libzstd
+            from datapump_spark.operators.zstd import decode_zstd
+            block = decode_zstd(block)
         if r.raw(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         br = _Reader(block)
@@ -318,8 +329,8 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
     """Encode record dicts as one Avro object container — fixture/sink
     twin of read_avro. Deterministic sync marker (fixtures diff
     cleanly)."""
-    if codec not in ("null", "deflate", "snappy"):
-        raise ValueError("codec must be null, deflate or snappy")
+    if codec not in ("null", "deflate", "snappy", "zstd"):
+        raise ValueError("codec must be null, deflate, snappy or zstd")
     body = bytearray()
     n = 0
     for rec in records:
@@ -333,9 +344,13 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
         from datapump_spark.operators.snappy import snappy_compress
         block = snappy_compress(block) \
             + (zlib.crc32(block) & 0xFFFFFFFF).to_bytes(4, "big")
+    elif codec == "zstd":
+        from datapump_spark.operators.zstd import encode_zstd
+        block = encode_zstd(block)
     sync = bytes(range(16))
+    wire_codec = "zstandard" if codec == "zstd" else codec
     meta = {"avro.schema": json.dumps(schema).encode(),
-            "avro.codec": codec.encode()}
+            "avro.codec": wire_codec.encode()}
     out = bytearray(_MAGIC)
     out += _zigzag(len(meta))
     for k, v in meta.items():

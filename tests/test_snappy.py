@@ -58,3 +58,26 @@ def test_honest_failures():
                           + bytes([1 | (0 << 2)]) + b"\x05")
     with pytest.raises(ValueError, match="truncated"):
         snappy_decompress(bytes([10]) + bytes([9 << 2]) + b"ab")
+
+
+def test_conformance_vs_libsnappy():
+    """r11: pyarrow bundles reference libsnappy — pin both directions
+    with foreign bytes (the r10 module predates noticing the
+    in-container reference; this upgrades its evidence from
+    self-consistent to conformance-tested)."""
+    import random
+
+    import pyarrow as pa
+
+    lib = pa.Codec("snappy")
+    rng = random.Random(7)
+    words = [bytes(rng.getrandbits(8) for _ in range(rng.randint(1, 8)))
+             for _ in range(30)]
+    cases = [b"", b"x", b"snappy mutual check " * 300,
+             bytes(range(256)) * 40, b"\x00" * 5000]
+    cases += [b"".join(rng.choice(words) for _ in range(rng.randint(0, 300)))
+              for _ in range(40)]
+    for d in cases:
+        assert snappy_decompress(lib.compress(d, asbytes=True)) == d
+        assert lib.decompress(snappy_compress(d), len(d),
+                              asbytes=True) == d
