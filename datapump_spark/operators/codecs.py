@@ -607,7 +607,8 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
     """Dispatch on magic bytes: WAV (PCM / IMA-ADPCM) via decode_wav,
     FLAC (r9, operators/flac.py) decoded losslessly then normalized,
     MP3 (r10, operators/mp3.py — MPEG-1/2/2.5 Layer III incl. the LSF
-    low-rate extensions, ID3v2 skipped) —
+    low-rate extensions, ID3v2 skipped), Ogg Vorbis (r11,
+    operators/vorbis.py — Opus/Theora-only Ogg refused honestly) —
     all return (samples float64 in [-1, 1], shape (n, channels);
     sample_rate), so audio features and near-dedup admit every
     decodable format transparently.
@@ -629,6 +630,12 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
 
         samples, sr, bps = decode_flac(b)
         return samples.astype(np.float64) / (1 << (bps - 1)), sr
+    if b[:4] == b"OggS":
+        # Ogg Vorbis (r11, operators/vorbis.py); Opus/Theora-only
+        # streams raise UnsupportedMediaError inside
+        from datapump_spark.operators.vorbis import decode_vorbis
+
+        return decode_vorbis(b)
     if b[:3] == b"ID3" or (len(b) > 4 and b[0] == 0xFF
                            and (b[1] & 0xE6) == 0xE2):
         # MPEG audio sync with layer III bits (MPEG-1 and LSF)

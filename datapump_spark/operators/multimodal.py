@@ -81,6 +81,7 @@ def _real_features(payload: bytes) -> list[float]:
 
     if (payload[:4] == b"RIFF" and payload[8:12] == b"WAVE") \
             or payload[:4] == b"fLaC" or payload[:3] == b"ID3" \
+            or payload[:4] == b"OggS" \
             or (len(payload) > 4 and payload[0] == 0xFF
                 and (payload[1] & 0xE6) == 0xE2):
         s, sr = codecs.decode_audio(payload)

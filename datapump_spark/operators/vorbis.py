@@ -1,0 +1,1081 @@
+"""Ogg Vorbis audio decode + encode in pure Python (round 11 —
+VERDICT r10 #2: Ogg was the top remaining sniff-only crawl audio
+format; ``operators/mediasniff.py`` already walks the container but no
+samples decoded).
+
+Decoder scope (Vorbis I spec, public — xiph.org; section numbers in
+comments):
+- Ogg layer: page capture, CRC-32 (0x04C11DB7, unreflected) verified,
+  lacing/continued-packet reassembly, serial filtering.
+- Identification / comment / setup headers; codebooks with the spec's
+  first-fit codeword assignment (§3.2.1 — validated against the
+  spec's own worked example in tests), ordered and sparse length
+  lists, VQ lookup types 0/1/2.
+- Floor type 1 (§7.2): class/subclass partitioning, the two-neighbor
+  amplitude prediction, integer render_line in the dB-index domain,
+  the inverse-dB amplitude table. Floor type 0 (deprecated LSP floors,
+  §6) is refused honestly.
+- Residue types 0/1/2 (§8.6): cascade bitmaps, classword unpacking,
+  per-pass partition VQ adds, type-2 channel interleave.
+- Mapping (square polar coupling steps, channel mux, submaps), modes,
+  window synthesis with long/short transitions, IMDCT (cached numpy
+  matmul per size), lapped overlap-add, float PCM.
+
+Encoder twin ``encode_vorbis`` (fixture/sink side): single-mode
+(blockflag 0) streams with a flat floor-1 curve and dim-1 scalar
+residue books — the simplest legal configuration, exercising the full
+header/codebook/floor/residue/synthesis decode chain in round trips.
+
+HONEST STAND-IN note (the MP3/VP8 doctrine): no Vorbis reference
+encoder exists in this container (COVERAGE.md:50 records the pip
+block), so foreign-stream conformance cannot be exercised; round trips
+through the mirrored twin are exact by construction, and hand-built
+fixtures cover paths the twin never emits. The inverse-dB table is
+generated from the geometric closed form pinned to the spec's printed
+endpoints (1.0649863e-07 .. 1.0).
+
+Reference parity note: the reference (datapump.py) has no audio
+surface; charter extension.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+import numpy as np
+
+from datapump_spark.operators.codecs import UnsupportedMediaError
+
+# ---------------------------------------------------------------------------
+# Ogg container (RFC 3533): page walk + CRC + packet reassembly
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def _ogg_crc_table() -> list[int]:
+    tbl = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            r = ((r << 1) ^ 0x04C11DB7) if r & 0x80000000 else (r << 1)
+            r &= 0xFFFFFFFF
+        tbl.append(r)
+    return tbl
+
+
+def _ogg_crc(b: bytes) -> int:
+    tbl = _ogg_crc_table()
+    crc = 0
+    for byte in b:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ tbl[((crc >> 24) & 0xFF) ^ byte]
+    return crc
+
+
+def ogg_packets(b: bytes, serial: int | None = None):
+    """Yield (serial, granule, packet_bytes) from an Ogg stream —
+    CRC-verified pages, lacing reassembly, continued packets joined
+    across pages. ``serial`` filters to one logical stream."""
+    i = 0
+    partial: dict[int, bytearray] = {}
+    while i < len(b):
+        at = b.find(b"OggS", i)
+        if at < 0:
+            break
+        if len(b) - at < 27:
+            break
+        if b[at + 4] != 0:
+            raise ValueError(f"Ogg version {b[at + 4]}")
+        htype = b[at + 5]
+        granule = int.from_bytes(b[at + 6:at + 14], "little", signed=True)
+        ser = int.from_bytes(b[at + 14:at + 18], "little")
+        crc = int.from_bytes(b[at + 22:at + 26], "little")
+        nsegs = b[at + 26]
+        lace = b[at + 27:at + 27 + nsegs]
+        if len(lace) < nsegs:
+            break
+        body_at = at + 27 + nsegs
+        body_len = sum(lace)
+        page_end = body_at + body_len
+        if page_end > len(b):
+            break
+        page = bytearray(b[at:page_end])
+        page[22:26] = b"\x00" * 4
+        if _ogg_crc(bytes(page)) != crc:
+            raise ValueError("Ogg page CRC mismatch")
+        i = page_end
+        if serial is not None and ser != serial:
+            continue
+        buf = partial.pop(ser, bytearray())
+        if not (htype & 0x01):           # not a continuation page
+            buf = bytearray()
+        pos = body_at
+        seg_in_packet = False
+        for k, sl in enumerate(lace):
+            buf += b[pos:pos + sl]
+            pos += sl
+            seg_in_packet = True
+            if sl < 255:                 # packet ends here
+                yield ser, granule, bytes(buf)
+                buf = bytearray()
+                seg_in_packet = False
+        if seg_in_packet or (nsegs and lace[-1] == 255):
+            partial[ser] = buf           # packet continues on next page
+
+
+def ogg_pages(packets: list[bytes], serial: int = 1,
+              granules: list[int] | None = None) -> bytes:
+    """Write packets as an Ogg stream — one page per packet (lacing
+    splits >255-byte packets into 255-runs), BOS on the first page,
+    EOS on the last, CRC computed. Fixture/sink twin of
+    :func:`ogg_packets`."""
+    out = bytearray()
+    for n, pkt in enumerate(packets):
+        lace = []
+        rem = len(pkt)
+        while rem >= 255:
+            lace.append(255)
+            rem -= 255
+        lace.append(rem)
+        if len(lace) > 255:
+            raise ValueError("packet too large for one page")
+        htype = (0x02 if n == 0 else 0) | (0x04 if n == len(packets) - 1
+                                           else 0)
+        gran = granules[n] if granules else (0 if n == 0 else n)
+        page = bytearray(b"OggS\x00")
+        page.append(htype)
+        page += gran.to_bytes(8, "little", signed=True)
+        page += serial.to_bytes(4, "little")
+        page += n.to_bytes(4, "little")
+        page += b"\x00" * 4              # CRC placeholder
+        page.append(len(lace))
+        page += bytes(lace)
+        page += pkt
+        crc = _ogg_crc(bytes(page))
+        page[22:26] = crc.to_bytes(4, "little")
+        out += page
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# Vorbis bit packing (§2): LSB-first within bytes
+# ---------------------------------------------------------------------------
+
+
+class _VBits:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def read(self, n: int) -> int:
+        p = self.pos
+        self.pos = p + n
+        if self.pos > len(self.buf) * 8:
+            raise ValueError("Vorbis packet truncated")
+        lo = p >> 3
+        chunk = int.from_bytes(self.buf[lo:(p + n + 7) >> 3], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
+
+    def peek(self, n: int) -> int:
+        p = self.pos
+        lo = p >> 3
+        hi = min((p + n + 7) >> 3, len(self.buf))
+        chunk = int.from_bytes(self.buf[lo:hi], "little")
+        return (chunk >> (p & 7)) & ((1 << n) - 1)
+
+    def eof(self) -> bool:
+        return self.pos >= len(self.buf) * 8
+
+
+class _VBW:
+    __slots__ = ("bytes_", "acc", "bits")
+
+    def __init__(self):
+        self.bytes_ = bytearray()
+        self.acc = 0
+        self.bits = 0
+
+    def write(self, v: int, n: int) -> None:
+        self.acc |= (v & ((1 << n) - 1)) << self.bits
+        self.bits += n
+        while self.bits >= 8:
+            self.bytes_.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.bits -= 8
+
+    def bytes_padded(self) -> bytes:
+        out = bytes(self.bytes_)
+        if self.bits:
+            out += bytes([self.acc & 0xFF])
+        return out
+
+
+def _ilog(x: int) -> int:
+    """§9.2.1: number of bits needed for the range [0, x]; 0 for
+    non-positive x."""
+    return x.bit_length() if x > 0 else 0
+
+
+def _float32_unpack(x: int) -> float:
+    """§9.2.2: Vorbis 32-bit float (21-bit mantissa, 10-bit biased
+    exponent, sign)."""
+    mant = x & 0x1FFFFF
+    if x & 0x80000000:
+        mant = -mant
+    exp = (x >> 21) & 0x3FF
+    return float(mant) * (2.0 ** (exp - 788))
+
+
+def _float32_pack(v: float) -> int:
+    """Mirror of _float32_unpack for the encoder twin (exact for the
+    integer-times-power-of-two values the twin uses)."""
+    if v == 0.0:
+        return 788 << 21
+    sign = 0x80000000 if v < 0 else 0
+    v = abs(v)
+    exp = 0
+    while v != int(v) and exp > -400:
+        v *= 2.0
+        exp -= 1
+    mant = int(v)
+    while mant >= (1 << 21):
+        if mant & 1:
+            raise ValueError("value not representable")
+        mant >>= 1
+        exp += 1
+    return sign | ((exp + 788) << 21) | mant
+
+
+# ---------------------------------------------------------------------------
+# Codebooks (§3)
+# ---------------------------------------------------------------------------
+
+
+def assign_codewords(lengths: list[int]) -> dict[int, int]:
+    """First-fit codeword assignment (§3.2.1): each used entry, in
+    order, takes the lowest-valued available codeword of its length.
+    Returns {entry: codeword} (codeword MSB-first). Raises on
+    over-specified trees; under-specified trees are accepted here and
+    policed by the caller (the spec's single-entry books are legal).
+    Validated in tests against the spec's worked example."""
+    marker = [0] * 33
+    codes: dict[int, int] = {}
+    for i, ln in enumerate(lengths):
+        if ln <= 0:
+            continue
+        entry = marker[ln]
+        if ln < 32 and (entry >> ln):
+            raise ValueError("over-specified Huffman tree")
+        codes[i] = entry
+        for j in range(ln, 0, -1):
+            if marker[j] & 1:
+                if j == 1:
+                    marker[1] += 1
+                else:
+                    marker[j] = marker[j - 1] << 1
+                break
+            marker[j] += 1
+        for j in range(ln + 1, 33):
+            if (marker[j] >> 1) == entry:
+                entry = marker[j]
+                marker[j] = marker[j - 1] << 1
+            else:
+                break
+    return codes
+
+
+class _Codebook:
+    __slots__ = ("dims", "entries", "lengths", "codes", "lut",
+                 "lut_bits", "trie", "lookup", "vq", "maxlen")
+
+    def __init__(self, dims, entries, lengths, lookup, vq):
+        self.dims = dims
+        self.entries = entries
+        self.lengths = lengths
+        self.lookup = lookup
+        self.vq = vq                     # (entries, dims) float array
+        self.codes = assign_codewords(lengths)
+        self.maxlen = max((ln for ln in lengths if ln > 0), default=0)
+        # fast path: LSB-first peek LUT keyed by the REVERSED codeword
+        self.lut = None
+        self.lut_bits = 0
+        if 0 < self.maxlen <= 14:
+            lut = np.zeros(1 << self.maxlen, np.int32)
+            lut -= 1
+            for entry, code in self.codes.items():
+                ln = lengths[entry]
+                rev = int(f"{code:0{ln}b}"[::-1], 2)
+                packed = (ln << 20) | entry
+                for k in range(1 << (self.maxlen - ln)):
+                    lut[rev | (k << ln)] = packed
+            self.lut = lut
+            self.lut_bits = self.maxlen
+        # slow path: binary trie {0:..., 1:...} / int leaf
+        self.trie = {}
+        for entry, code in self.codes.items():
+            node = self.trie
+            ln = lengths[entry]
+            for bit_i in range(ln - 1):
+                bit = (code >> (ln - 1 - bit_i)) & 1
+                node = node.setdefault(bit, {})
+                if not isinstance(node, dict):
+                    raise ValueError("Huffman prefix collision")
+            last = code & 1
+            if last in node:
+                raise ValueError("Huffman prefix collision")
+            node[last] = entry
+
+    def decode_scalar(self, r: _VBits) -> int:
+        if self.lut is not None:
+            packed = int(self.lut[r.peek(self.lut_bits)])
+            if packed >= 0:
+                ln = packed >> 20
+                if r.pos + ln <= len(r.buf) * 8:
+                    r.pos += ln
+                    return packed & 0xFFFFF
+            raise ValueError("invalid Vorbis codeword")
+        node = self.trie
+        for _ in range(self.maxlen + 1):
+            node = node.get(r.read(1))
+            if node is None:
+                raise ValueError("invalid Vorbis codeword")
+            if not isinstance(node, dict):
+                return node
+        raise ValueError("invalid Vorbis codeword")
+
+    def decode_vq(self, r: _VBits) -> np.ndarray:
+        if self.vq is None:
+            raise ValueError("scalar codebook used in VQ context")
+        return self.vq[self.decode_scalar(r)]
+
+
+def _read_codebook(r: _VBits) -> _Codebook:
+    if r.read(24) != 0x564342:           # 'BCV'
+        raise ValueError("bad codebook sync")
+    dims = r.read(16)
+    entries = r.read(24)
+    ordered = r.read(1)
+    lengths = [0] * entries
+    if ordered:
+        cur_len = r.read(5) + 1
+        i = 0
+        while i < entries:
+            num = r.read(_ilog(entries - i))
+            for _ in range(num):
+                lengths[i] = cur_len
+                i += 1
+            cur_len += 1
+            if cur_len > 32:
+                raise ValueError("codeword length overflow")
+    else:
+        sparse = r.read(1)
+        for i in range(entries):
+            if sparse and not r.read(1):
+                continue
+            lengths[i] = r.read(5) + 1
+    lookup = r.read(4)
+    vq = None
+    if lookup in (1, 2):
+        minv = _float32_unpack(r.read(32))
+        delta = _float32_unpack(r.read(32))
+        val_bits = r.read(4) + 1
+        seq_p = r.read(1)
+        if lookup == 1:
+            # smallest lv with lv**dims >= entries
+            lv = 0
+            while (lv + 1) ** dims <= entries:
+                lv += 1
+            n_vals = lv
+        else:
+            n_vals = entries * dims
+        mults = [r.read(val_bits) for _ in range(n_vals)]
+        vq = np.zeros((entries, dims))
+        for e in range(entries):
+            last = 0.0
+            if lookup == 1:
+                idx_div = 1
+                for d in range(dims):
+                    off = (e // idx_div) % n_vals
+                    v = minv + delta * mults[off] + last
+                    vq[e, d] = v
+                    if seq_p:
+                        last = v
+                    idx_div *= n_vals
+            else:
+                for d in range(dims):
+                    v = minv + delta * mults[e * dims + d] + last
+                    vq[e, d] = v
+                    if seq_p:
+                        last = v
+    elif lookup != 0:
+        raise ValueError(f"reserved codebook lookup type {lookup}")
+    return _Codebook(dims, entries, lengths, lookup, vq)
+
+
+def _write_codebook(w: _VBW, dims: int, lengths: list[int],
+                    lookup: int = 0, minv: float = 0.0,
+                    delta: float = 0.0, val_bits: int = 1,
+                    mults: list[int] | None = None) -> None:
+    """Encoder-twin codebook writer (unordered, non-sparse)."""
+    w.write(0x564342, 24)
+    w.write(dims, 16)
+    w.write(len(lengths), 24)
+    w.write(0, 1)                        # not ordered
+    w.write(0, 1)                        # not sparse
+    for ln in lengths:
+        w.write(ln - 1, 5)
+    w.write(lookup, 4)
+    if lookup in (1, 2):
+        w.write(_float32_pack(minv), 32)
+        w.write(_float32_pack(delta), 32)
+        w.write(val_bits - 1, 4)
+        w.write(0, 1)                    # no sequence_p
+        for m in mults:
+            w.write(m, val_bits)
+
+
+def _write_codeword(w: _VBW, book: _Codebook, entry: int) -> None:
+    code = book.codes[entry]
+    ln = book.lengths[entry]
+    for bit_i in range(ln):
+        w.write((code >> (ln - 1 - bit_i)) & 1, 1)
+
+
+# ---------------------------------------------------------------------------
+# Floor type 1 (§7.2)
+# ---------------------------------------------------------------------------
+
+# inverse-dB amplitude table: geometric from the spec's printed
+# endpoints (1.0649863e-07 at 0 .. 1.0 at 255) — see module docstring
+_FLOOR1_DB = (1.0649863e-07) ** ((255 - np.arange(256)) / 255.0)
+_FLOOR1_RANGE = (256, 128, 86, 64)
+
+
+def _read_floor1(r: _VBits) -> dict:
+    partitions = r.read(5)
+    class_list = [r.read(4) for _ in range(partitions)]
+    n_classes = max(class_list) + 1 if class_list else 0
+    dims, subs, masters, sub_books = [], [], [], []
+    for _ in range(n_classes):
+        dims.append(r.read(3) + 1)
+        sb = r.read(2)
+        subs.append(sb)
+        masters.append(r.read(8) if sb else -1)
+        sub_books.append([r.read(8) - 1 for _ in range(1 << sb)])
+    multiplier = r.read(2) + 1
+    rangebits = r.read(4)
+    xs = [0, 1 << rangebits]
+    for i in range(partitions):
+        for _ in range(dims[class_list[i]]):
+            xs.append(r.read(rangebits))
+    if len(set(xs)) != len(xs):
+        raise ValueError("non-unique floor1 X values")
+    order = sorted(range(len(xs)), key=lambda i: xs[i])
+    return {"class_list": class_list, "dims": dims, "subs": subs,
+            "masters": masters, "sub_books": sub_books,
+            "multiplier": multiplier, "xs": xs, "order": order}
+
+
+def _render_point(x0, y0, x1, y1, x) -> int:
+    dy = y1 - y0
+    adx = x1 - x0
+    off = (abs(dy) * (x - x0)) // adx
+    return y0 - off if dy < 0 else y0 + off
+
+
+def _decode_floor1(r: _VBits, fl: dict, books, n2: int):
+    """Returns the floor curve (length n2) or None (unused channel)."""
+    if not r.read(1):
+        return None
+    rng = _FLOOR1_RANGE[fl["multiplier"] - 1]
+    ybits = _ilog(rng - 1)
+    ys = [r.read(ybits), r.read(ybits)]
+    for i, cls in enumerate(fl["class_list"]):
+        cdim = fl["dims"][cls]
+        cbits = fl["subs"][cls]
+        csub = (1 << cbits) - 1
+        cval = 0
+        if cbits:
+            cval = books[fl["masters"][cls]].decode_scalar(r)
+        for _ in range(cdim):
+            book = fl["sub_books"][cls][cval & csub]
+            cval >>= cbits
+            ys.append(books[book].decode_scalar(r) if book >= 0 else 0)
+    xs = fl["xs"]
+    # amplitude synthesis (§7.2.4 step 2): two-neighbor prediction
+    final = [0] * len(xs)
+    step2 = [False] * len(xs)
+    final[0], final[1] = ys[0], ys[1]
+    step2[0] = step2[1] = True
+    for i in range(2, len(xs)):
+        lo = max((n for n in range(i) if xs[n] < xs[i]),
+                 key=lambda n: xs[n])
+        hi = min((n for n in range(i) if xs[n] > xs[i]),
+                 key=lambda n: xs[n])
+        pred = _render_point(xs[lo], final[lo], xs[hi], final[hi], xs[i])
+        val = ys[i]
+        highroom = rng - pred
+        lowroom = pred
+        room = 2 * min(highroom, lowroom)
+        if val:
+            step2[lo] = step2[hi] = step2[i] = True
+            if val >= room:
+                final[i] = (val - lowroom + pred if highroom > lowroom
+                            else pred - (val - highroom) - 1)
+            else:
+                final[i] = (pred - ((val + 1) // 2) if val & 1
+                            else pred + val // 2)
+        else:
+            step2[i] = False
+            final[i] = pred
+    # curve synthesis: render lines between step2 points in X order
+    mult = fl["multiplier"]
+    curve = np.zeros(n2)
+    pts = [(xs[i], final[i]) for i in fl["order"] if step2[i]]
+    lx, ly = pts[0]
+    for px, py in pts[1:]:
+        _render_line(curve, lx, ly, min(px, n2), py, mult)
+        lx, ly = px, py
+        if lx >= n2:
+            break
+    if lx < n2:                          # horizontal tail past last X
+        curve[lx:] = _FLOOR1_DB[min(ly * mult, 255)]
+    return curve
+
+
+def _render_line(buf: np.ndarray, x0: int, y0: int, x1: int, y1: int,
+                 mult: int) -> None:
+    """Integer Bresenham in the dB-index domain (§7.2.4), then table
+    lookup per bin. Fills [x0, x1)."""
+    dy = y1 - y0
+    adx = x1 - x0
+    base = int(dy / adx)                 # truncation toward zero
+    sy = base - 1 if dy < 0 else base + 1
+    ady = abs(dy) - abs(base) * adx
+    y = y0
+    err = 0
+    if x0 < len(buf):
+        buf[x0] = _FLOOR1_DB[min(y * mult, 255)]
+    for x in range(x0 + 1, min(x1, len(buf))):
+        err += ady
+        if err >= adx:
+            err -= adx
+            y += sy
+        else:
+            y += base
+        buf[x] = _FLOOR1_DB[min(max(y, 0) * mult, 255)]
+
+
+# ---------------------------------------------------------------------------
+# Residues (§8.6)
+# ---------------------------------------------------------------------------
+
+
+def _read_residue(r: _VBits) -> dict:
+    rtype = r.read(16)
+    if rtype > 2:
+        raise ValueError(f"reserved residue type {rtype}")
+    begin = r.read(24)
+    end = r.read(24)
+    psize = r.read(24) + 1
+    n_class = r.read(6) + 1
+    classbook = r.read(8)
+    cascade = []
+    for _ in range(n_class):
+        low = r.read(3)
+        high = r.read(5) if r.read(1) else 0
+        cascade.append(high * 8 + low)
+    books = [[r.read(8) if cascade[c] & (1 << p) else -1
+              for p in range(8)] for c in range(n_class)]
+    return {"type": rtype, "begin": begin, "end": end, "psize": psize,
+            "n_class": n_class, "classbook": classbook, "books": books}
+
+
+def _decode_residue(r: _VBits, res: dict, books, n2: int,
+                    do_not: list[bool]) -> np.ndarray:
+    """Returns (channels, n2) residue vectors (type 2 deinterleaved)."""
+    ch = len(do_not)
+    rtype = res["type"]
+    if rtype == 2:
+        vec_n = n2 * ch
+        n_vec = 1
+        skip = [all(do_not)]
+    else:
+        vec_n = n2
+        n_vec = ch
+        skip = do_not
+    out = np.zeros((n_vec, vec_n))
+    begin = min(res["begin"], vec_n)
+    end = min(res["end"], vec_n)
+    psize = res["psize"]
+    cbook = books[res["classbook"]]
+    cdim = cbook.dims
+    n_part = (end - begin) // psize
+    if n_part > 0 and not all(skip):
+        classif = [[0] * (n_part + cdim) for _ in range(n_vec)]
+        for pas in range(8):
+            pcount = 0
+            while pcount < n_part:
+                if pas == 0:
+                    for v in range(n_vec):
+                        if skip[v]:
+                            continue
+                        cw = cbook.decode_scalar(r)
+                        for i in range(cdim - 1, -1, -1):
+                            classif[v][pcount + i] = cw % res["n_class"]
+                            cw //= res["n_class"]
+                for _ in range(cdim):
+                    if pcount >= n_part:
+                        break
+                    for v in range(n_vec):
+                        if skip[v]:
+                            continue
+                        bid = res["books"][classif[v][pcount]][pas]
+                        if bid < 0:
+                            continue
+                        book = books[bid]
+                        off = begin + pcount * psize
+                        if rtype == 0:
+                            step = psize // book.dims
+                            for k in range(step):
+                                t = book.decode_vq(r)
+                                out[v, off + k:off + k
+                                    + step * book.dims:step] += t
+                        else:            # types 1 and 2: sequential
+                            k = 0
+                            while k < psize:
+                                t = book.decode_vq(r)
+                                out[v, off + k:off + k + book.dims] += t
+                                k += book.dims
+                    pcount += 1
+    if rtype == 2:
+        return out.reshape(vec_n // ch, ch).T.copy() if ch > 1 else out
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Setup / synthesis state
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=8)
+def _imdct_matrix(n: int) -> np.ndarray:
+    j = np.arange(n).reshape(-1, 1)
+    k = np.arange(n // 2).reshape(1, -1)
+    return np.cos(np.pi / (2 * n) * (2 * j + 1 + n // 2) * (2 * k + 1))
+
+
+@lru_cache(maxsize=16)
+def _vorbis_slope(w: int) -> np.ndarray:
+    i = np.arange(w)
+    return np.sin(np.pi / 2 * np.sin(np.pi / (2 * w) * (i + 0.5)) ** 2)
+
+
+def _parse_headers(packets):
+    """(info dict) from the three header packets."""
+    ident, comment, setup = packets[0], packets[1], packets[2]
+    if ident[:7] != b"\x01vorbis":
+        raise ValueError("not a Vorbis identification header")
+    r = _VBits(ident[7:])
+    if r.read(32) != 0:
+        raise UnsupportedMediaError("Vorbis version != 0")
+    channels = r.read(8)
+    rate = r.read(32)
+    r.read(32), r.read(32), r.read(32)   # bitrate hints
+    bs0 = 1 << r.read(4)
+    bs1 = 1 << r.read(4)
+    if not (64 <= bs0 <= bs1 <= 8192) or not r.read(1):
+        raise ValueError("bad Vorbis blocksizes/framing")
+    if comment[:7] != b"\x03vorbis":
+        raise ValueError("not a Vorbis comment header")
+    if setup[:7] != b"\x05vorbis":
+        raise ValueError("not a Vorbis setup header")
+    r = _VBits(setup[7:])
+    books = [_read_codebook(r) for _ in range(r.read(8) + 1)]
+    for _ in range(r.read(6) + 1):       # time-domain transforms
+        if r.read(16) != 0:
+            raise ValueError("nonzero time-domain transform")
+    floors = []
+    for _ in range(r.read(6) + 1):
+        ftype = r.read(16)
+        if ftype == 0:
+            raise UnsupportedMediaError(
+                "floor type 0 (LSP) unsupported — honest seam")
+        if ftype != 1:
+            raise ValueError(f"reserved floor type {ftype}")
+        floors.append(_read_floor1(r))
+    residues = [_read_residue(r) for _ in range(r.read(6) + 1)]
+    mappings = []
+    for _ in range(r.read(6) + 1):
+        if r.read(16) != 0:
+            raise ValueError("reserved mapping type")
+        submaps = r.read(4) + 1 if r.read(1) else 1
+        coupling = []
+        if r.read(1):
+            for _ in range(r.read(8) + 1):
+                m = r.read(_ilog(channels - 1))
+                a = r.read(_ilog(channels - 1))
+                if m == a or m >= channels or a >= channels:
+                    raise ValueError("bad coupling channels")
+                coupling.append((m, a))
+        if r.read(2) != 0:
+            raise ValueError("reserved mapping bits")
+        mux = ([r.read(4) for _ in range(channels)] if submaps > 1
+               else [0] * channels)
+        sub_floor, sub_res = [], []
+        for _ in range(submaps):
+            r.read(8)                    # unused time config
+            sub_floor.append(r.read(8))
+            sub_res.append(r.read(8))
+        mappings.append({"submaps": submaps, "coupling": coupling,
+                         "mux": mux, "floor": sub_floor,
+                         "residue": sub_res})
+    modes = []
+    for _ in range(r.read(6) + 1):
+        blockflag = r.read(1)
+        if r.read(16) != 0 or r.read(16) != 0:
+            raise ValueError("reserved mode window/transform")
+        modes.append({"blockflag": blockflag, "mapping": r.read(8)})
+    if not r.read(1):
+        raise ValueError("setup framing bit missing")
+    return {"channels": channels, "rate": rate, "bs": (bs0, bs1),
+            "books": books, "floors": floors, "residues": residues,
+            "mappings": mappings, "modes": modes}
+
+
+def decode_vorbis(b: bytes) -> tuple[np.ndarray, int]:
+    """Decode an Ogg Vorbis stream: (samples float64 in [-1, 1],
+    shape (n, channels); sample_rate). The final granule position
+    truncates the output per spec (end-trimming); a zero/absent
+    granule keeps every synthesized sample."""
+    packets = []
+    last_granule = -1
+    serial = None
+    other_codecs = set()
+    for ser, gran, pkt in ogg_packets(b):
+        if serial is None:
+            if pkt[:7] != b"\x01vorbis":
+                if pkt[:8] == b"OpusHead":
+                    other_codecs.add("Opus")
+                elif pkt[:7] == b"\x7fFLAC":
+                    other_codecs.add("FLAC")
+                elif pkt[:8] == b"fishead\x00":
+                    other_codecs.add("Skeleton")
+                elif pkt[:5] == b"\x80theo":
+                    other_codecs.add("Theora")
+                continue                 # skip non-Vorbis streams
+            serial = ser
+        if ser != serial:
+            continue
+        packets.append(pkt)
+        if gran > 0:
+            last_granule = gran
+    if len(packets) < 4:
+        if other_codecs:
+            raise UnsupportedMediaError(
+                f"Ogg stream carries {sorted(other_codecs)}, not "
+                "Vorbis — honest seam")
+        raise ValueError("no Vorbis audio packets found")
+    info = _parse_headers(packets[:3])
+    ch = info["channels"]
+    bs0, bs1 = info["bs"]
+    books = info["books"]
+    mode_bits = _ilog(len(info["modes"]) - 1)
+    pcm = []
+    tail = None                          # previous right-segment
+    for pkt in packets[3:]:
+        r = _VBits(pkt)
+        if r.read(1) != 0:
+            continue                     # non-audio packet mid-stream
+        mode = info["modes"][r.read(mode_bits)]
+        mapping = info["mappings"][mode["mapping"]]
+        blockflag = mode["blockflag"]
+        n = bs1 if blockflag else bs0
+        n2 = n // 2
+        prev_f = next_f = 1
+        if blockflag:
+            prev_f = r.read(1)
+            next_f = r.read(1)
+        # floors
+        floors = []
+        no_res = []
+        for c in range(ch):
+            fl = info["floors"][mapping["floor"][mapping["mux"][c]]]
+            try:
+                curve = _decode_floor1(r, fl, books, n2)
+            except ValueError:
+                if r.eof():              # end-of-packet = zero frame
+                    curve = None
+                else:
+                    raise
+            floors.append(curve)
+            no_res.append(curve is None)
+        for m, a in mapping["coupling"]: # nonzero propagation
+            if not (no_res[m] and no_res[a]):
+                no_res[m] = no_res[a] = False
+        # residues per submap
+        resid = np.zeros((ch, n2))
+        for sm in range(mapping["submaps"]):
+            idx = [c for c in range(ch) if mapping["mux"][c] == sm]
+            if not idx:
+                continue
+            res = info["residues"][mapping["residue"][sm]]
+            got = _decode_residue(r, res, books, n2,
+                                  [no_res[c] for c in idx])
+            for j, c in enumerate(idx):
+                resid[c] = got[j]
+        # inverse coupling (reverse order)
+        for m, a in reversed(mapping["coupling"]):
+            M, A = resid[m].copy(), resid[a].copy()
+            new_m = np.where(M > 0, np.where(A > 0, M, M + A),
+                             np.where(A > 0, M, M - A))
+            new_a = np.where(M > 0, np.where(A > 0, M - A, M),
+                             np.where(A > 0, M + A, M))
+            resid[m], resid[a] = new_m, new_a
+        # window geometry
+        if blockflag:
+            ls = 0 if prev_f else n // 4 - bs0 // 4
+            le = n2 if prev_f else n // 4 + bs0 // 4
+            rs = n2 if next_f else n - n // 4 - bs0 // 4
+            re = n if next_f else n - n // 4 + bs0 // 4
+        else:
+            ls, le, rs, re = 0, n2, n2, n
+        win = np.zeros(n)
+        win[le:rs] = 1.0
+        win[ls:le] = _vorbis_slope(le - ls)
+        win[rs:re] = _vorbis_slope(re - rs)[::-1]
+        # synthesize
+        mat = _imdct_matrix(n)
+        y = np.zeros((ch, n))
+        for c in range(ch):
+            if floors[c] is None:
+                continue
+            spec = floors[c] * resid[c]
+            y[c] = mat @ spec
+        y *= win
+        if tail is not None:
+            chunk = y[:, ls:rs].copy()
+            chunk[:, :tail.shape[1]] += tail
+            pcm.append(chunk)
+        tail = y[:, rs:re].copy()
+    if not pcm:
+        raise ValueError("no decodable Vorbis frames")
+    out = np.concatenate(pcm, axis=1).T
+    if last_granule > 0:
+        out = out[:last_granule]
+    return np.clip(out, -1.0, 1.0), info["rate"]
+
+
+# ---------------------------------------------------------------------------
+# Encoder twin (fixture/sink side): single mode, blockflag 0,
+# blocksize 2048, flat floor-1, dim-1 scalar residue books — the
+# simplest legal Vorbis stream, driving every decode stage above.
+# ---------------------------------------------------------------------------
+
+_ENC_N = 2048
+_ENC_Q = 64                              # residue quantizer entries
+_ENC_QMIN = -31.0                        # values -31..32, step 1
+_ENC_PSIZE = 64
+
+
+def _mdct_fwd_scale(n: int) -> float:
+    """Forward-MDCT scale making (adjoint analysis → IMDCT/OLA
+    synthesis) unity gain: the TDAC identity for the Vorbis
+    power-complementary window gives OLA = (n/4)·x exactly (the
+    mp3.py adjoint trick; asserted ~1e-12 in tests)."""
+    return 4.0 / n
+
+
+def _enc_window(n: int) -> np.ndarray:
+    w = np.empty(n)
+    w[:n // 2] = _vorbis_slope(n // 2)
+    w[n // 2:] = _vorbis_slope(n // 2)[::-1]
+    return w
+
+
+def _mdct_frames(x: np.ndarray, n: int, scale: float) -> np.ndarray:
+    """(m, n/2) forward-MDCT frames of ``x`` padded with a half-block
+    lead-in; frame count m = ceil(len/h) + 1, h = n/2."""
+    h = n // 2
+    m = -(-len(x) // h) + 1
+    xp = np.zeros((m + 1) * h)
+    xp[h:h + len(x)] = x
+    w = _enc_window(n)
+    mat = _imdct_matrix(n)               # (n, n/2); adjoint = mat.T
+    frames = np.empty((m, n // 2))
+    for i in range(m):
+        frames[i] = scale * (mat.T @ (w * xp[i * h:i * h + n]))
+    return frames
+
+
+def _mdct_roundtrip(x: np.ndarray, n: int, scale: float) -> np.ndarray:
+    """x-aligned analysis->synthesis reconstruction (test hook)."""
+    h = n // 2
+    frames = _mdct_frames(x, n, scale)
+    w = _enc_window(n)
+    mat = _imdct_matrix(n)
+    out = np.zeros((len(frames) + 1) * h)
+    for i, f in enumerate(frames):
+        out[i * h:i * h + n] += w * (mat @ f)
+    return out[h:h + len(x)]             # drop the half-block lead-in
+
+
+def _enc_write_books(w: _VBW, lookup: int = 1) -> list[_Codebook]:
+    """Write the twin's three codebooks into the CONTINUOUS setup
+    bitstream (no byte alignment between fields) and return matching
+    in-memory books for codeword lookup. ``lookup`` (fixture knob)
+    switches the value book between VQ lookup types 1 and 2 —
+    identical values for dims=1, different header representation."""
+    w.write(3 - 1, 8)                    # codebook count
+    # book 0: floor Y values — single used entry (Y always 0)
+    _write_codebook(w, dims=1, lengths=[1])
+    # book 1: residue classbook — dims 1, 2 entries (classword 0 used)
+    _write_codebook(w, dims=1, lengths=[1, 1])
+    # book 2: residue values — dims 1, 64 entries, VQ lookup,
+    # values -31..32 step 1, complete 6-bit tree
+    _write_codebook(w, dims=1, lengths=[6] * _ENC_Q, lookup=lookup,
+                    minv=_ENC_QMIN, delta=1.0, val_bits=6,
+                    mults=list(range(_ENC_Q)))
+    vq = (np.arange(_ENC_Q, dtype=np.float64)
+          + _ENC_QMIN).reshape(_ENC_Q, 1)
+    return [_Codebook(1, 1, [1], 0, None),
+            _Codebook(1, 2, [1, 1], 0, None),
+            _Codebook(1, _ENC_Q, [6] * _ENC_Q, lookup, vq)]
+
+
+def encode_vorbis(x, sr: int, normalize: bool = True,
+                  residue_type: int = 2, lookup: int = 1) -> bytes:
+    """Encode PCM to an Ogg Vorbis stream — the mirrored fixture/sink
+    twin of :func:`decode_vorbis`. ``x``: (n,) or (n, channels<=2),
+    int16 or float in [-1, 1]. Single 2048-sample mode, flat floor,
+    scalar-quantized residues (the residual error is bounded by the
+    floor amplitude / 2 per spectral line).
+
+    Fixture knobs (the VP8 foreign-round pattern — streams the
+    default twin never emits, exercising the other decode branches):
+    ``residue_type`` 0/1 code per-channel vectors (type 0's strided
+    layout equals type 1's for dim-1 books); ``lookup`` 2 switches
+    the value book's VQ header representation."""
+    if residue_type not in (0, 1, 2):
+        raise ValueError("residue_type must be 0, 1 or 2")
+    x = np.asarray(x)
+    if x.dtype.kind in "iu":
+        x = x.astype(np.float64) / 32768.0
+    x = np.atleast_2d(x.T).T.astype(np.float64)
+    if x.shape[1] > 2:
+        raise UnsupportedMediaError("more than 2 channels")
+    if normalize:
+        peak = float(np.max(np.abs(x))) or 1.0
+        if peak > 1.0:
+            x = x / peak
+    n, ch = _ENC_N, x.shape[1]
+    n2 = n // 2
+    scale = _mdct_fwd_scale(n)
+    frames = [_mdct_frames(np.ascontiguousarray(x[:, c]), n, scale)
+              for c in range(ch)]
+    m = frames[0].shape[0]
+
+    # identification header
+    w = _VBW()
+    w.write(0, 32)
+    w.write(ch, 8)
+    w.write(sr, 32)
+    w.write(0, 32), w.write(0, 32), w.write(0, 32)
+    w.write(11, 4), w.write(11, 4)       # blocksize0 = blocksize1 = 2048
+    w.write(1, 1)
+    ident = b"\x01vorbis" + w.bytes_padded()
+    comment = (b"\x03vorbis"
+               + (7).to_bytes(4, "little") + b"fixture"
+               + (0).to_bytes(4, "little") + b"\x01")
+
+    w = _VBW()
+    books = _enc_write_books(w, lookup)
+    w.write(0, 6), w.write(0, 16)        # one time-domain transform
+    w.write(0, 6)                        # one floor
+    w.write(1, 16)                       # type 1
+    w.write(1, 5)                        # 1 partition
+    w.write(0, 4)                        # class 0
+    w.write(0, 3)                        # class dims 1
+    w.write(0, 2)                        # no subclasses
+    w.write(0 + 1, 8)                    # subclass book 0 (stored +1)
+    w.write(0, 2)                        # multiplier 1
+    w.write(10, 4)                       # rangebits: X domain [0,1024]
+    w.write(512, 10)                     # the partition's X value
+    w.write(0, 6)                        # one residue
+    w.write(residue_type, 16)
+    w.write(0, 24)                       # begin
+    # types 0/1 code per-channel vectors of size n2; type 2 codes one
+    # interleaved vector of size n2 * channels
+    w.write(n2 * ch if residue_type == 2 else n2, 24)
+    w.write(_ENC_PSIZE - 1, 24)
+    w.write(0, 6)                        # 1 classification
+    w.write(1, 8)                        # classbook = book 1
+    w.write(1, 3), w.write(0, 1)         # cascade: pass 0 only
+    w.write(2, 8)                        # class 0 pass 0 book = book 2
+    w.write(0, 6)                        # one mapping
+    w.write(0, 16)                       # type 0
+    w.write(0, 1)                        # 1 submap
+    w.write(0, 1)                        # no coupling
+    w.write(0, 2)
+    w.write(0, 8)                        # time config
+    w.write(0, 8)                        # floor 0
+    w.write(0, 8)                        # residue 0
+    w.write(0, 6)                        # one mode
+    w.write(0, 1)                        # blockflag 0
+    w.write(0, 16), w.write(0, 16)
+    w.write(0, 8)                        # mapping 0
+    w.write(1, 1)                        # framing
+    setup = b"\x05vorbis" + w.bytes_padded()
+
+    # pick the flat-floor level per channel: smallest table index
+    # whose amplitude covers max|X| within the quantizer range
+    qmax = -_ENC_QMIN                    # 31: symmetric usable range
+    audio = []
+    ybook, cbook, rbook = books
+    for i in range(m):
+        w = _VBW()
+        w.write(0, 1)                    # audio packet
+        # mode number: ilog(0) = 0 bits; blockflag 0: no window flags
+        resid_q = []
+        for c in range(ch):
+            spec = frames[c][i]
+            amax = float(np.max(np.abs(spec)))
+            y = 255
+            while y > 1 and _FLOOR1_DB[y - 1] * qmax >= amax:
+                y -= 1
+            amp = _FLOOR1_DB[y]
+            q = np.clip(np.round(spec / amp - _ENC_QMIN), 0,
+                        _ENC_Q - 1).astype(np.int64)
+            resid_q.append(q)
+            w.write(1, 1)                # floor nonzero
+            w.write(y, 8)                # Y[0]
+            w.write(y, 8)                # Y[1]
+            _write_codeword(w, ybook, 0)  # Y[2] = 0 (flat)
+        if residue_type == 2:
+            # channels interleave into one vector
+            vec = np.empty(n2 * ch, np.int64)
+            for c in range(ch):
+                vec[c::ch] = resid_q[c]
+            vecs = [vec]
+        else:
+            # types 0/1: one vector per channel (type 0's strided
+            # partition layout equals type 1's for dim-1 books)
+            vecs = resid_q
+        n_part = (len(vecs[0])) // _ENC_PSIZE
+        # decoder interleave order per partition group (classbook
+        # dims = 1): classwords for every vector, then the partition
+        # values for every vector
+        for p in range(n_part):
+            for vec in vecs:
+                _write_codeword(w, cbook, 0)  # classword (pass 0)
+            for vec in vecs:
+                for v in vec[p * _ENC_PSIZE:(p + 1) * _ENC_PSIZE]:
+                    _write_codeword(w, rbook, int(v))
+        audio.append(w.bytes_padded())
+
+    h = n // 2
+    granules = [0, 0, 0] + [min((k + 1) * h, len(x)) if k else 0
+                            for k in range(m)]
+    return ogg_pages([ident, comment, setup] + audio,
+                     serial=0x64617370, granules=granules)

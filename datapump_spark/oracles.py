@@ -3109,14 +3109,14 @@ WHERE doc_id % 6 = 0
 # recomputes it from the id arithmetic without touching a sample.
 EXTRA_ORACLES["q_audio_tone"] = """
 SELECT doc_id AS media_id,
-       CAST(CASE doc_id % 64
+       CAST(CASE doc_id % 80
             WHEN 0 THEN 4000            -- ADPCM arm: 0.5 s
             WHEN 16 THEN 2000           -- FLAC arm: 0.25 s
             WHEN 32 THEN 8064           -- MP3 arm: 7 decoded frames
             ELSE 8000 END AS BIGINT) AS n_frames,
-       CAST(CASE WHEN doc_id % 64 = 32 THEN 32000
+       CAST(CASE WHEN doc_id % 80 = 32 THEN 32000
             ELSE 8000 END AS BIGINT) AS sample_rate,
-       CAST(CASE WHEN doc_id % 64 = 32
+       CAST(CASE WHEN doc_id % 80 = 32
             THEN 250 * (1 + (doc_id // 64) % 8)
             ELSE 100 + (doc_id % 50) * 20 END AS BIGINT) AS dominant_hz
 FROM documents

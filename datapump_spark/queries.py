@@ -1489,8 +1489,7 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
     after 0-dp rounding and the oracle recomputes it from doc_id
     arithmetic alone — a lossy-looking DSP pipeline facing an exact
     value hash (the q_jpeg_decode trick, in the frequency domain).
-    Round 10 rotation (mod 64 over the doc_id % 16 == 0 sample —
-    sampling halved per the round-9 verdict's perf target):
+    Round 11 rotation (mod 80 over the doc_id % 16 == 0 sample):
       0 → IMA-ADPCM WAV, 0.5 s (block_align=16 → 25 samples/block
           divides 4000 exactly; 4-bit noise is broadband, tens of dB
           below the tone; 2 Hz bins, every tone frequency even);
@@ -1501,8 +1500,12 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
           the MP3-arm frequency grid is multiples of 250, so the
           dominant bin is STILL exactly integral despite lossy
           coding and codec delay);
-     48 → PCM WAV, 1 s.
-    One hash gate, four codecs."""
+     48 → PCM WAV, 1 s;
+     64 → Ogg Vorbis, 1 s (r11, operators/vorbis.py — the granule
+          position end-trims the stream to exactly 8000 samples, so
+          bins are 1 Hz and the ~31 dB scalar-quantizer noise floor
+          never moves the argmax off a bin-aligned tone).
+    One hash gate, five codecs."""
     import pandas as pd
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
@@ -1528,14 +1531,23 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
             t32 = np.arange(8000) / 32000.0
             return encode_mp3(0.5 * np.sin(2 * np.pi * f * t32), 32000)
 
+        @lru_cache(maxsize=64)
+        def ogg_payload(f: int) -> bytes:
+            # 50 distinct frequencies: cache the encode per frequency
+            # (bench-stall rule) — the gate's subject is the decode
+            from datapump_spark.operators.vorbis import encode_vorbis
+            return encode_vorbis(0.5 * np.sin(2 * np.pi * f * t), sr)
+
         for pdf in batches:
             ids = pdf["media_id"]
 
             def wav(doc_id: int) -> bytes:
-                rot = doc_id % 64
+                rot = doc_id % 80
                 if rot == 32:                         # MP3 (r10)
                     return mp3_payload(250 * (1 + (doc_id // 64) % 8))
                 f = 100 + (doc_id % 50) * 20          # bin-aligned
+                if rot == 64:                         # Ogg Vorbis (r11)
+                    return ogg_payload(f)
                 sig = 0.5 * np.sin(2 * np.pi * f * t)
                 if rot == 0:
                     return codecs.encode_wav_adpcm(sig[:4000], sr,

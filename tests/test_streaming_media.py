@@ -55,6 +55,10 @@ def media_dir(tmp_path):
     from datapump_spark.operators.mp3 import encode_mp3
     (d / "n.mp3").write_bytes(encode_mp3(
         0.4 * np.sin(2 * np.pi * 500 * np.arange(8000) / 32000.0), 32000))
+    # Ogg Vorbis: decodes since round 11 (operators/vorbis.py)
+    from datapump_spark.operators.vorbis import encode_vorbis
+    (d / "p.ogg").write_bytes(encode_vorbis(
+        0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000.0), 8000))
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -72,7 +76,8 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
             spark.read.parquet(ing.quarantine_dir).collect()}
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
                           "h.webp", "i.wav", "j.webp", "k.tiff",
-                          "l.webp", "m.flac", "n.mp3", "o.jpg"}
+                          "l.webp", "m.flac", "n.mp3", "o.jpg",
+                          "p.ogg"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
@@ -87,6 +92,9 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     assert feats["m.flac"]["features"][:3] == [800.0, 1.0, 8000.0]
     # 7 decoded MPEG-1 frames = 8064 samples at the sniffed 32 kHz
     assert feats["n.mp3"]["features"][:3] == [8064.0, 1.0, 32000.0]
+    # Vorbis granule end-trims to exactly the 4000 encoded samples
+    assert feats["p.ogg"]["features"][:3] == [4000.0, 1.0, 8000.0]
+    assert feats["p.ogg"]["sniffed_format"] == "ogg"
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
     assert feats["a.png"]["sniffed_format"] == "png"
