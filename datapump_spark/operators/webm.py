@@ -6,8 +6,10 @@ frames for real — so the missing piece was the Matroska walk
 (Segment -> Info timestamp scale, Tracks -> V_VP8 track number,
 Cluster timestamps -> SimpleBlock framing), which this adds on top of
 the EBML varint/children helpers the sniffer (mediasniff._mkv_info)
-already ships. All-intra WebM (every frame a key frame) decodes end
-to end; inter-frame (P-frame) streams and V_VP9/V_AV1 codecs raise
+already ships. All-intra WebM decodes end to end; round 11 adds
+INTER-frame (P-frame) streams via operators/vp8inter (VP8Stream
+holds the LAST/GOLDEN/ALTREF reference state across SimpleBlocks;
+SPLITMV raises inside). V_VP9/V_AV1 codecs raise
 UnsupportedMediaError honestly, recorded in COVERAGE.md. Round 10
 adds all three LACING modes (Xiph 255-terminated sizes, fixed equal
 split, EBML vint + signed-vint deltas) with a lacing-capable fixture
@@ -134,11 +136,14 @@ def _laced_sizes(b: bytes, i: int, end: int,
 
 def decode_webm_frames(b: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
     """Yield (frame_idx, ts_ms, rgb uint8 (h, w, 3)) for every
-    SimpleBlock of the first video track in an all-intra VP8 WebM —
-    including Xiph/fixed/EBML-laced blocks (r10; laced frames share
-    the block timestamp). Non-VP8 codecs and inter frames raise
+    SimpleBlock of the first video track in a VP8 WebM — key frames
+    AND inter frames (r11, operators/vp8inter: LAST/GOLDEN/ALTREF
+    prediction; SPLITMV streams raise inside), including
+    Xiph/fixed/EBML-laced blocks (r10; laced frames share the block
+    timestamp). Not-shown frames (altref updates) advance the decoder
+    state without emitting a row. Non-VP8 codecs raise
     UnsupportedMediaError; a malformed container raises ValueError."""
-    from datapump_spark.operators.vp8 import decode_vp8
+    from datapump_spark.operators.vp8inter import VP8Stream
 
     if b[:4] != b"\x1aE\xdf\xa3":
         raise ValueError("not a Matroska/WebM file")
@@ -146,6 +151,7 @@ def decode_webm_frames(b: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
     if codec != "V_VP8":
         raise UnsupportedMediaError(
             f"WebM video codec {codec!r} unsupported (V_VP8 only)")
+    stream = VP8Stream()
     idx = 0
     for e2, p2, q2 in _ebml_children(b, p, e):
         if e2 != 0x1F43B675:             # Cluster
@@ -162,16 +168,14 @@ def decode_webm_frames(b: bytes) -> Iterator[tuple[int, int, np.ndarray]]:
                     raise ValueError("truncated SimpleBlock header")
                 rel = struct.unpack(">h", b[i:i + 2])[0]
                 flags = b[i + 2]
-                if not flags & 0x80:
-                    raise UnsupportedMediaError(
-                        "WebM inter (non-key) frames unsupported "
-                        "(all-intra only)")
                 ts_ms = (cluster_ts + rel) * scale // 1_000_000
                 sizes, di = _laced_sizes(b, i + 3, q3, flags)
                 for sz in sizes:
-                    yield idx, ts_ms, decode_vp8(b[di:di + sz])
+                    rgb = stream.decode(b[di:di + sz])
                     di += sz
-                    idx += 1
+                    if rgb is not None:  # not-shown frames: state only
+                        yield idx, ts_ms, rgb
+                        idx += 1
 
 
 def _el(eid: int, body: bytes) -> bytes:
@@ -232,13 +236,18 @@ def _lace_header(sizes: list[int], mode: str) -> bytes:
 
 
 def encode_webm_vp8(frames, fps: int = 10, qi: int = 4,
-                    lacing: str | None = None) -> bytes:
-    """Encode RGB uint8 frames as an all-intra VP8 WebM — fixture/sink
-    twin of decode_webm_frames. Default: one Cluster per frame
+                    lacing: str | None = None,
+                    inter: bool = False, **inter_kw) -> bytes:
+    """Encode RGB uint8 frames as a VP8 WebM — fixture/sink twin of
+    decode_webm_frames. Default: all-intra, one Cluster per frame
     (exercises the cluster-timestamp walk). ``lacing`` (r10):
     'xiph' / 'ebml' / 'fixed' packs ALL frames into one laced
     SimpleBlock instead ('fixed' needs equal-size payloads, e.g.
-    identical frames at qi=0)."""
+    identical frames at qi=0). ``inter=True`` (r11) codes frame 0 as
+    the key frame and the rest as version-3 inter frames
+    (operators/vp8inter; extra keywords — golden_refresh, golden_ref,
+    search, allow_intra — pass through), with the SimpleBlock
+    keyframe flag set only on key frames."""
     from datapump_spark.operators.vp8 import encode_vp8
 
     frames = list(frames)
@@ -246,6 +255,14 @@ def encode_webm_vp8(frames, fps: int = 10, qi: int = 4,
         raise ValueError("no frames")
     h, w = frames[0].shape[:2]
     step = 1000 // fps
+
+    if inter:
+        from datapump_spark.operators.vp8inter import \
+            encode_vp8_inter_frames
+        vp8_payloads = encode_vp8_inter_frames(frames, qi=qi,
+                                               **inter_kw)
+    else:
+        vp8_payloads = None
 
     ebml = _el(0x1A45DFA3, b"".join([
         _el(0x4286, _uint(1)), _el(0x42F7, _uint(1)),
@@ -266,12 +283,18 @@ def encode_webm_vp8(frames, fps: int = 10, qi: int = 4,
     if lacing is None:
         clusters = b""
         for i, f in enumerate(frames):
-            payload = encode_vp8(f, qi=qi)
-            block = b"\x81" + struct.pack(">h", 0) + b"\x80" + payload
+            payload = (vp8_payloads[i] if vp8_payloads is not None
+                       else encode_vp8(f, qi=qi))
+            kf = 0x80 if not payload[0] & 1 else 0x00
+            block = b"\x81" + struct.pack(">h", 0) + bytes([kf]) \
+                + payload
             clusters += _el(0x1F43B675,
                             _el(0xE7, _uint(i * step)) + _el(0xA3, block))
     else:
         mode_bits = {"xiph": 0x02, "fixed": 0x04, "ebml": 0x06}[lacing]
+        if vp8_payloads is not None:
+            raise ValueError("lacing with inter frames unsupported "
+                             "in the twin")
         payloads = [encode_vp8(f, qi=qi) for f in frames]
         block = (b"\x81" + struct.pack(">h", 0)
                  + bytes([0x80 | mode_bits])

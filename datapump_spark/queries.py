@@ -3548,7 +3548,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     package's single NotImplementedError). Each sampled document
     becomes 2-5 solid gray frames at 2 fps in a ROTATING container —
     doc_id//16 mod 4 picks MJPEG AVI / photo-JPEG MP4 / animated WebP
-    (lossless VP8L frames) / all-intra VP8 WebM — so one hash gate
+    (lossless VP8L frames) / INTER-coded VP8 WebM (r11,
+    operators/vp8inter: key frame 0 + version-3 P-frames, so the gate
+    drives motion compensation and the reference-buffer walk; solid
+    qi=0 frames reconstruct bit-exactly through inter prediction just
+    as they do intra, leaving the oracle unchanged) — so one hash gate
     witnesses the RIFF walk, the ISO-BMFF stsd/stts/stsc/stsz/stco
     sample-table walk, the ANMF canvas-composite walk, AND the EBML
     Cluster/SimpleBlock walk. sample_frames(fake=False) must
@@ -3598,8 +3602,11 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k = (doc_id // 16) % 4
                 if k == 2:                       # 2 fps animation
                     return encode_webp_anim(frames, [500] * nf)
-                if k == 3:                       # solid qi=0 is exact
-                    return encode_webm_vp8(frames, fps=2, qi=0)
+                if k == 3:                       # solid qi=0 is exact,
+                    # intra AND inter (r11: P-frames + MC, search
+                    # tiny since the content is co-located)
+                    return encode_webm_vp8(frames, fps=2, qi=0,
+                                           inter=True, search=2)
                 enc = encode_avi_mjpeg if k == 0 else encode_mp4_mjpeg
                 return enc(frames, fps=2, quality=95)
 

@@ -44,11 +44,13 @@ def test_codec_and_frame_seams():
     b = encode_webm_vp8(_frames(1), qi=0)
     with pytest.raises(UnsupportedMediaError, match="V_VP9"):
         list(decode_webm_frames(b.replace(b"V_VP8", b"V_VP9")))
-    # flip the keyframe flag off -> honest inter-frame refusal
+    # r11: the VP8 frame tag is authoritative, not the SimpleBlock
+    # flag — an inter-tagged payload with no prior key frame raises
     raw = bytearray(b)
     at = raw.index(b"\x81\x00\x00\x80")          # block header
-    raw[at + 3] = 0x00
-    with pytest.raises(UnsupportedMediaError, match="inter"):
+    raw[at + 3] = 0x00                           # clear block kf flag
+    raw[at + 4] |= 1                             # VP8 tag: inter frame
+    with pytest.raises(ValueError, match="before any key frame"):
         list(decode_webm_frames(bytes(raw)))
     # lacing bits on an UNlaced block: the frame count byte eats the
     # first payload byte, so the sizes cannot fit — malformed, caught
