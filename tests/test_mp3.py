@@ -403,3 +403,169 @@ def test_lsf_scalefac_partitions():
     long_sf, _ = _read_scalefacs_lsf(r, g)
     assert r.pos == 25 and long_sf[6] == 3 and long_sf[11] == 0 \
         and long_sf[16] == 7
+
+
+# ---------------------------------------------------------------------------
+# Foreign-fixture round (r11, VERDICT r10 #6): hand-built streams the
+# encoder twin never emits, confined to the EXACTLY-transcribed small
+# tables so they also pass the r11 stand-in gate unmarked.
+# ---------------------------------------------------------------------------
+
+
+def _gr_bits(pairs, quads=(), table=5, count1table=1):
+    """Granule main-data bits: big-value pairs + count1 quads."""
+    codes = mp3._pair_codes(table)
+    bits = ""
+    for x, y in pairs:
+        bits += _code_bits(codes, (abs(x), abs(y)))
+        if x:
+            bits += "1" if x < 0 else "0"
+        if y:
+            bits += "1" if y < 0 else "0"
+    qcodes = mp3._quad_codes(count1table)
+    for vals in quads:
+        v = ((abs(vals[0]) << 3) | (abs(vals[1]) << 2)
+             | (abs(vals[2]) << 1) | abs(vals[3]))
+        c, ln = qcodes[v]
+        bits += format(c, "b").zfill(ln)
+        for val in vals:
+            if val:
+                bits += "1" if val < 0 else "0"
+    return bits
+
+
+def _frame2(granules, *, scfsi=(0, 0, 0, 0), mdb=0, slots=None,
+            sf_bits=("", "")):
+    """Mono MPEG-1 44.1 kHz frame from two granule specs
+    ({bits, big_values, table, ws, block_type, mixed, sfc, count1table,
+    p23}); ``slots`` overrides the main-data bytes (reservoir
+    fixtures), ``sf_bits`` prepends raw scalefactor bits per granule."""
+    bw = mp3._BW()
+    bw.write(mdb, 9)
+    bw.write(0, 5)
+    for f in scfsi:
+        bw.write(f, 1)
+    mw = mp3._BW()
+    for gi, g in enumerate(granules):
+        bits = sf_bits[gi] + g.get("bits", "")
+        p23 = g.get("p23", len(bits))
+        bw.write(p23, 12)
+        bw.write(g.get("big_values", 0), 9)
+        bw.write(g.get("global_gain", 210), 8)
+        bw.write(g.get("sfc", 0), 4)
+        ws = g.get("ws", 0)
+        bw.write(ws, 1)
+        tbl = g.get("table", 5)
+        if ws:
+            bw.write(g["block_type"], 2)
+            bw.write(g.get("mixed", 0), 1)
+            bw.write(tbl, 5), bw.write(tbl, 5)
+            for sb in g.get("subblock_gain", (0, 0, 0)):
+                bw.write(sb, 3)
+        else:
+            for _ in range(3):
+                bw.write(tbl, 5)
+            bw.write(7, 4), bw.write(7, 3)
+        bw.write(0, 1)                     # preflag
+        bw.write(g.get("scalefac_scale", 0), 1)
+        bw.write(g.get("count1table", 1), 1)
+        for bit in bits:
+            mw.write(int(bit), 1)
+    si = bw.bytes_padded()
+    assert len(si) == 17
+    main = slots if slots is not None else mw.bytes_padded()
+    need = 4 + 17 + len(main)
+    br_idx = next(i for i in range(1, 15)
+                  if 144000 * mp3._BITRATE[i] // 44100 >= need)
+    flen = 144000 * mp3._BITRATE[br_idx] // 44100
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4), 3 << 6])
+    return hdr + si + main + b"\x00" * (flen - need)
+
+
+def test_foreign_reservoir_spans_three_frames():
+    """main_data_begin reaching back across THREE frames' slots — the
+    twin writes no reservoir at all, and the r8 hand fixture spanned
+    one frame. The same granule decoded from in-frame slots must give
+    identical PCM, and decode_audio must admit the unmarked stream
+    (small tables only: the stand-in gate stays quiet)."""
+    pairs = [(3, -3)] * 160
+    quads = [(1, 0, -1, 0), (0, 1, 0, -1)]
+    bits = _gr_bits(pairs, quads, table=5, count1table=1)
+    g3 = {"bits": bits, "big_values": 160, "table": 5,
+          "count1table": 1}
+    gz = {"bits": "", "big_values": 0}
+    mw = mp3._BW()
+    for bit in bits:
+        mw.write(int(bit), 1)
+    payload = mw.bytes_padded()
+    assert len(payload) > 170              # spans >2 x 83-byte slots
+    k = len(payload) - 166
+    slots0 = b"\x00" * (83 - k) + payload[:k]
+    carrier = [
+        _frame2([gz, gz], slots=slots0),
+        _frame2([gz, gz], slots=payload[k:k + 83]),
+        _frame2([gz, gz], slots=payload[k + 83:k + 166]),
+        _frame2([g3, gz], mdb=len(payload), slots=b""),
+    ]
+    reference = [
+        _frame2([gz, gz], slots=b"\x00" * 83),
+        _frame2([gz, gz], slots=b"\x00" * 83),
+        _frame2([gz, gz], slots=b"\x00" * 83),
+        _frame2([g3, gz]),
+    ]
+    out_c, sr_c = decode_mp3(b"".join(carrier))
+    out_r, sr_r = decode_mp3(b"".join(reference))
+    assert sr_c == sr_r == 44100
+    assert out_c.shape == out_r.shape
+    assert np.allclose(out_c, out_r, atol=1e-12)
+    assert np.abs(out_c).max() > 0         # the granule really decoded
+    f, _ = decode_audio(b"".join(carrier))  # unmarked + exact tables
+    assert len(f)
+
+
+def test_foreign_window_switching_blocks():
+    """Short (incl. MIXED) and start/stop block granules — the twin
+    emits long blocks only. Each must decode to finite, nonzero PCM
+    through the reorder / IMDCT-window paths."""
+    bits = _gr_bits([(2, 1)] * 12, [(1, 0, 0, -1)], table=5)
+    for bt, mixed in ((2, 0), (2, 1), (1, 0), (3, 0)):
+        g = {"bits": bits, "big_values": 12, "table": 5, "ws": 1,
+             "block_type": bt, "mixed": mixed}
+        out, sr = decode_mp3(_frame2([g, {"bits": ""}]))
+        assert sr == 44100 and np.isfinite(out).all(), (bt, mixed)
+        assert np.abs(out).max() > 0, (bt, mixed)
+    # subblock gains shift short windows without breaking decode
+    g = {"bits": bits, "big_values": 12, "table": 5, "ws": 1,
+         "block_type": 2, "subblock_gain": (1, 2, 3)}
+    out, _ = decode_mp3(_frame2([g, {"bits": ""}]))
+    assert np.isfinite(out).all()
+
+
+def test_foreign_scfsi_reuses_granule0_scalefactors():
+    """scfsi group bits — the twin always writes zero scfsi. Granule 1
+    with all four groups flagged reads NO scalefactor bits and must
+    reuse granule 0's values: PCM identical to the explicit twin-style
+    stream that repeats the same scalefactors."""
+    slen1, slen2 = mp3._SLEN[13]           # sfc 13: (3, 3)
+    sf_vals = [(i * 3) % 7 for i in range(21)]
+    sf_bits = "".join(format(v, "b").zfill(slen1 if i < 11 else slen2)
+                      for i, v in enumerate(sf_vals))
+    bits = _gr_bits([(1, 1)] * 30, table=5)
+    g = {"bits": bits, "big_values": 30, "table": 5, "sfc": 13}
+    shared = _frame2([dict(g), dict(g)], scfsi=(1, 1, 1, 1),
+                     sf_bits=(sf_bits, ""))
+    explicit = _frame2([dict(g), dict(g)], scfsi=(0, 0, 0, 0),
+                       sf_bits=(sf_bits, sf_bits))
+    out_s, _ = decode_mp3(shared)
+    out_e, _ = decode_mp3(explicit)
+    assert out_s.shape == out_e.shape
+    assert np.allclose(out_s, out_e, atol=1e-12)
+    assert np.abs(out_s).max() > 0
+    # and a partial mask: groups 2-3 shared, 0-1 re-read
+    half_bits = "".join(
+        format(v, "b").zfill(slen1) for i, v in enumerate(sf_vals[:11])
+        if i < 11)
+    partial = _frame2([dict(g), dict(g)], scfsi=(0, 0, 1, 1),
+                      sf_bits=(sf_bits, half_bits))
+    out_p, _ = decode_mp3(partial)
+    assert np.allclose(out_p, out_e, atol=1e-12)
