@@ -260,6 +260,10 @@ def _warm_python_workers(spark) -> None:
         list(decode_webm_frames(encode_webm_vp8([f], qi=0)))
         encode_avi_mjpeg([f], fps=2, quality=95)
         pdftext._hash_2b(b"", b"uVALsalt", b"", 6)  # R6 KDF memo
+        # Vorbis (r11): module import + IMDCT matrix + window tables
+        from datapump_spark.operators.vorbis import (decode_vorbis,
+                                                     encode_vorbis)
+        decode_vorbis(encode_vorbis(np.zeros(2048), 8000))
         for pdf in batches:
             yield pdf
 

@@ -636,7 +636,15 @@ def _decode_residue(r: _VBits, res: dict, books, n2: int,
                             continue
                         book = books[bid]
                         off = begin + pcount * psize
-                        if rtype == 0:
+                        if book.dims == 1 and book.vq is not None:
+                            # dim-1 fast path (the twin's book shape):
+                            # scalar decodes + one bulk add instead of
+                            # a numpy row-add per value
+                            flat = book.vq[:, 0]
+                            dec = book.decode_scalar
+                            out[v, off:off + psize] += [
+                                flat[dec(r)] for _ in range(psize)]
+                        elif rtype == 0:
                             step = psize // book.dims
                             for k in range(step):
                                 t = book.decode_vq(r)

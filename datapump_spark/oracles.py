@@ -3113,6 +3113,7 @@ SELECT doc_id AS media_id,
             WHEN 0 THEN 4000            -- ADPCM arm: 0.5 s
             WHEN 16 THEN 2000           -- FLAC arm: 0.25 s
             WHEN 32 THEN 8064           -- MP3 arm: 7 decoded frames
+            WHEN 64 THEN 4000           -- Vorbis arm: 0.5 s (r11)
             ELSE 8000 END AS BIGINT) AS n_frames,
        CAST(CASE WHEN doc_id % 80 = 32 THEN 32000
             ELSE 8000 END AS BIGINT) AS sample_rate,
