@@ -198,6 +198,9 @@ BENCH_QUERIES = [
     "q_subtitle_cues",
     # round-11: EPUB spine-walk text extraction (OCF zip + XHTML)
     "q_epub_text",
+    # round-11: RTF control-word parse and PPTX rel-ordered slide walk
+    "q_rtf_text",
+    "q_pptx_text",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
     "q_curriculum",

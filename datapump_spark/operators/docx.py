@@ -411,9 +411,10 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
     """(media_id, text, n_chars, n_units, kind, flags[, passthrough…])
     over MIXED document payloads — per-payload magic dispatch between
     the PDF parser (operators/pdftext) and the office-XML parser here.
-    ``n_units`` is pages for PDFs, paragraphs for office docs,
-    chapters for EPUBs (r11); ``kind`` is pdf / docx / odt / epub.
-    Error contract matches pdf_text.
+    ``n_units`` is pages for PDFs, paragraphs for office docs and
+    RTF, chapters for EPUBs, slides for PPTX (r11); ``kind`` is
+    pdf / docx / odt / epub / rtf / pptx. Error contract matches
+    pdf_text.
 
     ``passwords`` (r10): per-source PDF password map — each key is a
     path substring (exact path, directory, or source name), matched
@@ -449,11 +450,20 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
                     if pb[:5] == b"%PDF-":
                         t, n, fl = extract_pdf_text(pb, pw_for(path))
                         kind = "pdf"
+                    elif pb[:5] == b"{\\rtf":
+                        from datapump_spark.operators.rtf import \
+                            extract_rtf_text
+                        t, n, fl = extract_rtf_text(pb)
+                        kind = "rtf"
                     elif b"META-INF/container.xml" in pb:
                         # EPUB (r11): the OCF container dir name rides
                         # uncompressed in the zip central directory
                         t, n, fl = extract_epub_text(pb)
                         kind = "epub"
+                    elif b"ppt/presentation.xml" in pb \
+                            or b"ppt/slides/" in pb:
+                        t, n, fl = extract_pptx_text(pb)
+                        kind = "pptx"
                     else:
                         t, n, fl = extract_docx_text(pb)
                         kind = ("docx" if b"word/document.xml" in pb
@@ -483,3 +493,143 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
 
     return df.select("media_id", "payload",
                      *passthrough).mapInPandas(kernel, schema)
+
+
+# --------------------------------------------------------------------------
+# PPTX (r11, the slide third of VERDICT r10 missing item #5):
+# presentationml is the same ZIP+XML stack — presentation.xml names
+# the slide order via relationship ids, slides carry a:t text runs.
+# --------------------------------------------------------------------------
+
+_P = "{http://schemas.openxmlformats.org/presentationml/2006/main}"
+_A = "{http://schemas.openxmlformats.org/drawingml/2006/main}"
+_R = ("{http://schemas.openxmlformats.org/officeDocument/2006/"
+      "relationships}")
+_REL = "{http://schemas.openxmlformats.org/package/2006/relationships}"
+
+
+def extract_pptx_text(b: bytes) -> tuple[str, int, list[str]]:
+    """(text, n_slides, flags) from a PPTX payload: slide order from
+    presentation.xml's sldIdLst resolved through the package rels
+    (falling back to natural slideN order when either is absent,
+    flagged 'no_slide_order'); one line per a:p paragraph (a:br is a
+    line break), slides joined by newlines. Raises ValueError for
+    non-PPTX zips."""
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(b))
+    except zipfile.BadZipFile as e:
+        raise ValueError(f"not a PPTX package: {e}") from None
+    names = set(zf.namelist())
+    flags: list[str] = []
+    slide_paths: list[str] = []
+    if ("ppt/presentation.xml" in names
+            and "ppt/_rels/presentation.xml.rels" in names):
+        rels = ET.fromstring(zf.read("ppt/_rels/presentation.xml.rels"))
+        targets = {rel.get("Id"): rel.get("Target")
+                   for rel in rels.iter(_REL + "Relationship")}
+        pres = ET.fromstring(zf.read("ppt/presentation.xml"))
+        for sld in pres.iter(_P + "sldId"):
+            tgt = targets.get(sld.get(_R + "id"))
+            if not tgt:
+                continue
+            path = "ppt/" + tgt.lstrip("/") if not tgt.startswith(
+                "ppt/") else tgt
+            if path in names:
+                slide_paths.append(path)
+    if not slide_paths:
+        cands = sorted(
+            (nm for nm in names
+             if re.fullmatch(r"ppt/slides/slide\d+\.xml", nm)),
+            key=lambda nm: int(re.search(r"(\d+)", nm).group(1)))
+        if not cands:
+            raise ValueError("ZIP without PPTX slides")
+        slide_paths = list(cands)
+        if "ppt/presentation.xml" in names:
+            flags.append("no_slide_order")
+    slides = []
+    for path in slide_paths:
+        root = ET.fromstring(zf.read(path))
+        paras = []
+        for p in root.iter(_A + "p"):
+            run = []
+            for node in p.iter():
+                if node.tag == _A + "t":
+                    run.append(node.text or "")
+                elif node.tag == _A + "br":
+                    run.append("\n")
+            paras.append("".join(run))
+        slides.append("\n".join(paras))
+    return "\n".join(slides), len(slides), flags
+
+
+def encode_pptx(text: str, lines_per_slide: int = 3) -> bytes:
+    """Minimal valid PPTX — fixture/sink twin of extract_pptx_text:
+    input lines grouped ``lines_per_slide`` per slide (one a:p per
+    line), slide order declared through presentation.xml + rels so
+    the relationship walk is witnessed."""
+    lines = text.split("\n")
+    groups = [lines[i:i + lines_per_slide]
+              for i in range(0, len(lines), lines_per_slide)] or [[""]]
+    files = []
+    rel_items, sld_items, overrides = [], [], []
+    for si, group in enumerate(groups, start=1):
+        paras = "".join(
+            "<a:p><a:r><a:t>" + _xml_escape(line) + "</a:t></a:r></a:p>"
+            for line in group)
+        files.append((f"ppt/slides/slide{si}.xml", (
+            '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+            '<p:sld xmlns:p="http://schemas.openxmlformats.org/'
+            'presentationml/2006/main" xmlns:a="http://schemas.'
+            'openxmlformats.org/drawingml/2006/main">'
+            '<p:cSld><p:spTree><p:sp><p:txBody>' + paras
+            + "</p:txBody></p:sp></p:spTree></p:cSld></p:sld>")))
+        rel_items.append(
+            f'<Relationship Id="rId{si}" Type="http://schemas.'
+            "openxmlformats.org/officeDocument/2006/relationships/"
+            f'slide" Target="slides/slide{si}.xml"/>')
+        sld_items.append(
+            f'<p:sldId id="{255 + si}" r:id="rId{si}"/>')
+        overrides.append(
+            f'<Override PartName="/ppt/slides/slide{si}.xml" '
+            'ContentType="application/vnd.openxmlformats-'
+            'officedocument.presentationml.slide+xml"/>')
+    presentation = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<p:presentation xmlns:p="http://schemas.openxmlformats.org/'
+        'presentationml/2006/main" xmlns:r="http://schemas.'
+        'openxmlformats.org/officeDocument/2006/relationships">'
+        "<p:sldIdLst>" + "".join(sld_items)
+        + "</p:sldIdLst></p:presentation>")
+    pres_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships">' + "".join(rel_items)
+        + "</Relationships>")
+    content_types = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Types xmlns="http://schemas.openxmlformats.org/package/'
+        '2006/content-types">'
+        '<Default Extension="xml" ContentType="application/xml"/>'
+        '<Default Extension="rels" ContentType="application/vnd.'
+        'openxmlformats-package.relationships+xml"/>'
+        '<Override PartName="/ppt/presentation.xml" ContentType='
+        '"application/vnd.openxmlformats-officedocument.'
+        'presentationml.presentation.main+xml"/>'
+        + "".join(overrides) + "</Types>")
+    root_rels = (
+        '<?xml version="1.0" encoding="UTF-8" standalone="yes"?>'
+        '<Relationships xmlns="http://schemas.openxmlformats.org/'
+        'package/2006/relationships"><Relationship Id="rId1" '
+        'Type="http://schemas.openxmlformats.org/officeDocument/'
+        '2006/relationships/officeDocument" '
+        'Target="ppt/presentation.xml"/></Relationships>')
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w", zipfile.ZIP_DEFLATED) as zf:
+        for name, data in ([("[Content_Types].xml", content_types),
+                            ("_rels/.rels", root_rels),
+                            ("ppt/presentation.xml", presentation),
+                            ("ppt/_rels/presentation.xml.rels",
+                             pres_rels)] + files):
+            zf.writestr(zipfile.ZipInfo(name, (2024, 1, 1, 0, 0, 0)),
+                        data)
+    return buf.getvalue()

@@ -3417,6 +3417,42 @@ FROM t
 """
 
 
+# q_rtf_text (r11): RTF round trip must reproduce EXACTLY the ASCII
+# projection; n_paragraphs counts newline-separated lines (0 for an
+# empty document, matching extract_rtf_text).
+EXTRA_ORACLES["q_rtf_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 13 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(txt) = 0 THEN 0
+            ELSE length(txt) - length(replace(txt, chr(10), '')) + 1
+            END AS BIGINT) AS n_paragraphs,
+       'rtf' AS kind
+FROM t
+"""
+
+
+# q_pptx_text (r11): slides hold 3 lines each — n_slides is
+# ceil(lines / 3), the q_epub_text arithmetic.
+EXTRA_ORACLES["q_pptx_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 17 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(ceil((length(txt) - length(replace(txt, chr(10), ''))
+                  + 1) / 3.0) AS BIGINT) AS n_slides,
+       'pptx' AS kind
+FROM t
+"""
+
+
 # Baseline-TIFF decode (round 9): lossless, so every column is doc_id
 # arithmetic regardless of which compression/endianness the writer
 # rotation picked.

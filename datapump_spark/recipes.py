@@ -531,14 +531,15 @@ def document_corpus(
     pdf_path: str,
     benchmark: DataFrame | None = None,
     recipe: CorpusRecipe | None = None,
-    glob: str = "*.{pdf,docx,odt,epub}",
+    glob: str = "*.{pdf,docx,odt,epub,rtf,pptx}",
     passwords: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Directory of documents → packed training sequences in ONE call —
     the document twin of :func:`web_corpus`: ``binaryFile`` scan
     (JVM-side listing, mtime/length pushdown) → REAL text extraction
     with per-payload magic dispatch (PDF via ``operators/pdftext``,
-    DOCX/ODT/EPUB via ``operators/docx``, round 9; EPUB r11) → the
+    DOCX/ODT/EPUB/PPTX via ``operators/docx`` and RTF via
+    ``operators/rtf``, round 9; EPUB/RTF/PPTX r11) → the
     full :func:`pretrain_corpus` chain.
 
     ``doc_id`` is the 63-bit path hash (stable across re-ingestion),

@@ -15,8 +15,11 @@ operators/zstd.py, conformance-pinned against libzstd) and snappy
 operators/snappy.py with the spec's big-endian CRC32 of the
 uncompressed block); schemas of records over primitives, nullable
 ``["null", T]`` unions, enums, fixed, arrays, maps, and NESTED
-records (nested output as Spark structs). The bzip2/xz codecs and
-recursive-type schemas raise UnsupportedMediaError/ValueError.
+records (nested output as Spark structs); bzip2 and xz blocks decode
+through the stdlib bz2/lzma reference implementations (r11) — every
+codec the Avro 1.11 spec names is now readable. Recursive-type
+schemas raise ValueError; unknown codec names raise
+UnsupportedMediaError.
 
 Writer twin ``encode_avro`` (null/deflate/snappy/zstd) exists for fixtures and
 the q_avro_scan exact-hash gate.
@@ -147,7 +150,8 @@ def parse_avro_header(b: bytes):
     if codec == "zstandard":
         codec = "zstd"              # the Avro spec name; java/python
         # writers emit "zstandard", some tools abbreviate "zstd"
-    if codec not in ("null", "deflate", "snappy", "zstd"):
+    if codec not in ("null", "deflate", "snappy", "zstd",
+                     "bzip2", "xz"):
         raise UnsupportedMediaError(f"Avro codec {codec!r} unsupported")
     schema = json.loads(meta["avro.schema"])
     sync = r.raw(16)
@@ -182,6 +186,12 @@ def iter_avro_records(b: bytes):
             # operators/zstd.py, conformance-pinned vs libzstd
             from datapump_spark.operators.zstd import decode_zstd
             block = decode_zstd(block)
+        elif codec == "bzip2":              # r11: stdlib bz2
+            import bz2
+            block = bz2.decompress(block)
+        elif codec == "xz":                 # r11: stdlib lzma
+            import lzma
+            block = lzma.decompress(block, format=lzma.FORMAT_XZ)
         if r.raw(16) != sync:
             raise ValueError("Avro sync marker mismatch")
         br = _Reader(block)
@@ -329,8 +339,10 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
     """Encode record dicts as one Avro object container — fixture/sink
     twin of read_avro. Deterministic sync marker (fixtures diff
     cleanly)."""
-    if codec not in ("null", "deflate", "snappy", "zstd"):
-        raise ValueError("codec must be null, deflate, snappy or zstd")
+    if codec not in ("null", "deflate", "snappy", "zstd",
+                     "bzip2", "xz"):
+        raise ValueError(
+            "codec must be null, deflate, snappy, zstd, bzip2 or xz")
     body = bytearray()
     n = 0
     for rec in records:
@@ -347,6 +359,12 @@ def encode_avro(schema: dict, records, codec: str = "null") -> bytes:
     elif codec == "zstd":
         from datapump_spark.operators.zstd import encode_zstd
         block = encode_zstd(block)
+    elif codec == "bzip2":
+        import bz2
+        block = bz2.compress(block)
+    elif codec == "xz":
+        import lzma
+        block = lzma.compress(block, format=lzma.FORMAT_XZ)
     sync = bytes(range(16))
     wire_codec = "zstandard" if codec == "zstd" else codec
     meta = {"avro.schema": json.dumps(schema).encode(),

@@ -108,3 +108,33 @@ def test_snappy_codec_round_trip_and_crc():
     bad[at] ^= 0x55
     with pytest.raises(ValueError):
         list(iter_avro_records(bytes(bad)))
+
+
+def test_bzip2_and_xz_codecs_round_trip():
+    """r11: the remaining Avro 1.11 spec codecs — bzip2 and xz decode
+    through the stdlib reference implementations (bz2/lzma), so every
+    named codec is now readable; corrupt blocks fail loudly."""
+    import bz2
+    import lzma
+
+    for codec in ("bzip2", "xz"):
+        b = encode_avro(SCHEMA, RECS, codec)
+        assert [r for _, r in iter_avro_records(b)] == RECS, codec
+    # a block hand-compressed by the stdlib reference (not our writer)
+    # decodes: re-frame a null container's block
+    from datapump_spark.sources.avro import _zigzag, parse_avro_header
+    null_file = encode_avro(SCHEMA, RECS, "null")
+    _, _, r, sync = parse_avro_header(null_file)
+    n, size = r.long(), r.long()
+    raw = r.raw(size)
+    for codec, comp in (("bzip2", bz2.compress(raw)),
+                        ("xz", lzma.compress(raw))):
+        base = encode_avro(SCHEMA, RECS, codec)
+        hdr = base[:base.index(bytes(range(16))) + 16]
+        foreign = hdr + _zigzag(n) + _zigzag(len(comp)) + comp + sync
+        assert [rec for _, rec in iter_avro_records(foreign)] == RECS
+    # corrupt xz payload raises
+    b = bytearray(encode_avro(SCHEMA, RECS, "xz"))
+    b[-20] ^= 0xFF
+    with pytest.raises(Exception):
+        list(iter_avro_records(bytes(b)))

@@ -90,13 +90,18 @@ def test_document_corpus_mixed_tree(spark, tmp_path):
     (d / "b.docx").write_bytes(encode_docx(long + "from docx"))
     (d / "c.odt").write_bytes(encode_odt(long + "from odt"))
     (d / "e.epub").write_bytes(encode_epub(long + "from epub"))
+    from datapump_spark.operators.docx import encode_pptx
+    from datapump_spark.operators.rtf import encode_rtf
+    (d / "f.pptx").write_bytes(encode_pptx(long + "from pptx"))
+    (d / "g.rtf").write_bytes(encode_rtf(long + "from rtf"))
     (d / "junk.docx").write_bytes(b"not a zip at all")
     out = document_corpus(spark, str(tmp_path),
                           recipe=CorpusRecipe(min_words=10,
                                               dedup_threshold=0.95))
     texts = [r["text"] for r in out["clean"].collect()]
-    assert sorted(t.split()[-2] for t in texts) == ["from"] * 4
-    assert {t.split()[-1] for t in texts} == {"pdf", "docx", "odt", "epub"}
+    assert sorted(t.split()[-2] for t in texts) == ["from"] * 6
+    assert {t.split()[-1] for t in texts} == {"pdf", "docx", "odt",
+                                              "epub", "pptx", "rtf"}
     q = out["quarantine"].collect()
     assert len(q) == 1 and q[0]["path"].endswith("junk.docx")
 
@@ -170,6 +175,57 @@ def test_epub_foreign_xhtml_and_flags():
                                   "other.txt": b"hi"}))
     with pytest.raises(ValueError, match="not an EPUB"):
         extract_epub_text(b"PK\x03\x04 garbage not a zip")
+
+
+def test_pptx_roundtrip_and_rel_order():
+    """r11: multi-slide PPTX round trip — presentation.xml sldIdLst
+    order resolved through the rels, 3-line slides, XML escaping;
+    slide count is ceil(lines/3). Reversing the sldIdLst reverses the
+    slide text; a package without presentation.xml falls back to
+    natural slideN order with a flag only when order was declared."""
+    from datapump_spark.operators.docx import (encode_pptx,
+                                               extract_pptx_text)
+    t = "title & <x>\nbullet\nmore\nslide2\nlast"
+    text, n, flags = extract_pptx_text(encode_pptx(t))
+    assert text == t and n == 2 and flags == []
+    src = encode_pptx("a\nb\nc\nd")                # 2 slides
+    zf = zipfile.ZipFile(io.BytesIO(src))
+    files = {zi.filename: zf.read(zi.filename) for zi in zf.infolist()}
+    pres = files["ppt/presentation.xml"].decode()
+    s1 = '<p:sldId id="256" r:id="rId1"/>'
+    s2 = '<p:sldId id="257" r:id="rId2"/>'
+    files["ppt/presentation.xml"] = pres.replace(
+        s1 + s2, s2 + s1).encode()
+    text, n, _ = extract_pptx_text(_rezip_plain(files))
+    assert text == "d\na\nb\nc" and n == 2
+    # rels missing -> natural order fallback, flagged
+    files2 = {zi.filename: zf.read(zi.filename) for zi in zf.infolist()}
+    del files2["ppt/_rels/presentation.xml.rels"]
+    text, n, flags = extract_pptx_text(_rezip_plain(files2))
+    assert text == "a\nb\nc\nd" and flags == ["no_slide_order"]
+    with pytest.raises(ValueError, match="slides"):
+        extract_pptx_text(_rezip_plain({"other.xml": b"<x/>"}))
+    with pytest.raises(ValueError, match="not a PPTX"):
+        extract_pptx_text(b"not a zip")
+
+
+def _rezip_plain(files: dict) -> bytes:
+    buf = io.BytesIO()
+    with zipfile.ZipFile(buf, "w") as z:
+        for k, v in files.items():
+            z.writestr(k, v)
+    return buf.getvalue()
+
+
+def test_document_text_kind_pptx_and_rtf(spark):
+    from datapump_spark.operators.docx import document_text, encode_pptx
+    from datapump_spark.operators.rtf import encode_rtf
+    rows = [(1, encode_pptx("a\nb\nc\nd")), (2, encode_rtf("x\ny"))]
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in document_text(df).collect()}
+    assert got[1]["kind"] == "pptx" and got[1]["n_units"] == 2
+    assert got[1]["text"] == "a\nb\nc\nd"
+    assert got[2]["kind"] == "rtf" and got[2]["text"] == "x\ny"
 
 
 def test_document_text_kind_epub(spark):
