@@ -631,11 +631,11 @@ def decode_audio(b: bytes) -> tuple[np.ndarray, int]:
         samples, sr, bps = decode_flac(b)
         return samples.astype(np.float64) / (1 << (bps - 1)), sr
     if b[:4] == b"OggS":
-        # Ogg Vorbis (r11, operators/vorbis.py); Opus/Theora-only
-        # streams raise UnsupportedMediaError inside
-        from datapump_spark.operators.vorbis import decode_vorbis
+        # Ogg Vorbis AND FLAC-in-Ogg (r11, operators/vorbis.py);
+        # Opus/Theora-only streams raise UnsupportedMediaError inside
+        from datapump_spark.operators.vorbis import decode_ogg_audio
 
-        return decode_vorbis(b)
+        return decode_ogg_audio(b)
     if b[:3] == b"ID3" or (len(b) > 4 and b[0] == 0xFF
                            and (b[1] & 0xE6) == 0xE2):
         # MPEG audio sync with layer III bits (MPEG-1 and LSF)

@@ -1087,3 +1087,90 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
                             for k in range(m)]
     return ogg_pages([ident, comment, setup] + audio,
                      serial=0x64617370, granules=granules)
+
+
+# ---------------------------------------------------------------------------
+# FLAC-in-Ogg mapping (r11): the Ogg encapsulation of FLAC (xiph's
+# published mapping 1.0) — first packet 0x7F 'FLAC' + version +
+# 16-bit header-packet count + a literal 'fLaC' + STREAMINFO block;
+# remaining header packets are raw metadata blocks; every audio
+# packet is one raw FLAC frame. Reassembling those into a native
+# FLAC stream reuses operators/flac.py verbatim.
+# ---------------------------------------------------------------------------
+
+
+def decode_ogg_flac(b: bytes):
+    """(samples float64 in [-1, 1] shape (n, ch), sample_rate) from a
+    FLAC-in-Ogg stream; the trailing granule position end-trims like
+    Vorbis. Raises ValueError when no FLAC stream is present."""
+    from datapump_spark.operators.flac import decode_flac
+
+    serial = None
+    native = bytearray()
+    last_granule = -1
+    n_headers = 0
+    seen_headers = 0
+    for ser, gran, pkt in ogg_packets(b):
+        if serial is None:
+            if pkt[:5] != b"\x7fFLAC":
+                continue
+            serial = ser
+            if len(pkt) < 13 or pkt[9:13] != b"fLaC":
+                raise ValueError("bad FLAC-in-Ogg mapping packet")
+            n_headers = int.from_bytes(pkt[7:9], "big")
+            native += pkt[9:]              # 'fLaC' + STREAMINFO
+            continue
+        if ser != serial:
+            continue
+        if seen_headers < n_headers:       # further metadata packets
+            native += pkt
+            seen_headers += 1
+            continue
+        native += pkt                      # raw FLAC frame
+        if gran > 0:
+            last_granule = gran
+    if serial is None:
+        raise ValueError("no FLAC stream in Ogg container")
+    samples, sr, bps = decode_flac(bytes(native))
+    out = samples.astype(np.float64) / (1 << (bps - 1))
+    if last_granule > 0:
+        out = out[:last_granule]
+    return out, sr
+
+
+def encode_ogg_flac(x, sr: int) -> bytes:
+    """FLAC-in-Ogg writer twin: encode with operators/flac.py, split
+    the native stream at the frame boundary per the mapping (the
+    'fLaC' magic + STREAMINFO ride the BOS packet; the header-count
+    field is exact), one audio packet per page."""
+    from datapump_spark.operators.flac import encode_flac
+
+    native = encode_flac(x, sr)
+    if native[:4] != b"fLaC":
+        raise ValueError("encoder produced no FLAC stream")
+    # STREAMINFO: block header (1 byte type/last + 3 size) + payload
+    size = int.from_bytes(native[5:8], "big")
+    if not native[4] & 0x80:
+        raise ValueError("twin expects STREAMINFO as the only block")
+    split = 8 + size
+    first = (b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big")
+             + native[:split])
+    frames = native[split:]
+    n = len(x)
+    return ogg_pages([first, frames], serial=0x666C6163,
+                     granules=[0, n])
+
+
+def decode_ogg_audio(b: bytes):
+    """Dispatch an Ogg container on its BOS packet types: Vorbis and
+    FLAC-in-Ogg decode; Opus/Theora/Skeleton-only streams raise
+    UnsupportedMediaError (decode_vorbis's honest seam)."""
+    for _ser, _gran, pkt in ogg_packets(b):
+        if pkt[:7] == b"\x01vorbis":
+            return decode_vorbis(b)
+        if pkt[:5] == b"\x7fFLAC":
+            return decode_ogg_flac(b)
+        if not _gran:                      # still in BOS territory
+            continue
+        break
+    return decode_vorbis(b)                # raises with the codec list

@@ -169,3 +169,22 @@ def test_decode_audio_routes_ogg():
     f, got_sr = decode_audio(encode_vorbis(_tone(660, sr, 0.5), sr))
     assert got_sr == sr and f.shape == (4000, 1)
     assert round(_dominant(f[:, 0], sr)) == 660
+
+
+def test_flac_in_ogg_mapping():
+    """r11: the xiph FLAC-in-Ogg mapping — BOS packet carries the
+    fLaC magic + STREAMINFO, audio packets are raw frames; lossless
+    round trip, granule end-trim, decode_audio dispatch."""
+    from datapump_spark.operators.vorbis import (decode_ogg_flac,
+                                                 encode_ogg_flac)
+    sr = 8000
+    x = (_tone(400, sr, 0.25) * 32767).astype(np.int16)
+    b = encode_ogg_flac(x, sr)
+    out, got = decode_ogg_flac(b)
+    assert got == sr and out.shape == (2000, 1)
+    assert np.allclose(out[:, 0] * 32768, x, atol=1.0)   # lossless
+    f, got2 = decode_audio(b)                # OggS dispatch
+    assert got2 == sr and round(_dominant(f[:, 0], sr)) == 400
+    with pytest.raises(ValueError, match="no FLAC"):
+        decode_ogg_flac(ogg_pages([b"\x01vorbis junk", b"x", b"y",
+                                   b"z"]))
