@@ -201,6 +201,9 @@ BENCH_QUERIES = [
     # round-11: RTF control-word parse and PPTX rel-ordered slide walk
     "q_rtf_text",
     "q_pptx_text",
+    # round-11: legacy OLE2 — Word 97 piece table and BIFF8 cell walk
+    "q_word_doc_text",
+    "q_xls_scan",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
     "q_curriculum",

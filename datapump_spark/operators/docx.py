@@ -411,10 +411,11 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
     """(media_id, text, n_chars, n_units, kind, flags[, passthrough…])
     over MIXED document payloads — per-payload magic dispatch between
     the PDF parser (operators/pdftext) and the office-XML parser here.
-    ``n_units`` is pages for PDFs, paragraphs for office docs and
-    RTF, chapters for EPUBs, slides for PPTX (r11); ``kind`` is
-    pdf / docx / odt / epub / rtf / pptx. Error contract matches
-    pdf_text.
+    ``n_units`` is pages for PDFs, paragraphs for office docs, RTF
+    and binary .doc, chapters for EPUBs, slides for PPTX (r11);
+    ``kind`` is pdf / docx / odt / epub / rtf / pptx / doc. Error
+    contract matches pdf_text; non-Word OLE2 payloads (xls/ppt/msg)
+    flag ``legacy_doc`` on the null path.
 
     ``passwords`` (r10): per-source PDF password map — each key is a
     path substring (exact path, directory, or source name), matched
@@ -450,6 +451,13 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
                     if pb[:5] == b"%PDF-":
                         t, n, fl = extract_pdf_text(pb, pw_for(path))
                         kind = "pdf"
+                    elif pb[:8] == _OLE2_MAGIC:
+                        # binary Word .doc (r11, operators/doc.py);
+                        # non-Word OLE2 raises and routes to quarantine
+                        from datapump_spark.operators.doc import \
+                            extract_doc_text
+                        t, n, fl = extract_doc_text(pb)
+                        kind = "doc"
                     elif pb[:5] == b"{\\rtf":
                         from datapump_spark.operators.rtf import \
                             extract_rtf_text
@@ -480,8 +488,12 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
                     chars.append(None)
                     units.append(None)
                     kinds.append(None)
+                    msg = str(e)
                     flags.append(["legacy_doc"]
-                                 if "legacy .doc" in str(e) else None)
+                                 if ("legacy .doc" in msg
+                                     or "OLE2" in msg
+                                     or "WordDocument" in msg
+                                     or ".doc" in msg) else None)
             out = {
                 "media_id": pdf_batch["media_id"], "text": texts,
                 "n_chars": chars, "n_units": units, "kind": kinds,

@@ -3453,6 +3453,36 @@ FROM t
 """
 
 
+# q_word_doc_text (r11): the Word 97 piece-table round trip must
+# reproduce EXACTLY the ASCII projection (the q_rtf_text arithmetic).
+EXTRA_ORACLES["q_word_doc_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 19 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(CASE WHEN length(txt) = 0 THEN 0
+            ELSE length(txt) - length(replace(txt, chr(10), '')) + 1
+            END AS BIGINT) AS n_paragraphs,
+       'doc' AS kind
+FROM t
+"""
+
+
+# q_xls_scan (r11): the same events slice as q_xlsx_scan, through the
+# BIFF8 binary walk.
+EXTRA_ORACLES["q_xls_scan"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type,
+       CAST(round(value, 6) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id LIMIT 20000
+"""
+
+
 # Baseline-TIFF decode (round 9): lossless, so every column is doc_id
 # arithmetic regardless of which compression/endianness the writer
 # rotation picked.

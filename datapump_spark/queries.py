@@ -3860,6 +3860,100 @@ def q_pptx_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_pptx_text"] = q_pptx_text
 
 
+def q_word_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL legacy .doc text-extraction gate (operators/doc.py +
+    operators/cfb.py, r11 — the binary Word format was previously a
+    'legacy_doc' quarantine). The ASCII projection is written into a
+    genuine Word 97 compound file — CFB mini stream for the 1Table,
+    FIB, a CLX piece table splitting the text into TWO pieces — and
+    extracted back through the mixed dispatcher (kind='doc'). The
+    oracle recomputes text and line count in SQL."""
+    import pandas as pd
+
+    from datapump_spark.operators.docx import document_text
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 19 == 0)
+            .select(F.col("doc_id").alias("media_id"),
+                    F.translate(
+                        F.regexp_replace("text", r"[^ -~]", ""),
+                        ".", "\n").alias("__t"))
+            .repartition(16))
+
+    def build(batches):
+        from datapump_spark.operators.doc import encode_doc
+        for pdf_b in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_b["media_id"],
+                "payload": [encode_doc(t) for t in pdf_b["__t"]],
+            })
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (document_text(media, on_error="raise")
+            .select("media_id", "text",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_units").cast("long").alias("n_paragraphs"),
+                    "kind"))
+
+
+EXTRA_QUERIES["q_word_doc_text"] = q_word_doc_text
+
+
+def scaled_events_xls(sf_dir: str, n_rows: int = 20000,
+                      n_shards: int = 8) -> str:
+    """Materialize (once, atomically) the first ``n_rows`` events as
+    ``n_shards`` legacy BIFF8 .xls workbooks (row i -> shard i %%
+    n_shards) — the binary twin of scaled_events_xlsx, over the CFB
+    writer's REAL mini-stream layout."""
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_xls_{n_rows}x{n_shards}")
+    if not out_dir.exists():
+        import duckdb
+
+        from datapump_spark.sources.xls import encode_xls
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        hdr = ["event_id", "ts", "user_id", "event_type", "value"]
+        tmp = out_dir.parent / f".events_xls.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for s in range(n_shards):
+            b = encode_xls([hdr] + [[str(c) for c in r]
+                                    for r in rows[s::n_shards]])
+            (tmp / f"events_{s:02d}.xls").write_bytes(b)
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir / "events_*.xls")
+
+
+def q_xls_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy BIFF8 .xls ingestion gate (sources/xls.py, r11): CFB
+    container walk, SST shared strings, LABELSST cells — the same
+    all-string contract and the same events slice as q_xlsx_scan, so
+    the binary record walk must be EXACT to hash-match."""
+    from datapump_spark.sources.xls import read_xls
+
+    raw = read_xls(spark, scaled_events_xls(sf_dir))
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+EXTRA_QUERIES["q_xls_scan"] = q_xls_scan
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode gate (operators/tiff.py, round 9).
     Each sampled document becomes a solid-color TIFF whose compression

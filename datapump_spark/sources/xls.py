@@ -1,0 +1,293 @@
+"""Legacy Excel .xls (BIFF8, [MS-XLS] — public) ingestion in pure
+Python (round 11) — the binary sibling of sources/xlsx.py, over the
+CFB container reader (operators/cfb.py). Closes the last legacy
+Office seam the engine quarantined.
+
+Reader scope (BIFF8, Excel 97-2003):
+- Workbook stream record walk (u16 id + u16 length framing), BOF
+  version check, BOUNDSHEET name/stream-position table, per-sheet
+  substream walks;
+- SST shared strings (XLUnicodeRichExtendedString: compressed 8-bit
+  and UTF-16 payloads, rich-run and ext-block skips) + LABELSST;
+- NUMBER (IEEE f64), RK and MULRK (the packed 30-bit encodings:
+  fInt/fX100 variants), LABEL (inline strings), BOOLERR;
+- SST records spanning CONTINUE records raise honestly (the one
+  BIFF8 complication this reader does not fold in);
+- BIFF5 and encrypted (FILEPASS) workbooks refuse with clear
+  messages.
+
+``read_xls`` mirrors ``read_xlsx``'s all-string table contract, so
+the existing type inference applies downstream unchanged;
+``encode_xls`` is the writer twin (globals + SST + BOUNDSHEET with
+real stream offsets, LABELSST/NUMBER/RK/BOOLERR cells).
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+from datapump_spark.operators.cfb import read_cfb, write_cfb
+
+_CELL_SCHEMA = ("path string, sheet string, row int, col int, "
+                "value string, value_type string")
+
+
+def _records(b: bytes):
+    i = 0
+    while i + 4 <= len(b):
+        rid, ln = struct.unpack("<HH", b[i:i + 4])
+        yield rid, b[i + 4:i + 4 + ln], i
+        i += 4 + ln
+
+
+def _xl_string(b: bytes, at: int, short: bool = False):
+    """(text, bytes consumed) for an XLUnicode(Rich Extended)String;
+    ``short`` uses the 8-bit cch form (sheet names)."""
+    if short:
+        cch = b[at]
+        at2 = at + 1
+    else:
+        cch = struct.unpack("<H", b[at:at + 2])[0]
+        at2 = at + 2
+    grbit = b[at2]
+    at2 += 1
+    c_run = 0
+    cb_ext = 0
+    if grbit & 0x08:                     # fRichSt
+        c_run = struct.unpack("<H", b[at2:at2 + 2])[0]
+        at2 += 2
+    if grbit & 0x04:                     # fExtSt
+        cb_ext = struct.unpack("<i", b[at2:at2 + 4])[0]
+        at2 += 4
+    if grbit & 0x01:                     # fHighByte: UTF-16LE
+        raw = b[at2:at2 + 2 * cch]
+        if len(raw) < 2 * cch:
+            raise ValueError("BIFF8 string spans a CONTINUE record "
+                             "(unsupported)")
+        text = raw.decode("utf-16-le", "replace")
+        at2 += 2 * cch
+    else:
+        raw = b[at2:at2 + cch]
+        if len(raw) < cch:
+            raise ValueError("BIFF8 string spans a CONTINUE record "
+                             "(unsupported)")
+        text = raw.decode("latin-1")
+        at2 += cch
+    at2 += 4 * c_run + max(cb_ext, 0)
+    return text, at2 - at
+
+
+def _rk_value(rk: int) -> float:
+    if rk & 0x02:                        # fInt: signed 30-bit integer
+        v = rk >> 2
+        if v & 0x20000000:
+            v -= 0x40000000
+        val = float(v)
+    else:
+        val = struct.unpack("<d", struct.pack(
+            "<Q", (rk & 0xFFFFFFFC) << 32))[0]
+    return val / 100.0 if rk & 0x01 else val
+
+
+def _fmt_num(v: float) -> str:
+    return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+
+
+def iter_xls_cells(b: bytes, sheet: str | None = None):
+    """Yield (sheet_name, row, col, value_str, type) per populated
+    cell — types 's' (string), 'n' (number), 'b' (boolean),
+    'e' (error). Raises ValueError for non-BIFF8/encrypted files."""
+    streams = read_cfb(b)
+    wb = streams.get("Workbook") or streams.get("Book")
+    if wb is None:
+        raise ValueError("OLE2 container without a Workbook stream")
+    if len(wb) < 8 or struct.unpack("<H", wb[:2])[0] != 0x0809:
+        raise ValueError("Workbook stream without a BOF record")
+    ver, dt = struct.unpack("<HH", wb[4:8])
+    if ver != 0x0600:
+        raise ValueError(f"BIFF version 0x{ver:04x} unsupported "
+                         "(BIFF8 only)")
+    sst: list[str] = []
+    sheets: list[tuple[str, int]] = []
+    for rid, data, _pos in _records(wb):
+        if rid == 0x002F:                # FILEPASS
+            raise ValueError("encrypted .xls unsupported")
+        if rid == 0x0085:                # BOUNDSHEET
+            pos = struct.unpack("<I", data[:4])[0]
+            name, _ = _xl_string(data, 6, short=True)
+            sheets.append((name, pos))
+        elif rid == 0x00FC:              # SST
+            unique = struct.unpack("<I", data[4:8])[0]
+            at = 8
+            for _ in range(unique):
+                if at >= len(data):
+                    raise ValueError("SST spans a CONTINUE record "
+                                     "(unsupported)")
+                text, used = _xl_string(data, at)
+                sst.append(text)
+                at += used
+        elif rid == 0x000A and dt == 0x0005:
+            pass                         # globals EOF; sheets follow
+    for name, pos in sheets:
+        if sheet is not None and name != sheet:
+            continue
+        for rid, data, _at in _records(wb[pos:]):
+            if rid == 0x000A:            # sheet EOF
+                break
+            if rid == 0x00FD:            # LABELSST
+                row, col, _xf, isst = struct.unpack("<HHHI", data[:10])
+                if isst < len(sst):
+                    yield name, row, col, sst[isst], "s"
+            elif rid == 0x0203:          # NUMBER
+                row, col, _xf = struct.unpack("<HHH", data[:6])
+                (v,) = struct.unpack("<d", data[6:14])
+                yield name, row, col, _fmt_num(v), "n"
+            elif rid == 0x027E:          # RK
+                row, col, _xf, rk = struct.unpack("<HHHI", data[:10])
+                yield name, row, col, _fmt_num(_rk_value(rk)), "n"
+            elif rid == 0x00BD:          # MULRK
+                row, col0 = struct.unpack("<HH", data[:4])
+                n = (len(data) - 6) // 6
+                for k in range(n):
+                    rk = struct.unpack(
+                        "<I", data[4 + 6 * k + 2:4 + 6 * k + 6])[0]
+                    yield (name, row, col0 + k,
+                           _fmt_num(_rk_value(rk)), "n")
+            elif rid == 0x0204:          # LABEL (inline)
+                row, col, _xf = struct.unpack("<HHH", data[:6])
+                text, _ = _xl_string(data, 6)
+                yield name, row, col, text, "s"
+            elif rid == 0x0205:          # BOOLERR
+                row, col, _xf, val, ferr = struct.unpack(
+                    "<HHHBB", data[:8])
+                if ferr:
+                    yield name, row, col, f"#ERR{val:02X}", "e"
+                else:
+                    yield name, row, col, ("TRUE" if val else "FALSE"), "b"
+
+
+def read_xls(spark: SparkSession, path: str,
+             sheet: str | None = None, header: bool = True) -> DataFrame:
+    """Typed-ish table read over every .xls under ``path`` — row 0 is
+    the header, every other row one output row of STRING columns (the
+    read_xlsx contract, so type inference applies downstream)."""
+    import pandas as pd
+
+    def kernel(batches):
+        for pdf in batches:
+            frames = []
+            for content in pdf["content"]:
+                grid: dict[int, dict[int, str]] = {}
+                for _nm, r, c, val, _t in iter_xls_cells(bytes(content),
+                                                         sheet):
+                    grid.setdefault(r, {})[c] = val
+                if not grid:
+                    continue
+                hdr_row = min(grid) if header else None
+                cols = sorted({c for row in grid.values() for c in row})
+                if header:
+                    names = [grid[hdr_row].get(c, f"_c{c}")
+                             for c in cols]
+                else:
+                    names = [f"_c{c}" for c in cols]
+                data = {n: [] for n in names}
+                for r in sorted(grid):
+                    if r == hdr_row:
+                        continue
+                    for n, c in zip(names, cols):
+                        data[n].append(grid[r].get(c))
+                frames.append(pd.DataFrame(data))
+            if frames:
+                yield pd.concat(frames, ignore_index=True)
+
+    first = spark.read.format("binaryFile").load(path) \
+        .select("content").limit(1).collect()
+    if not first:
+        raise ValueError(f"no XLS files under {path}")
+    cells = list(iter_xls_cells(bytes(first[0]["content"]), sheet))
+    if not cells:
+        raise ValueError("empty workbook")
+    hdr = min(r for _, r, _, _, _ in cells)
+    cols = sorted({c for _, _, c, _, _ in cells})
+    if header:
+        names = {c: v for _, r, c, v, _ in cells if r == hdr}
+        fields = [names.get(c, f"_c{c}") for c in cols]
+    else:
+        fields = [f"_c{c}" for c in cols]
+    schema = ", ".join(f"`{f}` string" for f in fields)
+    raw = spark.read.format("binaryFile").load(path)
+    return raw.select("content").mapInPandas(kernel, schema)
+
+
+# ---------------------------------------------------------------------------
+# Writer twin
+# ---------------------------------------------------------------------------
+
+
+def _rec(rid: int, payload: bytes) -> bytes:
+    return struct.pack("<HH", rid, len(payload)) + payload
+
+
+def _w_xlstring(text: str, short: bool = False) -> bytes:
+    try:
+        raw = text.encode("latin-1")
+        grbit = 0
+    except UnicodeEncodeError:
+        raw = text.encode("utf-16-le")
+        grbit = 1
+    head = (bytes([len(text)]) if short
+            else struct.pack("<H", len(text)))
+    return head + bytes([grbit]) + raw
+
+
+def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
+    """BIFF8 workbook twin: globals substream (BOF, SST, BOUNDSHEET
+    with the REAL sheet stream offset), one sheet substream whose
+    strings go through the SST, int-valued numbers through RK and
+    other numbers through NUMBER (so both decoders are witnessed),
+    booleans through BOOLERR; wrapped in a CFB container."""
+    strings: list[str] = []
+    index: dict[str, int] = {}
+    cells = []
+    n_str_cells = 0
+    for r, row in enumerate(rows):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                cells.append(_rec(0x0205, struct.pack(
+                    "<HHHBB", r, c, 15, int(v), 0)))
+            elif isinstance(v, (int, float)):
+                fv = float(v)
+                if fv == int(fv) and -(1 << 29) <= int(fv) < (1 << 29):
+                    rk = (int(fv) << 2) | 0x02
+                    cells.append(_rec(0x027E, struct.pack(
+                        "<HHHI", r, c, 15, rk & 0xFFFFFFFF)))
+                else:
+                    cells.append(_rec(0x0203, struct.pack(
+                        "<HHH", r, c, 15) + struct.pack("<d", fv)))
+            else:
+                s = str(v)
+                if s not in index:
+                    index[s] = len(strings)
+                    strings.append(s)
+                n_str_cells += 1
+                cells.append(_rec(0x00FD, struct.pack(
+                    "<HHHI", r, c, 15, index[s])))
+    sheet_sub = (_rec(0x0809, struct.pack("<HHIH", 0x0600, 0x0010, 0, 0))
+                 + b"".join(cells) + _rec(0x000A, b""))
+    sst_payload = struct.pack("<II", n_str_cells, len(strings)) \
+        + b"".join(_w_xlstring(s) for s in strings)
+    bsheet_name = _w_xlstring(sheet, short=True)
+    # two-pass: globals size depends only on fixed-size parts
+    globals_fixed = (_rec(0x0809, struct.pack("<HHIH", 0x0600, 0x0005,
+                                              0, 0))
+                     + _rec(0x00FC, sst_payload))
+    bsheet = _rec(0x0085, struct.pack("<IBB", 0, 0, 0) + bsheet_name)
+    sheet_pos = len(globals_fixed) + len(bsheet) + 4  # + globals EOF
+    bsheet = _rec(0x0085, struct.pack("<IBB", sheet_pos, 0, 0)
+                  + bsheet_name)
+    wb = globals_fixed + bsheet + _rec(0x000A, b"") + sheet_sub
+    return write_cfb({"Workbook": wb})
