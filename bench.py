@@ -204,6 +204,8 @@ BENCH_QUERIES = [
     # round-11: legacy OLE2 — Word 97 piece table and BIFF8 cell walk
     "q_word_doc_text",
     "q_xls_scan",
+    # round-11: audio provenance tags (ID3v2 / FLAC / Vorbis comments)
+    "q_audio_meta",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
     "q_curriculum",

@@ -953,7 +953,8 @@ def _enc_write_books(w: _VBW, lookup: int = 1) -> list[_Codebook]:
 
 
 def encode_vorbis(x, sr: int, normalize: bool = True,
-                  residue_type: int = 2, lookup: int = 1) -> bytes:
+                  residue_type: int = 2, lookup: int = 1,
+                  comments: dict | None = None) -> bytes:
     """Encode PCM to an Ogg Vorbis stream — the mirrored fixture/sink
     twin of :func:`decode_vorbis`. ``x``: (n,) or (n, channels<=2),
     int16 or float in [-1, 1]. Single 2048-sample mode, flat floor,
@@ -993,9 +994,14 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     w.write(11, 4), w.write(11, 4)       # blocksize0 = blocksize1 = 2048
     w.write(1, 1)
     ident = b"\x01vorbis" + w.bytes_padded()
+    items = [f"{k.upper() if k != 'track' else 'TRACKNUMBER'}={v}"
+             .encode() for k, v in (comments or {}).items()]
     comment = (b"\x03vorbis"
                + (7).to_bytes(4, "little") + b"fixture"
-               + (0).to_bytes(4, "little") + b"\x01")
+               + len(items).to_bytes(4, "little")
+               + b"".join(len(it).to_bytes(4, "little") + it
+                          for it in items)
+               + b"\x01")
 
     w = _VBW()
     books = _enc_write_books(w, lookup)

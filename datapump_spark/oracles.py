@@ -3483,6 +3483,23 @@ ORDER BY event_id LIMIT 20000
 """
 
 
+# q_audio_meta (r11): every tag field is doc_id arithmetic; format
+# follows the four-way container rotation.
+EXTRA_ORACLES["q_audio_meta"] = """
+SELECT doc_id AS media_id,
+       CASE (doc_id // 21) % 4
+            WHEN 0 THEN 'id3v2.3' WHEN 1 THEN 'id3v2.4'
+            WHEN 2 THEN 'flac' ELSE 'vorbis' END AS format,
+       'Title ' || CAST(doc_id % 100 AS VARCHAR) AS title,
+       'Artist ' || CAST(doc_id % 9 AS VARCHAR) AS artist,
+       'Album ' || CAST(doc_id % 5 AS VARCHAR) AS album,
+       CAST(2000 + doc_id % 25 AS VARCHAR) AS date,
+       CAST(1 + doc_id % 12 AS VARCHAR) AS track,
+       'genre' || CAST(doc_id % 4 AS VARCHAR) AS genre
+FROM documents WHERE doc_id % 21 = 0
+"""
+
+
 # Baseline-TIFF decode (round 9): lossless, so every column is doc_id
 # arithmetic regardless of which compression/endianness the writer
 # rotation picked.

@@ -3954,6 +3954,72 @@ def q_xls_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_xls_scan"] = q_xls_scan
 
 
+def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio tag-extraction gate (operators/audiometa.py, r11 —
+    the audio sibling of q_exif): each sampled document becomes a
+    tagged audio payload in a FOUR-way rotation (doc_id//21 mod 4):
+    ID3v2.3-tagged MP3 (UTF-16 text frames), ID3v2.4 (UTF-8,
+    syncsafe frame sizes), FLAC with a spliced VORBIS_COMMENT block,
+    and Ogg Vorbis with real comment-header items. Tags are pure
+    doc_id arithmetic, so the oracle recomputes every field in SQL
+    while the kernel walks four different binary tag layouts."""
+    import pandas as pd
+
+    from datapump_spark.operators.audiometa import extract_audio_tags
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 21 == 0)
+            .select(F.col("doc_id").alias("media_id"))
+            .repartition(16))
+
+    def build(batches):
+        import numpy as np
+
+        from datapump_spark.operators.audiometa import (add_flac_comments,
+                                                        encode_id3v2)
+
+        @lru_cache(maxsize=1)
+        def mp3_base() -> bytes:
+            from datapump_spark.operators.mp3 import encode_mp3
+            return encode_mp3(np.zeros(600), 32000)
+
+        @lru_cache(maxsize=1)
+        def flac_base() -> bytes:
+            from datapump_spark.operators.flac import encode_flac
+            return encode_flac(np.zeros(600, np.int16), 8000)
+
+        for pdf_b in batches:
+            ids = pdf_b["media_id"]
+
+            def payload(doc_id: int) -> bytes:
+                tags = {"title": f"Title {doc_id % 100}",
+                        "artist": f"Artist {doc_id % 9}",
+                        "album": f"Album {doc_id % 5}",
+                        "date": str(2000 + doc_id % 25),
+                        "track": str(1 + doc_id % 12),
+                        "genre": f"genre{doc_id % 4}"}
+                arm = (doc_id // 21) % 4
+                if arm == 0:
+                    return encode_id3v2(tags, version=3) + mp3_base()
+                if arm == 1:
+                    return encode_id3v2(tags, version=4) + mp3_base()
+                if arm == 2:
+                    return add_flac_comments(flac_base(), tags)
+                from datapump_spark.operators.vorbis import encode_vorbis
+                return encode_vorbis(np.zeros(2048), 8000,
+                                     comments=tags)
+
+            yield pd.DataFrame({"media_id": ids,
+                                "payload": ids.map(payload)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (extract_audio_tags(media, on_error="raise")
+            .select("media_id", "format", "title", "artist", "album",
+                    "date", "track", "genre"))
+
+
+EXTRA_QUERIES["q_audio_meta"] = q_audio_meta
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode gate (operators/tiff.py, round 9).
     Each sampled document becomes a solid-color TIFF whose compression

@@ -94,14 +94,17 @@ def test_document_corpus_mixed_tree(spark, tmp_path):
     from datapump_spark.operators.rtf import encode_rtf
     (d / "f.pptx").write_bytes(encode_pptx(long + "from pptx"))
     (d / "g.rtf").write_bytes(encode_rtf(long + "from rtf"))
+    from datapump_spark.operators.doc import encode_doc
+    (d / "h.doc").write_bytes(encode_doc(long + "from doc"))
     (d / "junk.docx").write_bytes(b"not a zip at all")
     out = document_corpus(spark, str(tmp_path),
                           recipe=CorpusRecipe(min_words=10,
                                               dedup_threshold=0.95))
     texts = [r["text"] for r in out["clean"].collect()]
-    assert sorted(t.split()[-2] for t in texts) == ["from"] * 6
+    assert sorted(t.split()[-2] for t in texts) == ["from"] * 7
     assert {t.split()[-1] for t in texts} == {"pdf", "docx", "odt",
-                                              "epub", "pptx", "rtf"}
+                                              "epub", "pptx", "rtf",
+                                              "doc"}
     q = out["quarantine"].collect()
     assert len(q) == 1 and q[0]["path"].endswith("junk.docx")
 
