@@ -3908,7 +3908,7 @@ def scaled_events_xls(sf_dir: str, n_rows: int = 20000,
     import shutil
 
     out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
-               / f"events_xls_{n_rows}x{n_shards}")
+               / f"events_xls_{n_rows}x{n_shards}v2")
     if not out_dir.exists():
         import duckdb
 

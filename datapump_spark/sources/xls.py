@@ -244,10 +244,17 @@ def _w_xlstring(text: str, short: bool = False) -> bytes:
 
 def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
     """BIFF8 workbook twin: globals substream (BOF, SST, BOUNDSHEET
-    with the REAL sheet stream offset), one sheet substream whose
-    strings go through the SST, int-valued numbers through RK and
-    other numbers through NUMBER (so both decoders are witnessed),
-    booleans through BOOLERR; wrapped in a CFB container."""
+    with the REAL sheet stream offset), one sheet substream. REPEATED
+    strings ride the SST via LABELSST; singleton strings are inline
+    LABEL records (which both keeps the SST small — BIFF records cap
+    at 8224 bytes and this twin writes no CONTINUE records — and
+    witnesses both string decoders); int-valued numbers go through
+    RK, other numbers through NUMBER, booleans through BOOLERR;
+    wrapped in a CFB container."""
+    from collections import Counter
+    counts = Counter(str(v) for row in rows for v in row
+                     if v is not None
+                     and not isinstance(v, (bool, int, float)))
     strings: list[str] = []
     index: dict[str, int] = {}
     cells = []
@@ -270,6 +277,10 @@ def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
                         "<HHH", r, c, 15) + struct.pack("<d", fv)))
             else:
                 s = str(v)
+                if counts[s] < 2:        # singleton: inline LABEL
+                    cells.append(_rec(0x0204, struct.pack(
+                        "<HHH", r, c, 15) + _w_xlstring(s)))
+                    continue
                 if s not in index:
                     index[s] = len(strings)
                     strings.append(s)
@@ -280,6 +291,10 @@ def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
                  + b"".join(cells) + _rec(0x000A, b""))
     sst_payload = struct.pack("<II", n_str_cells, len(strings)) \
         + b"".join(_w_xlstring(s) for s in strings)
+    if len(sst_payload) > 8224:
+        raise ValueError(
+            "SST exceeds one BIFF record (8224 bytes) — the twin "
+            "writes no CONTINUE records; reduce repeated strings")
     bsheet_name = _w_xlstring(sheet, short=True)
     # two-pass: globals size depends only on fixed-size parts
     globals_fixed = (_rec(0x0809, struct.pack("<HHIH", 0x0600, 0x0005,

@@ -152,6 +152,10 @@ def test_xls_foreign_records():
         list(iter_xls_cells(write_cfb({"Other": b"x" * 600})))
 
 
+@pytest.mark.slow  # redundancy: the driver-gated q_xls_scan runs
+# read_xls end-to-end (binaryFile scan + schema discovery + kernel)
+# against the DuckDB oracle every round; this pytest twin re-checks
+# the same path with nulls and is full-tier-only
 def test_read_xls_spark_table_contract(spark, tmp_path):
     rows = [["k", "v"], ["1", "a"], ["2", "b"], ["3", None]]
     (tmp_path / "t.xls").write_bytes(encode_xls(rows))
