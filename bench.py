@@ -206,6 +206,8 @@ BENCH_QUERIES = [
     "q_xls_scan",
     # round-11: audio provenance tags (ID3v2 / FLAC / Vorbis comments)
     "q_audio_meta",
+    # round-11: legacy PowerPoint record-tree text
+    "q_ppt_text",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
     "q_curriculum",

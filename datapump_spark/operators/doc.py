@@ -161,3 +161,88 @@ def encode_doc(text: str) -> bytes:
     struct.pack_into("<I", wd, 0x1A2, 0)           # fcClx
     struct.pack_into("<I", wd, 0x1A6, len(clx))    # lcbClx
     return write_cfb({"WordDocument": bytes(wd), "1Table": table})
+
+
+# ---------------------------------------------------------------------------
+# Legacy PowerPoint .ppt (binary, [MS-PPT]) — the third OLE2 format:
+# the "PowerPoint Document" stream is a tree of records (u16
+# version/instance, u16 type, u32 length; a record is a container
+# when the low version nibble is 0xF). Slide text lives in
+# TextCharsAtom (UTF-16LE) / TextBytesAtom (8-bit) leaves; a
+# best-effort walk of those atoms recovers the deck text without the
+# full drawing model.
+# ---------------------------------------------------------------------------
+
+_TEXT_CHARS_ATOM = 0x0FA0
+_TEXT_BYTES_ATOM = 0x0FA8
+_CSTRING_ATOM = 0x0FBA
+
+
+def _ppt_atoms(b: bytes, depth: int = 0):
+    i = 0
+    while i + 8 <= len(b):
+        ver_inst, rtype, ln = struct.unpack("<HHI", b[i:i + 8])
+        payload = b[i + 8:i + 8 + ln]
+        if (ver_inst & 0x0F) == 0x0F and depth < 16:
+            yield from _ppt_atoms(payload, depth + 1)
+        else:
+            yield rtype, payload
+        i += 8 + ln
+
+
+def extract_ppt_text(b: bytes) -> tuple[str, int, list[str]]:
+    """(text, n_text_atoms, flags) from a legacy binary PowerPoint
+    deck: every TextCharsAtom / TextBytesAtom in record-tree order,
+    one line per atom (the atoms' own CR paragraph marks become
+    newlines). Raises ValueError for OLE2 files without a PowerPoint
+    Document stream."""
+    streams = read_cfb(b)
+    ppt = streams.get("PowerPoint Document")
+    if ppt is None:
+        raise ValueError(
+            "OLE2 container without a PowerPoint Document stream")
+    parts = []
+    for rtype, payload in _ppt_atoms(ppt):
+        if rtype == _TEXT_CHARS_ATOM:
+            parts.append(payload.decode("utf-16-le", "replace"))
+        elif rtype == _TEXT_BYTES_ATOM:
+            parts.append(payload.decode("cp1252", "replace"))
+    text = "\n".join(p.replace("\r", "\n").rstrip("\x00")
+                     for p in parts)
+    return text, len(parts), []
+
+
+def encode_ppt(text: str) -> bytes:
+    """Minimal legacy .ppt twin: a Document container holding one
+    text atom per input line — 8-bit TextBytesAtom when the line is
+    cp1252-encodable, TextCharsAtom otherwise (both reader paths
+    witnessed by mixed content)."""
+    atoms = bytearray()
+    for line in (text.split("\n") if text else [""]):
+        try:
+            payload = line.encode("cp1252")
+            rtype = _TEXT_BYTES_ATOM
+        except UnicodeEncodeError:
+            payload = line.encode("utf-16-le")
+            rtype = _TEXT_CHARS_ATOM
+        atoms += struct.pack("<HHI", 0x0000, rtype, len(payload))
+        atoms += payload
+    doc = struct.pack("<HHI", 0x000F, 0x03E8, len(atoms)) + atoms
+    return write_cfb({"PowerPoint Document": bytes(doc),
+                      "Current User": b"\x00" * 24})
+
+
+def extract_ole2_text(b: bytes) -> tuple[str, int, list[str], str]:
+    """Dispatch an OLE2 payload on its stream names: Word .doc or
+    PowerPoint .ppt; other compound files (xls/msg/...) raise with
+    the legacy message the document kernel routes on."""
+    streams = read_cfb(b)
+    if "WordDocument" in streams:
+        t, n, fl = extract_doc_text(b)
+        return t, n, fl, "doc"
+    if "PowerPoint Document" in streams:
+        t, n, fl = extract_ppt_text(b)
+        return t, n, fl, "ppt"
+    raise ValueError(
+        "OLE2 container without a WordDocument or PowerPoint "
+        "Document stream")

@@ -413,7 +413,7 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
     the PDF parser (operators/pdftext) and the office-XML parser here.
     ``n_units`` is pages for PDFs, paragraphs for office docs, RTF
     and binary .doc, chapters for EPUBs, slides for PPTX (r11);
-    ``kind`` is pdf / docx / odt / epub / rtf / pptx / doc. Error
+    ``kind`` is pdf / docx / odt / epub / rtf / pptx / doc / ppt. Error
     contract matches pdf_text; non-Word OLE2 payloads (xls/ppt/msg)
     flag ``legacy_doc`` on the null path.
 
@@ -452,12 +452,12 @@ def document_text(df, on_error: str = "null", passthrough: tuple = (),
                         t, n, fl = extract_pdf_text(pb, pw_for(path))
                         kind = "pdf"
                     elif pb[:8] == _OLE2_MAGIC:
-                        # binary Word .doc (r11, operators/doc.py);
-                        # non-Word OLE2 raises and routes to quarantine
+                        # binary Word .doc / PowerPoint .ppt (r11,
+                        # operators/doc.py); other OLE2 raises and
+                        # routes to quarantine
                         from datapump_spark.operators.doc import \
-                            extract_doc_text
-                        t, n, fl = extract_doc_text(pb)
-                        kind = "doc"
+                            extract_ole2_text
+                        t, n, fl, kind = extract_ole2_text(pb)
                     elif pb[:5] == b"{\\rtf":
                         from datapump_spark.operators.rtf import \
                             extract_rtf_text

@@ -3500,6 +3500,23 @@ FROM documents WHERE doc_id % 21 = 0
 """
 
 
+# q_ppt_text (r11): one text atom per line — n_atoms = line count
+# (one empty atom for an empty deck, matching encode_ppt).
+EXTRA_ORACLES["q_ppt_text"] = """
+WITH t AS (
+    SELECT doc_id,
+           replace(regexp_replace(text, '[^ -~]', '', 'g'),
+                   '.', chr(10)) AS txt
+    FROM documents WHERE doc_id % 23 = 0)
+SELECT doc_id AS media_id, txt AS text,
+       CAST(length(txt) AS BIGINT) AS n_chars,
+       CAST(length(txt) - length(replace(txt, chr(10), '')) + 1
+            AS BIGINT) AS n_atoms,
+       'ppt' AS kind
+FROM t
+"""
+
+
 # Baseline-TIFF decode (round 9): lossless, so every column is doc_id
 # arithmetic regardless of which compression/endianness the writer
 # rotation picked.

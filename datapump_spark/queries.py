@@ -4020,6 +4020,42 @@ def q_audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_audio_meta"] = q_audio_meta
 
 
+def q_ppt_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Legacy binary PowerPoint text gate (operators/doc.py, r11 —
+    completes the OLE2 trio): the ASCII projection becomes a real
+    .ppt record tree (Document container + one TextBytesAtom per
+    line) and comes back through the mixed dispatcher (kind='ppt');
+    text and atom count are SQL-recomputable."""
+    import pandas as pd
+
+    from datapump_spark.operators.docx import document_text
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 23 == 0)
+            .select(F.col("doc_id").alias("media_id"),
+                    F.translate(
+                        F.regexp_replace("text", r"[^ -~]", ""),
+                        ".", "\n").alias("__t"))
+            .repartition(16))
+
+    def build(batches):
+        from datapump_spark.operators.doc import encode_ppt
+        for pdf_b in batches:
+            yield pd.DataFrame({
+                "media_id": pdf_b["media_id"],
+                "payload": [encode_ppt(t) for t in pdf_b["__t"]],
+            })
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    return (document_text(media, on_error="raise")
+            .select("media_id", "text",
+                    F.col("n_chars").cast("long").alias("n_chars"),
+                    F.col("n_units").cast("long").alias("n_atoms"),
+                    "kind"))
+
+
+EXTRA_QUERIES["q_ppt_text"] = q_ppt_text
+
+
 def q_tiff_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL baseline-TIFF decode gate (operators/tiff.py, round 9).
     Each sampled document becomes a solid-color TIFF whose compression

@@ -531,7 +531,7 @@ def document_corpus(
     pdf_path: str,
     benchmark: DataFrame | None = None,
     recipe: CorpusRecipe | None = None,
-    glob: str = "*.{pdf,doc,docx,odt,epub,rtf,pptx}",
+    glob: str = "*.{pdf,doc,docx,odt,epub,rtf,ppt,pptx}",
     passwords: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Directory of documents → packed training sequences in ONE call —

@@ -175,3 +175,29 @@ def test_document_text_kind_doc_and_quarantine(spark, tmp_path):
     assert got[1]["kind"] == "doc" and got[1]["n_units"] == 2
     assert got[1]["text"] == "real word doc\ntwo"
     assert got[2]["text"] is None and got[2]["flags"] == ["legacy_doc"]
+
+
+def test_ppt_text_round_trip_and_dispatch(spark):
+    """r11: legacy .ppt record-tree walk — TextBytesAtom and
+    TextCharsAtom (mixed by content), container recursion, CR
+    paragraph marks; the dispatcher tags kind='ppt'."""
+    from datapump_spark.operators.doc import encode_ppt, extract_ppt_text
+    from datapump_spark.operators.docx import document_text
+    t = "Slide title\nbullet one\nbullet — ünïcödé 中文\nlast"
+    text, n, flags = extract_ppt_text(encode_ppt(t))
+    assert text == t and n == 4 and flags == []
+    # a CR inside an atom is a paragraph mark
+    raw = encode_ppt("seed")
+    streams = read_cfb(raw)
+    ppt = bytearray(streams["PowerPoint Document"])
+    at = ppt.index(b"seed")
+    ppt[at:at + 4] = b"a\rb\x00"
+    blob = write_cfb({"PowerPoint Document": bytes(ppt),
+                      "Current User": b"\x00" * 24})
+    assert extract_ppt_text(blob)[0] == "a\nb"
+    with pytest.raises(ValueError, match="PowerPoint"):
+        extract_ppt_text(write_cfb({"Quill": b"pub" * 300}))
+    df = spark.createDataFrame([(1, encode_ppt("x\ny"))],
+                               "media_id long, payload binary")
+    row = document_text(df).collect()[0]
+    assert row["kind"] == "ppt" and row["n_units"] == 2
