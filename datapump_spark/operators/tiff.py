@@ -20,7 +20,11 @@ per-tile predictor restart), PLANAR configuration 2 (one sample
 plane per strip/tile sequence) for both layouts, and CCITT G4 fax
 strips (compression 4 via operators/ccitt.py; photometric-0 ink
 mapping; uncompressed-mode extension, FillOrder 2, tiled G4 and G3
-refused). JPEG-in-TIFF stays refused with UnsupportedMediaError
+refused). JPEG-in-TIFF (compression 7, TIFF Tech Note 2) DECODES as
+of r11 — per-strip/tile JPEG streams, optionally abbreviated against
+a shared JPEGTables tag 347 — and the twin writes it (quality +
+jpeg_tables knobs); old-style compression 6 stays refused with
+UnsupportedMediaError
 (honest seams, recorded in COVERAGE.md). The IFD walk shares the TIFF 6.0 layout the
 EXIF parser (operators/mediasniff.parse_exif) already walks inside
 JPEG APP1 segments.
@@ -128,7 +132,7 @@ def decode_tiff(b: bytes) -> np.ndarray:
     if planar not in (1, 2):
         raise UnsupportedMediaError(f"TIFF planar config {planar}")
     comp = tags.get(259, [1])[0]
-    if comp not in (1, 4, 5, 8, 32946, 32773):
+    if comp not in (1, 4, 5, 7, 8, 32946, 32773):
         raise UnsupportedMediaError(f"TIFF compression {comp} unsupported")
     w = tags.get(256, [0])[0]
     h = tags.get(257, [0])[0]
@@ -172,6 +176,56 @@ def decode_tiff(b: bytes) -> np.ndarray:
         # photometric 0 (the fax standard): ink is dark on white
         return ((1 - ink) * 255 if photo == 0 else ink * 255) \
             .astype(np.uint8)
+
+    if comp == 7:                        # new-style JPEG (r11, TTN2)
+        if depth != 8 or planar != 1:
+            raise UnsupportedMediaError(
+                "JPEG-in-TIFF wants 8-bit chunky samples")
+        from datapump_spark.operators.jpeg import decode_jpeg
+        tables = bytes(tags.get(347, []))
+        mid = b""
+        if tables[:2] == b"\xff\xd8":
+            mid = tables[2:]
+            if mid[-2:] == b"\xff\xd9":
+                mid = mid[:-2]
+
+        def jpeg_chunk(chunk: bytes) -> np.ndarray:
+            if chunk[:2] != b"\xff\xd8":
+                raise ValueError("JPEG-in-TIFF chunk without SOI")
+            img = decode_jpeg(b"\xff\xd8" + mid + chunk[2:])
+            return img
+
+        if tiled:
+            tw = tags.get(322, [0])[0]
+            tl = tags.get(323, [0])[0]
+            offsets, counts = tags.get(324), tags.get(325)
+            if not tw or not tl or not offsets or not counts:
+                raise ValueError("tiled TIFF without a tile table")
+            across = -(-w // tw)
+            out = np.zeros((-(-h // tl) * tl, across * tw, spp),
+                           np.uint8)
+            for ti, (off, cnt) in enumerate(zip(offsets, counts)):
+                block = jpeg_chunk(b[off:off + cnt])
+                ty, tx = (ti // across) * tl, (ti % across) * tw
+                out[ty:ty + tl, tx:tx + tw] = block[:tl, :tw] \
+                    .reshape(tl, tw, -1)[:, :, :spp]
+        else:
+            offsets, counts = tags.get(273), tags.get(279)
+            if not offsets or not counts \
+                    or len(offsets) != len(counts):
+                raise ValueError("TIFF without a consistent strip table")
+            rows_per = tags.get(278, [h])[0] or h
+            out = np.zeros((len(offsets) * rows_per, w, spp), np.uint8)
+            for si, (off, cnt) in enumerate(zip(offsets, counts)):
+                block = jpeg_chunk(b[off:off + cnt])
+                nrows = min(rows_per, h - si * rows_per)
+                out[si * rows_per:si * rows_per + nrows, :w] = \
+                    block[:nrows, :w].reshape(nrows, -1,
+                                              block.shape[-1]
+                                              if block.ndim == 3
+                                              else 1)[:, :w, :spp]
+        out = out[:h, :w]
+        return out[:, :, 0] if spp == 1 else out
 
     def decompress(chunk: bytes) -> bytes:
         if comp == 5:
@@ -318,8 +372,11 @@ def _assemble_tiff(entries, strips, big_endian: bool,
 
     def val_bytes(typ, cnt, vals):
         nonlocal long_vals, extra_at
-        fmt = {3: "H", 4: "I"}[typ]
-        packed = b"".join(struct.pack(e + fmt, v) for v in vals)
+        if typ in (1, 7):                # byte-valued tags (JPEGTables)
+            packed = bytes(vals)
+        else:
+            fmt = {3: "H", 4: "I"}[typ]
+            packed = b"".join(struct.pack(e + fmt, v) for v in vals)
         if len(packed) <= 4:
             return packed.ljust(4, b"\x00")
         at = extra_at
@@ -344,7 +401,8 @@ def _assemble_tiff(entries, strips, big_endian: bool,
 def encode_tiff(img: np.ndarray, compression: str = "none", *,
                 big_endian: bool = False, rows_per_strip: int = 8,
                 predictor: bool = False, planar: bool = False,
-                tile: tuple[int, int] | None = None) -> bytes:
+                tile: tuple[int, int] | None = None,
+                quality: int = 95, jpeg_tables: bool = False) -> bytes:
     """Encode (h, w[, c]) uint8 as a baseline TIFF — fixture/sink twin
     of decode_tiff. ``compression``: none / lzw / deflate / packbits;
     ``predictor`` applies horizontal differencing (lzw/deflate only,
@@ -360,7 +418,55 @@ def encode_tiff(img: np.ndarray, compression: str = "none", *,
         raise ValueError("encode_tiff supports 1/3/4 channels")
     e = ">" if big_endian else "<"
     comp_id = {"none": 1, "lzw": 5, "deflate": 8,
-               "packbits": 32773, "g4": 4}[compression]
+               "packbits": 32773, "g4": 4, "jpeg": 7}[compression]
+    if comp_id == 7:                     # new-style JPEG (r11, TTN2)
+        from datapump_spark.operators.jpeg import encode_jpeg
+        if spp == 4 or planar or tile is not None:
+            raise ValueError("jpeg TIFF wants chunky 1/3-channel "
+                             "strips")
+
+        def strip_jpeg(rows: np.ndarray) -> bytes:
+            src = rows[:, :, 0] if spp == 1 else rows
+            return encode_jpeg(src, quality=quality, subsampling="444")
+
+        strips = [strip_jpeg(img[y0:y0 + rows_per_strip])
+                  for y0 in range(0, h, rows_per_strip)]
+        entries = [(256, 3, 1, [w]), (257, 3, 1, [h]),
+                   (258, 3, spp, [8] * spp), (259, 3, 1, [7]),
+                   (262, 3, 1, [1 if spp == 1 else 6]),
+                   (277, 3, 1, [spp]),
+                   (278, 3, 1, [rows_per_strip])]
+        if jpeg_tables:
+            # abbreviated streams: DQT/DHT segments move to tag 347
+            def split(stream: bytes):
+                tables, rest = bytearray(b"\xff\xd8"), bytearray(
+                    b"\xff\xd8")
+                i = 2
+                while i + 4 <= len(stream):
+                    if stream[i] != 0xFF:
+                        rest += stream[i:]
+                        break
+                    marker = stream[i + 1]
+                    if marker == 0xD9:
+                        break
+                    if marker == 0xDA:           # SOS: rest follows
+                        rest += stream[i:-2] if stream[-2:] \
+                            == b"\xff\xd9" else stream[i:]
+                        break
+                    seglen = struct.unpack(">H",
+                                           stream[i + 2:i + 4])[0]
+                    seg = stream[i:i + 2 + seglen]
+                    (tables if marker in (0xDB, 0xC4)
+                     else rest).extend(seg)
+                    i += 2 + seglen
+                tables += b"\xff\xd9"
+                rest += b"\xff\xd9"
+                return bytes(tables), bytes(rest)
+
+            tbl0, first = split(strips[0])
+            strips = [first] + [split(st)[1] for st in strips[1:]]
+            entries.append((347, 7, len(tbl0), list(tbl0)))
+        return _assemble_tiff(entries, strips, big_endian)
     if comp_id == 4:
         from datapump_spark.operators.ccitt import ccitt_g4_encode
         if spp != 1 or tile is not None or planar:

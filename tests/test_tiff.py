@@ -262,3 +262,49 @@ def test_g4_seams_stay_honest():
         ccitt_g4_decode(b"\x00\x00\x00", 16, 4)
     with pytest.raises(ValueError):
         encode_tiff(np.zeros((8, 8, 3), np.uint8), "g4")
+
+
+def test_jpeg_in_tiff_decodes():
+    """r11 (TTN2 compression 7): per-strip JPEG streams, abbreviated
+    layouts against the shared JPEGTables tag, a hand-built TILED
+    variant, and honest seams. Solid q95 content reconstructs exactly
+    (the q_jpeg_decode argument)."""
+    import struct as _s
+
+    from datapump_spark.operators.tiff import _assemble_tiff
+    for spp in (1, 3):
+        img = np.full((20, 24, spp), 77, np.uint8)
+        src = img[:, :, 0] if spp == 1 else img
+        for jt in (False, True):
+            out = decode_tiff(encode_tiff(src, "jpeg",
+                                          rows_per_strip=8,
+                                          jpeg_tables=jt))
+            assert out.shape == src.shape and (out == 77).all(), \
+                (spp, jt)
+    # gradient content stays within the quantizer bound
+    x = np.tile((np.arange(32) * 8 % 256).astype(np.uint8), (24, 1))
+    rgb = np.stack([x, 255 - x, x // 2], axis=-1)
+    out = decode_tiff(encode_tiff(rgb, "jpeg", rows_per_strip=8))
+    assert np.abs(out.astype(int) - rgb.astype(int)).mean() < 4
+    # hand-built TILED JPEG layout (the twin writes strips only)
+    from datapump_spark.operators.jpeg import encode_jpeg
+    tiles = [encode_jpeg(np.full((16, 16), v, np.uint8), quality=95)
+             for v in (50, 90, 130, 170)]
+    entries = [(256, 3, 1, [30]), (257, 3, 1, [28]),
+               (258, 3, 1, [8]), (259, 3, 1, [7]),
+               (262, 3, 1, [1]), (277, 3, 1, [1]),
+               (322, 3, 1, [16]), (323, 3, 1, [16])]
+    b = _assemble_tiff(entries, tiles, False, off_tag=324, cnt_tag=325)
+    out = decode_tiff(b)
+    assert out.shape == (28, 30)
+    assert out[0, 0] == 50 and out[0, 20] == 90
+    assert out[20, 0] == 130 and out[20, 20] == 170
+    # seams: alpha / planar / tiled refuse in the twin
+    with pytest.raises(ValueError, match="jpeg TIFF"):
+        encode_tiff(np.zeros((8, 8, 4), np.uint8), "jpeg")
+    # a chunk without SOI is caught
+    bad = bytearray(encode_tiff(np.full((8, 8), 5, np.uint8), "jpeg"))
+    at = bad.index(b"\xff\xd8\xff", 8)
+    bad[at:at + 2] = b"\x00\x00"
+    with pytest.raises(ValueError):
+        decode_tiff(bytes(bad))
