@@ -40,7 +40,7 @@ def _map_chars(s: str) -> str:
             out.append("\n")
         elif o == 0x07:                  # cell / row mark
             out.append("\t")
-        elif o in (0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15, 0x28):
+        elif o in (0x01, 0x02, 0x05, 0x08, 0x13, 0x14, 0x15):
             continue                     # pictures/fields/annotations
         elif o == 0x1E:                  # non-breaking hyphen
             out.append("-")

@@ -186,14 +186,17 @@ def _rtf_escape(s: str) -> str:
         o = ord(ch)
         if ch in "\\{}":
             parts.append("\\" + ch)
-        elif o < 128:
+        elif 0x20 <= o < 128 or ch in "\t":
             parts.append(ch)
-        elif o < 256:
-            parts.append(f"\\'{o:02x}")
         else:
-            # \uN with one fallback '?' (uc1, the de-facto default)
-            signed = o - 65536 if o > 32767 else o
-            parts.append(f"\\u{signed}?")
+            try:
+                # cp1252 BYTE escape (not the codepoint: bytes
+                # 0x80-0x9F map through the code page, e.g. € = \'80)
+                parts.append(f"\\'{ch.encode('cp1252')[0]:02x}")
+            except UnicodeEncodeError:
+                # \uN with one fallback '?' (uc1, the twin's default)
+                signed = o - 65536 if o > 32767 else o
+                parts.append(f"\\u{signed}?")
     return "".join(parts)
 
 

@@ -234,11 +234,12 @@ def _w_xlstring(text: str, short: bool = False) -> bytes:
     try:
         raw = text.encode("latin-1")
         grbit = 0
+        cch = len(raw)
     except UnicodeEncodeError:
         raw = text.encode("utf-16-le")
         grbit = 1
-    head = (bytes([len(text)]) if short
-            else struct.pack("<H", len(text)))
+        cch = len(raw) // 2              # cch counts UTF-16 code UNITS
+    head = bytes([cch]) if short else struct.pack("<H", cch)
     return head + bytes([grbit]) + raw
 
 

@@ -119,3 +119,77 @@ def test_jpeg_solid_grayscale_q95_is_exact(v, h, w):
     img = np.full((h, w), v, np.uint8)
     out = decode_jpeg(encode_jpeg(img, quality=95))
     assert (out[:, :, 0] == v).all()
+
+
+# ---------------------------------------------------------------------------
+# r11 document-format round trips: every writer twin must reproduce
+# arbitrary printable multi-line text EXACTLY through its extractor.
+# ---------------------------------------------------------------------------
+
+_DOC_TEXT = st.text(
+    alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x2FFF,
+                           blacklist_characters="\x7f"),
+    max_size=400).map(lambda s: s.replace("\r", " "))
+
+
+@settings(max_examples=25, deadline=None)
+@given(t=_DOC_TEXT, nl=st.integers(0, 6))
+def test_document_twins_round_trip_any_text(t, nl):
+    import re as _re
+
+    from datapump_spark.operators.doc import encode_doc, extract_doc_text
+    from datapump_spark.operators.doc import encode_ppt, extract_ppt_text
+    from datapump_spark.operators.docx import (encode_docx, encode_epub,
+                                               encode_pptx,
+                                               extract_docx_text,
+                                               extract_epub_text,
+                                               extract_pptx_text)
+    from datapump_spark.operators.rtf import encode_rtf, extract_rtf_text
+
+    # sprinkle newlines deterministically
+    parts = t.split(" ") if t else [""]
+    step = max(1, len(parts) // (nl + 1))
+    text = "\n".join(" ".join(parts[i:i + step])
+                     for i in range(0, len(parts), step)) if t else ""
+    pairs = [(encode_docx, extract_docx_text),
+             (encode_epub, extract_epub_text),
+             (encode_pptx, extract_pptx_text),
+             (encode_rtf, extract_rtf_text),
+             (encode_ppt, extract_ppt_text)]
+    for enc, dec in pairs:
+        got = dec(enc(text))[0]
+        assert got == text, (enc.__name__, got[:80], text[:80])
+    # .doc: control chars < 0x20 are structural in Word — keep the
+    # printable projection for its check
+    doc_text = _re.sub(r"[\x00-\x09\x0b-\x1f]", "", text)
+    assert extract_doc_text(encode_doc(doc_text))[0] == doc_text
+
+
+@settings(max_examples=20, deadline=None)
+@given(rows=st.lists(
+    st.lists(st.one_of(st.integers(-10**6, 10**6),
+                       st.floats(allow_nan=False, allow_infinity=False,
+                                 width=32),
+                       st.booleans(),
+                       st.text(max_size=12)),
+             min_size=1, max_size=5),
+    min_size=1, max_size=10))
+def test_xls_twin_round_trips_any_rows(rows):
+    from datapump_spark.sources.xls import encode_xls, iter_xls_cells
+    got = {(r, c): v for _, r, c, v, _ in
+           iter_xls_cells(encode_xls(rows))}
+    for r, row in enumerate(rows):
+        for c, v in enumerate(row):
+            if v is None:
+                continue
+            if isinstance(v, bool):
+                want = "TRUE" if v else "FALSE"
+            elif isinstance(v, (int, float)):
+                fv = float(v)
+                want = (str(int(fv))
+                        if fv == int(fv) and abs(fv) < 1e15
+                        else repr(fv))
+            else:
+                want = str(v)
+            assert got.get((r, c), "") == want or \
+                (want == "" and (r, c) not in got), (r, c, v)
