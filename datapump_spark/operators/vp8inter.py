@@ -97,6 +97,26 @@ MODE_CONTEXTS = (
     (10, 40, 70, 160),
 )
 
+# SPLITMV (§11.3): partition tree + the EXACT spec block maps (which
+# 4x4 block belongs to which partition); mode probs are stand-ins
+# like the other trained tables.
+SPLIT_16X8, SPLIT_8X16, SPLIT_8X8, SPLIT_4X4 = range(4)
+MBSPLIT_TREE = (-SPLIT_4X4, 2, -SPLIT_8X8, 4, -SPLIT_16X8, -SPLIT_8X16)
+MBSPLIT_PROBS = (110, 111, 150)              # stand-in
+MBSPLIT_MAPS = (
+    (0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1),   # two 16x8
+    (0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1, 0, 0, 1, 1),   # two 8x16
+    (0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3),   # four 8x8
+    tuple(range(16)),                                     # sixteen 4x4
+)
+MBSPLIT_COUNTS = (2, 2, 4, 16)
+# sub-MV modes: copy-left / copy-above / zero / new — probs indexed
+# by the (left==above, left==zero) context (stand-in table)
+LEFT4X4, ABOVE4X4, ZERO4X4, NEW4X4 = range(4)
+SUB_MV_REF_TREE = (-LEFT4X4, 2, -ABOVE4X4, 4, -ZERO4X4, -NEW4X4)
+SUB_MV_REF_PROBS = ((180, 140, 240), (120, 100, 220),
+                    (90, 140, 200), (60, 80, 160))       # stand-in
+
 # MV component probability layout (§17.2): [is_short, sign,
 # short_tree x7, long_bits x10] per component (row, col)
 MV_PROB_COUNT = 19
@@ -189,14 +209,17 @@ def find_near_mvs(mb_info, mr: int, mc: int, mb_cols: int,
     with a different sign bias are negated."""
     cands: list[list] = []                 # [mv, weight]
     intra_zero = 0
+    split_w = 0
     for (nr, nc), wgt in (((mr - 1, mc), 2), ((mr, mc - 1), 2),
-                          ((mr - 1, mc - 1), 1)):
+                          (((mr - 1, mc - 1)), 1)):
         if nr < 0 or nc < 0 or nc >= mb_cols:
             continue
         info = mb_info.get((nr, nc))
         if info is None:
             continue
-        is_inter, nref, nmv = info
+        is_inter, nref, nmv = info[:3]
+        if len(info) > 3 and info[3]:
+            split_w += wgt               # SPLITMV neighbors (cnt[3])
         if not is_inter:
             intra_zero += wgt
             continue
@@ -219,12 +242,73 @@ def find_near_mvs(mb_info, mr: int, mc: int, mb_cols: int,
     cnt = [min(zero_w, 5),
            min(nonzero[0][1], 5) if nonzero else 0,
            min(nonzero[1][1], 5) if len(nonzero) > 1 else 0,
-           0]                              # SPLITMV neighbors: unsupported
+           min(split_w, 5)]
     return best, nearest, near, cnt
 
 
 def mv_ref_probs(cnt):
     return tuple(MODE_CONTEXTS[cnt[i]][i] for i in range(4))
+
+
+def split_ctx(left, above) -> int:
+    """sub_mv_ref probability context (documented stand-in scheme,
+    shared by twin and decoder): agreement and zero-ness of the
+    neighboring 4x4 MVs."""
+    return ((left == above) << 1) | (left == (0, 0) and above == (0, 0))
+
+
+def submv_at(mb_info, submvs, mr: int, mc: int, k: int):
+    """The 4x4-block MV at block index k of MB (mr, mc): per-block for
+    SPLITMV MBs, the whole-MB MV for other inter MBs, zero for intra
+    or out-of-frame."""
+    info = mb_info.get((mr, mc))
+    if info is None or not info[0]:
+        return (0, 0)
+    sub = submvs.get((mr, mc))
+    if sub is not None:
+        return sub[k]
+    return info[2]
+
+
+def decode_split_mvs(bd, mb_info, submvs, mr, mc, mb_rows, mb_cols,
+                     mv_probs, best):
+    """Decode one SPLITMV macroblock's 16 4x4 MVs (partition tree,
+    per-partition sub_mv_ref modes with LEFT/ABOVE copies, NEW deltas
+    against the survey's best MV). Returns (sub list, partition)."""
+    part = bd.tree(MBSPLIT_TREE, MBSPLIT_PROBS)
+    bmap = MBSPLIT_MAPS[part]
+    sub = [None] * 16
+    for p_i in range(MBSPLIT_COUNTS[part]):
+        k = bmap.index(p_i)
+        r4, c4 = k // 4, k % 4
+        left = (sub[k - 1] if c4
+                else submv_at(mb_info, submvs, mr, mc - 1,
+                              r4 * 4 + 3))
+        above = (sub[k - 4] if r4
+                 else submv_at(mb_info, submvs, mr - 1, mc, 12 + c4))
+        smode = bd.tree(SUB_MV_REF_TREE,
+                        SUB_MV_REF_PROBS[split_ctx(left, above)])
+        if smode == LEFT4X4:
+            mv = left
+        elif smode == ABOVE4X4:
+            mv = above
+        elif smode == ZERO4X4:
+            mv = (0, 0)
+        else:
+            dr = read_mv_component(bd, mv_probs[0])
+            dc = read_mv_component(bd, mv_probs[1])
+            mv = clamp_mv((best[0] + dr, best[1] + dc), mr, mc,
+                          mb_rows, mb_cols)
+        for kk, pp in enumerate(bmap):
+            if pp == p_i:
+                sub[kk] = mv
+    return sub, part
+
+
+def _avg4(mvs):
+    """Chroma MV for a 2x2 group of luma 4x4 MVs (floor mean, 1/8-pel
+    units — mirrored by the twin)."""
+    return (sum(m[0] for m in mvs) // 4, sum(m[1] for m in mvs) // 4)
 
 
 def clamp_mv(mv, mr: int, mc: int, mb_rows: int, mb_cols: int):
@@ -421,6 +505,7 @@ class VP8Stream:
 
         # ---- pass 1: per-MB modes / references / MVs ----
         mb_info: dict = {}
+        submvs: dict = {}
         modes = {}
         skips = np.zeros((mb_rows, mb_cols), np.int32)
         for mr in range(mb_rows):
@@ -443,10 +528,16 @@ class VP8Stream:
                     best, nearest, near = (clamp(best), clamp(nearest),
                                            clamp(near))
                     mode = bd.tree(MV_REF_TREE, mv_ref_probs(cnt))
-                    if mode == SPLITMV:
-                        raise UnsupportedMediaError(
-                            "VP8 SPLITMV (per-4x4 motion) unsupported "
-                            "— honest seam")
+                    if mode == SPLITMV:   # per-4x4 motion (r11)
+                        sub, _part = decode_split_mvs(
+                            bd, mb_info, submvs, mr, mc, mb_rows,
+                            mb_cols, mv_probs, best)
+                        submvs[(mr, mc)] = sub
+                        # the bottom-right sub-MV represents the MB
+                        # in neighbor surveys (the libvpx convention)
+                        mb_info[(mr, mc)] = (True, ref, sub[15], True)
+                        modes[(mr, mc)] = ("split", ref, sub)
+                        continue
                     if mode == ZEROMV:
                         mv = (0, 0)
                     elif mode == NEARESTMV:
@@ -500,8 +591,9 @@ class VP8Stream:
             for mc in range(mb_cols):
                 info = modes[(mr, mc)]
                 is_inter = info[0] == "inter"
-                ym = info[1] if not is_inter else -1
-                has_y2 = not (not is_inter and ym == B_PRED)
+                is_split = info[0] == "split"
+                ym = info[1] if info[0] == "intra" else -1
+                has_y2 = not (ym == B_PRED or is_split)
                 skip = bool(skips[mr, mc])
                 blocks_y = np.zeros((16, 16), np.int32)
                 blocks_u = np.zeros((4, 16), np.int32)
@@ -554,11 +646,40 @@ class VP8Stream:
                     if has_y2:
                         above_nz[mc, 8] = left_nz[8] = 0
                 filter_inner[mr, mc] = ((not skip and any_nz)
-                                        or (not is_inter
-                                            and ym == B_PRED))
+                                        or ym == B_PRED or is_split)
 
                 # ---- reconstruction ----
                 x0, y0 = mc * 16, mr * 16
+                if is_split:
+                    _, ref_id, sub = info
+                    ry, ru, rv = self.refs[ref_id]
+                    for b_i in range(16):
+                        r, c = b_i // 4, b_i % 4
+                        mv = sub[b_i]
+                        yy, xx = y0 + 4 * r, x0 + 4 * c
+                        pred = _mc_block(ry, yy * 8 + mv[0],
+                                         xx * 8 + mv[1], 4, version)
+                        res = idct4x4(blocks_y[b_i].reshape(4, 4))
+                        yp[yy:yy + 4, xx:xx + 4] = np.clip(pred + res,
+                                                           0, 255)
+                    cx0, cy0 = mc * 8, mr * 8
+                    for plane_arr, rref, blocks in (
+                            (up, ru, blocks_u), (vp, rv, blocks_v)):
+                        for b_i in range(4):
+                            cr, cc = b_i // 2, b_i % 2
+                            group = [sub[(2 * cr + dr) * 4
+                                         + 2 * cc + dc]
+                                     for dr in (0, 1) for dc in (0, 1)]
+                            cmv = _avg4(group)
+                            yy, xx = cy0 + 4 * cr, cx0 + 4 * cc
+                            cpred = _mc_block(rref,
+                                              yy * 8 + (cmv[0] >> 1),
+                                              xx * 8 + (cmv[1] >> 1),
+                                              4, version)
+                            res = idct4x4(blocks[b_i].reshape(4, 4))
+                            plane_arr[yy:yy + 4, xx:xx + 4] = np.clip(
+                                cpred + res, 0, 255)
+                    continue
                 if is_inter:
                     _, ref_id, mv = info
                     ry, ru, rv = self.refs[ref_id]
@@ -697,7 +818,8 @@ def _sad(a: np.ndarray, b: np.ndarray) -> int:
 def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                             golden_refresh: set | None = None,
                             golden_ref: set | None = None,
-                            allow_intra: bool = True) -> list[bytes]:
+                            allow_intra: bool = True,
+                            split_every: int | None = None) -> list[bytes]:
     """Encode RGB frames as [key frame, inter frames...] VP8 payloads
     (version 3: full-pel motion, no loop filter — the table-free
     profile). Per MB: full-pel ±``search`` motion search against the
@@ -738,6 +860,7 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
         up = np.zeros((hp // 2, wp // 2), np.int32)
         vp = np.zeros((hp // 2, wp // 2), np.int32)
         mb_info: dict = {}
+        submvs: dict = {}
         mbs = []
         refs_allowed = [LAST] + ([GOLDEN] if fi in golden_ref else [])
         for mr in range(mb_rows):
@@ -776,11 +899,30 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                 use_intra = (intra_choice is not None
                              and intra_choice[0] + 64 < best_cost)
                 ref_id, mv = best_ref, best_mv8
+                mb_index = mr * mb_cols + mc
+                want_split = (split_every is not None
+                              and not use_intra
+                              and mb_index % split_every == 0)
                 if use_intra:
                     mb_info[(mr, mc)] = (False, 0, (0, 0))
                     ym = intra_choice[1]
                     pred = intra_choice[2]
                     mode_rec = ("intra", ym)
+                elif want_split:
+                    best, nearest, near, cnt = find_near_mvs(
+                        mb_info, mr, mc, mb_cols, st.sign_bias, ref_id)
+                    clamp = (lambda m: clamp_mv(m, mr, mc, mb_rows,
+                                                mb_cols))
+                    best = clamp(best)
+                    part = SPLIT_8X8 if (mb_index // split_every) % 2 \
+                        else SPLIT_4X4
+                    sub = [mv] * 16
+                    submvs[(mr, mc)] = sub
+                    mb_info[(mr, mc)] = (True, ref_id, sub[15], True)
+                    ry = st.refs[ref_id][0]
+                    pred = _mc_block(ry, y0 * 8 + mv[0], x0 * 8 + mv[1],
+                                     16, 3)
+                    mode_rec = ("split", ref_id, sub, part, best, cnt)
                 else:
                     best, nearest, near, cnt = find_near_mvs(
                         mb_info, mr, mc, mb_cols, st.sign_bias, ref_id)
@@ -802,7 +944,8 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                                      16, 3)
                     mode_rec = ("inter", ref_id, mv, mv_mode, best,
                                 cnt)
-                # ---- residual coding (Y2 path, mirrors decode) ----
+                # ---- residual coding (Y2 path; SPLITMV keeps the
+                # DC in-band like B_PRED, mirroring decode) ----
                 resid = srcy - pred
                 coefs = np.empty((16, 16), np.int32)
                 for b in range(16):
@@ -810,26 +953,42 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                     coefs[b] = fdct4x4(
                         resid[4 * r:4 * r + 4, 4 * c:4 * c + 4]
                     ).reshape(16)
-                y2 = fwht4x4(coefs[:, 0].reshape(4, 4)).reshape(16)
-                y2lev = _quantize(y2.reshape(4, 4), dq["y2dc"],
-                                  dq["y2ac"])
-                wht = iwht4x4(_dequant(y2lev, dq["y2dc"],
-                                       dq["y2ac"]).reshape(4, 4)
-                              ).reshape(16)
-                yblocks = np.zeros((16, 16), np.int32)
-                for b in range(16):
-                    lev = _quantize(coefs[b].reshape(4, 4), dq["ydc"],
-                                    dq["yac"])
-                    lev[0] = 0
-                    yblocks[b] = lev
-                    dqc = _dequant(lev, dq["ydc"], dq["yac"])
-                    dqc[0] = wht[b]
-                    r, c = b // 4, b % 4
-                    res = idct4x4(dqc.reshape(4, 4))
-                    yy, xx = y0 + 4 * r, x0 + 4 * c
-                    yp[yy:yy + 4, xx:xx + 4] = np.clip(
-                        pred[4 * r:4 * r + 4, 4 * c:4 * c + 4] + res,
-                        0, 255)
+                is_split_mb = mode_rec[0] == "split"
+                if is_split_mb:
+                    y2lev = None
+                    yblocks = np.zeros((16, 16), np.int32)
+                    for b in range(16):
+                        lev = _quantize(coefs[b].reshape(4, 4),
+                                        dq["ydc"], dq["yac"])
+                        yblocks[b] = lev
+                        res = idct4x4(_dequant(lev, dq["ydc"],
+                                               dq["yac"]).reshape(4, 4))
+                        r, c = b // 4, b % 4
+                        yy, xx = y0 + 4 * r, x0 + 4 * c
+                        yp[yy:yy + 4, xx:xx + 4] = np.clip(
+                            pred[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                            + res, 0, 255)
+                else:
+                    y2 = fwht4x4(coefs[:, 0].reshape(4, 4)).reshape(16)
+                    y2lev = _quantize(y2.reshape(4, 4), dq["y2dc"],
+                                      dq["y2ac"])
+                    wht = iwht4x4(_dequant(y2lev, dq["y2dc"],
+                                           dq["y2ac"]).reshape(4, 4)
+                                  ).reshape(16)
+                    yblocks = np.zeros((16, 16), np.int32)
+                    for b in range(16):
+                        lev = _quantize(coefs[b].reshape(4, 4),
+                                        dq["ydc"], dq["yac"])
+                        lev[0] = 0
+                        yblocks[b] = lev
+                        dqc = _dequant(lev, dq["ydc"], dq["yac"])
+                        dqc[0] = wht[b]
+                        r, c = b // 4, b % 4
+                        res = idct4x4(dqc.reshape(4, 4))
+                        yy, xx = y0 + 4 * r, x0 + 4 * c
+                        yp[yy:yy + 4, xx:xx + 4] = np.clip(
+                            pred[4 * r:4 * r + 4, 4 * c:4 * c + 4]
+                            + res, 0, 255)
                 # ---- chroma ----
                 cx0, cy0 = mc * 8, mr * 8
                 usb = usrc[cy0:cy0 + 8, cx0:cx0 + 8]
@@ -884,9 +1043,11 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                         plane_arr[yy:yy + 4, xx:xx + 4] = np.clip(
                             cpred[4 * r:4 * r + 4, 4 * c:4 * c + 4]
                             + res, 0, 255)
-                all_zero = (not np.any(yblocks[:, 1:])
-                            and not np.any(y2lev)
-                            and not np.any(ub) and not np.any(vb))
+                y_zero = (not np.any(yblocks) if is_split_mb
+                          else (not np.any(yblocks[:, 1:])
+                                and not np.any(y2lev)))
+                all_zero = (y_zero and not np.any(ub)
+                            and not np.any(vb))
                 mbs.append({"mode": mode_rec, "uvm": uvm,
                             "y": yblocks, "y2": y2lev, "u": ub,
                             "v": vb, "skip": all_zero})
@@ -928,6 +1089,7 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                 be.bool(0, MV_UPDATE_PROBS[comp][i])
         mi = 0
         enc_info: dict = {}
+        enc_submvs: dict = {}
         for mr in range(mb_rows):
             for mc in range(mb_cols):
                 mb = mbs[mi]
@@ -939,6 +1101,50 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
                     be.tree(YMODE_TREE, st.ymode_probs, mode[1])
                     be.tree(UV_MODE_TREE, st.uv_probs, mb["uvm"])
                     enc_info[(mr, mc)] = (False, 0, (0, 0))
+                elif mode[0] == "split":
+                    _, ref_id, sub, part, best, cnt = mode
+                    be.bool(1, prob_intra)
+                    if ref_id == LAST:
+                        be.bool(0, prob_last)
+                    else:
+                        be.bool(1, prob_last)
+                        be.bool(0, prob_gf)
+                    be.tree(MV_REF_TREE, mv_ref_probs(cnt), SPLITMV)
+                    be.tree(MBSPLIT_TREE, MBSPLIT_PROBS, part)
+                    bmap = MBSPLIT_MAPS[part]
+                    written = [None] * 16
+                    for p_i in range(MBSPLIT_COUNTS[part]):
+                        k = bmap.index(p_i)
+                        r4, c4 = k // 4, k % 4
+                        left = (written[k - 1] if c4
+                                else submv_at(enc_info, enc_submvs,
+                                              mr, mc - 1, r4 * 4 + 3))
+                        above = (written[k - 4] if r4
+                                 else submv_at(enc_info, enc_submvs,
+                                               mr - 1, mc, 12 + c4))
+                        mv = sub[k]
+                        ctx = split_ctx(left, above)
+                        if mv == left:
+                            smode = LEFT4X4
+                        elif mv == above:
+                            smode = ABOVE4X4
+                        elif mv == (0, 0):
+                            smode = ZERO4X4
+                        else:
+                            smode = NEW4X4
+                        be.tree(SUB_MV_REF_TREE,
+                                SUB_MV_REF_PROBS[ctx], smode)
+                        if smode == NEW4X4:
+                            write_mv_component(be, st.mv_probs[0],
+                                               mv[0] - best[0])
+                            write_mv_component(be, st.mv_probs[1],
+                                               mv[1] - best[1])
+                        for kk, pp in enumerate(bmap):
+                            if pp == p_i:
+                                written[kk] = mv
+                    enc_submvs[(mr, mc)] = written
+                    enc_info[(mr, mc)] = (True, ref_id, written[15],
+                                          True)
                 else:
                     _, ref_id, mv, mv_mode, best, cnt = mode
                     be.bool(1, prob_intra)
@@ -965,19 +1171,24 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
             for mc in range(mb_cols):
                 mb = mbs[mi]
                 mi += 1
+                has_y2 = mb["y2"] is not None
                 if mb["skip"]:
-                    above_nz[mc, :] = 0
-                    left_nz[:] = 0
+                    above_nz[mc, :8] = 0
+                    left_nz[:8] = 0
+                    if has_y2:
+                        above_nz[mc, 8] = left_nz[8] = 0
                     continue
-                ctx = above_nz[mc, 8] + left_nz[8]
-                nz = _encode_tokens(te, mb["y2"], 1, ctx,
-                                    st.coef_probs[1])
-                above_nz[mc, 8] = left_nz[8] = nz
+                if has_y2:
+                    ctx = above_nz[mc, 8] + left_nz[8]
+                    nz = _encode_tokens(te, mb["y2"], 1, ctx,
+                                        st.coef_probs[1])
+                    above_nz[mc, 8] = left_nz[8] = nz
+                plane = 0 if has_y2 else 3
                 for b in range(16):
                     r, c = b // 4, b % 4
                     ctx = above_nz[mc, c] + left_nz[r]
-                    nz = _encode_tokens(te, mb["y"][b], 0, ctx,
-                                        st.coef_probs[0])
+                    nz = _encode_tokens(te, mb["y"][b], plane, ctx,
+                                        st.coef_probs[plane])
                     above_nz[mc, c] = left_nz[r] = nz
                 for pi, blocks in ((0, mb["u"]), (1, mb["v"])):
                     for b in range(4):

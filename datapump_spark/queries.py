@@ -3617,9 +3617,12 @@ def q_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
                     return encode_webp_anim(frames, [500] * nf)
                 if k == 3:                       # solid qi=0 is exact,
                     # intra AND inter (r11: P-frames + MC, search
-                    # tiny since the content is co-located)
+                    # tiny since the content is co-located; every
+                    # third inter MB is SPLITMV so per-4x4 motion is
+                    # driver-witnessed too)
                     return encode_webm_vp8(frames, fps=2, qi=0,
-                                           inter=True, search=2)
+                                           inter=True, search=2,
+                                           split_every=3)
                 enc = encode_avi_mjpeg if k == 0 else encode_mp4_mjpeg
                 return enc(frames, fps=2, quality=95)
 

@@ -158,51 +158,33 @@ def test_seams():
         [np.full((16, 16, 3), 5, np.uint8)] * 2, qi=0)[1]
     with pytest.raises(ValueError, match="before any key frame"):
         st.decode(inter)
-    # SPLITMV refuses: hand-built single-MB inter frame choosing the
-    # SPLITMV branch of the mv_ref tree
-    from datapump_spark.operators.vp8 import COEF_UPDATE_PROBS
-    from datapump_spark.operators.vp8inter import (MV_REF_TREE,
-                                                   MV_UPDATE_PROBS)
+    assert UnsupportedMediaError is not None   # import exercised
+
+
+def test_splitmv_round_trips_and_modes():
+    """r11: SPLITMV decodes — partition types 8x8 and 4x4 through the
+    twin knob (sub-MVs equal to the searched vector: the LEFT/ABOVE
+    copy modes and NEW deltas are all exercised), exact at qi=0 on
+    solid frames, quantizer-bounded on moving content, and split
+    neighbors feed the survey's cnt[3]."""
+    frames = _moving_frames(4)
+    payloads = encode_vp8_inter_frames(frames, qi=4, split_every=2)
     st = VP8Stream()
-    st.decode(encode_vp8_inter_frames(
-        [np.full((16, 16, 3), 5, np.uint8)], qi=0)[0])
-    be = _BoolEncoder()
-    be.bool(0, 128)                        # segmentation off
-    be.bool(0, 128)
-    be.literal(0, 6), be.literal(0, 3)
-    be.bool(0, 128)
-    be.literal(0, 2)
-    be.literal(0, 7)
-    for _ in range(5):
-        be.bool(0, 128)
-    be.bool(0, 128), be.bool(0, 128)       # no golden/altref refresh
-    be.literal(0, 2), be.literal(0, 2)     # no copies
-    be.bool(0, 128), be.bool(0, 128)       # sign biases
-    be.bool(0, 128)                        # refresh entropy
-    be.bool(1, 128)                        # refresh last
-    for i in range(4):
-        for j in range(8):
-            for k in range(3):
-                for t in range(11):
-                    be.bool(0, COEF_UPDATE_PROBS[i][j][k][t])
-    be.bool(0, 128)                        # no skip coding
-    be.literal(128, 8)                     # prob_intra
-    be.literal(128, 8), be.literal(128, 8)
-    be.bool(0, 128), be.bool(0, 128)       # keep mode probs
-    for comp in range(2):
-        for i in range(MV_PROB_COUNT):
-            be.bool(0, MV_UPDATE_PROBS[comp][i])
-    be.bool(1, 128)                        # MB 0: inter
-    be.bool(0, 128)                        # ref = LAST
-    # survey of an empty neighborhood -> cnt [0,0,0,0]
-    from datapump_spark.operators.vp8inter import mv_ref_probs as mrp
-    be.tree(MV_REF_TREE, mrp([0, 0, 0, 0]), SPLITMV)
-    part0 = be.flush()
-    tag = 1 | (3 << 1) | (1 << 4) | (len(part0) << 5)
-    payload = bytes((tag & 0xFF, (tag >> 8) & 0xFF,
-                     (tag >> 16) & 0xFF)) + part0 + b"\x00"
-    with pytest.raises(UnsupportedMediaError, match="SPLITMV"):
-        st.decode(payload)
+    for p, ref in zip(payloads, frames):
+        out = st.decode(p)
+        assert np.abs(out.astype(int) - ref.astype(int)).mean() < 3.0
+    # solid qi=0 with EVERY inter MB split: bit exact
+    solid = [np.full((32, 48, 3), (40 + i * 50) % 200 + 20, np.uint8)
+             for i in range(3)]
+    st = VP8Stream()
+    for p, ref in zip(encode_vp8_inter_frames(solid, qi=0,
+                                              split_every=1), solid):
+        assert (st.decode(p) == ref).all()
+    # cnt[3] counts split neighbors
+    from datapump_spark.operators.vp8inter import find_near_mvs
+    info = {(0, 0): (True, LAST, (8, 8), True)}
+    _, _, _, cnt = find_near_mvs(info, 1, 0, 2, [0, 0, 0], LAST)
+    assert cnt[3] == 2
 
 
 def test_webm_inter_round_trip_and_kernel():
