@@ -3703,19 +3703,23 @@ EXTRA_QUERIES["q_vp8_decode"] = q_vp8_decode
 
 
 def q_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL office-document text-extraction gate (operators/docx.py,
-    round 9). Each sampled document's printable-ASCII projection —
-    with '.' translated to newlines so multi-paragraph splitting is
-    witnessed — is written into a genuine ZIP+XML office package and
-    extracted back through stdlib zipfile + ElementTree. doc_id parity
-    rotates the writer between DOCX (OOXML word/document.xml, w: ns)
-    and ODT (OpenDocument content.xml, text: ns with text:s runs), so
-    one hash gate witnesses both read paths INCLUDING XML escaping of
-    & < > and whitespace-element expansion. The oracle recomputes the
-    projection in SQL; extraction must be EXACT to hash-match."""
+    """REAL document text-extraction gate (operators/docx.py +
+    operators/rtf.py + operators/doc.py, round 9; rotation widened
+    r11). Each sampled document's printable-ASCII projection — with
+    '.' translated to newlines so multi-paragraph splitting is
+    witnessed — is written into a genuine document and extracted back
+    through the MIXED dispatcher. (doc_id // 7) %% 4 rotates the
+    writer: DOCX (OOXML w: ns), ODT (OpenDocument text: ns with
+    text:s runs), RTF (control words + escapes + skipped
+    destinations), and legacy Word 97 .doc (CFB mini streams + CLX
+    piece table) — one DRIVER hash gate witnessing four read paths.
+    All four agree on the line-count paragraph semantics for the
+    nonempty projections this sample produces (checked at every
+    fixture scale). The oracle recomputes the projection in SQL;
+    extraction must be EXACT to hash-match."""
     import pandas as pd
 
-    from datapump_spark.operators.docx import office_text
+    from datapump_spark.operators.docx import document_text
 
     docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 0)
             .select(F.col("doc_id").alias("media_id"),
@@ -3725,20 +3729,23 @@ def q_doc_text(spark: SparkSession, sf_dir: str) -> DataFrame:
             .repartition(spark.sparkContext.defaultParallelism))
 
     def build(batches):
+        from datapump_spark.operators.doc import encode_doc
         from datapump_spark.operators.docx import encode_docx, encode_odt
+        from datapump_spark.operators.rtf import encode_rtf
+        writers = (encode_docx, encode_odt, encode_rtf, encode_doc)
         for pdf_b in batches:
             yield pd.DataFrame({
                 "media_id": pdf_b["media_id"],
                 "payload": [
-                    (encode_docx if (mid // 7) % 2 == 0 else encode_odt)(t)
+                    writers[(mid // 7) % 4](t)
                     for mid, t in zip(pdf_b["media_id"], pdf_b["__t"])],
             })
 
     media = docs.mapInPandas(build, "media_id long, payload binary")
-    return (office_text(media, on_error="raise")
+    return (document_text(media, on_error="raise")
             .select("media_id", "text",
                     F.col("n_chars").cast("long").alias("n_chars"),
-                    F.col("n_paragraphs").cast("long")
+                    F.col("n_units").cast("long")
                      .alias("n_paragraphs")))
 
 
