@@ -952,9 +952,29 @@ def _enc_write_books(w: _VBW, lookup: int = 1) -> list[_Codebook]:
             _Codebook(1, _ENC_Q, [6] * _ENC_Q, lookup, vq)]
 
 
+def _switch_window(n: int, prev_long: bool, next_long: bool,
+                   bs0: int):
+    """Window + geometry for one frame of a block-switched stream
+    (the decoder's rules, §4.3.1)."""
+    n2 = n // 2
+    if n == bs0:
+        ls, le, rs, re = 0, n2, n2, n
+    else:
+        ls = 0 if prev_long else n // 4 - bs0 // 4
+        le = n2 if prev_long else n // 4 + bs0 // 4
+        rs = n2 if next_long else n - n // 4 - bs0 // 4
+        re = n if next_long else n - n // 4 + bs0 // 4
+    w = np.zeros(n)
+    w[le:rs] = 1.0
+    w[ls:le] = _vorbis_slope(le - ls)
+    w[rs:re] = _vorbis_slope(re - rs)[::-1]
+    return w, (ls, le, rs, re)
+
+
 def encode_vorbis(x, sr: int, normalize: bool = True,
                   residue_type: int = 2, lookup: int = 1,
-                  comments: dict | None = None) -> bytes:
+                  comments: dict | None = None,
+                  block_switching: bool = False) -> bytes:
     """Encode PCM to an Ogg Vorbis stream — the mirrored fixture/sink
     twin of :func:`decode_vorbis`. ``x``: (n,) or (n, channels<=2),
     int16 or float in [-1, 1]. Single 2048-sample mode, flat floor,
@@ -965,7 +985,12 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     default twin never emits, exercising the other decode branches):
     ``residue_type`` 0/1 code per-channel vectors (type 0's strided
     layout equals type 1's for dim-1 books); ``lookup`` 2 switches
-    the value book's VQ header representation."""
+    the value book's VQ header representation; ``block_switching``
+    emits TWO modes over blocksizes 512/2048 with a deterministic
+    long/long/short pattern — the prev/next window flags, the
+    short-frame floor domain clamp and the mixed-size lapped OLA all
+    decode (the per-frame adjoint with scale 4/n is exact for the
+    window-switched TDAC too; verified to 1e-12 in tests)."""
     if residue_type not in (0, 1, 2):
         raise ValueError("residue_type must be 0, 1 or 2")
     x = np.asarray(x)
@@ -978,12 +1003,50 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
         peak = float(np.max(np.abs(x))) or 1.0
         if peak > 1.0:
             x = x / peak
-    n, ch = _ENC_N, x.shape[1]
-    n2 = n // 2
-    scale = _mdct_fwd_scale(n)
-    frames = [_mdct_frames(np.ascontiguousarray(x[:, c]), n, scale)
-              for c in range(ch)]
-    m = frames[0].shape[0]
+    ch = x.shape[1]
+    if block_switching:
+        bs0, bs1 = 512, _ENC_N
+        # deterministic pattern: two longs then a short; plan enough
+        # frames to emit the lead-in plus the whole signal
+        sizes = [bs1]
+        emitted_min = 0
+        while emitted_min < len(x) + bs1:
+            sizes.append(bs0 if len(sizes) % 3 == 2 else bs1)
+            emitted_min += bs0 // 2      # conservative per-frame floor
+        m = len(sizes)
+        wins = []
+        for i, n_i in enumerate(sizes):
+            prev_long = i > 0 and sizes[i - 1] == bs1
+            next_long = i + 1 < m and sizes[i + 1] == bs1
+            wv, g = _switch_window(n_i, prev_long, next_long, bs0)
+            wins.append((n_i, prev_long, next_long, wv, g))
+        pad = bs1                        # frame 0's window may start
+        # before the timeline origin; the decoder DISCARDS frame 0's
+        # chunk, so x[0] sits at P1 (the second frame's chunk start)
+        starts = []
+        pos = pad
+        for n_i, _p, _n, _wv, (ls, le, rs, re) in wins:
+            starts.append(pos - ls)
+            pos += rs - ls
+        x0_at = pad + (wins[0][4][2] - wins[0][4][0])
+        need = max(st + n_i for st, (n_i, *_r) in zip(starts, wins)) + 1
+        xp = np.zeros((max(need, len(x) + x0_at + 1), ch))
+        xp[x0_at:x0_at + len(x)] = x
+        per_frame = []                   # (n, prev, next, spectra[ch])
+        for (n_i, prev_long, next_long, wv, g), start in zip(wins,
+                                                             starts):
+            mat = _imdct_matrix(n_i)
+            spectra_i = [(4.0 / n_i) * (mat.T @ (wv * xp[start:start
+                                                         + n_i, c]))
+                         for c in range(ch)]
+            per_frame.append((n_i, prev_long, next_long, spectra_i))
+    else:
+        n, ch = _ENC_N, x.shape[1]
+        n2 = n // 2
+        scale = _mdct_fwd_scale(n)
+        frames = [_mdct_frames(np.ascontiguousarray(x[:, c]), n, scale)
+                  for c in range(ch)]
+        m = frames[0].shape[0]
 
     # identification header
     w = _VBW()
@@ -991,7 +1054,10 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     w.write(ch, 8)
     w.write(sr, 32)
     w.write(0, 32), w.write(0, 32), w.write(0, 32)
-    w.write(11, 4), w.write(11, 4)       # blocksize0 = blocksize1 = 2048
+    if block_switching:
+        w.write(9, 4), w.write(11, 4)    # blocksizes 512 / 2048
+    else:
+        w.write(11, 4), w.write(11, 4)   # blocksize0 = blocksize1
     w.write(1, 1)
     ident = b"\x01vorbis" + w.bytes_padded()
     items = [f"{k.upper() if k != 'track' else 'TRACKNUMBER'}={v}"
@@ -1020,8 +1086,10 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     w.write(residue_type, 16)
     w.write(0, 24)                       # begin
     # types 0/1 code per-channel vectors of size n2; type 2 codes one
-    # interleaved vector of size n2 * channels
-    w.write(n2 * ch if residue_type == 2 else n2, 24)
+    # interleaved vector of size n2 * channels. Sized for the LONG
+    # block; the decoder clamps to each frame's actual vector size.
+    n2_max = _ENC_N // 2
+    w.write(n2_max * ch if residue_type == 2 else n2_max, 24)
     w.write(_ENC_PSIZE - 1, 24)
     w.write(0, 6)                        # 1 classification
     w.write(1, 8)                        # classbook = book 1
@@ -1035,10 +1103,19 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     w.write(0, 8)                        # time config
     w.write(0, 8)                        # floor 0
     w.write(0, 8)                        # residue 0
-    w.write(0, 6)                        # one mode
-    w.write(0, 1)                        # blockflag 0
-    w.write(0, 16), w.write(0, 16)
-    w.write(0, 8)                        # mapping 0
+    if block_switching:
+        w.write(1, 6)                    # two modes
+        w.write(0, 1)                    # mode 0: short (blockflag 0)
+        w.write(0, 16), w.write(0, 16)
+        w.write(0, 8)
+        w.write(1, 1)                    # mode 1: long (blockflag 1)
+        w.write(0, 16), w.write(0, 16)
+        w.write(0, 8)
+    else:
+        w.write(0, 6)                    # one mode
+        w.write(0, 1)                    # blockflag 0
+        w.write(0, 16), w.write(0, 16)
+        w.write(0, 8)                    # mapping 0
     w.write(1, 1)                        # framing
     setup = b"\x05vorbis" + w.bytes_padded()
 
@@ -1046,14 +1123,29 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
     # whose amplitude covers max|X| within the quantizer range
     qmax = -_ENC_QMIN                    # 31: symmetric usable range
     audio = []
+    emitted = []                         # per-frame decoded samples
     ybook, cbook, rbook = books
     for i in range(m):
+        if block_switching:
+            n_i, prev_long, next_long, spectra_i = per_frame[i]
+            _wv, g = wins[i][3], wins[i][4]
+            emitted.append(g[2] - g[0])
+        else:
+            n_i = _ENC_N
+            spectra_i = [frames[c][i] for c in range(ch)]
+            emitted.append(n_i // 2)
+        n2 = n_i // 2
         w = _VBW()
         w.write(0, 1)                    # audio packet
-        # mode number: ilog(0) = 0 bits; blockflag 0: no window flags
+        if block_switching:
+            w.write(1 if n_i == _ENC_N else 0, 1)   # mode number
+            if n_i == _ENC_N:            # long: window flags
+                w.write(1 if prev_long else 0, 1)
+                w.write(1 if next_long else 0, 1)
+        # (uniform stream: ilog(0) = 0 mode bits, no flags)
         resid_q = []
         for c in range(ch):
-            spec = frames[c][i]
+            spec = spectra_i[c]
             amax = float(np.max(np.abs(spec)))
             y = 255
             while y > 1 and _FLOOR1_DB[y - 1] * qmax >= amax:
@@ -1088,9 +1180,13 @@ def encode_vorbis(x, sr: int, normalize: bool = True,
                     _write_codeword(w, rbook, int(v))
         audio.append(w.bytes_padded())
 
-    h = n // 2
-    granules = [0, 0, 0] + [min((k + 1) * h, len(x)) if k else 0
-                            for k in range(m)]
+    acc = 0
+    gran = []
+    for k in range(m):
+        if k:
+            acc += emitted[k]
+        gran.append(min(acc, len(x)) if k else 0)
+    granules = [0, 0, 0] + gran
     return ogg_pages([ident, comment, setup] + audio,
                      serial=0x64617370, granules=granules)
 
