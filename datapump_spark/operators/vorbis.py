@@ -1240,11 +1240,15 @@ def decode_ogg_flac(b: bytes):
     return out, sr
 
 
-def encode_ogg_flac(x, sr: int) -> bytes:
+def encode_ogg_flac(x, sr: int,
+                    comments: dict | None = None) -> bytes:
     """FLAC-in-Ogg writer twin: encode with operators/flac.py, split
     the native stream at the frame boundary per the mapping (the
     'fLaC' magic + STREAMINFO ride the BOS packet; the header-count
-    field is exact), one audio packet per page."""
+    field is exact), one audio packet per page. ``comments`` adds a
+    VORBIS_COMMENT metadata header packet (r11, the audiometa twin)."""
+    import struct as _struct
+
     from datapump_spark.operators.flac import encode_flac
 
     native = encode_flac(x, sr)
@@ -1255,12 +1259,26 @@ def encode_ogg_flac(x, sr: int) -> bytes:
     if not native[4] & 0x80:
         raise ValueError("twin expects STREAMINFO as the only block")
     split = 8 + size
-    first = (b"\x7fFLAC\x01\x00" + (0).to_bytes(2, "big")
-             + native[:split])
+    si = native[:split]
+    headers = []
+    if comments is not None:
+        items = [f"{k.upper() if k != 'track' else 'TRACKNUMBER'}={v}"
+                 .encode() for k, v in comments.items()]
+        vc = _struct.pack("<I", 7) + b"fixture"
+        vc += _struct.pack("<I", len(items))
+        for it in items:
+            vc += _struct.pack("<I", len(it)) + it
+        # STREAMINFO loses its last-block bit; the comment block is
+        # last
+        si = si[:4] + bytes([si[4] & 0x7F]) + si[5:]
+        headers.append(bytes([0x84]) + len(vc).to_bytes(3, "big") + vc)
+    first = (b"\x7fFLAC\x01\x00" + len(headers).to_bytes(2, "big")
+             + si)
     frames = native[split:]
     n = len(x)
-    return ogg_pages([first, frames], serial=0x666C6163,
-                     granules=[0, n])
+    return ogg_pages([first] + headers + [frames],
+                     serial=0x666C6163,
+                     granules=[0] * (1 + len(headers)) + [n])
 
 
 def decode_ogg_audio(b: bytes):

@@ -99,3 +99,19 @@ def test_extract_audio_tags_kernel(spark):
     assert got[1]["title"] == "a" and got[1]["format"] == "id3v2.4"
     assert got[2]["title"] == "b" and got[2]["format"] == "vorbis"
     assert got[3]["format"] is None
+
+
+def test_ogg_flac_metadata_packet():
+    """r11: FLAC-in-Ogg comment headers (a raw VORBIS_COMMENT block
+    as an Ogg metadata packet) parse, and the tagged stream still
+    decodes losslessly."""
+    from datapump_spark.operators.vorbis import (decode_ogg_flac,
+                                                 encode_ogg_flac)
+    x = (_tone() * 32767).astype(np.int16)
+    b = encode_ogg_flac(x, 8000, comments={"title": "oggflac song",
+                                           "track": "3"})
+    got = parse_audio_tags(b)
+    assert got["format"] == "ogg-flac"
+    assert got["title"] == "oggflac song" and got["track"] == "3"
+    out, sr = decode_ogg_flac(b)
+    assert sr == 8000 and np.allclose(out[:, 0] * 32768, x, atol=1.0)
