@@ -13,8 +13,9 @@ Reader scope (BIFF8, Excel 97-2003):
   fInt/fX100 variants), LABEL (inline strings), BOOLERR;
 - SST records spanning CONTINUE records raise honestly (the one
   BIFF8 complication this reader does not fold in);
-- BIFF5 and encrypted (FILEPASS) workbooks refuse with clear
-  messages.
+- BIFF5 (Excel 5/95) sheets read too (r11 second pass: byte-string
+  LABELs and BOUNDSHEET names, no SST); encrypted (FILEPASS)
+  workbooks refuse with a clear message.
 
 ``read_xls`` mirrors ``read_xlsx``'s all-string table contract, so
 the existing type inference applies downstream unchanged;
@@ -106,9 +107,10 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
     if len(wb) < 8 or struct.unpack("<H", wb[:2])[0] != 0x0809:
         raise ValueError("Workbook stream without a BOF record")
     ver, dt = struct.unpack("<HH", wb[4:8])
-    if ver != 0x0600:
+    if ver not in (0x0600, 0x0500):
         raise ValueError(f"BIFF version 0x{ver:04x} unsupported "
-                         "(BIFF8 only)")
+                         "(BIFF8 or BIFF5)")
+    biff5 = ver == 0x0500
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []
     for rid, data, _pos in _records(wb):
@@ -116,7 +118,10 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
             raise ValueError("encrypted .xls unsupported")
         if rid == 0x0085:                # BOUNDSHEET
             pos = struct.unpack("<I", data[:4])[0]
-            name, _ = _xl_string(data, 6, short=True)
+            if biff5:                    # byte string, no grbit
+                name = data[7:7 + data[6]].decode("latin-1")
+            else:
+                name, _ = _xl_string(data, 6, short=True)
             sheets.append((name, pos))
         elif rid == 0x00FC:              # SST
             unique = struct.unpack("<I", data[4:8])[0]
@@ -157,7 +162,11 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
                            _fmt_num(_rk_value(rk)), "n")
             elif rid == 0x0204:          # LABEL (inline)
                 row, col, _xf = struct.unpack("<HHH", data[:6])
-                text, _ = _xl_string(data, 6)
+                if biff5:                # BIFF5: byte string, no grbit
+                    cch = struct.unpack("<H", data[6:8])[0]
+                    text = data[8:8 + cch].decode("latin-1")
+                else:
+                    text, _ = _xl_string(data, 6)
                 yield name, row, col, text, "s"
             elif rid == 0x0205:          # BOOLERR
                 row, col, _xf, val, ferr = struct.unpack(

@@ -201,3 +201,40 @@ def test_ppt_text_round_trip_and_dispatch(spark):
                                "media_id long, payload binary")
     row = document_text(df).collect()[0]
     assert row["kind"] == "ppt" and row["n_units"] == 2
+
+
+def test_biff5_workbook_reads():
+    """r11 second pass: a hand-built BIFF5 (Excel 5/95) workbook —
+    byte-string LABELs, no SST, version 0x0500 BOFs — reads through
+    the same cell walk."""
+    from datapump_spark.sources.xls import _rec
+
+    def label5(r, c, s):
+        raw = s.encode("latin-1")
+        return _rec(0x0204, struct.pack("<HHHH", r, c, 15, len(raw))
+                    + raw)
+
+    sheet = (_rec(0x0809, struct.pack("<HHIH", 0x0500, 0x0010, 0, 0))
+             + label5(0, 0, "hdr")
+             + _rec(0x0203, struct.pack("<HHH", 1, 0, 15)
+                    + struct.pack("<d", 2.5))
+             + _rec(0x027E, struct.pack("<HHHI", 2, 0, 15,
+                                        (9 << 2) | 0x02))
+             + _rec(0x000A, b""))
+    name = "Old"
+    bs = _rec(0x0085, struct.pack("<IBB", 0, 0, 0)
+              + bytes([len(name)]) + name.encode("latin-1"))
+    glb = _rec(0x0809, struct.pack("<HHIH", 0x0500, 0x0005, 0, 0))
+    pos = len(glb) + len(bs) + 4
+    bs = _rec(0x0085, struct.pack("<IBB", pos, 0, 0)
+              + bytes([len(name)]) + name.encode("latin-1"))
+    wb = glb + bs + _rec(0x000A, b"") + sheet
+    cells = {(r, c): (v, t) for nm, r, c, v, t in iter_xls_cells(
+        write_cfb({"Book": wb}))}
+    assert cells[(0, 0)] == ("hdr", "s")
+    assert cells[(1, 0)] == ("2.5", "n")
+    assert cells[(2, 0)] == ("9", "n")
+    # unknown BIFF versions still refuse
+    bad = _rec(0x0809, struct.pack("<HHIH", 0x0400, 0x0005, 0, 0))
+    with pytest.raises(ValueError, match="BIFF"):
+        list(iter_xls_cells(write_cfb({"Book": bad})))
