@@ -46,8 +46,6 @@ def _map_chars(s: str) -> str:
             out.append("-")
         elif o == 0x1F:                  # soft hyphen
             continue
-        elif o == 0xA0:
-            out.append(" ")
         elif o < 0x20 and ch != "\t":
             continue
         else:
