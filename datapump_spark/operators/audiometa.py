@@ -81,7 +81,10 @@ def _parse_id3v2(b: bytes) -> dict:
         fflags = struct.unpack(">H", b[i + 8:i + 10])[0]
         data = b[i + 10:i + 10 + fsize]
         i += 10 + fsize
-        if fflags & 0x000C:              # compressed/encrypted: skip
+        # Compressed/encrypted frames: skip. v2.4 puts the format flags
+        # at 0x0008/0x0004; v2.3 uses 0x0080/0x0040.
+        skip_mask = 0x00C0 if ver == 3 else 0x000C
+        if fflags & skip_mask:
             continue
         key = _ID3_MAP.get(fid.decode("latin-1", "replace"))
         if key and key not in out:

@@ -535,7 +535,13 @@ def _decode_floor1(r: _VBits, fl: dict, books, n2: int):
     pts = [(xs[i], final[i]) for i in fl["order"] if step2[i]]
     lx, ly = pts[0]
     for px, py in pts[1:]:
-        _render_line(curve, lx, ly, min(px, n2), py, mult)
+        # Pass the TRUE segment endpoint: the spec (§7.2.4 step 2 /
+        # libvorbis render_line) computes the Bresenham slope from the
+        # full (hx, hy) and clamps only the fill loop at n/2, which
+        # _render_line does via min(x1, len(buf)). Clamping px here
+        # changed the slope for points past n/2 (short blocks reusing
+        # one floor config).
+        _render_line(curve, lx, ly, px, py, mult)
         lx, ly = px, py
         if lx >= n2:
             break

@@ -329,14 +329,11 @@ def _read_huffman(data: bytes):
     total = sum((1 << (w - 1)) for w in weights if w > 0)
     if total == 0:
         raise ValueError("empty Huffman weight set")
-    max_bits = (total - 1).bit_length() + 1 if total & (total - 1) \
-        else total.bit_length()
-    target = 1 << (max_bits - 1) if total & (total - 1) == 0 \
-        and False else 1 << ((total - 1).bit_length())
-    # target = smallest power of two STRICTLY greater than... per spec:
-    # nearest power of two >= total+1 when not already complete
-    target = 1 << ((total).bit_length() if total & (total - 1)
-                   else (total.bit_length()))
+    # RFC 8878 §4.2.1.1: the implied last weight completes the sum to
+    # the smallest power of two STRICTLY greater than total (tableLog =
+    # total.bit_length() in both the exact-power and the general case,
+    # since the last weight contributes at least 1).
+    target = 1 << total.bit_length()
     last = target - total
     if last <= 0 or last & (last - 1):
         raise ValueError("non-completable Huffman weights")

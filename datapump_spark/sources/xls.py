@@ -177,6 +177,21 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
                     yield name, row, col, ("TRUE" if val else "FALSE"), "b"
 
 
+def _dedupe_names(names: list[str]) -> list[str]:
+    """Deterministically de-duplicate header names: the first occurrence
+    keeps its name, repeats get _2, _3, ... suffixes. Applied in BOTH
+    the driver schema inference and the per-file kernel so per-file
+    columns always line up with the inferred schema (a duplicate header
+    would otherwise collapse two dict keys into one ragged column)."""
+    seen: dict[str, int] = {}
+    out = []
+    for n in names:
+        k = seen.get(n, 0) + 1
+        seen[n] = k
+        out.append(n if k == 1 else f"{n}_{k}")
+    return out
+
+
 def read_xls(spark: SparkSession, path: str,
              sheet: str | None = None, header: bool = True) -> DataFrame:
     """Typed-ish table read over every .xls under ``path`` — row 0 is
@@ -197,8 +212,8 @@ def read_xls(spark: SparkSession, path: str,
                 hdr_row = min(grid) if header else None
                 cols = sorted({c for row in grid.values() for c in row})
                 if header:
-                    names = [grid[hdr_row].get(c, f"_c{c}")
-                             for c in cols]
+                    names = _dedupe_names([grid[hdr_row].get(c, f"_c{c}")
+                                           for c in cols])
                 else:
                     names = [f"_c{c}" for c in cols]
                 data = {n: [] for n in names}
@@ -222,7 +237,7 @@ def read_xls(spark: SparkSession, path: str,
     cols = sorted({c for _, _, c, _, _ in cells})
     if header:
         names = {c: v for _, r, c, v, _ in cells if r == hdr}
-        fields = [names.get(c, f"_c{c}") for c in cols]
+        fields = _dedupe_names([names.get(c, f"_c{c}") for c in cols])
     else:
         fields = [f"_c{c}" for c in cols]
     schema = ", ".join(f"`{f}` string" for f in fields)

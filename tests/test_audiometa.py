@@ -56,6 +56,20 @@ def test_id3_foreign_constructs():
     assert got["title"] == "keep" and "artist" not in got
 
 
+def test_id3v23_compressed_flag_skipped():
+    """v2.3 puts compression/encryption in format-flag bits 0x0080/
+    0x0040 (v2.4 moved them to 0x0008/0x0004); such frames must be
+    skipped, not decoded as garbled text (r12 advice fix)."""
+    base = encode_id3v2({"title": "keep"}, version=3)
+    comp = b"TPE1" + struct.pack(">I", 3) + b"\x00\x80" + b"zzz"
+    enc = b"TALB" + struct.pack(">I", 3) + b"\x00\x40" + b"yyy"
+    frames = comp + enc + base[10:]
+    total = bytes((len(frames) >> s) & 0x7F for s in (21, 14, 7, 0))
+    got = parse_audio_tags(b"ID3\x03\x00\x00" + total + frames)
+    assert got["title"] == "keep"
+    assert "artist" not in got and "album" not in got
+
+
 def test_flac_comment_splice_keeps_stream_decodable():
     from datapump_spark.operators.flac import decode_flac, encode_flac
     flac = encode_flac((_tone() * 32767).astype(np.int16), 8000)

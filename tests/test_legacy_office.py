@@ -238,3 +238,17 @@ def test_biff5_workbook_reads():
     bad = _rec(0x0809, struct.pack("<HHIH", 0x0400, 0x0005, 0, 0))
     with pytest.raises(ValueError, match="BIFF"):
         list(iter_xls_cells(write_cfb({"Book": bad})))
+
+
+def test_read_xls_duplicate_headers(spark, tmp_path):
+    """Duplicate header names get deterministic _2/_3 suffixes in both
+    the inferred schema and every per-file kernel (r12 advice fix:
+    dup names collapsed to one ragged dict column)."""
+    rows = [["id", "val", "val", "id"],
+            ["1", "a", "b", "x"], ["2", "c", "d", "y"]]
+    (tmp_path / "dup.xls").write_bytes(encode_xls(rows))
+    df = read_xls(spark, str(tmp_path))
+    assert df.columns == ["id", "val", "val_2", "id_2"]
+    got = {r["id"]: (r["val"], r["val_2"], r["id_2"])
+           for r in df.collect()}
+    assert got == {"1": ("a", "b", "x"), "2": ("c", "d", "y")}

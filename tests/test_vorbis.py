@@ -244,3 +244,42 @@ def test_switch_window_tdac_identity():
         pos += rs - ls
     lo, hi = 2 * bs1 + bs1, pos - bs1
     assert np.max(np.abs(rec[lo:hi] - xp[lo:hi])) < 1e-9
+
+
+def test_floor1_segment_past_half_block_keeps_true_slope():
+    """Spec §7.2.4: the Bresenham slope comes from the TRUE segment
+    endpoint (hx, hy); only the fill loop clamps at n/2. A floor
+    config whose X coordinates exceed the current block's n/2
+    (short blocks reusing a long-block floor) must render the same
+    leading curve at both block sizes (r12 advice fix: the call site
+    clamped px to n2, changing the slope)."""
+    from datapump_spark.operators.vorbis import _VBits, _decode_floor1
+
+    class _FakeBook:
+        def __init__(self, vals):
+            self.vals = list(vals)
+
+        def decode_scalar(self, r):
+            return self.vals.pop(0)
+
+    fl = {"class_list": [0], "dims": [1], "subs": [0], "masters": [-1],
+          "sub_books": [[0]], "multiplier": 1,
+          "xs": [0, 256, 128], "order": [0, 2, 1]}
+
+    def run(n2):
+        w = _VBW()
+        w.write(1, 1)            # nonzero flag
+        w.write(10, 8)           # y at x=0
+        w.write(50, 8)           # y at x=256
+        r = _VBits(w.bytes_padded())
+        # y token at x=128: pred=30, room=60, val=20 -> final 40
+        return _decode_floor1(r, fl, [_FakeBook([20])], n2)
+
+    short, full = run(64), run(256)
+    assert len(short) == 64 and len(full) == 256
+    assert np.array_equal(short, full[:64])
+    # and the slope really is the 30/128 line, not the clamped 30/64
+    from datapump_spark.operators.vorbis import _render_line
+    wrong = np.zeros(64)
+    _render_line(wrong, 0, 10, 64, 40, 1)
+    assert not np.array_equal(short, wrong)
