@@ -6,8 +6,11 @@ filters), uncompressed BMP (BI_RGB 24/32-bit), PCM WAV (RIFF chunk
 walk), baseline JPEG (``operators.jpeg``: Annex K Huffman + IDCT), and
 GIF (``operators.gif``: LZW + compositing). The multimodal kernels in
 ``operators.multimodal`` run a REAL decode→feature/resize path
-end-to-end; WebP, arithmetic-coded JPEG, and video stay honestly
-stubbed (progressive SOF2 decodes for real since round 8).
+end-to-end. WebP (lossless VP8L and lossy VP8, r8-r9), progressive
+and arithmetic-coded JPEG (r8, r10), TIFF (r9-r11), and video frames
+over AVI/MP4/WebM (r9-r11) all decode for real now — see their
+modules' conformance seams; the stand-in-table codecs (MP3, VP8,
+SOF9) refuse unmarked foreign streams rather than decode them wrong.
 
 Everything here is driver-free, per-payload pure-Python/numpy — it runs
 inside Arrow-batched ``mapInPandas`` kernels, one call per payload. At

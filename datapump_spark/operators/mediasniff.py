@@ -1,9 +1,11 @@
 """Media header sniffing — REAL metadata extraction from binary columns.
 
-Unlike the decode/resize kernels in ``operators.multimodal`` (which need
-codec libs this container lacks and are stubbed), container *headers* are
-plain structured bytes: magic numbers, fixed-offset dimension fields, RIFF
-chunk tables. This module parses them for real, with zero third-party
+The decode/resize kernels in ``operators.multimodal`` run real
+pure-Python codecs these days (PNG/BMP/GIF/JPEG/WebP/TIFF/WAV/FLAC/
+MP3/Vorbis and AVI/MP4/WebM frames — see each module's conformance
+seam); this module is the stage BEFORE them: container *headers* are
+plain structured bytes — magic numbers, fixed-offset dimension fields,
+RIFF chunk tables — parsed without invoking any codec. This module parses them for real, with zero third-party
 dependencies, giving pipelines trustworthy ``format/width/height/
 sample_rate/channels/duration_ms`` metadata without ever invoking a codec —
 the cheap first pass a 100 TB media-ingestion job runs on everything to

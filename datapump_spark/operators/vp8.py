@@ -31,9 +31,18 @@ the two LARGE trained probability tables (``KF_BMODE_PROBS``
 are documented SELF-CONSISTENT defaults, not byte-for-byte RFC
 transcriptions — encoder and decoder share them, so every bit path is
 exercised and round-trips exactly, but a libwebp-encoded file that
-relies on the exact trained values would desynchronize. decode_webp
-routes "VP8 " chunks here; files remain decode-at-own-risk until a
-conformance fixture set generated by a reference encoder can be added.
+relies on the exact trained values would desynchronize. Because every
+frame's coefficient decode reads those tables, decoding a foreign
+stream can only produce plausible-but-wrong pixels — so (r12 honesty
+gate, mirroring jpeg.ARITH_TWIN_COM and the MP3 private-bit mark)
+``encode_vp8`` / ``encode_vp8_inter_frames`` append ``VP8_TWIN_MARK``
+as a payload trailer (decoders never read past the last token, so the
+trailer is invisible to decoding), and ``decode_vp8`` /
+``VP8Stream.decode`` raise ``UnsupportedMediaError`` on unmarked
+streams so media ingest quarantines them instead of poisoning image
+features and perceptual dedup. Swap-in seam for a real decoder: drop
+the ``_require_twin_mark`` calls and replace the two trained tables
+with libwebp's — everything else is the published RFC structure.
 
 Reference parity note: the reference (datapump.py) has no multimodal
 surface at all (requirements.txt:1-9); this extends the engine for
@@ -45,6 +54,24 @@ from __future__ import annotations
 import numpy as np
 
 from datapump_spark.operators.codecs import UnsupportedMediaError
+
+# Twin trailer appended to every payload the in-repo encoders emit
+# (see the module docstring's conformance seam). 13 opaque bytes after
+# the last token partition; VP8 decoders never read them.
+VP8_TWIN_MARK = b"dps-vp8-twin1"
+
+
+def _require_twin_mark(payload: bytes) -> None:
+    if not payload.endswith(VP8_TWIN_MARK):
+        raise UnsupportedMediaError(
+            "foreign VP8 stream refused: the in-repo coefficient/mode "
+            "probability tables are documented self-consistent "
+            "stand-ins, exact only for streams from the mirrored "
+            "encode_vp8/encode_vp8_inter_frames twins (which append "
+            "VP8_TWIN_MARK); decoding foreign bytes would produce "
+            "plausible-but-wrong pixels (no libwebp/libvpx "
+            "in-container to conformance-pin the trained tables)")
+
 
 # --------------------------------------------------------------------------
 # Structural constants (RFC 6386)
@@ -808,6 +835,7 @@ def decode_vp8(payload: bytes, _planes: bool = False):
     first_size = tag >> 5
     if payload[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 key-frame start code")
+    _require_twin_mark(payload)           # r12 honesty gate
     w = (payload[6] | (payload[7] << 8)) & 0x3FFF
     h = (payload[8] | (payload[9] << 8)) & 0x3FFF
     if not w or not h:
@@ -1446,6 +1474,7 @@ def encode_vp8(img: np.ndarray, qi: int = 4, *, filter_level: int = 0,
                       (len(p) >> 16) & 0xFF))
     for p in parts:
         out += p
+    out += VP8_TWIN_MARK                   # r12 honesty gate trailer
     return bytes(out)
 
 

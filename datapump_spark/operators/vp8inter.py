@@ -37,7 +37,9 @@ inter mode/UV defaults, fixed B_PRED probabilities, MV defaults, MV
 update probabilities and the count->probability mode-context table —
 are documented SELF-CONSISTENT stand-ins shared by the mirrored
 encoder, not byte-exact RFC transcriptions; twin streams round-trip
-exactly while libvpx-encoded files remain decode-at-own-risk. The
+exactly, and (r12 honesty gate) ``VP8Stream.decode`` refuses payloads
+without the ``vp8.VP8_TWIN_MARK`` trailer so libvpx-encoded files
+quarantine instead of decoding to plausible-but-wrong pixels. The
 mv_ref survey and clamping are likewise this module's documented
 reading of the spec, mirrored on both sides.
 
@@ -58,6 +60,8 @@ from datapump_spark.operators.vp8 import (
     DEFAULT_COEF_PROBS,
     H_PRED,
     TM_PRED,
+    VP8_TWIN_MARK,
+    _require_twin_mark,
     UV_MODE_TREE,
     V_PRED,
     _BoolDecoder,
@@ -397,6 +401,7 @@ class VP8Stream:
     def decode(self, payload: bytes):
         if len(payload) < 3:
             raise ValueError("truncated VP8 payload")
+        _require_twin_mark(payload)        # r12 honesty gate
         tag = payload[0] | (payload[1] << 8) | (payload[2] << 16)
         show = (tag >> 4) & 1
         if not tag & 1:                    # key frame
@@ -1203,7 +1208,8 @@ def encode_vp8_inter_frames(frames, qi: int = 4, search: int = 8,
         first_size = len(part0)
         tag = 1 | (3 << 1) | (1 << 4) | (first_size << 5)
         payload = (bytes((tag & 0xFF, (tag >> 8) & 0xFF,
-                          (tag >> 16) & 0xFF)) + part0 + tokens)
+                          (tag >> 16) & 0xFF)) + part0 + tokens
+                   + VP8_TWIN_MARK)        # r12 honesty gate trailer
         payloads.append(payload)
         st.decode(payload)                 # keep refs decoder-exact
     return payloads

@@ -59,6 +59,19 @@ def media_dir(tmp_path):
     from datapump_spark.operators.vorbis import encode_vorbis
     (d / "p.ogg").write_bytes(encode_vorbis(
         0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000.0), 8000))
+    # FOREIGN lossy WebP (twin trailer stripped — i.e. what a
+    # libwebp-encoded file looks like to the r12 honesty gate):
+    # refused at decode, routes to quarantine instead of flowing
+    # silently-wrong pixels into features/perceptual dedup
+    import struct
+    from datapump_spark.operators.vp8 import VP8_TWIN_MARK, encode_vp8
+    _fp = encode_vp8(np.full((6, 9, 3), 80, np.uint8),
+                     qi=0)[:-len(VP8_TWIN_MARK)]
+    _fc = b"VP8 " + struct.pack("<I", len(_fp)) + _fp
+    if len(_fp) & 1:
+        _fc += b"\x00"
+    (d / "q.webp").write_bytes(
+        b"RIFF" + struct.pack("<I", 4 + len(_fc)) + b"WEBP" + _fc)
     # a PNG renamed to .bmp: decodable but mislabeled
     (d / "e.bmp").write_bytes(codecs.encode_png(img))
     # pure garbage with a media extension
@@ -78,7 +91,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
                           "h.webp", "i.wav", "j.webp", "k.tiff",
                           "l.webp", "m.flac", "n.mp3", "o.jpg",
                           "p.ogg"}
-    assert set(quar) == {"d.jpg", "e.bmp", "f.png"}
+    assert set(quar) == {"d.jpg", "e.bmp", "f.png", "q.webp"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["g.jpg"]["features"][:3] == [9.0, 6.0, 3.0]
@@ -100,6 +113,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     assert feats["a.png"]["sniffed_format"] == "png"
     # routing reasons
     assert quar["d.jpg"]["reason"] == "undecodable"
+    assert quar["q.webp"]["reason"] == "undecodable"
     assert quar["f.png"]["reason"] == "undecodable"
     assert quar["e.bmp"]["reason"] == "mislabeled"
     assert quar["e.bmp"]["sniffed_format"] == "png"
@@ -118,7 +132,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 12
+    assert before == after and len(before) == 13
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;

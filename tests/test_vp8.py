@@ -255,9 +255,11 @@ def test_per_segment_quantizers_refused():
     be.bool(1, 128)                        # segment 0 quant delta flagged
     be.signed(10, 7)                       # nonzero delta
     part0 = be.flush()
+    from datapump_spark.operators.vp8 import VP8_TWIN_MARK
     payload = (bytes(((len(part0) << 5) & 0xFF, (len(part0) >> 3) & 0xFF,
                       (len(part0) >> 11) & 0xFF))
-               + b"\x9d\x01\x2a" + bytes((16, 0, 16, 0)) + part0)
+               + b"\x9d\x01\x2a" + bytes((16, 0, 16, 0)) + part0
+               + VP8_TWIN_MARK)   # marked so it reaches the inner check
     with pytest.raises(UnsupportedMediaError, match="segment"):
         decode_vp8(payload)
 
@@ -431,3 +433,29 @@ def test_nonzero_segment_quantizer_delta_still_refuses():
         _BoolEncoder.signed = orig
     with pytest.raises(UnsupportedMediaError, match="quantizer delta"):
         decode_vp8(raw)
+
+
+def test_unmarked_foreign_vp8_refused():
+    """r12 honesty gate: every VP8 decode touches the documented
+    stand-in probability tables, so a stream without the twin trailer
+    (i.e. any libwebp/libvpx-encoded file) must refuse, not decode to
+    plausible-but-wrong pixels — mirroring the MP3 private-bit and
+    SOF9 COM gates."""
+    import struct
+    from datapump_spark.operators.vp8 import VP8_TWIN_MARK
+    from datapump_spark.operators.webp import decode_webp
+
+    marked = encode_vp8(_gradient(32, 32), qi=0)
+    assert marked.endswith(VP8_TWIN_MARK)
+    foreign = marked[:-len(VP8_TWIN_MARK)]     # valid bytes, no mark
+    with pytest.raises(UnsupportedMediaError, match="foreign VP8"):
+        decode_vp8(foreign)
+    # and through the WebP container route
+    chunk = b"VP8 " + struct.pack("<I", len(foreign)) + foreign
+    if len(foreign) & 1:
+        chunk += b"\x00"
+    riff = b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+    with pytest.raises(UnsupportedMediaError, match="foreign VP8"):
+        decode_webp(riff)
+    # the marked stream still decodes
+    assert decode_vp8(marked).shape == (32, 32, 3)

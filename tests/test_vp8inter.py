@@ -122,7 +122,8 @@ def test_solid_qi0_exact_and_skip():
     # identical frames: ZEROMV + skip everywhere, tiny payloads
     same = [np.full((32, 48, 3), 77, np.uint8)] * 3
     payloads = encode_vp8_inter_frames(same, qi=0)
-    assert all(len(p) < 40 for p in payloads[1:])
+    from datapump_spark.operators.vp8 import VP8_TWIN_MARK
+    assert all(len(p) < 40 + len(VP8_TWIN_MARK) for p in payloads[1:])
     st = VP8Stream()
     assert all((st.decode(p) == 77).all() for p in payloads)
 
@@ -202,3 +203,27 @@ def test_webm_inter_round_trip_and_kernel():
     assert len(b) < len(encode_webm_vp8(frames, fps=2, qi=0))
     with pytest.raises(ValueError, match="lacing with inter"):
         encode_webm_vp8(frames, qi=0, inter=True, lacing="xiph")
+
+
+def test_unmarked_foreign_inter_stream_refused():
+    """r12 honesty gate on the WebM/raw-sequence route: VP8Stream
+    refuses unmarked key AND inter payloads."""
+    import numpy as np
+    import pytest
+    from datapump_spark.operators.codecs import UnsupportedMediaError
+    from datapump_spark.operators.vp8 import VP8_TWIN_MARK
+    from datapump_spark.operators.vp8inter import (VP8Stream,
+                                                   encode_vp8_inter_frames)
+
+    rng = np.random.default_rng(3)
+    frames = [rng.integers(0, 255, (32, 32, 3)).astype(np.uint8)
+              for _ in range(3)]
+    payloads = encode_vp8_inter_frames(frames, qi=4)
+    assert all(p.endswith(VP8_TWIN_MARK) for p in payloads)
+    st = VP8Stream()
+    with pytest.raises(UnsupportedMediaError, match="foreign VP8"):
+        st.decode(payloads[0][:-len(VP8_TWIN_MARK)])
+    st.decode(payloads[0])                      # marked key frame OK
+    with pytest.raises(UnsupportedMediaError, match="foreign VP8"):
+        st.decode(payloads[1][:-len(VP8_TWIN_MARK)])
+    assert st.decode(payloads[1]) is not None   # marked inter OK
