@@ -67,12 +67,14 @@ _IC_CELLS = ((0, 0, True), (0, 8, True), (0, 0, False), (0, 8, False),
              (16, 0, False), (8, 16, False), (16, 8, False),
              (16, 16, False))
 
-# Block count code (§6): 26 symbols -> (extra bits, offset)
+# Block count code (§6): 26 symbols -> (extra bits, offset); every
+# symbol probe-validated against libbrotli (tests/test_brotli.py —
+# the first transcription had the wrong tail from symbol 17 on)
 _BLOCK_LEN_BITS = (2, 2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 4, 5, 5, 5, 5,
-                   6, 7, 8, 9, 10, 11, 12, 13, 24, 24)
+                   6, 6, 7, 8, 9, 10, 11, 12, 13, 24)
 _BLOCK_LEN_OFF = (1, 5, 9, 13, 17, 25, 33, 41, 49, 65, 81, 97,
-                  113, 145, 177, 209, 241, 305, 433, 689, 1201, 2225,
-                  4273, 8369, 16625, 16793841)
+                  113, 145, 177, 209, 241, 305, 369, 497, 753, 1265,
+                  2289, 4337, 8433, 16625)
 
 # Code-length code (§3.5): fixed prefix code read via a 4-bit peek LUT,
 # symbols transmitted in this order
@@ -663,6 +665,7 @@ def decode_brotli(data: bytes, max_output: int = 1 << 31) -> bytes:
             if mlen == 0:
                 break                    # copy part of last command unused
 
+            dcode = 0
             if d0:
                 distance = dist_rb[(rb_idx - 1) & 3]
             else:
@@ -689,12 +692,16 @@ def decode_brotli(data: bytes, max_output: int = 1 << 31) -> bytes:
                     offset = ((2 + (hcode & 1)) << nbits) - 4
                     distance = (((offset + br.read(nbits)) << npostfix)
                                 + lcode + ndirect + 1)
-                if dcode != 0:
-                    dist_rb[rb_idx & 3] = distance
-                    rb_idx += 1
 
             max_dist = min(len(out), window)
             if distance <= max_dist:
+                # only real back-references enter the ring buffer —
+                # not code 0 and not dictionary references (pinned
+                # against libbrotli: a dict ref followed by a short
+                # code must resolve against the PRE-dict-ref buffer)
+                if dcode != 0:
+                    dist_rb[rb_idx & 3] = distance
+                    rb_idx += 1
                 if copy_len > mlen:
                     raise BrotliError("copy past metablock end")
                 start = len(out) - distance
