@@ -11,8 +11,11 @@ Reader scope (BIFF8, Excel 97-2003):
   and UTF-16 payloads, rich-run and ext-block skips) + LABELSST;
 - NUMBER (IEEE f64), RK and MULRK (the packed 30-bit encodings:
   fInt/fX100 variants), LABEL (inline strings), BOOLERR;
-- SST records spanning CONTINUE records raise honestly (the one
-  BIFF8 complication this reader does not fold in);
+- SST and LABEL records spanning CONTINUE records (r12, VERDICT r11
+  #3): scalar fields never split, character arrays split with the
+  per-fragment fHighByte re-declaration, rich/ext arrays span freely
+  — the real-world trap for any workbook with >8 KB of shared
+  strings; the writer twin emits spec-shaped CONTINUE splits too;
 - BIFF5 (Excel 5/95) sheets read too (r11 second pass: byte-string
   LABELs and BOUNDSHEET names, no SST); encrypted (FILEPASS)
   workbooks refuse with a clear message.
@@ -43,6 +46,105 @@ def _records(b: bytes):
         i += 4 + ln
 
 
+def _record_groups(b: bytes):
+    """Yield (rid, [payload fragments], pos): CONTINUE (0x003C)
+    records attach to the record they extend — records over the 8224-
+    byte BIFF cap (real-world SSTs, long LABELs) arrive split."""
+    cur = None
+    for rid, data, pos in _records(b):
+        if rid == 0x003C and cur is not None:
+            cur[1].append(data)
+            continue
+        if cur is not None:
+            yield cur
+        cur = (rid, [data], pos)
+    if cur is not None:
+        yield cur
+
+
+class _FragCursor:
+    """Reads [MS-XLS] structures across CONTINUE fragment boundaries.
+
+    Field rules per the spec: scalar fields never split across a
+    boundary (crossing between fields just advances); CHARACTER arrays
+    may split, and each continuation fragment then re-declares the
+    fHighByte flag in its first byte; rich-run/ext arrays may split
+    with no flag byte."""
+
+    __slots__ = ("frags", "fi", "off")
+
+    def __init__(self, frags: list[bytes], off: int = 0):
+        self.frags = frags
+        self.fi = 0
+        self.off = off
+
+    def _avail(self) -> int:
+        return len(self.frags[self.fi]) - self.off
+
+    def _advance(self) -> None:
+        if self.fi + 1 >= len(self.frags):
+            raise ValueError("BIFF8 record truncated mid-structure")
+        self.fi += 1
+        self.off = 0
+
+    def read(self, n: int) -> bytes:
+        while self._avail() == 0 and self.fi + 1 < len(self.frags):
+            self._advance()
+        f = self.frags[self.fi]
+        if n > len(f) - self.off:
+            raise ValueError("BIFF8 scalar field split across CONTINUE")
+        out = f[self.off:self.off + n]
+        self.off += n
+        return out
+
+    def read_spanning(self, n: int) -> None:
+        """Skip ``n`` bytes of rich-run/ext data (may span freely)."""
+        while n:
+            while self._avail() == 0:
+                self._advance()
+            take = min(n, self._avail())
+            self.off += take
+            n -= take
+
+    def read_chars(self, cch: int, high: int) -> str:
+        parts = []
+        while cch:
+            if self._avail() == 0:
+                self._advance()
+                high = self.frags[self.fi][0] & 1  # re-declared grbit
+                self.off = 1
+            unit = 2 if high else 1
+            nchars = min(cch, self._avail() // unit)
+            if nchars == 0:
+                raise ValueError("BIFF8 character data misaligned at "
+                                 "CONTINUE boundary")
+            raw = self.frags[self.fi][self.off:self.off + nchars * unit]
+            parts.append(raw.decode("utf-16-le" if high else "latin-1",
+                                    "replace"))
+            self.off += nchars * unit
+            cch -= nchars
+        return "".join(parts)
+
+    def read_xl_string(self) -> str:
+        """One XLUnicodeRichExtendedString at the cursor."""
+        cch = struct.unpack("<H", self.read(2))[0]
+        grbit = self.read(1)[0]
+        c_run = struct.unpack("<H", self.read(2))[0] if grbit & 0x08 \
+            else 0
+        cb_ext = struct.unpack("<i", self.read(4))[0] if grbit & 0x04 \
+            else 0
+        text = self.read_chars(cch, grbit & 0x01)
+        self.read_spanning(4 * c_run + max(cb_ext, 0))
+        return text
+
+
+def _parse_sst(frags: list[bytes]) -> list[str]:
+    cur = _FragCursor(frags)
+    cur.read(4)                          # cstTotal
+    unique = struct.unpack("<I", cur.read(4))[0]
+    return [cur.read_xl_string() for _ in range(unique)]
+
+
 def _xl_string(b: bytes, at: int, short: bool = False):
     """(text, bytes consumed) for an XLUnicode(Rich Extended)String;
     ``short`` uses the 8-bit cch form (sheet names)."""
@@ -65,15 +167,13 @@ def _xl_string(b: bytes, at: int, short: bool = False):
     if grbit & 0x01:                     # fHighByte: UTF-16LE
         raw = b[at2:at2 + 2 * cch]
         if len(raw) < 2 * cch:
-            raise ValueError("BIFF8 string spans a CONTINUE record "
-                             "(unsupported)")
+            raise ValueError("truncated BIFF8 string")
         text = raw.decode("utf-16-le", "replace")
         at2 += 2 * cch
     else:
         raw = b[at2:at2 + cch]
         if len(raw) < cch:
-            raise ValueError("BIFF8 string spans a CONTINUE record "
-                             "(unsupported)")
+            raise ValueError("truncated BIFF8 string")
         text = raw.decode("latin-1")
         at2 += cch
     at2 += 4 * c_run + max(cb_ext, 0)
@@ -113,7 +213,8 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
     biff5 = ver == 0x0500
     sst: list[str] = []
     sheets: list[tuple[str, int]] = []
-    for rid, data, _pos in _records(wb):
+    for rid, frags, _pos in _record_groups(wb):
+        data = frags[0]
         if rid == 0x002F:                # FILEPASS
             raise ValueError("encrypted .xls unsupported")
         if rid == 0x0085:                # BOUNDSHEET
@@ -123,22 +224,15 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
             else:
                 name, _ = _xl_string(data, 6, short=True)
             sheets.append((name, pos))
-        elif rid == 0x00FC:              # SST
-            unique = struct.unpack("<I", data[4:8])[0]
-            at = 8
-            for _ in range(unique):
-                if at >= len(data):
-                    raise ValueError("SST spans a CONTINUE record "
-                                     "(unsupported)")
-                text, used = _xl_string(data, at)
-                sst.append(text)
-                at += used
+        elif rid == 0x00FC:              # SST (CONTINUE-spanning, r12)
+            sst.extend(_parse_sst(frags))
         elif rid == 0x000A and dt == 0x0005:
             pass                         # globals EOF; sheets follow
     for name, pos in sheets:
         if sheet is not None and name != sheet:
             continue
-        for rid, data, _at in _records(wb[pos:]):
+        for rid, frags, _at in _record_groups(wb[pos:]):
+            data = frags[0]
             if rid == 0x000A:            # sheet EOF
                 break
             if rid == 0x00FD:            # LABELSST
@@ -165,8 +259,11 @@ def iter_xls_cells(b: bytes, sheet: str | None = None):
                 if biff5:                # BIFF5: byte string, no grbit
                     cch = struct.unpack("<H", data[6:8])[0]
                     text = data[8:8 + cch].decode("latin-1")
-                else:
-                    text, _ = _xl_string(data, 6)
+                else:                    # may span CONTINUE (r12)
+                    cur = _FragCursor(frags, off=6)
+                    cch = struct.unpack("<H", cur.read(2))[0]
+                    grbit = cur.read(1)[0]
+                    text = cur.read_chars(cch, grbit & 0x01)
                 yield name, row, col, text, "s"
             elif rid == 0x0205:          # BOOLERR
                 row, col, _xf, val, ferr = struct.unpack(
@@ -267,15 +364,50 @@ def _w_xlstring(text: str, short: bool = False) -> bytes:
     return head + bytes([grbit]) + raw
 
 
-def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
+def _w_sst_records(total: int, strings: list[str],
+                   cap: int = 8224) -> bytes:
+    """SST + CONTINUE records (r12): strings pack into fragments of at
+    most ``cap`` bytes; scalar headers never split, character data
+    splits with the per-fragment fHighByte re-declaration the spec
+    requires (the real-world trap for SSTs past the 8224-byte record
+    cap). ``cap`` is a twin knob so tests can force splits cheaply."""
+    frags = [bytearray(struct.pack("<II", total, len(strings)))]
+
+    def room() -> int:
+        return cap - len(frags[-1])
+
+    for s in strings:
+        try:
+            raw = s.encode("latin-1")
+            grbit, unit = 0, 1
+        except UnicodeEncodeError:
+            raw = s.encode("utf-16-le")
+            grbit, unit = 1, 2
+        head = struct.pack("<H", len(raw) // unit) + bytes([grbit])
+        if room() < len(head):
+            frags.append(bytearray())    # between-field break: no flag
+        frags[-1] += head
+        pos = 0
+        while pos < len(raw):
+            if room() < unit:
+                frags.append(bytearray([grbit]))  # mid-chars: re-flag
+            take = min(len(raw) - pos, (room() // unit) * unit)
+            frags[-1] += raw[pos:pos + take]
+            pos += take
+    return _rec(0x00FC, bytes(frags[0])) + b"".join(
+        _rec(0x003C, bytes(f)) for f in frags[1:])
+
+
+def encode_xls(rows: list[list], sheet: str = "Sheet1",
+               sst_cap: int = 8224) -> bytes:
     """BIFF8 workbook twin: globals substream (BOF, SST, BOUNDSHEET
     with the REAL sheet stream offset), one sheet substream. REPEATED
     strings ride the SST via LABELSST; singleton strings are inline
-    LABEL records (which both keeps the SST small — BIFF records cap
-    at 8224 bytes and this twin writes no CONTINUE records — and
-    witnesses both string decoders); int-valued numbers go through
-    RK, other numbers through NUMBER, booleans through BOOLERR;
-    wrapped in a CFB container."""
+    LABEL records (which keeps typical SSTs small and witnesses both
+    string decoders); SSTs past the 8224-byte record cap split into
+    CONTINUE records (r12, ``sst_cap`` forces small splits in tests);
+    int-valued numbers go through RK, other numbers through NUMBER,
+    booleans through BOOLERR; wrapped in a CFB container."""
     from collections import Counter
     counts = Counter(str(v) for row in rows for v in row
                      if v is not None
@@ -314,17 +446,12 @@ def encode_xls(rows: list[list], sheet: str = "Sheet1") -> bytes:
                     "<HHHI", r, c, 15, index[s])))
     sheet_sub = (_rec(0x0809, struct.pack("<HHIH", 0x0600, 0x0010, 0, 0))
                  + b"".join(cells) + _rec(0x000A, b""))
-    sst_payload = struct.pack("<II", n_str_cells, len(strings)) \
-        + b"".join(_w_xlstring(s) for s in strings)
-    if len(sst_payload) > 8224:
-        raise ValueError(
-            "SST exceeds one BIFF record (8224 bytes) — the twin "
-            "writes no CONTINUE records; reduce repeated strings")
+    sst_records = _w_sst_records(n_str_cells, strings, cap=sst_cap)
     bsheet_name = _w_xlstring(sheet, short=True)
     # two-pass: globals size depends only on fixed-size parts
     globals_fixed = (_rec(0x0809, struct.pack("<HHIH", 0x0600, 0x0005,
                                               0, 0))
-                     + _rec(0x00FC, sst_payload))
+                     + sst_records)
     bsheet = _rec(0x0085, struct.pack("<IBB", 0, 0, 0) + bsheet_name)
     sheet_pos = len(globals_fixed) + len(bsheet) + 4  # + globals EOF
     bsheet = _rec(0x0085, struct.pack("<IBB", sheet_pos, 0, 0)

@@ -252,3 +252,95 @@ def test_read_xls_duplicate_headers(spark, tmp_path):
     got = {r["id"]: (r["val"], r["val_2"], r["id_2"])
            for r in df.collect()}
     assert got == {"1": ("a", "b", "x"), "2": ("c", "d", "y")}
+
+
+def test_sst_continue_records():
+    """r12 (VERDICT r11 #3): SST strings spanning CONTINUE records —
+    the real-world case for any .xls with >8 KB of shared strings.
+    A tiny sst_cap forces splits mid-character-data (with the
+    per-fragment fHighByte re-declaration), between strings, and
+    right after a string header."""
+    from datapump_spark.sources.xls import encode_xls, _record_groups
+    from datapump_spark.operators.cfb import read_cfb
+
+    long_a = "alpha-" * 40                 # 240 chars, latin-1
+    long_u = "ünïcødé—" * 30               # UTF-16 path
+    vals = [long_a, long_u, "short", "x" * 23]
+    rows = [["h1", "h2", "h3", "h4"]] + [vals, vals]  # repeated -> SST
+    for cap in (16, 23, 64, 8224):
+        blob = encode_xls(rows, sst_cap=cap)
+        wb = read_cfb(blob)["Workbook"]
+        n_cont = sum(1 for rid, frags, _ in _record_groups(wb)
+                     if rid == 0x00FC and len(frags) > 1)
+        if cap < 8224:
+            assert n_cont == 1, cap      # splits actually exercised
+        cells = {(r, c): v for _, r, c, v, t
+                 in iter_xls_cells(blob) if t == "s"}
+        assert cells[(1, 0)] == long_a, cap
+        assert cells[(1, 1)] == long_u, cap
+        assert cells[(2, 3)] == "x" * 23, cap
+
+
+def test_sst_continue_foreign_grbit_flip_and_rich_runs():
+    """Hand-built foreign-style SST the twin never emits: a string
+    whose continuation fragment switches fHighByte mid-string (latin-1
+    head, UTF-16 tail), plus a rich-run block spanning the boundary."""
+    import struct
+    from datapump_spark.sources.xls import (_parse_sst, encode_xls,
+                                            _rec)
+    from datapump_spark.operators.cfb import read_cfb, write_cfb
+
+    head = "abcd"                         # 4 compressed chars
+    tail = "éîøü"                         # 4 UTF-16 chars
+    # string 1: cch 8, fRichSt set (2 runs), chars split 4/4 across
+    # the boundary with grbit flip; the 8 run bytes also span
+    s1_frag1 = (struct.pack("<H", 8) + bytes([0x08])   # cch, fRichSt
+                + struct.pack("<H", 2)                  # cRun
+                + head.encode("latin-1"))
+    s1_frag2 = (bytes([0x01])                           # re-flag: high
+                + tail.encode("utf-16-le")
+                + b"\x00" * 5)                          # 5 of 8 run bytes
+    s2_frag = (b"\x00" * 3                              # run tail
+               + struct.pack("<H", 2) + bytes([0x00]) + b"ok")
+    frags = [struct.pack("<II", 2, 2) + s1_frag1, s1_frag2 + s2_frag]
+    assert _parse_sst(frags) == [head + tail, "ok"]
+
+    # and end-to-end: splice the hand-built SST into a twin workbook
+    base = encode_xls([["h"], ["ok"], ["ok"]])           # SST = ['ok']
+    wb = bytearray(read_cfb(base)["Workbook"])
+    old = _rec(0x00FC, struct.pack("<II", 2, 1)
+               + struct.pack("<H", 2) + bytes([0x00]) + b"ok")
+    i = bytes(wb).find(old)
+    assert i != -1
+    new = (_rec(0x00FC, frags[0]) + _rec(0x003C, frags[1]))
+    wb[i:i + len(old)] = new
+    # the splice grew the globals substream: fix the BOUNDSHEET offset
+    delta = len(new) - len(old)
+    bs = bytes(wb).find(struct.pack("<H", 0x0085))
+    pos0 = struct.unpack("<I", wb[bs + 4:bs + 8])[0]
+    wb[bs + 4:bs + 8] = struct.pack("<I", pos0 + delta)
+    cells = {(r, c): v for _, r, c, v, _ in
+             iter_xls_cells(write_cfb({"Workbook": bytes(wb)}))}
+    # LABELSST index 0 now resolves to the spanning string
+    assert cells[(1, 0)] == head + tail and cells[(2, 0)] == head + tail
+
+
+def test_label_continue_record():
+    """A hand-built inline LABEL whose character data spans a
+    CONTINUE record (oversized LABELs, VERDICT r11 #3)."""
+    import struct
+    from datapump_spark.sources.xls import encode_xls, _rec
+    from datapump_spark.operators.cfb import read_cfb, write_cfb
+
+    base = encode_xls([["h"], [1]])
+    wb = bytearray(read_cfb(base)["Workbook"])
+    eof_at = wb.rfind(struct.pack("<HH", 0x000A, 0))
+    text = "L" * 30 + "tail"
+    lab = (_rec(0x0204, struct.pack("<HHH", 7, 0, 15)
+                + struct.pack("<H", len(text)) + bytes([0x00])
+                + text[:30].encode())
+           + _rec(0x003C, bytes([0x00]) + text[30:].encode()))
+    wb[eof_at:eof_at] = lab
+    cells = {(r, c): v for _, r, c, v, _ in
+             iter_xls_cells(write_cfb({"Workbook": bytes(wb)}))}
+    assert cells[(7, 0)] == text
