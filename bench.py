@@ -204,6 +204,9 @@ BENCH_QUERIES = [
     # round-11: legacy OLE2 — Word 97 piece table and BIFF8 cell walk
     "q_word_doc_text",
     "q_xls_scan",
+    # round-12: OpenDocument spreadsheet scan and ASS/SSA cue parsing
+    "q_ods_scan",
+    "q_ass_cues",
     # round-11: audio provenance tags (ID3v2 / FLAC / Vorbis comments)
     "q_audio_meta",
     # round-11: legacy PowerPoint record-tree text

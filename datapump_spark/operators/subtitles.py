@@ -98,3 +98,88 @@ def format_vtt(cues: list[tuple[int, int, str]]) -> str:
     body = "\n\n".join(
         f"{ts(a)} --> {ts(b)} align:start\n{t}" for a, b, t in cues)
     return "WEBVTT\n\n" + body
+
+
+# ---------------------------------------------------------------------------
+# ASS / SSA (Advanced SubStation Alpha) — r12, VERDICT r11 missing #6
+# ---------------------------------------------------------------------------
+
+# Dialogue line: "Dialogue: <Layer|Marked=N>,H:MM:SS.cc,H:MM:SS.cc,
+# Style,Name,MarginL,MarginR,MarginV,Effect,Text" — the text is the
+# 10th field and may itself contain commas, so it comes from a
+# limit-10 split, not the regexp. SSA v4 differs only in the first
+# field ("Marked=0"), which the [^,]* covers.
+_ASS_TIME = (r"^\s*Dialogue:\s*[^,]*,"
+             r"(\d+):(\d{2}):(\d{2})[.:](\d{2}),"
+             r"(\d+):(\d{2}):(\d{2})[.:](\d{2}),")
+
+
+def _cs_ms(h, m, s, cs):
+    return ((F.coalesce(h.try_cast("long"), F.lit(0)) * 3600
+             + m.try_cast("long") * 60 + s.try_cast("long")) * 1000
+            + cs.try_cast("long") * 10)
+
+
+def parse_ass(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """(id, cue_idx, start_ms, end_ms, cue_text) from ASS/SSA scripts
+    — the parse_subtitles contract over the third subtitle wire
+    format. Zero Python: line explode, one timing regexp
+    (centisecond stamps -> ms), limit-10 split for the comma-bearing
+    text field, override-tag strip ({\\...} blocks), \\N / \\n ->
+    newline, \\h -> space. Comment:/Format:/style lines carry no
+    Dialogue: prefix and drop out; cue_idx is the dialogue-line order
+    (ASS events may be stored out of time order — order preserved, as
+    players re-sort by Start, which stays the caller's choice)."""
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), r"\r?\n"))
+         .alias("__pos", "__line"),
+    )
+    g = [F.regexp_extract("__line", _ASS_TIME, i) for i in range(1, 9)]
+    body = F.element_at(F.split(F.col("__line"), ",", 10), 10)
+    cues = (lines
+            .where(F.col("__line").rlike(_ASS_TIME))
+            .select(
+                id_col, "__pos",
+                _cs_ms(*g[:4]).alias("start_ms"),
+                _cs_ms(*g[4:]).alias("end_ms"),
+                F.regexp_replace(
+                    F.regexp_replace(
+                        F.regexp_replace(body, r"\{[^}]*\}", ""),
+                        r"\\[Nn]", "\n"),
+                    r"\\h", " ").alias("cue_text"),
+            ))
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    return (cues
+            .withColumn("cue_idx", F.row_number().over(w) - 1)
+            .select(id_col, "cue_idx", "start_ms", "end_ms",
+                    "cue_text"))
+
+
+def format_ass(cues: list[tuple[int, int, str]],
+               ssa: bool = False) -> str:
+    """Render cues as an ASS (or SSA v4) script — the fixture/sink
+    twin of parse_ass: centisecond stamps, \\N newlines, commas in
+    text preserved (text is the last field), a style block and a
+    Comment: line that parsers must drop."""
+    def ts(ms: int) -> str:
+        h, rem = divmod(ms, 3600000)
+        m, rem = divmod(rem, 60000)
+        s, cs = divmod(rem, 1000)
+        return f"{h}:{m:02d}:{s:02d}.{cs // 10:02d}"
+
+    first = "Marked=0" if ssa else "0"
+    script = "v4.00" if ssa else "v4.00+"
+    styles = "[V4 Styles]" if ssa else "[V4+ Styles]"
+    head = (f"[Script Info]\nScriptType: {script}\n\n{styles}\n"
+            "Format: Name, Fontname, Fontsize\n"
+            "Style: Default,Arial,20\n\n[Events]\n"
+            "Format: Layer, Start, End, Style, Name, MarginL, "
+            "MarginR, MarginV, Effect, Text\n"
+            "Comment: 0,0:00:00.00,0:00:00.01,Default,,0,0,0,,"
+            "twin marker — not a cue\n")
+    return head + "\n".join(
+        f"Dialogue: {first},{ts(a)},{ts(b)},Default,,0,0,0,,"
+        + t.replace("\n", "\\N")
+        for a, b, t in cues)

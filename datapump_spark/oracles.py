@@ -3483,6 +3483,37 @@ ORDER BY event_id LIMIT 20000
 """
 
 
+# q_ods_scan (r12): the same events slice as q_xls_scan, through the
+# ODF content.xml walk.
+EXTRA_ORACLES["q_ods_scan"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type,
+       CAST(round(value, 6) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id LIMIT 20000
+"""
+
+
+# q_ass_cues (r12): the q_subtitle_cues pattern over the SubStation
+# formats — centisecond stamps, comma-bearing text, \N line breaks.
+EXTRA_ORACLES["q_ass_cues"] = """
+WITH docs AS (SELECT doc_id FROM documents WHERE doc_id % 11 = 0),
+cues AS (
+    SELECT doc_id, CAST(k AS BIGINT) AS cue_idx
+    FROM docs,
+         UNNEST(generate_series(0, (2 + doc_id % 3) - 1)) AS t(k))
+SELECT doc_id, cue_idx,
+       CAST((doc_id % 1000) * 40 + cue_idx * 1500 AS BIGINT) AS start_ms,
+       CAST((doc_id % 1000) * 40 + cue_idx * 1500 + 900 + cue_idx * 100
+            AS BIGINT) AS end_ms,
+       'styled,' || doc_id || ' ' || cue_idx ||
+         CASE WHEN cue_idx % 2 = 1
+              THEN chr(10) || 'again ' || cue_idx ELSE '' END AS cue_text
+FROM cues
+"""
+
+
 # q_audio_meta (r11): every tag field is doc_id arithmetic; format
 # follows the four-way container rotation.
 EXTRA_ORACLES["q_audio_meta"] = """

@@ -4244,6 +4244,104 @@ def q_subtitle_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_subtitle_cues"] = q_subtitle_cues
 
 
+def scaled_events_ods(sf_dir: str, n_rows: int = 20000,
+                      n_shards: int = 8) -> str:
+    """Materialize (once, atomically) the first ``n_rows`` events as
+    ``n_shards`` OpenDocument .ods spreadsheets (row i -> shard i %%
+    n_shards) — the ODF sibling of scaled_events_xls (r12)."""
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_ods_{n_rows}x{n_shards}")
+    if not out_dir.exists():
+        import duckdb
+
+        from datapump_spark.sources.ods import encode_ods
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        hdr = ["event_id", "ts", "user_id", "event_type", "value"]
+        tmp = out_dir.parent / f".events_ods.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for sh in range(n_shards):
+            b = encode_ods([hdr] + [[str(c) for c in r]
+                                    for r in rows[sh::n_shards]])
+            (tmp / f"events_{sh:02d}.ods").write_bytes(b)
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir / "events_*.ods")
+
+
+def q_ods_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OpenDocument .ods ingestion gate (sources/ods.py, r12 — the
+    third spreadsheet family member): content.xml table walk with the
+    ODF repeat-compaction attributes, same all-string contract and
+    the same events slice as q_xlsx_scan/q_xls_scan, so the XML walk
+    must be EXACT to hash-match."""
+    from datapump_spark.sources.ods import read_ods
+
+    raw = read_ods(spark, scaled_events_ods(sf_dir))
+    return raw.select(
+        F.col("event_id").cast("long").alias("event_id"),
+        F.col("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.col("event_type"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+EXTRA_QUERIES["q_ods_scan"] = q_ods_scan
+
+
+def q_ass_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Codegen ASS/SSA cue parsing gate (operators/subtitles.py, r12
+    — the third subtitle wire format): each sampled document becomes
+    a SubStation script — ASS v4.00+ for even doc_id//11, legacy SSA
+    v4.00 (Marked=0 first field) for odd — with centisecond stamps,
+    comma-bearing text riding the limit-10 split, \\N multi-line
+    bodies, and a Comment: line the parser must drop. Timings and
+    text are pure doc_id arithmetic for the oracle."""
+    import pandas as pd
+
+    from datapump_spark.operators.subtitles import parse_ass
+
+    docs = (_t(spark, sf_dir, "documents")
+            .where(F.col("doc_id") % 11 == 0).select("doc_id"))
+
+    def build(batches):
+        from datapump_spark.operators.subtitles import format_ass
+        for pdf_b in batches:
+            ids = pdf_b["doc_id"]
+
+            def sub(doc_id: int) -> str:
+                cues = []
+                for i in range(2 + doc_id % 3):
+                    start = (doc_id % 1000) * 40 + i * 1500
+                    text = f"styled,{doc_id} {i}"
+                    if i % 2 == 1:
+                        text += f"\nagain {i}"
+                    cues.append((start, start + 900 + i * 100, text))
+                return format_ass(cues, ssa=(doc_id // 11) % 2 == 1)
+
+            yield pd.DataFrame({"doc_id": ids, "text": ids.map(sub)})
+
+    subs = docs.mapInPandas(build, "doc_id long, text string")
+    out = parse_ass(subs)
+    return out.select("doc_id",
+                      F.col("cue_idx").cast("long").alias("cue_idx"),
+                      "start_ms", "end_ms", "cue_text")
+
+
+EXTRA_QUERIES["q_ass_cues"] = q_ass_cues
+
+
 def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:
     """Materialize (once) the first ``n_rows`` events as FOUR Avro
     container files — quarters in codec null, deflate, snappy (r10)

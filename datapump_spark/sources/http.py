@@ -75,18 +75,28 @@ def _dechunk(b: bytes) -> bytes:
             raise ValueError("chunked: missing chunk terminator")
 
 
+# Decompression-bomb cap: crawls DO contain hostile bodies; a body
+# that inflates past this flags as an error row instead of eating the
+# executor (64 MiB decoded is far past any useful training document).
+MAX_BODY = 64 << 20
+
+
 def _gunzip_members(body: bytes) -> bytes:
     """Concatenated-member gzip; a complete member followed by trailing
     junk is accepted (crawler truncation artifacts), a truncated member
-    is an error."""
+    is an error, inflation past MAX_BODY is an error (bomb guard)."""
     out = bytearray()
     while True:
         d = zlib.decompressobj(31)
         try:
-            out += d.decompress(body)
+            out += d.decompress(body, MAX_BODY + 1 - len(out))
+            if d.unconsumed_tail:
+                raise ValueError("gzip: body exceeds decode cap")
             out += d.flush()
         except zlib.error as ex:
             raise ValueError(f"gzip: {ex}") from None
+        if len(out) > MAX_BODY:
+            raise ValueError("gzip: body exceeds decode cap")
         if not d.eof:
             raise ValueError("gzip: truncated member")
         body = d.unused_data
@@ -96,12 +106,16 @@ def _gunzip_members(body: bytes) -> bytes:
 
 def _inflate(body: bytes) -> bytes:
     """Content-Encoding: deflate — zlib-wrapped per the RFC, raw
-    DEFLATE per the common server bug."""
+    DEFLATE per the common server bug; bomb-capped like gzip."""
     for wbits in (15, -15):
+        d = zlib.decompressobj(wbits)
         try:
-            return zlib.decompress(body, wbits)
+            out = d.decompress(body, MAX_BODY + 1)
         except zlib.error:
             continue
+        if len(out) > MAX_BODY or d.unconsumed_tail:
+            raise ValueError("deflate: body exceeds decode cap")
+        return out + d.flush()
     raise ValueError("deflate: not zlib-wrapped nor raw DEFLATE")
 
 
@@ -118,7 +132,7 @@ def decode_content(body: bytes, encoding: str) -> bytes:
     if enc == "br":
         from datapump_spark.operators.brotli import decode_brotli
 
-        return decode_brotli(body)
+        return decode_brotli(body, max_output=MAX_BODY)
     raise ValueError(f"unsupported Content-Encoding {enc!r}")
 
 

@@ -170,7 +170,9 @@ def read_xlsx(spark: SparkSession, path: str, sheet: str | None = None,
                 hdr_row = min(grid) if header else None
                 cols = sorted({c for row in grid.values() for c in row})
                 if header:
-                    names = [grid[hdr_row].get(c, f"_c{c}") for c in cols]
+                    from datapump_spark.sources.xls import _dedupe_names
+                    names = _dedupe_names(
+                        [grid[hdr_row].get(c, f"_c{c}") for c in cols])
                 else:
                     names = [f"_c{c}" for c in cols]
                 data = {n: [] for n in names}
@@ -195,8 +197,9 @@ def read_xlsx(spark: SparkSession, path: str, sheet: str | None = None,
     hdr = min(r for _, r, _, _, _ in cells)
     cols = sorted({c for _, r, c, _, _ in cells})
     if header:
+        from datapump_spark.sources.xls import _dedupe_names
         names = {c: v for _, r, c, v, _ in cells if r == hdr}
-        fields = [names.get(c, f"_c{c}") for c in cols]
+        fields = _dedupe_names([names.get(c, f"_c{c}") for c in cols])
     else:
         fields = [f"_c{c}" for c in cols]
     schema = ", ".join(f"`{f}` string" for f in fields)

@@ -36,6 +36,15 @@ def main() -> None:
         i = rest.index("--fuzzy-op")
         fuzzy_ops = set(rest[i + 1].split(","))
         rest = rest[:i] + rest[i + 2:]
+    # --sweeps N : run the minhash op in staged band-sweep mode (r12,
+    # minhash_near_dup_pairs(n_sweeps=N)) — bounds peak scratch disk to
+    # ~1/N of the single-sweep run at the cost of re-joining the
+    # persisted signatures per sweep
+    sweeps = 1
+    if "--sweeps" in rest:
+        i = rest.index("--sweeps")
+        sweeps = int(rest[i + 1])
+        rest = rest[:i] + rest[i + 2:]
     sf_dir = rest[0] if rest else "/root/testdata/sf0.1"
 
     from pyspark.sql import functions as F
@@ -124,13 +133,30 @@ def main() -> None:
             return None
 
     def timed(runs: dict, key: str, fn) -> None:
+        import shutil
+        import threading
+
+        peak = [shutil.disk_usage("/tmp").used]
+        stop = threading.Event()
+
+        def sample():
+            while not stop.wait(2.0):
+                peak[0] = max(peak[0], shutil.disk_usage("/tmp").used)
+
+        th = threading.Thread(target=sample, daemon=True)
+        base_used = shutil.disk_usage("/tmp").used
+        th.start()
         s0 = shuffle_write_bytes()
         t0 = time.perf_counter()
         fn()
         runs[key] = round(time.perf_counter() - t0, 2)
         s1 = shuffle_write_bytes()
+        stop.set()
+        th.join()
         if s0 is not None and s1 is not None:
             runs[key + "_shuffle_mb"] = round((s1 - s0) / 1e6, 1)
+        runs[key + "_disk_peak_gb"] = round(
+            (peak[0] - base_used) / 1e9, 2)
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     dedup_out: dict[str, dict[str, float]] = {}
@@ -159,8 +185,11 @@ def main() -> None:
         big_docs.count()
         runs = {}
         if "minhash" in fuzzy_ops:
-            timed(runs, "minhash_near_dup", lambda: minhash_near_dup_pairs(
-                big_docs, threshold=0.5, hash_fn="xxhash64")
+            key = ("minhash_near_dup" if sweeps <= 1
+                   else f"minhash_near_dup_sweeps{sweeps}")
+            timed(runs, key, lambda: minhash_near_dup_pairs(
+                big_docs, threshold=0.5, hash_fn="xxhash64",
+                n_sweeps=sweeps)
                 .write.format("noop").mode("overwrite").save())
 
         if "clusters" in fuzzy_ops:

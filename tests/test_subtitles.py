@@ -79,3 +79,44 @@ def test_hours_beyond_two_digits(spark):
     assert rows[0]["start_ms"] == 100 * 3_600_000
     assert rows[0]["end_ms"] == 100 * 3_600_000 + 1500
     assert rows[1]["start_ms"] == (1000 * 3600 + 2 * 60 + 3) * 1000 + 4
+
+
+def _parse_ass(spark, text):
+    from datapump_spark.operators.subtitles import parse_ass
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    return sorted(parse_ass(df).collect(), key=lambda r: r["cue_idx"])
+
+
+def test_ass_roundtrip_and_ssa(spark):
+    """r12: ASS/SSA dialogue lines — centisecond stamps, commas in
+    the text field (limit-10 split), \\N line breaks, Comment:/style
+    lines dropped; SSA v4 (Marked=0) parses identically."""
+    from datapump_spark.operators.subtitles import format_ass
+    cues = [(1500, 2400, "hello, with comma"),
+            (3000, 4210, "two\nlines, both"),
+            (3_600_000 + 90_000, 3_600_000 + 91_500, "an hour in")]
+    for ssa in (False, True):
+        rows = _parse_ass(spark, format_ass(cues, ssa=ssa))
+        assert [(r["start_ms"], r["end_ms"], r["cue_text"])
+                for r in rows] == cues, ssa
+
+
+def test_ass_override_tags_and_soft_breaks(spark):
+    text = ("[Events]\n"
+            "Format: Layer, Start, End, Style, Name, MarginL, "
+            "MarginR, MarginV, Effect, Text\n"
+            "Dialogue: 0,0:00:01.00,0:00:02.00,Default,,0,0,0,,"
+            "{\\i1}styled{\\i0} and\\nsoft\\hbreak\n"
+            "Comment: 0,0:00:03.00,0:00:04.00,Default,,0,0,0,,nope\n")
+    rows = _parse_ass(spark, text)
+    assert len(rows) == 1
+    assert rows[0]["cue_text"] == "styled and\nsoft break"
+    assert rows[0]["start_ms"] == 1000 and rows[0]["end_ms"] == 2000
+
+
+def test_ass_zero_python_plan(spark):
+    from datapump_spark.operators.subtitles import parse_ass
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    plan = parse_ass(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "mapInPandas" not in plan.lower()

@@ -381,3 +381,22 @@ def test_np_connected_components_matches_union_find():
     nodes, labels = _np_connected_components(
         np.array([1, 1, 2]), np.array([1, 2, 1]))
     assert labels.tolist() == [1, 1]
+
+
+def test_minhash_sweep_mode_exact_equality(docs):
+    """r12 (VERDICT r11 #4): the staged band-sweep mode — bands
+    processed in n_sweeps subsets with eager per-sweep checkpoints —
+    must return EXACTLY the single-sweep pairs (bands are independent;
+    the union over a partition of bands is the full candidate set)."""
+    from datapump_spark.operators.dedup_fuzzy import minhash_near_dup_pairs
+
+    def key(rows):
+        return sorted((r["id_a"], r["id_b"], round(r["jaccard"], 9))
+                      for r in rows)
+
+    base = key(minhash_near_dup_pairs(docs, threshold=0.3).collect())
+    assert base, "fixture should produce pairs"
+    for n in (2, 3, 4, 7):
+        got = key(minhash_near_dup_pairs(docs, threshold=0.3,
+                                         n_sweeps=n).collect())
+        assert got == base, n
