@@ -207,6 +207,8 @@ BENCH_QUERIES = [
     # round-12: OpenDocument spreadsheet scan and ASS/SSA cue parsing
     "q_ods_scan",
     "q_ass_cues",
+    # round-12: Ogg Opus SILK-NB tones (twin-marked, stand-in doctrine)
+    "q_opus_tone",
     # round-11: audio provenance tags (ID3v2 / FLAC / Vorbis comments)
     "q_audio_meta",
     # round-11: legacy PowerPoint record-tree text
@@ -277,6 +279,15 @@ def _warm_python_workers(spark) -> None:
         from datapump_spark.operators.vorbis import (decode_vorbis,
                                                      encode_vorbis)
         decode_vorbis(encode_vorbis(np.zeros(2048), 8000))
+        # Opus (r12): module import + codebook/LPC table build; the
+        # q_opus_tone payloads themselves are lru-cached per worker
+        from datapump_spark.operators.opus import (decode_ogg_opus,
+                                                   encode_opus)
+        decode_ogg_opus(encode_opus(np.zeros(160), 8000))
+        # brotli (r12): derived-table load (dictionary gunzip + LUTs)
+        from datapump_spark.operators.brotli import (decode_brotli,
+                                                     encode_brotli)
+        decode_brotli(encode_brotli(b"warm"))
         for pdf in batches:
             yield pdf
 

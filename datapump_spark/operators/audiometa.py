@@ -147,6 +147,8 @@ def parse_audio_tags(b: bytes) -> dict:
             for _ser, _g, pkt in ogg_packets(b):
                 if pkt[:7] == b"\x03vorbis":
                     return _parse_vorbis_comment(pkt[7:], "vorbis")
+                if pkt[:8] == b"OpusTags":      # RFC 7845 §5.2 (r12)
+                    return _parse_vorbis_comment(pkt[8:], "opus")
                 if len(pkt) > 4 and (pkt[0] & 0x7F) == 4 \
                         and pkt[:5] != b"\x7fFLAC":
                     # FLAC-in-Ogg metadata packet: one raw block

@@ -203,7 +203,15 @@ def minhash_near_dup_pairs(
                 sigs, id_col, bands, rows_per_band,
                 scope_col=scope_col, band_subset=subset)
             parts.append(part.localCheckpoint(eager=True))
-            gc.collect()     # drop the sweep's shuffle dependencies
+            # drop the sweep's shuffle dependencies on BOTH sides:
+            # Spark's ContextCleaner deletes a sweep's shuffle files
+            # only once the JVM ShuffleDependency is garbage-collected,
+            # so a Python gc alone leaves the files until app exit
+            gc.collect()
+            try:
+                sigs.sparkSession.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         sigs.unpersist()
         cands = reduce(lambda x, y: x.unionByName(y), parts).distinct()
     verified = verify_jaccard(sh, cands, id_col)

@@ -1288,14 +1288,19 @@ def encode_ogg_flac(x, sr: int,
 
 
 def decode_ogg_audio(b: bytes):
-    """Dispatch an Ogg container on its BOS packet types: Vorbis and
-    FLAC-in-Ogg decode; Opus/Theora/Skeleton-only streams raise
+    """Dispatch an Ogg container on its BOS packet types: Vorbis,
+    FLAC-in-Ogg, and (r12, twin-marked SILK-NB streams only —
+    operators/opus.py) Opus decode; Theora/Skeleton-only streams raise
     UnsupportedMediaError (decode_vorbis's honest seam)."""
     for _ser, _gran, pkt in ogg_packets(b):
         if pkt[:7] == b"\x01vorbis":
             return decode_vorbis(b)
         if pkt[:5] == b"\x7fFLAC":
             return decode_ogg_flac(b)
+        if pkt[:8] == b"OpusHead":
+            from datapump_spark.operators.opus import decode_ogg_opus
+
+            return decode_ogg_opus(b)
         if not _gran:                      # still in BOS territory
             continue
         break

@@ -3514,6 +3514,18 @@ FROM cues
 """
 
 
+# q_opus_tone (r12): 0.5 s twin-marked SILK-NB Opus tones; decode
+# returns whole 20 ms frames (4000 samples exactly), 2 Hz bins, the
+# dominant bin is pure doc_id arithmetic.
+EXTRA_ORACLES["q_opus_tone"] = """
+SELECT doc_id AS media_id,
+       CAST(4000 AS BIGINT) AS n_frames,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(200 + ((doc_id // 64) % 8) * 100 AS BIGINT) AS dominant_hz
+FROM documents WHERE doc_id % 64 = 0
+"""
+
+
 # q_audio_meta (r11): every tag field is doc_id arithmetic; format
 # follows the four-way container rotation.
 EXTRA_ORACLES["q_audio_meta"] = """

@@ -1482,6 +1482,17 @@ def q_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @lru_cache(maxsize=16)
+def _opus_tone_payload(f: int) -> bytes:
+    """q_opus_tone: 8 distinct frequencies, cached per worker process
+    (the r11 bench-stall rule); the gate's subject is the decode."""
+    import numpy as np
+
+    from datapump_spark.operators.opus import encode_opus
+    t8 = np.arange(4000) / 8000.0
+    return encode_opus(0.5 * np.sin(2 * np.pi * f * t8), 8000)
+
+
+@lru_cache(maxsize=16)
 def _mp3_tone_payload(f: int) -> bytes:
     """q_audio_tone MP3 arm: only 8 distinct frequencies — cache the
     encode PER WORKER PROCESS (module level, r11); the gate's subject
@@ -4340,6 +4351,42 @@ def q_ass_cues(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_ass_cues"] = q_ass_cues
+
+
+def q_opus_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ogg Opus audio gate (operators/opus.py, r12 — SILK-NB mono per
+    the stand-in doctrine, twin-marked): each sampled document becomes
+    a 0.5 s Opus tone at one of 8 doc-derived frequencies; the range
+    decode -> shell excitation -> LSF/LPC synthesis -> Hann/rfft/argmax
+    path must land EXACTLY on the tone bin (2 Hz bins over 4000
+    samples; every grid frequency is even, and the twin's worst-case
+    ~9 dB quantizer floor is tens of dB below a bin-aligned tone)."""
+    import pandas as pd
+
+    from datapump_spark.operators.audiofeat import audio_spectral_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 64 == 0) \
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(16)
+
+    def build(batches):
+        for pdf in batches:
+            ids = pdf["media_id"]
+
+            def payload(doc_id: int) -> bytes:
+                return _opus_tone_payload(200 + ((doc_id // 64) % 8) * 100)
+
+            yield pd.DataFrame({"media_id": ids,
+                                "payload": ids.map(payload)})
+
+    media = docs.mapInPandas(build, "media_id long, payload binary")
+    feats = audio_spectral_features(media, on_error="raise")
+    return feats.select(
+        "media_id", "n_frames", "sample_rate",
+        F.round("dominant_hz", 0).cast("long").alias("dominant_hz"))
+
+
+EXTRA_QUERIES["q_opus_tone"] = q_opus_tone
 
 
 def scaled_events_avro(sf_dir: str, n_rows: int = 20000) -> str:

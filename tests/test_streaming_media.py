@@ -59,6 +59,10 @@ def media_dir(tmp_path):
     from datapump_spark.operators.vorbis import encode_vorbis
     (d / "p.ogg").write_bytes(encode_vorbis(
         0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000.0), 8000))
+    # Ogg Opus (r12, twin-marked SILK-NB): decodes -> features row
+    from datapump_spark.operators.opus import encode_opus
+    (d / "r.ogg").write_bytes(encode_opus(
+        0.4 * np.sin(2 * np.pi * 440 * np.arange(4000) / 8000.0)))
     # FOREIGN lossy WebP (twin trailer stripped — i.e. what a
     # libwebp-encoded file looks like to the r12 honesty gate):
     # refused at decode, routes to quarantine instead of flowing
@@ -90,7 +94,7 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     assert set(feats) == {"a.png", "b.bmp", "c.wav", "g.jpg",
                           "h.webp", "i.wav", "j.webp", "k.tiff",
                           "l.webp", "m.flac", "n.mp3", "o.jpg",
-                          "p.ogg"}
+                          "p.ogg", "r.ogg"}
     assert set(quar) == {"d.jpg", "e.bmp", "f.png", "q.webp"}
     # real pixel dims from the decode, not the header claim
     assert feats["a.png"]["features"][:3] == [9.0, 6.0, 3.0]
@@ -108,6 +112,8 @@ def test_stream_decodes_and_quarantines(spark, media_dir, tmp_path):
     # Vorbis granule end-trims to exactly the 4000 encoded samples
     assert feats["p.ogg"]["features"][:3] == [4000.0, 1.0, 8000.0]
     assert feats["p.ogg"]["sniffed_format"] == "ogg"
+    # Opus (r12): 25 whole SILK frames = 4000 samples at 8 kHz
+    assert feats["r.ogg"]["features"][:3] == [4000.0, 1.0, 8000.0]
     assert feats["b.bmp"]["features"][:3] == [9.0, 6.0, 3.0]
     assert feats["c.wav"]["features"][:3] == [400.0, 1.0, 8000.0]
     assert feats["a.png"]["sniffed_format"] == "png"
@@ -132,7 +138,7 @@ def test_stream_replay_is_idempotent(spark, media_dir, tmp_path):
     ing.drain(tmp_path / "cp2")
     after = sorted(r["media_id"] for r in
                    spark.read.parquet(ing.features_dir).collect())
-    assert before == after and len(before) == 13
+    assert before == after and len(before) == 14
 
 
 @pytest.mark.slow  # dHash pair semantics pinned in test_multimodal;
