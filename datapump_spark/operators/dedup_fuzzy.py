@@ -171,16 +171,19 @@ def minhash_near_dup_pairs(
     anyway).
 
     ``n_sweeps`` (r12, VERDICT r11 #4 / the PERF.md 10 M-doc plan):
-    process the bands in ``n_sweeps`` sequential subsets, eagerly
-    materializing each subset's (id_a, id_b) candidate set via
-    localCheckpoint before starting the next — bands are independent,
-    so the distinct union EXACTLY equals the single-sweep candidate
-    set (pinned by test), while the band-explode/self-join shuffle in
-    flight at any moment is ~1/n_sweeps of the full run's (each
-    sweep's shuffle dependency is dropped after its checkpoint, so the
-    ContextCleaner can reclaim the files mid-app). The knob trades
-    wall-clock (signatures are persisted and re-joined per sweep) for
-    peak scratch disk — the binding constraint past ~10 M docs/node."""
+    run the WHOLE candidate+verify pipeline over the bands in
+    ``n_sweeps`` sequential subsets, eagerly materializing each
+    sweep's verified pairs via localCheckpoint before starting the
+    next — bands are independent and a pair's exact Jaccard is
+    deterministic, so the distinct union EXACTLY equals the
+    single-sweep output (pinned by test), while the shuffle in flight
+    at any moment (band self-join AND the shingle verify join, the
+    two disk hogs) is ~1/n_sweeps of the full run's. Each sweep's
+    shuffle dependencies are dropped and a JVM GC is nudged so the
+    ContextCleaner reclaims the files mid-app (shuffle files otherwise
+    persist to app exit). The knob trades wall-clock (signatures and
+    shingles are persisted and re-joined per sweep) for peak scratch
+    disk — the binding constraint past ~10 M docs/node."""
     sigs = minhash_signatures(df, id_col, text_col, bands * rows_per_band, shingle_n, hash_fn)
     if scope_col is not None:
         sigs = sigs.join(df.select(id_col, scope_col), id_col)
@@ -188,34 +191,37 @@ def minhash_near_dup_pairs(
     if n_sweeps <= 1:
         cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
                                     scope_col=scope_col)
-    else:
-        import gc
-        from functools import reduce
+        verified = verify_jaccard(sh, cands, id_col)
+        return verified.where(F.col("jaccard") >= threshold)
 
-        sigs = sigs.persist()
-        per = -(-bands // n_sweeps)
-        parts = []
-        for s in range(n_sweeps):
-            subset = list(range(s * per, min((s + 1) * per, bands)))
-            if not subset:
-                break
-            part = lsh_candidate_pairs(
-                sigs, id_col, bands, rows_per_band,
-                scope_col=scope_col, band_subset=subset)
-            parts.append(part.localCheckpoint(eager=True))
-            # drop the sweep's shuffle dependencies on BOTH sides:
-            # Spark's ContextCleaner deletes a sweep's shuffle files
-            # only once the JVM ShuffleDependency is garbage-collected,
-            # so a Python gc alone leaves the files until app exit
-            gc.collect()
-            try:
-                sigs.sparkSession.sparkContext._jvm.System.gc()
-            except Exception:
-                pass
-        sigs.unpersist()
-        cands = reduce(lambda x, y: x.unionByName(y), parts).distinct()
-    verified = verify_jaccard(sh, cands, id_col)
-    return verified.where(F.col("jaccard") >= threshold)
+    import gc
+    from functools import reduce
+
+    sigs = sigs.persist()
+    sh = sh.persist()
+    per = -(-bands // n_sweeps)
+    parts = []
+    for s in range(n_sweeps):
+        subset = list(range(s * per, min((s + 1) * per, bands)))
+        if not subset:
+            break
+        cands = lsh_candidate_pairs(
+            sigs, id_col, bands, rows_per_band,
+            scope_col=scope_col, band_subset=subset)
+        verified = verify_jaccard(sh, cands, id_col) \
+            .where(F.col("jaccard") >= threshold)
+        parts.append(verified.localCheckpoint(eager=True))
+        gc.collect()
+        try:
+            sigs.sparkSession.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    sigs.unpersist()
+    sh.unpersist()
+    # a pair surfacing in bands of two different sweeps yields the
+    # identical (id_a, id_b, jaccard) row twice: distinct() restores
+    # the single-sweep output exactly
+    return reduce(lambda x, y: x.unionByName(y), parts).distinct()
 
 
 def ngram_jaccard_pairs(
