@@ -63,7 +63,9 @@ _SHAPES = {
 }
 
 
-@pytest.mark.parametrize("level", [0, 1, 2, 4, 5, 9, 11])
+# default tier: three levels spanning the fast/balanced/max
+# encoders; the slow-tier fuzz sweep crosses all 12 levels
+@pytest.mark.parametrize("level", [1, 5, 11])
 def test_foreign_streams_decode_exactly(level):
     for name, t in _SHAPES.items():
         assert decode_brotli(_ref_encode(t, level)) == t, (level, name)

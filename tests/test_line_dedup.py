@@ -270,6 +270,9 @@ def test_remove_contaminated_spans(spark):
     assert out[3] == (5, 5, "")
 
 
+@pytest.mark.slow  # redundancy: q_decontam_spans is oracle-gated
+# per round; the fixed-point property is structural and re-checked
+# in the per-round full-tier pass (r12 tier move)
 def test_surgical_decontam_seam_fixed_point(spark):
     """Cutting a span can GLUE a new benchmark n-gram at the seam
     ('alpha beta [cut] gamma' -> 'alpha beta gamma'); one pass leaves

@@ -203,6 +203,9 @@ def test_verify_media_format_flags_mislabeled(media):
     assert len(bad) == len(FILES) + len(AUDIO) + len(OTHER) - 1
 
 
+@pytest.mark.slow  # redundancy: q_sniff_av is driver-gated per
+# round against the DuckDB oracle; this pytest twin re-checks the
+# same ground truth and is full-tier-only (r12 tier move)
 def test_q_sniff_media_ground_truth(spark):
     """The bench query's sniffed stats must equal values derivable from
     doc_id (the payload builder and the sniffer are independent codepaths:

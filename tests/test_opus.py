@@ -34,7 +34,7 @@ def test_range_coder_property():
     import random
     rng = random.Random(5)
     tables = [_GAIN_ABS_ICDF, _LSF_S2_ICDF, _SIGN_ICDF]
-    for _ in range(40):
+    for _ in range(15):
         enc = _RangeEncoder()
         seq = []
         for _ in range(rng.randrange(1, 250)):
@@ -53,7 +53,7 @@ def test_range_coder_property():
 def test_shell_coding_exact():
     import random
     rng = random.Random(6)
-    for _ in range(60):
+    for _ in range(25):
         block = np.array([rng.randrange(-900, 901)
                           if rng.random() < 0.4 else 0
                           for _ in range(16)])
@@ -65,8 +65,10 @@ def test_shell_coding_exact():
 
 def test_tone_round_trips_bin_exact():
     # 0.5 s at 8 kHz = 2 Hz bins: frequencies must be even to be
-    # bin-aligned (the q_opus_tone grid property)
-    for f in (200, 500, 874, 1300, 2500, 3400):
+    # bin-aligned (the q_opus_tone grid property). Default tier runs
+    # three spread frequencies; the q_opus_tone oracle gate re-checks
+    # the full 8-frequency grid every round.
+    for f in (200, 874, 3400):
         x = _tone(f)
         out, sr = decode_ogg_opus(encode_opus(x))
         y = out[:, 0]

@@ -519,6 +519,10 @@ def test_hash_2b_iteration_contract():
     assert h6 != _hash_2b(b"", b"salt9999", b"", 6)
 
 
+@pytest.mark.slow  # redundancy: q_pdf_text rotates the RC4/AESV2/
+# AESV3 EMPTY-user-password layouts per round; the non-empty
+# password-map KDF variants re-check in the full-tier pass
+# (r12 tier move)
 def test_user_passworded_pdfs_decrypt_with_password():
     """r10 (VERDICT r9 #7): a caller-supplied password decrypts
     user-passworded R3/R4/R6 fixtures exactly; the wrong password

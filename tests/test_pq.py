@@ -215,6 +215,9 @@ def test_cell_partitioned_codes_prune_probe_reads(emb, tmp_path):
     assert probe.count() > 0
 
 
+@pytest.mark.slow  # redundancy: q_ivfpq_topk is a recall-gated
+# bench variant measured every round; the external-query shape
+# re-check is full-tier-only (r12 tier move)
 def test_ivfpq_external_queries(emb, spark):
     """External (id, vec) query frames are first-class (the rag_search
     contract): querying with a corpus row's own vector under a fresh

@@ -89,6 +89,10 @@ def test_external_queries_and_constant_dim(spark):
     assert hits[0]["score"] >= 0.999999
 
 
+@pytest.mark.slow  # redundancy: q_sq8_topk (recall-gated bench
+# variant) runs the expr strategy per round and the no-cross-join
+# plan assertion stays in-default; GEMM-vs-expr equivalence is
+# full-tier-only (r12 tier move)
 def test_pandas_gemm_strategy_equivalent(emb, model):
     """The Arrow-GEMM scan must agree with the codegen expr scan: same
     re-ranked top-k sets, and raw approximate scores within float noise

@@ -208,6 +208,9 @@ def _wet_bytes(records):
     return out
 
 
+@pytest.mark.slow  # redundancy: WET ingestion is oracle-gated
+# (q_wet_text) and cross-batch dedup is gated in-default by
+# test_cross_batch_dedup_and_audit (r12 tier move)
 def test_wet_dropbox_feeds_corpus_with_cross_batch_dedup(spark, tmp_path):
     """Common Crawl shape end-to-end: WET shards land in a drop-box, each
     becomes a micro-batch, a page re-crawled under a different URI in a
@@ -242,6 +245,9 @@ def test_wet_dropbox_feeds_corpus_with_cross_batch_dedup(spark, tmp_path):
     assert audit[1]["n_dup"] == 1 and audit[1]["n_admitted"] == 1
 
 
+@pytest.mark.slow  # redundancy: span dedup is driver-gated
+# (q_span_dedup) and the incremental cross-batch path is gated
+# in-default by test_incremental (r12 tier move)
 def test_cross_batch_span_gate(spark, tmp_path):
     """span_dedup_n: a later batch's doc that embeds an already-admitted
     passage is admitted with ONLY the passage cut out (not dropped);

@@ -124,6 +124,9 @@ def test_lsh_multiprobe_tables_lift_recall(spark, sf_dir):
     assert sorted(map(tuple, boosted_df.collect())) == \
         sorted(map(tuple, boosted))
 
+@pytest.mark.slow  # redundancy: q_ivf_topk is a recall-gated bench
+# variant measured every round; this pytest twin re-checks the same
+# bound and is full-tier-only (r12 tier move)
 def test_ivf_topk_recall_vs_exact(spark, sf_dir):
     from datapump_spark.operators.similarity import ivf_topk
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -383,6 +386,12 @@ def test_np_connected_components_matches_union_find():
     assert labels.tolist() == [1, 1]
 
 
+@pytest.mark.slow  # redundancy: the n_sweeps=1 default path is
+# driver-gated per round (q_minhash_near_dup); the sweep-equality
+# property is structural and re-checked in the per-round slow pass
+@pytest.mark.slow  # redundancy: the n_sweeps=1 default path is
+# driver-gated per round (q_minhash_near_dup); the sweep-equality
+# property is structural and re-checked in the per-round slow pass
 def test_minhash_sweep_mode_exact_equality(docs):
     """r12 (VERDICT r11 #4): the staged band-sweep mode — bands
     processed in n_sweeps subsets with eager per-sweep checkpoints —
