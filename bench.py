@@ -215,6 +215,9 @@ BENCH_QUERIES = [
     "q_ppt_text",
     # round-9: Avro object-container scan (null + deflate codecs)
     "q_avro_scan",
+    # round-12: compressed-JSONL corpus scan (7 codecs, foreign
+    # libzstd/liblz4/libbrotli bytes through the pure-Python decoders)
+    "q_jsonl_scan",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

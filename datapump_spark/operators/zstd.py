@@ -607,10 +607,14 @@ def _execute(out: bytearray, lits: bytes, seqs, reps: list[int]) -> None:
 # ---------------------------------------------------------------------------
 
 
-def decode_zstd(b: bytes, verify_checksum: bool = True) -> bytes:
+def decode_zstd(b: bytes, verify_checksum: bool = True,
+                max_output: int | None = None) -> bytes:
     """Decode a (possibly multi-frame) Zstandard payload. Skippable
     frames are skipped; nonzero Dictionary_IDs raise
-    UnsupportedMediaError (no dictionary surface — honest seam)."""
+    UnsupportedMediaError (no dictionary surface — honest seam).
+    ``max_output`` is the decompression-bomb guard (checked per
+    block, the lz4/brotli pattern): exceeding it raises
+    UnsupportedMediaError before the payload fully materializes."""
     out_all = bytearray()
     i = 0
     while i < len(b):
@@ -680,6 +684,10 @@ def decode_zstd(b: bytes, verify_checksum: bool = True) -> bytes:
                     _execute(out, lits, seqs, reps)
             else:
                 raise ValueError("reserved block type")
+            if (max_output is not None
+                    and len(out_all) + len(out) > max_output):
+                raise UnsupportedMediaError(
+                    "zstd: output exceeds decode cap")
             if last:
                 break
         if fcs is not None and len(out) != fcs:

@@ -4450,6 +4450,83 @@ def q_avro_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_avro_scan"] = q_avro_scan
 
 
+def scaled_events_jsonl(sf_dir: str, n_rows: int = 21000) -> str:
+    """Materialize (once) the first ``n_rows`` events as SEVEN JSONL
+    part-files — sevenths in plain text, gzip, bz2, xz (stdlib
+    reference compressors) and zstd, LZ4 frame, brotli (pyarrow's
+    bundled reference codecs — FOREIGN bytes for the three pure-Python
+    decoders) — so one scan witnesses the whole compressed-corpus
+    dispatch (sources/jsonl.py:decompress_auto)."""
+    import json
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_jsonl7_{n_rows}")
+    if not out_dir.exists():
+        import bz2
+        import gzip
+        import lzma
+
+        import duckdb
+        import pyarrow as pa
+
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        lines = [json.dumps(dict(zip(
+            ("event_id", "ts", "user_id", "event_type", "value"), r)),
+            separators=(",", ":")) for r in rows]
+        codecs = (
+            ("jsonl", lambda b: b),
+            ("jsonl.gz", lambda b: gzip.compress(b, mtime=0)),
+            ("jsonl.bz2", bz2.compress),
+            ("jsonl.xz", lzma.compress),
+            ("jsonl.zst", lambda b: pa.Codec("zstd").compress(
+                b, asbytes=True)),
+            ("jsonl.lz4", lambda b: pa.Codec("lz4").compress(
+                b, asbytes=True)),
+            ("jsonl.br", lambda b: pa.Codec("brotli").compress(
+                b, asbytes=True)),
+        )
+        seventh = len(lines) // 7
+        tmp = out_dir.parent / f".events_jsonl.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for k, (ext, comp) in enumerate(codecs):
+            hi = (k + 1) * seventh if k < 6 else len(lines)
+            chunk = "\n".join(lines[k * seventh:hi]) + "\n"
+            (tmp / f"part{k}.{ext}").write_bytes(comp(chunk.encode()))
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir)
+
+
+def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compressed-JSONL corpus read gate (sources/jsonl.py, round 12):
+    per-file magic dispatch over plain / gzip / bz2 / xz / zstd / LZ4
+    frame / brotli — the last three decoded by the conformance-pinned
+    pure-Python codecs FROM FOREIGN REFERENCE BYTES (pyarrow's bundled
+    libzstd / liblz4 / libbrotli compressed the fixture) — Arrow-batched
+    decode, then JVM-side from_json with an explicit schema (no
+    inference pass). Decoded rows must reproduce EXACTLY the events
+    slice the oracle re-selects."""
+    from datapump_spark.sources.jsonl import read_jsonl_compressed
+
+    return read_jsonl_compressed(
+        spark, scaled_events_jsonl(sf_dir),
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double")
+
+
+EXTRA_QUERIES["q_jsonl_scan"] = q_jsonl_scan
+
+
 # Round-10 rotation (VERDICT r9 #5): the round-9 source/extraction
 # flagships enter the driver record — all three already pass the
 # identical exact-hash DuckDB gate as EXTRA keys and were

@@ -63,3 +63,84 @@ def test_roundtrip(spark, tmp_path):
     q = {r.doc_id: r.quality
          for r in back.select("doc_id", F.col("meta.quality").alias("quality")).collect()}
     assert q[13] is None and isinstance(q[1], float)
+
+
+# ---------------------------------------------------------------------------
+# Compressed-corpus path (r12): per-file magic dispatch, 7 codecs
+# ---------------------------------------------------------------------------
+
+
+def _write_compressed_fixture(tmp_path, n_per=6):
+    import bz2
+    import gzip
+    import json
+    import lzma
+
+    import pyarrow as pa
+
+    codecs = (
+        ("jsonl", lambda b: b),
+        ("jsonl.gz", gzip.compress),
+        ("jsonl.bz2", bz2.compress),
+        ("jsonl.xz", lzma.compress),
+        ("jsonl.zst", lambda b: pa.Codec("zstd").compress(b, asbytes=True)),
+        ("jsonl.lz4", lambda b: pa.Codec("lz4").compress(b, asbytes=True)),
+        ("jsonl.br", lambda b: pa.Codec("brotli").compress(b, asbytes=True)),
+    )
+    expect = []
+    for k, (ext, comp) in enumerate(codecs):
+        lines = []
+        for j in range(n_per):
+            i = k * n_per + j
+            expect.append((i, f"doc {i} via {ext}"))
+            lines.append(json.dumps({"doc_id": i, "text": f"doc {i} via {ext}"}))
+        (tmp_path / f"part{k}.{ext}").write_bytes(
+            comp(("\n".join(lines) + "\n").encode()))
+    return expect
+
+
+def test_compressed_read_all_codecs(spark, tmp_path):
+    from datapump_spark.sources.jsonl import read_jsonl_compressed
+
+    expect = _write_compressed_fixture(tmp_path)
+    df = read_jsonl_compressed(spark, str(tmp_path),
+                               "doc_id bigint, text string")
+    assert sorted(tuple(r) for r in df.collect()) == sorted(expect)
+
+
+def test_compressed_keep_corrupt(spark, tmp_path):
+    import gzip
+
+    from datapump_spark.sources.jsonl import read_jsonl_compressed
+
+    (tmp_path / "p.jsonl.gz").write_bytes(gzip.compress(
+        b'{"doc_id": 1, "text": "ok"}\nnot json\n'))
+    df = read_jsonl_compressed(spark, str(tmp_path),
+                               "doc_id bigint, text string",
+                               keep_corrupt=True)
+    rows = {r.doc_id: r for r in df.collect()}
+    assert rows[1][CORRUPT_COL] is None
+    assert rows[None][CORRUPT_COL] == "not json"
+
+
+def test_compressed_refuses_unknown_binary(spark, tmp_path):
+    from datapump_spark.operators.codecs import UnsupportedMediaError
+    from datapump_spark.sources.jsonl import read_jsonl_compressed
+
+    (tmp_path / "mystery.jsonl.snap").write_bytes(b"\xff\xfe\x00\x01" * 10)
+    df = read_jsonl_compressed(spark, str(tmp_path), "doc_id bigint")
+    with pytest.raises(Exception, match="unrecognized compression magic"):
+        df.collect()
+
+
+def test_compressed_bomb_guard(spark, tmp_path):
+    import gzip
+
+    from datapump_spark.sources.jsonl import read_jsonl_compressed
+
+    (tmp_path / "bomb.jsonl.gz").write_bytes(gzip.compress(
+        b'{"doc_id": 1}\n' * 100000))
+    df = read_jsonl_compressed(spark, str(tmp_path), "doc_id bigint",
+                               max_bytes_per_file=4096)
+    with pytest.raises(Exception, match="decode cap"):
+        df.collect()
