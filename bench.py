@@ -218,6 +218,9 @@ BENCH_QUERIES = [
     # round-12: compressed-JSONL corpus scan (7 codecs, foreign
     # libzstd/liblz4/libbrotli bytes through the pure-Python decoders)
     "q_jsonl_scan",
+    # round-12: ORC at-rest format round-trip (5 compression kinds,
+    # JVM-side decode)
+    "q_orc_scan",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

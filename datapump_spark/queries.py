@@ -4527,6 +4527,66 @@ def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 EXTRA_QUERIES["q_jsonl_scan"] = q_jsonl_scan
 
 
+def scaled_events_orc(spark: SparkSession, sf_dir: str,
+                      n_rows: int = 22000) -> str:
+    """Materialize (once) the first ``n_rows`` events as FIVE ORC
+    files — fifths in none / zlib / snappy / zstd / lz4 — so one scan
+    witnesses every ORC compression kind Spark ships. Unlike the
+    Avro/XLSX twins this fixture is written BY Spark's own ORC sink
+    (the engine's at-rest alternative to parquet), so the gate
+    round-trips writer AND reader against the DuckDB re-select."""
+    import os
+    import shutil
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_orc5_{n_rows}")
+    if not out_dir.exists():
+        base = (_t(spark, sf_dir, "events")
+                .select("event_id",
+                        F.date_format("ts", "yyyy-MM-dd HH:mm:ss")
+                        .alias("ts"),
+                        "user_id", "event_type",
+                        F.round("value", 6).alias("value"))
+                .orderBy("event_id").limit(n_rows)
+                .withColumn("_rn", F.row_number().over(
+                    Window.orderBy("event_id"))))
+        base = base.cache()
+        total = base.count()
+        fifth = total // 5
+        tmp = out_dir.parent / f".events_orc.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for k, comp in enumerate(("none", "zlib", "snappy", "zstd",
+                                  "lz4")):
+            hi = (k + 1) * fifth if k < 4 else total
+            (base.where((F.col("_rn") > k * fifth)
+                        & (F.col("_rn") <= hi)).drop("_rn")
+             .coalesce(1).write.option("compression", comp)
+             .orc(str(tmp / f"w{k}")))
+            src = next((tmp / f"w{k}").glob("part-*.orc"))
+            src.rename(tmp / f"part{k}.orc")
+            shutil.rmtree(tmp / f"w{k}")
+        base.unpersist()
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir)
+
+
+def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC at-rest format gate (round 12): Spark-native columnar
+    read over five compression kinds (none/zlib/snappy/zstd/lz4, one
+    fixture fifth each — JVM-side decode, zero Python), written by
+    Spark's own ORC sink from the events slice the oracle re-selects.
+    Predicate pushdown and column pruning work on ORC exactly as on
+    parquet, so the 100 TB story carries over unchanged."""
+    return spark.read.orc(scaled_events_orc(spark, sf_dir))
+
+
+EXTRA_QUERIES["q_orc_scan"] = q_orc_scan
+
+
 # Round-10 rotation (VERDICT r9 #5): the round-9 source/extraction
 # flagships enter the driver record — all three already pass the
 # identical exact-hash DuckDB gate as EXTRA keys and were
