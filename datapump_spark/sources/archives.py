@@ -32,6 +32,11 @@ from pyspark.sql import functions as F
 MEMBER_SCHEMA = ("archive_path string, member_path string, "
                  "member_bytes binary, member_size long, mtime timestamp")
 
+# Whole-archive decompression cap for .tar.zst / .tar.lz4 (the
+# formats stdlib tarfile can't stream): bounds executor memory the
+# same way max_member_bytes bounds a single member.
+_TAR_DECODE_CAP = 1 << 30
+
 
 def _iter_zip(data: bytes, member_glob, max_bytes):
     import datetime
@@ -76,6 +81,10 @@ def _sniff_archive(data: bytes) -> str | None:
     if data[:2] == b"\x1f\x8b" or data[:3] == b"BZh" \
             or data[:6] == b"\xfd7zXZ\x00":
         return "tar"                    # compressed tar (r:* sniffs)
+    if data[:4] == b"\x28\xb5\x2f\xfd":
+        return "tar+zstd"               # .tar.zst (r12: pure-Python zstd)
+    if data[:4] == b"\x04\x22\x4d\x18":
+        return "tar+lz4"                # .tar.lz4 (r12: pure-Python lz4)
     if len(data) > 262 and data[257:262] == b"ustar":
         return "tar"
     return None
@@ -86,8 +95,9 @@ def read_archive_members(spark: SparkSession, path: str, *,
                          max_member_bytes: int | None = None,
                          on_error: str = "null") -> DataFrame:
     """One row per archive MEMBER: (archive_path, member_path,
-    member_bytes, member_size, mtime). ZIP and TAR (plain/gz/bz2/xz)
-    are sniffed per file by magic — a directory can mix both.
+    member_bytes, member_size, mtime). ZIP and TAR (plain/gz/bz2/xz
+    via stdlib; zst/lz4 via the r12 pure-Python conformance-pinned
+    decoders) are sniffed per file by magic — a directory can mix all.
     Oversized members (``max_member_bytes``) and, under
     ``on_error='null'``, unreadable archives yield rows with NULL
     member_bytes (size still reported) so accounting never silently
@@ -109,6 +119,21 @@ def read_archive_members(spark: SparkSession, path: str, *,
                         it = _iter_zip(data, member_glob, max_member_bytes)
                     elif kind == "tar":
                         it = _iter_tar(data, member_glob, max_member_bytes)
+                    elif kind == "tar+zstd":
+                        from datapump_spark.operators.zstd import decode_zstd
+
+                        it = _iter_tar(
+                            decode_zstd(data, max_output=_TAR_DECODE_CAP),
+                            member_glob, max_member_bytes)
+                    elif kind == "tar+lz4":
+                        from datapump_spark.operators.lz4 import (
+                            decode_lz4_frame,
+                        )
+
+                        it = _iter_tar(
+                            decode_lz4_frame(data,
+                                             max_output=_TAR_DECODE_CAP),
+                            member_glob, max_member_bytes)
                     else:
                         raise ValueError(
                             f"not a zip/tar archive: {path_}")

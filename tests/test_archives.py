@@ -96,3 +96,23 @@ def test_archive_text_documents_handoff(spark, tmp_path):
     again = {r["member_path"]: r["doc_id"]
              for r in archive_text_documents(spark, str(d)).collect()}
     assert {m: r["doc_id"] for m, r in by_member.items()} == again
+
+
+def test_tar_zst_and_tar_lz4(spark, tmp_path):
+    """r12: .tar.zst / .tar.lz4 shards explode like .tar.gz — the
+    pure-Python zstd/lz4 frame decoders feed stdlib tarfile. Fixtures
+    are FOREIGN reference bytes (pyarrow's bundled libzstd/liblz4)."""
+    import pyarrow as pa
+
+    d = tmp_path / "arch"
+    d.mkdir()
+    _write_tar(tmp_path / "a.tar", {"zs/one.txt": b"zstd payload"})
+    (d / "a.tar.zst").write_bytes(pa.Codec("zstd").compress(
+        (tmp_path / "a.tar").read_bytes(), asbytes=True))
+    _write_tar(tmp_path / "b.tar", {"l4/two.txt": b"lz4 payload"})
+    (d / "b.tar.lz4").write_bytes(pa.Codec("lz4").compress(
+        (tmp_path / "b.tar").read_bytes(), asbytes=True))
+    df = read_archive_members(spark, str(d))
+    rows = {r.member_path: bytes(r.member_bytes) for r in df.collect()}
+    assert rows == {"zs/one.txt": b"zstd payload",
+                    "l4/two.txt": b"lz4 payload"}
