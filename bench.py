@@ -221,6 +221,9 @@ BENCH_QUERIES = [
     # round-12: ORC at-rest format round-trip (5 compression kinds,
     # JVM-side decode)
     "q_orc_scan",
+    # round-12: 7z container walk over foreign libarchive bytes
+    # (lzma1/lzma2/zstd folders)
+    "q_7z_scan",
     "q_curriculum",
     # round-6: Bloom-pruned incremental dedup (codegen bitmap + probe)
     "q_bloom_dedup",

@@ -3653,6 +3653,19 @@ ORDER BY event_id LIMIT 22000
 """
 
 
+# q_7z_scan (r12, libarchive-authored lzma1/lzma2/zstd archives): the
+# fixture was built from this exact slice, so re-selecting it IS the
+# oracle.
+EXTRA_ORACLES["q_7z_scan"] = """
+SELECT event_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+       user_id, event_type,
+       CAST(round(value, 6) AS DOUBLE) AS value
+FROM events
+ORDER BY event_id LIMIT 23000
+"""
+
+
 # Round-10 rotation (see queries.DRIVER_PROMOTED_R10): the round-9
 # source/extraction flagships enter the driver record; the demoted
 # family twins keep the identical SQL gate in pytest +

@@ -4451,18 +4451,18 @@ EXTRA_QUERIES["q_avro_scan"] = q_avro_scan
 
 
 def scaled_events_jsonl(sf_dir: str, n_rows: int = 21000) -> str:
-    """Materialize (once) the first ``n_rows`` events as SEVEN JSONL
-    part-files — sevenths in plain text, gzip, bz2, xz (stdlib
-    reference compressors) and zstd, LZ4 frame, brotli (pyarrow's
-    bundled reference codecs — FOREIGN bytes for the three pure-Python
-    decoders) — so one scan witnesses the whole compressed-corpus
-    dispatch (sources/jsonl.py:decompress_auto)."""
+    """Materialize (once) the first ``n_rows`` events as EIGHT JSONL
+    part-files — eighths in plain text, gzip, bz2, xz, lzma-alone
+    (stdlib reference compressors) and zstd, LZ4 frame, brotli
+    (pyarrow's bundled reference codecs — FOREIGN bytes for the three
+    pure-Python decoders) — so one scan witnesses the whole
+    compressed-corpus dispatch (sources/jsonl.py:decompress_auto)."""
     import json
     import os
     import shutil
 
     out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
-               / f"events_jsonl7_{n_rows}")
+               / f"events_jsonl8_{n_rows}")
     if not out_dir.exists():
         import bz2
         import gzip
@@ -4485,6 +4485,8 @@ def scaled_events_jsonl(sf_dir: str, n_rows: int = 21000) -> str:
             ("jsonl.gz", lambda b: gzip.compress(b, mtime=0)),
             ("jsonl.bz2", bz2.compress),
             ("jsonl.xz", lzma.compress),
+            ("jsonl.lzma", lambda b: lzma.compress(
+                b, format=lzma.FORMAT_ALONE)),
             ("jsonl.zst", lambda b: pa.Codec("zstd").compress(
                 b, asbytes=True)),
             ("jsonl.lz4", lambda b: pa.Codec("lz4").compress(
@@ -4492,13 +4494,13 @@ def scaled_events_jsonl(sf_dir: str, n_rows: int = 21000) -> str:
             ("jsonl.br", lambda b: pa.Codec("brotli").compress(
                 b, asbytes=True)),
         )
-        seventh = len(lines) // 7
+        eighth = len(lines) // 8
         tmp = out_dir.parent / f".events_jsonl.{os.getpid()}.tmp"
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
         for k, (ext, comp) in enumerate(codecs):
-            hi = (k + 1) * seventh if k < 6 else len(lines)
-            chunk = "\n".join(lines[k * seventh:hi]) + "\n"
+            hi = (k + 1) * eighth if k < 7 else len(lines)
+            chunk = "\n".join(lines[k * eighth:hi]) + "\n"
             (tmp / f"part{k}.{ext}").write_bytes(comp(chunk.encode()))
         try:
             tmp.rename(out_dir)
@@ -4509,13 +4511,13 @@ def scaled_events_jsonl(sf_dir: str, n_rows: int = 21000) -> str:
 
 def q_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compressed-JSONL corpus read gate (sources/jsonl.py, round 12):
-    per-file magic dispatch over plain / gzip / bz2 / xz / zstd / LZ4
-    frame / brotli — the last three decoded by the conformance-pinned
-    pure-Python codecs FROM FOREIGN REFERENCE BYTES (pyarrow's bundled
-    libzstd / liblz4 / libbrotli compressed the fixture) — Arrow-batched
-    decode, then JVM-side from_json with an explicit schema (no
-    inference pass). Decoded rows must reproduce EXACTLY the events
-    slice the oracle re-selects."""
+    per-file magic dispatch over plain / gzip / bz2 / xz / lzma-alone
+    / zstd / LZ4 frame / brotli — zstd, lz4 and brotli decoded by the
+    conformance-pinned pure-Python codecs FROM FOREIGN REFERENCE BYTES
+    (pyarrow's bundled libzstd / liblz4 / libbrotli compressed the
+    fixture) — Arrow-batched decode, then JVM-side from_json with an
+    explicit schema (no inference pass). Decoded rows must reproduce
+    EXACTLY the events slice the oracle re-selects."""
     from datapump_spark.sources.jsonl import read_jsonl_compressed
 
     return read_jsonl_compressed(
@@ -4585,6 +4587,85 @@ def q_orc_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EXTRA_QUERIES["q_orc_scan"] = q_orc_scan
+
+
+def scaled_events_7z(sf_dir: str, n_rows: int = 23000) -> str:
+    """Materialize (once) the first ``n_rows`` events as THREE 7z
+    archives — thirds compressed lzma1 / lzma2 / zstd, each holding
+    two JSONL members — authored by libarchive (``bsdtar --format
+    7zip``), i.e. FOREIGN reference bytes for the pure-Python 7z
+    container walk (sources/sevenzip.py)."""
+    import json
+    import os
+    import shutil
+    import subprocess
+
+    out_dir = (REPO_ROOT / ".csvcache" / Path(sf_dir).name
+               / f"events_7z3_{n_rows}")
+    if not out_dir.exists():
+        bsdtar = shutil.which("bsdtar")
+        if bsdtar is None:
+            raise RuntimeError("bsdtar (libarchive) required to author "
+                               "the 7z fixture")
+        import duckdb
+
+        rows = duckdb.sql(
+            f"""SELECT event_id,
+                       strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts,
+                       user_id, event_type, round(value, 6) AS value
+                FROM '{sf_dir}/events.parquet'
+                ORDER BY event_id LIMIT {n_rows}""").fetchall()
+        lines = [json.dumps(dict(zip(
+            ("event_id", "ts", "user_id", "event_type", "value"), r)),
+            separators=(",", ":")) for r in rows]
+        sixth = len(lines) // 6
+        tmp = out_dir.parent / f".events_7z.{os.getpid()}.tmp"
+        shutil.rmtree(tmp, ignore_errors=True)
+        tmp.mkdir(parents=True)
+        for k, comp in enumerate(("lzma1", "lzma2", "zstd")):
+            src = tmp / f"src{k}"
+            src.mkdir()
+            for j in range(2):
+                m = 2 * k + j
+                hi = (m + 1) * sixth if m < 5 else len(lines)
+                (src / f"part{j}.jsonl").write_text(
+                    "\n".join(lines[m * sixth:hi]) + "\n")
+            subprocess.run(
+                [bsdtar, "-cf", str(tmp / f"arch{k}.7z"), "--format",
+                 "7zip", "--options", f"7zip:compression={comp}",
+                 "-C", str(src), "part0.jsonl", "part1.jsonl"],
+                check=True,
+                env={**os.environ, "LANG": "C.UTF-8",
+                     "LC_ALL": "C.UTF-8"})
+            shutil.rmtree(src)
+        try:
+            tmp.rename(out_dir)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)
+    return str(out_dir)
+
+
+def q_7z_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7z corpus read gate (sources/sevenzip.py, round 12): libarchive-
+    authored archives (lzma1 / lzma2 / zstd folders — foreign bytes
+    for the container walk AND the codec chain) explode through the
+    Arrow archive kernel, then the member JSONL parses JVM-side
+    (decode → split → from_json, zero per-row Python). Decoded rows
+    must reproduce EXACTLY the events slice the oracle re-selects."""
+    from datapump_spark.sources.archives import read_archive_members
+
+    members = read_archive_members(
+        spark, scaled_events_7z(sf_dir), member_glob="*.jsonl",
+        on_error="raise")
+    lines = members.select(F.explode(F.split(
+        F.decode("member_bytes", "UTF-8"), "\n")).alias("value"))
+    lines = lines.where(F.length(F.trim("value")) > 0)
+    st = ("event_id long, ts string, user_id long, event_type string, "
+          "value double")
+    return lines.select(F.from_json("value", st).alias("_r")).select("_r.*")
+
+
+EXTRA_QUERIES["q_7z_scan"] = q_7z_scan
 
 
 # Round-10 rotation (VERDICT r9 #5): the round-9 source/extraction

@@ -53,9 +53,10 @@ def _cap_decompress(obj, payload: bytes, cap: int, label: str) -> bytes:
 def decompress_auto(name: str, payload: bytes,
                     max_bytes: int = 1 << 28) -> bytes:
     """Decompress one corpus file by magic (gzip multi-member, bz2, xz
-    via stdlib; zstd / LZ4 frame / brotli via the pure-Python
-    conformance-pinned decoders), ``.br`` by extension, plain text
-    passthrough. UnsupportedMediaError on unrecognized binary."""
+    via stdlib; zstd / LZ4 frame / brotli / Unix compress .Z via the
+    pure-Python conformance-pinned decoders), ``.br`` / ``.lzma`` by
+    extension, plain text passthrough. UnsupportedMediaError on
+    unrecognized binary."""
     from datapump_spark.operators.codecs import UnsupportedMediaError
 
     if payload[:2] == _GZIP_MAGIC:
@@ -88,10 +89,20 @@ def decompress_auto(name: str, payload: bytes,
         from datapump_spark.operators.lz4 import decode_lz4_frame
 
         return decode_lz4_frame(payload, max_output=max_bytes)
+    if payload[:2] == b"\x1f\x9d":
+        from datapump_spark.operators.lzw import decode_z
+
+        return decode_z(payload, max_output=max_bytes)
     if name.endswith(".br"):
         from datapump_spark.operators.brotli import decode_brotli
 
         return decode_brotli(payload, max_output=max_bytes)
+    if name.endswith(".lzma"):
+        import lzma
+
+        return _cap_decompress(
+            lzma.LZMADecompressor(format=lzma.FORMAT_ALONE), payload,
+            max_bytes, "lzma")
     head = payload[:256]
     try:
         head.decode("utf-8")
@@ -111,7 +122,8 @@ def read_jsonl_compressed(
 ) -> DataFrame:
     """Scan JSONL in any per-file compression Spark's own line reader
     can't split or (locally) decode: ``.jsonl{,.gz,.bz2,.xz,.zst,.lz4,
-    .br}``, dispatched per file on magic bytes so mixed directories —
+    .br,.Z,.lzma}``, dispatched per file on magic bytes so mixed
+    directories —
     the normal state of a long-lived corpus — need one scan.
 
     Scale notes:
@@ -132,12 +144,29 @@ def read_jsonl_compressed(
     """
     import pandas as pd
 
-    st = (spark.createDataFrame([], schema).schema
-          if isinstance(schema, str) else schema)
     reader = spark.read.format("binaryFile")
     if glob:
         reader = reader.option("pathGlobFilter", glob)
-    files = reader.load(path).select("path", "content")
+    return decode_jsonl_files(reader.load(path), schema,
+                              max_bytes_per_file=max_bytes_per_file,
+                              keep_corrupt=keep_corrupt)
+
+
+def decode_jsonl_files(
+    files: DataFrame,
+    schema: StructType | str,
+    max_bytes_per_file: int = 1 << 28,
+    keep_corrupt: bool = False,
+) -> DataFrame:
+    """The decode stage of :func:`read_jsonl_compressed`, factored so
+    STREAMING binaryFile sources reuse it (stateless Arrow kernel +
+    from_json — safe inside a micro-batch plan). ``files`` needs
+    ``path`` and ``content`` columns."""
+    import pandas as pd
+
+    spark = files.sparkSession
+    st = (spark.createDataFrame([], schema).schema
+          if isinstance(schema, str) else schema)
 
     def kernel(batches):
         for pdf in batches:
@@ -148,7 +177,8 @@ def read_jsonl_compressed(
                 lines = [ln for ln in text.split("\n") if ln.strip()]
                 yield pd.DataFrame({"value": pd.Series(lines, dtype=object)})
 
-    lines = files.mapInPandas(kernel, "value string")
+    lines = files.select("path", "content").mapInPandas(
+        kernel, "value string")
     parse_st = StructType(
         list(st.fields) + [StructField(CORRUPT_COL, StringType())])
     parsed = lines.select(F.from_json(

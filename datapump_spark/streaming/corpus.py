@@ -65,7 +65,9 @@ class StreamingCorpusIngest:
     # no-false-negative guarantee). Worth it when batches are mostly
     # novel — the common pretraining-ingest shape.
     use_bloom: bool = False
-    # Input format of the drop-box: 'jsonl' (DOC_SCHEMA files) or 'wet'
+    # Input format of the drop-box: 'jsonl' (DOC_SCHEMA files),
+    # 'jsonl-compressed' (r12: the same files in any per-file
+    # compression the corpus dispatch decodes) or 'wet'
     # (Common Crawl WET archives via sources/warc.read_wet_stream — the
     # codegen record split; doc_id is the 63-bit hash of the target URI,
     # source its host, so one crawl shard drop feeds the same gates).
@@ -257,9 +259,26 @@ class StreamingCorpusIngest:
                 reader = reader.option("maxFilesPerTrigger",
                                        self.max_files_per_trigger)
             stream_df = reader.json(self.input_dir)
+        elif self.input_format == "jsonl-compressed":
+            # r12: drop-boxes full of .jsonl.{gz,bz2,xz,lzma,zst,lz4,
+            # br,Z} — binaryFile stream through the same per-file magic
+            # dispatch as the batch reader (sources/jsonl.py); the
+            # decode kernel is stateless, so micro-batch replay
+            # semantics are unchanged.
+            from datapump_spark.sources.jsonl import decode_jsonl_files
+
+            reader = self.spark.readStream.format("binaryFile").schema(
+                "path string, modificationTime timestamp, "
+                "length long, content binary")
+            if self.max_files_per_trigger:
+                reader = reader.option("maxFilesPerTrigger",
+                                       self.max_files_per_trigger)
+            stream_df = decode_jsonl_files(
+                reader.load(self.input_dir), DOC_SCHEMA)
         else:
-            raise ValueError(
-                f"input_format must be 'jsonl' or 'wet': {self.input_format!r}")
+            raise ValueError("input_format must be 'jsonl', "
+                             f"'jsonl-compressed' or 'wet': "
+                             f"{self.input_format!r}")
         return (stream_df.writeStream
                 .foreachBatch(self._handle_batch)
                 .option("checkpointLocation", str(checkpoint_dir)))

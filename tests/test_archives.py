@@ -116,3 +116,29 @@ def test_tar_zst_and_tar_lz4(spark, tmp_path):
     rows = {r.member_path: bytes(r.member_bytes) for r in df.collect()}
     assert rows == {"zs/one.txt": b"zstd payload",
                     "l4/two.txt": b"lz4 payload"}
+
+
+def test_tar_z_and_tar_lzma(spark, tmp_path):
+    """r12: legacy .tar.Z (foreign bsdtar/libarchive compress bytes
+    through the pure-Python LZW decoder) and .tar.lzma (stdlib
+    LZMA_ALONE, extension-dispatched) explode like any tar."""
+    import lzma
+    import shutil
+    import subprocess
+
+    bsdtar = shutil.which("bsdtar")
+    d = tmp_path / "arch"
+    d.mkdir()
+    if bsdtar:
+        (tmp_path / "one.txt").write_bytes(b"compress payload")
+        subprocess.run(
+            [bsdtar, "-cZf", str(d / "a.tar.Z"), "-C", str(tmp_path),
+             "one.txt"], check=True)
+    _write_tar(tmp_path / "b.tar", {"lz/two.txt": b"lzma payload"})
+    (d / "b.tar.lzma").write_bytes(lzma.compress(
+        (tmp_path / "b.tar").read_bytes(), format=lzma.FORMAT_ALONE))
+    df = read_archive_members(spark, str(d))
+    rows = {r.member_path: bytes(r.member_bytes) for r in df.collect()}
+    assert rows["lz/two.txt"] == b"lzma payload"
+    if bsdtar:
+        assert rows["one.txt"] == b"compress payload"

@@ -83,6 +83,8 @@ def _write_compressed_fixture(tmp_path, n_per=6):
         ("jsonl.gz", gzip.compress),
         ("jsonl.bz2", bz2.compress),
         ("jsonl.xz", lzma.compress),
+        ("jsonl.lzma", lambda b: lzma.compress(
+            b, format=lzma.FORMAT_ALONE)),
         ("jsonl.zst", lambda b: pa.Codec("zstd").compress(b, asbytes=True)),
         ("jsonl.lz4", lambda b: pa.Codec("lz4").compress(b, asbytes=True)),
         ("jsonl.br", lambda b: pa.Codec("brotli").compress(b, asbytes=True)),

@@ -301,3 +301,40 @@ def test_duplicate_doc_id_within_batch_collapses(spark, tmp_path):
         by_id[r["doc_id"]] = r["text"]
     assert set(by_id) == {1, 2}
     assert by_id[1].endswith("version zzz")
+
+
+def test_compressed_jsonl_dropbox(spark, tmp_path):
+    """r12: a drop-box of per-file-compressed JSONL shards
+    (.jsonl.zst / .jsonl.gz — foreign libzstd bytes through the
+    pure-Python decoder) streams through the same quality and
+    cross-batch dedup gates as plain JSONL."""
+    import gzip
+
+    import pyarrow as pa
+
+    inp = tmp_path / "drop"
+    inp.mkdir()
+
+    def _lines(rows):
+        return ("\n".join(json.dumps(r) for r in rows) + "\n").encode()
+
+    p0 = inp / "b0.jsonl.zst"
+    p0.write_bytes(pa.Codec("zstd").compress(_lines(
+        [_doc(1), _doc(2)]), asbytes=True))
+    os.utime(p0, (1_000_000_000, 1_000_000_000))
+    p1 = inp / "b1.jsonl.gz"
+    # doc 11 duplicates doc 1's text under a new id; doc 12 is fresh
+    p1.write_bytes(gzip.compress(_lines(
+        [_doc(11, f"{GOOD} extra1"), _doc(12)])))
+    os.utime(p1, (1_000_001_000, 1_000_001_000))
+
+    ingest = StreamingCorpusIngest(spark, str(inp), str(tmp_path / "out"),
+                                   input_format="jsonl-compressed")
+    ingest.drain(tmp_path / "cp")
+
+    corpus = spark.read.parquet(ingest.corpus_dir)
+    assert sorted(r["doc_id"] for r in corpus.collect()) == [1, 2, 12]
+    audit = {r["__batch_id"]: r for r in
+             spark.read.parquet(ingest.audit_dir).collect()}
+    assert audit[0]["n_admitted"] == 2
+    assert audit[1]["n_dup"] == 1 and audit[1]["n_admitted"] == 1
