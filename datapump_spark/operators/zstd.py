@@ -9,8 +9,12 @@ Surface:
   raw / RLE / Huffman-compressed / treeless (1 and 4 streams; weights
   direct 4-bit or FSE-compressed); sequences with predefined, RLE,
   FSE-coded and repeat table modes; the three repeat offsets with the
-  literals-length-0 rotation; cross-block match windows. Dictionaries
-  (nonzero Dictionary_ID) are refused honestly.
+  literals-length-0 rotation; cross-block match windows. Trained
+  dictionaries decode too (r12: :func:`parse_zstd_dict` + the
+  ``dicts`` parameter — §5 entropy-table/rep-offset init and a
+  content-seeded window, conformance-pinned against ``zstd --train``
+  / ``zstd -D`` reference bytes); a frame whose dictionary is NOT
+  provided is refused honestly.
 - :func:`encode_zstd` — frame writer twin emitting RAW blocks (a valid
   conforming frame per RFC 8878 §3.1.1.2.2) with frame content size
   and an xxh64 content checksum; used by the Avro writer twin and any
@@ -608,13 +612,29 @@ def _execute(out: bytearray, lits: bytes, seqs, reps: list[int]) -> None:
 
 
 def decode_zstd(b: bytes, verify_checksum: bool = True,
-                max_output: int | None = None) -> bytes:
+                max_output: int | None = None,
+                dicts: dict[int, bytes] | None = None) -> bytes:
     """Decode a (possibly multi-frame) Zstandard payload. Skippable
-    frames are skipped; nonzero Dictionary_IDs raise
-    UnsupportedMediaError (no dictionary surface — honest seam).
+    frames are skipped. ``dicts`` maps Dictionary_ID -> raw dictionary
+    bytes (structured per RFC 8878 §5, as ``zstd --train`` emits, or a
+    raw content prefix); key 0 is the fallback for any ID. A frame
+    declaring a dictionary that ``dicts`` doesn't provide raises
+    UnsupportedMediaError (the honest seam — silent wrong output is
+    impossible, matches start failing immediately anyway).
     ``max_output`` is the decompression-bomb guard (checked per
     block, the lz4/brotli pattern): exceeding it raises
     UnsupportedMediaError before the payload fully materializes."""
+    parsed_dicts: dict[int, dict] = {}
+
+    def _dict_for(did: int):
+        raw = (dicts or {}).get(did, (dicts or {}).get(0))
+        if raw is None:
+            raise UnsupportedMediaError(
+                f"zstd dictionary {did} required but not provided")
+        if did not in parsed_dicts:
+            parsed_dicts[did] = parse_zstd_dict(raw)
+        return parsed_dicts[did]
+
     out_all = bytearray()
     i = 0
     while i < len(b):
@@ -638,12 +658,12 @@ def decode_zstd(b: bytes, verify_checksum: bool = True,
         did_size = (0, 1, 2, 4)[fhd & 3]
         if not single:
             i += 1                               # window descriptor
+        frame_dict = None
         if did_size:
             did = int.from_bytes(b[i:i + did_size], "little")
             i += did_size
             if did != 0:
-                raise UnsupportedMediaError(
-                    f"zstd dictionary {did} unsupported")
+                frame_dict = _dict_for(did)
         fcs = None
         fcs_bytes = (1 if single else 0, 2, 4, 8)[fcs_code]
         if fcs_bytes:
@@ -651,10 +671,19 @@ def decode_zstd(b: bytes, verify_checksum: bool = True,
             if fcs_bytes == 2:
                 fcs += 256
             i += fcs_bytes
-        out = bytearray()
-        reps = [1, 4, 8]
-        huff = None
-        tstate: dict = {}
+        if frame_dict is None:
+            out = bytearray()
+            reps = [1, 4, 8]
+            huff = None
+            tstate: dict = {}
+        else:
+            # Seed the match window with the dictionary content and
+            # start from its entropy tables / repeat offsets (§5).
+            out = bytearray(frame_dict["content"])
+            reps = list(frame_dict["reps"])
+            huff = frame_dict["huff"]
+            tstate = dict(frame_dict["tables"])
+        base = len(out)
         while True:
             if len(b) - i < 3:
                 raise ValueError("truncated block header")
@@ -685,21 +714,57 @@ def decode_zstd(b: bytes, verify_checksum: bool = True,
             else:
                 raise ValueError("reserved block type")
             if (max_output is not None
-                    and len(out_all) + len(out) > max_output):
+                    and len(out_all) + len(out) - base > max_output):
                 raise UnsupportedMediaError(
                     "zstd: output exceeds decode cap")
             if last:
                 break
-        if fcs is not None and len(out) != fcs:
+        if fcs is not None and len(out) - base != fcs:
             raise ValueError(
-                f"frame content size {fcs} != decoded {len(out)}")
+                f"frame content size {fcs} != decoded {len(out) - base}")
         if has_checksum:
             want = int.from_bytes(b[i:i + 4], "little")
             i += 4
-            if verify_checksum and (xxh64(bytes(out)) & 0xFFFFFFFF) != want:
+            if verify_checksum and (xxh64(bytes(out[base:]))
+                                    & 0xFFFFFFFF) != want:
                 raise ValueError("zstd content checksum mismatch")
-        out_all += out
+        out_all += out[base:]
     return bytes(out_all)
+
+
+_DICT_MAGIC = 0xEC30A437
+
+
+def parse_zstd_dict(data: bytes) -> dict:
+    """Parse an RFC 8878 §5 dictionary (``zstd --train`` output):
+    magic, Dictionary_ID, entropy tables (Huffman literals table, then
+    FSE tables for offsets / match lengths / literal lengths), the
+    three starting repeat offsets, and the content prefix. A blob
+    without the magic is a raw content-only dictionary (libzstd
+    semantics): default entropy, content = the whole blob."""
+    if int.from_bytes(data[:4], "little") != _DICT_MAGIC:
+        return {"dict_id": 0, "huff": None, "tables": {},
+                "reps": [1, 4, 8], "content": data}
+    did = int.from_bytes(data[4:8], "little")
+    at = 8
+    table, max_bits, used = _read_huffman(data[at:])
+    at += used
+    tables = {}
+    for kind in ("of", "ml", "ll"):
+        fb = _FBits(data[at:])
+        counts, al = _read_fse_dist(fb, _MAX_SYM[kind], _MAX_LOG[kind])
+        tables[kind] = (_build_fse_table(counts, al), al)
+        at += (fb.pos + 7) >> 3
+    reps = [int.from_bytes(data[at + 4 * k:at + 4 * k + 4], "little")
+            for k in range(3)]
+    at += 12
+    content = data[at:]
+    for r in reps:
+        if r == 0 or r > len(content):
+            raise UnsupportedMediaError(
+                "zstd dictionary: repeat offset outside content")
+    return {"dict_id": did, "huff": (table, max_bits), "tables": tables,
+            "reps": reps, "content": content}
 
 
 # ---------------------------------------------------------------------------

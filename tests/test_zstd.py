@@ -206,3 +206,56 @@ def test_zlib_crc_unused_guard():
     assert zlib.crc32(b"") == 0                   # import used
     fr = encode_zstd(b"payload")
     assert decode_zstd(fr) == b"payload"
+
+
+# ---------------------------------------------------------------------------
+# Dictionary support (r12 continuation): trained dicts, RFC 8878 §5
+# ---------------------------------------------------------------------------
+
+_ZSTD_CLI = __import__("shutil").which("zstd")
+
+
+@pytest.mark.skipif(_ZSTD_CLI is None, reason="zstd CLI not present")
+def test_trained_dictionary_conformance(tmp_path):
+    """Train a REAL dictionary with the reference zstd CLI, compress
+    foreign samples with -D at several levels, decode with the parsed
+    dictionary: the full §5 path (entropy-table init, repeat offsets,
+    content-seeded match window) against reference bytes."""
+    import random
+    import subprocess
+
+    from datapump_spark.operators.zstd import parse_zstd_dict
+
+    rnd = random.Random(7)
+    words = ["the", "quick", "brown", "fox", "spark", "engine",
+             "corpus", "tokens", "shuffle", "partition", "broadcast"]
+    samples = tmp_path / "samples"
+    samples.mkdir()
+    texts = {}
+    for i in range(200):
+        t = (" ".join(rnd.choice(words) for _ in range(150))
+             + f" doc{i}").encode()
+        (samples / f"s{i}.txt").write_bytes(t)
+        texts[i] = t
+    dict_path = tmp_path / "dict.bin"
+    subprocess.run([_ZSTD_CLI, "--train", *map(str, samples.iterdir()),
+                    "-o", str(dict_path)], check=True,
+                   capture_output=True)
+    d = dict_path.read_bytes()
+    info = parse_zstd_dict(d)
+    assert info["dict_id"] != 0 and len(info["content"]) > 1000
+    dicts = {info["dict_id"]: d}
+    for i, lv in ((0, 3), (17, 1), (42, 19), (99, 3)):
+        z = tmp_path / f"s{i}.zst"
+        subprocess.run([_ZSTD_CLI, "-q", f"-{lv}", "-D", str(dict_path),
+                        str(samples / f"s{i}.txt"), "-o", str(z)],
+                       check=True)
+        assert decode_zstd(z.read_bytes(), dicts=dicts) == texts[i]
+    # honest refusal without the dictionary
+    z0 = (tmp_path / "s0.zst").read_bytes()
+    with pytest.raises(UnsupportedMediaError, match="dictionary"):
+        decode_zstd(z0)
+    # raw content blob (no magic) parses as a content-only dictionary
+    raw = parse_zstd_dict(b"just a prefix window")
+    assert raw["dict_id"] == 0 and raw["huff"] is None
+    assert raw["content"] == b"just a prefix window"
