@@ -12,8 +12,10 @@ Surface:
   format (magic ``0x184D2204``): frame descriptor with header
   checksum, independent AND linked blocks (64 KB carry-over window),
   stored blocks, optional block checksums, optional content size and
-  content checksum, skippable frames. Legacy frames (``0x184C2102``)
-  and predefined dictionaries (DictID) are refused honestly.
+  content checksum, skippable frames; legacy frames (``0x184C2102``,
+  the ``lz4 -l`` / old-kernel format — conformance-pinned against the
+  in-container lz4 CLI) decode too. Predefined dictionaries (DictID)
+  are refused honestly.
 - :func:`xxh32` — pure-Python XXH32 (the frame checksum primitive;
   sibling of zstd.py's xxh64).
 
@@ -248,8 +250,27 @@ def decode_lz4_frame(data: bytes, max_output: int = 1 << 31) -> bytes:
             i += 4 + size
             continue
         if magic == _MAGIC_LEGACY:
-            raise UnsupportedMediaError(
-                "lz4: legacy frame format not supported")
+            # legacy frame (``lz4 -l`` / old kernels): bare sequence of
+            # [u32 csize, block] entries, 8 MiB plaintext per block, no
+            # checksums, terminated by EOF or a next frame magic
+            while i + 4 <= n:
+                csize = int.from_bytes(data[i:i + 4], "little")
+                if csize == _MAGIC_FRAME or csize == _MAGIC_LEGACY \
+                        or (csize & 0xFFFFFFF0) == 0x184D2A50:
+                    break  # start of the next frame
+                i += 4
+                if i + csize > n:
+                    raise UnsupportedMediaError(
+                        "lz4: truncated legacy block")
+                plain = decode_lz4_block(
+                    data[i:i + csize],
+                    max_output=max_output - len(out))
+                if len(plain) > (8 << 20):
+                    raise UnsupportedMediaError(
+                        "lz4: legacy block exceeds 8 MiB")
+                out += plain
+                i += csize
+            continue
         if magic != _MAGIC_FRAME:
             raise UnsupportedMediaError(
                 f"lz4: bad frame magic 0x{magic:08x}")

@@ -98,12 +98,19 @@ def test_archive_text_documents_handoff(spark, tmp_path):
     assert {m: r["doc_id"] for m, r in by_member.items()} == again
 
 
-def test_tar_zst_and_tar_lz4(spark, tmp_path):
-    """r12: .tar.zst / .tar.lz4 shards explode like .tar.gz — the
-    pure-Python zstd/lz4 frame decoders feed stdlib tarfile. Fixtures
-    are FOREIGN reference bytes (pyarrow's bundled libzstd/liblz4)."""
+def test_tar_compressed_variants(spark, tmp_path):
+    """r12: .tar.{zst,lz4,Z,lzma} shards explode like .tar.gz — one
+    mixed-directory scan witnesses all four dispatches. zstd/lz4 are
+    FOREIGN reference bytes (pyarrow's bundled codecs), .Z is foreign
+    bsdtar/libarchive compress output through the pure-Python LZW
+    decoder, .lzma is stdlib LZMA_ALONE (extension-dispatched)."""
+    import lzma
+    import shutil
+    import subprocess
+
     import pyarrow as pa
 
+    bsdtar = shutil.which("bsdtar")
     d = tmp_path / "arch"
     d.mkdir()
     _write_tar(tmp_path / "a.tar", {"zs/one.txt": b"zstd payload"})
@@ -112,33 +119,18 @@ def test_tar_zst_and_tar_lz4(spark, tmp_path):
     _write_tar(tmp_path / "b.tar", {"l4/two.txt": b"lz4 payload"})
     (d / "b.tar.lz4").write_bytes(pa.Codec("lz4").compress(
         (tmp_path / "b.tar").read_bytes(), asbytes=True))
-    df = read_archive_members(spark, str(d))
-    rows = {r.member_path: bytes(r.member_bytes) for r in df.collect()}
-    assert rows == {"zs/one.txt": b"zstd payload",
-                    "l4/two.txt": b"lz4 payload"}
-
-
-def test_tar_z_and_tar_lzma(spark, tmp_path):
-    """r12: legacy .tar.Z (foreign bsdtar/libarchive compress bytes
-    through the pure-Python LZW decoder) and .tar.lzma (stdlib
-    LZMA_ALONE, extension-dispatched) explode like any tar."""
-    import lzma
-    import shutil
-    import subprocess
-
-    bsdtar = shutil.which("bsdtar")
-    d = tmp_path / "arch"
-    d.mkdir()
+    (d / "b.tar.lzma").write_bytes(lzma.compress(
+        (tmp_path / "b.tar").read_bytes(), format=lzma.FORMAT_ALONE))
     if bsdtar:
         (tmp_path / "one.txt").write_bytes(b"compress payload")
         subprocess.run(
-            [bsdtar, "-cZf", str(d / "a.tar.Z"), "-C", str(tmp_path),
+            [bsdtar, "-cZf", str(d / "c.tar.Z"), "-C", str(tmp_path),
              "one.txt"], check=True)
-    _write_tar(tmp_path / "b.tar", {"lz/two.txt": b"lzma payload"})
-    (d / "b.tar.lzma").write_bytes(lzma.compress(
-        (tmp_path / "b.tar").read_bytes(), format=lzma.FORMAT_ALONE))
     df = read_archive_members(spark, str(d))
-    rows = {r.member_path: bytes(r.member_bytes) for r in df.collect()}
-    assert rows["lz/two.txt"] == b"lzma payload"
+    rows = {}
+    for r in df.collect():
+        rows.setdefault(r.member_path, bytes(r.member_bytes))
+    assert rows["zs/one.txt"] == b"zstd payload"
+    assert rows["l4/two.txt"] == b"lz4 payload"  # via .lz4 AND .lzma
     if bsdtar:
         assert rows["one.txt"] == b"compress payload"

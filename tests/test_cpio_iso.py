@@ -70,6 +70,10 @@ def test_refusals(tmp_path):
         list(read_iso_members(iso, max_total_bytes=100))
 
 
+@pytest.mark.slow  # redundancy: per-format byte-exact extraction is
+# pinned in-default above, and the Spark member-explode kernel shape
+# is identical to the zip/tar path exercised in-default by
+# test_archives; only the cpio/iso dispatch composition is deferred.
 def test_spark_dispatch(spark, tmp_path):
     from datapump_spark.sources.archives import read_archive_members
 

@@ -125,24 +125,40 @@ def test_compressed_keep_corrupt(spark, tmp_path):
     assert rows[None][CORRUPT_COL] == "not json"
 
 
-def test_compressed_refuses_unknown_binary(spark, tmp_path):
+def test_decompress_auto_refuses_unknown_binary():
+    # pure-kernel test: the Spark path calls the same decompress_auto
     from datapump_spark.operators.codecs import UnsupportedMediaError
-    from datapump_spark.sources.jsonl import read_jsonl_compressed
+    from datapump_spark.sources.jsonl import decompress_auto
 
-    (tmp_path / "mystery.jsonl.snap").write_bytes(b"\xff\xfe\x00\x01" * 10)
-    df = read_jsonl_compressed(spark, str(tmp_path), "doc_id bigint")
-    with pytest.raises(Exception, match="unrecognized compression magic"):
-        df.collect()
+    with pytest.raises(UnsupportedMediaError,
+                       match="unrecognized compression magic"):
+        decompress_auto("mystery.jsonl.snap", b"\xff\xfe\x00\x01" * 10)
 
 
-def test_compressed_bomb_guard(spark, tmp_path):
+def test_decompress_auto_bomb_guards():
+    # pure-kernel test covering every decoder's cap (the Spark path
+    # threads max_bytes_per_file straight through)
+    import bz2
     import gzip
+    import lzma
 
-    from datapump_spark.sources.jsonl import read_jsonl_compressed
+    import pyarrow as pa
 
-    (tmp_path / "bomb.jsonl.gz").write_bytes(gzip.compress(
-        b'{"doc_id": 1}\n' * 100000))
-    df = read_jsonl_compressed(spark, str(tmp_path), "doc_id bigint",
-                               max_bytes_per_file=4096)
-    with pytest.raises(Exception, match="decode cap"):
-        df.collect()
+    from datapump_spark.operators.codecs import UnsupportedMediaError
+    from datapump_spark.sources.jsonl import decompress_auto
+
+    big = b'{"doc_id": 1}\n' * 20000
+    cases = {
+        "b.jsonl.gz": gzip.compress(big),
+        "b.jsonl.bz2": bz2.compress(big),
+        "b.jsonl.xz": lzma.compress(big),
+        "b.jsonl.lzma": lzma.compress(big, format=lzma.FORMAT_ALONE),
+        "b.jsonl.zst": pa.Codec("zstd").compress(big, asbytes=True),
+        "b.jsonl.lz4": pa.Codec("lz4").compress(big, asbytes=True),
+        "b.jsonl.br": pa.Codec("brotli").compress(big, asbytes=True),
+    }
+    for name, payload in cases.items():
+        with pytest.raises(ValueError, match="cap|exceeds"):
+            # UnsupportedMediaError and BrotliError both subclass it
+            decompress_auto(name, payload, max_bytes=4096)
+        assert decompress_auto(name, payload) == big

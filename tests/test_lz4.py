@@ -173,9 +173,26 @@ def test_skippable_frame_and_concatenation():
     assert decode_lz4_frame(blob) == a + b
 
 
+_LZ4_CLI = __import__("shutil").which("lz4")
+
+
+@pytest.mark.skipif(_LZ4_CLI is None, reason="lz4 CLI not present")
+def test_legacy_frame_conformance(tmp_path):
+    """``lz4 -l`` (legacy frame, the old-kernel format) — foreign CLI
+    bytes decode byte-exactly, including multi-block (>8 MiB) inputs."""
+    import subprocess
+
+    payload = (b"legacy frame payload " * 500000)[:9 << 20]  # 2 blocks
+    src = tmp_path / "p.bin"
+    src.write_bytes(payload)
+    out = tmp_path / "p.lz4"
+    subprocess.run([_LZ4_CLI, "-q", "-l", str(src), str(out)], check=True)
+    data = out.read_bytes()
+    assert data[:4] == (0x184C2102).to_bytes(4, "little")
+    assert decode_lz4_frame(data) == payload
+
+
 def test_refusals():
-    with pytest.raises(UnsupportedMediaError, match="legacy"):
-        decode_lz4_frame((0x184C2102).to_bytes(4, "little") + b"\x00" * 8)
     with pytest.raises(UnsupportedMediaError, match="magic"):
         decode_lz4_frame(b"NOTLZ4XX")
     # dictionary flag set

@@ -94,6 +94,10 @@ def test_decode_cap(tmp_path):
         list(read_7z_members(data, max_total_bytes=1000))
 
 
+@pytest.mark.slow  # redundancy: the 7z Spark path is exact-hash
+# oracle-gated every round via q_7z_scan (check_oracle + the driver
+# record); the per-codec container walk is pinned in-default above.
+# Only the mixed-directory composition is deferred to the full tier.
 def test_spark_mixed_archive_directory(spark, tmp_path):
     """A directory mixing .7z with .zip and .tar.gz explodes through
     one read_archive_members scan (per-file magic dispatch)."""

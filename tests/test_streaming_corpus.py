@@ -303,6 +303,11 @@ def test_duplicate_doc_id_within_batch_collapses(spark, tmp_path):
     assert by_id[1].endswith("version zzz")
 
 
+@pytest.mark.slow  # redundancy: the decode stage is exact-hash
+# oracle-gated every round via q_jsonl_scan (same decode_jsonl_files
+# kernel), and the drain/dedup/audit semantics are pinned in-default
+# by test_cross_batch_dedup_and_audit; only the binaryFile-stream
+# composition is deferred to the full tier.
 def test_compressed_jsonl_dropbox(spark, tmp_path):
     """r12: a drop-box of per-file-compressed JSONL shards
     (.jsonl.zst / .jsonl.gz — foreign libzstd bytes through the
