@@ -297,6 +297,14 @@ def _warm_python_workers(spark) -> None:
         from datapump_spark.operators.brotli import (decode_brotli,
                                                      encode_brotli)
         decode_brotli(encode_brotli(b"warm"))
+        # r12 continuation: the compressed-JSONL / 7z / archive gates'
+        # decode modules (zstd already imports via avro paths)
+        from datapump_spark.operators.lz4 import (decode_lz4_frame,
+                                                  encode_lz4_frame)
+        from datapump_spark.operators import lzw, zstd  # noqa
+        from datapump_spark.sources import cpio_iso, sevenzip  # noqa
+
+        decode_lz4_frame(encode_lz4_frame(b"warm"))
         for pdf in batches:
             yield pdf
 

@@ -23,9 +23,11 @@ Scope (documented, asserted): PNG all spec bit depths (1/2/4-bit
 gray+palette unpack and scale, 8-bit native, 16-bit as the high-byte
 projection — r8), color types 0/2/3/4/6, non-interlaced AND
 Adam7-interlaced (r8); BMP BITMAPINFOHEADER BI_RGB 24/32-bit,
-top-down or bottom-up; WAV PCM 8/16-bit, IEEE float32, and
+top-down or bottom-up; WAV PCM 8/16-bit, IEEE float32,
 IMA-ADPCM (format 0x11, r8: block-header predictor/index + the
-standard step tables, encoder included), canonical or chunk-walked
+standard step tables, encoder included), and G.711 mu-law/A-law
+(formats 7/6, r12: decode+encode pinned byte-exact against CPython's
+audioop over the FULL 8/16-bit domains), canonical or chunk-walked
 layouts. Out-of-scope inputs raise ``UnsupportedMediaError``
 (a ValueError) so callers can route rather than crash.
 
@@ -37,6 +39,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -48,8 +51,8 @@ _PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
 class UnsupportedMediaError(ValueError):
     """Payload is a recognized container but outside decode scope
-    (e.g. RLE BMP, MS-ADPCM/mu-law WAV,
-    progressive/arithmetic JPEG)."""
+    (e.g. RLE BMP, MS-ADPCM WAV, unmarked foreign streams of the
+    stand-in-table codecs)."""
 
 
 # ---------------------------------------------------------------------------
@@ -519,9 +522,9 @@ def encode_wav_adpcm(samples: np.ndarray, sample_rate: int,
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
-    """Decode a PCM (8/16-bit int or 32-bit float) or IMA-ADPCM (r8)
-    WAV via a RIFF chunk walk. Returns (samples float64 in [-1, 1],
-    shape (n, channels); sample_rate)."""
+    """Decode a PCM (8/16-bit int or 32-bit float), IMA-ADPCM (r8)
+    or G.711 mu-law/A-law (r12) WAV via a RIFF chunk walk. Returns
+    (samples float64 in [-1, 1], shape (n, channels); sample_rate)."""
     if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV")
     i, audio_fmt, ch, sr, bits, data = 12, None, None, None, None, None
@@ -547,6 +550,11 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         s = (np.frombuffer(data, np.uint8).astype(np.float64) - 128.0) / 128.0
     elif audio_fmt == 3 and bits == 32:
         s = np.frombuffer(data, "<f4").astype(np.float64)
+    elif audio_fmt in (6, 7) and bits == 8:   # G.711 A-law / mu-law
+        dec_a, dec_u = _g711_decode_tables()
+        table = dec_u if audio_fmt == 7 else dec_a
+        s = (table[np.frombuffer(data, np.uint8)].astype(np.float64)
+             / 32768.0)
     elif audio_fmt == 0x11 and bits == 4:
         if not block_align or block_align <= 4 * ch:
             raise ValueError("ADPCM WAV with invalid block align")
@@ -558,6 +566,79 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         raise UnsupportedMediaError(f"WAV format={audio_fmt} bits={bits}")
     n = (len(s) // ch) * ch
     return s[:n].reshape(-1, ch), sr
+
+
+# ---------------------------------------------------------------------------
+# G.711 mu-law / A-law (r12) — the telephony companding pair (WAV
+# format tags 7 and 6). Both directions are pinned BYTE-EXACT against
+# CPython's audioop (a C implementation of the G.711 reference
+# algorithm) over the full 8-bit (decode) and 16-bit (encode) domains
+# in test_codecs — so these are conformance-tested, not stand-ins.
+# ---------------------------------------------------------------------------
+
+
+@lru_cache(maxsize=1)
+def _g711_decode_tables():
+    u = np.arange(256, dtype=np.int32)
+    v = (~u) & 0xFF
+    mag = ((((v & 0xF) << 3) + 0x84) << ((v >> 4) & 7)) - 0x84
+    ulaw = np.where(v & 0x80, -mag, mag).astype(np.int16)
+    a = u ^ 0x55
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    t = np.where(exp == 0, (mant << 4) + 8,
+                 ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    alaw = np.where(a & 0x80, t, -t).astype(np.int16)
+    return alaw, ulaw
+
+
+_ULAW_SEG_END = np.array([0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF, 0x7FF,
+                          0xFFF, 0x1FFF])
+_ALAW_SEG_END = np.array([0x1F, 0x3F, 0x7F, 0xFF, 0x1FF, 0x3FF,
+                          0x7FF, 0xFFF])
+
+
+def _encode_g711(pcm16: np.ndarray, law: str) -> np.ndarray:
+    """16-bit PCM -> companded bytes, audioop's exact algorithm
+    (14/13-bit domains, arithmetic shift BEFORE negation)."""
+    x = pcm16.astype(np.int32)
+    if law == "ulaw":
+        p = x >> 2
+        mask = np.where(p < 0, 0x7F, 0xFF)
+        p = np.minimum(np.where(p < 0, -p, p), 8159) + 33
+        seg = np.searchsorted(_ULAW_SEG_END, p, side="left")
+        val = np.where(seg >= 8, 0x7F,
+                       (seg << 4) | ((p >> np.minimum(seg + 1, 8)) & 0xF))
+    elif law == "alaw":
+        p = x >> 3
+        mask = np.where(p >= 0, 0xD5, 0x55)
+        p = np.where(p < 0, -p - 1, p)
+        seg = np.searchsorted(_ALAW_SEG_END, p, side="left")
+        val = (seg << 4) | np.where(seg < 2, (p >> 1) & 0xF,
+                                    (p >> np.maximum(seg, 1)) & 0xF)
+    else:
+        raise ValueError(f"law must be 'ulaw' or 'alaw': {law!r}")
+    return ((val ^ mask) & 0xFF).astype(np.uint8)
+
+
+def encode_wav_g711(samples: np.ndarray, sample_rate: int,
+                    law: str = "ulaw") -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) or (n, ch)) as a
+    G.711 WAV (format tag 7 for mu-law, 6 for A-law) — the
+    fixture/sink twin of the format-6/7 decode path."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    ch = s.shape[1]
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype(np.int16)
+    payload = _encode_g711(pcm.reshape(-1), law).tobytes()
+    tag = 7 if law == "ulaw" else 6
+    fmt = struct.pack("<HHIIHH", tag, ch, sample_rate,
+                      sample_rate * ch, ch, 8)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, s.shape[0])
+            + b"data" + struct.pack("<I", len(payload)) + payload)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

@@ -489,3 +489,42 @@ def test_adam7_interlaced_palette_with_trns():
     assert np.array_equal(img[..., :3].reshape(-1, 3), pal[idx.reshape(-1)])
     alpha = np.array([255, 128, 0, 255], np.uint8)
     assert np.array_equal(img[..., 3].reshape(-1), alpha[idx.reshape(-1)])
+
+
+def test_g711_conformance_vs_audioop():
+    """r12: mu-law/A-law decode tables and encoders pinned BYTE-EXACT
+    against CPython's audioop (C G.711 reference) over the FULL
+    domains — all 256 companded bytes, all 65536 PCM values."""
+    import warnings
+
+    import numpy as np
+
+    from datapump_spark.operators.codecs import (
+        _encode_g711,
+        _g711_decode_tables,
+        decode_wav,
+        encode_wav_g711,
+    )
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        import audioop
+    alaw, ulaw = _g711_decode_tables()
+    assert (ulaw == np.frombuffer(
+        audioop.ulaw2lin(bytes(range(256)), 2), "<i2")).all()
+    assert (alaw == np.frombuffer(
+        audioop.alaw2lin(bytes(range(256)), 2), "<i2")).all()
+    x = np.arange(-32768, 32768, dtype=np.int16)
+    assert (_encode_g711(x, "ulaw") == np.frombuffer(
+        audioop.lin2ulaw(x.tobytes(), 2), np.uint8)).all()
+    assert (_encode_g711(x, "alaw") == np.frombuffer(
+        audioop.lin2alaw(x.tobytes(), 2), np.uint8)).all()
+    # WAV container round trip (format tags 7/6) within companding error
+    t = np.sin(np.linspace(0, 440 * 2 * np.pi, 4000))
+    for law, tag_err in (("ulaw", 0.03), ("alaw", 0.03)):
+        s, sr = decode_wav(encode_wav_g711(t, 8000, law=law))
+        assert sr == 8000 and abs(s[:, 0] - t).max() < tag_err
+    # stereo interleave survives
+    st = np.stack([t[:100], -t[:100]], axis=1)
+    s2, _ = decode_wav(encode_wav_g711(st, 8000, law="alaw"))
+    assert s2.shape == (100, 2) and abs(s2 - st).max() < 0.03
