@@ -530,6 +530,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
     i, audio_fmt, ch, sr, bits, data = 12, None, None, None, None, None
     block_align = None
     fact_frames = None
+    fmt_chunk = b""
     while i + 8 <= len(b):
         cid = b[i:i + 4]
         clen = struct.unpack("<I", b[i + 4:i + 8])[0]
@@ -537,6 +538,7 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
             audio_fmt, ch, sr = struct.unpack("<HHI", b[i + 8:i + 16])
             block_align = struct.unpack("<H", b[i + 20:i + 22])[0]
             bits = struct.unpack("<H", b[i + 22:i + 24])[0]
+            fmt_chunk = b[i + 8:i + 8 + clen]
         elif cid == b"fact" and clen >= 4 and i + 12 <= len(b):
             fact_frames = struct.unpack("<I", b[i + 8:i + 12])[0]
         elif cid == b"data":
@@ -562,10 +564,145 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         if fact_frames is not None:     # drop final-block padding
             out = out[:fact_frames]
         return out, sr
+    elif audio_fmt == 2 and bits == 4:  # MS-ADPCM (r12)
+        if not block_align or block_align <= 7 * ch or len(fmt_chunk) < 20:
+            raise ValueError("MS-ADPCM WAV with invalid fmt chunk")
+        spb = struct.unpack("<H", fmt_chunk[18:20])[0]
+        out = _decode_msadpcm(data, ch, block_align, spb) / 32768.0
+        if fact_frames is not None:     # drop final-block padding
+            out = out[:fact_frames]
+        return out, sr
     else:
         raise UnsupportedMediaError(f"WAV format={audio_fmt} bits={bits}")
     n = (len(s) // ch) * ch
     return s[:n].reshape(-1, ch), sr
+
+
+# ---------------------------------------------------------------------------
+# MS-ADPCM (WAV format tag 2, r12) — the other everyday legacy-voice
+# codec next to IMA (0x11). Like the IMA tables (r8), the adaptation
+# table and the seven predictor-coefficient pairs below are short,
+# published constants from the authoritative format documentation —
+# identical in every implementation — so this is from-spec DSP, not a
+# stand-in entropy table; decode/encode round-trip and the table pins
+# are asserted in test_codecs (no MS-ADPCM reference codec ships
+# in-container).
+# ---------------------------------------------------------------------------
+
+_MSADPCM_ADAPT = (230, 230, 230, 230, 307, 409, 512, 614,
+                  768, 614, 512, 409, 307, 230, 230, 230)
+_MSADPCM_COEFS = ((256, 0), (512, -256), (0, 0), (192, 64),
+                  (240, 0), (460, -208), (392, -232))
+
+
+def _clamp16(v: int) -> int:
+    return -32768 if v < -32768 else (32767 if v > 32767 else v)
+
+
+def _decode_msadpcm(data: bytes, ch: int, block_align: int,
+                    samples_per_block: int) -> np.ndarray:
+    """Decode MS-ADPCM data chunks block by block -> int16 array of
+    shape (frames, ch). Sequential recurrence (each sample feeds the
+    next prediction), so this is a plain loop — test/fixture scale."""
+    out = []
+    for base in range(0, len(data) - block_align + 1, block_align):
+        blk = data[base:base + block_align]
+        pred = [blk[c] for c in range(ch)]
+        if any(p > 6 for p in pred):
+            raise UnsupportedMediaError(
+                f"MS-ADPCM predictor {max(pred)} out of range")
+        at = ch
+        idelta = [struct.unpack_from("<h", blk, at + 2 * c)[0]
+                  for c in range(ch)]
+        at += 2 * ch
+        s1 = [struct.unpack_from("<h", blk, at + 2 * c)[0]
+              for c in range(ch)]
+        at += 2 * ch
+        s2 = [struct.unpack_from("<h", blk, at + 2 * c)[0]
+              for c in range(ch)]
+        at += 2 * ch
+        c1 = [_MSADPCM_COEFS[p][0] for p in pred]
+        c2 = [_MSADPCM_COEFS[p][1] for p in pred]
+        frames = [tuple(s2), tuple(s1)]
+        nibbles = []
+        for byte in blk[at:]:
+            nibbles.append(byte >> 4)
+            nibbles.append(byte & 0xF)
+        frame: list[int] = []
+        for k, nib in enumerate(nibbles):
+            c = k % ch
+            signed = nib - 16 if nib >= 8 else nib
+            predicted = (s1[c] * c1[c] + s2[c] * c2[c]) >> 8
+            sample = _clamp16(predicted + signed * idelta[c])
+            s2[c], s1[c] = s1[c], sample
+            idelta[c] = max(16, (_MSADPCM_ADAPT[nib] * idelta[c]) >> 8)
+            frame.append(sample)
+            if c == ch - 1:
+                frames.append(tuple(frame))
+                frame = []
+        out.extend(frames[:samples_per_block])
+    return np.array(out, dtype=np.int16).reshape(-1, ch)
+
+
+def encode_wav_msadpcm(samples: np.ndarray, sample_rate: int,
+                       samples_per_block: int = 500) -> bytes:
+    """Encode float samples in [-1, 1] (shape (n,) or (n, ch)) as an
+    MS-ADPCM WAV (format tag 2) — predictor 0 per block, initial
+    delta seeded from the block's mean step; the decode twin (and any
+    conforming decoder) reconstructs it."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.ndim == 1:
+        s = s[:, None]
+    n, ch = s.shape
+    pcm = np.clip(np.round(s * 32767.0), -32768, 32767).astype(int)
+    if n < 2:
+        raise ValueError("MS-ADPCM needs at least 2 frames")
+    pad = (-(n - samples_per_block)) % samples_per_block if \
+        n > samples_per_block else samples_per_block - n
+    if pad:
+        pcm = np.vstack([pcm, np.repeat(pcm[-1:], pad, axis=0)])
+    total = pcm.shape[0]
+    block_align = (7 * ch) + ((samples_per_block - 2) * ch + 1) // 2
+    blocks = []
+    for base in range(0, total, samples_per_block):
+        blk_pcm = pcm[base:base + samples_per_block]
+        s2 = [int(blk_pcm[0, c]) for c in range(ch)]
+        s1 = [int(blk_pcm[1, c]) for c in range(ch)]
+        step = [max(16, int(np.abs(np.diff(blk_pcm[:, c])).mean() / 4)
+                    if len(blk_pcm) > 1 else 16) for c in range(ch)]
+        idelta = list(step)
+        hdr = bytes([0] * ch)
+        hdr += b"".join(struct.pack("<h", d) for d in idelta)
+        hdr += b"".join(struct.pack("<h", v) for v in s1)
+        hdr += b"".join(struct.pack("<h", v) for v in s2)
+        nibbles = []
+        for k in range(2, len(blk_pcm)):
+            for c in range(ch):
+                predicted = (s1[c] * 256 + s2[c] * 0) >> 8
+                err = int(blk_pcm[k, c]) - predicted
+                nib = max(-8, min(7, int(round(err / idelta[c]))))
+                unib = nib + 16 if nib < 0 else nib
+                sample = _clamp16(predicted + nib * idelta[c])
+                s2[c], s1[c] = s1[c], sample
+                idelta[c] = max(16, (_MSADPCM_ADAPT[unib]
+                                     * idelta[c]) >> 8)
+                nibbles.append(unib)
+        if len(nibbles) % 2:
+            nibbles.append(0)
+        payload = bytes((nibbles[j] << 4) | nibbles[j + 1]
+                        for j in range(0, len(nibbles), 2))
+        blocks.append((hdr + payload).ljust(block_align, b"\x00"))
+    data = b"".join(blocks)
+    extra = struct.pack("<HH", samples_per_block, 7)
+    extra += b"".join(struct.pack("<hh", a, b)
+                      for a, b in _MSADPCM_COEFS)
+    fmt = struct.pack("<HHIIHHH", 2, ch, sample_rate,
+                      sample_rate * block_align // samples_per_block,
+                      block_align, 4, len(extra)) + extra
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"fact" + struct.pack("<II", 4, n)
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 # ---------------------------------------------------------------------------

@@ -238,7 +238,9 @@ def test_wav_8bit_and_float32():
 
 
 def test_wav_out_of_scope_raises():
-    fmt = struct.pack("<HHIIHH", 2, 1, 8000, 8000, 1, 4)  # ADPCM
+    # GSM 6.10 (0x31) — a format the decoder genuinely does not cover
+    # (MS-ADPCM format 2 decodes as of r12)
+    fmt = struct.pack("<HHIIHH", 0x31, 1, 8000, 8000, 65, 0)
     b = (b"RIFF" + struct.pack("<I", 36) + b"WAVE"
          + b"fmt " + struct.pack("<I", 16) + fmt
          + b"data" + struct.pack("<I", 0))
@@ -528,3 +530,53 @@ def test_g711_conformance_vs_audioop():
     st = np.stack([t[:100], -t[:100]], axis=1)
     s2, _ = decode_wav(encode_wav_g711(st, 8000, law="alaw"))
     assert s2.shape == (100, 2) and abs(s2 - st).max() < 0.03
+
+
+def test_msadpcm_roundtrip_and_table_pins():
+    """r12: MS-ADPCM (format 2) — from-spec DSP like the r8 IMA path:
+    the published adaptation table and the seven coefficient pairs are
+    pinned, and encode->decode stays within ADPCM quantization noise
+    for mono, stereo and non-block-aligned lengths."""
+    import numpy as np
+
+    from datapump_spark.operators.codecs import (
+        _MSADPCM_ADAPT,
+        _MSADPCM_COEFS,
+        decode_wav,
+        encode_wav_msadpcm,
+    )
+
+    # authoritative constants (identical in every implementation)
+    assert _MSADPCM_ADAPT == (230, 230, 230, 230, 307, 409, 512, 614,
+                              768, 614, 512, 409, 307, 230, 230, 230)
+    assert _MSADPCM_COEFS[0] == (256, 0) and _MSADPCM_COEFS[1] == (512, -256)
+    assert len(_MSADPCM_COEFS) == 7
+
+    t = np.sin(np.linspace(0, 440 * 2 * np.pi, 8000)) * 0.8
+    s, sr = decode_wav(encode_wav_msadpcm(t, 8000))
+    assert sr == 8000 and s.shape == (8000, 1)
+    assert np.abs(s[:, 0] - t).max() < 0.12          # 4-bit ADPCM noise
+    st = np.stack([t, -0.5 * t], axis=1)
+    s2, _ = decode_wav(encode_wav_msadpcm(st, 8000))
+    assert s2.shape == (8000, 2) and np.abs(s2 - st).max() < 0.12
+    # fact chunk truncates final-block padding exactly
+    s3, _ = decode_wav(encode_wav_msadpcm(t[:37], 8000,
+                                          samples_per_block=16))
+    assert s3.shape == (37, 1)
+
+
+def test_msadpcm_bad_predictor_raises():
+    import numpy as np
+    import pytest as _pytest
+
+    from datapump_spark.operators.codecs import (
+        decode_wav,
+        encode_wav_msadpcm,
+    )
+
+    wav = bytearray(encode_wav_msadpcm(
+        np.zeros(32) + 0.1, 8000, samples_per_block=16))
+    at = wav.find(b"data") + 8
+    wav[at] = 9                                      # predictor > 6
+    with _pytest.raises(UnsupportedMediaError, match="predictor"):
+        decode_wav(bytes(wav))
