@@ -33,6 +33,18 @@ def tuned_builder(app_name: str = "datapump-spark") -> SparkSession.Builder:
         # Local testing default; production overrides via spark-submit. AQE
         # coalesces down from this bound so oversizing is cheap.
         .config("spark.sql.shuffle.partitions", os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32"))
+        # JVM sizing (guide §5): local-mode Spark defaults to a 1 GiB
+        # driver heap — which in local[n] IS the whole engine (every
+        # executor thread's execution/storage memory, broadcasts, the
+        # shuffle machinery). 174 bench queries in 1 GiB meant constant
+        # GC and multi-x run-to-run swings (measured r12: q_bm25_topk
+        # 6.9 s vs 15.8 s across identical runs). 12 GiB on a 128 GiB
+        # box is still conservative; production clusters size
+        # spark.executor.memory / memoryOverhead instead (the setting
+        # only applies when the session launches the JVM, i.e. local
+        # runs — a cluster spark-submit overrides it).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"))
         # Read-side split sizing: 128 MB splits keep scan tasks balanced.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # Default openCostInBytes (4 MB) makes any file under ~4 MB a single
