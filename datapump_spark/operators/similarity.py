@@ -286,53 +286,61 @@ def lsh_topk(
     # Evaluate every plane dot product ONCE into an array column and
     # derive buckets/margins from element_at reads: without this each
     # bucket (and each query-side margin) re-embeds its own copy of the
-    # dot-product subtree, and the n_tables × n_planes expression forest
+    # dot-product subtree, and the n_tables x n_planes expression forest
     # dominates planning + per-row eval time.
-    mat = F.array(*[F.array(*[F.lit(float(x)) for x in p])
-                    for t in tables for p in t])
+    # Build cost (r12, guide S1/S4 - the Python boundary includes plan
+    # construction): every Column node is a py4j round trip, and at the
+    # bench operating point (6 planes x 4 tables x dim 64) the
+    # per-plane/per-dim F.lit + per-probe Column forest cost ~4.8 s of
+    # DRIVER time per call vs ~1.9 s of execution. The same expressions
+    # are therefore built server-side: the plane matrix as ONE
+    # nested-array Literal, buckets/margins/probes as f-string F.expr -
+    # keeping the flat IF-sum / struct-array SHAPE of the original (NOT
+    # higher-order-function lambdas: element_at(__dots) references
+    # inside a lambda defeat codegen subexpression elimination and
+    # re-evaluate the full dot-product transform per access - measured
+    # 5x slower end to end).
+    mat = F.lit([[float(x) for x in p] for t in tables for p in t])
     base = base.withColumn(
         "__dots", F.transform(mat, lambda p: _dot(F.col("v"), p)))
 
-    def dot_at(t: int, i: int) -> Column:
-        return F.element_at("__dots", t * n_planes + i + 1)
-
-    def bucket_for(t: int) -> Column:
-        b = F.lit(0)
-        for i in range(n_planes):
-            b = b + F.when(dot_at(t, i) >= 0, F.lit(2 ** i)).otherwise(0)
-        return b.cast("bigint")
+    def bucket_sql(t: int) -> str:
+        # sum of 2^i * [dot_i >= 0] - flat IF sum, codegen + CSE friendly
+        return "(" + " + ".join(
+            f"IF(element_at(__dots, {t * n_planes + i + 1}) >= 0, {2 ** i}, 0)"
+            for i in range(n_planes)) + ")"
 
     # corpus: one (table, bucket) pair per table, single pass
-    c = base.withColumn(
-        "tb", F.explode(F.array(*[
-            F.struct(F.lit(t).alias("t"), bucket_for(t).alias("b"))
-            for t in range(n_tables)])))
+    c = base.withColumn("tb", F.explode(F.expr(
+        "array(" + ", ".join(
+            f"struct({t} AS t, CAST({bucket_sql(t)} AS BIGINT) AS b)"
+            for t in range(n_tables)) + ")")))
     c = c.select(F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
                  F.col("nrm").alias("cn"), F.col("tb.t").alias("ct"),
                  F.col("tb.b").alias("cb"))
-    # queries: n_tables × n_probe probe targets each (still tiny)
+    # queries: n_tables x n_probe probe targets each (still tiny)
     q = base.where(F.col("id") < query_max_id)
     n_flip = 1
     while 2 ** n_flip < n_probe and n_flip < n_planes:
         n_flip += 1
-    pow2 = F.array(*[F.lit(2 ** i) for i in range(n_planes)])
-    probe_structs = []
+    pow2 = "array(" + ", ".join(str(2 ** i) for i in range(n_planes)) + ")"
+    probe_terms = []
     for t in range(n_tables):
         if n_probe <= 1:
-            probe_structs.append(
-                F.struct(F.lit(t).alias("t"), bucket_for(t).alias("b")))
+            probe_terms.append(
+                f"struct({t} AS t, CAST({bucket_sql(t)} AS BIGINT) AS b)")
             continue
-        margins = F.array_sort(F.array(*[
-            F.struct(F.abs(dot_at(t, i)).alias("m"), F.lit(i).alias("i"))
-            for i in range(n_planes)]))
+        margins = ("array_sort(array(" + ", ".join(
+            f"struct(abs(element_at(__dots, {t * n_planes + i + 1})) AS m, "
+            f"{i} AS i)" for i in range(n_planes)) + "))")
         for mask in _probe_masks(n_flip, n_probe):
-            b = bucket_for(t)
+            b = bucket_sql(t)
             for rank in mask:
-                plane_idx = F.element_at(margins, rank + 1)["i"]
-                b = b.bitwiseXOR(F.element_at(pow2, plane_idx + 1))
-            probe_structs.append(
-                F.struct(F.lit(t).alias("t"), b.cast("bigint").alias("b")))
-    q = (q.withColumn("tb", F.explode(F.array(*probe_structs)))
+                b = (f"({b} ^ element_at({pow2}, "
+                     f"element_at({margins}, {rank + 1}).i + 1))")
+            probe_terms.append(f"struct({t} AS t, CAST({b} AS BIGINT) AS b)")
+    q = (q.withColumn(
+            "tb", F.explode(F.expr("array(" + ", ".join(probe_terms) + ")")))
           .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                   F.col("nrm").alias("qn"), F.col("tb.t").alias("qt"),
                   F.col("tb.b").alias("qb")))
