@@ -53,14 +53,16 @@ _CODES_SCHEMA = T.StructType([
 
 
 def _l2_normalized(df: DataFrame, id_col: str, vec_col: str,
-                   normalize: bool = True) -> DataFrame:
+                   normalize: bool = True,
+                   extra: tuple[str, ...] = ()) -> DataFrame:
     """(id, v): L2-normalized double vectors — PQ for cosine similarity
     quantizes the unit sphere, so normalization happens once, up front.
     ``normalize=False`` skips it (residual quantization in IVF-PQ, where
     the input is already a difference of unit-scale vectors)."""
     if not normalize:
         return df.select(F.col(id_col).alias("id"),
-                         _as_double(vec_col).alias("v"))
+                         _as_double(vec_col).alias("v"),
+                         *[F.col(c) for c in extra])
     # Null or zero-norm vectors have no direction — cosine against them is
     # undefined. Drop them here (documented contract) instead of letting
     # nullif() turn them into all-null arrays that crash the numpy encode
@@ -85,16 +87,19 @@ def _l2_normalized(df: DataFrame, id_col: str, vec_col: str,
                    & F.forall(vec_col, lambda x: x.isNotNull())
                    & ((F.array_min(vec_col) != 0.0)
                       | (F.array_max(vec_col) != 0.0)))
-            .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v")))
+            .select(F.col(id_col).alias("id"), _as_double(vec_col).alias("v"),
+                    *[F.col(c) for c in extra]))
     nrm = _norm(F.col("v"))
     return base.withColumn(
         "v", F.transform("v", lambda x: x / F.nullif(nrm, F.lit(0.0))))
 
 
-def _encode_kernel(codebooks):
+def _encode_kernel(codebooks, extra: tuple[str, ...] = ()):
     """mapInPandas kernel: argmin L2 distance per subspace, all subspaces
     per batch in numpy. ``codebooks`` is an (m, k, sub_d) ndarray captured
-    in the closure (tiny — broadcast with the task)."""
+    in the closure (tiny — broadcast with the task). ``extra`` columns of
+    the input batch are passed through unchanged — callers that need them
+    alongside the codes then skip a corpus-wide id join (r12, guide §2)."""
     import numpy as np
     import pandas as pd
 
@@ -113,8 +118,11 @@ def _encode_kernel(codebooks):
                 # ||x-c||² = ||x||² - 2x·c + ||c||²; ||x||² constant per row
                 d2 = -2.0 * (X @ C.T) + (C * C).sum(axis=1)[None, :]
                 codes[:, j] = np.argmin(d2, axis=1)
-            yield pd.DataFrame({"id": pdf["id"],
-                                "codes": [r.tolist() for r in codes]})
+            out = {"id": pdf["id"],
+                   "codes": [r.tolist() for r in codes]}
+            for c in extra:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
     return kernel
 
@@ -152,7 +160,11 @@ def train_pq(
             "id", "v", F.array_repeat((F.col("id") % k).cast("int"), m)
             .alias("codes"))
         C = None
-        for _ in range(max(1, lloyd_iters)):
+        iters = max(1, lloyd_iters)
+        codes_v_schema = T.StructType(
+            list(_CODES_SCHEMA.fields)
+            + [T.StructField("v", T.ArrayType(T.DoubleType()))])
+        for it in range(iters):
             rows = (
                 assigned.select(F.posexplode("v").alias("pos", "val"), "codes")
                 .select(
@@ -169,8 +181,14 @@ def train_pq(
             C = np.zeros((m, k, sub_d))
             for r in rows:
                 C[r["j"], r["code"], r["p"]] = r["c"]
-            assigned = base.mapInPandas(_encode_kernel(C), _CODES_SCHEMA) \
-                .join(base, "id")
+            if it + 1 < iters:
+                # the kernel passes v through, so next round's aggregate
+                # hangs directly off the encode — the former
+                # .join(base, "id") re-shuffle per Lloyd round is gone;
+                # the final round's re-assignment (dead: C is already
+                # final) is skipped outright (r12, guide §2)
+                assigned = base.mapInPandas(
+                    _encode_kernel(C, extra=("v",)), codes_v_schema)
         return C
     finally:
         base.unpersist()
@@ -179,11 +197,19 @@ def train_pq(
 def pq_encode(
     df: DataFrame, codebooks, id_col: str = "vec_id",
     vec_col: str = "embedding", normalize: bool = True,
+    extra: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, codes array<int>) — the compressed corpus. ``m`` small ints per
-    vector instead of ``dim`` floats; store/bucket THIS table."""
-    base = _l2_normalized(df, id_col, vec_col, normalize)
-    return base.mapInPandas(_encode_kernel(codebooks), _CODES_SCHEMA)
+    """(id, codes array<int>[, *extra]) — the compressed corpus. ``m``
+    small ints per vector instead of ``dim`` floats; store/bucket THIS
+    table. ``extra`` columns of ``df`` ride through the kernel unchanged
+    (e.g. the IVF cell id), sparing the caller an id join."""
+    base = _l2_normalized(df, id_col, vec_col, normalize, extra)
+    schema = _CODES_SCHEMA
+    if extra:
+        by_name = {f.name: f for f in df.schema.fields}
+        schema = T.StructType(list(_CODES_SCHEMA.fields)
+                              + [by_name[c] for c in extra])
+    return base.mapInPandas(_encode_kernel(codebooks, extra), schema)
 
 
 def _adc_sum(mm: int, kk: int):
@@ -352,14 +378,15 @@ def ivfpq_topk(
     # but quantization error scales with ‖x−c‖, which the mean minimizes;
     # measured on this corpus the normalized-centroid residual costs
     # ~0.3 recall@10 (0.52 vs 0.81).
-    cells0 = _assign_cells(base, C, n_probe=1).select(
-        "id", F.col("cells")[0].alias("cell"))
-    # persist: the assignment kernel + join feeds FOUR downstream actions
-    # (cell means, PQ training, encoding, and — transitively — search);
-    # without it each one replays the whole mapInPandas chain. State is
+    # persist: the assignment kernel feeds FOUR downstream actions (cell
+    # means, PQ training, encoding, and — transitively — search); without
+    # it each one replays the whole mapInPandas chain. State is
     # (id, cell, v): rows × (dim+2) doubles, the already-bounded corpus
-    # projection.
-    with_cell = cells0.join(base, "id").persist()
+    # projection. with_v passes v through the kernel, so the former
+    # cells0.join(base, "id") corpus re-shuffle is gone (r12, guide §2).
+    with_cell = (_assign_cells(base, C, n_probe=1, with_v=True)
+                 .select("id", F.col("cells")[0].alias("cell"), "v")
+                 .persist())
     mean_rows = (
         with_cell.select("cell", F.posexplode("v").alias("pos", "val"))
         .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
@@ -381,10 +408,10 @@ def ivfpq_topk(
     cb = train_pq(assigned, id_col="id", vec_col="v_res", m=m, k=kc,
                   lloyd_iters=lloyd_iters, dim=dim or len(C[0]),
                   normalize=False)
+    # cell rides through the encode kernel — no id join back onto the
+    # corpus to re-attach it (r12, guide §2)
     codes = pq_encode(assigned, cb, id_col="id", vec_col="v_res",
-                      normalize=False) \
-        .join(assigned.select("id", "cell"), "id") \
-        .persist()
+                      normalize=False, extra=("cell",)).persist()
     # materialize the (small: id, codes, cell) index, then release the
     # corpus-sized upstream caches — leaving them pinned for the session
     # would crowd out the very scan caching the layout depends on

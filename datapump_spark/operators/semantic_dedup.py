@@ -74,10 +74,11 @@ def semantic_dedup(
         return spark.createDataFrame([], out_schema).select(
             F.col("id").alias(id_col), "cluster_id", "rep_id", "keep")
 
+    # with_v: the kernel passes v through, sparing the corpus-wide id
+    # join that re-attached it (r12, guide §2)
     assigned = (
-        _assign_cells(base, C, n_probe=1)
-        .select("id", F.col("cells")[0].alias("cluster_id"))
-        .join(base, "id")
+        _assign_cells(base, C, n_probe=1, with_v=True)
+        .select("id", F.col("cells")[0].alias("cluster_id"), "v")
     )
 
     def dedup_cluster(key, pdf):

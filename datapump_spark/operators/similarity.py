@@ -134,7 +134,8 @@ def _kmeans_centroids(
 
     assigned = base.withColumn("cell", (F.col("id") % n_cells).cast("int"))
     C = None
-    for _ in range(max(1, lloyd_iters)):
+    iters = max(1, lloyd_iters)
+    for it in range(iters):
         rows = (
             assigned.select("cell", F.posexplode("v").alias("pos", "val"))
             .groupBy("cell", "pos").agg(F.avg("val").alias("m"))
@@ -149,23 +150,34 @@ def _kmeans_centroids(
         nrm = np.linalg.norm(C, axis=1, keepdims=True)
         nrm[nrm == 0] = 1.0
         C = C / nrm
-        assigned = _assign_cells(base, C, n_probe=1).select(
-            "id", F.col("cells")[0].alias("cell")
-        ).join(base, "id")
+        if it + 1 < iters:
+            # with_v: the kernel passes v through, so the next round's
+            # aggregate hangs directly off the assignment — the former
+            # .join(base, "id") re-shuffle per Lloyd round is gone
+            # (r12, guide §2: remove shuffles outright)
+            assigned = _assign_cells(base, C, n_probe=1, with_v=True) \
+                .select("id", F.col("cells")[0].alias("cell"), "v")
     return C
 
 
-def _assign_cells(base: DataFrame, centroids, n_probe: int) -> DataFrame:
+def _assign_cells(base: DataFrame, centroids, n_probe: int,
+                  with_v: bool = False) -> DataFrame:
     """(id, cells[n_probe]): nearest cells by cosine, best first. One
-    numpy GEMM per Arrow batch against the broadcast centroid matrix."""
+    numpy GEMM per Arrow batch against the broadcast centroid matrix.
+    ``with_v=True`` additionally passes the vector column through the
+    kernel — callers that need (cell, v) then skip a corpus-wide id
+    join (Arrow copies a few extra MB per batch instead of shuffling)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as T
 
-    schema = T.StructType([
+    fields = [
         T.StructField("id", T.LongType()),
         T.StructField("cells", T.ArrayType(T.IntegerType())),
-    ])
+    ]
+    if with_v:
+        fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+    schema = T.StructType(fields)
 
     def kernel(batches):
         for pdf in batches:
@@ -176,10 +188,13 @@ def _assign_cells(base: DataFrame, centroids, n_probe: int) -> DataFrame:
             nrm[nrm == 0] = 1.0
             S = (M / nrm) @ centroids.T
             order = np.argsort(-S, kind="stable", axis=1)[:, :n_probe]
-            yield pd.DataFrame({
+            out = {
                 "id": pdf["id"],
                 "cells": [row.astype("int32").tolist() for row in order],
-            })
+            }
+            if with_v:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
     return base.select("id", "v").mapInPandas(kernel, schema)
 
@@ -206,17 +221,21 @@ def ivf_topk(
     if C is None:   # empty corpus: same contract as the exact path
         return df.sparkSession.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, cos double")
-    base = base.withColumn("nrm", _norm(F.col("v")))
-    corpus_cells = _assign_cells(base, C, n_probe=1).select(
-        "id", F.col("cells")[0].alias("cb"))
-    c = base.join(corpus_cells, "id").select(
-        F.col("id").alias("neighbor_id"), F.col("v").alias("cv"),
-        F.col("nrm").alias("cn"), "cb")
+    # with_v assignment: (cell, v) come out of the kernel together, so
+    # neither side pays the former corpus-wide id join; nrm is the same
+    # expression recomputed on the passed-through v (identical doubles —
+    # Arrow round-trips float64 exactly) (r12, guide §2)
+    c = (_assign_cells(base, C, n_probe=1, with_v=True)
+         .select(F.col("id").alias("neighbor_id"),
+                 F.col("cells")[0].alias("cb"), "v")
+         .withColumn("nrm", _norm(F.col("v")))
+         .select("neighbor_id", F.col("v").alias("cv"),
+                 F.col("nrm").alias("cn"), "cb"))
     qbase = base.where(F.col("id") < query_max_id)
     q = (
-        _assign_cells(qbase, C, n_probe=n_probe)
-        .select("id", F.explode("cells").alias("qb"))
-        .join(qbase, "id")
+        _assign_cells(qbase, C, n_probe=n_probe, with_v=True)
+        .select("id", F.explode("cells").alias("qb"), "v")
+        .withColumn("nrm", _norm(F.col("v")))
         .select(F.col("id").alias("query_id"), F.col("v").alias("qv"),
                 F.col("nrm").alias("qn"), "qb")
     )
