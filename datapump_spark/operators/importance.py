@@ -60,6 +60,7 @@ def hashed_ngram_logratio(
     target: DataFrame, raw: DataFrame, text_col: str = "text",
     n_buckets: int = 1024, hash_fn: str = "md5",
     raw_fit_fraction: float = 1.0, id_col: str | None = None,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """(bucket, logw): per-bucket ``log p_target − log p_raw`` under
     Laplace-smoothed bag-of-hashed-ngrams multinomials — the entire DSIR
@@ -73,6 +74,15 @@ def hashed_ngram_logratio(
 
     ``logw`` is rounded to 6 dp (repo float policy) so downstream scores
     are engine-identical.
+
+    ``raw_features`` — a precomputed :func:`_bucket_features` frame of
+    the raw corpus (id, bucket) — replaces the raw-side featurize pass:
+    the multinomial only needs per-bucket occurrence counts, which are
+    identical whether aggregated from the shared frame or from a
+    dedicated pass. :func:`dsir_sample` passes the same persisted frame
+    here and to the scoring join, halving the tokenize+hash scans over
+    the big side (r12, guide §1/§2 — the fit and the score shared their
+    most expensive input all along).
     """
     if raw_fit_fraction < 1.0:
         if id_col is None:
@@ -81,6 +91,11 @@ def hashed_ngram_logratio(
         raw = raw.where(
             F.pmod(hash63(F.col(id_col).cast("string"), hash_fn),
                    F.lit(m)) < int(raw_fit_fraction * m))
+        if raw_features is not None:
+            raw_features = raw_features.where(
+                F.pmod(hash63(F.col(raw_features.columns[0]).cast("string"),
+                              hash_fn), F.lit(m))
+                < int(raw_fit_fraction * m))
 
     def counts(df: DataFrame, name: str) -> DataFrame:
         f = _bucket_features(df.select(F.lit(0).alias("__id"), text_col),
@@ -89,7 +104,11 @@ def hashed_ngram_logratio(
             F.count(F.lit(1)).cast("double").alias(name))
 
     t = counts(target, "n_t")
-    r = counts(raw, "n_r")
+    if raw_features is not None:
+        r = raw_features.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("double").alias("n_r"))
+    else:
+        r = counts(raw, "n_r")
     # dense bucket spine: unseen buckets still get the smoothed mass
     spine = target.sparkSession.range(n_buckets) \
         .select(F.col("id").cast("bigint").alias("bucket"))
@@ -108,11 +127,15 @@ def hashed_ngram_logratio(
 def importance_score(
     df: DataFrame, logratio: DataFrame, id_col: str = "doc_id",
     text_col: str = "text", n_buckets: int = 1024, hash_fn: str = "md5",
+    features: DataFrame | None = None,
 ) -> DataFrame:
     """(id, n_feats, score): per-document mean feature log-ratio — higher
     = more target-like. Docs with zero features are dropped (no evidence
-    either way). One explode + broadcast join + one aggregation."""
-    feats = _bucket_features(df, id_col, text_col, n_buckets, hash_fn)
+    either way). One explode + broadcast join + one aggregation.
+    ``features`` — a precomputed :func:`_bucket_features` frame — skips
+    the featurize pass (see :func:`dsir_sample`)."""
+    feats = features if features is not None \
+        else _bucket_features(df, id_col, text_col, n_buckets, hash_fn)
     return (feats.join(F.broadcast(logratio), "bucket")
             .groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_feats"),
@@ -133,10 +156,17 @@ def dsir_sample(
     more diversity. Returns the selected rows with (score, rank)."""
     if temperature <= 0:
         raise ValueError(f"temperature must be > 0: {temperature}")
+    # ONE featurize (tokenize + md5 + explode) pass over the raw corpus,
+    # persisted and shared by the multinomial fit AND the scoring join —
+    # previously the most expensive input was computed twice (measured
+    # ~1.2 s per pass at sf0.1; same persist-in-operator pattern as
+    # sparse_sim's tf diamond). Counts/scores are identical.
+    feats = _bucket_features(df, id_col, text_col, n_buckets,
+                             hash_fn).persist()
     scored = df.join(
         importance_score(df, hashed_ngram_logratio(
-            target, df, text_col, n_buckets, hash_fn),
-            id_col, text_col, n_buckets, hash_fn),
+            target, df, text_col, n_buckets, hash_fn, raw_features=feats),
+            id_col, text_col, n_buckets, hash_fn, features=feats),
         id_col)
     # uniform in (0,1) from the seeded hash; never exactly 0 or 1
     m = float(1 << 32)
