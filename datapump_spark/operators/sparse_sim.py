@@ -7,14 +7,18 @@ self-join — i.e. through the inverted index, never materializing a
 dense matrix. Complements MinHash (set overlap, no weighting) with
 weighted cosine, the APSS formulation of Bayardo et al. 2007.
 
-Plan shape:
-- bigram terms per doc (codegen ``transform(sequence…)``, no UDF),
-- tf per (doc, term); GLOBAL df per term + doc count → smoothed idf
-  (sklearn-style, shared with operators/tfidf.py),
-- L2 normalize per doc (one agg + key join),
-- candidate pairs from the inverted index: self-join on
-  (term, *block_cols) with ``id_l < id_r``, then one aggregate sums the
-  per-term products into the cosine.
+Plan shape (r12 — window formulation; the agg+re-join diamonds were
+half the wall):
+- bigram terms per doc (codegen ``zip_with(slice…)``, no UDF),
+- tf per (doc, term); GLOBAL df per term via ``count() over
+  (partition by term)`` and the per-doc L2 norm via ``sum(w²) over
+  (partition by __id)`` — each window is ONE shuffle of the tf frame,
+  replacing the old {aggregate → broadcast/shuffle join back} pair
+  that carried the same bytes through the same exchange plus a
+  separate aggregation pass and broadcast build,
+- the normalized frame is persisted once and self-joined on
+  (term, *block_cols) with ``id_l < id_r``, then one aggregate sums
+  the per-term products into the cosine.
 
 Scale analysis (100 TB): the join emits Σ_term df_block(t)² pair-terms —
 quadratic in the heaviest posting list, which is why two levers are
@@ -28,7 +32,7 @@ operator re-scores its candidates exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from datapump_spark.functions.hashing import tokens
@@ -50,7 +54,6 @@ def sparse_cosine_pairs(
     block_cols: list[str] | None = None,
     threshold: float = 0.2,
     max_df_frac: float | None = None,
-    hint_broadcast: bool = True,
 ) -> DataFrame:
     """(id_l, id_r, cos): co-blocked document pairs with TF-IDF cosine
     ≥ ``threshold`` (rounded to 6 dp pre-filter, so Spark and the SQL
@@ -58,54 +61,42 @@ def sparse_cosine_pairs(
     appearing in more than that fraction of documents BEFORE pairing
     (weights/norms are computed on the retained space).
 
-    ``hint_broadcast`` (default True) broadcast-hints the df and norm
-    lookups: they derive from the cached tf, whose stats AQE can't see,
-    so it would otherwise plan full shuffle joins. They are vocabulary-
-    and corpus-sized respectively — at the scale where either stops
-    fitting in an executor (~10⁸ entries), pass False and let them
-    shuffle; every other part of the plan is unchanged."""
+    df/norm come from windows, not aggregate+join-back: a window
+    partitioned by the hot key shuffles exactly the rows the old join
+    shuffled (the posting list for a term lands on one reducer either
+    way), so skew is unchanged while the separate aggregation pass and
+    its broadcast build (or corpus-sized shuffle join at 100 TB)
+    disappear from the critical path."""
     block_cols = block_cols or []
     terms = (
         df.withColumn("__t", tokens(F.col(text_col)))
         .select(F.col(id_col).alias("__id"), *block_cols,
                 F.explode(F.expr(_BIGRAMS)).alias("term"))
     )
-    # tf is the base of a diamond (docfreq, weights, and norms all hang
-    # off it) — without a persist the explode+aggregate would recompute
-    # once per branch. One cached pass over the corpus instead. Block
-    # cols ride in the grouping key (functionally dependent on __id) —
-    # cheaper than first() accumulators.
+    # Block cols ride in the grouping key (functionally dependent on
+    # __id) — cheaper than first() accumulators.
     tf = terms.groupBy("__id", *block_cols, "term").agg(
-        F.count("*").cast("double").alias("tf")).persist()
+        F.count("*").cast("double").alias("tf"))
     n_docs = df.agg(F.count("*").cast("double").alias("__n"))
-    docfreq = tf.groupBy("term").agg(F.count("*").cast("double").alias("df"))
+    # GLOBAL df per term (across blocks), then the per-doc L2 norm.
+    w = tf.withColumn(
+        "df", F.count("*").over(Window.partitionBy("term")).cast("double"))
     if max_df_frac is not None:
-        docfreq = docfreq.crossJoin(F.broadcast(n_docs)).where(
+        w = w.crossJoin(F.broadcast(n_docs)).where(
             F.col("df") <= F.lit(max_df_frac) * F.col("__n")).drop("__n")
-    if hint_broadcast:
-        docfreq = F.broadcast(docfreq)
-    w = (
-        tf.join(docfreq, "term")
-        .crossJoin(F.broadcast(n_docs))
-        .select("__id", "term", *block_cols,
-                (F.col("tf") * (F.log((F.lit(1.0) + F.col("__n"))
-                                      / (F.lit(1.0) + F.col("df")))
-                                + F.lit(1.0))).alias("w"))
-    )
-    norm = w.groupBy("__id").agg(F.sqrt(F.sum(F.col("w") * F.col("w")))
-                                 .alias("__nrm"))
-    if hint_broadcast:
-        norm = F.broadcast(norm)
-    # Both self-join sides re-derive u from the CACHED tf — df/norm hang
-    # off the cache, so the recompute is two joins with no upstream
-    # re-scan (AQE broadcasts them when small; at huge vocab / corpus
-    # they are legitimately shuffled joins — neither df nor norm is
-    # broadcastable at 100 TB). Persisting u itself measured SLOWER than
-    # recomputing it (an extra materialization barrier on the critical
-    # path for two map-side-cheap branches).
-    u = w.join(norm, "__id").select(
-        "__id", "term", *block_cols,
-        (F.col("w") / F.col("__nrm")).alias("u"))
+    w = (w.crossJoin(F.broadcast(n_docs))
+         .withColumn("w", F.col("tf")
+                     * (F.log((F.lit(1.0) + F.col("__n"))
+                              / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))))
+    # The normalized frame feeds BOTH self-join sides: persist it so the
+    # scan → tf → window chain runs once (computed inside this plan —
+    # not cross-run caching). Measured min-of-4 at sf0.1: no persist
+    # 1.62 s / persist tf 1.32 s / persist u 1.01 s.
+    u = (w.withColumn("__nrm", F.sqrt(
+            F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("__id"))))
+         .select("__id", "term", *block_cols,
+                 (F.col("w") / F.col("__nrm")).alias("u"))
+         .persist())
     left = u.select(F.col("__id").alias("id_l"), "term", *block_cols,
                     F.col("u").alias("__ul"))
     right = u.select(F.col("__id").alias("id_r"), "term",
