@@ -65,25 +65,27 @@ def pagerank(
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = (
+    # Out-degree denormalized ONTO the edge list once (window over the
+    # src-partitioned shuffle, no extra exchange): each iteration is
+    # then one join + one aggregate instead of two joins. This is the
+    # ONLY persisted copy of the edge list — nodes/degrees/iterations
+    # all read it (r12: a second edge-list materialization, persisting
+    # the pre-window frame too, bought nothing and cost a full pass).
+    from pyspark.sql.window import Window
+
+    e_deg = (
         e.repartition("src")  # the per-iteration join key: cached blocks
-        .persist()            # already sit on the right partitioning
+        .withColumn("out_deg",
+                    F.count(F.lit(1)).over(Window.partitionBy("src")))
+        .persist()
     )
     nodes = (
-        e.select(F.col("src").alias("node"))
-        .union(e.select(F.col("dst").alias("node")))
+        e_deg.select(F.col("src").alias("node"))
+        .union(e_deg.select(F.col("dst").alias("node")))
         .distinct()
     )
     cnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base_nodes = nodes.join(F.broadcast(cnt)).persist()  # 1-row cross join
-    # Out-degree denormalized ONTO the edge list once (window over the
-    # already-src-partitioned cache, no extra shuffle): each iteration is
-    # then one join + one aggregate instead of two joins.
-    from pyspark.sql.window import Window
-
-    e_deg = e.withColumn(
-        "out_deg", F.count(F.lit(1)).over(Window.partitionBy("src"))
-    ).persist()
 
     teleport = f"(({100 - damping_pct} * ({scale} div __n)) div 100)"
     ranks = base_nodes.select(
