@@ -79,15 +79,20 @@ def interpolate_linear(
     # BOTH neighbor sides as RUNNING (growing) frames — the "next" side
     # over a DESC ordering rather than an UNBOUNDED FOLLOWING frame,
     # which Spark re-evaluates from scratch per row (O(n²) per series;
-    # measured 10× slower at sf0.1). Two sorts, each O(n log n).
-    prev_w = (Window.partitionBy(*keys).orderBy("__rn")
-              .rowsBetween(Window.unboundedPreceding, -1))
+    # measured 10× slower at sf0.1). Two sorts, each O(n log n):
+    # the prev side reuses rn_w's (keys, ts) sort outright — running
+    # rows-frames see the same physical order __rn was assigned in, so
+    # the results are identical to ordering by __rn — and the two
+    # expressions per side sit ADJACENT so CollapseWindow merges them
+    # (the old rn/rn/val/val interleave planned 5 Window + 5 Sort
+    # nodes; this plans 3 Window + 2 Sort).
+    prev_w = rn_w.rowsBetween(Window.unboundedPreceding, -1)
     desc_w = (Window.partitionBy(*keys).orderBy(F.desc("__rn"))
               .rowsBetween(Window.unboundedPreceding, -1))
     d = (d.withColumn("__prev_rn", F.max(obs).over(prev_w))
-          .withColumn("__next_rn", F.min(obs).over(desc_w))
           .withColumn("__prev_val",
                       F.last(value_col, ignorenulls=True).over(prev_w))
+          .withColumn("__next_rn", F.min(obs).over(desc_w))
           .withColumn("__next_val",
                       F.last(value_col, ignorenulls=True).over(desc_w)))
     frac = ((F.col("__rn") - F.col("__prev_rn"))
