@@ -9,16 +9,18 @@ four signals catch boilerplate, scraped navigation, and degenerate
 generation that plain length/stopword heuristics
 (:mod:`datapump_spark.operators.text`) miss.
 
-Plan shape: LINE signals are pure per-row array expressions (a document
-has few lines, so the O(distinct × lines) nested counting loop is
-cheap and costs zero shuffle). GRAM signals explode both gram sizes in
-one tagged pass → one partial-aggregated ``groupBy(doc_id, kind, item)``
-→ one ``groupBy(doc_id)`` rollup — grams are ~tokens per doc, so they
-stay on the aggregation path where map-side combine collapses repeats
-before the exchange. Keeping lines out of the explode cuts the shuffled
-stream by ~⅓ versus tagging all three kinds (measured at sf0.1); at
-100 TB this is two well-distributed aggregations over the gram stream
-plus a scan-speed line pass, never per-doc state anywhere.
+Plan shape: every signal — line AND gram — is strictly per-document,
+so the whole operator is ONE zero-shuffle projection: each signal is a
+sorted-run fold over a per-row array (``aggregate(array_sort(...))``),
+O(G log G) in the document's own line/gram count. Round 12 rewrite
+(guide §2.4): the gram signals previously exploded both gram sizes into
+a corpus-wide ``groupBy(doc_id, kind, item)`` + a ``groupBy(doc_id)``
+rollup + a join back onto the line frame — two full-corpus shuffles and
+a join whose aggregation keys were per-document anyway. The sorted-run
+fold computes the identical distinct-gram counts inside the row (counts
+are exact integers, the (count, char-length) tie-break packing is the
+same BIGINT), so results are bit-identical while the operator runs at
+scan speed with no Exchange at any scale.
 
 Determinism notes (mirrored exactly by the DuckDB oracle):
 - counts-of-characters multiply overlapping grams; the dup-gram char
@@ -128,72 +130,63 @@ def repetition_signals(
             acc["cnt"] * F.length(acc["prev"]).cast("bigint"),
         ).otherwise(F.lit(0).cast("bigint")),
     )
-    line_stats = base.select(
-        id_col, "__chars", "__toks",
+
+    # gram signals: the same sorted-run fold, per row — a run in the
+    # sorted gram array IS one distinct gram with its exact count, so
+    # these reproduce the old groupBy(doc, item) counts bit-for-bit
+    # with zero shuffle. '' is a safe run sentinel: grams join ≥ 1
+    # non-empty tokens, so no gram is the empty string.
+    dup_gram_chars = F.aggregate(
+        F.array_sort(_word_grams(F.col("__toks"), n_dup)), run0, _run_merge,
+        lambda acc: acc["chars"] + F.when(
+            acc["cnt"] >= 2,
+            acc["cnt"] * F.length(acc["prev"]).cast("bigint"),
+        ).otherwise(F.lit(0).cast("bigint")),
+    )
+
+    # most frequent top-gram: max over runs of the packed (count, len)
+    # BIGINT — identical tie-break to the old max() over the aggregate
+    pack0 = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("bigint").alias("cnt"),
+        F.lit(None).cast("bigint").alias("best"),
+    )
+
+    def _pack_merge(acc, x):
+        same = acc["prev"] == x
+        flushed = F.when(
+            ~same & (acc["cnt"] >= 1),
+            acc["cnt"] * PACK + F.length(acc["prev"]).cast("bigint"),
+        )
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["cnt"] + 1).otherwise(F.lit(1).cast("bigint"))
+            .alias("cnt"),
+            F.greatest(acc["best"], flushed).alias("best"),
+        )
+
+    top_pack = F.aggregate(
+        F.array_sort(_word_grams(F.col("__toks"), n_top)), pack0,
+        _pack_merge,
+        lambda acc: F.greatest(acc["best"], F.when(
+            acc["cnt"] >= 1,
+            acc["cnt"] * PACK + F.length(acc["prev"]).cast("bigint"))),
+    )
+
+    return base.select(
+        F.col(id_col),
         F.round(
             F.when(n_lines > 0,
                    (n_lines - n_distinct) / n_lines.cast("double"))
             .otherwise(F.lit(0.0)), 6).alias("dup_line_frac"),
         F.round(dup_line_chars / F.col("__chars"), 6)
         .alias("dup_line_char_frac"),
-    )
-
-    # gram signals: one tagged explode (both gram sizes) → two
-    # partial-aggregated groupBys keyed on high-cardinality composites
-    tagged = line_stats.select(
-        id_col, "__chars",
-        F.explode(
-            F.concat(
-                F.transform(
-                    _word_grams(F.col("__toks"), n_top),
-                    lambda x: F.struct(F.lit("top").alias("kind"),
-                                       x.alias("item"))),
-                F.transform(
-                    _word_grams(F.col("__toks"), n_dup),
-                    lambda x: F.struct(F.lit("dup").alias("kind"),
-                                       x.alias("item"))),
-            )
-        ).alias("t"),
-    ).select(id_col, "__chars", F.col("t.kind").alias("kind"),
-             F.col("t.item").alias("item"))
-
-    counted = (
-        tagged.groupBy(id_col, "kind", "item")
-        .agg(F.first("__chars").alias("__chars"),
-             F.count("*").alias("cnt"))
-        .withColumn("ilen", F.length("item").cast("bigint"))
-    )
-
-    per_doc = counted.groupBy(id_col).agg(
-        F.first("__chars").alias("__chars"),
-        # most frequent top-gram: (cnt, len) packed so max() breaks ties
-        F.max(F.when(F.col("kind") == "top",
-                     F.col("cnt") * PACK + F.col("ilen"))).alias("top_pack"),
-        F.sum(F.when((F.col("kind") == "dup") & (F.col("cnt") >= 2),
-                     F.col("cnt") * F.col("ilen"))
-              .otherwise(F.lit(0))).alias("dup_gram_chars"),
-    )
-
-    gram_stats = per_doc.select(
-        F.col(id_col),
         F.round(
             F.coalesce(
-                (F.floor(F.col("top_pack") / PACK)
-                 * (F.col("top_pack") % PACK)) / F.col("__chars"),
+                (F.floor(top_pack / PACK) * (top_pack % PACK))
+                / F.col("__chars"),
                 F.lit(0.0)), 6).alias("top_ngram_char_frac"),
         F.round(F.least(F.lit(1.0),
-                        F.col("dup_gram_chars") / F.col("__chars")), 6)
+                        dup_gram_chars / F.col("__chars")), 6)
         .alias("dup_ngram_char_frac"),
-    )
-
-    # docs too short for any gram vanish in the explode; the left join
-    # from the (complete) line-stats frame restores them with zeros
-    return (
-        line_stats.drop("__chars", "__toks")
-        .join(gram_stats, id_col, "left")
-        .select(
-            F.col(id_col), "dup_line_frac", "dup_line_char_frac",
-            *[F.coalesce(F.col(n), F.lit(0.0)).alias(n)
-              for n in ("top_ngram_char_frac", "dup_ngram_char_frac")],
-        )
     )
