@@ -12,11 +12,13 @@ Plan shapes:
   map-side combine; posting lists materialize as sorted arrays, the
   parquet-friendly layout (a term row = one posting block; write it
   ``bucketBy(term)`` and lookups become partition-pruned scans).
-- :func:`bm25_topk` — query terms are a literal array (tiny), so the
-  candidate fetch is a semi-join-shaped filter on the per-(doc, term)
-  frequency table, the per-doc score one aggregation, top-k a
-  ``TakeOrderedAndProject``. Nothing driver-side, no cross product; at
-  100 TB the (doc, term) table is the same artifact the index writes.
+- :func:`bm25_topk` — query terms are a literal set (tiny), filtered
+  BEFORE the only shuffle: the exploded token stream keeps query-term
+  hits only (doc length rides each row), one partial-aggregated
+  ``groupBy(doc, term)`` yields tf+dl, the per-doc score one
+  aggregation, top-k a ``TakeOrderedAndProject``. Nothing driver-side,
+  no cross product; at 100 TB the shuffle is the query terms' postings,
+  not the corpus vocabulary.
 """
 
 from __future__ import annotations
@@ -51,11 +53,16 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
     dropping terms in fewer than ``min_df`` documents."""
     terms = df.select(F.col(id_col),
                       F.explode(tokens(F.col(text_col))).alias("term"))
+    # ONE shuffle (guide §2.4): collect_set dedupes (term, id) repeats in
+    # the partial (map-side) aggregation state, so the separate
+    # distinct() pass — a second full exchange of the token stream —
+    # is unnecessary; df is the posting-list size by definition.
     return (
-        terms.distinct()
-        .groupBy("term")
-        .agg(F.count("*").cast("bigint").alias("df"),
-             F.sort_array(F.collect_list(id_col)).alias("postings"))
+        terms.groupBy("term")
+        .agg(F.sort_array(F.collect_set(id_col)).alias("postings"))
+        .select("term",
+                F.size("postings").cast("bigint").alias("df"),
+                "postings")
         .where(F.col("df") >= min_df)
     )
 
@@ -80,9 +87,7 @@ def bm25_topk(
                       if t})
     if not q_terms:
         raise ValueError("query has no tokens")
-    qdf = spark.createDataFrame([(t,) for t in q_terms], "term string")
 
-    base = doc_term_freqs(df, id_col, text_col)
     # N and avgdl in ONE raw scan: dl ≡ size(tokens) (what Σtf folds to),
     # nullif(…, 0) excludes token-less docs from the average exactly as
     # the dl table does — no pass over the exploded/aggregated lineage.
@@ -90,11 +95,26 @@ def bm25_topk(
         F.count("*").cast("double").alias("__n"),
         F.avg(F.nullif(F.size(tokens(F.col(text_col))), F.lit(0)))
         .alias("__avgdl"))
-    # Filter to query terms FIRST, then derive df from the (tiny)
-    # candidate frame — df restricted to query terms is the same value,
-    # and the persist means the explode+aggregate lineage of `base` runs
-    # ONCE (candidates feed both docfreq and the scorer).
-    cand = base.join(F.broadcast(qdf), "term").persist()
+    # Filter to query terms BEFORE the only shuffle (guide §2.3/§2.4):
+    # dl ≡ size(tokens) rides each surviving exploded row, so the old
+    # corpus-wide (doc, term) aggregation + per-doc dl rollup + tf⋈dl
+    # join (doc_term_freqs) never happen — only query-term occurrences
+    # enter the exchange, map-side partial aggregation collapses repeats
+    # first, and tf/dl come out of the same tiny aggregate. The persist
+    # means this lineage runs ONCE (candidates feed both docfreq and the
+    # scorer). At 100 TB the shuffle is |postings of the query terms|,
+    # not |corpus vocabulary occurrences|.
+    toks = tokens(F.col(text_col))
+    cand = (
+        df.select(F.col(id_col),
+                  F.size(toks).cast("bigint").alias("dl"),
+                  F.explode(toks).alias("term"))
+        .where(F.col("term").isin(q_terms))
+        .groupBy(id_col, "term")
+        .agg(F.count("*").cast("bigint").alias("tf"),
+             F.first("dl").alias("dl"))
+        .persist()
+    )
     docfreq = cand.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"))
 
