@@ -74,12 +74,21 @@ def minhash_signatures(
     (functions/hashing.py) — k× cheaper than k independent digests, same
     independence guarantees; one explode + one groupBy computes all k mins
     in a single aggregation pass (map-side partial mins)."""
+    sh = word_shingles(df, id_col, text_col, shingle_n)
+    return _signatures_from_shingles(sh, id_col, k, hash_fn)
+
+
+def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int,
+                              hash_fn: str = "md5") -> DataFrame:
+    """The aggregation half of :func:`minhash_signatures`, split out so a
+    pipeline that also needs the raw shingles (verification) can compute
+    the shingle frame ONCE and share it (guide §1.2: don't re-derive)."""
     from datapump_spark.functions.hashing import mixed_hash
 
-    sh = word_shingles(df, id_col, text_col, shingle_n)
-    sh = sh.withColumn("__h", hash63(F.col("shingle"), hash_fn))
-    aggs = [F.min(mixed_hash(F.col("__h"), i)).alias(f"mh{i}") for i in range(k)]
-    return sh.groupBy(id_col).agg(*aggs)
+    h = sh.withColumn("__h", hash63(F.col("shingle"), hash_fn))
+    aggs = [F.min(mixed_hash(F.col("__h"), i)).alias(f"mh{i}")
+            for i in range(k)]
+    return h.groupBy(id_col).agg(*aggs)
 
 
 def lsh_candidate_pairs(
@@ -121,21 +130,33 @@ def lsh_candidate_pairs(
 
 def verify_jaccard(
     shingles: DataFrame, pairs: DataFrame, id_col: str,
+    persist_pruned: bool = True,
 ) -> DataFrame:
     """Exact Jaccard for candidate pairs via a shingle join restricted to
     the candidates: |A∩B| from the co-occurrence join, |A|,|B| from per-doc
     counts. Returns (id_a, id_b, jaccard)."""
-    sizes = shingles.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    # Prune BOTH shingle streams to candidate docs before any wide join:
+    # Prune the shingle stream to candidate docs before any wide join:
     # near-dup candidates are a small fraction of the corpus, so without
-    # the semi-joins the (id_b, shingle) join below would shuffle the FULL
+    # the semi-join the (id_b, shingle) join below would shuffle the FULL
     # corpus-sized shingle table — the measured superlinear cliff at the
-    # 250 k local tier, and a non-starter at 100 TB. AQE turns each semi
+    # 250 k local tier, and a non-starter at 100 TB. AQE turns the semi
     # join into a broadcast when the candidate id set is small.
-    sa = shingles.withColumnRenamed(id_col, "id_a") \
-        .join(pairs.select("id_a"), "id_a", "leftsemi")
-    sb = shingles.withColumnRenamed(id_col, "id_b") \
-        .join(pairs.select("id_b"), "id_b", "leftsemi")
+    # r12 (guide §1.2/§5): ONE pruning pass over the shingle lineage
+    # (semi vs the union of both pair sides), persisted — previously the
+    # corpus shingle subtree executed three times (sizes, sa, sb); now
+    # sizes/sa/sb are all reads of the small pruned cache.
+    ids = (pairs.select(F.col("id_a").alias(id_col))
+           .unionByName(pairs.select(F.col("id_b").alias(id_col)))
+           .distinct())
+    # (persist_pruned=False for callers that eagerly materialize the
+    # result per call and manage their own cache budget — the n_sweeps
+    # staged path, which would otherwise leak one cache entry per sweep)
+    pruned = shingles.join(ids, id_col, "leftsemi")
+    if persist_pruned:
+        pruned = pruned.persist()
+    sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
+    sa = pruned.withColumnRenamed(id_col, "id_a")
+    sb = pruned.withColumnRenamed(id_col, "id_b")
     # intersection size: route A's shingles through the candidate pairs to B
     inter = (
         sa.join(pairs, "id_a")
@@ -184,13 +205,22 @@ def minhash_near_dup_pairs(
     persist to app exit). The knob trades wall-clock (signatures and
     shingles are persisted and re-joined per sweep) for peak scratch
     disk — the binding constraint past ~10 M docs/node."""
-    sigs = minhash_signatures(df, id_col, text_col, bands * rows_per_band, shingle_n, hash_fn)
+    # ONE shingle materialization (guide §1.2/§5): the tokenize + shingle
+    # explode feeds both the signature aggregation and the verify pass
+    # from a single persisted frame (previously only the n_sweeps path
+    # persisted it; the single-sweep path re-derived the corpus shingle
+    # subtree up to four times).
+    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    sigs = _signatures_from_shingles(sh, id_col, bands * rows_per_band,
+                                     hash_fn)
     if scope_col is not None:
         sigs = sigs.join(df.select(id_col, scope_col), id_col)
-    sh = word_shingles(df, id_col, text_col, shingle_n)
     if n_sweeps <= 1:
+        # the candidate pair list — consumed by the verify pruning
+        # semi-join AND the intersection join — is persisted instead of
+        # re-running the band self-join per consumer
         cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
-                                    scope_col=scope_col)
+                                    scope_col=scope_col).persist()
         verified = verify_jaccard(sh, cands, id_col)
         return verified.where(F.col("jaccard") >= threshold)
 
@@ -208,7 +238,8 @@ def minhash_near_dup_pairs(
         cands = lsh_candidate_pairs(
             sigs, id_col, bands, rows_per_band,
             scope_col=scope_col, band_subset=subset)
-        verified = verify_jaccard(sh, cands, id_col) \
+        verified = verify_jaccard(sh, cands, id_col,
+                                  persist_pruned=False) \
             .where(F.col("jaccard") >= threshold)
         parts.append(verified.localCheckpoint(eager=True))
         gc.collect()
