@@ -161,12 +161,20 @@ def triangle_stats(
     convention. Degrees come from one exploded aggregation; everything
     shuffles on node ids only.
     """
+    # Persist the normalized edge list: it feeds FOUR consumers (deg +
+    # the three oriented join branches), whose post-pruning subplans
+    # differ enough that ReusedExchange cannot be relied on — without
+    # the persist an expensive edge-construction lineage (e.g.
+    # q_triangles' lineitem self-join + top-k window) re-executes up to
+    # four times (measured r12: 58-Exchange plan). The edge list is
+    # 2 ids/row — the cheapest frame in the operator to hold.
     e = (
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"))
         .where(F.col("lo") != F.col("hi"))
         .distinct()
+        .persist()
     )
     deg = (
         e.select(F.explode(F.array("lo", "hi")).alias("node"))
