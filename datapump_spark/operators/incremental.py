@@ -129,8 +129,20 @@ def incremental_near_dup(
     columns appended, ready to union onto the persisted index.
     """
     k = bands * rows_per_band
+    # Persist both signature frames (r12, guide §1.2/§5): each is k×8
+    # bytes/doc but their LINEAGE is a full tokenize+shingle+minhash
+    # pass, and the plan consumes the batch signatures four times
+    # (banding, cross-index agreement, within-batch survivors, final
+    # append) and the index twice (banding, agreement) — unpersisted,
+    # the measured plan held 106 Exchanges from re-executed subtrees.
+    # At production scale ``index_sigs`` is a materialized bucketed
+    # table, so its persist caches a plain scan (or is dropped by the
+    # caller passing an already-cached frame) — it never re-runs the
+    # corpus signature computation, which is exactly the property this
+    # persist gives the in-bench computed frame.
     sigs_b = signature_index(batch, id_col, text_col, bands, rows_per_band,
-                             shingle_n, hash_fn)
+                             shingle_n, hash_fn).persist()
+    index_sigs = index_sigs.persist()
 
     def est(a_pref: str, b_pref: str):
         agree = sum(
@@ -150,11 +162,15 @@ def incremental_near_dup(
               "__idx_id")
         .where(est("a", "x") >= threshold)
         .select(id_col).distinct()
+        .persist()  # tiny id list; embedded in BOTH survivor consumers
     )
     survivors = batch.join(hit_ids, id_col, "left_anti")
 
-    # within-batch near-dups: lowest id wins (same banding + estimator)
-    surv_sigs = sigs_b.join(survivors.select(id_col), id_col, "semi")
+    # within-batch near-dups: lowest id wins (same banding + estimator);
+    # persisted — consumed by the banding self-join AND both sides of
+    # the agreement check
+    surv_sigs = sigs_b.join(survivors.select(id_col), id_col, "semi") \
+        .persist()
     sb = _banded(surv_sigs, id_col, bands, rows_per_band)
     pair_hits = (
         sb.alias("p").join(
