@@ -32,10 +32,11 @@ Scale notes (100 TB):
 - The surviving pairs pay Spark's threshold'd ``levenshtein(l, r, k)``,
   which abandons a cell early once the running distance exceeds k
   (O(k·L) per pair, not O(L²)).
-- The probe side is repartitioned before the join: the build side
-  typically broadcasts, so pair-loop parallelism inherits the PROBE
-  partitioning — a single-file input would otherwise run the whole
-  candidate loop on one core.
+- The probe side is repartitioned before the band explode: the build
+  side typically broadcasts, so pair-loop parallelism inherits the
+  PROBE partitioning — a single-file input would otherwise run the
+  whole candidate loop on one core. Repartitioning upstream of the
+  explode moves 1× rows through the shuffle, not the 3^d× stream.
 - For corpora where these dims still block poorly, compose a content
   block (e.g. a MinHash band key from :mod:`.dedup_fuzzy`) via
   ``extra_block_col`` — the plan shape is unchanged (a wider equi-key);
@@ -87,6 +88,13 @@ def edit_distance_pairs(
              else F.col(extra_block_col))
         xb = [c.alias("__xb")]
     k_cls = len(_CLASSES) if char_filter else 0
+    # Persist the banded/counted base (r12, guide §1.2/§4.4-adjacent):
+    # probe and build each re-derived it from the raw scan, and the join
+    # pushes isnotnull(band) constraints BELOW this projection — in the
+    # unpersisted plan the filter re-inflated the full text→key→count
+    # expression chain ~26× per row. Materializing (id, t, bands,
+    # counts) once makes those filters read stored columns and halves
+    # the scan count.
     base = df.select(
         F.col(id_col).alias("id"),
         t.alias("t"),
@@ -95,7 +103,7 @@ def edit_distance_pairs(
         *xb,
         *[_count_of(t, cls).alias(f"__s{i}")
           for i, cls in enumerate(_CLASSES[:k_cls])],
-    )
+    ).persist()
     on = [f"__band{i}" for i in range(nd)] + (["__xb"] if xb else [])
     # probe emits every band vector within ±1 per dim (3^d tiny rows);
     # exactly one emission equals any qualifying partner's band vector
@@ -104,7 +112,13 @@ def edit_distance_pairs(
                    for i in range(nd)])
         for off in product((-1, 0, 1), repeat=nd)
     ])
-    probe = base.select(
+    # repartition BEFORE the 3^d explode: the shuffle spreads pair-loop
+    # parallelism (the build side broadcasts, so the probe partitioning
+    # is the loop partitioning) while carrying 1× rows instead of the
+    # exploded 3^d× stream (guide §2.3)
+    probe = base.repartition(
+        df.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col("id").alias("id_p"), F.col("t").alias("t_p"),
         F.explode(combos).alias("__c"),
         *([F.col("__xb")] if xb else []),
@@ -127,8 +141,6 @@ def edit_distance_pairs(
         l1 = sum((F.abs(F.col(f"__p{i}") - F.col(f"__q{i}"))
                   for i in range(k_cls)), F.lit(0))
         cond = cond & (l1 <= F.lit(2 * max_dist))
-    probe = probe.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
     pairs = (probe.join(build, on)
              .where(cond)
              .select(F.col("id_p").alias("id_l"),

@@ -188,8 +188,14 @@ def remove_duplicate_spans(
        starts: slice-between-cuts with a rolling cursor — linear in doc
        length, zero Python.
     """
-    d = tokenized_docs(df, id_col, text_col)
-    grams = doc_gram_positions(d, id_col, n, hash_fn)
+    # r12 (guide §1.2/§5): persist the two shared frames. `d` feeds the
+    # gram pass AND the final reassembly join; `grams` feeds the winner
+    # aggregation AND the occurrence re-join — unpersisted, the corpus
+    # was tokenized three times and every gram md5-hashed twice. Both
+    # caches spill to disk past memory; recomputing the md5-per-gram
+    # pass costs more than re-reading it at any scale.
+    d = tokenized_docs(df, id_col, text_col).persist()
+    grams = doc_gram_positions(d, id_col, n, hash_fn).persist()
     dup = (grams.groupBy("gram")
            .agg(F.count("*").alias("__c"),
                 F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))
