@@ -1241,7 +1241,12 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 0)
             .select(F.col("doc_id").alias("media_id"),
-                    F.regexp_replace("text", r"[^ -~]", "").alias("__t")))
+                    F.regexp_replace("text", r"[^ -~]", "").alias("__t"))
+            # spread the heavy per-doc Python (AES-256 2.B / RC4 arms)
+            # across workers — the sampled scan is 1-2 input splits, so
+            # without this the whole build+parse loop ran near-serial
+            # (guide §4/§2.6; the r11 xlsx shard precedent)
+            .repartition(16))
 
     def build(batches):
         from datapump_spark.operators import pdftext as P
@@ -1548,9 +1553,22 @@ def q_audio_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
 
+    # Repartition by (codec arm, frequency) — the worker-side payload
+    # caches key on exactly that pair, so grouping equal keys into the
+    # same task means each task pays each distinct encode ONCE instead
+    # of a round-robin layout re-encoding the same (arm, freq) payload
+    # in up to every task (guide §4.5: amortize heavyweight init).
+    # ~108 distinct keys over 16 partitions; row placement never
+    # affects results.
+    rot = F.col("doc_id") % 80
+    freq = F.when(rot == 32,
+                  250 * (1 + F.floor(F.col("doc_id") / 64) % 8)) \
+        .otherwise(100 + (F.col("doc_id") % 50) * 20)
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 16 == 0) \
-        .select(F.col("doc_id").alias("media_id")) \
-        .repartition(16)
+        .select(F.col("doc_id").alias("media_id"), rot.alias("__rot"),
+                freq.alias("__freq")) \
+        .repartition(16, "__rot", "__freq") \
+        .select("media_id")
 
     def build(batches):
         import numpy as np
@@ -1603,7 +1621,8 @@ def q_image_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datapump_spark.operators.multimodal import image_near_dup
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0) \
-        .select(F.col("doc_id").alias("media_id"))
+        .select(F.col("doc_id").alias("media_id")) \
+        .repartition(16)
 
     def build(batches):
         import numpy as np
@@ -4365,9 +4384,14 @@ def q_opus_tone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from datapump_spark.operators.audiofeat import audio_spectral_features
 
+    # partition by a 16-value key that refines the 8-value frequency
+    # key (equal key ⇒ equal frequency): each task pays at most one
+    # Opus encode (guide §4.5) while decode parallelism stays ~16
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 64 == 0) \
-        .select(F.col("doc_id").alias("media_id")) \
-        .repartition(16)
+        .select(F.col("doc_id").alias("media_id"),
+                (F.floor(F.col("doc_id") / 64) % 16).alias("__k")) \
+        .repartition(16, "__k") \
+        .select("media_id")
 
     def build(batches):
         for pdf in batches:
