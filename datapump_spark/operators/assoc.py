@@ -6,11 +6,12 @@ domain affinities).
 
 Spark-first shape: ONE self-join on the basket id generates candidate
 pairs (never an item-domain cross product), guarded by a min-support
-count pushed into the pair aggregation; item supports come from one
-aggregation and meet the pairs through broadcast joins (item stats are
-vocabulary-sized, baskets are the big table). All statistics are ratios
-of exact integer counts — engine-identical to the 6-dp rounding, hence
-fully oracle-twinnable.
+count pushed into the pair aggregation; the deduped basket-item frame
+is persisted (r12) so the basket count, item supports and both join
+sides read one materialization; item stats meet the pairs through
+broadcast joins (they are vocabulary-sized, baskets are the big table).
+All statistics are ratios of exact integer counts — engine-identical to
+the 6-dp rounding, hence fully oracle-twinnable.
 
 At 100 TB: the self-join shuffles on basket id (the natural key the data
 arrives clustered by); skewed mega-baskets are the one hazard — cap
@@ -37,12 +38,21 @@ def pair_rules(
     baskets. Both directions are emitted (confidence is asymmetric);
     support/confidence/lift are the textbook definitions on distinct
     baskets (duplicate items within a basket count once)."""
-    # single lazy plan: the deduped basket-item table feeds the basket
-    # count, the item supports, and both sides of the self-join — the
-    # subtrees are identical, so Spark's ReusedExchange computes the
-    # distinct's shuffle ONCE (no persist, no driver-side count action)
+    # The deduped basket-item table feeds the basket count, the item
+    # supports, and both sides of the self-join. ReusedExchange cannot
+    # cover all four consumers (the post-pruning subplans differ and the
+    # self-join re-keys by basket, not (basket, item)), so persist the
+    # two-column frame once instead of re-running the distinct per
+    # consumer (r12, guide §1.2/§5; measured 26-Exchange plan before).
+    # REJECTED r12 variant (kept as a warning): generating the ordered
+    # pairs per row from groupBy(b).collect_set + a nested
+    # transform/element_at comprehension removes two exchanges on paper
+    # but measured 4x SLOWER end-to-end — higher-order functions are
+    # interpreted per element, while the codegen'd self-join stream
+    # stays vectorized (the same trade documented in fuzzy_join.py and
+    # the lsh_topk round notes).
     b = df.select(F.col(basket_col).alias("b"),
-                  F.col(item_col).alias("item")).distinct()
+                  F.col(item_col).alias("item")).distinct().persist()
     nb = b.agg(F.countDistinct("b").cast("double").alias("__nb"))
     items = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item"))
