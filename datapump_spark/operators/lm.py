@@ -64,11 +64,17 @@ def train_bigram_lm(
 
     ``unigrams`` = (w1, c1) — context counts, i.e. occurrences as the
     LEFT member of a bigram, so the conditional distributions normalize;
-    ``bigrams`` = (w1, w2, c2). Both are plain count aggregations the
-    caller may persist / write out as the model."""
+    ``bigrams`` = (w1, w2, c2). The bigram table is persisted (it IS the
+    model, vocab²-bounded, and every scorer consumes it repeatedly —
+    the probability join plus both vocabulary branches); the context
+    counts fold over it (``c1(w1) ≡ Σ_w2 c2(w1, w2)`` exactly), so the
+    corpus bigram stream is exploded and aggregated ONCE, not once per
+    count table (r12, guide §1.2/§2.3)."""
     bg = _doc_bigrams(corpus, id_col, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
-    unigrams = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")) \
+        .persist()
+    unigrams = bigrams.groupBy("w1").agg(
+        F.sum("c2").cast("bigint").alias("c1"))
     return unigrams, bigrams
 
 
