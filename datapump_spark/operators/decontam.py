@@ -285,7 +285,9 @@ def remove_contaminated_spans(
              .select("gram").distinct())
 
     def one_pass(frame: DataFrame, col: str) -> DataFrame:
-        d = tokenized_docs(frame, id_col, col)
+        # persisted: the gram pass and the reassembly join both consume
+        # the tokenized frame (r12; the remove_duplicate_spans rationale)
+        d = tokenized_docs(frame, id_col, col).persist()
         grams = doc_gram_positions(d, id_col, n, hash_fn)
         marked = (grams.join(F.broadcast(bench), "gram", "semi")
                   .select(id_col, "pos"))

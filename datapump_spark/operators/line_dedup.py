@@ -59,7 +59,9 @@ def dup_passages(
     at 8 bytes."""
     from datapump_spark.operators.decontam import doc_ngram_hashes
 
-    grams = doc_ngram_hashes(df, id_col, text_col, n, hash_fn)
+    # persisted: three consumers (shared-gram aggregation, the hit join,
+    # per-doc totals) each re-ran the tokenize+hash explode (r12)
+    grams = doc_ngram_hashes(df, id_col, text_col, n, hash_fn).persist()
     shared = (grams.groupBy("gram").agg(F.count("*").alias("__docs"))
               .where(F.col("__docs") >= 2)
               .select("gram"))
@@ -118,7 +120,12 @@ def dedup_lines(
     if scope not in ("corpus", "doc"):
         raise ValueError(f"scope must be 'corpus' or 'doc': {scope!r}")
     lines = explode_lines(df, id_col, text_col, sep)
-    lines = lines.withColumn("__h", hash63(F.col("line"), hash_fn))
+    # persisted: the winner aggregation AND the occurrence join both
+    # consume the hashed line stream (r12; same rationale as the gram
+    # persist in remove_duplicate_spans — the md5-per-line pass costs
+    # more than re-reading it)
+    lines = lines.withColumn("__h", hash63(F.col("line"), hash_fn)) \
+        .persist()
     pos = F.struct(F.col(id_col), F.col("line_no"))
     win_keys = ["__h", "line"] if scope == "corpus" else [id_col, "__h", "line"]
     winners = (lines.groupBy(*win_keys)
