@@ -264,8 +264,11 @@ def ngram_jaccard_pairs(
     The block key bounds the quadratic term; at scale the block is an LSH
     band (see minhash_near_dup_pairs) — here it doubles as the verifiable
     all-pairs baseline. (id_a, id_b, jaccard)."""
+    # persisted: per-doc sizes and both self-join sides consume the
+    # blocked shingle stream (r12)
     sh = word_shingles(df, id_col, text_col, shingle_n) \
-        .join(df.select(F.col(id_col), F.col(block_col)), id_col)
+        .join(df.select(F.col(id_col), F.col(block_col)), id_col) \
+        .persist()
     sizes = sh.groupBy(id_col, block_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"), F.col(block_col))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"), F.col(block_col))

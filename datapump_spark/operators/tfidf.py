@@ -40,9 +40,11 @@ def tfidf_topk(
     )
     tf = terms.groupBy(id_col, "term").agg(
         F.count("*").cast("bigint").alias("tf"))
-    docfreq = (terms.select(id_col, "term").distinct()
-               .groupBy("term")
-               .agg(F.count("*").cast("bigint").alias("df")))
+    # df folds over the (doc, term) aggregate — one row per doc-term
+    # pair IS the distinct set, so the old distinct() re-explode of the
+    # corpus is redundant; the shared tf exchange is reused (r12)
+    docfreq = tf.groupBy("term").agg(
+        F.count("*").cast("bigint").alias("df"))
     n_docs = df.agg(F.count("*").cast("double").alias("__n"))
     scored = (
         tf.join(docfreq, "term")
