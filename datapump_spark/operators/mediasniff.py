@@ -438,27 +438,35 @@ def _mkv_info(b: bytes):
 # Catalyst expression path (fixed-offset formats, pure codegen)
 # ---------------------------------------------------------------------------
 
-def _byte(c: str, off: int) -> Column:
-    """Unsigned value of the byte at 0-based ``off`` (codegen int)."""
-    return F.conv(F.hex(F.expr(f"substring({c}, {off + 1}, 1)")), 16, 10).cast("int")
+def _byte(c: str, off: int) -> str:
+    """SQL for the unsigned value of the byte at 0-based ``off`` (int).
+
+    These helpers return SQL STRINGS, composed into seven final
+    ``F.expr`` calls (r12, guide §7.3 / the lsh_topk precedent): the
+    previous Column-DSL construction built several hundred py4j tree
+    nodes per call — ~0.9 s of pure DRIVER time per query using the
+    sniffer. Identical expressions, one parse server-side; equivalence
+    is pinned by test_mediasniff's expr≡pandas≡hand-built gates."""
+    return f"cast(conv(hex(substring({c}, {off + 1}, 1)), 16, 10) as int)"
 
 
-def _be_n(c: str, off: int, n: int) -> Column:
-    """Big-endian unsigned int of ``n`` bytes at 0-based ``off``."""
-    return F.conv(F.hex(F.expr(f"substring({c}, {off + 1}, {n})")), 16, 10).cast("long")
+def _be_n(c: str, off: int, n: int) -> str:
+    """SQL: big-endian unsigned int of ``n`` bytes at 0-based ``off``."""
+    return (f"cast(conv(hex(substring({c}, {off + 1}, {n})), 16, 10) "
+            f"as bigint)")
 
 
-def _le_n(c: str, off: int, n: int) -> Column:
-    """Little-endian unsigned int of ``n`` bytes at 0-based ``off`` —
-    a sum of shifted single-byte reads (conv/hex are big-endian only)."""
-    out = _byte(c, off).cast("long")
-    for i in range(1, n):
-        out = out + _byte(c, off + i).cast("long") * (1 << (8 * i))
-    return out
+def _le_n(c: str, off: int, n: int) -> str:
+    """SQL: little-endian unsigned int — a sum of shifted single-byte
+    reads (conv/hex are big-endian only)."""
+    parts = [f"cast({_byte(c, off)} as bigint)"]
+    parts += [f"cast({_byte(c, off + i)} as bigint) * {1 << (8 * i)}"
+              for i in range(1, n)]
+    return "(" + " + ".join(parts) + ")"
 
 
-def _magic(c: str, off: int, lit: bytes) -> Column:
-    return F.expr(f"substring({c}, {off + 1}, {len(lit)})") == F.lit(lit)
+def _magic(c: str, off: int, lit: bytes) -> str:
+    return f"(substring({c}, {off + 1}, {len(lit)}) = x'{lit.hex()}')"
 
 
 def _sniff_exprs(c: str) -> dict[str, Column]:
@@ -471,119 +479,136 @@ def _sniff_exprs(c: str) -> dict[str, Column]:
     # length guards mirror parse_media_header's: a truncated header must
     # degrade to format=None, never to a claimed format with partial or
     # conv-of-partial-bytes dimensions
-    n = F.length(F.col(c))
-    is_png = _magic(c, 0, b"\x89PNG\r\n\x1a\n") & (n >= 24)
+    n = f"length({c})"
+    is_png = f"({_magic(c, 0, bytes.fromhex('89504e470d0a1a0a'))} AND {n} >= 24)"
     is_jpeg = _magic(c, 0, b"\xff\xd8\xff")
-    is_gif = (_magic(c, 0, b"GIF87a") | _magic(c, 0, b"GIF89a")) & (n >= 10)
-    is_bmp = _magic(c, 0, b"BM") & (n >= 26)
-    is_tiff = _magic(c, 0, b"II*\x00") | _magic(c, 0, b"MM\x00*")
+    is_gif = (f"(({_magic(c, 0, b'GIF87a')} OR {_magic(c, 0, b'GIF89a')}) "
+              f"AND {n} >= 10)")
+    is_bmp = f"({_magic(c, 0, b'BM')} AND {n} >= 26)"
+    is_tiff = (f"({_magic(c, 0, b'II*' + bytes([0]))} OR "
+               f"{_magic(c, 0, b'MM' + bytes([0]) + b'*')})")
     is_riff = _magic(c, 0, b"RIFF")
-    is_wav = is_riff & _magic(c, 8, b"WAVE")
-    is_webp = is_riff & _magic(c, 8, b"WEBP")
+    is_wav = f"({is_riff} AND {_magic(c, 8, b'WAVE')})"
+    is_webp = f"({is_riff} AND {_magic(c, 8, b'WEBP')})"
     # canonical AVI only (LIST hdrl with avih first, the layout every
     # muxer emits): avih body at 32 — usec/frame, frames, dims at
     # fixed offsets; non-canonical files stay the pandas kernel's job
-    is_avi = (is_riff & _magic(c, 8, b"AVI ") & _magic(c, 12, b"LIST")
-              & _magic(c, 20, b"hdrl") & _magic(c, 24, b"avih")
-              & (n >= 72))
+    is_avi = (f"({is_riff} AND {_magic(c, 8, b'AVI ')} AND "
+              f"{_magic(c, 12, b'LIST')} AND {_magic(c, 20, b'hdrl')} AND "
+              f"{_magic(c, 24, b'avih')} AND {n} >= 72)")
     avi_usec = _le_n(c, 32, 4)
     avi_frames = _le_n(c, 48, 4)
-    is_flac = _magic(c, 0, b"fLaC") & (n >= 38)
+    is_flac = f"({_magic(c, 0, b'fLaC')} AND {n} >= 38)"
     is_ogg = _magic(c, 0, b"OggS")
-    is_mp3 = _magic(c, 0, b"ID3") | (
-        (_byte(c, 0) == 0xFF) & (_byte(c, 1).bitwiseAND(F.lit(0xE0)) == 0xE0))
+    is_mp3 = (f"({_magic(c, 0, b'ID3')} OR "
+              f"({_byte(c, 0)} = 255 AND ({_byte(c, 1)} & 224) = 224))")
     is_mp4 = _magic(c, 4, b"ftyp")
-    is_mkv = _magic(c, 0, b"\x1aE\xdf\xa3")
+    is_mkv = _magic(c, 0, bytes.fromhex("1a45dfa3"))
 
     # BMP dims are SIGNED LE32 (top-down bitmaps store negative height):
     # reinterpret the unsigned read as two's complement, then abs().
-    def _le32_signed(off: int) -> Column:
+    def _le32_signed(off: int) -> str:
         u = _le_n(c, off, 4)
-        return F.abs(F.when(u >= (1 << 31), u - (1 << 32)).otherwise(u))
+        return (f"abs(CASE WHEN {u} >= {1 << 31} THEN {u} - {1 << 32} "
+                f"ELSE {u} END)")
 
     # Canonical WAV only (fmt at 12, data at 36) — the chunk walk is the
     # pandas kernel's job; non-canonical files get nulls here, never
     # wrong values.
-    wav_canonical = is_wav & _magic(c, 12, b"fmt ") & _magic(c, 36, b"data")
+    wav_canonical = (f"({is_wav} AND {_magic(c, 12, b'fmt ')} AND "
+                     f"{_magic(c, 36, b'data')})")
     wav_byte_rate = _le_n(c, 28, 4)
 
     # lossless WebP (VP8L): 14-bit w-1 / h-1 packed LSB-first after the
     # 0x2F signature byte — fixed offsets, so the codegen path can read
     # them (VP8X dims stay the pandas kernel's job)
-    is_vp8l = is_webp & _magic(c, 12, b"VP8L") & (n >= 25) & (
-        _byte(c, 20) == 0x2F)
-    vp8l_w = (_byte(c, 21).cast("long")
-              + _byte(c, 22).bitwiseAND(F.lit(0x3F)).cast("long") * 256 + 1)
-    vp8l_h = (F.shiftright(_byte(c, 22), 6).cast("long")
-              + _byte(c, 23).cast("long") * 4
-              + _byte(c, 24).bitwiseAND(F.lit(0x0F)).cast("long") * 1024
-              + 1)
+    is_vp8l = (f"({is_webp} AND {_magic(c, 12, b'VP8L')} AND {n} >= 25 "
+               f"AND {_byte(c, 20)} = 47)")
+    vp8l_w = (f"(cast({_byte(c, 21)} as bigint) "
+              f"+ cast(({_byte(c, 22)} & 63) as bigint) * 256 + 1)")
+    vp8l_h = (f"(cast(shiftright({_byte(c, 22)}, 6) as bigint) "
+              f"+ cast({_byte(c, 23)} as bigint) * 4 "
+              f"+ cast(({_byte(c, 24)} & 15) as bigint) * 1024 + 1)")
     # lossy WebP (VP8 key frame, r9): 14-bit w/h at fixed offsets after
     # the 3-byte start code, low 2 scale bits masked off
-    is_vp8 = is_webp & _magic(c, 12, b"VP8 ") & (n >= 30) & (
-        _byte(c, 20).bitwiseAND(F.lit(1)) == 0) & _magic(
-            c, 23, b"\x9d\x01\x2a")
-    vp8_w = (_le_n(c, 26, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
-    vp8_h = (_le_n(c, 28, 2).bitwiseAND(F.lit(0x3FFF))).cast("long")
+    is_vp8 = (f"({is_webp} AND {_magic(c, 12, b'VP8 ')} AND {n} >= 30 "
+              f"AND ({_byte(c, 20)} & 1) = 0 AND "
+              f"{_magic(c, 23, bytes.fromhex('9d012a'))})")
+    vp8_w = f"cast(({_le_n(c, 26, 2)} & 16383) as bigint)"
+    vp8_h = f"cast(({_le_n(c, 28, 2)} & 16383) as bigint)"
     # extended WebP (VP8X, r9): 24-bit LE canvas w-1 / h-1
-    is_vp8x = is_webp & _magic(c, 12, b"VP8X") & (n >= 30)
-    vp8x_w = (_le_n(c, 24, 3) + 1).cast("long")
-    vp8x_h = (_le_n(c, 27, 3) + 1).cast("long")
+    is_vp8x = f"({is_webp} AND {_magic(c, 12, b'VP8X')} AND {n} >= 30)"
+    vp8x_w = f"cast({_le_n(c, 24, 3)} + 1 as bigint)"
+    vp8x_h = f"cast({_le_n(c, 27, 3)} + 1 as bigint)"
 
-    fmt = (
-        F.when(is_png, "png").when(is_jpeg, "jpeg").when(is_gif, "gif")
-        .when(is_bmp, "bmp").when(is_wav, "wav").when(is_flac, "flac")
-        .when(is_ogg, "ogg").when(is_mp3, "mp3").when(is_mp4, "mp4")
-        .when(is_mkv, "mkv").when(is_avi, "avi").when(is_webp, "webp")
-        .when(is_tiff, "tiff")
-    )
-    kind_map = F.create_map(
-        *[F.lit(x) for kv in _KIND.items() for x in kv])
-    flac_sr = (
-        _byte(c, 18).cast("long") * (1 << 12)
-        + _byte(c, 19).cast("long") * (1 << 4)
-        + F.shiftright(_byte(c, 20), 4).cast("long"))
-    flac_total = (
-        _byte(c, 21).bitwiseAND(F.lit(0x0F)).cast("long") * (1 << 32)
-        + _be_n(c, 22, 4))
+    fmt = ("CASE"
+           f" WHEN {is_png} THEN 'png'"
+           f" WHEN {is_jpeg} THEN 'jpeg'"
+           f" WHEN {is_gif} THEN 'gif'"
+           f" WHEN {is_bmp} THEN 'bmp'"
+           f" WHEN {is_wav} THEN 'wav'"
+           f" WHEN {is_flac} THEN 'flac'"
+           f" WHEN {is_ogg} THEN 'ogg'"
+           f" WHEN {is_mp3} THEN 'mp3'"
+           f" WHEN {is_mp4} THEN 'mp4'"
+           f" WHEN {is_mkv} THEN 'mkv'"
+           f" WHEN {is_avi} THEN 'avi'"
+           f" WHEN {is_webp} THEN 'webp'"
+           f" WHEN {is_tiff} THEN 'tiff'"
+           " END")
+    kind = ("CASE " + fmt + " "
+            + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in _KIND.items())
+            + " ELSE 'blob' END")
+    flac_sr = (f"(cast({_byte(c, 18)} as bigint) * 4096 "
+               f"+ cast({_byte(c, 19)} as bigint) * 16 "
+               f"+ cast(shiftright({_byte(c, 20)}, 4) as bigint))")
+    flac_total = (f"(cast(({_byte(c, 21)} & 15) as bigint) * {1 << 32} "
+                  f"+ {_be_n(c, 22, 4)})")
+    width = ("cast(CASE"
+             f" WHEN {is_png} THEN {_be_n(c, 16, 4)}"
+             f" WHEN {is_gif} THEN {_le_n(c, 6, 2)}"
+             f" WHEN {is_bmp} THEN {_le32_signed(18)}"
+             f" WHEN {is_vp8l} THEN {vp8l_w}"
+             f" WHEN {is_vp8} THEN {vp8_w}"
+             f" WHEN {is_vp8x} THEN {vp8x_w}"
+             f" WHEN ({is_avi} AND {_le_n(c, 64, 4)} > 0)"
+             f" THEN {_le_n(c, 64, 4)}"
+             " END as int)")
+    height = ("cast(CASE"
+              f" WHEN {is_png} THEN {_be_n(c, 20, 4)}"
+              f" WHEN {is_gif} THEN {_le_n(c, 8, 2)}"
+              f" WHEN {is_bmp} THEN {_le32_signed(22)}"
+              f" WHEN {is_vp8l} THEN {vp8l_h}"
+              f" WHEN {is_vp8} THEN {vp8_h}"
+              f" WHEN {is_vp8x} THEN {vp8x_h}"
+              f" WHEN ({is_avi} AND {_le_n(c, 68, 4)} > 0)"
+              f" THEN {_le_n(c, 68, 4)}"
+              " END as int)")
+    sample_rate = ("cast(CASE"
+                   f" WHEN {wav_canonical} THEN {_le_n(c, 24, 4)}"
+                   f" WHEN {is_flac} THEN {flac_sr}"
+                   " END as int)")
+    channels = ("cast(CASE"
+                f" WHEN {wav_canonical} THEN {_le_n(c, 22, 2)}"
+                f" WHEN {is_flac} THEN "
+                f"((shiftright({_byte(c, 20)}, 1) & 7) + 1)"
+                " END as int)")
+    duration_ms = ("cast(CASE"
+                   f" WHEN ({wav_canonical} AND {wav_byte_rate} > 0) THEN "
+                   f"floor({_le_n(c, 40, 4)} * 1000 / {wav_byte_rate})"
+                   f" WHEN ({is_flac} AND {flac_sr} > 0) THEN "
+                   f"floor({flac_total} * 1000 / {flac_sr})"
+                   f" WHEN ({is_avi} AND {avi_usec} > 0) THEN "
+                   f"floor({avi_frames} * {avi_usec} / 1000)"
+                   " END as bigint)")
     return {
-        "format": fmt,
-        "kind": F.coalesce(kind_map[fmt], F.lit("blob")),
-        "width": (
-            F.when(is_png, _be_n(c, 16, 4))
-            .when(is_gif, _le_n(c, 6, 2))
-            .when(is_bmp, _le32_signed(18))
-            .when(is_vp8l, vp8l_w)
-            .when(is_vp8, vp8_w)
-            .when(is_vp8x, vp8x_w)
-            .when(is_avi & (_le_n(c, 64, 4) > 0), _le_n(c, 64, 4))
-        ).cast("int"),
-        "height": (
-            F.when(is_png, _be_n(c, 20, 4))
-            .when(is_gif, _le_n(c, 8, 2))
-            .when(is_bmp, _le32_signed(22))
-            .when(is_vp8l, vp8l_h)
-            .when(is_vp8, vp8_h)
-            .when(is_vp8x, vp8x_h)
-            .when(is_avi & (_le_n(c, 68, 4) > 0), _le_n(c, 68, 4))
-        ).cast("int"),
-        "sample_rate": (
-            F.when(wav_canonical, _le_n(c, 24, 4))
-            .when(is_flac, flac_sr)
-        ).cast("int"),
-        "channels": (
-            F.when(wav_canonical, _le_n(c, 22, 2))
-            .when(is_flac, F.shiftright(_byte(c, 20), 1)
-                  .bitwiseAND(F.lit(0x7)) + 1)
-        ).cast("int"),
-        "duration_ms": (
-            F.when(wav_canonical & (wav_byte_rate > 0),
-                   F.floor(_le_n(c, 40, 4) * 1000 / wav_byte_rate))
-            .when(is_flac & (flac_sr > 0),
-                  F.floor(flac_total * 1000 / flac_sr))
-            .when(is_avi & (avi_usec > 0),
-                  F.floor(avi_frames * avi_usec / 1000))
-        ).cast("long"),
+        "format": F.expr(fmt),
+        "kind": F.expr(kind),
+        "width": F.expr(width),
+        "height": F.expr(height),
+        "sample_rate": F.expr(sample_rate),
+        "channels": F.expr(channels),
+        "duration_ms": F.expr(duration_ms),
     }
 
 
