@@ -389,6 +389,13 @@ def main() -> None:
     names = ([n for n in only.split(",") if n] if only else BENCH_QUERIES)
     if os.environ.get("SPARK_GRAFT_WARM_PLANS", "1") != "0":
         _warm_plan_shapes(spark, names, all_queries, sf_dir)
+        # Drop every frame the warm pass persisted (r12: many operators
+        # persist shared subtrees in-plan): the timed region starts with
+        # an EMPTY cache, exactly like the pre-warm-pass methodology —
+        # nothing computed at sf0.001 can be reused, and the timed run
+        # doesn't carry ~10² stale cache entries of block-manager
+        # bookkeeping.
+        spark.catalog.clearCache()
     timings: dict[str, object] = {}
     errors: dict[str, str] = {}
     for name in names:
