@@ -190,10 +190,8 @@ def benford_deviation(
     )
     counts = base.groupBy(*keys, "__d").agg(
         F.count(F.lit(1)).cast("bigint").alias("n"))
-    # totals fold over the 9-row digit aggregate, NOT a second scan of
-    # the corpus (r12, guide §1.2): Σ_d n ≡ the old count(*) per group
-    totals = counts.groupBy(*keys).agg(
-        F.sum("n").cast("double").alias("__tot"))
+    totals = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("__tot"))
     exp_arr = F.array(*[F.lit(exp[d]) for d in range(1, 10)])
     j = counts.join(F.broadcast(totals), keys) if keys else \
         counts.crossJoin(F.broadcast(totals))
