@@ -155,6 +155,12 @@ def bloom_incremental_dedup(
     """
     from datapump_spark.operators.dedup_fuzzy import normalize_text
 
+    # persisted (r12, guide §1.2/§5): the index fingerprints feed both
+    # the bitmap build and the maybe-side anti-join; at production scale
+    # this frame is the persisted bucketed index (a scan, not a
+    # recompute — see incremental.py), in-bench it is a computed md5
+    # distinct that would otherwise run twice.
+    corpus_fps = corpus_fps.persist()
     bloom = build_bloom(corpus_fps, "fp", n_items=n_index, fpp=fpp)
     fp = F.md5(normalize_text(F.col(text_col)))
     stamped = with_bloom_contains(
@@ -169,6 +175,9 @@ def bloom_incremental_dedup(
              F.first("bloom_maybe").alias("bloom_maybe"))
         .select("fp", "bloom_maybe", "__row.*")
     )
+    # persisted: the novel filter and the maybe anti-join both consume
+    # the winner frame (one md5+probe+groupBy pass instead of two)
+    firsts = firsts.persist()
     # Null-text rows have a null fp, so bloom_maybe is null (three-valued
     # probe above) and would fail BOTH filters — silently dropping rows
     # the exact path keeps. Route null verdicts through the anti-join

@@ -829,6 +829,11 @@ def hamming_pairs(
         wb = Window.partitionBy("bno", "bval").orderBy("id")
         keyed = (keyed.withColumn("__r", F.row_number().over(wb))
                  .where(F.col("__r") <= max_block_size).drop("__r"))
+    # persisted: both self-join sides consume the keyed stream, whose
+    # lineage is the full signature computation (SimHash: a token
+    # explode + 32 conditional sums) — r12, guide §1.2/§5. nb+1
+    # ints/row, the cheapest frame in the operator.
+    keyed = keyed.persist()
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("__sig").alias("sig_a"), "bno", "bval")
     b = keyed.select(F.col("id").alias("id_b"),
