@@ -171,6 +171,10 @@ def freq_resample(
         return agg
 
     # Dense spine: per-group min/max bucket → sequence → explode → left join.
+    # The resampled aggregate feeds BOTH the spine derivation and the
+    # join's right side — persist it (bucket-count-sized) so the
+    # groupBy-over-the-fact-table runs once (r12, guide §1.2/§5).
+    agg = agg.persist()
     if spec_kind == "trunc":
         step = {"hour": "1 hour", "day": "1 day", "week": "7 days",
                 "month": "1 month", "quarter": "3 months", "year": "1 year"}[spec]
