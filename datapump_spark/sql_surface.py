@@ -12,10 +12,22 @@ DuckDB), one answer.
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+# (r12 optimization round) registering all ten views cost ~1.4 s of driver
+# work per run_sql call (10 × _t + 10 × createOrReplaceTempView over py4j).
+# The views are deterministic functions of (session, sf_dir, table files),
+# so re-registration is skipped while those are unchanged — same staleness
+# key as queries._T_MEMO (view creation itself stores no data; the SQL
+# still scans parquet when it runs). Keyed by live session object; a
+# different sf_dir (or regenerated files) re-registers everything.
+_VIEWS_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary())
 
 
 def register_views(spark: SparkSession, sf_dir: str,
@@ -28,9 +40,15 @@ def register_views(spark: SparkSession, sf_dir: str,
     from datapump_spark.queries import _t
 
     done = []
+    per_session = _VIEWS_MEMO.setdefault(spark, {})
     for t in tables or TABLES:
-        if os.path.exists(f"{sf_dir}/{t}.parquet"):
-            _t(spark, sf_dir, t).createOrReplaceTempView(t)
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(path):
+            st = os.stat(path)
+            key = (path, st.st_mtime_ns, st.st_size)
+            if per_session.get(t) != key:
+                _t(spark, sf_dir, t).createOrReplaceTempView(t)
+                per_session[t] = key
             done.append(t)
     return done
 
