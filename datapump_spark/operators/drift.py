@@ -149,7 +149,14 @@ def time_split_drift(
     (engine-portable); rows at exactly the midpoint fall in the second
     half."""
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
-    b = events.agg(F.min(us).alias("lo"), F.max(us).alias("hi")).first()
+    # One driver job instead of two (r12 optimization round, guide §1.2):
+    # the value bucket edges distribution_drift would compute over
+    # base ∪ cur are exactly min/max(col) over the non-null-ts rows
+    # (null-ts rows fall out of BOTH halves' filters), so fold them into
+    # the same tiny aggregate as the time range and pass them down pinned.
+    val = F.when(us.isNotNull(), F.col(col))
+    b = events.agg(F.min(us).alias("lo"), F.max(us).alias("hi"),
+                   F.min(val).alias("vlo"), F.max(val).alias("vhi")).first()
     if b["lo"] is None:
         raise ValueError(
             "time_split_drift: no rows with a non-null timestamp — "
@@ -157,7 +164,12 @@ def time_split_drift(
     mid = b["lo"] + (b["hi"] - b["lo"]) // 2
     base = events.where(us < F.lit(mid))
     cur = events.where(us >= F.lit(mid))
-    return distribution_drift(base, cur, col, group_cols, n_buckets)
+    if b["vlo"] is None:
+        # no non-null values in either half: keep the exact error path
+        # (distribution_drift recomputes its union aggregate and raises)
+        return distribution_drift(base, cur, col, group_cols, n_buckets)
+    return distribution_drift(base, cur, col, group_cols, n_buckets,
+                              lo=float(b["vlo"]), hi=float(b["vhi"]))
 
 
 def cusum_changepoints(

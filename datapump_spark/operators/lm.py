@@ -59,6 +59,7 @@ def _doc_bigrams(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 def train_bigram_lm(
     corpus: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    bigram_stream: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Count tables of an add-k bigram LM: (unigrams, bigrams).
 
@@ -69,8 +70,12 @@ def train_bigram_lm(
     the probability join plus both vocabulary branches); the context
     counts fold over it (``c1(w1) ≡ Σ_w2 c2(w1, w2)`` exactly), so the
     corpus bigram stream is exploded and aggregated ONCE, not once per
-    count table (r12, guide §1.2/§2.3)."""
-    bg = _doc_bigrams(corpus, id_col, text_col)
+    count table (r12, guide §1.2/§2.3). ``bigram_stream`` lets a caller
+    that already materialized ``_doc_bigrams(corpus)`` (e.g.
+    :func:`ccnet_buckets`, which scores the same corpus it trains on)
+    hand it in instead of re-deriving it."""
+    bg = bigram_stream if bigram_stream is not None \
+        else _doc_bigrams(corpus, id_col, text_col)
     bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")) \
         .persist()
     unigrams = bigrams.groupBy("w1").agg(
@@ -86,6 +91,7 @@ def lm_score(
     text_col: str = "text",
     k: float = 1.0,
     broadcast_model: bool = False,
+    bigram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Average bigram log-probability (and perplexity) per document.
 
@@ -105,8 +111,10 @@ def lm_score(
         .distinct()
         .agg(F.count("*").cast("double").alias("__v"))
     )
+    doc_bg = bigram_stream if bigram_stream is not None \
+        else _doc_bigrams(docs, id_col, text_col)
     scored = (
-        _doc_bigrams(docs, id_col, text_col)
+        doc_bg
         .join(bigrams, ["w1", "w2"], "left")
         .join(unigrams, ["w1"], "left")
         .crossJoin(F.broadcast(vocab))
@@ -151,6 +159,7 @@ def lm_score_kn(
     text_col: str = "text",
     discount: float = 0.75,
     broadcast_model: bool = False,
+    bigram_stream: DataFrame | None = None,
 ) -> DataFrame:
     """Interpolated Kneser–Ney bigram scoring — the smoothing KenLM (and
     therefore the real CCNet gate) uses, where add-k is the teaching
@@ -188,8 +197,10 @@ def lm_score_kn(
         c1 > 0,
         F.greatest(c12 - d, F.lit(0.0)) / c1 + d * nf / c1 * pcont,
     ).otherwise(pcont)
+    doc_bg = bigram_stream if bigram_stream is not None \
+        else _doc_bigrams(docs, id_col, text_col)
     scored = (
-        _doc_bigrams(docs, id_col, text_col)
+        doc_bg
         .join(bigrams, ["w1", "w2"], "left")
         .join(unigrams, ["w1"], "left")
         .join(followers, ["w1"], "left")
@@ -245,11 +256,20 @@ def ccnet_buckets(
     if smoothing not in ("addk", "kn"):
         raise ValueError(f"smoothing must be 'addk' or 'kn': {smoothing!r}")
     ref = reference if reference is not None else docs
+    # Default reference (score the corpus you train on): the per-doc
+    # bigram stream is the SAME frame on both sides, so explode the
+    # corpus once, persist, and hand it to trainer and scorer (r12
+    # optimization round, guide §1.2/§5 — the sparse_sim/dsir persist
+    # pattern; computed inside the query, nothing crosses runs).
+    shared = (_doc_bigrams(docs, id_col, text_col).persist()
+              if reference is None else None)
+    uni, bi = train_bigram_lm(ref, id_col, text_col, bigram_stream=shared)
     if smoothing == "kn":
-        uni, bi = train_bigram_lm(ref, id_col, text_col)
-        scored = lm_score_kn(docs, uni, bi, id_col, text_col)
+        scored = lm_score_kn(docs, uni, bi, id_col, text_col,
+                             bigram_stream=shared)
     else:
-        scored = train_and_score(ref, docs, id_col, text_col, k)
+        scored = lm_score(docs, uni, bi, id_col, text_col, k,
+                          bigram_stream=shared)
     g = list(group_cols or [])
     joined = docs.select(F.col(id_col), *g).join(scored, id_col)
     w = Window.partitionBy(*g).orderBy(F.col("ppl").asc(),
