@@ -195,29 +195,32 @@ def script_profile(
     deletion — the formulation both Java and RE2 regex implement
     identically, so DuckDB twins every number); one scan, no shuffle,
     no UDF."""
-    t = F.col(text_col)
-    nonws = F.regexp_replace(t, r"\s", "")
-    d = df.select(F.col(id_col), nonws.alias("__t"))
-    n = F.length("__t")
-    counts = [
-        F.length(F.regexp_replace("__t", f"[^\\p{{{java}}}]", ""))
-        .alias(f"n_{name}")
-        for name, java, _ in SCRIPT_CLASSES
-    ]
-    n_digit = F.length(F.regexp_replace("__t", r"[^0-9]", "")).alias("n_digit")
-    d = d.select(id_col, n.alias("n_chars"), *counts, n_digit)
-    known = sum(F.col(f"n_{name}") for name, _, _ in SCRIPT_CLASSES) \
-        + F.col("n_digit")
-    denom = F.greatest(F.col("n_chars"), F.lit(1))
-    fracs = [
-        F.round(F.col(f"n_{name}") / denom, 6).alias(f"frac_{name}")
-        for name, _, _ in SCRIPT_CLASSES
-    ]
-    return d.select(
-        id_col, "n_chars", *[f"n_{name}" for name, _, _ in SCRIPT_CLASSES],
-        "n_digit", *fracs,
-        F.round(F.col("n_digit") / denom, 6).alias("frac_digit"),
-        F.round((F.col("n_chars") - known) / denom, 6).alias("frac_other"))
+    # Server-side SQL strings instead of ~100 per-Column py4j round trips
+    # (r12 optimization round, guide §7.3 — the simhash/mediasniff
+    # precedent). Identical expressions: counting by deletion, integer
+    # arithmetic, round(x, 6); SQL '/' on integers is double division
+    # exactly like the Column operator.
+    d = df.selectExpr(
+        f"`{id_col}`",
+        f"regexp_replace(`{text_col}`, '\\\\s', '') AS __t")
+    count_exprs = [
+        f"length(regexp_replace(__t, '[^\\\\p{{{java}}}]', '')) AS n_{name}"
+        for name, java, _ in SCRIPT_CLASSES]
+    d = d.selectExpr(
+        f"`{id_col}`", "length(__t) AS n_chars", *count_exprs,
+        "length(regexp_replace(__t, '[^0-9]', '')) AS n_digit")
+    known = " + ".join(
+        [f"n_{name}" for name, _, _ in SCRIPT_CLASSES] + ["n_digit"])
+    frac_exprs = [
+        f"round(n_{name} / greatest(n_chars, 1), 6) AS frac_{name}"
+        for name, _, _ in SCRIPT_CLASSES]
+    return d.selectExpr(
+        f"`{id_col}`", "n_chars",
+        *[f"n_{name}" for name, _, _ in SCRIPT_CLASSES],
+        "n_digit", *frac_exprs,
+        "round(n_digit / greatest(n_chars, 1), 6) AS frac_digit",
+        f"round((n_chars - ({known})) / greatest(n_chars, 1), 6)"
+        " AS frac_other")
 
 
 def readability(df: DataFrame, id_col: str = "doc_id",

@@ -775,7 +775,7 @@ def q_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     interpreted lambda evals per scored pair — both measured, PERF.md)."""
     from datapump_spark.operators.sq import sq8_topk, train_sq8
     emb = _t(spark, sf_dir, "embeddings")
-    model = train_sq8(emb)
+    model = train_sq8(emb, dim=_emb_dim(sf_dir))
     return sq8_topk(emb, model, k=5, query_max_id=10, rerank_factor=4,
                     strategy="pandas")
 
@@ -1028,32 +1028,36 @@ def _media_real_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
     the magic and the document text as body bytes. Exercises the header
     sniffer on payloads whose ground truth is derivable from doc_id."""
     d = _t(spark, sf_dir, "documents")
-    kind_idx = (F.col("doc_id") % 3).cast("int")
-    w = (F.col("doc_id") % 1024 + 1).cast("int")
-    h = (F.col("doc_id") % 768 + 1).cast("int")
+    # One server-side selectExpr instead of ~60 per-Column py4j calls
+    # (r12 optimization round, guide §7.3): identical hex/unhex assembly,
+    # binary literals as X'..' from the same byte strings, CASE for the
+    # when-chain. SQL '/' on integers is double division exactly like the
+    # Column operator, so the CAST truncations match.
+    xlit = lambda bs: f"X'{bs.hex()}'"  # noqa: E731
 
-    def le16(col):  # two little-endian bytes as binary
-        return F.unhex(F.concat(
-            F.lpad(F.hex(col % 256), 2, "0"),
-            F.lpad(F.hex((col / 256).cast("int") % 256), 2, "0")))
+    def le16(col_sql):  # two little-endian bytes as binary
+        return (f"unhex(concat(lpad(hex(({col_sql}) % 256), 2, '0'), "
+                f"lpad(hex(CAST(({col_sql}) / 256 AS INT) % 256), 2, '0')))")
 
-    gif = F.concat(F.lit(b"GIF89a"), le16(w), le16(h), F.lit(b"\x00\x00\x00"),
-                   F.encode("text", "utf-8"), F.lit(b"\x3b"))
+    w = "CAST(doc_id % 1024 + 1 AS INT)"
+    h = "CAST(doc_id % 768 + 1 AS INT)"
+    gif = (f"concat({xlit(b'GIF89a')}, {le16(w)}, {le16(h)}, "
+           f"{xlit(bytes(3))}, encode(text, 'utf-8'), {xlit(b';')})")
     # canonical 16-bit mono 16 kHz WAV: fixed fmt chunk, text as data bytes
-    wav = F.concat(
-        F.lit(b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
-              b"\x01\x00\x01\x00\x80\x3e\x00\x00\x00\x7d\x00\x00\x02\x00\x10\x00"
-              b"data"),
-        F.unhex(F.concat(*[F.lpad(F.hex(
-            (F.col("n_chars") / F.lit(256 ** i)).cast("bigint") % 256), 2, "0")
-            for i in range(4)])),
-        F.encode("text", "utf-8"))
-    mp4 = F.concat(F.lit(b"\x00\x00\x00\x18ftypisom"), F.encode("text", "utf-8"))
-    return d.select(
-        F.col("doc_id").alias("media_id"),
-        F.when(kind_idx == 0, gif).when(kind_idx == 1, wav)
-         .otherwise(mp4).alias("payload"),
-    )
+    wav_hdr = (b"RIFF\x00\x00\x00\x00WAVEfmt \x10\x00\x00\x00"
+               b"\x01\x00\x01\x00\x80\x3e\x00\x00\x00\x7d\x00\x00\x02\x00\x10\x00"
+               b"data")
+    size_le = ", ".join(
+        f"lpad(hex(CAST(n_chars / {256 ** i} AS BIGINT) % 256), 2, '0')"
+        for i in range(4))
+    wav = (f"concat({xlit(wav_hdr)}, unhex(concat({size_le})), "
+           "encode(text, 'utf-8'))")
+    mp4 = f"concat({xlit(bytes.fromhex('00000018') + b'ftypisom')}, encode(text, 'utf-8'))"
+    return d.selectExpr(
+        "doc_id AS media_id",
+        "CASE WHEN CAST(doc_id % 3 AS INT) = 0 THEN " + gif +
+        " WHEN CAST(doc_id % 3 AS INT) = 1 THEN " + wav +
+        " ELSE " + mp4 + " END AS payload")
 
 
 def q_sniff_media(spark: SparkSession, sf_dir: str) -> DataFrame:
