@@ -48,6 +48,7 @@ def pagerank(
     scale: int = SCALE,
     checkpoint_every: int = 5,
     assume_distinct: bool = False,
+    assume_symmetric: bool = False,
 ) -> DataFrame:
     """Fixed-point PageRank; returns (node, rank) with rank summing to
     ~``scale``. ``damping_pct`` is the damping factor ×100 (85 -> 0.85)
@@ -79,11 +80,19 @@ def pagerank(
                     F.count(F.lit(1)).over(Window.partitionBy("src")))
         .persist()
     )
-    nodes = (
-        e_deg.select(F.col("src").alias("node"))
-        .union(e_deg.select(F.col("dst").alias("node")))
-        .distinct()
-    )
+    if assume_symmetric:
+        # Every edge appears in both directions, so the src column alone
+        # already covers the node set — and e_deg is src-partitioned, so
+        # this distinct needs no exchange (r12 optimization round, guide
+        # §2.4; the union+distinct variant read twice the rows through a
+        # fresh node-keyed shuffle).
+        nodes = e_deg.select(F.col("src").alias("node")).distinct()
+    else:
+        nodes = (
+            e_deg.select(F.col("src").alias("node"))
+            .union(e_deg.select(F.col("dst").alias("node")))
+            .distinct()
+        )
     cnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
     base_nodes = nodes.join(F.broadcast(cnt)).persist()  # 1-row cross join
 

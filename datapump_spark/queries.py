@@ -2777,7 +2777,11 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and every per-iteration shuffle key 8 bytes instead of a string —
     # labels are applied once at the output boundary, never shuffled
     cp = (
-        li.join(o, li.l_orderkey == o.o_orderkey)
+        # broadcast the key-projected orders side: the fact-fact
+        # sort-merge shuffled all of lineitem for a ~2 MB build side
+        # (r12 optimization round, guide §3.1)
+        li.join(F.broadcast(o.select("o_orderkey", "o_custkey")),
+                li.l_orderkey == F.col("o_orderkey"))
         .select(
             (F.col("o_custkey") * 2).alias("cnode"),
             (F.col("l_suppkey") * 2 + 1).alias("snode"),
@@ -2788,8 +2792,10 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(cp.select(F.col("snode").alias("src"), F.col("cnode").alias("dst")))
     # cp is distinct and the two directions are parity-disjoint, so the
     # union is distinct by construction — skip pagerank's defensive dedup
-    # (saves a full shuffle of the edge list).
-    pr = pagerank(edges, n_iter=3, assume_distinct=True)
+    # (saves a full shuffle of the edge list); both directions present —
+    # the node set is the src set (assume_symmetric).
+    pr = pagerank(edges, n_iter=3, assume_distinct=True,
+                  assume_symmetric=True)
     label = F.when(
         F.col("node") % 2 == 0,
         F.concat(F.lit("c:"), (F.col("node") / 2).cast("long").cast("string")),
