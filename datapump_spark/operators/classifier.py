@@ -60,7 +60,7 @@ def _feature_exprs(text_col: str) -> list[Column]:
     n_tok = F.size(toks)
     nz_tok = F.greatest(n_tok, F.lit(1))
     nz_chars = F.greatest(F.length(c), F.lit(1))
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.lit(list(STOPWORDS))
     stop_hits = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     tok_chars = F.aggregate(toks, F.lit(0).cast("bigint"),
                             lambda acc, x: acc + F.length(x))

@@ -129,7 +129,7 @@ def describe_table(
     for other in longs[1:]:
         long_df = long_df.unionByName(other)
 
-    order = F.array(*[F.lit(s) for s in ALL_STATS])
+    order = F.lit(list(ALL_STATS))
     wide = (
         long_df.groupBy("stat")
         .pivot("column", [*numeric_cols, *string_cols])

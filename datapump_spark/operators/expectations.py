@@ -192,7 +192,7 @@ def benford_deviation(
         F.count(F.lit(1)).cast("bigint").alias("n"))
     totals = base.groupBy(*keys).agg(
         F.count(F.lit(1)).cast("double").alias("__tot"))
-    exp_arr = F.array(*[F.lit(exp[d]) for d in range(1, 10)])
+    exp_arr = F.lit([exp[d] for d in range(1, 10)])
     j = counts.join(F.broadcast(totals), keys) if keys else \
         counts.crossJoin(F.broadcast(totals))
     e_freq = F.element_at(exp_arr, F.col("__d"))

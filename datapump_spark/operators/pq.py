@@ -479,7 +479,7 @@ def pq_reconstruction_mse(df: DataFrame, codebooks, id_col: str = "vec_id",
     enc = base.mapInPandas(_encode_kernel(codebooks), _CODES_SCHEMA) \
         .join(base, "id")
     flat = [float(x) for x in codebooks.reshape(-1)]
-    cb = F.array(*[F.lit(x) for x in flat])
+    cb = F.lit(flat)
     err = F.aggregate(
         F.zip_with(
             "v", F.sequence(F.lit(0), F.lit(mm * sub_d - 1)),

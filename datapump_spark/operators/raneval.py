@@ -63,8 +63,8 @@ def retrieval_metrics(
     ndcg = DCG@k / IDCG@k with binary gains. All rounded to 6 dp.
     """
     disc, cum = dcg_discounts(k)
-    disc_arr = F.array(*[F.lit(d) for d in disc])
-    cum_arr = F.array(*[F.lit(c) for c in cum])
+    disc_arr = F.lit(list(disc))
+    cum_arr = F.lit(list(cum))
 
     rel = relevance.select(query_col, doc_col).distinct() \
         .withColumn("__rel", F.lit(1))

@@ -38,7 +38,7 @@ def winsorize(
     """
     group_cols = group_cols or []
     pct = "percentile_approx" if approx else "percentile"
-    probs = F.array(*[F.lit(p) for p in (lower, 0.25, 0.5, 0.75, upper)])
+    probs = F.lit([float(lower), 0.25, 0.5, 0.75, float(upper)])
     agg = F.expr(f"{pct}({col}, array({lower}D, 0.25D, 0.5D, 0.75D, {upper}D))") \
         if approx else F.percentile(F.col(col), probs)
     bounds = (

@@ -221,7 +221,7 @@ def quality_binned_mix(
     pct = F.percent_rank().over(w)
     binned = df.withColumn(
         "bin", F.least(F.floor(pct * n), F.lit(n - 1)).cast("int"))
-    rate = F.element_at(F.array(*[F.lit(r) for r in rates]),
+    rate = F.element_at(F.lit([float(r) for r in rates]),
                         F.col("bin") + 1)
     # round, don't truncate: 0.3*1e6 is 299999.99999999994 in ieee754
     keep = (F.pmod(_key_hash(F.col(id_col).cast("string"), "qbin", hash_fn),

@@ -115,7 +115,7 @@ def lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit bucket id from dot products with the fixed planes."""
     bucket = F.lit(0)
     for i, p in enumerate(planes):
-        plane = F.array(*[F.lit(float(x)) for x in p])
+        plane = F.lit([float(x) for x in p])
         d = _dot(vec, plane)
         bucket = bucket + F.when(d >= 0, F.lit(2 ** i)).otherwise(F.lit(0))
     return bucket.cast("bigint")

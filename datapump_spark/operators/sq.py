@@ -69,7 +69,7 @@ def train_sq8(df: DataFrame, id_col: str = "vec_id",
 
 
 def _lits(xs: list[float]):
-    return F.array(*[F.lit(float(x)) for x in xs])
+    return F.lit([float(x) for x in xs])
 
 
 def sq8_encode(df: DataFrame, model: dict, id_col: str = "vec_id",

@@ -67,7 +67,7 @@ def quality_score(df: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     c = F.col(text_col)
     toks = tokens(c)
     n_tok = F.size(toks)
-    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_arr = F.lit(list(STOPWORDS))
     n_stop = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
     alpha_ratio = F.length(F.regexp_replace(c, "[^A-Za-z]", "")) / F.greatest(F.length(c), F.lit(1))
     len_score = F.least(F.lit(1.0), n_tok / F.lit(64.0))
@@ -91,7 +91,7 @@ def lang_id(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
 
     scores = {}
     for lang, markers in LANG_MARKERS.items():
-        arr = F.array(*[F.lit(m) for m in markers])
+        arr = F.lit(list(markers))
         scores[lang] = F.size(F.filter(toks, _contains(arr)))
     g = F.greatest(*scores.values())
     pred = None
