@@ -24,35 +24,58 @@ from dataclasses import dataclass, field
 from pyspark.sql import Column, DataFrame, functions as F
 
 
+def _sql_lit(v) -> str:
+    """SQL literal rendering for the string-predicate helpers below.
+    Floats carry the ``D`` suffix so they parse as DOUBLE (a bare SQL
+    decimal literal would be DECIMAL — same comparison result after
+    promotion, but keep the types identical to the Column API)."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    if isinstance(v, str):
+        esc = v.replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{esc}'"
+    if isinstance(v, float):
+        return f"{v!r}D"
+    return repr(v)
+
+
 @dataclass(frozen=True)
 class Check:
-    """One expectation: ``predicate`` is a boolean Column over a single
-    table's rows; a row where the predicate is False (or null) counts as a
-    violation."""
+    """One expectation: ``predicate`` is a boolean Column — or a SQL
+    boolean expression string (the builders below emit strings: one
+    server-side parse instead of a py4j round trip per Column node,
+    r12 optimization round, guide §7.3) — over a single table's rows; a
+    row where the predicate is False (or null) counts as a violation."""
 
     name: str
-    predicate: Column
+    predicate: Column | str
 
     def violation_expr(self) -> Column:
+        if isinstance(self.predicate, str):
+            return F.expr(
+                f"CAST(sum(CASE WHEN coalesce(CAST(({self.predicate}) AS "
+                "BOOLEAN), false) THEN 0 ELSE 1 END) AS BIGINT)")
         ok = F.coalesce(self.predicate.cast("boolean"), F.lit(False))
         return F.sum(F.when(ok, 0).otherwise(1)).cast("bigint")
 
 
 def not_null(col: str) -> Check:
-    return Check(f"not_null:{col}", F.col(col).isNotNull())
+    return Check(f"not_null:{col}", f"`{col}` IS NOT NULL")
 
 
 def in_range(col: str, lo, hi) -> Check:
     """Closed-interval range check (null fails via the coalesce above)."""
-    return Check(f"in_range:{col}", (F.col(col) >= lo) & (F.col(col) <= hi))
+    return Check(f"in_range:{col}",
+                 f"`{col}` >= {_sql_lit(lo)} AND `{col}` <= {_sql_lit(hi)}")
 
 
 def in_set(col: str, values) -> Check:
-    return Check(f"in_set:{col}", F.col(col).isin(*values))
+    return Check(f"in_set:{col}",
+                 f"`{col}` IN ({', '.join(_sql_lit(v) for v in values)})")
 
 
 def matches(col: str, regex: str) -> Check:
-    return Check(f"matches:{col}", F.col(col).rlike(regex))
+    return Check(f"matches:{col}", f"`{col}` RLIKE {_sql_lit(regex)}")
 
 
 @dataclass
@@ -79,9 +102,9 @@ class ExpectationSuite:
             aggs.append(c.violation_expr().alias(c.name))
         for k in self.unique_keys:
             # violations = rows beyond one per key = count(k) - distinct(k)
-            aggs.append(
-                (F.count(F.col(k)) - F.countDistinct(F.col(k)))
-                .cast("bigint").alias(f"unique:{k}"))
+            aggs.append(F.expr(
+                f"CAST(count(`{k}`) - count(DISTINCT `{k}`) AS BIGINT)"
+            ).alias(f"unique:{k}"))
         ri_names = []
         for i, (fk, dim, dk, dname) in enumerate(self.ri):
             probe = F.broadcast(
@@ -96,10 +119,9 @@ class ExpectationSuite:
         row = df.agg(*aggs)
         names = [c.name for c in self.checks] + [
             f"unique:{k}" for k in self.unique_keys] + ri_names
-        pairs = F.array(*[
-            F.struct(F.lit(n).alias("check"),
-                     F.col(f"`{n}`").alias("violated"))
-            for n in names])
+        pairs = F.expr("array(" + ", ".join(
+            f"named_struct('check', {_sql_lit(n)}, 'violated', `{n}`)"
+            for n in names) + ")")
         return (
             row.select(F.col("__total"), F.explode(pairs).alias("p"))
             .select(
