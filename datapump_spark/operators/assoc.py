@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
+
 
 def pair_rules(
     df: DataFrame,
@@ -51,8 +53,9 @@ def pair_rules(
     # interpreted per element, while the codegen'd self-join stream
     # stays vectorized (the same trade documented in fuzzy_join.py and
     # the lsh_topk round notes).
-    b = df.select(F.col(basket_col).alias("b"),
-                  F.col(item_col).alias("item")).distinct().persist()
+    b = scoped_persist(df.select(
+        F.col(basket_col).alias("b"),
+        F.col(item_col).alias("item")).distinct())
     nb = b.agg(F.countDistinct("b").cast("double").alias("__nb"))
     items = b.groupBy("item").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_item"))

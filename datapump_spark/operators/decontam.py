@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import hash63, tokens
 
 # 'auto' strategy: benchmark row count at or under this → broadcast-set
@@ -287,7 +288,7 @@ def remove_contaminated_spans(
     def one_pass(frame: DataFrame, col: str) -> DataFrame:
         # persisted: the gram pass and the reassembly join both consume
         # the tokenized frame (r12; the remove_duplicate_spans rationale)
-        d = tokenized_docs(frame, id_col, col).persist()
+        d = scoped_persist(tokenized_docs(frame, id_col, col))
         grams = doc_gram_positions(d, id_col, n, hash_fn)
         marked = (grams.join(F.broadcast(bench), "gram", "semi")
                   .select(id_col, "pos"))
@@ -296,7 +297,7 @@ def remove_contaminated_spans(
     res = one_pass(corpus, text_col)
     if max_passes == 1:
         return res
-    bench = bench.persist()
+    bench = scoped_persist(bench)
     for _ in range(max_passes - 1):
         # materialize the pass once (localCheckpoint): the convergence
         # count AND the next pass both read it — without this the count

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import hash63, tokens
 
 
@@ -153,7 +154,7 @@ def verify_jaccard(
     # staged path, which would otherwise leak one cache entry per sweep)
     pruned = shingles.join(ids, id_col, "leftsemi")
     if persist_pruned:
-        pruned = pruned.persist()
+        pruned = scoped_persist(pruned)
     sizes = pruned.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sa = pruned.withColumnRenamed(id_col, "id_a")
     sb = pruned.withColumnRenamed(id_col, "id_b")
@@ -210,7 +211,7 @@ def minhash_near_dup_pairs(
     # from a single persisted frame (previously only the n_sweeps path
     # persisted it; the single-sweep path re-derived the corpus shingle
     # subtree up to four times).
-    sh = word_shingles(df, id_col, text_col, shingle_n).persist()
+    sh = scoped_persist(word_shingles(df, id_col, text_col, shingle_n))
     sigs = _signatures_from_shingles(sh, id_col, bands * rows_per_band,
                                      hash_fn)
     if scope_col is not None:
@@ -219,8 +220,8 @@ def minhash_near_dup_pairs(
         # the candidate pair list — consumed by the verify pruning
         # semi-join AND the intersection join — is persisted instead of
         # re-running the band self-join per consumer
-        cands = lsh_candidate_pairs(sigs, id_col, bands, rows_per_band,
-                                    scope_col=scope_col).persist()
+        cands = scoped_persist(lsh_candidate_pairs(
+            sigs, id_col, bands, rows_per_band, scope_col=scope_col))
         verified = verify_jaccard(sh, cands, id_col)
         return verified.where(F.col("jaccard") >= threshold)
 
@@ -266,9 +267,9 @@ def ngram_jaccard_pairs(
     all-pairs baseline. (id_a, id_b, jaccard)."""
     # persisted: per-doc sizes and both self-join sides consume the
     # blocked shingle stream (r12)
-    sh = word_shingles(df, id_col, text_col, shingle_n) \
-        .join(df.select(F.col(id_col), F.col(block_col)), id_col) \
-        .persist()
+    sh = scoped_persist(
+        word_shingles(df, id_col, text_col, shingle_n)
+        .join(df.select(F.col(id_col), F.col(block_col)), id_col))
     sizes = sh.groupBy(id_col, block_col).agg(F.count(F.lit(1)).alias("n"))
     a = sh.select(F.col(id_col).alias("id_a"), F.col("shingle"), F.col(block_col))
     b = sh.select(F.col(id_col).alias("id_b"), F.col("shingle"), F.col(block_col))
@@ -835,7 +836,7 @@ def hamming_pairs(
     # lineage is the full signature computation (SimHash: a token
     # explode + 32 conditional sums) — r12, guide §1.2/§5. nb+1
     # ints/row, the cheapest frame in the operator.
-    keyed = keyed.persist()
+    keyed = scoped_persist(keyed)
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("__sig").alias("sig_a"), "bno", "bval")
     b = keyed.select(F.col("id").alias("id_b"),

@@ -28,15 +28,39 @@ def _sql_lit(v) -> str:
     """SQL literal rendering for the string-predicate helpers below.
     Floats carry the ``D`` suffix so they parse as DOUBLE (a bare SQL
     decimal literal would be DECIMAL — same comparison result after
-    promotion, but keep the types identical to the Column API)."""
+    promotion, but keep the types identical to the Column API).
+    Handles the Column-API edge cases the old repr() fallthrough broke
+    (r12 ADVICE): None renders as NULL, non-finite floats as CAST
+    literals, and unsupported types raise instead of emitting
+    unparseable repr() text. Assumes the session default
+    spark.sql.parser.escapedStringLiterals=false (backslash escapes
+    active), which tuned_builder never changes."""
+    if v is None:
+        return "NULL"
     if isinstance(v, bool):
         return "true" if v else "false"
     if isinstance(v, str):
         esc = v.replace("\\", "\\\\").replace("'", "\\'")
         return f"'{esc}'"
     if isinstance(v, float):
+        if v != v:                                  # NaN
+            return "CAST('NaN' AS DOUBLE)"
+        if v == float("inf"):
+            return "CAST('Infinity' AS DOUBLE)"
+        if v == float("-inf"):
+            return "CAST('-Infinity' AS DOUBLE)"
         return f"{v!r}D"
-    return repr(v)
+    if isinstance(v, int):
+        return repr(v)
+    raise TypeError(
+        f"unsupported literal type for SQL predicate: {type(v).__name__!s} "
+        f"({v!r}); pass str/int/float/bool/None or build a Column predicate")
+
+
+def _sql_ident(col: str) -> str:
+    """Backtick-quoted identifier with embedded backticks escaped
+    (`` -> ````), so column names can never break out of the quoting."""
+    return f"`{col.replace('`', '``')}`"
 
 
 @dataclass(frozen=True)
@@ -60,22 +84,24 @@ class Check:
 
 
 def not_null(col: str) -> Check:
-    return Check(f"not_null:{col}", f"`{col}` IS NOT NULL")
+    return Check(f"not_null:{col}", f"{_sql_ident(col)} IS NOT NULL")
 
 
 def in_range(col: str, lo, hi) -> Check:
     """Closed-interval range check (null fails via the coalesce above)."""
     return Check(f"in_range:{col}",
-                 f"`{col}` >= {_sql_lit(lo)} AND `{col}` <= {_sql_lit(hi)}")
+                 f"{_sql_ident(col)} >= {_sql_lit(lo)} "
+                 f"AND {_sql_ident(col)} <= {_sql_lit(hi)}")
 
 
 def in_set(col: str, values) -> Check:
     return Check(f"in_set:{col}",
-                 f"`{col}` IN ({', '.join(_sql_lit(v) for v in values)})")
+                 f"{_sql_ident(col)} IN "
+                 f"({', '.join(_sql_lit(v) for v in values)})")
 
 
 def matches(col: str, regex: str) -> Check:
-    return Check(f"matches:{col}", f"`{col}` RLIKE {_sql_lit(regex)}")
+    return Check(f"matches:{col}", f"{_sql_ident(col)} RLIKE {_sql_lit(regex)}")
 
 
 @dataclass

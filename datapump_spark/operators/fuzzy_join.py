@@ -47,6 +47,8 @@ from __future__ import annotations
 
 from itertools import product
 
+from datapump_spark.cachescope import scoped_persist
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -95,7 +97,7 @@ def edit_distance_pairs(
     # expression chain ~26× per row. Materializing (id, t, bands,
     # counts) once makes those filters read stored columns and halves
     # the scan count.
-    base = df.select(
+    base = scoped_persist(df.select(
         F.col(id_col).alias("id"),
         t.alias("t"),
         *[F.floor(d / F.lit(max_dist)).alias(f"__b{i}")
@@ -103,7 +105,7 @@ def edit_distance_pairs(
         *xb,
         *[_count_of(t, cls).alias(f"__s{i}")
           for i, cls in enumerate(_CLASSES[:k_cls])],
-    ).persist()
+    ))
     on = [f"__band{i}" for i in range(nd)] + (["__xb"] if xb else [])
     # probe emits every band vector within ±1 per dim (3^d tiny rows);
     # exactly one emission equals any qualifying partner's band vector

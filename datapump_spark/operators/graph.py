@@ -36,6 +36,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from datapump_spark.cachescope import scoped_persist
+
 SCALE = 10**12
 
 
@@ -74,11 +76,10 @@ def pagerank(
     # the pre-window frame too, bought nothing and cost a full pass).
     from pyspark.sql.window import Window
 
-    e_deg = (
+    e_deg = scoped_persist(
         e.repartition("src")  # the per-iteration join key: cached blocks
         .withColumn("out_deg",
                     F.count(F.lit(1)).over(Window.partitionBy("src")))
-        .persist()
     )
     if assume_symmetric:
         # Every edge appears in both directions, so the src column alone
@@ -94,7 +95,7 @@ def pagerank(
             .distinct()
         )
     cnt = nodes.agg(F.count(F.lit(1)).alias("__n"))
-    base_nodes = nodes.join(F.broadcast(cnt)).persist()  # 1-row cross join
+    base_nodes = scoped_persist(nodes.join(F.broadcast(cnt)))  # 1-row cross join
 
     teleport = f"(({100 - damping_pct} * ({scale} div __n)) div 100)"
     ranks = base_nodes.select(
@@ -177,13 +178,12 @@ def triangle_stats(
     # q_triangles' lineitem self-join + top-k window) re-executes up to
     # four times (measured r12: 58-Exchange plan). The edge list is
     # 2 ids/row — the cheapest frame in the operator to hold.
-    e = (
+    e = scoped_persist(
         edges.select(
             F.least(F.col(src), F.col(dst)).alias("lo"),
             F.greatest(F.col(src), F.col(dst)).alias("hi"))
         .where(F.col("lo") != F.col("hi"))
         .distinct()
-        .persist()
     )
     deg = (
         e.select(F.explode(F.array("lo", "hi")).alias("node"))

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import hash63, tokens
 
 
@@ -161,8 +162,8 @@ def dsir_sample(
     # previously the most expensive input was computed twice (measured
     # ~1.2 s per pass at sf0.1; same persist-in-operator pattern as
     # sparse_sim's tf diamond). Counts/scores are identical.
-    feats = _bucket_features(df, id_col, text_col, n_buckets,
-                             hash_fn).persist()
+    feats = scoped_persist(_bucket_features(df, id_col, text_col,
+                                            n_buckets, hash_fn))
     scored = df.join(
         importance_score(df, hashed_ngram_logratio(
             target, df, text_col, n_buckets, hash_fn, raw_features=feats),

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.operators.dedup_fuzzy import normalize_text
 
 
@@ -140,9 +141,9 @@ def incremental_near_dup(
     # caller passing an already-cached frame) — it never re-runs the
     # corpus signature computation, which is exactly the property this
     # persist gives the in-bench computed frame.
-    sigs_b = signature_index(batch, id_col, text_col, bands, rows_per_band,
-                             shingle_n, hash_fn).persist()
-    index_sigs = index_sigs.persist()
+    sigs_b = scoped_persist(signature_index(
+        batch, id_col, text_col, bands, rows_per_band, shingle_n, hash_fn))
+    index_sigs = scoped_persist(index_sigs)
 
     def est(a_pref: str, b_pref: str):
         agree = sum(
@@ -162,15 +163,15 @@ def incremental_near_dup(
               "__idx_id")
         .where(est("a", "x") >= threshold)
         .select(id_col).distinct()
-        .persist()  # tiny id list; embedded in BOTH survivor consumers
     )
+    hit_ids = scoped_persist(hit_ids)  # tiny id list; both survivor consumers
     survivors = batch.join(hit_ids, id_col, "left_anti")
 
     # within-batch near-dups: lowest id wins (same banding + estimator);
     # persisted — consumed by the banding self-join AND both sides of
     # the agreement check
-    surv_sigs = sigs_b.join(survivors.select(id_col), id_col, "semi") \
-        .persist()
+    surv_sigs = scoped_persist(
+        sigs_b.join(survivors.select(id_col), id_col, "semi"))
     sb = _banded(surv_sigs, id_col, bands, rows_per_band)
     pair_hits = (
         sb.alias("p").join(

@@ -31,6 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import hash63, tokens
 
 
@@ -61,7 +62,7 @@ def dup_passages(
 
     # persisted: three consumers (shared-gram aggregation, the hit join,
     # per-doc totals) each re-ran the tokenize+hash explode (r12)
-    grams = doc_ngram_hashes(df, id_col, text_col, n, hash_fn).persist()
+    grams = scoped_persist(doc_ngram_hashes(df, id_col, text_col, n, hash_fn))
     shared = (grams.groupBy("gram").agg(F.count("*").alias("__docs"))
               .where(F.col("__docs") >= 2)
               .select("gram"))
@@ -124,8 +125,8 @@ def dedup_lines(
     # consume the hashed line stream (r12; same rationale as the gram
     # persist in remove_duplicate_spans — the md5-per-line pass costs
     # more than re-reading it)
-    lines = lines.withColumn("__h", hash63(F.col("line"), hash_fn)) \
-        .persist()
+    lines = scoped_persist(
+        lines.withColumn("__h", hash63(F.col("line"), hash_fn)))
     pos = F.struct(F.col(id_col), F.col("line_no"))
     win_keys = ["__h", "line"] if scope == "corpus" else [id_col, "__h", "line"]
     winners = (lines.groupBy(*win_keys)
@@ -201,8 +202,8 @@ def remove_duplicate_spans(
     # was tokenized three times and every gram md5-hashed twice. Both
     # caches spill to disk past memory; recomputing the md5-per-gram
     # pass costs more than re-reading it at any scale.
-    d = tokenized_docs(df, id_col, text_col).persist()
-    grams = doc_gram_positions(d, id_col, n, hash_fn).persist()
+    d = scoped_persist(tokenized_docs(df, id_col, text_col))
+    grams = scoped_persist(doc_gram_positions(d, id_col, n, hash_fn))
     dup = (grams.groupBy("gram")
            .agg(F.count("*").alias("__c"),
                 F.min(F.struct(F.col(id_col), F.col("pos"))).alias("__w"))

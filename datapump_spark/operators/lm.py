@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import tokens
 
 
@@ -76,8 +77,8 @@ def train_bigram_lm(
     hand it in instead of re-deriving it."""
     bg = bigram_stream if bigram_stream is not None \
         else _doc_bigrams(corpus, id_col, text_col)
-    bigrams = bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")) \
-        .persist()
+    bigrams = scoped_persist(
+        bg.groupBy("w1", "w2").agg(F.count("*").alias("c2")))
     unigrams = bigrams.groupBy("w1").agg(
         F.sum("c2").cast("bigint").alias("c1"))
     return unigrams, bigrams
@@ -261,7 +262,7 @@ def ccnet_buckets(
     # corpus once, persist, and hand it to trainer and scorer (r12
     # optimization round, guide §1.2/§5 — the sparse_sim/dsir persist
     # pattern; computed inside the query, nothing crosses runs).
-    shared = (_doc_bigrams(docs, id_col, text_col).persist()
+    shared = (scoped_persist(_doc_bigrams(docs, id_col, text_col))
               if reference is None else None)
     uni, bi = train_bigram_lm(ref, id_col, text_col, bigram_stream=shared)
     if smoothing == "kn":

@@ -410,8 +410,10 @@ def ivfpq_topk(
                   normalize=False)
     # cell rides through the encode kernel — no id join back onto the
     # corpus to re-attach it (r12, guide §2)
-    codes = pq_encode(assigned, cb, id_col="id", vec_col="v_res",
-                      normalize=False, extra=("cell",)).persist()
+    from datapump_spark.cachescope import scoped_persist
+    codes = scoped_persist(pq_encode(assigned, cb, id_col="id",
+                                     vec_col="v_res",
+                                     normalize=False, extra=("cell",)))
     # materialize the (small: id, codes, cell) index, then release the
     # corpus-sized upstream caches — leaving them pinned for the session
     # would crowd out the very scan caching the layout depends on

@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import tokens
 
 
@@ -113,8 +114,8 @@ def bm25_topk(
         .groupBy(id_col, "term")
         .agg(F.count("*").cast("bigint").alias("tf"),
              F.first("dl").alias("dl"))
-        .persist()
     )
+    cand = scoped_persist(cand)
     docfreq = cand.groupBy("term").agg(
         F.count("*").cast("bigint").alias("df"))
 

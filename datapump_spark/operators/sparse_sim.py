@@ -35,6 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from datapump_spark.cachescope import scoped_persist
 from datapump_spark.functions.hashing import tokens
 
 # Bigrams of adjacent tokens as zip_with over two shifted slices — ~6×
@@ -90,13 +91,14 @@ def sparse_cosine_pairs(
                               / (F.lit(1.0) + F.col("df"))) + F.lit(1.0))))
     # The normalized frame feeds BOTH self-join sides: persist it so the
     # scan → tf → window chain runs once (computed inside this plan —
-    # not cross-run caching). Measured min-of-4 at sf0.1: no persist
-    # 1.62 s / persist tf 1.32 s / persist u 1.01 s.
-    u = (w.withColumn("__nrm", F.sqrt(
+    # not cross-run caching; scoped_persist releases it at the next
+    # query boundary). Measured min-of-4 at sf0.1: no persist 1.62 s /
+    # persist tf 1.32 s / persist u 1.01 s.
+    u = scoped_persist(
+        w.withColumn("__nrm", F.sqrt(
             F.sum(F.col("w") * F.col("w")).over(Window.partitionBy("__id"))))
          .select("__id", "term", *block_cols,
-                 (F.col("w") / F.col("__nrm")).alias("u"))
-         .persist())
+                 (F.col("w") / F.col("__nrm")).alias("u")))
     left = u.select(F.col("__id").alias("id_l"), "term", *block_cols,
                     F.col("u").alias("__ul"))
     right = u.select(F.col("__id").alias("id_r"), "term",

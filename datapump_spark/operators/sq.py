@@ -51,16 +51,26 @@ def train_sq8(df: DataFrame, id_col: str = "vec_id",
     optimization round: train 1.65 s of a 3.7 s query; guide §1.2 —
     same values, min/max over v[i] sees exactly the elements the
     explode saw). Pass ``dim`` when known (free); else one first-row
-    peek."""
+    peek.
+
+    Assumes a UNIFORM vector width (every row's array has the same
+    length — the contract of every embedding table here): ``dim`` is
+    inferred from the first row when not passed, so a ragged corpus
+    would be truncated to the first vector's width (the old posexplode
+    formulation would instead have widened to the longest). Emptiness
+    is detected from count(1) in the same aggregate, not from lo0's
+    nullness (dimension 0 being all-null is not emptiness) — r12
+    ADVICE."""
     from datapump_spark.operators.similarity import vec_dim
 
     base = _l2_normalized(df, id_col, vec_col, normalize)
     dim = vec_dim(base, "v", dim)
     row = base.selectExpr(
+        "count(1) AS n",
         *[f"min(v[{i}]) AS lo{i}" for i in range(dim)],
         *[f"max(v[{i}]) AS hi{i}" for i in range(dim)],
     ).first()
-    if row is None or row["lo0"] is None:
+    if row is None or row["n"] == 0:
         raise ValueError("train_sq8: empty corpus")
     mins = [float(row[f"lo{i}"]) for i in range(dim)]
     steps = [(float(row[f"hi{i}"]) - float(row[f"lo{i}"])) / 255.0

@@ -4769,3 +4769,31 @@ assert SURVEY_S2_TENURED <= set(QUERIES), (
     "SURVEY §2 keys must stay in the driver-gated set: missing "
     f"{sorted(SURVEY_S2_TENURED - set(QUERIES))}")
 assert len(QUERIES) == 50, f"driver cap: {len(QUERIES)}"
+
+
+# --- cache-scope query boundary (r13, guide §5) -------------------------
+# Operators persist shared subtrees for the duration of ONE query; the
+# registry in cachescope.py records them, and this wrapper releases the
+# PREVIOUS query's registrations when the next query build begins. In a
+# long session (the 174-query bench, a notebook) storage then holds at
+# most one query's caches instead of accumulating all of them — the r12
+# defect where late-bench-order queries regressed ~2x at 32 cores under
+# ~10^2 pinned stale entries. Results are unaffected: an unpersisted
+# frame recomputes from lineage; each query still computes end-to-end
+# from its parquet inputs with its own caches warm while it runs.
+def _with_cache_scope(fn):
+    from functools import wraps
+
+    from datapump_spark.cachescope import release_scope
+
+    @wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        release_scope(spark)
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
+for _d in (QUERIES, EXTRA_QUERIES, BENCH_VARIANTS):
+    for _k in list(_d):
+        _d[_k] = _with_cache_scope(_d[_k])

@@ -237,7 +237,8 @@ def quarantine_split(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """
     if CORRUPT_COL not in df.columns:
         raise ValueError(f"scan was not read with keep_corrupt=True: {df.columns}")
-    df = df.cache()
+    from datapump_spark.cachescope import scoped_persist
+    df = scoped_persist(df)
     good = df.where(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = df.where(F.col(CORRUPT_COL).isNotNull()).select(CORRUPT_COL)
     return good, bad

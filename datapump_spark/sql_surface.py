@@ -46,7 +46,12 @@ def register_views(spark: SparkSession, sf_dir: str,
         if os.path.exists(path):
             st = os.stat(path)
             key = (path, st.st_mtime_ns, st.st_size)
-            if per_session.get(t) != key:
+            # staleness AND existence: a caller that dropped/overwrote
+            # the temp view between calls must get it re-created, not a
+            # stale `done` report (r12 ADVICE). tableExists is a catalog
+            # lookup, no Spark job.
+            if (per_session.get(t) != key
+                    or not spark.catalog.tableExists(t)):
                 _t(spark, sf_dir, t).createOrReplaceTempView(t)
                 per_session[t] = key
             done.append(t)

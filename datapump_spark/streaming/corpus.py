@@ -236,6 +236,12 @@ class StreamingCorpusIngest:
             admitted.unpersist()
         finally:
             batch_df.unpersist()
+            # operators called in this batch (incremental dedup, quality,
+            # fingerprints) register their internal persists in the
+            # session cache scope — release them so a long-running stream
+            # holds at most one batch's caches (r13, guide §5)
+            from datapump_spark.cachescope import release_scope
+            release_scope(batch_df.sparkSession)
 
     def stream(self, checkpoint_dir: str | Path):
         """Build the writer; caller starts it (``.trigger(availableNow=

@@ -158,6 +158,9 @@ class StreamingMediaIngest:
                  .mode("overwrite").parquet(self.dhash_index_dir))
         finally:
             media.unpersist()
+            # release operator-internal scoped caches per batch (r13)
+            from datapump_spark.cachescope import release_scope
+            release_scope(media.sparkSession)
 
     def stream(self, checkpoint_dir: str | Path):
         # binaryFile's schema is fixed by the source, but streaming

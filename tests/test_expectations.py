@@ -98,3 +98,47 @@ def test_benford_deviation(spark):
     rows = {r["digit"]: r["n"] for r in
             benford_deviation(small, "v").collect()}
     assert rows == {5: 2, 7: 1}
+
+
+def test_sql_lit_edge_cases(spark):
+    """r12 ADVICE: None/NaN/inf literals and backticked identifiers must
+    render as parseable SQL (old repr() fallthrough emitted bare None
+    and invalid infD); unsupported types raise instead of silently
+    producing unparseable text."""
+    import pytest as _pytest
+
+    from datapump_spark.operators.expectations import (Check,
+                                                       ExpectationSuite,
+                                                       _sql_ident, _sql_lit,
+                                                       in_range, in_set)
+
+    assert _sql_lit(None) == "NULL"
+    assert _sql_lit(float("nan")) == "CAST('NaN' AS DOUBLE)"
+    assert _sql_lit(float("inf")) == "CAST('Infinity' AS DOUBLE)"
+    assert _sql_lit(float("-inf")) == "CAST('-Infinity' AS DOUBLE)"
+    assert _sql_ident("a`b") == "`a``b`"
+    with _pytest.raises(TypeError):
+        _sql_lit(object())
+    with _pytest.raises(TypeError):
+        _sql_lit(__import__("decimal").Decimal("1.5"))
+
+    # in_set with a None member parses and behaves like the Column API
+    # (x IN (..., NULL) is null for non-members -> counted violated)
+    df = spark.createDataFrame([(1,), (2,), (None,)], "x int")
+    suite = ExpectationSuite("t", [in_set("x", [1, None])])
+    [r] = suite.run(df).collect()
+    assert r["total"] == 3 and r["violated"] == 2  # only x=1 passes
+
+    # non-finite range bounds parse and evaluate
+    df2 = spark.createDataFrame([(1.0,), (None,)], "y double")
+    suite2 = ExpectationSuite("t", [in_range("y", float("-inf"),
+                                             float("inf"))])
+    [r2] = suite2.run(df2).collect()
+    assert r2["violated"] == 1  # the null row
+
+    # a column name carrying a backtick cannot break the quoting
+    df3 = spark.createDataFrame([(1,), (None,)], ["a`b"])
+    suite3 = ExpectationSuite(
+        "t", [Check("nn", f"{_sql_ident('a`b')} IS NOT NULL")])
+    [r3] = suite3.run(df3).collect()
+    assert r3["violated"] == 1
