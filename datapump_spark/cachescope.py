@@ -43,6 +43,49 @@ def scoped_persist(df: DataFrame, storage_level=None) -> DataFrame:
     return out
 
 
+# Logical-plan node names whose presence in a frame's lineage makes a
+# multi-consumer persist worth its materialization barrier: wide steps
+# (each consumer would otherwise repeat an exchange) and Python-boundary
+# kernels (each consumer would otherwise re-run expensive per-row
+# Python). Plain narrow scans/projections are NOT here — recomputing
+# them is cheaper than the barrier (the q_benford lesson, r12).
+_WORTH_PERSISTING = (
+    "Aggregate", "Join", "Window", "Deduplicate", "Distinct",
+    "RepartitionByExpression", "Repartition", "Sort",
+    "MapInPandas", "MapInArrow", "BatchEvalPython", "ArrowEvalPython",
+    "FlatMapGroupsInPandas", "PythonUDF",
+)
+
+
+def persist_shared(df: DataFrame, grows: bool = False) -> DataFrame:
+    """Size-aware persist policy for multi-consumer frames (r13, VERDICT
+    r12 #6; guide §5 "persist only when recomputing is more expensive
+    than the memory pressure").
+
+    Persist (scoped) only when BOTH hold:
+    - the frame's lineage contains a wide step or a Python-boundary
+      kernel (so the persist actually dedupes an exchange or expensive
+      per-row Python, not just a narrow scan), checked statically on
+      the analyzed logical plan; and
+    - the caller declares the frame no larger than its input
+      (``grows=False``) — a larger-than-input cache (e.g. an exploded
+      per-token stream) costs more to hold than to recompute at any
+      real scale (the r12 ccnet caveat).
+
+    Otherwise the frame is returned unchanged and consumers recompute
+    the (narrow, partial-aggregation-friendly) subtree.
+    """
+    if grows:
+        return df
+    try:
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:  # noqa: BLE001 — policy must never fail a query
+        return scoped_persist(df)
+    if not any(n in plan for n in _WORTH_PERSISTING):
+        return df
+    return scoped_persist(df)
+
+
 def release_scope(spark: SparkSession) -> int:
     """Unpersist every frame registered for this session; returns the
     count. Async (blocking=False): removal is block-manager bookkeeping,

@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapump_spark.cachescope import scoped_persist
+from datapump_spark.cachescope import persist_shared, scoped_persist
 from datapump_spark.functions.hashing import hash63, tokens
 
 
@@ -836,7 +836,13 @@ def hamming_pairs(
     # lineage is the full signature computation (SimHash: a token
     # explode + 32 conditional sums) — r12, guide §1.2/§5. nb+1
     # ints/row, the cheapest frame in the operator.
-    keyed = scoped_persist(keyed)
+    # persist_shared: persists iff the keyed stream's lineage carries a
+    # wide step or a Python kernel (the capped variant's row_number
+    # window; image/audio signatures' mapInPandas decode) — a pure-
+    # expression SimHash lineage (q_simhash_pairs) recomputes instead:
+    # the persist there deduped only a narrow codegen pass and its
+    # barrier cost more than the recompute (r13 policy, guide §5).
+    keyed = persist_shared(keyed)
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("__sig").alias("sig_a"), "bno", "bval")
     b = keyed.select(F.col("id").alias("id_b"),

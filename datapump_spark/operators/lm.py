@@ -35,7 +35,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from datapump_spark.cachescope import scoped_persist
+from datapump_spark.cachescope import persist_shared, scoped_persist
 from datapump_spark.functions.hashing import tokens
 
 
@@ -262,7 +262,14 @@ def ccnet_buckets(
     # corpus once, persist, and hand it to trainer and scorer (r12
     # optimization round, guide §1.2/§5 — the sparse_sim/dsir persist
     # pattern; computed inside the query, nothing crosses runs).
-    shared = (scoped_persist(_doc_bigrams(docs, id_col, text_col))
+    # persist_shared(grows=True): the exploded per-doc bigram stream is
+    # LARGER than the corpus slice it derives from, so the policy says
+    # recompute — the r12 caveat ("a cluster profile may prefer
+    # recompute") codified. The shared LAZY frame still deduplicates the
+    # plan construction; trainer and scorer each re-run the narrow
+    # tokenize+explode, which map-side-aggregates before any exchange.
+    shared = (persist_shared(_doc_bigrams(docs, id_col, text_col),
+                             grows=True)
               if reference is None else None)
     uni, bi = train_bigram_lm(ref, id_col, text_col, bigram_stream=shared)
     if smoothing == "kn":

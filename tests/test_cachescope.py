@@ -79,3 +79,27 @@ def test_session_storage_does_not_accumulate_across_queries(spark, sf_dir):
             break
         time.sleep(0.1)
     assert _n_cached(spark) <= baseline
+
+
+def test_persist_shared_policy(spark):
+    """persist_shared persists only frames whose lineage carries a wide
+    step or Python kernel, and never frames declared larger than input."""
+    from pyspark.sql import functions as F
+
+    from datapump_spark.cachescope import persist_shared, release_scope
+
+    release_scope(spark)
+    narrow = spark.range(100).select((F.col("id") * 2).alias("x"))
+    out = persist_shared(narrow)
+    assert out.storageLevel.useMemory is False      # narrow -> recompute
+
+    wide = spark.range(100).groupBy((F.col("id") % 3).alias("g")) \
+        .agg(F.count("*").alias("n"))
+    out2 = persist_shared(wide)
+    assert out2.storageLevel.useMemory is True      # Aggregate -> persist
+
+    grown = persist_shared(wide, grows=True)
+    assert grown.storageLevel.useMemory is True or grown is wide
+    # grows=True must return the input unchanged (no new persist)
+    assert grown is wide
+    release_scope(spark)
