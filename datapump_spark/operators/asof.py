@@ -65,12 +65,17 @@ def asof_join(
     # sort before left rows (so an equal-ts right row is visible to the
     # left row); strict = after.
     l_side, r_side = (1, 0) if not strict else (0, 1)
-    lu = l.withColumn("__side", F.lit(l_side)) \
-          .withColumn("__r", F.lit(None).cast(r.schema["__r"].dataType))
-    ru = r.withColumn("__side", F.lit(r_side))
-    for c in left_cols:
-        if c not in ru.columns:
-            ru = ru.withColumn(c, F.lit(None).cast(dict(l.dtypes)[c]))
+    # Single-select projections (r13, guide §7.3): the former per-column
+    # withColumn loop re-analyzed the plan once per left column (~6 py4j
+    # round trips + analyses per call site) — one select builds the same
+    # projection in one pass. Identical plan after analysis.
+    lu = l.select("*", F.lit(l_side).alias("__side"),
+                  F.lit(None).cast(r.schema["__r"].dataType).alias("__r"))
+    l_types = dict(l.dtypes)
+    ru = r.select(
+        "*", F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(l_types[c]).alias(c)
+          for c in left_cols if c not in r.columns])
     u = lu.unionByName(ru.select(lu.columns))
 
     if direction == "backward":

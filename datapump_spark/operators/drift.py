@@ -87,7 +87,7 @@ def distribution_drift(
         )
     )
     # Totals per group via window-free second aggregate: fold bucket rows.
-    tot = F.lit(float(n_buckets) * eps)
+    tot = float(n_buckets) * eps
     folded = counts.groupBy(*group_cols).agg(
         F.sum("_nb").alias("n_base"),
         F.sum("_nc").alias("n_cur"),
@@ -99,40 +99,38 @@ def distribution_drift(
     # floor on both sides: (eps/T_b − eps/T_c)·ln((eps/T_b)/(eps/T_c)) etc.,
     # which is NOT zero when the groups have different totals, so account
     # for the n_missing = n_buckets − |cells| absent cells explicitly.
-    tb = F.col("n_base") + tot
-    tc = F.col("n_cur") + tot
-    p = lambda nb: (nb + F.lit(eps)) / tb          # noqa: E731
-    q = lambda nc: (nc + F.lit(eps)) / tc          # noqa: E731
-    pm, qm = F.lit(eps) / tb, F.lit(eps) / tc
-    n_miss = (F.lit(n_buckets) - F.size("_cells")).cast("double")
+    # Composed as SQL text → ONE server-side parse (r13, guide §7.3, the
+    # mediasniff/lsh_topk pattern): the Column-DSL lambdas built ~1.0 s
+    # of py4j tree per call (measured; the eager range scan is 0.52 s by
+    # comparison). Literals carry the D suffix so they parse as DOUBLE —
+    # identical expressions, identical plan after parsing.
+    tbs, tcs = f"(n_base + {tot!r}D)", f"(n_cur + {tot!r}D)"
 
-    def fold(term_present, term_missing):
-        present = F.aggregate(
-            "_cells",
-            F.lit(0.0),
-            lambda acc, c: acc + term_present(c["_nb"], c["_nc"]),
-        )
-        return present + n_miss * term_missing
+    def p(nb: str) -> str:
+        return f"(({nb} + {eps!r}D) / {tbs})"
 
-    psi = fold(
-        lambda nb, nc: (p(nb) - q(nc)) * F.log(p(nb) / q(nc)),
-        (pm - qm) * F.log(pm / qm),
-    )
-    kl = fold(
-        lambda nb, nc: q(nc) * F.log(q(nc) / p(nb)),
-        qm * F.log(qm / pm),
-    )
-    tvd = fold(
-        lambda nb, nc: F.abs(p(nb) - q(nc)) / 2,
-        F.abs(pm - qm) / 2,
-    )
-    return folded.select(
-        *group_cols,
-        F.col("n_base").cast("bigint").alias("n_base"),
-        F.col("n_cur").cast("bigint").alias("n_cur"),
-        F.round(psi, 6).alias("psi"),
-        F.round(kl, 6).alias("kl"),
-        F.round(tvd, 6).alias("tvd"),
+    def q(nc: str) -> str:
+        return f"(({nc} + {eps!r}D) / {tcs})"
+
+    pm, qm = f"({eps!r}D / {tbs})", f"({eps!r}D / {tcs})"
+    n_miss = f"CAST({n_buckets} - size(_cells) AS DOUBLE)"
+
+    def fold(term_present: str, term_missing: str) -> str:
+        return (f"(aggregate(_cells, 0.0D, (acc, c) -> acc + "
+                f"{term_present}) + {n_miss} * ({term_missing}))")
+
+    pb, qc = p("c._nb"), q("c._nc")
+    psi = fold(f"({pb} - {qc}) * ln({pb} / {qc})",
+               f"({pm} - {qm}) * ln({pm} / {qm})")
+    kl = fold(f"{qc} * ln({qc} / {pb})", f"{qm} * ln({qm} / {pm})")
+    tvd = fold(f"abs({pb} - {qc}) / 2", f"abs({pm} - {qm}) / 2")
+    return folded.selectExpr(
+        *[f"`{g}`" for g in group_cols],
+        "CAST(n_base AS BIGINT) AS n_base",
+        "CAST(n_cur AS BIGINT) AS n_cur",
+        f"round({psi}, 6) AS psi",
+        f"round({kl}, 6) AS kl",
+        f"round({tvd}, 6) AS tvd",
     )
 
 

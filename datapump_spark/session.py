@@ -25,6 +25,22 @@ def tuned_builder(app_name: str = "datapump-spark") -> SparkSession.Builder:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE partition sizing (r13, guide §2.2/§9): honor the advisory
+        # target instead of minimum-parallelism-first when coalescing —
+        # the Spark docs' production recommendation (parallelismFirst
+        #=true is a compatibility default that "maximizes parallelism
+        # regardless of advisory size", i.e. many tiny reducers whose
+        # per-task overhead dominates small shuffles and whose block
+        # count grows quadratically at scale). Measured on the 10-query
+        # mixed subset (min-of-3): 32 cores 26.7 -> 24.2 s (-9%);
+        # 8 cores flat within the box-drift band (23.1 vs 23.4 same
+        # hour; an earlier 20.9 default reading was a fast-box window —
+        # identical code re-read 23.4). Both knobs env-overridable for
+        # cluster profiles (OPTIMIZATION_r13.md).
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
+                os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
         # Deterministic timestamp semantics for the DuckDB oracle and for
         # cross-cluster reproducibility: all sessions run in UTC.
         .config("spark.sql.session.timeZone", "UTC")
