@@ -367,8 +367,33 @@ def ivfpq_topk(
 
     spark = df.sparkSession
     base = _l2_normalized(df, id_col, vec_col)
+
+    # Overlap the ONLY training-independent job (guide §2.6, VERDICT r12
+    # #5): the query-side collect depends on df alone, so submit it from
+    # a driver thread at the start — its tasks back-fill executors during
+    # the kmeans/mean/train collects' stage tails instead of adding a
+    # sequential job at the end. Job descriptions are thread-local;
+    # inheritable_thread_target propagates the JVM-local properties.
+    # qrows' VALUES are identical either way (same frame, same collect) —
+    # the trained model and result cannot change.
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    qsrc = queries if queries is not None \
+        else df.where(F.col(id_col) < query_max_id)
+
+    def _collect_queries():
+        spark.sparkContext.setJobDescription("ivfpq: query-side collect")
+        return _l2_normalized(qsrc, id_col, vec_col).collect()
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    q_future = pool.submit(inheritable_thread_target(_collect_queries))
+    pool.shutdown(wait=False)
+
     C = _kmeans_centroids(base.select("id", "v"), n_cells, lloyd_iters)
     if C is None:
+        q_future.result()   # drain before returning (empty corpus path)
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, score double")
 
@@ -424,10 +449,9 @@ def ivfpq_topk(
     # queries: exact vectors, n_probe best cells, one LUT each. External
     # (id, vec) query frames are first-class (same contract as pq_topk:
     # ids must not collide with corpus ids); default is the
-    # corpus-rows-below-query_max_id driver convention.
-    qsrc = queries if queries is not None \
-        else df.where(F.col(id_col) < query_max_id)
-    qrows = _l2_normalized(qsrc, id_col, vec_col).collect()
+    # corpus-rows-below-query_max_id driver convention. Collected by the
+    # thread submitted at the top of this function (guide §2.6).
+    qrows = q_future.result()
     if not qrows:
         return spark.createDataFrame(
             [], "query_id bigint, neighbor_id bigint, score double")
