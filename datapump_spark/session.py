@@ -25,20 +25,18 @@ def tuned_builder(app_name: str = "datapump-spark") -> SparkSession.Builder:
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # AQE partition sizing (r13, guide §2.2/§9): honor the advisory
-        # target instead of minimum-parallelism-first when coalescing —
-        # the Spark docs' production recommendation (parallelismFirst
-        #=true is a compatibility default that "maximizes parallelism
-        # regardless of advisory size", i.e. many tiny reducers whose
-        # per-task overhead dominates small shuffles and whose block
-        # count grows quadratically at scale). Measured on the 10-query
-        # mixed subset (min-of-3): 32 cores 26.7 -> 24.2 s (-9%);
-        # 8 cores flat within the box-drift band (23.1 vs 23.4 same
-        # hour; an earlier 20.9 default reading was a fast-box window —
-        # identical code re-read 23.4). Both knobs env-overridable for
-        # cluster profiles (OPTIMIZATION_r13.md).
+        # AQE partition sizing (r13): parallelismFirst=false (the Spark
+        # docs' production hint) was A/B'd and REJECTED: it won -9% on
+        # the tiny-shuffle sf0.1 subset at 32 cores (26.7 -> 24.2 s
+        # min-of-3; 8 cores flat) but THROTTLED compute-dense shuffles
+        # as soon as data grew — the sparse_sim pair join at 2x corpus
+        # ran 20.2 s vs 9.1 s with the default, because advisory BYTES
+        # are a bad proxy for quadratic per-byte compute and the
+        # coalescer packed the join into one reducer. Scale wins the
+        # tie (the whole point of the engine); both knobs stay
+        # env-overridable for profiles where bytes DO track compute.
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "false"))
+                os.environ.get("SPARK_GRAFT_AQE_PARALLELISM_FIRST", "true"))
         .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
                 os.environ.get("SPARK_GRAFT_AQE_ADVISORY", "64MB"))
         # Deterministic timestamp semantics for the DuckDB oracle and for
