@@ -85,12 +85,21 @@ def main() -> None:
                 F.concat(F.lit("r"), F.col("__rep"), F.lit("_$1"))
             ).alias("text"),
             "lang", "source")
+        # spread the replicated corpus: the source parquet is one row
+        # group (1-2 scan splits), so without this the scaled input and
+        # every narrow stage over it would run on <=2 cores at ANY core
+        # count - measured: minhash 21.6 s at 32c vs 20.6 s at 8c, both
+        # input-parallelism-bound. A 100 TB corpus arrives in thousands
+        # of splits; 4*mult partitions models that (untimed, part of
+        # fixture prep).
+        .repartition(4 * mult)
         .localCheckpoint(eager=True)  # scale input OUTSIDE the timed op
     )
     docs_shift = (
         docs.select("doc_id", "text").select(reps, "*")
         .select((F.col("doc_id") + F.col("__rep") * F.lit(n_docs))
                 .alias("doc_id"), "text")
+        .repartition(4 * mult)
         .localCheckpoint(eager=True)
     )
 
@@ -142,6 +151,7 @@ def main() -> None:
             emb.select("vec_id", "embedding").select(reps, "*")
             .select((F.col("vec_id") + F.col("__rep") * F.lit(n_emb))
                     .alias("vec_id"), "embedding")
+            .repartition(4 * mult)
             .localCheckpoint(eager=True))
         sc.setJobDescription(f"scale x{mult}: ivfpq")
         out["ivfpq"] = _noop(ivfpq_topk(
@@ -162,7 +172,7 @@ def main() -> None:
               .distinct())
         edges = e1.unionByName(
             e1.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        edges = edges.localCheckpoint(eager=True)
+        edges = edges.repartition(4 * mult).localCheckpoint(eager=True)
         sc.setJobDescription(f"scale x{mult}: pagerank")
         out["pagerank"] = _noop(pagerank(
             edges, n_iter=3, assume_distinct=True, assume_symmetric=True))
