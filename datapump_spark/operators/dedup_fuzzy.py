@@ -837,11 +837,13 @@ def hamming_pairs(
     # explode + 32 conditional sums) — r12, guide §1.2/§5. nb+1
     # ints/row, the cheapest frame in the operator.
     # persist_shared: persists iff the keyed stream's lineage carries a
-    # wide step or a Python kernel (the capped variant's row_number
-    # window; image/audio signatures' mapInPandas decode) — a pure-
-    # expression SimHash lineage (q_simhash_pairs) recomputes instead:
-    # the persist there deduped only a narrow codegen pass and its
-    # barrier cost more than the recompute (r13 policy, guide §5).
+    # wide step or a Python kernel. All current callers qualify — the
+    # SimHash signature is itself a groupBy(doc) aggregate and the
+    # image/audio signatures come through mapInPandas decode kernels —
+    # but the policy guards any future caller whose signature frame is
+    # a plain narrow scan, where the barrier would cost more than the
+    # recompute (r13 policy, guide §5; plans/r13 shows the persist
+    # retained: InMemoryRelation 4 -> 4).
     keyed = persist_shared(keyed)
     a = keyed.select(F.col("id").alias("id_a"),
                      F.col("__sig").alias("sig_a"), "bno", "bval")
