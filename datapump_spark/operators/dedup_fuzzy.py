@@ -84,10 +84,14 @@ def _signatures_from_shingles(sh: DataFrame, id_col: str, k: int,
     """The aggregation half of :func:`minhash_signatures`, split out so a
     pipeline that also needs the raw shingles (verification) can compute
     the shingle frame ONCE and share it (guide §1.2: don't re-derive)."""
-    from datapump_spark.functions.hashing import mixed_hash
+    from datapump_spark.functions.hashing import mixed_hash_sql
 
     h = sh.withColumn("__h", hash63(F.col("shingle"), hash_fn))
-    aggs = [F.min(mixed_hash(F.col("__h"), i)).alias(f"mh{i}")
+    # k min-aggregates as parsed SQL (one server-side parse per agg vs
+    # ~6 py4j Column calls each — r13, guide §7.3; identical
+    # expressions/plan, mixed_hash_sql is the same mixer the DuckDB
+    # twin uses)
+    aggs = [F.expr(f"min({mixed_hash_sql('__h', i)})").alias(f"mh{i}")
             for i in range(k)]
     return h.groupBy(id_col).agg(*aggs)
 
@@ -105,18 +109,21 @@ def lsh_candidate_pairs(
     bands are independent, so a union of per-subset candidate sets over
     a partition of the bands equals the full candidate set exactly)."""
     k = bands * rows_per_band
-    scope = [F.col(scope_col).alias("__scope")] if scope_col else []
-    band_structs = F.array(*[
-        F.struct(
-            F.lit(b).alias("band"),
-            F.struct(*[
-                F.col(f"mh{b * rows_per_band + r}").alias(f"r{r}")
-                for r in range(rows_per_band)
-            ], *scope).alias("key"),
-        )
-        for b in (band_subset if band_subset is not None
-                  else range(bands))
-    ])
+    # the band-struct array as ONE parsed expression (was bands x
+    # rows_per_band struct/lit/col py4j calls — r13, guide §7.3;
+    # identical array literal, identical plan)
+    scope_sql = f", `{scope_col}` AS __scope" if scope_col else ""
+
+    def _band_sql(b: int) -> str:
+        rows = ", ".join(
+            f"`mh{b * rows_per_band + r}` AS r{r}"
+            for r in range(rows_per_band))
+        return (f"struct({b} AS band, "
+                f"struct({rows}{scope_sql}) AS key)")
+
+    band_structs = F.expr("array(" + ", ".join(
+        _band_sql(b) for b in (band_subset if band_subset is not None
+                               else range(bands))) + ")")
     banded = sigs.select(F.col(id_col), F.explode(band_structs).alias("bk")) \
                  .select(id_col, "bk.band", "bk.key")
     a = banded.alias("a")

@@ -146,10 +146,12 @@ def incremental_near_dup(
     index_sigs = scoped_persist(index_sigs)
 
     def est(a_pref: str, b_pref: str):
-        agree = sum(
-            (F.col(f"{a_pref}.mh{i}") == F.col(f"{b_pref}.mh{i}")).cast("int")
+        # one parsed expression instead of ~6k py4j Column calls for the
+        # k-term agreement sum (r13, guide §7.3; identical expression)
+        agree = " + ".join(
+            f"CAST(({a_pref}.mh{i} = {b_pref}.mh{i}) AS INT)"
             for i in range(k))
-        return agree / F.lit(float(k))
+        return F.expr(f"({agree}) / CAST({k} AS DOUBLE)")
 
     # cross-index near-dups: band collision → signature agreement
     bb = _banded(sigs_b, id_col, bands, rows_per_band)
