@@ -82,8 +82,20 @@ def edit_distance_pairs(
     if max_dist < 1:
         raise ValueError("max_dist must be ≥ 1")
     t = F.col(text_col)
-    dims = [F.length(t), _count_of(t, _VOWELS), _count_of(t, _CONSONANTS)]
-    nd = len(dims)
+    # numeric feature chains as parsed SQL (r13, guide §7.3): the
+    # per-class translate/length chains and the 3^d combo structs were
+    # ~400 py4j Column calls per build; identical expressions parsed
+    # server-side. (SQL int/int division is fractional, like the
+    # Column API's — floor() yields the same BIGINT bands.)
+    txt = f"`{text_col}`"
+
+    def _count_sql(expr: str, chars: str) -> str:
+        return (f"CAST(length({expr}) - "
+                f"length(translate({expr}, '{chars}', '')) AS INT)")
+
+    dims_sql = [f"length({txt})", _count_sql(txt, _VOWELS),
+                _count_sql(txt, _CONSONANTS)]
+    nd = len(dims_sql)
     xb = []
     if extra_block_col is not None:
         c = (extra_block_col if isinstance(extra_block_col, Column)
@@ -100,20 +112,19 @@ def edit_distance_pairs(
     base = scoped_persist(df.select(
         F.col(id_col).alias("id"),
         t.alias("t"),
-        *[F.floor(d / F.lit(max_dist)).alias(f"__b{i}")
-          for i, d in enumerate(dims)],
+        *[F.expr(f"floor({d} / {max_dist})").alias(f"__b{i}")
+          for i, d in enumerate(dims_sql)],
         *xb,
-        *[_count_of(t, cls).alias(f"__s{i}")
+        *[F.expr(_count_sql(txt, cls)).alias(f"__s{i}")
           for i, cls in enumerate(_CLASSES[:k_cls])],
     ))
     on = [f"__band{i}" for i in range(nd)] + (["__xb"] if xb else [])
     # probe emits every band vector within ±1 per dim (3^d tiny rows);
     # exactly one emission equals any qualifying partner's band vector
-    combos = F.array(*[
-        F.struct(*[(F.col(f"__b{i}") + F.lit(off[i])).alias(f"b{i}")
-                   for i in range(nd)])
-        for off in product((-1, 0, 1), repeat=nd)
-    ])
+    combos = F.expr("array(" + ", ".join(
+        "struct(" + ", ".join(
+            f"(__b{i} + {off[i]}) AS b{i}" for i in range(nd)) + ")"
+        for off in product((-1, 0, 1), repeat=nd)) + ")")
     # repartition BEFORE the 3^d explode: the shuffle spreads pair-loop
     # parallelism (the build side broadcasts, so the probe partitioning
     # is the loop partitioning) while carrying 1× rows instead of the
@@ -140,9 +151,8 @@ def edit_distance_pairs(
     cond = ((F.col("id_p") < F.col("id_b"))
             & (F.abs(F.length("t_p") - F.length("t_b")) <= F.lit(max_dist)))
     if char_filter:
-        l1 = sum((F.abs(F.col(f"__p{i}") - F.col(f"__q{i}"))
-                  for i in range(k_cls)), F.lit(0))
-        cond = cond & (l1 <= F.lit(2 * max_dist))
+        l1 = " + ".join(f"abs(__p{i} - __q{i})" for i in range(k_cls))
+        cond = cond & F.expr(f"({l1}) <= {2 * max_dist}")
     pairs = (probe.join(build, on)
              .where(cond)
              .select(F.col("id_p").alias("id_l"),
