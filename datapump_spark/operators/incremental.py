@@ -146,8 +146,8 @@ def incremental_near_dup(
     index_sigs = scoped_persist(index_sigs)
 
     def est(a_pref: str, b_pref: str):
-        # one parsed expression instead of ~6k py4j Column calls for the
-        # k-term agreement sum (r13, guide §7.3; identical expression)
+        # one parsed expression instead of ~6 py4j Column calls per term
+        # for the k-term agreement sum (r13, guide §7.3; identical expression)
         agree = " + ".join(
             f"CAST(({a_pref}.mh{i} = {b_pref}.mh{i}) AS INT)"
             for i in range(k))
